@@ -1,0 +1,280 @@
+"""Point-in-time (as-of) join — zero temporal leakage by construction.
+
+North-star generalization of the reference's latest-per-entity lookup
+(pkg/storage/duckdb/duckdb.go:608-625 is the degenerate case "as-of now";
+history ordering at duckdb.go:688): for every (entity, query_ts) spine row,
+attach the feature row with the greatest event_ts <= query_ts for that
+entity. A spine row never reads an event with event_ts > query_ts.
+
+Tie-break (documented, deterministic): among feature rows with equal
+event_ts, the row with the greatest ``tiebreak`` column wins. The reference's
+ROW_NUMBER ties are nondeterministic (SURVEY.md §7 hard parts) — ours are not.
+
+Two physical strategies:
+
+- ``asof_join`` (both sides large): co-partition spine and features on
+  ``hash(entity) % B`` via a tagged union + ONE groupby shuffle, then a
+  vectorized ``pd.merge_asof`` per bucket. All rows of an entity land in the
+  same bucket, which is the zero-leakage partitioning contract.
+- ``asof_join_broadcast`` (small feature side): build per-entity sorted
+  timestamp indexes once, ``ray.put`` them, and serve lookups from an actor
+  pool (``map_batches(cls, concurrency=N)``) — reference ST4. No shuffle at
+  all; the spine streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+_SIDE_COL = "_fsr_side"
+_TS_COL = "_fsr_ts"
+
+
+def _null_column(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def asof_join(
+    spine: ray.data.Dataset,
+    features: ray.data.Dataset,
+    *,
+    entity_col: str,
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: Sequence[str],
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+    tolerance=None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Left as-of join: spine row + latest feature row with event_ts <= query_ts.
+
+    Output = all spine columns, plus ``{c}{suffix}`` for each feature payload
+    column and ``{feature_ts}{suffix}`` (the matched event time; null when the
+    entity has no feature row at or before query_ts).
+
+    Oracle: DuckDB ``ASOF LEFT JOIN ... ON s.entity = f.entity AND
+    s.query_ts >= f.event_ts``.
+    """
+    feature_payload = [c for c in feature_cols if c != feature_ts]
+    out_ts = f"{feature_ts}{suffix}"
+
+    spine_schema = pa.schema(spine.schema().base_schema)
+    feat_schema = pa.schema(features.schema().base_schema)
+    spine_cols = [c for c in spine_schema.names]
+    ts_type = spine_schema.field(spine_ts).type
+
+    # Unified schema: entity, _fsr_ts, _fsr_side, spine payload,
+    # feature payload (suffixed), matched-ts payload, optional tiebreak.
+    spine_payload = [c for c in spine_cols if c not in (entity_col, spine_ts)]
+    renamed = {c: f"{c}{suffix}" for c in feature_payload}
+
+    def tag_spine(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {entity_col: t[entity_col], _TS_COL: t[spine_ts].cast(ts_type)}
+        for c in spine_payload:
+            cols[c] = t[c]
+        for c in feature_payload:
+            cols[renamed[c]] = _null_column(n, feat_schema.field(c).type)
+        cols[out_ts] = _null_column(n, ts_type)
+        if tiebreak:
+            cols["_fsr_tb"] = _null_column(n, feat_schema.field(tiebreak).type)
+        cols[_SIDE_COL] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_feature(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {entity_col: t[entity_col], _TS_COL: t[feature_ts].cast(ts_type)}
+        for c in spine_payload:
+            cols[c] = _null_column(n, spine_schema.field(c).type)
+        for c in feature_payload:
+            cols[renamed[c]] = t[c]
+        cols[out_ts] = t[feature_ts].cast(ts_type)
+        if tiebreak:
+            cols["_fsr_tb"] = t[tiebreak]
+        cols[_SIDE_COL] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = spine.map_batches(
+        tag_spine, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        features.map_batches(tag_feature, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tagged = add_bucket_column(tagged, entity_col, num_buckets)
+
+    feat_out_cols = [renamed[c] for c in feature_payload] + [out_ts]
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_spine = df[_SIDE_COL].to_numpy() == 1
+        sp = df.loc[is_spine, [entity_col, _TS_COL] + spine_payload]
+        ft_sort = [_TS_COL] + (["_fsr_tb"] if tiebreak else [])
+        ft_cols = [entity_col, _TS_COL] + feat_out_cols + (
+            ["_fsr_tb"] if tiebreak else []
+        )
+        # merge_asof requires a global sort on the `on` column; stable sort
+        # with the tiebreak secondary makes "last match wins" = max tiebreak.
+        ft = df.loc[~is_spine, ft_cols].sort_values(ft_sort, kind="stable")
+        if tiebreak:
+            ft = ft.drop(columns=["_fsr_tb"])
+        sp = sp.sort_values(_TS_COL, kind="stable")
+        if len(sp) == 0:
+            out = sp.copy()
+            for c in feat_out_cols:
+                out[c] = pd.Series(dtype=ft[c].dtype)
+        else:
+            out = pd.merge_asof(
+                sp,
+                ft,
+                on=_TS_COL,
+                by=entity_col,
+                direction="backward",
+                allow_exact_matches=True,
+                tolerance=tolerance,
+            )
+        return out.rename(columns={_TS_COL: spine_ts})
+
+    out = tagged.groupby(BUCKET_COL).map_groups(bucket_kernel, batch_format="pandas")
+    return out
+
+
+class AsOfLookup:
+    """Actor-pool as-of lookup against a broadcast per-entity index (ST4).
+
+    ``__init__`` runs once per actor: fetch the broadcast index (one
+    ``ray.get`` on a driver-side ``ray.put`` ref — zero-copy from the local
+    object store on every node). ``__call__`` answers a spine batch with one
+    vectorized ``np.searchsorted`` per distinct entity in the batch.
+    """
+
+    def __init__(self, index_ref, *, entity_col, spine_ts, out_ts, payload_map):
+        self.index = ray.get(index_ref)
+        self.entity_col = entity_col
+        self.spine_ts = spine_ts
+        self.out_ts = out_ts
+        self.payload_map = payload_map  # {raw feature col: output col}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        ent = batch[self.entity_col].to_numpy()
+        ts = batch[self.spine_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = {
+            c: np.full(n, np.nan, dtype=np.float64) for c in self.payload_map
+        }
+        matched_ts = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        order = np.argsort(ent, kind="stable")
+        sorted_ent = ent[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sorted_ent[1:] != sorted_ent[:-1]))
+        )
+        bounds = np.append(bounds, n)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            rows = order[b0:b1]
+            e = sorted_ent[b0]
+            idx = self.index.get(e)
+            if idx is None:
+                continue
+            ets, payload = idx
+            pos = np.searchsorted(ets, ts[rows], side="right") - 1
+            hit = pos >= 0
+            hit_rows = rows[hit]
+            hit_pos = pos[hit]
+            matched_ts[hit_rows] = ets[hit_pos]
+            for c, arr in payload.items():
+                out[c][hit_rows] = arr[hit_pos]
+        res = batch.copy()
+        for raw, out_col in self.payload_map.items():
+            res[out_col] = out[raw]
+        mts = matched_ts.astype("float64")
+        mts[matched_ts == np.iinfo(np.int64).min] = np.nan
+        res[self.out_ts] = pd.to_datetime(
+            pd.Series(mts, index=res.index), unit="us", errors="coerce"
+        )
+        return res
+
+
+def build_asof_index(
+    features: pa.Table,
+    *,
+    entity_col: str,
+    feature_ts: str,
+    feature_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> dict:
+    """Per-entity (sorted ts µs, payload arrays) index for broadcast as-of.
+
+    Deterministic: stable sort by (entity, ts[, tiebreak]); on equal ts the
+    max-tiebreak row is last, and searchsorted(side="right")-1 picks it.
+    """
+    df = features.select(
+        [entity_col, feature_ts]
+        + [c for c in feature_cols if c != feature_ts]
+        + ([tiebreak] if tiebreak and tiebreak not in feature_cols else [])
+    ).to_pandas()
+    by = [entity_col, feature_ts] + ([tiebreak] if tiebreak else [])
+    df = df.sort_values(by, kind="stable")
+    ent = df[entity_col].to_numpy()
+    ts = df[feature_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+    payload_cols = [c for c in feature_cols if c != feature_ts]
+    payloads = {c: df[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in payload_cols}
+    index: dict = {}
+    bounds = np.flatnonzero(np.concatenate(([True], ent[1:] != ent[:-1])))
+    bounds = np.append(bounds, len(df))
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        index[ent[b0]] = (
+            ts[b0:b1],
+            {c: v[b0:b1] for c, v in payloads.items()},
+        )
+    return index
+
+
+def asof_join_broadcast(
+    spine: ray.data.Dataset,
+    features: pa.Table,
+    *,
+    entity_col: str,
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: Sequence[str],
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+    concurrency: int = 4,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """As-of join with a broadcast (small, numeric-payload) feature side.
+
+    ``ray.put`` the index ONCE; every actor reads it zero-copy. Use when the
+    feature side fits comfortably in the object store (e.g. <= a few GB);
+    otherwise use ``asof_join``. Payload columns are served as float64.
+    """
+    index = build_asof_index(
+        features,
+        entity_col=entity_col,
+        feature_ts=feature_ts,
+        feature_cols=feature_cols,
+        tiebreak=tiebreak,
+    )
+    index_ref = ray.put(index)
+    payload_map = {c: f"{c}{suffix}" for c in feature_cols if c != feature_ts}
+    return spine.map_batches(
+        AsOfLookup,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            index_ref=index_ref,
+            entity_col=entity_col,
+            spine_ts=spine_ts,
+            out_ts=f"{feature_ts}{suffix}",
+            payload_map=payload_map,
+        ),
+    )

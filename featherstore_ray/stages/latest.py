@@ -1,0 +1,75 @@
+"""Latest-per-entity lookup (GetFeatures) — the degenerate as-of join.
+
+Normative semantics = the reference's DuckDB path
+(pkg/storage/duckdb/duckdb.go:608-625):
+
+    ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY timestamp DESC) = 1
+
+The reference's ``ROW_NUMBER`` is nondeterministic on timestamp ties and its
+Parquet path breaks ties by file order (parquet.go:370-412) — we do NOT
+replicate either. This engine's documented tie-break: among rows with equal
+``ts_col``, the row with the greatest ``tiebreak`` column wins (deterministic,
+encoded in the oracle SQL as ``ORDER BY ts DESC, tiebreak DESC``).
+
+Scale shape (two-stage reduce, ONE small shuffle):
+  1. partial: within every input batch keep the latest row per entity
+     (vectorized sort + drop_duplicates) — output is ≤ distinct entities per
+     batch, so the shuffle that follows moves a fraction of the input;
+  2. final: shuffle the partials on ``hash(entity) % B`` and re-apply the
+     same kernel per bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import pandas as pd
+
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.stages.filters import semi_join_filter
+
+
+def _latest_kernel(
+    df: pd.DataFrame, entity_col: str, ts_col: str, tiebreak: str | None
+) -> pd.DataFrame:
+    if df.empty:
+        return df
+    by = [entity_col, ts_col] + ([tiebreak] if tiebreak else [])
+    asc = [True, False] + ([False] if tiebreak else [])
+    out = df.sort_values(by, ascending=asc, kind="stable").drop_duplicates(
+        subset=[entity_col], keep="first"
+    )
+    return out.reset_index(drop=True)
+
+
+def latest_per_entity(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    tiebreak: str | None = None,
+    entity_ids: Sequence[Any] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Latest row per entity, optionally restricted to ``entity_ids``.
+
+    ``entity_ids`` is the broadcast semi-join of GetFeatures
+    (duckdb.go:620-625); applying it BEFORE the reduce prunes the shuffle.
+    """
+    if entity_ids is not None:
+        ds = semi_join_filter(ds, entity_col, entity_ids)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _latest_kernel(df, entity_col, ts_col, tiebreak)
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    ds = add_bucket_column(ds, entity_col, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _latest_kernel(df, entity_col, ts_col, tiebreak)
+        return out.drop(columns=[BUCKET_COL])
+
+    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")

@@ -1,0 +1,294 @@
+"""Windowed feature builders: lag/lead, rolling backfill, sessionization.
+
+North-star operators (BASELINE.json) anchored to the reference's per-entity
+``ORDER BY timestamp`` retrieval semantics (pkg/storage/duckdb/duckdb.go:621,
+688). The reference itself has no aggregations (SURVEY.md §2.5) — semantics
+here follow the standard SQL window definitions so DuckDB can oracle them:
+
+- lag/lead(k): offsets within the per-entity (ts, tiebreak) ordering
+  (oracle: ``LAG/LEAD OVER (PARTITION BY e ORDER BY ts, tiebreak)``)
+- rolling: time-range window ``[t - w, t]`` inclusive BOTH ends including all
+  peer rows with equal ts (oracle: ``RANGE BETWEEN w PRECEDING AND CURRENT
+  ROW``, whose frame is closed on both ends and peer-inclusive)
+- sessionize: new session when ``ts - prev_ts > gap`` (strictly greater)
+  within an entity; session ids are 0-based per entity
+
+Scale shape: ONE shuffle on ``hash(entity) % B`` (groupby bucket), then a
+fully vectorized numpy kernel per bucket — never a Python call per entity or
+per row. Inside a bucket, per-entity windows are computed with the
+"timestamp offsetting" trick: shift each entity's int64-µs timestamps by
+``group_id * span`` so a single global ``np.searchsorted`` resolves every
+row's window bounds at once; rolling sums/counts then come from one cumsum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _ts_us(series: pd.Series) -> np.ndarray:
+    """Timestamp column → int64 microseconds (engine canon, duckdb.go:332)."""
+    v = series.to_numpy()
+    if v.dtype.kind == "M":
+        return v.astype("datetime64[us]").astype(np.int64)
+    return v.astype(np.int64)
+
+
+def _window_us(window) -> int:
+    if isinstance(window, timedelta):
+        return int(window / timedelta(microseconds=1))
+    return int(window)
+
+
+def _sort_entity_ts(
+    df: pd.DataFrame, entity_col: str, ts_col: str, tiebreak: str | None
+) -> tuple[pd.DataFrame, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort by (entity, ts[, tiebreak]) and return group geometry.
+
+    Returns (sorted df, new_entity bool mask, group starts, row-within-group).
+    """
+    by = [entity_col, ts_col] + ([tiebreak] if tiebreak else [])
+    df = df.sort_values(by, kind="stable").reset_index(drop=True)
+    n = len(df)
+    ent = df[entity_col].to_numpy()
+    new_ent = np.empty(n, dtype=bool)
+    if n:
+        new_ent[0] = True
+        new_ent[1:] = ent[1:] != ent[:-1]
+    starts = np.flatnonzero(new_ent)
+    sizes = np.diff(np.append(starts, n))
+    rwg = np.arange(n) - np.repeat(starts, sizes)
+    return df, new_ent, starts, rwg
+
+
+def _group_offset_ts(ts: np.ndarray, new_ent: np.ndarray, window_us: int):
+    """Per-entity monotone ts → globally monotone via group_id * span offset.
+
+    Guarantees windows never cross entity boundaries (the offset gap between
+    consecutive groups exceeds the window). Returns None on (theoretical)
+    int64 overflow — caller falls back to a per-group loop.
+    """
+    n = len(ts)
+    if n == 0:
+        return np.empty(0, np.int64)
+    rel = ts - ts.min()
+    span = int(rel.max()) + window_us + 1
+    group_id = np.cumsum(new_ent) - 1
+    if group_id[-1] and span > (_I64_MAX - int(rel.max())) // int(group_id[-1]):
+        return None
+    return rel + group_id * span
+
+
+def _bucketed(
+    ds: ray.data.Dataset, entity_col: str, num_buckets: int, kernel
+) -> ray.data.Dataset:
+    """The one-shuffle template: bucket → groupby(bucket) → vector kernel."""
+    ds = add_bucket_column(ds, entity_col, num_buckets)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=[BUCKET_COL]))
+
+    return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+
+
+# -- lag / lead ------------------------------------------------------------
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Add ``{col}_lag{k}`` / ``{col}_lead{k}`` columns per entity.
+
+    Oracle: ``LAG(col, k) OVER (PARTITION BY entity ORDER BY ts, tiebreak)``.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, rwg = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        sizes = np.diff(np.append(starts, n))
+        rwg_end = np.repeat(sizes, sizes) - 1 - rwg
+        for col in value_cols:
+            for k in lags:
+                s = df[col].shift(k)
+                s[rwg < k] = None
+                df[f"{col}_lag{k}"] = s
+            for k in leads:
+                s = df[col].shift(-k)
+                s[rwg_end < k] = None
+                df[f"{col}_lead{k}"] = s
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+# -- rolling backfill ------------------------------------------------------
+
+
+def rolling_aggregate(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window,
+    aggs: Sequence[str] = ("sum", "mean", "count"),
+    suffix: str | None = None,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Trailing time-window aggregate per entity over ``[t - w, t]``.
+
+    Window bounds are inclusive on both ends and include all peer rows with
+    equal ts — exactly SQL ``RANGE BETWEEN w PRECEDING AND CURRENT ROW``.
+    Float outputs are rounded to ``round_digits`` so summation order
+    (our single cumsum vs the oracle's tree aggregation) cannot flip the
+    last ulp; pass ``None`` to disable.
+    """
+    w_us = _window_us(window)
+    sfx = suffix if suffix is not None else ""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        ts = _ts_us(df[ts_col])
+        vals = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        key = _group_offset_ts(ts, new_ent, w_us)
+        if key is None:  # overflow fallback: per-entity searchsorted loop
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            bounds = np.append(starts, n)
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                tg = ts[g0:g1]
+                lo[g0:g1] = g0 + np.searchsorted(tg, tg - w_us, side="left")
+                hi[g0:g1] = g0 + np.searchsorted(tg, tg, side="right")
+        else:
+            lo = np.searchsorted(key, key - w_us, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        valid = ~np.isnan(vals)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid, vals, 0.0))))
+        ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        rcnt = ccnt[hi] - ccnt[lo]
+        rsum = csum[hi] - csum[lo]
+        rsum = np.where(rcnt == 0, np.nan, rsum)
+        out = {}
+        if "sum" in aggs:
+            out[f"{value_col}_rsum{sfx}"] = rsum
+        if "mean" in aggs:
+            out[f"{value_col}_rmean{sfx}"] = rsum / np.where(rcnt == 0, 1, rcnt)
+        if "count" in aggs:
+            out[f"{value_col}_rcount{sfx}"] = rcnt
+        for name, arr in out.items():
+            if round_digits is not None and arr.dtype.kind == "f":
+                arr = np.round(arr, round_digits)
+            df[name] = arr
+        if "mean" in aggs and rcnt.min(initial=1) == 0:
+            df.loc[rcnt == 0, f"{value_col}_rmean{sfx}"] = np.nan
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+# -- sessionization --------------------------------------------------------
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    gap,
+    session_col: str = "session_id",
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Gap-based session ids per entity (0-based).
+
+    A new session starts when ``ts - prev_ts > gap`` (STRICTLY greater — a
+    gap exactly equal to the threshold stays in the same session). Oracle:
+    cumulative sum over a gap flag (SURVEY.md A3).
+    """
+    gap_us = _window_us(gap)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        ts = _ts_us(df[ts_col])
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (~new_ent[1:]) & ((ts[1:] - ts[:-1]) > gap_us)
+        c = np.cumsum(brk)
+        sizes = np.diff(np.append(starts, n))
+        df[session_col] = c - np.repeat(c[starts] if n else c, sizes)
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def session_stats(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    gap,
+    value_col: str | None = None,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-(entity, session) aggregate: event count, start/end ts, duration.
+
+    Runs sessionization and aggregation inside ONE bucket kernel — entities
+    never cross buckets, so per-bucket groupby is exact with no second
+    shuffle.
+    """
+    gap_us = _window_us(gap)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        ts = _ts_us(df[ts_col])
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (~new_ent[1:]) & ((ts[1:] - ts[:-1]) > gap_us)
+        c = np.cumsum(brk)
+        sizes = np.diff(np.append(starts, n))
+        df["session_id"] = c - np.repeat(c[starts] if n else c, sizes)
+        aggs = {"n_events": (ts_col, "size"),
+                "start_ts": (ts_col, "min"),
+                "end_ts": (ts_col, "max")}
+        if value_col is not None:
+            aggs["sum_value"] = (value_col, "sum")
+        g = (
+            df.groupby([entity_col, "session_id"], sort=True)
+            .agg(**aggs)
+            .reset_index()
+        )
+        dur = (
+            g["end_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - g["start_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        g["duration_sec"] = dur / 1_000_000.0
+        if value_col is not None and round_digits is not None:
+            g["sum_value"] = g["sum_value"].round(round_digits)
+        return g
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)

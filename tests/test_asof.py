@@ -1,0 +1,148 @@
+"""As-of join vs DuckDB ASOF JOIN oracle + zero-leakage invariant."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from featherstore_ray.stages.asof import asof_join, asof_join_broadcast
+
+
+@pytest.fixture(scope="module")
+def sides():
+    rng = np.random.default_rng(11)
+    nf, ns = 3000, 1200
+    feat = pa.table(
+        {
+            "entity": pa.array(rng.integers(0, 50, nf), pa.int64()),
+            "event_ts": pa.array(
+                np.sort(rng.integers(0, 10**9, nf)) * 1000, pa.timestamp("us")
+            ),
+            "fid": pa.array(np.arange(nf), pa.int64()),
+            "value": pa.array(np.round(rng.normal(0, 5, nf), 3), pa.float64()),
+        }
+    )
+    # spine includes: entities with no features (ids 60-64), query ts before
+    # first / after last event, and ts exactly equal to an event_ts
+    ent = rng.integers(0, 65, ns)
+    qts = rng.integers(-(10**8), 11 * 10**8, ns) * 1000
+    # force exact-match boundaries
+    f_ent = feat["entity"].to_numpy()
+    f_ts = feat["event_ts"].cast(pa.int64()).to_numpy()
+    ent[:50] = f_ent[:50]
+    qts[:50] = f_ts[:50]
+    spine = pa.table(
+        {
+            "entity": pa.array(ent, pa.int64()),
+            "query_ts": pa.array(qts, pa.timestamp("us")),
+            "sid": pa.array(np.arange(ns), pa.int64()),
+        }
+    )
+    return spine, feat
+
+
+def oracle_asof(spine, feat):
+    con = duckdb.connect()
+    con.register("spine", spine)
+    con.register("feat", feat)
+    return con.execute(
+        """
+        SELECT s.sid, s.entity, s.query_ts,
+               f.value AS value_asof, f.event_ts AS event_ts_asof
+        FROM spine s
+        ASOF LEFT JOIN feat f
+          ON s.entity = f.entity AND s.query_ts >= f.event_ts
+        """
+    ).df()
+
+
+def _check(out: pd.DataFrame, exp: pd.DataFrame):
+    m = out.sort_values("sid").reset_index(drop=True)
+    e = exp.sort_values("sid").reset_index(drop=True)
+    assert len(m) == len(e)
+    np.testing.assert_allclose(m["value_asof"], e["value_asof"], equal_nan=True)
+    got_ts = m["event_ts_asof"].to_numpy("datetime64[us]")
+    want_ts = e["event_ts_asof"].to_numpy("datetime64[us]")
+    both = ~(pd.isna(got_ts) | pd.isna(want_ts))
+    assert (pd.isna(got_ts) == pd.isna(want_ts)).all()
+    assert (got_ts[both] == want_ts[both]).all()
+    # zero temporal leakage: matched event_ts <= query_ts always
+    q = m["query_ts"].to_numpy("datetime64[us]")
+    assert (got_ts[both] <= q[both]).all()
+
+
+def test_asof_partitioned_matches_oracle(sides):
+    spine, feat = sides
+    out = asof_join(
+        ray.data.from_arrow(spine),
+        ray.data.from_arrow(feat),
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        num_buckets=8,
+    ).to_pandas()
+    _check(out, oracle_asof(spine, feat))
+
+
+def test_asof_broadcast_matches_oracle(sides):
+    spine, feat = sides
+    out = asof_join_broadcast(
+        ray.data.from_arrow(spine),
+        feat,
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        concurrency=2,
+        batch_size=256,
+    ).to_pandas()
+    _check(out, oracle_asof(spine, feat))
+
+
+def test_asof_tiebreak_deterministic():
+    # two feature rows with identical (entity, event_ts): max tiebreak wins
+    t0 = 1_700_000_000_000_000
+    feat = pa.table(
+        {
+            "entity": pa.array([1, 1], pa.int64()),
+            "event_ts": pa.array([t0, t0], pa.timestamp("us")),
+            "fid": pa.array([5, 9], pa.int64()),
+            "value": pa.array([100.0, 200.0], pa.float64()),
+        }
+    )
+    spine = pa.table(
+        {
+            "entity": pa.array([1], pa.int64()),
+            "query_ts": pa.array([t0 + 1], pa.timestamp("us")),
+            "sid": pa.array([0], pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(spine),
+        ray.data.from_arrow(feat),
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        num_buckets=2,
+    ).to_pandas()
+    assert list(out["value_asof"]) == [200.0]
+
+    out2 = asof_join_broadcast(
+        ray.data.from_arrow(spine),
+        feat,
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        concurrency=1,
+    ).to_pandas()
+    assert list(out2["value_asof"]) == [200.0]

@@ -1,0 +1,113 @@
+"""Feature-store lifecycle test, mirroring the reference's own fixture flow
+(pkg/storage/parquet/parquet_test.go:21-222): create → metadata on disk →
+ingest a small batch → retrieve latest per entity with exact values → list →
+delete → not-found.
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from featherstore_ray.catalog import FeatherStore, FeatureSetNotFound
+from featherstore_ray.schema import SchemaError
+
+
+SCHEMA = {
+    "entity_id": "string",
+    "timestamp": "timestamp[us]",
+    "feature1": "float64",
+    "feature2": "int64",
+}
+
+
+def _batch(entities, ts, f1, f2):
+    return pa.table(
+        {
+            "entity_id": pa.array(entities, pa.string()),
+            "timestamp": pa.array(ts, pa.timestamp("us")),
+            "feature1": pa.array(f1, pa.float64()),
+            "feature2": pa.array(f2, pa.int64()),
+        }
+    )
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return FeatherStore(tmp_path / "store")
+
+
+def test_lifecycle(store):
+    store.create_feature_set("test_features", SCHEMA, description="d", tags=["t"])
+    meta_path = store.root / "test_features" / "metadata.json"
+    assert meta_path.exists()
+    meta = json.loads(meta_path.read_text())
+    assert meta["name"] == "test_features"
+    assert {f["name"] for f in meta["features"]} == set(SCHEMA)
+
+    # round-trip schema through base64 IPC
+    got = store.get_feature_set("test_features")["schema"]
+    assert got.field("feature1").type == pa.float64()
+
+    # reference golden rows (parquet_test.go:121-134)
+    n = store.ingest(
+        "test_features",
+        _batch(
+            ["entity1", "entity2", "entity3"],
+            [1_700_000_000_000_000] * 3,
+            [1.1, 2.2, 3.3],
+            [10, 20, 30],
+        ),
+    )
+    assert n == 3
+    files = list((store.root / "test_features" / "data").glob("*.parquet"))
+    assert len(files) == 1
+
+    out = (
+        store.get_features("test_features", ["entity1", "entity2"])
+        .to_pandas()
+        .sort_values("entity_id")
+    )
+    assert list(out["entity_id"]) == ["entity1", "entity2"]
+    assert list(out["feature1"]) == [1.1, 2.2]
+    assert list(out["feature2"]) == [10, 20]
+
+    assert store.list_feature_sets() == ["test_features"]
+    store.delete_feature_set("test_features")
+    with pytest.raises(FeatureSetNotFound):
+        store.get_feature_set("test_features")
+
+
+def test_latest_wins_and_history(store):
+    store.create_feature_set("fs", SCHEMA)
+    base = 1_700_000_000_000_000
+    store.ingest(
+        "fs",
+        _batch(["e1", "e1", "e2"], [base, base + 10, base + 5], [1.0, 2.0, 9.0], [1, 2, 9]),
+    )
+    store.ingest("fs", _batch(["e1"], [base + 3], [1.5], [15]))
+
+    latest = store.get_features("fs", ["e1", "e2"]).to_pandas().sort_values("entity_id")
+    # latest timestamp wins across files (duckdb.go:617-625)
+    assert list(latest["feature1"]) == [2.0, 9.0]
+
+    # inclusive [start, end] bounds (parquet.go:728)
+    hist = store.get_feature_history(
+        "fs",
+        "e1",
+        start=pa.scalar(base + 3, pa.timestamp("us")).as_py(),
+        end=pa.scalar(base + 10, pa.timestamp("us")).as_py(),
+    ).to_pandas()
+    assert list(hist["feature1"]) == [2.0, 1.5]  # ts desc
+
+
+def test_ingest_schema_validation(store):
+    store.create_feature_set("fs", SCHEMA)
+    bad = pa.table({"entity_id": pa.array(["x"]), "timestamp": pa.array([1], pa.int64())})
+    with pytest.raises(SchemaError):
+        store.ingest("fs", bad)
+
+
+def test_create_requires_entity(store):
+    with pytest.raises(SchemaError):
+        store.create_feature_set("nope", {"f": "float64"})

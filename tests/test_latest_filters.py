@@ -1,0 +1,93 @@
+"""latest_per_entity (J1) + filters (M1/M2) vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from featherstore_ray.stages.filters import semi_join_filter, time_range_filter
+from featherstore_ray.stages.latest import latest_per_entity
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(3)
+    n = 5000
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "entity_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+            "timestamp": pa.array(
+                rng.integers(0, 10**9, n) * 1000, pa.timestamp("us")
+            ),
+            "value": pa.array(rng.normal(0, 1, n), pa.float64()),
+        }
+    )
+
+
+def test_latest_per_entity_matches_oracle(events):
+    out = latest_per_entity(
+        ray.data.from_arrow(events),
+        entity_col="entity_id",
+        ts_col="timestamp",
+        tiebreak="event_id",
+        num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", events)
+    exp = con.execute(
+        """
+        SELECT event_id, entity_id, timestamp, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY entity_id ORDER BY timestamp DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+        """
+    ).df()
+    m = out.sort_values("entity_id").reset_index(drop=True)
+    e = exp.sort_values("entity_id").reset_index(drop=True)
+    assert (m["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
+
+
+def test_latest_with_semi_join(events):
+    ids = [1, 5, 7, 9999]  # 9999 absent
+    out = latest_per_entity(
+        ray.data.from_arrow(events),
+        entity_col="entity_id",
+        ts_col="timestamp",
+        tiebreak="event_id",
+        entity_ids=ids,
+        num_buckets=4,
+    ).to_pandas()
+    assert set(out["entity_id"]) == {1, 5, 7}
+
+
+def test_time_range_inclusive(events):
+    lo = pa.scalar(2 * 10**11, pa.timestamp("us"))
+    hi = pa.scalar(6 * 10**11, pa.timestamp("us"))
+    out = time_range_filter(
+        ray.data.from_arrow(events), "timestamp", lo, hi
+    ).to_pandas()
+    ts = events["timestamp"].cast(pa.int64()).to_numpy()
+    want = ((ts >= 2 * 10**11) & (ts <= 6 * 10**11)).sum()
+    assert len(out) == want
+    # boundary rows retained (inclusive both ends, parquet.go:728)
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {"timestamp": pa.array([t0 - 1, t0, t0 + 5, t0 + 6], pa.timestamp("us"))}
+    )
+    got = time_range_filter(
+        ray.data.from_arrow(tbl),
+        "timestamp",
+        pa.scalar(t0, pa.timestamp("us")),
+        pa.scalar(t0 + 5, pa.timestamp("us")),
+    ).to_pandas()
+    assert len(got) == 2
+
+
+def test_semi_join_filter(events):
+    out = semi_join_filter(ray.data.from_arrow(events), "entity_id", [3, 4]).to_pandas()
+    assert set(out["entity_id"]) <= {3, 4}
+    ent = events["entity_id"].to_numpy()
+    assert len(out) == ((ent == 3) | (ent == 4)).sum()

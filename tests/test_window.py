@@ -1,0 +1,189 @@
+"""Window-feature kernels vs a DuckDB oracle on a small synthetic table."""
+
+from datetime import timedelta
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from featherstore_ray.stages.window import (
+    lag_lead,
+    rolling_aggregate,
+    session_stats,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(7)
+    n = 2000
+    ts = np.sort(rng.integers(0, 10**9, n)) * 1000  # µs within ~16 min span
+    table = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "entity": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(np.round(rng.normal(10, 3, n), 3), pa.float64()),
+        }
+    )
+    return table
+
+
+def oracle(events, sql):
+    con = duckdb.connect()
+    con.register("events", events)
+    return con.execute(sql).df()
+
+
+def test_lag_lead_matches_oracle(events):
+    ds = ray.data.from_arrow(events)
+    out = lag_lead(
+        ds,
+        entity_col="entity",
+        ts_col="ts",
+        value_cols=["value"],
+        lags=[1, 2],
+        leads=[1],
+        tiebreak="event_id",
+        num_buckets=8,
+    ).to_pandas()
+    exp = oracle(
+        events,
+        """
+        SELECT event_id,
+               lag(value, 1)  OVER w AS value_lag1,
+               lag(value, 2)  OVER w AS value_lag2,
+               lead(value, 1) OVER w AS value_lead1
+        FROM events
+        WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+        """,
+    )
+    m = out.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    for c in ["value_lag1", "value_lag2", "value_lead1"]:
+        np.testing.assert_allclose(m[c], e[c], equal_nan=True)
+
+
+def test_rolling_matches_oracle(events):
+    ds = ray.data.from_arrow(events)
+    out = rolling_aggregate(
+        ds,
+        entity_col="entity",
+        ts_col="ts",
+        value_col="value",
+        window=timedelta(seconds=60),
+        tiebreak="event_id",
+        num_buckets=8,
+    ).to_pandas()
+    exp = oracle(
+        events,
+        """
+        SELECT event_id,
+               round(sum(value)   OVER w, 6) AS value_rsum,
+               round(avg(value)   OVER w, 6) AS value_rmean,
+               count(value) OVER w AS value_rcount
+        FROM events
+        WINDOW w AS (PARTITION BY entity ORDER BY ts
+                     RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING AND CURRENT ROW)
+        """,
+    )
+    m = out.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(m["value_rsum"], e["value_rsum"], atol=1e-5)
+    np.testing.assert_allclose(m["value_rmean"], e["value_rmean"], atol=1e-5)
+    assert (m["value_rcount"].to_numpy() == e["value_rcount"].to_numpy()).all()
+
+
+def test_sessionize_matches_oracle(events):
+    gap_us = 5_000_000  # 5 s
+    ds = ray.data.from_arrow(events)
+    out = sessionize(
+        ds,
+        entity_col="entity",
+        ts_col="ts",
+        gap=gap_us,
+        tiebreak="event_id",
+        num_buckets=8,
+    ).to_pandas()
+    exp = oracle(
+        events,
+        f"""
+        SELECT event_id,
+               CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                              AND date_diff('microsecond', prev_ts, ts) > {gap_us}
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY entity ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (SELECT *, lag(ts) OVER (PARTITION BY entity ORDER BY ts, event_id)
+                     AS prev_ts FROM events)
+        """,
+    )
+    m = out.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    assert (m["session_id"].to_numpy() == e["session_id"].to_numpy()).all()
+
+
+def test_session_gap_boundary():
+    # gap exactly equal to threshold stays in the SAME session (strict >)
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "entity": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([t0, t0 + 100, t0 + 201], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    out = (
+        sessionize(
+            ray.data.from_arrow(tbl),
+            entity_col="entity",
+            ts_col="ts",
+            gap=100,
+            tiebreak="event_id",
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out["session_id"]) == [0, 0, 1]
+
+
+def test_session_stats(events):
+    out = session_stats(
+        ray.data.from_arrow(events),
+        entity_col="entity",
+        ts_col="ts",
+        gap=5_000_000,
+        value_col="value",
+        tiebreak="event_id",
+        num_buckets=8,
+    ).to_pandas()
+    exp = oracle(
+        events,
+        """
+        WITH s AS (
+          SELECT *, CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                           AND date_diff('microsecond', prev_ts, ts) > 5000000
+                       THEN 1 ELSE 0 END)
+               OVER (PARTITION BY entity ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (SELECT *, lag(ts) OVER (PARTITION BY entity ORDER BY ts, event_id)
+                       AS prev_ts FROM events))
+        SELECT entity, session_id, count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY 1, 2
+        """,
+    )
+    m = out.sort_values(["entity", "session_id"]).reset_index(drop=True)
+    e = exp.sort_values(["entity", "session_id"]).reset_index(drop=True)
+    assert len(m) == len(e)
+    assert (m["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(m["sum_value"], e["sum_value"], atol=1e-5)
+    assert (m["start_ts"].to_numpy() == e["start_ts"].to_numpy("datetime64[us]")).all()
