@@ -1,44 +1,534 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+One ``queries()`` entry per implemented operator/pipeline from SURVEY.md §2
+(plus the training-data extensions), each paired with DuckDB oracle SQL in
+``oracle_sql()`` where SQL can express it. Ray is initialised by the driver
+BEFORE this module is imported — nothing here calls ``ray.init``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names in each Ray result match the oracle SQL aliases exactly (the
+driver sorts columns by name before value-hashing). Float aggregates are
+rounded identically on both sides so summation order cannot flip a hash.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from datetime import timedelta
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+import ray.data  # noqa: E402
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# fixed query parameters (shared by queries and oracles)
+_IDS = [0, 3, 7, 13, 42, 99, 149, 9_999]  # 9999 absent at every sf
+_HIST_START = "2024-01-10 00:00:00"
+_HIST_END = "2024-01-20 00:00:00"
+_ROLL_HOURS = 24
+_GAP_MIN = 30
+_ANN_QIDS = [0, 1, 2]
+
+
+# ---------------------------------------------------------------- queries --
+
+
+def q_latest_per_entity(sf_dir: str):
+    """J1: latest row per entity (duckdb.go:608-625), deterministic tie-break."""
+    from featherstore_ray.stages.latest import latest_per_entity
+
+    return latest_per_entity(
+        _read(sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select_columns(["event_id", "user_id", "ts", "event_type", "value"])
+
+
+def q_latest_semi_join(sf_dir: str):
+    """J1+J4: latest per entity restricted to a broadcast ID list."""
+    from featherstore_ray.stages.latest import latest_per_entity
+
+    return latest_per_entity(
+        _read(sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        entity_ids=_IDS,
+    ).select_columns(["event_id", "user_id", "ts", "event_type", "value"])
+
+
+def q_history_range(sf_dir: str):
+    """M2+O2: inclusive [start, end] history for an entity set (duckdb.go:683-689)."""
+    from featherstore_ray.stages.filters import history
+
+    return history(
+        _read(sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        entity_ids=_IDS,
+        start=pa.scalar(_HIST_START).cast(pa.timestamp("us")).as_py(),
+        end=pa.scalar(_HIST_END).cast(pa.timestamp("us")).as_py(),
+        sort_desc=False,  # driver compare is order-insensitive
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """J3 flagship: purchases as-of join latest prior click per user."""
+    from featherstore_ray.pipelines.feature_suite import split_events
+    from featherstore_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events")
+    spine, feats = split_events(events, "purchase", "click", "event_type")
+    out = asof_join(
+        spine,
+        feats.select_columns(["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id",
+        spine_ts="ts",
+        feature_ts="ts",
+        feature_cols=["ts", "value"],
+        tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value_asof", "ts_asof"])
+
+
+def q_asof_join_broadcast(sf_dir: str):
+    """J3/ST4: same join served from a broadcast actor-held sorted index."""
+    from featherstore_ray.stages.asof import asof_join_broadcast
+
+    feat_tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    feat_tbl = feat_tbl.filter(pc.equal(feat_tbl["event_type"], "click")).select(
+        ["user_id", "ts", "value", "event_id"]
+    )
+    events = _read(sf_dir, "events")
+    spine = events.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = asof_join_broadcast(
+        spine,
+        feat_tbl,
+        entity_col="user_id",
+        spine_ts="ts",
+        feature_ts="ts",
+        feature_cols=["ts", "value"],
+        tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value_asof", "ts_asof"])
+
+
+def q_lag_lead(sf_dir: str):
+    """A1: per-entity lag/lead of value in (ts, event_id) order."""
+    from featherstore_ray.stages.window import lag_lead
+
+    return lag_lead(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_cols=["value"],
+        lags=[1, 2],
+        leads=[1],
+        tiebreak="event_id",
+    ).select_columns(["event_id", "value_lag1", "value_lag2", "value_lead1"])
+
+
+def q_rolling_window(sf_dir: str):
+    """A2: trailing 24h sum/mean/count per entity, RANGE semantics."""
+    from featherstore_ray.stages.window import rolling_aggregate
+
+    return rolling_aggregate(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window=timedelta(hours=_ROLL_HOURS),
+        tiebreak="event_id",
+    ).select_columns(["event_id", "value_rsum", "value_rmean", "value_rcount"])
+
+
+def q_sessionize(sf_dir: str):
+    """A3: gap-based session ids (30 min, strict >)."""
+    from featherstore_ray.stages.window import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        entity_col="user_id",
+        ts_col="ts",
+        gap=timedelta(minutes=_GAP_MIN),
+        tiebreak="event_id",
+    ).select_columns(["event_id", "user_id", "session_id"])
+
+
+def q_session_stats(sf_dir: str):
+    """A3+agg: per-(entity, session) count/start/end/duration/sum."""
+    from featherstore_ray.stages.window import session_stats
+
+    return session_stats(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id",
+        ts_col="ts",
+        gap=timedelta(minutes=_GAP_MIN),
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+def q_event_type_agg(sf_dir: str):
+    """Partial-pre-aggregated groupby (shuffle moves partials, not rows)."""
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+
+    return grouped_aggregate(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"],
+        {
+            "n": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "avg_value": ("value", "mean"),
+            "max_value": ("value", "max"),
+        },
+        round_digits=4,
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped partial aggregation over lineitem."""
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+
+    return grouped_aggregate(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "n": ("l_quantity", "count"),
+        },
+        round_digits=3,
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup by content: min doc_id per distinct text."""
+    from featherstore_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(
+        _read(sf_dir, "documents"), ["text"], keep_col="doc_id"
+    ).select_columns(["doc_id", "source", "n_chars"])
+
+
+def q_token_count(sf_dir: str):
+    """Whitespace token counting over documents."""
+    from featherstore_ray.stages.text import token_count
+
+    return token_count(_read(sf_dir, "documents", columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tok_ws"]
+    )
+
+
+def q_quality_score(sf_dir: str):
+    """Quality features: char/word counts, stopword hits (RE2 both sides)."""
+    from featherstore_ray.stages.text import quality_score
+
+    return quality_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "char_count", "word_count", "stop_hits"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 vs fixed query vectors."""
+    from featherstore_ray.stages.ann import cosine_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (deterministic; no SQL equivalent → rows check)."""
+    from featherstore_ray.stages.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (deterministic; rows-only check)."""
+    from featherstore_ray.stages.text import fingerprint
+
+    return fingerprint(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (deterministic; rows-only check)."""
+    from featherstore_ray.stages.dedup import simhash
+
+    return simhash(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), id_col="doc_id"
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup groups (deterministic; rows-only check)."""
+    from featherstore_ray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        threshold=0.6,
+    )
+
+
+def q_tokens_validate(sf_dir: str):
+    """Tokens-table invariant: recomputed n_tok == stored n_tok per row
+    (input_hint per-row token-array equality; table synthesized
+    deterministically — no driver view, rows-only check)."""
+    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
+
+    path = tokens_parquet(sf_num_rows(sf_dir))
+    ds = ray.data.read_parquet(path)
+
+    def check(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(t["tokens"]), pa.int32())
+        ok = pc.equal(n, t["n_tok"])
+        if not pc.all(ok).as_py():
+            raise ValueError("token-array/n_tok invariant violated")
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tok": t["n_tok"], "source": t["source"]}
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tokens_stats(sf_dir: str):
+    """Per-source corpus stats over the synthetic tokens table (rows-only)."""
+    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+
+    path = tokens_parquet(sf_num_rows(sf_dir))
+    return grouped_aggregate(
+        ray.data.read_parquet(path, columns=["source", "n_tok"]),
+        ["source"],
+        {
+            "docs": ("n_tok", "count"),
+            "total_tokens": ("n_tok", "sum"),
+            "max_len": ("n_tok", "max"),
+        },
+    )
+
+
+def q_tokens_dedup(sf_dir: str):
+    """Exact dedup of token sequences by content hash (rows-only)."""
+    import numpy as np
+    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
+    from featherstore_ray.stages.dedup import exact_dedup
+
+    path = tokens_parquet(sf_num_rows(sf_dir))
+    ds = ray.data.read_parquet(path)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (flat + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(h, dtype=np.uint64)))
+        seq_hash = (csum[offsets[1:]] - csum[offsets[:-1]]) ^ (
+            (offsets[1:] - offsets[:-1]).astype(np.uint64)
+        )
+        return t.append_column("seq_hash", pa.array(seq_hash.view(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_dedup(hashed, ["seq_hash", "n_tok"], keep_col="doc_id")
+    return out.select_columns(["doc_id", "n_tok", "source", "seq_hash"])
+
+
+# --------------------------------------------------------------- contract --
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: window features + as-of join suite."""
+    from featherstore_ray.pipelines.feature_suite import feature_suite
+
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    return feature_suite(events, num_buckets=16)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "latest_per_entity": q_latest_per_entity,
+        "latest_semi_join": q_latest_semi_join,
+        "history_range": q_history_range,
+        "asof_join": q_asof_join,
+        "asof_join_broadcast": q_asof_join_broadcast,
+        "lag_lead": q_lag_lead,
+        "rolling_window": q_rolling_window,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "event_type_agg": q_event_type_agg,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "ann_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_dedup": q_minhash_dedup,
+        "tokens_validate": q_tokens_validate,
+        "tokens_stats": q_tokens_stats,
+        "tokens_dedup": q_tokens_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ids = ", ".join(str(i) for i in _IDS)
+    return {
+        "latest_per_entity": """
+            SELECT event_id, user_id, ts, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events) WHERE rn = 1
+        """,
+        "latest_semi_join": f"""
+            SELECT event_id, user_id, ts, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events WHERE user_id IN ({ids})) WHERE rn = 1
+        """,
+        "history_range": f"""
+            SELECT * FROM events
+            WHERE user_id IN ({ids})
+              AND ts >= TIMESTAMP '{_HIST_START}'
+              AND ts <= TIMESTAMP '{_HIST_END}'
+        """,
+        "asof_join": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   f.value AS value_asof, f.ts AS ts_asof
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+              ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "asof_join_broadcast": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   f.value AS value_asof, f.ts AS ts_asof
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+              ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "lag_lead": """
+            SELECT event_id,
+                   lag(value, 1)  OVER w AS value_lag1,
+                   lag(value, 2)  OVER w AS value_lag2,
+                   lead(value, 1) OVER w AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_window": f"""
+            SELECT event_id,
+                   round(sum(value) OVER w, 6) AS value_rsum,
+                   round(avg(value) OVER w, 6) AS value_rmean,
+                   count(value) OVER w AS value_rcount
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "sessionize": f"""
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                             AND date_diff('microsecond', prev_ts, ts)
+                                 > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (SELECT *, lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "session_stats": f"""
+            WITH s AS (
+              SELECT *, CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                               AND date_diff('microsecond', prev_ts, ts)
+                                   > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6)
+                     AS duration_sec,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "event_type_agg": """
+            SELECT event_type, count(value) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 3) AS sum_qty,
+                   round(sum(l_extendedprice), 3) AS sum_price,
+                   round(avg(l_quantity), 3) AS avg_qty,
+                   count(l_quantity) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY text ORDER BY doc_id) rn
+              FROM documents) WHERE rn = 1
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   length(text) AS char_count,
+                   len(string_split(text, ' ')) AS word_count,
+                   len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b'))
+                     AS stop_hits
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                       WHERE vec_id IN ({", ".join(map(str, _ANN_QIDS))})),
+            s AS (SELECT qid, vec_id,
+                         round(list_cosine_similarity(qe, embedding), 4) AS score
+                  FROM q, embeddings WHERE vec_id != qid)
+            SELECT qid AS query_id, vec_id, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, vec_id) rn FROM s)
+            WHERE rn <= 5
+        """,
+        # lang_id, fingerprint, simhash, minhash_dedup, tokens_* are
+        # deliberately omitted: not ANSI-SQL-expressible (hash/heuristic ops
+        # or synthetic input outside the driver's views) → rows-only check.
+    }

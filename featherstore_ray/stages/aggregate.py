@@ -1,0 +1,81 @@
+"""Grouped aggregation with mandatory partial pre-aggregation.
+
+The reference has no data aggregations (SURVEY.md §2.5); this is the
+engine's generic grouped-aggregate primitive, built scale-first: every input
+batch collapses to at most one row per (group, batch) BEFORE the shuffle, so
+the all-to-all exchange moves partials, not rows. sum/count/min/max merge
+trivially; mean = sum/count finalized after the merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_aggregate(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    *,
+    round_digits: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Aggregate ``aggs`` = {out_col: (in_col, fn)} per ``group_keys``.
+
+    fn ∈ {sum, count, min, max, mean}. Two-stage: per-batch pandas groupby
+    (partial) → bucket shuffle on the group key → per-bucket merge +
+    finalize. ``round_digits`` rounds float outputs for oracle-stable
+    comparison (summation-order noise).
+    """
+    group_keys = list(group_keys)
+    # expand mean into sum+count partials
+    partial_specs: dict[str, tuple[str, str]] = {}
+    finalize_mean: dict[str, tuple[str, str]] = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            partial_specs[f"__{out}_sum"] = (col, "sum")
+            partial_specs[f"__{out}_cnt"] = (col, "count")
+            finalize_mean[out] = (f"__{out}_sum", f"__{out}_cnt")
+        else:
+            partial_specs[out] = (col, fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: df[k] for k in group_keys}
+            for out in partial_specs:
+                cols[out] = pd.Series(dtype="float64")
+            return pd.DataFrame(cols)
+        g = df.groupby(group_keys, sort=False, observed=True)
+        out = pd.DataFrame(
+            {o: g[c].agg(f) for o, (c, f) in partial_specs.items()}
+        ).reset_index()
+        return out
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    ds = add_bucket_column(ds, group_keys[0], num_buckets)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(group_keys, sort=True, observed=True)
+        out = pd.DataFrame(
+            {o: g[o].agg(_MERGE[partial_specs[o][1]]) for o in partial_specs}
+        ).reset_index()
+        for out_col, (s, c) in finalize_mean.items():
+            out[out_col] = out[s] / out[c]
+            out = out.drop(columns=[s, c])
+        if round_digits is not None:
+            for c in out.columns:
+                if c not in group_keys and out[c].dtype.kind == "f":
+                    out[c] = out[c].round(round_digits)
+        return out
+
+    return ds.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")

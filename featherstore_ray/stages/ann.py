@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the baseline. Query matrix is
+  broadcast ONCE (``ray.put``), every batch does one float64 matmul, emits
+  only its per-batch top-k partials, and a tiny final reduce merges them.
+  Shuffle cost: O(num_queries * k * batches), never the corpus.
+- ``lsh_topk``: the scale path — random-hyperplane (SimHash) bucketing;
+  each corpus row lands in one bucket per table, queries probe their own
+  buckets only. Approximate (documented recall/probe tradeoff), same
+  partial-topk reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack_embeddings(col: pa.ChunkedArray) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0]
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKScorer:
+    """Actor: holds the broadcast normalized query matrix; scores batches."""
+
+    def __init__(self, qref, id_col, emb_col, k, round_digits):
+        q = ray.get(qref)
+        self.qids = q["ids"]
+        self.qm = q["matrix"]  # already normalized, float64
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.round_digits = round_digits
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_stack_embeddings(t[self.emb_col]))
+        scores = emb @ self.qm.T  # (n, nq)
+        self_mask = ids[:, None] == self.qids[None, :]
+        scores = np.where(self_mask, -np.inf, scores)
+        k = min(self.k, n)
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
+        nq = len(self.qids)
+        qcol = np.repeat(self.qids, k)
+        icol = ids[top.T.reshape(-1)]
+        scol = scores[top.T.reshape(-1), np.repeat(np.arange(nq), k)]
+        keep = np.isfinite(scol)
+        if self.round_digits is not None:
+            scol = np.round(scol, self.round_digits)
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep].astype(np.int64)),
+                self.id_col: pa.array(icol[keep].astype(np.int64)),
+                "score": pa.array(scol[keep]),
+            }
+        )
+
+
+def cosine_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 4,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Exact cosine top-k of each query over the corpus (self-matches excluded).
+
+    Ties on (rounded) score break by ascending ``id_col`` — deterministic and
+    expressible in oracle SQL (``ORDER BY round(score, d) DESC, vec_id``).
+    """
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    qref = ray.put({"ids": qids, "matrix": qm})
+
+    partials = ds.map_batches(
+        _TopKScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_args=(qref, id_col, emb_col, k, round_digits),
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        return df.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    round_digits: int | None = 4,
+    seed: int = 5,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Approximate top-k: score only corpus rows whose random-hyperplane
+    sign bucket matches the query's. Recall rises with fewer planes (bigger
+    buckets); the exact scorer inside the bucket keeps results deterministic.
+    """
+    dim = len(queries[emb_col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    weights = 1 << np.arange(num_planes)
+    qbuckets = ((qm @ planes.T) > 0) @ weights
+
+    qref = ray.put({"ids": qids, "matrix": qm})
+
+    class BucketScorer(_TopKScorer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = _normalize(_stack_embeddings(t[self.emb_col])) if t.num_rows else None
+            if t.num_rows:
+                cb = ((emb @ planes.T) > 0) @ weights
+                mask = np.isin(cb, qbuckets)
+                t = t.filter(pa.array(mask))
+            return super().__call__(t)
+
+    return (
+        ds.map_batches(
+            BucketScorer,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            fn_constructor_args=(qref, id_col, emb_col, k, round_digits),
+        )
+        .groupby("query_id")
+        .map_groups(
+            lambda df: df.sort_values(
+                ["score", id_col], ascending=[False, True], kind="stable"
+            )
+            .head(k)
+            .reset_index(drop=True),
+            batch_format="pandas",
+        )
+    )

@@ -247,7 +247,7 @@ def asof_join_broadcast(
     feature_cols: Sequence[str],
     suffix: str = "_asof",
     tiebreak: str | None = None,
-    concurrency: int = 4,
+    concurrency=(1, 8),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """As-of join with a broadcast (small, numeric-payload) feature side.

@@ -1,0 +1,96 @@
+"""Multimodal (image/audio/video) column plumbing — actor-pool stages.
+
+Binary payloads travel as opaque ``binary`` columns with typed metadata
+(width/height/codec/...). The Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and tested; the actual decoders are
+STUBBED because the image/audio libraries are not in this container:
+
+- ``decoder="fake"`` — deterministic fake decode (seeded by a content hash)
+  so pipelines and tests exercise the full path end-to-end;
+- ``decoder="pillow"`` / real codecs — raise ``NotImplementedError`` with a
+  clear message until the dependency exists.
+
+Scale notes baked into the defaults: small ``batch_size`` (large rows —
+batch bytes = batch_size × payload size must fit the worker heap), actor
+pool (``concurrency``) so any model/codec init happens once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_BATCH_SIZE = 64  # large binary rows → small batches
+
+
+class ImageDecodeStage:
+    """Actor: binary image column → fixed-size float feature vector.
+
+    Output schema: input columns + ``feat`` (list<float32> of ``feat_dim``)
+    + ``decode_ok`` (bool).
+    """
+
+    def __init__(self, *, payload_col: str = "image", feat_dim: int = 16,
+                 decoder: str = "fake"):
+        self.payload_col = payload_col
+        self.feat_dim = feat_dim
+        if decoder == "fake":
+            self.decode = self._fake_decode
+        else:
+            raise NotImplementedError(
+                f"decoder {decoder!r}: real image codecs are not available in "
+                "this environment; plug a callable bytes -> np.ndarray here"
+            )
+
+    def _fake_decode(self, payload: bytes) -> np.ndarray:
+        # deterministic pseudo-features from a content hash
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(
+            (digest * (self.feat_dim * 4 // len(digest) + 1))[: self.feat_dim * 4],
+            dtype=np.uint32,
+        )
+        return (raw / np.float64(2**32)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        feats = np.empty((len(payloads), self.feat_dim), dtype=np.float32)
+        ok = np.zeros(len(payloads), dtype=bool)
+        for i, p in enumerate(payloads):
+            if p is None:
+                feats[i] = 0.0
+                continue
+            feats[i] = self.decode(p)
+            ok[i] = True
+        flat = pa.array(feats.reshape(-1), pa.float32())
+        offsets = pa.array(
+            np.arange(0, (len(payloads) + 1) * self.feat_dim, self.feat_dim,
+                      dtype=np.int32)
+        )
+        feat_col = pa.ListArray.from_arrays(offsets, flat)
+        batch = batch.append_column("feat", feat_col)
+        return batch.append_column("decode_ok", pa.array(ok))
+
+
+def decode_images(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "image",
+    feat_dim: int = 16,
+    decoder: str = "fake",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col, feat_dim=feat_dim, decoder=decoder
+        ),
+    )

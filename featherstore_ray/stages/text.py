@@ -1,0 +1,201 @@
+"""Text analysis over the documents table — vectorized, no per-row Python.
+
+Large-scale training-data ops: token counting, quality scoring, language ID,
+document fingerprinting. All Arrow-native (``pyarrow.compute``, RE2 regexes —
+the same regex engine DuckDB uses, so oracle SQL stays bit-identical) or
+flat-array numpy on exploded word lists (``reduceat`` per document).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Stopword profiles for the language-ID heuristic (deterministic order).
+_LANG_PROFILES: list[tuple[str, frozenset[str]]] = [
+    ("en", frozenset("the a and of to in is that it for".split())),
+    ("es", frozenset("el la de que y en los se del por".split())),
+    ("fr", frozenset("le la de et les des en du que une".split())),
+    ("de", frozenset("der die und das von zu mit den im ist".split())),
+    ("zh", frozenset("的 了 是 在 我 有 和 就 不 人".split())),
+]
+
+_STOPWORDS_EN = "the|a|and|of|to|in|is"
+
+
+def token_count(
+    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "n_tok_ws"
+) -> ray.data.Dataset:
+    """Whitespace token count: ``len(split(text, ' '))``.
+
+    Matches DuckDB ``len(string_split(text, ' '))`` exactly (empty string →
+    1, the singleton empty token).
+    """
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t[text_col], " "), 1)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Heuristic quality features: char/word counts, avg word len, stopword ratio.
+
+    ``stop_hits`` counts English stopword occurrences with an RE2 word-boundary
+    regex — pyarrow and DuckDB both run RE2, so the oracle
+    (``len(regexp_extract_all(...))``) agrees bit-for-bit.
+    """
+    pattern = rf"\b({_STOPWORDS_EN})\b"
+
+    def _score(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t[text_col]), pa.int64())
+        words = pc.cast(pc.add(pc.count_substring(t[text_col], " "), 1), pa.int64())
+        stops = pc.cast(pc.count_substring_regex(t[text_col], pattern), pa.int64())
+        # chars excluding the single-space separators, per word
+        awl = pc.divide(
+            pc.cast(pc.subtract(chars, pc.subtract(words, 1)), pa.float64()),
+            pc.cast(words, pa.float64()),
+        )
+        ratio = pc.divide(
+            pc.cast(stops, pa.float64()), pc.cast(words, pa.float64())
+        )
+        t = t.append_column("char_count", chars)
+        t = t.append_column("word_count", words)
+        t = t.append_column("avg_word_len", pc.round(awl, ndigits=round_digits))
+        t = t.append_column("stop_hits", stops)
+        t = t.append_column("stop_ratio", pc.round(ratio, ndigits=round_digits))
+        return t
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _explode_words(texts: pa.ChunkedArray | pa.Array):
+    """Split texts on single spaces → (flat word array, int64 offsets)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    flat = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
+
+
+def lang_id(
+    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "lang_pred"
+) -> ray.data.Dataset:
+    """N-gram-free stopword-profile language ID (deterministic heuristic).
+
+    Scores each language by stopword hits per document (flat exploded words,
+    one vectorized ``isin`` + ``reduceat`` per language); ties and zero-hit
+    docs resolve to the first profile in deterministic order, 'und' when no
+    profile hits.
+    """
+
+    def _lang(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.string()))
+        flat, offsets = _explode_words(t[text_col])
+        words = pd.Series(flat.to_pandas(), copy=False)
+        scores = np.zeros((len(_LANG_PROFILES), n), dtype=np.int64)
+        seg = offsets[:-1]
+        nonempty = offsets[1:] > offsets[:-1]
+        for i, (_, stops) in enumerate(_LANG_PROFILES):
+            hits = words.isin(stops).to_numpy().astype(np.int64)
+            if hits.size:
+                csum = np.concatenate(([0], np.cumsum(hits)))
+                scores[i] = csum[offsets[1:]] - csum[seg]
+        best = np.argmax(scores, axis=0)  # first max wins (deterministic)
+        total = scores.sum(axis=0)
+        labels = np.array([name for name, _ in _LANG_PROFILES])
+        pred = np.where((total > 0) & nonempty, labels[best], "und")
+        return t.append_column(out_col, pa.array(pred))
+
+    return ds.map_batches(_lang, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_FP_P1 = np.uint64(0x9E3779B185EBCA87)
+_FP_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FP_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Exploded word uint64 hashes + per-doc offsets (shared by fingerprint,
+    MinHash and SimHash)."""
+    flat, offsets = _explode_words(texts)
+    np_words = flat.to_numpy(zero_copy_only=False).astype(object)
+    h = pd.util.hash_array(np_words) if len(np_words) else np.empty(0, np.uint64)
+    return h.astype(np.uint64), offsets
+
+
+def shingle_hashes(
+    h: np.ndarray, offsets: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-word shingle hashes on the flat word-hash array.
+
+    Shingle i combines hashes i..i+k-1 with distinct odd multipliers (a
+    rolling polynomial over the word stream). Documents shorter than k fall
+    back to their single-word hashes. Returns (flat shingles, doc offsets).
+    """
+    n_docs = len(offsets) - 1
+    lengths = offsets[1:] - offsets[:-1]
+    out_lens = np.maximum(lengths - (k - 1), np.minimum(lengths, 1))
+    out_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    shingles = np.zeros(total, dtype=np.uint64)
+    mults = (_FP_P1, _FP_P2, _FP_P3)
+    # vectorized over the flat array: for docs with length >= k the shingle
+    # window never crosses doc boundaries because out_lens trims the tail
+    for d0, d1, o0, o1, L in zip(
+        offsets[:-1], offsets[1:], out_offsets[:-1], out_offsets[1:], lengths
+    ):
+        if L == 0:
+            continue
+        if L < k:
+            shingles[o0:o1] = h[d0] * _FP_P1
+            continue
+        acc = np.zeros(o1 - o0, dtype=np.uint64)
+        for j in range(k):
+            m = mults[j % len(mults)]
+            acc ^= h[d0 + j : d0 + j + (o1 - o0)] * m
+        shingles[o0:o1] = acc
+    return shingles, out_offsets
+
+
+def fingerprint(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    *,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: min k-word-shingle hash per doc.
+
+    A winnowing-style content fingerprint (deterministic uint64 reported as
+    int64 for Arrow/SQL friendliness); empty docs fingerprint to 0.
+    """
+
+    def _fp(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        h, offsets = word_hashes(t[text_col])
+        sh, soff = shingle_hashes(h, offsets, k)
+        fp = np.zeros(n, dtype=np.uint64)
+        nonempty = soff[1:] > soff[:-1]
+        if sh.size:
+            mins = np.minimum.reduceat(sh, np.minimum(soff[:-1], len(sh) - 1))
+            fp[nonempty] = mins[nonempty]
+        return t.append_column(out_col, pa.array(fp.view(np.int64)))
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,117 @@
+"""ANN top-k, grouped aggregation, and the synthetic tokens source."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from featherstore_ray.sources.tokens import tokens_dataset, tokens_parquet
+from featherstore_ray.stages.aggregate import grouped_aggregate
+from featherstore_ray.stages.ann import cosine_topk, lsh_topk
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+def test_cosine_topk_matches_duckdb():
+    emb = pq.read_table(EMB)
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+    out = cosine_topk(
+        ray.data.from_arrow(emb), queries, k=5, concurrency=2
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    exp = con.execute(
+        """
+        WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                   WHERE vec_id IN (0,1,2)),
+        s AS (SELECT qid, vec_id,
+                     round(list_cosine_similarity(qe, embedding), 4) AS score
+              FROM q, embeddings WHERE vec_id != qid)
+        SELECT qid AS query_id, vec_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vec_id) rn FROM s)
+        WHERE rn <= 5
+        """
+    ).df()
+    m = out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert len(m) == len(e) == 15
+    assert (m["vec_id"].to_numpy() == e["vec_id"].to_numpy()).all()
+    np.testing.assert_allclose(m["score"], e["score"], atol=2e-4)
+
+
+def test_lsh_topk_reasonable_recall():
+    emb = pq.read_table(EMB)
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+    exact = cosine_topk(ray.data.from_arrow(emb), queries, k=5).to_pandas()
+    approx = lsh_topk(
+        ray.data.from_arrow(emb), queries, k=5, num_planes=4
+    ).to_pandas()
+    # bucketed search returns a subset of candidates; overlap should be nonzero
+    inter = set(map(tuple, approx[["query_id", "vec_id"]].values)) & set(
+        map(tuple, exact[["query_id", "vec_id"]].values)
+    )
+    assert len(inter) >= 3
+
+
+def test_grouped_aggregate_matches_duckdb():
+    li = pq.read_table(LI)
+    out = grouped_aggregate(
+        ray.data.from_arrow(li),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "max_disc": ("l_discount", "max"),
+            "n": ("l_orderkey", "count"),
+        },
+        round_digits=4,
+        num_buckets=4,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    exp = con.execute(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(max(l_discount), 4) AS max_disc,
+               count(l_orderkey) AS n
+        FROM lineitem GROUP BY 1, 2
+        """
+    ).df()
+    m = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    e = exp.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert len(m) == len(e)
+    np.testing.assert_allclose(m["sum_qty"], e["sum_qty"], atol=1e-3)
+    np.testing.assert_allclose(m["avg_price"], e["avg_price"], atol=1e-3)
+    assert (m["n"].to_numpy() == e["n"].to_numpy()).all()
+
+
+def test_tokens_deterministic_and_valid(tmp_path):
+    d1 = tokens_parquet(3000, cache_dir=str(tmp_path / "a"))
+    d2 = tokens_parquet(3000, cache_dir=str(tmp_path / "b"))
+    t1 = pq.read_table(d1)
+    t2 = pq.read_table(d2)
+    assert t1.equals(t2)  # byte-identical across generations
+    assert t1.num_rows == 3000
+    # n_tok invariant: equals len(tokens) on every row
+    n_tok = t1["n_tok"].to_numpy()
+    lens = pc.list_value_length(t1["tokens"]).to_numpy()
+    assert (n_tok == lens).all()
+    assert n_tok.min() >= 1 and n_tok.max() <= 512
+    # skew present: hot doc_ids recur
+    vc = t1.to_pandas()["doc_id"].value_counts()
+    assert vc.iloc[0] > 50
+    assert t1.to_pandas()["source"].value_counts().iloc[0] > 1000
+
+    ds = tokens_dataset(3000)
+    assert ds.count() == 3000
+    assert pa.schema(ds.schema().base_schema).field("tokens").type == pa.list_(
+        pa.int32()
+    )

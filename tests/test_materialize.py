@@ -1,0 +1,126 @@
+"""Resumable materialization: lineage, skip-completed, deterministic replay."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from featherstore_ray.lineage import LineageLog
+from featherstore_ray.pipelines.materialize import materialize, read_materialized
+from featherstore_ray.stages.multimodal import decode_images
+
+
+def _events(n=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(0, 10**9, n)) * 1000,
+                           pa.timestamp("us")),
+            "value": pa.array(rng.normal(0, 1, n), pa.float64()),
+        }
+    )
+
+
+def _make_kernel():
+    # defined inside a factory so cloudpickle ships it by value (test modules
+    # are not importable from Ray workers)
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable").reset_index(drop=True)
+        df["value_cumsum"] = df.groupby("user_id")["value"].cumsum()
+        return df
+
+    return kernel
+
+
+def test_materialize_and_resume_identical(tmp_path):
+    _kernel = _make_kernel()
+    tbl = _events()
+    full_dir = tmp_path / "full"
+    recs = materialize(
+        ray.data.from_arrow(tbl),
+        full_dir,
+        entity_col="user_id",
+        kernel=_kernel,
+        sort_cols=["event_id"],
+        num_buckets=8,
+    )
+    assert len(recs) == 8
+    assert sum(r.rows for r in recs) == tbl.num_rows
+    assert (full_dir / "_lineage.jsonl").exists()
+
+    # simulate a failed run: only 3 partitions written, then resume
+    part_dir = tmp_path / "partial"
+    part_dir.mkdir()
+    log = LineageLog(part_dir)
+    for rec in recs[:3]:
+        src = full_dir / f"part-{rec.partition_id:05d}.parquet"
+        dst = part_dir / f"part-{rec.partition_id:05d}.parquet"
+        dst.write_bytes(src.read_bytes())
+        rec.path = str(dst)
+        log.append(rec)
+
+    new = materialize(
+        ray.data.from_arrow(tbl),
+        part_dir,
+        entity_col="user_id",
+        kernel=_kernel,
+        sort_cols=["event_id"],
+        num_buckets=8,
+    )
+    # resume computed only the missing 5 partitions
+    assert len(new) == 5
+    assert {r.partition_id for r in new} == {
+        r.partition_id for r in recs
+    } - {r.partition_id for r in recs[:3]}
+
+    # byte-identical output vs the uninterrupted run
+    for rec in recs:
+        a = (full_dir / f"part-{rec.partition_id:05d}.parquet").read_bytes()
+        b = (part_dir / f"part-{rec.partition_id:05d}.parquet").read_bytes()
+        assert a == b, f"partition {rec.partition_id} differs after resume"
+
+    # read back: same rows as input, plus the derived column
+    back = read_materialized(full_dir).to_pandas()
+    assert len(back) == tbl.num_rows
+    assert "value_cumsum" in back.columns
+
+
+def test_materialize_noop_when_complete(tmp_path):
+    tbl = _events(500)
+    d = tmp_path / "out"
+    first = materialize(
+        ray.data.from_arrow(tbl), d, entity_col="user_id", num_buckets=4
+    )
+    assert len(first) == 4
+    again = materialize(
+        ray.data.from_arrow(tbl), d, entity_col="user_id", num_buckets=4
+    )
+    assert again == []  # everything skipped
+
+
+def test_multimodal_fake_decode():
+    rng = np.random.default_rng(2)
+    payloads = [rng.bytes(100) for _ in range(10)] + [None]
+    tbl = pa.table(
+        {
+            "id": pa.array(range(11), pa.int64()),
+            "image": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = decode_images(
+        ray.data.from_arrow(tbl), feat_dim=8, concurrency=1, batch_size=4
+    ).to_pandas()
+    assert len(out) == 11
+    assert out["decode_ok"].sum() == 10
+    feats = np.stack(out.sort_values("id")["feat"].to_numpy())
+    assert feats.shape == (11, 8)
+    # deterministic: same payload → same features
+    out2 = decode_images(
+        ray.data.from_arrow(tbl), feat_dim=8, concurrency=1, batch_size=4
+    ).to_pandas()
+    feats2 = np.stack(out2.sort_values("id")["feat"].to_numpy())
+    np.testing.assert_array_equal(feats, feats2)

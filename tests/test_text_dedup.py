@@ -1,0 +1,161 @@
+"""Text analysis + dedup family over the real documents table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from featherstore_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from featherstore_ray.stages.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(DOCS)
+
+
+def test_token_count_matches_duckdb(docs):
+    out = token_count(ray.data.from_arrow(docs)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws FROM documents"
+    ).df()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (m["n_tok_ws"].to_numpy() == e["n_tok_ws"].to_numpy()).all()
+
+
+def test_quality_score_matches_duckdb(docs):
+    out = quality_score(ray.data.from_arrow(docs)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(
+        r"""
+        SELECT doc_id,
+               length(text) AS char_count,
+               len(string_split(text, ' ')) AS word_count,
+               len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b'))
+                 AS stop_hits
+        FROM documents
+        """
+    ).df()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    for c in ["char_count", "word_count", "stop_hits"]:
+        assert (m[c].to_numpy() == e[c].to_numpy()).all(), c
+    # internal consistency of derived ratios
+    np.testing.assert_allclose(
+        m["stop_ratio"], (m["stop_hits"] / m["word_count"]).round(6)
+    )
+
+
+def test_lang_id_deterministic(docs):
+    out1 = lang_id(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    out2 = lang_id(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert (out1["lang_pred"].to_numpy() == out2["lang_pred"].to_numpy()).all()
+    assert set(out1["lang_pred"]) <= {"en", "es", "fr", "de", "zh", "und"}
+    # texts are english word-soup: english should dominate
+    assert (out1["lang_pred"] == "en").mean() > 0.5
+
+
+def test_fingerprint_identical_for_identical_text():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e f", "a b c d e f", "x y z w q"]),
+        }
+    )
+    out = fingerprint(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    fps = list(out["fingerprint"])
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup(docs):
+    # duplicate the table; dedup on text keeps the min doc_id copy
+    shifted = docs.set_column(
+        0, "doc_id", pa.compute.add(docs["doc_id"], 10_000)
+    )
+    both = pa.concat_tables([docs, shifted])
+    out = exact_dedup(
+        ray.data.from_arrow(both), ["text"], keep_col="doc_id", num_buckets=8
+    ).to_pandas()
+    assert len(out) == docs.num_rows
+    assert out["doc_id"].max() < 10_000
+
+
+def test_minhash_signatures_similarity():
+    texts = pa.array(
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "completely different words here about spark and arrow engines",
+        ]
+    )
+    sig = minhash_signatures(texts, num_perm=128)
+    sim_close = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    jac = ngram_jaccard(
+        [texts[0].as_py(), texts[0].as_py()],
+        [texts[1].as_py(), texts[2].as_py()],
+    )
+    assert sim_close > 0.5 and sim_close > jac[0] - 0.25
+    assert sim_far < 0.2
+
+
+def test_minhash_lsh_dedup_finds_planted_dups(docs):
+    # plant 20 near-duplicates: copy rows, tweak one word
+    base = docs.to_pandas().head(20).copy()
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 50_000
+    dup["text"] = dup["text"] + " extra"
+    both = pd.concat([docs.to_pandas(), dup], ignore_index=True)
+    groups = minhash_lsh_dedup(
+        ray.data.from_pandas(both), id_col="doc_id", threshold=0.5
+    )
+    got_pairs = set(zip(groups["dup_group"], groups["doc_id"]))
+    planted = {(i, i + 50_000) for i in base["doc_id"]}
+    found = {(g, d) for g, d in got_pairs if d >= 50_000 and g == d - 50_000}
+    assert len(found) >= 15  # LSH is probabilistic; most planted pairs found
+    # deterministic across runs
+    groups2 = minhash_lsh_dedup(
+        ray.data.from_pandas(both), id_col="doc_id", threshold=0.5
+    )
+    assert groups.equals(groups2)
+
+
+def test_simhash_hamming(docs):
+    out = simhash(ray.data.from_arrow(docs), id_col="doc_id").to_pandas()
+    assert out["simhash"].nunique() > 400  # distinct docs spread out
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                ]
+            ),
+        }
+    )
+    two = simhash(ray.data.from_arrow(tbl), id_col="doc_id").to_pandas()
+    a, b = np.uint64(two["simhash"][0]), np.uint64(two["simhash"][1])
+    ham = bin(int(a) ^ int(b)).count("1")
+    assert ham < 24  # similar docs → close hashes
