@@ -200,6 +200,7 @@ def q_event_type_agg(sf_dir: str):
             "max_value": ("value", "max"),
         },
         round_digits=4,
+        final="driver",  # 5 groups
     )
 
 
@@ -221,6 +222,7 @@ def q_pricing_summary(sf_dir: str):
             "n": ("l_quantity", "count"),
         },
         round_digits=3,
+        final="driver",  # 6 groups
     )
 
 
@@ -333,6 +335,7 @@ def q_tokens_stats(sf_dir: str):
             "total_tokens": ("n_tok", "sum"),
             "max_len": ("n_tok", "max"),
         },
+        final="driver",  # 20 groups
     )
 
 

@@ -229,3 +229,19 @@ class FeatherStore:
             start=start,
             end=end,
         )
+
+
+def to_feature_vectors(table: pa.Table) -> list[dict[str, Any]]:
+    """Columnar batch → row-oriented feature vectors, API-edge only.
+
+    The reference's FeatureVector explode (pkg/core/model.go:97-173) exists
+    solely for the JSON/HTTP edge; it must NEVER appear in a transform path.
+    Each row: {"entity_id", "timestamp", "values": {feature: value}}.
+    """
+    rows = table.to_pylist()
+    out = []
+    for r in rows:
+        entity = r.pop(ENTITY_COL, None)
+        ts = r.pop(TS_COL, None)
+        out.append({"entity_id": entity, "timestamp": ts, "values": r})
+    return out

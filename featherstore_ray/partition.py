@@ -62,7 +62,7 @@ def add_bucket_column(
     def _add(batch: pa.Table) -> pa.Table:
         return batch.append_column(col, pa.array(bucket_of(batch[key], num_buckets)))
 
-    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_add, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def choose_num_buckets(

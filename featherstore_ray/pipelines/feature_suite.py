@@ -10,60 +10,45 @@ event table (entity, ts, value, ...) it materializes, for every event row:
 - as-of joined "last purchase-relevant signal": for spine rows (one event
   type) the latest prior value of another event type, zero leakage
 
-All window features share ONE entity-bucket shuffle (the kernels run
-back-to-back on the same sorted bucket); the as-of join adds its own tagged
-union + bucket shuffle. Output streams to the consumer — nothing
-materializes driver-side.
+Window features AND the as-of join share ONE entity-bucket shuffle — both
+sides of the join come from the same event table, so the bucket kernel does
+windows + merge_asof back-to-back on the same sorted slice. Output streams
+to the consumer — nothing materializes driver-side.
 """
 
 from __future__ import annotations
 
 from datetime import timedelta
 
-import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-
-from featherstore_ray.stages.asof import asof_join
-from featherstore_ray.stages.window import lag_lead, rolling_aggregate, sessionize
 
 
 def split_events(
     events: ray.data.Dataset, spine_type: str, feature_type: str, type_col: str
 ):
-    spine = events.map_batches(
-        lambda t, v=spine_type: t.filter(pc.equal(t[type_col], v)),
-        batch_format="pyarrow",
+    spine = events.map_batches(lambda t, v=spine_type: t.filter(pc.equal(t[type_col], v)), batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    feats = events.map_batches(
-        lambda t, v=feature_type: t.filter(pc.equal(t[type_col], v)),
-        batch_format="pyarrow",
+    feats = events.map_batches(lambda t, v=feature_type: t.filter(pc.equal(t[type_col], v)), batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return spine, feats
 
 
-def window_features(
-    events: ray.data.Dataset,
+def _window_kernel(
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
     *,
-    entity_col: str = "user_id",
-    ts_col: str = "ts",
-    value_col: str = "value",
-    tiebreak: str = "event_id",
-    rolling_window=timedelta(hours=24),
-    session_gap=timedelta(minutes=30),
-    num_buckets: int = 64,
-) -> ray.data.Dataset:
-    """lag1 + lead1 + rolling(sum/mean/count) + session_id in ONE shuffle.
-
-    The three builders each add a bucket column and groupby — but Ray Data
-    fuses the narrow maps and runs one sort per groupby; to keep it to ONE
-    shuffle we chain the kernels inside a single bucketed map_groups here
-    rather than calling the three standalone stages.
-    """
-    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    rolling_window,
+    session_gap,
+):
+    """Bucket-local window-feature kernel shared by window_features and
+    feature_suite: lag1/lead1 + rolling(sum/mean/count) + session_id in one
+    vectorized pass over the sorted bucket."""
     from featherstore_ray.stages.window import (
         _group_offset_ts,
         _sort_entity_ts,
@@ -77,7 +62,6 @@ def window_features(
     gap_us = _window_us(session_gap)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
         df, new_ent, starts, rwg = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
         n = len(df)
         sizes = np.diff(np.append(starts, n))
@@ -120,6 +104,36 @@ def window_features(
         df["session_id"] = c - np.repeat(c[starts] if n else c, sizes)
         return df
 
+    return kernel
+
+
+def window_features(
+    events: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    rolling_window=timedelta(hours=24),
+    session_gap=timedelta(minutes=30),
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """lag1 + lead1 + rolling(sum/mean/count) + session_id in ONE shuffle.
+
+    The three standalone builders would each shuffle; chaining their kernels
+    inside a single bucketed map_groups keeps it to one exchange.
+    """
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    import pandas as pd
+
+    wk = _window_kernel(
+        entity_col, ts_col, value_col, tiebreak,
+        rolling_window=rolling_window, session_gap=session_gap,
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return wk(df.drop(columns=[BUCKET_COL]))
+
     ds = add_bucket_column(events, entity_col, num_buckets)
     return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
 
@@ -136,33 +150,55 @@ def feature_suite(
     feature_type: str = "click",
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Full suite: window features on all events, then as-of attach the
-    latest prior ``feature_type`` value onto ``spine_type`` rows."""
-    wf = window_features(
-        events,
-        entity_col=entity_col,
-        ts_col=ts_col,
-        value_col=value_col,
-        tiebreak=tiebreak,
-        num_buckets=num_buckets,
+    """Full suite in ONE entity-bucket shuffle.
+
+    Spine and feature rows come from the same event table, so the window
+    kernel and the as-of lookup share a single ``hash(entity) % B`` exchange:
+    per bucket we (a) compute window features over all rows, (b) as-of join
+    the ``spine_type`` subframe against the ``feature_type`` subframe with
+    ``pd.merge_asof`` (backward, tie-break = max ``tiebreak``). Halves the
+    all-to-all cost vs composing the standalone stages — the dominant saving
+    at cluster scale, where each exchange moves the full table.
+    """
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    import pandas as pd
+
+    wf_kernel = _window_kernel(
+        entity_col, ts_col, value_col, tiebreak,
+        rolling_window=timedelta(hours=24), session_gap=timedelta(minutes=30),
     )
-    spine = wf.map_batches(
-        lambda t, v=spine_type: t.filter(pc.equal(t[type_col], v)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    feats = events.map_batches(
-        lambda t, v=feature_type: t.filter(pc.equal(t[type_col], v)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).select_columns([entity_col, ts_col, value_col, tiebreak])
-    return asof_join(
-        spine,
-        feats,
-        entity_col=entity_col,
-        spine_ts=ts_col,
-        feature_ts=ts_col,
-        feature_cols=[ts_col, value_col],
-        tiebreak=tiebreak,
-        num_buckets=num_buckets,
-    )
+    out_val, out_ts = f"{value_col}_asof", f"{ts_col}_asof"
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = wf_kernel(df.drop(columns=[BUCKET_COL]))
+        is_spine = (df[type_col] == spine_type).to_numpy()
+        is_feat = (df[type_col] == feature_type).to_numpy()
+        sp = df.loc[is_spine]
+        ft = df.loc[is_feat, [entity_col, ts_col, value_col, tiebreak]].rename(
+            columns={value_col: out_val, ts_col: "_ft_ts"}
+        )
+        ft[out_ts] = ft["_ft_ts"]
+        # merge_asof needs a global sort on the `on` key; stable sort with the
+        # tiebreak secondary makes "last match wins" = max tiebreak on ts ties
+        ft = ft.sort_values(["_ft_ts", tiebreak], kind="stable").drop(
+            columns=[tiebreak]
+        )
+        sp = sp.sort_values(ts_col, kind="stable")
+        if len(sp) == 0:
+            out = sp.copy()
+            out[out_val] = pd.Series(dtype="float64")
+            out[out_ts] = pd.Series(dtype=ft[out_ts].dtype)
+            return out
+        return pd.merge_asof(
+            sp,
+            ft,
+            left_on=ts_col,
+            right_on="_ft_ts",
+            by=entity_col,
+            direction="backward",
+            allow_exact_matches=True,
+        ).drop(columns=["_ft_ts"])
+
+    ds = add_bucket_column(events, entity_col, num_buckets)
+    return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")

@@ -82,7 +82,7 @@ def materialize(
                 pc.invert(pc.is_in(t[BUCKET_COL], value_set=done_arr))
             )
 
-        ds = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(prune, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
     def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()

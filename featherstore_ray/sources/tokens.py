@@ -118,10 +118,14 @@ def tokens_parquet(
 
 
 def sf_num_rows(sf_dir: str) -> int:
-    """Map a driver sf dir to a corpus size (sf0.001→5k, sf0.01→50k, sf0.1→500k)."""
+    """Map a driver sf dir to a corpus size (sf0.001→10k, sf0.01→100k, sf0.1→1M).
+
+    sf=1 would be 10M sequences (~1 GB zstd parquet); the 10^12-sequence
+    design point is the same pipeline at 10^5× the partition count.
+    """
     name = Path(sf_dir).name  # e.g. "sf0.01"
     try:
         sf = float(name.replace("sf", ""))
     except ValueError:
         sf = 0.001
-    return max(1000, int(sf * 5_000_000))
+    return max(1000, int(sf * 10_000_000))

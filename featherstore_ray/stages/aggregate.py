@@ -28,13 +28,20 @@ def grouped_aggregate(
     *,
     round_digits: int | None = None,
     num_buckets: int = 64,
+    final: str = "shuffle",
 ) -> ray.data.Dataset:
     """Aggregate ``aggs`` = {out_col: (in_col, fn)} per ``group_keys``.
 
     fn ∈ {sum, count, min, max, mean}. Two-stage: per-batch pandas groupby
-    (partial) → bucket shuffle on the group key → per-bucket merge +
-    finalize. ``round_digits`` rounds float outputs for oracle-stable
-    comparison (summation-order noise).
+    (partial) → merge + finalize. ``round_digits`` rounds float outputs for
+    oracle-stable comparison (summation-order noise).
+
+    ``final="shuffle"`` (default) merges via a bucket groupby — use for
+    high-cardinality keys. ``final="driver"`` merges the partials on the
+    driver: partial size is O(groups × blocks) regardless of row count, so
+    for LOW-cardinality keys (dashboard-style aggregates) this skips the
+    all-to-all entirely — the partials ARE small by construction, this is
+    not a full materialization.
     """
     group_keys = list(group_keys)
     # expand mean into sum+count partials
@@ -60,11 +67,17 @@ def grouped_aggregate(
         ).reset_index()
         return out
 
-    ds = ds.map_batches(partial, batch_format="pandas")
-    ds = add_bucket_column(ds, group_keys[0], num_buckets)
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: df[k] if k in df else pd.Series(dtype=object)
+                    for k in group_keys}
+            for out_col in list(partial_specs) + list(finalize_mean):
+                if out_col not in finalize_mean and out_col.startswith("__"):
+                    continue
+                cols[out_col] = pd.Series(dtype="float64")
+            return pd.DataFrame(cols)
         g = df.groupby(group_keys, sort=True, observed=True)
         out = pd.DataFrame(
             {o: g[o].agg(_MERGE[partial_specs[o][1]]) for o in partial_specs}
@@ -77,5 +90,18 @@ def grouped_aggregate(
                 if c not in group_keys and out[c].dtype.kind == "f":
                     out[c] = out[c].round(round_digits)
         return out
+
+    if final == "driver":
+        import pyarrow as pa
+
+        parts = ds.to_pandas()  # small by construction (groups × blocks)
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(merge_frame(parts), preserve_index=False)
+        )
+
+    ds = add_bucket_column(ds, group_keys[0], num_buckets)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_frame(df.drop(columns=[BUCKET_COL]))
 
     return ds.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")

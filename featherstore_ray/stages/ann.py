@@ -99,9 +99,7 @@ def cosine_topk(
     qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     qref = ray.put({"ids": qids, "matrix": qm})
 
-    partials = ds.map_batches(
-        _TopKScorer,
-        batch_format="pyarrow",
+    partials = ds.map_batches(_TopKScorer, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
         fn_constructor_args=(qref, id_col, emb_col, k, round_digits),
@@ -152,9 +150,7 @@ def lsh_topk(
             return super().__call__(t)
 
     return (
-        ds.map_batches(
-            BucketScorer,
-            batch_format="pyarrow",
+        ds.map_batches(BucketScorer, batch_size=None, batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency,
             fn_constructor_args=(qref, id_col, emb_col, k, round_digits),

@@ -104,10 +104,9 @@ def asof_join(
         cols[_SIDE_COL] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
-    tagged = spine.map_batches(
-        tag_spine, batch_format="pyarrow", zero_copy_batch=True
+    tagged = spine.map_batches(tag_spine, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).union(
-        features.map_batches(tag_feature, batch_format="pyarrow", zero_copy_batch=True)
+        features.map_batches(tag_feature, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
     )
     tagged = add_bucket_column(tagged, entity_col, num_buckets)
 
@@ -265,9 +264,7 @@ def asof_join_broadcast(
     )
     index_ref = ray.put(index)
     payload_map = {c: f"{c}{suffix}" for c in feature_cols if c != feature_ts}
-    return spine.map_batches(
-        AsOfLookup,
-        batch_format="pandas",
+    return spine.map_batches(AsOfLookup, batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs=dict(

@@ -60,7 +60,7 @@ def exact_dedup(
             .reset_index(drop=True)
         )
 
-    ds = ds.map_batches(winner, batch_format="pandas")
+    ds = ds.map_batches(winner, batch_size=None, batch_format="pandas")
 
     def add_key_hash(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
@@ -70,7 +70,7 @@ def exact_dedup(
             BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
-    ds = ds.map_batches(add_key_hash, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(add_key_hash, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return winner(df.drop(columns=[BUCKET_COL]))
@@ -88,17 +88,18 @@ def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(
-    texts, *, num_perm: int = 128, shingle_k: int = 3
+def minhash_signatures_from_hashes(
+    sh: np.ndarray, soff: np.ndarray, *, num_perm: int = 128
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signature matrix, vectorized.
+    """(n_docs, num_perm) uint64 MinHash signatures over pre-computed
+    shingle/element hashes (``sh`` flat, ``soff`` per-doc offsets).
 
-    Universal hashing ``(a*x + b) mod (2^61-1)`` over k-word shingle hashes;
-    per-doc minima via ``reduceat`` — one vectorized pass per permutation.
-    Empty docs sign as all-max (never near anything).
+    Permutation j = multiply-xorshift universal hash ``mix((x ^ b_j) * a_j)``
+    — no modulo (integer division is the slow op); all ufuncs run in-place
+    into two reused buffers (fresh allocations are page-fault-bound on some
+    hosts). Per-doc minima via one ``reduceat`` per permutation. Empty docs
+    sign as all-max (never near anything).
     """
-    h, offsets = word_hashes(texts)
-    sh, soff = shingle_hashes(h, offsets, shingle_k)
     n_docs = len(soff) - 1
     a, b = _perm_params(num_perm)
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -106,11 +107,26 @@ def minhash_signatures(
         return sig
     nonempty = soff[1:] > soff[:-1]
     starts = np.minimum(soff[:-1], len(sh) - 1)
+    hv = np.empty_like(sh)
+    tmp = np.empty_like(sh)
+    shift = np.uint64(29)
     for j in range(num_perm):
-        hv = (sh * a[j] + b[j]) % _MERSENNE
+        np.bitwise_xor(sh, b[j], out=hv)
+        np.multiply(hv, a[j], out=hv)
+        np.right_shift(hv, shift, out=tmp)
+        np.bitwise_xor(hv, tmp, out=hv)
         mins = np.minimum.reduceat(hv, starts)
         sig[nonempty, j] = mins[nonempty]
     return sig
+
+
+def minhash_signatures(
+    texts, *, num_perm: int = 128, shingle_k: int = 3
+) -> np.ndarray:
+    """MinHash signatures of text documents via k-word shingles."""
+    h, offsets = word_hashes(texts)
+    sh, soff = shingle_hashes(h, offsets, shingle_k)
+    return minhash_signatures_from_hashes(sh, soff, num_perm=num_perm)
 
 
 def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -118,10 +134,13 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     n, num_perm = sig.shape
     r = num_perm // bands
     out = np.zeros((n, bands), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    acc = np.empty(n, dtype=np.uint64)
     for b in range(bands):
-        acc = np.zeros(n, dtype=np.uint64)
+        acc[:] = 0
         for j in range(r):
-            acc = acc * np.uint64(1099511628211) + sig[:, b * r + j]
+            np.multiply(acc, prime, out=acc)
+            np.add(acc, sig[:, b * r + j], out=acc)
         out[:, b] = acc
     return out
 
@@ -164,30 +183,38 @@ def minhash_lsh_dedup(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = ds.map_batches(explode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), g in df.groupby(["band", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values(id_col, kind="stable")
-            ids = g[id_col].to_numpy()
-            sigs = np.stack(g["sig"].to_numpy())
-            base_id, base_sig = ids[0], sigs[0]
-            agree = (sigs[1:] == base_sig).mean(axis=1)
-            ok = agree >= threshold
-            if ok.any():
-                out.append(
-                    pd.DataFrame(
-                        {"a": base_id, "b": ids[1:][ok], "sim": agree[ok]}
-                    )
-                )
-        if not out:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+        """Star-shaped candidates per (band, band_hash) group, vectorized:
+        each row's signature is compared against its group's first row in one
+        matrix equality; ``sim`` = fraction of agreeing minhashes (an
+        unbiased Jaccard estimator)."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        n = len(df)
+        if n == 0:
+            return empty
+        df = df.sort_values(["band", "band_hash", id_col], kind="stable")
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sigs = np.stack(df["sig"].to_numpy())
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        first_row = np.repeat(starts, sizes)
+        mask = ~new_grp
+        if not mask.any():
+            return empty
+        agree = (sigs[mask] == sigs[first_row[mask]]).mean(axis=1)
+        ok = agree >= threshold
+        return pd.DataFrame(
+            {"a": ids[first_row[mask]][ok], "b": ids[mask][ok], "sim": agree[ok]}
+        )
 
     pairs = (
         exploded.groupby(["band", "band_hash"])
@@ -243,7 +270,7 @@ def simhash(
         sh = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
         return t.append_column(out_col, pa.array(sh.view(np.int64)))
 
-    return ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_sim, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ngram_jaccard(

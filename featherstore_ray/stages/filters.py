@@ -36,7 +36,7 @@ def semi_join_filter(
     def _filter(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[key], value_set=value_set))
 
-    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def time_range_filter(
@@ -57,7 +57,7 @@ def time_range_filter(
         mask = pc.and_kleene(pc.greater_equal(ts, start_s), pc.less_equal(ts, end_s))
         return batch.filter(pc.fill_null(mask, False))
 
-    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def history(
@@ -84,16 +84,12 @@ def history(
         out = time_range_filter(out, ts_col, start, end)
     elif start is not None:
         s = pa.scalar(start)
-        out = out.map_batches(
-            lambda t, s=s: t.filter(pc.fill_null(pc.greater_equal(t[ts_col], s), False)),
-            batch_format="pyarrow",
+        out = out.map_batches(lambda t, s=s: t.filter(pc.fill_null(pc.greater_equal(t[ts_col], s), False)), batch_size=None, batch_format="pyarrow",
             zero_copy_batch=True,
         )
     elif end is not None:
         e = pa.scalar(end)
-        out = out.map_batches(
-            lambda t, e=e: t.filter(pc.fill_null(pc.less_equal(t[ts_col], e), False)),
-            batch_format="pyarrow",
+        out = out.map_batches(lambda t, e=e: t.filter(pc.fill_null(pc.less_equal(t[ts_col], e), False)), batch_size=None, batch_format="pyarrow",
             zero_copy_batch=True,
         )
     if sort_desc:

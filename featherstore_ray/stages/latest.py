@@ -65,7 +65,7 @@ def latest_per_entity(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _latest_kernel(df, entity_col, ts_col, tiebreak)
 
-    ds = ds.map_batches(partial, batch_format="pandas")
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
     ds = add_bucket_column(ds, entity_col, num_buckets)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:

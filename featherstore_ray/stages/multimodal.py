@@ -84,9 +84,7 @@ def decode_images(
     concurrency=(1, 4),
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> ray.data.Dataset:
-    return ds.map_batches(
-        ImageDecodeStage,
-        batch_format="pyarrow",
+    return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,

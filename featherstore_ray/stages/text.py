@@ -40,7 +40,7 @@ def token_count(
         n = pc.add(pc.count_substring(t[text_col], " "), 1)
         return t.append_column(out_col, pc.cast(n, pa.int64()))
 
-    return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_count, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality_score(
@@ -76,7 +76,7 @@ def quality_score(
         t = t.append_column("stop_ratio", pc.round(ratio, ndigits=round_digits))
         return t
 
-    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _explode_words(texts: pa.ChunkedArray | pa.Array):
@@ -120,7 +120,7 @@ def lang_id(
         pred = np.where((total > 0) & nonempty, labels[best], "und")
         return t.append_column(out_col, pa.array(pred))
 
-    return ds.map_batches(_lang, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_lang, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _FP_P1 = np.uint64(0x9E3779B185EBCA87)
@@ -140,35 +140,55 @@ def word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
 def shingle_hashes(
     h: np.ndarray, offsets: np.ndarray, k: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Rolling k-word shingle hashes on the flat word-hash array.
+    """Rolling k-word shingle hashes on the flat word-hash array — fully
+    vectorized, no per-document loop.
 
     Shingle i combines hashes i..i+k-1 with distinct odd multipliers (a
-    rolling polynomial over the word stream). Documents shorter than k fall
-    back to their single-word hashes. Returns (flat shingles, doc offsets).
+    rolling polynomial over the word stream). Computed once over the WHOLE
+    flat array; shingles that would cross a document boundary are dropped by
+    a vectorized validity mask. Documents shorter than k fall back to their
+    first single-word hash. Returns (flat shingles, doc offsets).
     """
     n_docs = len(offsets) - 1
     lengths = offsets[1:] - offsets[:-1]
+    n = len(h)
     out_lens = np.maximum(lengths - (k - 1), np.minimum(lengths, 1))
     out_offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(out_lens, out=out_offsets[1:])
     total = int(out_offsets[-1])
-    shingles = np.zeros(total, dtype=np.uint64)
+    shingles = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return shingles, out_offsets
     mults = (_FP_P1, _FP_P2, _FP_P3)
-    # vectorized over the flat array: for docs with length >= k the shingle
-    # window never crosses doc boundaries because out_lens trims the tail
-    for d0, d1, o0, o1, L in zip(
-        offsets[:-1], offsets[1:], out_offsets[:-1], out_offsets[1:], lengths
-    ):
-        if L == 0:
-            continue
-        if L < k:
-            shingles[o0:o1] = h[d0] * _FP_P1
-            continue
-        acc = np.zeros(o1 - o0, dtype=np.uint64)
-        for j in range(k):
-            m = mults[j % len(mults)]
-            acc ^= h[d0 + j : d0 + j + (o1 - o0)] * m
-        shingles[o0:o1] = acc
+    if n >= k:
+        # full[i] = hash of the k-window starting at flat position i.
+        # In-place ufuncs: fresh allocations are pathologically slow on some
+        # hosts (page-fault bound); two buffers instead of 2k temporaries.
+        m = n - k + 1
+        full = np.multiply(h[:m], mults[0])
+        tmp = np.empty_like(full)
+        for j in range(1, k):
+            np.multiply(h[j : j + m], mults[j % len(mults)], out=tmp)
+            np.bitwise_xor(full, tmp, out=full)
+        # a window starting at i is valid iff it stays inside its doc. The
+        # invalid starts are exactly the last k-1 positions of every doc
+        # (and that also covers all positions of docs shorter than k).
+        valid = np.ones(m, dtype=bool)
+        ends = offsets[1:]
+        for j in range(1, k):
+            pos = ends - j
+            sel = (lengths >= j) & (pos < m)
+            valid[pos[sel]] = False
+    else:
+        full = np.empty(0, np.uint64)
+        valid = np.empty(0, bool)
+    # long-doc shingles fill every output slot except the one reserved per
+    # short (0 < len < k) doc — both sides enumerate docs in order.
+    short_docs = (lengths > 0) & (lengths < k)
+    out_long = np.ones(total, dtype=bool)
+    out_long[out_offsets[:-1][short_docs]] = False
+    shingles[out_long] = full[valid]
+    shingles[out_offsets[:-1][short_docs]] = h[offsets[:-1][short_docs]] * _FP_P1
     return shingles, out_offsets
 
 
@@ -198,4 +218,4 @@ def fingerprint(
             fp[nonempty] = mins[nonempty]
         return t.append_column(out_col, pa.array(fp.view(np.int64)))
 
-    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_fp, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
