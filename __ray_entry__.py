@@ -186,6 +186,25 @@ def q_session_stats(sf_dir: str):
     )
 
 
+def q_window_suite_skew(sf_dir: str):
+    """A1-A3 via the skew-aware path (hot entities isolated into dedicated
+    partitions) — output identical to the plain path, proven by the oracle."""
+    from featherstore_ray.stages.skew import window_features_skew_aware
+
+    out = window_features_skew_aware(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+        hot_row_threshold=1000,
+    )
+    return out.select_columns(
+        ["event_id", "value_lag1", "value_lead1", "value_rsum",
+         "value_rmean", "value_rcount", "session_id"]
+    )
+
+
 def q_event_type_agg(sf_dir: str):
     """Partial-pre-aggregated groupby (shuffle moves partials, not rows)."""
     from featherstore_ray.stages.aggregate import grouped_aggregate
@@ -388,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
         "rolling_window": q_rolling_window,
+        "window_suite_skew": q_window_suite_skew,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "event_type_agg": q_event_type_agg,
@@ -456,6 +476,26 @@ def oracle_sql() -> dict[str, str]:
                    count(value) OVER w AS value_rcount
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "window_suite_skew": f"""
+            SELECT event_id,
+                   lag(value, 1)  OVER w AS value_lag1,
+                   lead(value, 1) OVER w AS value_lead1,
+                   round(sum(value) OVER r, 6) AS value_rsum,
+                   round(avg(value) OVER r, 6) AS value_rmean,
+                   count(value) OVER r AS value_rcount,
+                   CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                             AND date_diff('microsecond', prev_ts, ts)
+                                 > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (SELECT *, lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   r AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
                                AND CURRENT ROW)
         """,

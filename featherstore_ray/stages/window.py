@@ -200,8 +200,6 @@ def rolling_aggregate(
             if round_digits is not None and arr.dtype.kind == "f":
                 arr = np.round(arr, round_digits)
             df[name] = arr
-        if "mean" in aggs and rcnt.min(initial=1) == 0:
-            df.loc[rcnt == 0, f"{value_col}_rmean{sfx}"] = np.nan
         return df
 
     return _bucketed(ds, entity_col, num_buckets, kernel)

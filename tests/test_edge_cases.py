@@ -1,0 +1,111 @@
+"""FIXTURES.md §4 edge cases: nulls, empty results, schema preservation,
+duplicate-timestamp determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from featherstore_ray.stages.filters import semi_join_filter, time_range_filter
+from featherstore_ray.stages.latest import latest_per_entity
+from featherstore_ray.stages.window import lag_lead, rolling_aggregate
+
+
+T0 = 1_700_000_000_000_000
+
+
+def test_empty_result_preserves_schema():
+    tbl = pa.table(
+        {
+            "entity_id": pa.array(["a", "b"]),
+            "timestamp": pa.array([T0, T0 + 1], pa.timestamp("us")),
+            "f1": pa.array([1.0, 2.0]),
+        }
+    )
+    out = semi_join_filter(ray.data.from_arrow(tbl), "entity_id", ["zzz"])
+    t = out.take_batch(10, batch_format="pyarrow") if out.count() else None
+    # zero rows, but full schema (parquet.go:865-872 semantics)
+    assert out.count() == 0
+    schema = pa.schema(out.schema().base_schema)
+    assert schema.names == ["entity_id", "timestamp", "f1"]
+    assert schema.field("timestamp").type == pa.timestamp("us")
+
+
+def test_nulls_in_value_columns():
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "entity": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([T0 + i * 1000 for i in range(6)], pa.timestamp("us")),
+            "value": pa.array([1.0, None, 3.0, None, None, 6.0], pa.float64()),
+        }
+    )
+    out = (
+        rolling_aggregate(
+            ray.data.from_arrow(tbl),
+            entity_col="entity",
+            ts_col="ts",
+            value_col="value",
+            window=10_000,  # µs — covers all rows per entity
+            tiebreak="event_id",
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # count counts only non-null (SQL COUNT(value)); sum ignores nulls
+    assert list(out["value_rcount"]) == [1, 1, 2, 2, 0, 1]
+    assert np.isnan(out["value_rsum"].iloc[4])  # all-null window → NULL sum
+    assert out["value_rsum"].iloc[2] == 4.0
+
+    lag = (
+        lag_lead(
+            ray.data.from_arrow(tbl),
+            entity_col="entity",
+            ts_col="ts",
+            value_cols=["value"],
+            lags=[1],
+            tiebreak="event_id",
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert np.isnan(lag["value_lag1"].iloc[0])  # no predecessor
+    assert np.isnan(lag["value_lag1"].iloc[2])  # predecessor is NULL
+    assert lag["value_lag1"].iloc[5] is None or np.isnan(lag["value_lag1"].iloc[5])
+
+
+def test_duplicate_entity_timestamp_determinism():
+    # duplicate (entity, ts) pairs: tie-break by max(event_id), stable
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "entity_id": pa.array([1, 1, 1], pa.int64()),
+            "timestamp": pa.array([T0, T0, T0], pa.timestamp("us")),
+            "f": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    for _ in range(2):
+        out = latest_per_entity(
+            ray.data.from_arrow(tbl),
+            entity_col="entity_id",
+            ts_col="timestamp",
+            tiebreak="event_id",
+            num_buckets=4,
+        ).to_pandas()
+        assert list(out["event_id"]) == [12]
+        assert list(out["f"]) == [3.0]
+
+
+def test_inclusive_bounds_exact_boundary():
+    tbl = pa.table({"ts": pa.array([T0 - 1, T0, T0 + 7, T0 + 8], pa.timestamp("us"))})
+    out = time_range_filter(
+        ray.data.from_arrow(tbl),
+        "ts",
+        pa.scalar(T0, pa.timestamp("us")),
+        pa.scalar(T0 + 7, pa.timestamp("us")),
+    ).to_pandas()
+    got = sorted(out["ts"].astype("datetime64[us]").astype(np.int64))
+    assert got == [T0, T0 + 7]
