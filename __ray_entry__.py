@@ -205,6 +205,82 @@ def q_window_suite_skew(sf_dir: str):
     )
 
 
+def q_cumulative(sf_dir: str):
+    """Per-entity running sum/count (ROWS UNBOUNDED PRECEDING)."""
+    from featherstore_ray.stages.window import cumulative
+
+    return cumulative(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+    ).select_columns(["event_id", "value_csum", "value_ccount"])
+
+
+def q_tumbling_daily(sf_dir: str):
+    """Per-entity tumbling 1-day window aggregate."""
+    from datetime import timedelta
+
+    from featherstore_ray.stages.window import tumbling_aggregate
+
+    return tumbling_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        width=timedelta(days=1),
+    )
+
+
+def q_broadcast_join(sf_dir: str):
+    """Enrichment join: orders against the broadcast customer dimension."""
+    from featherstore_ray.stages.join import broadcast_join
+
+    dim = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    return broadcast_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        dim,
+        on=["o_custkey"],
+        how="left",
+    )
+
+
+def q_hash_join(sf_dir: str):
+    """Partitioned hash join (both sides distributed): orders x customer."""
+    from featherstore_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(orders, cust, on=["o_custkey"], how="inner", num_partitions=16)
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact broadcast variant)."""
+    from featherstore_ray.stages.ann import embedding_dup_pairs
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings"), corpus, threshold=0.4
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    from featherstore_ray.stages.ann import lsh_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    return lsh_topk(_read(sf_dir, "embeddings"), queries, k=5, num_planes=4)
+
+
 def q_event_type_agg(sf_dir: str):
     """Partial-pre-aggregated groupby (shuffle moves partials, not rows)."""
     from featherstore_ray.stages.aggregate import grouped_aggregate
@@ -408,6 +484,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": q_lag_lead,
         "rolling_window": q_rolling_window,
         "window_suite_skew": q_window_suite_skew,
+        "cumulative": q_cumulative,
+        "tumbling_daily": q_tumbling_daily,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
+        "embedding_dedup": q_embedding_dedup,
+        "ann_lsh": q_ann_lsh,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "event_type_agg": q_event_type_agg,
@@ -498,6 +580,39 @@ def oracle_sql() -> dict[str, str]:
                    r AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
                                AND CURRENT ROW)
+        """,
+        "cumulative": """
+            SELECT event_id,
+                   round(sum(value) OVER w, 6) AS value_csum,
+                   count(value) OVER w AS value_ccount
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "tumbling_daily": """
+            SELECT user_id,
+                   CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400)
+                        AS TIMESTAMP) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "broadcast_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   c.c_name, c.c_mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "hash_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                     AS score
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "sessionize": f"""
             SELECT event_id, user_id,

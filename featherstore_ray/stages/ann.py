@@ -114,6 +114,64 @@ def cosine_topk(
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def embedding_dup_pairs(
+    ds: ray.data.Dataset,
+    corpus: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 4,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (exact, broadcast variant).
+
+    The normalized corpus matrix is ``ray.put`` once; each batch does one
+    matmul against it and emits pairs ``(a, b, score)`` with ``a < b`` and
+    ``score >= threshold``. Exact all-pairs — use when the corpus matrix
+    fits the object store (dim x n x 8B); for larger corpora use the
+    LSH-bucketed route (``lsh_topk`` machinery) with documented recall.
+    """
+    cm = _normalize(_stack_embeddings(corpus[emb_col]))
+    cids = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put({"ids": cids, "matrix": cm})
+
+    class PairScorer:
+        def __init__(self):
+            c = ray.get(ref)
+            self.cids = c["ids"]
+            self.cm = c["matrix"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = _normalize(_stack_embeddings(t[emb_col]))
+            scores = emb @ self.cm.T
+            # keep a < b only: each unordered pair emitted exactly once
+            keep = (ids[:, None] < self.cids[None, :]) & (scores >= threshold)
+            ri, ci = np.nonzero(keep)
+            return pa.table(
+                {
+                    "a": pa.array(ids[ri]),
+                    "b": pa.array(self.cids[ci]),
+                    "score": pa.array(np.round(scores[ri, ci], round_digits)),
+                }
+            )
+
+    return ds.map_batches(
+        PairScorer,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries: pa.Table,

@@ -205,6 +205,98 @@ def rolling_aggregate(
     return _bucketed(ds, entity_col, num_buckets, kernel)
 
 
+# -- cumulative + tumbling -------------------------------------------------
+
+
+def cumulative(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity running sum/count of ``value_col`` in (ts, tiebreak) order.
+
+    Oracle: ``SUM/COUNT(value) OVER (PARTITION BY e ORDER BY ts, tb
+    ROWS UNBOUNDED PRECEDING)`` (ROWS frame: peers are NOT pooled — each row
+    sees strictly its predecessors plus itself).
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        sizes = np.diff(np.append(starts, n))
+        vals = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(vals)
+        cs = np.cumsum(np.where(valid, vals, 0.0))
+        cc = np.cumsum(valid.astype(np.int64))
+        # subtract the running totals at each entity's start
+        base_s = np.repeat(cs[starts] - np.where(valid[starts], vals[starts], 0.0), sizes)
+        base_c = np.repeat(cc[starts] - valid[starts].astype(np.int64), sizes)
+        csum = cs - base_s
+        ccnt = cc - base_c
+        csum = np.where(ccnt == 0, np.nan, csum)
+        if round_digits is not None:
+            csum = np.round(csum, round_digits)
+        df[f"{value_col}_csum"] = csum
+        df[f"{value_col}_ccount"] = ccnt
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def tumbling_aggregate(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    width,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Fixed (tumbling) time-window aggregate per entity.
+
+    Window id = ``floor(ts_us / width_us)`` (epoch-anchored). Output one row
+    per (entity, window): n events, sum/mean of value, window start ts.
+    Oracle: ``GROUP BY entity, epoch_us(ts) // width``.
+    """
+    w_us = _window_us(width)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    entity_col: df[entity_col],
+                    "window_start": pd.Series(dtype="datetime64[us]"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "sum_value": pd.Series(dtype="float64"),
+                }
+            )
+        ts = _ts_us(df[ts_col])
+        win = ts // w_us
+        g = (
+            pd.DataFrame(
+                {entity_col: df[entity_col].to_numpy(), "_w": win,
+                 "_v": df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)}
+            )
+            .groupby([entity_col, "_w"], sort=True)
+            .agg(n_events=("_v", "size"), sum_value=("_v", "sum"),
+                 _vcnt=("_v", "count"))
+            .reset_index()
+        )
+        g["sum_value"] = np.where(g["_vcnt"] == 0, np.nan, g["sum_value"])
+        if round_digits is not None:
+            g["sum_value"] = g["sum_value"].round(round_digits)
+        g["window_start"] = (g["_w"] * w_us).astype("datetime64[us]")
+        return g.drop(columns=["_w", "_vcnt"])
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
 # -- sessionization --------------------------------------------------------
 
 
