@@ -155,8 +155,12 @@ def q_rolling_window(sf_dir: str):
         ts_col="ts",
         value_col="value",
         window=timedelta(hours=_ROLL_HOURS),
+        aggs=("sum", "mean", "count", "min", "max"),
         tiebreak="event_id",
-    ).select_columns(["event_id", "value_rsum", "value_rmean", "value_rcount"])
+    ).select_columns(
+        ["event_id", "value_rsum", "value_rmean", "value_rcount",
+         "value_rmin", "value_rmax"]
+    )
 
 
 def q_sessionize(sf_dir: str):
@@ -555,7 +559,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    round(sum(value) OVER w, 6) AS value_rsum,
                    round(avg(value) OVER w, 6) AS value_rmean,
-                   count(value) OVER w AS value_rcount
+                   count(value) OVER w AS value_rcount,
+                   round(min(value) OVER w, 6) AS value_rmin,
+                   round(max(value) OVER w, 6) AS value_rmax
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING

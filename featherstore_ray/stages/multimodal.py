@@ -75,6 +75,88 @@ class ImageDecodeStage:
         return batch.append_column("decode_ok", pa.array(ok))
 
 
+class FrameSampleStage:
+    """Actor: binary video column → N deterministically sampled "frames".
+
+    Real plumbing, stubbed codec: with ``decoder="fake"`` each sampled frame
+    is a deterministic digest-derived feature vector (seeded by content +
+    frame index), so schema/batching/fan-out are exercised end-to-end. A
+    real decoder plugs in as ``bytes, frame_idx -> np.ndarray``.
+
+    Output: one row PER SAMPLED FRAME (flat_map-style fan-out): input
+    columns + ``frame_idx:int32`` + ``frame_feat:list<float32>``.
+    """
+
+    def __init__(self, *, payload_col: str = "video", num_frames: int = 4,
+                 feat_dim: int = 8, decoder: str = "fake"):
+        self.payload_col = payload_col
+        self.num_frames = num_frames
+        self.feat_dim = feat_dim
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"decoder {decoder!r}: video codecs unavailable in this "
+                "environment; plug a callable (bytes, frame_idx) -> ndarray"
+            )
+
+    def _fake_frame(self, payload: bytes, idx: int) -> np.ndarray:
+        digest = hashlib.sha256(payload + idx.to_bytes(4, "little")).digest()
+        raw = np.frombuffer(
+            (digest * (self.feat_dim * 4 // len(digest) + 1))[: self.feat_dim * 4],
+            dtype=np.uint32,
+        )
+        return (raw / np.float64(2**32)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        keep_rows, frame_idx, feats = [], [], []
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            for f in range(self.num_frames):
+                keep_rows.append(i)
+                frame_idx.append(f)
+                feats.append(self._fake_frame(p, f))
+        out = batch.take(pa.array(keep_rows, pa.int64()))
+        out = out.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
+        flat = pa.array(
+            np.concatenate(feats) if feats else np.empty(0, np.float32),
+            pa.float32(),
+        )
+        offsets = pa.array(
+            np.arange(0, (len(feats) + 1) * self.feat_dim, self.feat_dim,
+                      dtype=np.int32)
+        )
+        out = out.append_column(
+            "frame_feat", pa.ListArray.from_arrays(offsets, flat)
+        )
+        return out
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "video",
+    num_frames: int = 4,
+    feat_dim: int = 8,
+    decoder: str = "fake",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col,
+            num_frames=num_frames,
+            feat_dim=feat_dim,
+            decoder=decoder,
+        ),
+    )
+
+
 def decode_images(
     ds: ray.data.Dataset,
     *,

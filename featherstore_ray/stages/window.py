@@ -196,6 +196,25 @@ def rolling_aggregate(
             out[f"{value_col}_rmean{sfx}"] = rsum / np.where(rcnt == 0, 1, rcnt)
         if "count" in aggs:
             out[f"{value_col}_rcount{sfx}"] = rcnt
+        if {"min", "max"} & set(aggs):
+            # Exact RANGE-frame min/max incl. peer rows: pandas computes the
+            # POSITIONAL time-rolling extreme (row j sees rows <= j in
+            # [t_j - w, t_j]); gathering at each row's last-peer index
+            # (hi - 1) pools all equal-ts peers, matching SQL RANGE.
+            tmp = pd.DataFrame(
+                {
+                    "g": np.cumsum(new_ent) - 1,
+                    "t": ts.astype("datetime64[us]"),
+                    "v": vals,
+                }
+            )
+            roll = tmp.groupby("g", sort=False).rolling(
+                pd.Timedelta(microseconds=w_us), on="t", closed="both"
+            )["v"]
+            if "min" in aggs:
+                out[f"{value_col}_rmin{sfx}"] = roll.min().to_numpy()[hi - 1]
+            if "max" in aggs:
+                out[f"{value_col}_rmax{sfx}"] = roll.max().to_numpy()[hi - 1]
         for name, arr in out.items():
             if round_digits is not None and arr.dtype.kind == "f":
                 arr = np.round(arr, round_digits)

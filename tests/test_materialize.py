@@ -124,3 +124,55 @@ def test_multimodal_fake_decode():
     ).to_pandas()
     feats2 = np.stack(out2.sort_values("id")["feat"].to_numpy())
     np.testing.assert_array_equal(feats, feats2)
+
+
+def test_multimodal_frame_sampling():
+    from featherstore_ray.stages.multimodal import sample_frames
+
+    rng = np.random.default_rng(3)
+    payloads = [rng.bytes(64) for _ in range(6)] + [None]
+    tbl = pa.table(
+        {
+            "id": pa.array(range(7), pa.int64()),
+            "video": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = sample_frames(
+        ray.data.from_arrow(tbl), num_frames=3, feat_dim=8, concurrency=1
+    ).to_pandas()
+    # 6 non-null payloads x 3 frames; the null row is dropped
+    assert len(out) == 18
+    assert set(out["frame_idx"]) == {0, 1, 2}
+    feats = np.stack(out.sort_values(["id", "frame_idx"])["frame_feat"].to_numpy())
+    assert feats.shape == (18, 8)
+    # per-frame determinism, and distinct frames differ
+    out2 = sample_frames(
+        ray.data.from_arrow(tbl), num_frames=3, feat_dim=8, concurrency=1
+    ).to_pandas()
+    feats2 = np.stack(out2.sort_values(["id", "frame_idx"])["frame_feat"].to_numpy())
+    np.testing.assert_array_equal(feats, feats2)
+    assert not np.array_equal(feats[0], feats[1])
+
+
+def test_compression_codecs(tmp_path):
+    from featherstore_ray.catalog import FeatherStore
+
+    for codec in ["snappy", "zstd", "gzip"]:
+        store = FeatherStore(tmp_path / codec, compression=codec)
+        store.create_feature_set(
+            "fs", {"entity_id": "string", "timestamp": "timestamp[us]", "f": "float64"}
+        )
+        tbl = pa.table(
+            {
+                "entity_id": pa.array(["a", "b"]),
+                "timestamp": pa.array([1, 2], pa.timestamp("us")),
+                "f": pa.array([1.5, 2.5]),
+            }
+        )
+        store.ingest("fs", tbl)
+        back = store.dataset("fs").to_pandas().sort_values("entity_id")
+        assert list(back["f"]) == [1.5, 2.5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        FeatherStore(tmp_path / "bad", compression="lzma")
