@@ -82,11 +82,16 @@ def derive_doc_events(ds: ray.data.Dataset) -> ray.data.Dataset:
         mixed = sh ^ (sh >> np.uint64(31))
         np.multiply(mixed, _C3, out=mixed)
         ts = BASE_TS_US + (mixed % np.uint64(SPAN_US)).astype(np.int64)
-        kind = np.where(sh % np.uint64(4) == 0, "q", "e")
+        # int8 kind flag + dictionary-encoded source: the derived table is
+        # what the suite SHUFFLES — narrow columns cut exchange bytes
+        kind = (sh % np.uint64(4) == 0).astype(np.int8)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "source": t["source"],
+                "source": src.dictionary_encode(),
                 "ts": pa.array(ts.astype("datetime64[us]")),
                 "value": t["n_tok"].cast(pa.float64()),
                 "seq_hash": pa.array(sh.view(np.int64)),
@@ -111,8 +116,8 @@ def tokens_feature_suite(
         value_col="value",
         type_col="event_kind",
         tiebreak="seq_hash",
-        spine_type="q",
-        feature_type="e",
+        spine_type=1,
+        feature_type=0,
         num_buckets=num_buckets,
     )
 
