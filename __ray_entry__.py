@@ -276,6 +276,17 @@ def q_embedding_dedup(sf_dir: str):
     )
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (k-means cells, n_probe probing; rows-only)."""
+    from featherstore_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    return ivf_topk(
+        _read(sf_dir, "embeddings"), queries, k=5, n_centroids=16, n_probe=6
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path; rows-only check)."""
     from featherstore_ray.stages.ann import lsh_topk
@@ -493,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
         "embedding_dedup": q_embedding_dedup,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,

@@ -4,10 +4,14 @@
   broadcast ONCE (``ray.put``), every batch does one float64 matmul, emits
   only its per-batch top-k partials, and a tiny final reduce merges them.
   Shuffle cost: O(num_queries * k * batches), never the corpus.
-- ``lsh_topk``: the scale path — random-hyperplane (SimHash) bucketing;
+- ``lsh_topk``: scale path 1 — random-hyperplane (SimHash) bucketing;
   each corpus row lands in one bucket per table, queries probe their own
   buckets only. Approximate (documented recall/probe tradeoff), same
   partial-topk reduce.
+- ``ivf_topk``: scale path 2 — IVF (inverted-file) search: k-means
+  centroids trained on a deterministic sample, each corpus row assigned to
+  its nearest centroid, queries probe only their ``n_probe`` nearest cells.
+  Recall rises with ``n_probe`` (``n_probe == n_centroids`` → exact).
 """
 
 from __future__ import annotations
@@ -112,6 +116,121 @@ def cosine_topk(
         return df.reset_index(drop=True)
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _kmeans_lite(
+    sample: np.ndarray, n_centroids: int, *, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample matrix.
+
+    Seeded kmeans++-style init; cosine assignment via matmul; empty
+    clusters re-seeded from the farthest points. Small/driver-side: the
+    sample is bounded, never the corpus.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    n_centroids = min(n_centroids, n)
+    first = int(rng.integers(0, n))
+    cent = [sample[first]]
+    sims = sample @ sample[first]
+    for _ in range(1, n_centroids):
+        d = 1.0 - sims  # cosine distance to nearest chosen centroid
+        probs = np.maximum(d, 1e-12)
+        probs = probs / probs.sum()
+        nxt = int(rng.choice(n, p=probs))
+        cent.append(sample[nxt])
+        sims = np.maximum(sims, sample @ sample[nxt])
+    c = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(sample @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members) == 0:
+                worst = int(np.argmin(np.max(sample @ c.T, axis=1)))
+                c[j] = sample[worst]
+            else:
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                c[j] = m / norm if norm > 0 else c[j]
+    return c
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    round_digits: int | None = 4,
+    seed: int = 13,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """IVF approximate top-k: score only corpus rows whose nearest centroid
+    is among each query's ``n_probe`` closest cells.
+
+    Centroids train ONCE on a deterministic corpus prefix (``limit``), are
+    broadcast with the query matrix, and every batch does: assign rows →
+    keep rows in probed cells → exact scoring → per-batch partial top-k →
+    tiny final reduce. Work per batch drops to ~``n_probe/n_centroids`` of
+    brute force; ``n_probe=n_centroids`` recovers the exact result.
+    """
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample = _normalize(
+        np.stack(sample_tbl[emb_col].to_numpy()).astype(np.float64)
+    )
+    centroids = _kmeans_lite(sample, n_centroids, seed=seed)
+
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # each query's probe set: its n_probe nearest centroids
+    order = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")
+    probed = np.unique(order[:, : max(1, n_probe)].reshape(-1))
+    qref = ray.put(
+        {"ids": qids, "matrix": qm, "centroids": centroids, "probed": probed}
+    )
+
+    class IVFScorer(_TopKScorer):
+        def __init__(self):
+            q = ray.get(qref)
+            self.qids = q["ids"]
+            self.qm = q["matrix"]
+            self.centroids = q["centroids"]
+            self.probed = q["probed"]
+            self.id_col = id_col
+            self.emb_col = emb_col
+            self.k = k
+            self.round_digits = round_digits
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                emb = _normalize(_stack_embeddings(t[self.emb_col]))
+                cell = np.argmax(emb @ self.centroids.T, axis=1)
+                t = t.filter(pa.array(np.isin(cell, self.probed)))
+            return super().__call__(t)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["score", id_col], ascending=[False, True],
+                           kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(
+            IVFScorer,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def embedding_dup_pairs(

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -114,4 +115,34 @@ def test_tokens_deterministic_and_valid(tmp_path):
     assert ds.count() == 3000
     assert pa.schema(ds.schema().base_schema).field("tokens").type == pa.list_(
         pa.int32()
+    )
+
+
+def test_ivf_topk_recall_and_exactness():
+    from featherstore_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(EMB)
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+    exact = cosine_topk(ray.data.from_arrow(emb), queries, k=5).to_pandas()
+    # full probe = exact result
+    full = ivf_topk(
+        ray.data.from_arrow(emb), queries, k=5, n_centroids=8, n_probe=8
+    ).to_pandas()
+    e = exact.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert (e["vec_id"].to_numpy() == f["vec_id"].to_numpy()).all()
+    # partial probe: decent recall, deterministic
+    approx = ivf_topk(
+        ray.data.from_arrow(emb), queries, k=5, n_centroids=8, n_probe=3
+    ).to_pandas()
+    inter = set(map(tuple, approx[["query_id", "vec_id"]].values)) & set(
+        map(tuple, exact[["query_id", "vec_id"]].values)
+    )
+    assert len(inter) >= 8  # >= ~half of 15 exact hits recovered
+    approx2 = ivf_topk(
+        ray.data.from_arrow(emb), queries, k=5, n_centroids=8, n_probe=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+        approx2.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
     )
