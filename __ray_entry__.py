@@ -296,6 +296,26 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), queries, k=5, num_planes=4)
 
 
+def q_distinct(sf_dir: str):
+    """Distinct (lang, source) combinations of documents."""
+    from featherstore_ray.stages.misc import distinct
+
+    return distinct(_read(sf_dir, "documents", columns=["lang", "source"]),
+                    ["lang", "source"])
+
+
+def q_top_k(sf_dir: str):
+    """Global top-20 events by value (deterministic tie-break)."""
+    from featherstore_ray.stages.misc import top_k
+
+    return top_k(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        "value",
+        20,
+        tiebreak="event_id",
+    )
+
+
 def q_event_type_agg(sf_dir: str):
     """Partial-pre-aggregated groupby (shuffle moves partials, not rows)."""
     from featherstore_ray.stages.aggregate import grouped_aggregate
@@ -506,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
+        "distinct": q_distinct,
+        "top_k": q_top_k,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "event_type_agg": q_event_type_agg,
@@ -598,6 +620,14 @@ def oracle_sql() -> dict[str, str]:
                    r AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
                                AND CURRENT ROW)
+        """,
+        "distinct": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "top_k": """
+            SELECT event_id, user_id, value FROM (
+              SELECT *, row_number() OVER (ORDER BY value DESC, event_id) rn
+              FROM events) WHERE rn <= 20
         """,
         "cumulative": """
             SELECT event_id,

@@ -1,0 +1,87 @@
+"""Small set/order operators: distinct, global top-k.
+
+SURVEY.md lists ``unique`` among Ray Data's shuffle ops (§4) and top-1 as
+the reference's only limit (O3); these generalize both with the engine's
+scale shapes:
+
+- ``distinct``: per-batch dedup partial → ONE bucket shuffle on the first
+  key → per-bucket dedup (the exact_dedup machinery without a winner
+  column).
+- ``top_k``: per-batch partial top-k (each batch emits <= k rows) → tiny
+  single-group final. Shuffle cost O(k x batches), never the input.
+  Deterministic tie-break on an explicit secondary key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+
+def distinct(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distinct combinations of ``cols`` (two-stage dedup)."""
+    cols = list(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates().reset_index(drop=True)
+
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+    ds = add_bucket_column(ds, cols[0], num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=[BUCKET_COL]).drop_duplicates().reset_index(drop=True)
+        )
+
+    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_buckets: int = 1,
+) -> ray.data.Dataset:
+    """Global top-k rows by ``order_col`` with a deterministic tie-break.
+
+    Ties on ``order_col`` break by ascending ``tiebreak`` (oracle:
+    ``ROW_NUMBER() OVER (ORDER BY col DESC, tiebreak) <= k``).
+    """
+    by = [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="stable").head(k)
+
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    # all partials collapse to one tiny group for the final selection
+    def add_const(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[BUCKET_COL] = 0
+        return df
+
+    ds = ds.map_batches(add_const, batch_size=None, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=[BUCKET_COL])
+            .sort_values(by, ascending=asc, kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
