@@ -111,3 +111,21 @@ def test_ingest_schema_validation(store):
 def test_create_requires_entity(store):
     with pytest.raises(SchemaError):
         store.create_feature_set("nope", {"f": "float64"})
+
+
+def test_ingest_ray_dataset(store):
+    import ray.data
+
+    store.create_feature_set("fs", SCHEMA)
+    tbl = _batch(["e1", "e2", "e3", "e4"], [1, 2, 3, 4], [1.0, 2.0, 3.0, 4.0],
+                 [1, 2, 3, 4])
+    n = store.ingest("fs", ray.data.from_arrow(tbl))
+    assert n == 4
+    back = store.dataset("fs").to_pandas().sort_values("entity_id")
+    assert list(back["feature1"]) == [1.0, 2.0, 3.0, 4.0]
+    # schema violations on the Dataset path fail before any write
+    bad = ray.data.from_arrow(
+        pa.table({"entity_id": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(SchemaError):
+        store.ingest("fs", bad)
