@@ -112,24 +112,44 @@ def asof_join(
 
     feat_out_cols = [renamed[c] for c in feature_payload] + [out_ts]
 
-    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        is_spine = df[_SIDE_COL].to_numpy() == 1
-        sp = df.loc[is_spine, [entity_col, _TS_COL] + spine_payload]
-        ft_sort = [_TS_COL] + (["_fsr_tb"] if tiebreak else [])
+    # Explicit output schema: spine columns keep their original Arrow types
+    # (the null-padded union would otherwise coerce int64 -> float64 when a
+    # pandas kernel sees spine columns null-padded on feature rows); feature
+    # payload comes back as its original type made nullable-by-content.
+    out_schema = pa.schema(
+        [pa.field(entity_col, spine_schema.field(entity_col).type),
+         pa.field(spine_ts, ts_type)]
+        + [pa.field(c, spine_schema.field(c).type) for c in spine_payload]
+        + [pa.field(renamed[c], feat_schema.field(c).type) for c in feature_payload]
+        + [pa.field(out_ts, ts_type)]
+    )
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Split sides while still Arrow so spine columns never carry the
+        # feature rows' null padding into pandas (dtype preservation).
+        is_spine = pc.equal(t[_SIDE_COL], 1)
+        sp = t.filter(is_spine).select(
+            [entity_col, _TS_COL] + spine_payload
+        ).to_pandas()
         ft_cols = [entity_col, _TS_COL] + feat_out_cols + (
             ["_fsr_tb"] if tiebreak else []
         )
+        ft = t.filter(pc.invert(is_spine)).select(ft_cols).to_pandas()
+        if len(sp) == 0:
+            return out_schema.empty_table()
         # merge_asof requires a global sort on the `on` column; stable sort
         # with the tiebreak secondary makes "last match wins" = max tiebreak.
-        ft = df.loc[~is_spine, ft_cols].sort_values(ft_sort, kind="stable")
+        ft_sort = [_TS_COL] + (["_fsr_tb"] if tiebreak else [])
+        ft = ft.sort_values(ft_sort, kind="stable")
         if tiebreak:
             ft = ft.drop(columns=["_fsr_tb"])
         sp = sp.sort_values(_TS_COL, kind="stable")
-        if len(sp) == 0:
+        if len(ft) == 0:
             out = sp.copy()
             for c in feat_out_cols:
-                out[c] = pd.Series(dtype=ft[c].dtype)
+                out[c] = np.nan
         else:
             out = pd.merge_asof(
                 sp,
@@ -140,9 +160,15 @@ def asof_join(
                 allow_exact_matches=True,
                 tolerance=tolerance,
             )
-        return out.rename(columns={_TS_COL: spine_ts})
+        out = out.rename(columns={_TS_COL: spine_ts})
+        # from_pandas + explicit schema restores original dtypes: float64 NaN
+        # on unmatched feature payload becomes a null of the original type.
+        # Strip the pandas schema metadata: Ray's schema-dedup hash chokes on
+        # it ("Failed to hash the schemas" log spam) and we don't need it.
+        res = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return res.replace_schema_metadata(None)
 
-    out = tagged.groupby(BUCKET_COL).map_groups(bucket_kernel, batch_format="pandas")
+    out = tagged.groupby(BUCKET_COL).map_groups(bucket_kernel, batch_format="pyarrow")
     return out
 
 

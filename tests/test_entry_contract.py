@@ -66,6 +66,11 @@ def test_query_matches_oracle(name, con):
     assert len(ray_df) == len(sql_df), f"{name}: row count"
     for c in ray_df.columns:
         a, b = ray_df[c], sql_df[c]
+        # The real driver hashes raw values, so 42.0 vs 42 is a mismatch:
+        # dtype *kind* must agree (int vs float vs datetime vs object).
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}.{c}: dtype kind {a.dtype} vs oracle {b.dtype}"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             np.testing.assert_allclose(
                 a.astype(float), b.astype(float), atol=1e-6, equal_nan=True,
