@@ -198,7 +198,7 @@ def run_bench() -> dict:
         if name in suite_names:
             feature_rows += rows
     total = round(sum(timings.values()), 3)
-    suite_sec = sum(timings[n] for n in suite_names)
+    suite_sec = sum(timings[n] for n in suite_names if n in timings)
     result = {
         "metric": "feature materialization suite wall time (asof+windows+tokens)",
         "value": total,

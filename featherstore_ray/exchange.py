@@ -1,0 +1,172 @@
+"""Bucketed exchange: one all-to-all shuffle + per-bucket kernel.
+
+``bucketed_map_groups(ds, kernel, num_buckets=B)`` is the engine's single
+wide-operator template (partition.py doc): route every row to
+``hash(entity) % B``, then run a vectorized kernel once per bucket. Two
+physical strategies behind one API:
+
+- ``sort`` — Ray Data's native ``groupby(BUCKET_COL).map_groups``. Streaming,
+  backpressured, spills; the right default on a real multi-node cluster where
+  block counts are large.
+- ``direct`` — a two-wave raw-task exchange: wave 1 splits each materialized
+  input block by reducer (cheap argsort + zero-copy slices, one Ray task per
+  block with ``num_returns=R``), wave 2 concatenates each reducer's slices
+  and applies the kernel per bucket. Bypasses the sort-shuffle's sampling,
+  global sort and barrier machinery — measured ~3x faster exchange on this
+  host, where Ray's sort floor (1.5-4s per groupby) caps suite scaling.
+
+``direct`` creates M x R intermediate objects (M input blocks, R reducers).
+That is the classic map-reduce shuffle quadratic: fine up to ~10^5 objects
+(a 256-node cluster with 4096 reducers wants Ray's push-based shuffle
+instead), so ``bucketed_map_groups`` falls back to ``sort`` automatically
+when M x R exceeds ``DIRECT_MAX_OBJECTS`` or when the input is empty.
+Override with ``FSR_EXCHANGE=sort|direct``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from featherstore_ray.partition import BUCKET_COL
+
+DIRECT_MAX_OBJECTS = 200_000
+
+
+@ray.remote
+def _split_block(t, num_reducers: int, num_buckets: int, bucket_col: str):
+    """Wave 1: order a block by reducer id, return R zero-copy slices."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if num_reducers == 1:
+        # num_returns=1: the return value IS the single slice
+        return t
+    if t.num_rows == 0:
+        # filtered-out blocks can be zero-column; emit empty slices that the
+        # reduce wave drops
+        empty = pa.table({})
+        return tuple(empty for _ in range(num_reducers))
+    b = t[bucket_col].to_numpy(zero_copy_only=False)
+    # modulo, not contiguous-range, routing: callers may emit bucket ids
+    # beyond num_buckets (skew isolation appends dedicated hot partitions)
+    red = np.mod(b.astype(np.int64), num_reducers)
+    order = np.argsort(red, kind="stable")
+    ts = t.take(order)
+    rs = red[order]
+    bounds = np.searchsorted(rs, np.arange(num_reducers + 1))
+    return tuple(
+        ts.slice(bounds[r], bounds[r + 1] - bounds[r])
+        for r in range(num_reducers)
+    )
+
+
+@ray.remote(num_returns=2)
+def _reduce_apply(kernel, batch_format: str, bucket_col: str, *parts):
+    """Wave 2: concat this reducer's slices, run kernel once per bucket.
+
+    Returns (arrow table, row count) — the count lets the driver drop empty
+    partitions before assembling the output Dataset.
+    """
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table({}), 0
+    t = pa.concat_tables(tables, promote_options="default")
+    b = t[bucket_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    t = t.take(order)
+    bs = b[order]
+    starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+    bounds = np.append(starts, len(bs))
+    outs = []
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        group = t.slice(g0, g1 - g0)
+        if batch_format == "pandas":
+            res = kernel(group.to_pandas())
+            if not isinstance(res, pa.Table):
+                res = pa.Table.from_pandas(res, preserve_index=False)
+        else:
+            res = kernel(group)
+        res = res.replace_schema_metadata(None)
+        outs.append(res)
+    out = pa.concat_tables(outs, promote_options="default")
+    return out, out.num_rows
+
+
+def bucketed_map_groups(
+    ds: ray.data.Dataset,
+    kernel: Callable,
+    *,
+    num_buckets: int,
+    batch_format: str = "pandas",
+    bucket_col: str = BUCKET_COL,
+    num_reducers: int | None = None,
+) -> ray.data.Dataset:
+    """Group ``ds`` by its bucket column and apply ``kernel`` per bucket.
+
+    Drop-in for ``ds.groupby(bucket_col).map_groups(kernel, batch_format=...)``
+    — same semantics (kernel sees every row of one bucket, bucket column
+    included), different exchange (module doc). The kernel must not depend
+    on row order within the bucket (both strategies deliver arbitrary order).
+    """
+    mode = os.environ.get("FSR_EXCHANGE", "direct")
+    if mode == "direct":
+        out = _direct(
+            ds, kernel, num_buckets=num_buckets, batch_format=batch_format,
+            bucket_col=bucket_col, num_reducers=num_reducers,
+        )
+        if out is not None:
+            return out
+    return ds.groupby(bucket_col).map_groups(kernel, batch_format=batch_format)
+
+
+def _direct(
+    ds: ray.data.Dataset,
+    kernel: Callable,
+    *,
+    num_buckets: int,
+    batch_format: str,
+    bucket_col: str,
+    num_reducers: int | None,
+) -> ray.data.Dataset | None:
+    """Two-wave exchange; returns None to signal sort-path fallback."""
+    mat = ds.materialize()
+    block_refs = [
+        ref for rb in mat.iter_internal_ref_bundles() for ref in rb.block_refs
+    ]
+    m = len(block_refs)
+    if m == 0:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    r = num_reducers or min(num_buckets, max(2 * cpus, 8))
+    r = max(1, min(r, num_buckets))
+    if m * r > DIRECT_MAX_OBJECTS:
+        return None
+    kernel_ref = ray.put(kernel)
+    splits = [
+        _split_block.options(num_returns=r).remote(
+            b, r, num_buckets, bucket_col
+        )
+        for b in block_refs
+    ]
+    if r == 1:
+        splits = [[s] for s in splits]
+    out_refs = []
+    count_refs = []
+    for j in range(r):
+        t_ref, n_ref = _reduce_apply.remote(
+            kernel_ref, batch_format, bucket_col, *[s[j] for s in splits]
+        )
+        out_refs.append(t_ref)
+        count_refs.append(n_ref)
+    counts = ray.get(count_refs)
+    keep = [ref for ref, n in zip(out_refs, counts) if n > 0]
+    if not keep:
+        return None  # all-empty: let the sort path produce the empty output
+    return ray.data.from_arrow_refs(keep)

@@ -124,6 +124,7 @@ def window_features(
     inside a single bucketed map_groups keeps it to one exchange.
     """
     from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.exchange import bucketed_map_groups
     import pandas as pd
 
     wk = _window_kernel(
@@ -135,7 +136,7 @@ def window_features(
         return wk(df.drop(columns=[BUCKET_COL]))
 
     ds = add_bucket_column(events, entity_col, num_buckets)
-    return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
+    return bucketed_map_groups(ds, kernel, num_buckets=num_buckets, batch_format="pandas")
 
 
 def feature_suite(
@@ -161,6 +162,7 @@ def feature_suite(
     at cluster scale, where each exchange moves the full table.
     """
     from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.exchange import bucketed_map_groups
 
     import pandas as pd
 
@@ -201,4 +203,4 @@ def feature_suite(
         ).drop(columns=["_ft_ts"])
 
     ds = add_bucket_column(events, entity_col, num_buckets)
-    return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
+    return bucketed_map_groups(ds, kernel, num_buckets=num_buckets, batch_format="pandas")

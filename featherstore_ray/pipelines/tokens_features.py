@@ -139,6 +139,7 @@ def tokens_minhash_pairs(
     triples are shuffled; signatures stay batch-local.
     """
     from featherstore_ray.partition import BUCKET_COL
+    from featherstore_ray.exchange import bucketed_map_groups
     from featherstore_ray.stages.dedup import (
         _band_hashes,
         minhash_signatures_from_hashes,
@@ -198,7 +199,7 @@ def tokens_minhash_pairs(
         mask = ~new_grp
         return pd.DataFrame({"a": first[mask], "b": key[mask]})
 
-    cand = exploded.groupby(BUCKET_COL).map_groups(pairs, batch_format="pandas")
+    cand = bucketed_map_groups(exploded, pairs, num_buckets=num_buckets, batch_format="pandas")
 
     def count_bands(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["a", "b"], sort=False).size().reset_index(name="n_bands")
@@ -218,4 +219,4 @@ def tokens_minhash_pairs(
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return count_bands(df.drop(columns=[BUCKET_COL]))
 
-    return cand.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+    return bucketed_map_groups(cand, final, num_buckets=num_buckets, batch_format="pandas")

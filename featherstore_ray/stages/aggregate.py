@@ -17,6 +17,7 @@ import pandas as pd
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -104,4 +105,4 @@ def grouped_aggregate(
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return merge_frame(df.drop(columns=[BUCKET_COL]))
 
-    return ds.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")
+    return bucketed_map_groups(ds, merge, num_buckets=num_buckets, batch_format="pandas")

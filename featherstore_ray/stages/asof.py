@@ -34,6 +34,7 @@ import ray
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 
 _SIDE_COL = "_fsr_side"
 _TS_COL = "_fsr_ts"
@@ -168,7 +169,7 @@ def asof_join(
         res = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
         return res.replace_schema_metadata(None)
 
-    out = tagged.groupby(BUCKET_COL).map_groups(bucket_kernel, batch_format="pyarrow")
+    out = bucketed_map_groups(tagged, bucket_kernel, num_buckets=num_buckets, batch_format="pyarrow")
     return out
 
 

@@ -16,6 +16,7 @@ import pandas as pd
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 
 
 def apply_feature_builder(
@@ -43,4 +44,4 @@ def apply_feature_builder(
         return fn(df)
 
     ds = add_bucket_column(ds, entity_col, num_buckets)
-    return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
+    return bucketed_map_groups(ds, kernel, num_buckets=num_buckets, batch_format="pandas")

@@ -29,6 +29,7 @@ import pandas as pd
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 from featherstore_ray.stages.filters import semi_join_filter
 
 
@@ -72,4 +73,4 @@ def latest_per_entity(
         out = _latest_kernel(df, entity_col, ts_col, tiebreak)
         return out.drop(columns=[BUCKET_COL])
 
-    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+    return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")

@@ -21,6 +21,7 @@ import pandas as pd
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 
 
 def distinct(
@@ -43,7 +44,7 @@ def distinct(
             df.drop(columns=[BUCKET_COL]).drop_duplicates().reset_index(drop=True)
         )
 
-    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+    return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")
 
 
 def top_k(
@@ -84,4 +85,4 @@ def top_k(
             .reset_index(drop=True)
         )
 
-    return ds.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+    return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")

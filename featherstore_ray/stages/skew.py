@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, bucket_of, stable_hash
+from featherstore_ray.exchange import bucketed_map_groups
 
 
 def key_counts(ds: ray.data.Dataset, key: str) -> pd.DataFrame:
@@ -158,4 +159,4 @@ def window_features_skew_aware(
     ds = partition_hot_entities(
         events, entity_col, hot, num_buckets=num_buckets
     )
-    return ds.groupby(BUCKET_COL).map_groups(kernel, batch_format="pandas")
+    return bucketed_map_groups(ds, kernel, num_buckets=num_buckets, batch_format="pandas")

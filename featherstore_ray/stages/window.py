@@ -32,6 +32,7 @@ import pandas as pd
 import ray.data
 
 from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+from featherstore_ray.exchange import bucketed_map_groups
 
 _I64_MAX = np.iinfo(np.int64).max
 
@@ -98,7 +99,7 @@ def _bucketed(
     def run(df: pd.DataFrame) -> pd.DataFrame:
         return kernel(df.drop(columns=[BUCKET_COL]))
 
-    return ds.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+    return bucketed_map_groups(ds, run, num_buckets=num_buckets, batch_format="pandas")
 
 
 # -- lag / lead ------------------------------------------------------------
