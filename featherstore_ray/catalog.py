@@ -40,12 +40,22 @@ from featherstore_ray.schema import (
     schema_from_features,
     validate_schema,
 )
+from featherstore_ray.storage import StorageFormat, get_format
 
 _META_FILE = "metadata.json"
 _DATA_DIR = "data"
+_TS_BUCKET_PREFIX = "ts_bucket="
 
 # parquet.go:955-970 — supported codecs, default snappy (config.yaml:21).
 COMPRESSION_CODECS = {"snappy", "gzip", "brotli", "zstd", "lz4", "none"}
+
+# time-partition granularity -> strftime pattern (zero-padded, so
+# lexicographic directory comparison == chronological comparison)
+_GRANULARITY_FMT = {
+    "hour": "%Y-%m-%dT%H",
+    "day": "%Y-%m-%d",
+    "month": "%Y-%m",
+}
 
 
 class FeatureSetNotFound(KeyError):
@@ -67,12 +77,31 @@ class FeatherStore:
     plain dict loaded lazily per process — KBs, safe to re-read in any actor.
     """
 
-    def __init__(self, root: str | Path, *, compression: str = "snappy"):
+    def __init__(
+        self,
+        root: str | Path,
+        *,
+        compression: str = "snappy",
+        format: str = "parquet",
+        row_group_size: int | None = None,
+        partition_granularity: str | None = None,
+    ):
         if compression not in COMPRESSION_CODECS:
             raise ValueError(f"unsupported compression {compression!r}")
+        if partition_granularity is not None and partition_granularity not in _GRANULARITY_FMT:
+            raise ValueError(
+                f"partition_granularity must be one of {sorted(_GRANULARITY_FMT)}"
+            )
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.compression = None if compression == "none" else compression
+        self.format = get_format(format)  # factory.go:14-36 registry lookup
+        if row_group_size is None:
+            from featherstore_ray.config import EngineConfig
+
+            row_group_size = EngineConfig.from_env().row_group_size
+        self.row_group_size = row_group_size  # honored per parquet.go:290-293
+        self.partition_granularity = partition_granularity
         self._schemas: dict[str, pa.Schema] = {}
 
     # -- catalog ----------------------------------------------------------
@@ -108,6 +137,10 @@ class FeatherStore:
             "created_at": now,
             "updated_at": now,
             "schema_b64": _serialize_schema(schema),
+            # layout is a property of the SET (persisted so a store reopened
+            # with different defaults still reads/writes this set correctly)
+            "format": self.format.name,
+            "partition_granularity": self.partition_granularity,
         }
         (d / _META_FILE).write_text(json.dumps(meta, indent=2))
         self._schemas[name] = schema
@@ -139,7 +172,31 @@ class FeatherStore:
         shutil.rmtree(d)
         self._schemas.pop(name, None)
 
+    def _set_conf(self, name: str) -> tuple[StorageFormat, str | None]:
+        """(format, partition_granularity) as persisted at create time."""
+        meta = self.get_feature_set(name)
+        fmt = get_format(meta.get("format", self.format.name))
+        return fmt, meta.get("partition_granularity", None)
+
     # -- ingest -----------------------------------------------------------
+
+    def _bucket_strings(self, ts_col: pa.ChunkedArray, granularity: str):
+        import pyarrow.compute as pc
+
+        return pc.strftime(
+            ts_col.cast(pa.timestamp("us")), _GRANULARITY_FMT[granularity]
+        )
+
+    def _split_by_bucket(self, table: pa.Table, granularity: str | None):
+        """Yield (bucket_dir_name | None, sub_table) — one per time bucket."""
+        if granularity is None:
+            yield None, table
+            return
+        import pyarrow.compute as pc
+
+        buckets = self._bucket_strings(table[TS_COL], granularity)
+        for b in pc.unique(buckets).to_pylist():
+            yield f"{_TS_BUCKET_PREFIX}{b}", table.filter(pc.equal(buckets, b))
 
     def ingest(
         self,
@@ -153,44 +210,156 @@ class FeatherStore:
         Schema validated against the declared schema before any write
         (parquet.go:269-277): on mismatch we fail fast — never the
         reference's skip-and-log (parquet.go:380-387, a silent-loss hazard).
-        Returns rows written.
+        Time-partitioned sets land each row in its ``ts_bucket=<stamp>``
+        directory (reference file-level pruning, parquet.go:485-499, made a
+        first-class layout). Returns rows written.
         """
         expected = self.schema(name)
+        fmt, granularity = self._set_conf(name)
         data_dir = self._set_dir(name) / _DATA_DIR
         if isinstance(batch, pa.RecordBatch):
             batch = pa.Table.from_batches([batch])
         if isinstance(batch, ray.data.Dataset):
-            validate_schema(
-                pa.schema(batch.schema().base_schema), expected, strict=strict
+            return self._ingest_dataset(
+                name, batch, fmt, granularity, strict=strict
             )
-            n = batch.count()
-            batch.write_parquet(
-                str(data_dir),
-                compression=self.compression,
-            )
-            return n
         validate_schema(batch.schema, expected, strict=strict)
-        idx = len(list(data_dir.glob("part-*.parquet")))
-        tmp = data_dir / f".part-{idx:06d}.parquet.tmp"
-        pq.write_table(batch, tmp, compression=self.compression or "none")
-        tmp.rename(data_dir / f"part-{idx:06d}.parquet")
-        return batch.num_rows
+        written = 0
+        for bucket_dir, sub in self._split_by_bucket(batch, granularity):
+            d = data_dir / bucket_dir if bucket_dir else data_dir
+            d.mkdir(parents=True, exist_ok=True)
+            idx = len(list(d.glob(f"part-*.{fmt.extension}")))
+            tmp = d / f".part-{idx:06d}.{fmt.extension}.tmp"
+            fmt.write_table(
+                sub, tmp,
+                compression=self.compression,
+                row_group_size=self.row_group_size,
+            )
+            tmp.rename(d / f"part-{idx:06d}.{fmt.extension}")
+            written += sub.num_rows
+        return written
+
+    def _ingest_dataset(
+        self,
+        name: str,
+        ds: ray.data.Dataset,
+        fmt: StorageFormat,
+        granularity: str | None,
+        *,
+        strict: bool,
+    ) -> int:
+        """Distributed staged ingest: every block writes its files under a
+        staging directory (one Ray task per block, partition-split inside),
+        then the driver commits with renames. A mid-write failure leaves only
+        the staging dir — ``dataset()`` never sees partial files. The row
+        count comes from the write results, not a second pipeline execution.
+        """
+        import uuid
+
+        expected = self.schema(name)
+        validate_schema(
+            pa.schema(ds.schema().base_schema), expected, strict=strict
+        )
+        set_dir = self._set_dir(name)
+        data_dir = set_dir / _DATA_DIR
+        staging = set_dir / f".staging-{uuid.uuid4().hex}"
+        staging.mkdir(parents=True)
+        compression, rgs = self.compression, self.row_group_size
+        split = self._split_by_bucket
+
+        def write_block(t: pa.Table) -> pa.Table:
+            paths: list[str] = []
+            rows: list[int] = []
+            if t.num_rows:
+                for bucket_dir, sub in split(t, granularity):
+                    d = staging / bucket_dir if bucket_dir else staging
+                    d.mkdir(parents=True, exist_ok=True)
+                    p = d / f"part-{uuid.uuid4().hex}.{fmt.extension}"
+                    fmt.write_table(
+                        sub, p, compression=compression, row_group_size=rgs
+                    )
+                    paths.append(str(p))
+                    rows.append(sub.num_rows)
+            return pa.table(
+                {"path": pa.array(paths, pa.string()),
+                 "rows": pa.array(rows, pa.int64())}
+            )
+
+        manifest = ds.map_batches(
+            write_block, batch_size=None, batch_format="pyarrow"
+        ).to_pandas()  # one row per written FILE — tiny
+        # commit: move staged files into data/, preserving bucket subdirs
+        for p in manifest["path"]:
+            rel = Path(p).relative_to(staging)
+            dest = data_dir / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            Path(p).rename(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return int(manifest["rows"].sum())
 
     # -- retrieval --------------------------------------------------------
 
-    def dataset(
-        self, name: str, *, columns: Sequence[str] | None = None
-    ) -> ray.data.Dataset:
-        """Lazy Dataset over all ingested parquet (column-pruned at the read)."""
+    def _files(
+        self, name: str, *, start=None, end=None
+    ) -> tuple[StorageFormat, list[str]]:
+        """All data files, pruned to time buckets overlapping [start, end]
+        BEFORE any read (reference parquet.go:485-499,600-605). Bucket names
+        are zero-padded stamps, so lexicographic compare == chronological."""
+        fmt, granularity = self._set_conf(name)
         data_dir = self._set_dir(name) / _DATA_DIR
         if not data_dir.exists():
             raise FeatureSetNotFound(name)
-        files = sorted(str(p) for p in data_dir.glob("*.parquet"))
+        pattern = f"part-*.{fmt.extension}"
+        if granularity is None:
+            files = sorted(str(p) for p in data_dir.glob(pattern))
+            # flat sets may still hold bucketed files from an older layout
+            files += sorted(
+                str(p) for p in data_dir.glob(f"{_TS_BUCKET_PREFIX}*/{pattern}")
+            )
+            return fmt, files
+        import pandas as pd
+
+        lo = hi = None
+        if start is not None:
+            lo = pd.Timestamp(start).strftime(_GRANULARITY_FMT[granularity])
+        if end is not None:
+            hi = pd.Timestamp(end).strftime(_GRANULARITY_FMT[granularity])
+        files = []
+        for d in sorted(data_dir.glob(f"{_TS_BUCKET_PREFIX}*")):
+            b = d.name[len(_TS_BUCKET_PREFIX):]
+            if lo is not None and b < lo:
+                continue
+            if hi is not None and b > hi:
+                continue
+            files += sorted(str(p) for p in d.glob(pattern))
+        files += sorted(str(p) for p in data_dir.glob(pattern))  # unbucketed
+        return fmt, files
+
+    def dataset(
+        self,
+        name: str,
+        *,
+        columns: Sequence[str] | None = None,
+        start=None,
+        end=None,
+        filter_expr=None,
+    ) -> ray.data.Dataset:
+        """Lazy Dataset over ingested data.
+
+        Column-pruned at the read; ``start``/``end`` prune whole time-bucket
+        directories before any byte is read; ``filter_expr`` (a pyarrow
+        dataset expression) pushes row-group pruning into parquet reads.
+        """
+        fmt, files = self._files(name, start=start, end=end)
         if not files:
-            return ray.data.from_arrow(self.schema(name).empty_table())
-        return ray.data.read_parquet(
-            files, columns=list(columns) if columns else None
-        )
+            sch = self.schema(name)
+            if columns:
+                sch = pa.schema([sch.field(c) for c in columns])
+            return ray.data.from_arrow(sch.empty_table())
+        kwargs = {"columns": columns, "schema": self.schema(name)}
+        if fmt.supports_pushdown:
+            kwargs["filter_expr"] = filter_expr
+        return fmt.read_dataset(files, **kwargs)
 
     def get_features(
         self,
@@ -200,10 +369,16 @@ class FeatherStore:
         tiebreak: str | None = None,
     ) -> ray.data.Dataset:
         """Latest feature row per requested entity (duckdb.go:608-625)."""
+        import pyarrow.compute as pc
+
         from featherstore_ray.stages.latest import latest_per_entity
 
+        fmt, _ = self._set_conf(name)
+        expr = None
+        if fmt.supports_pushdown:
+            expr = pc.field(ENTITY_COL).isin(list(entity_ids))
         return latest_per_entity(
-            self.dataset(name),
+            self.dataset(name, filter_expr=expr),
             entity_col=ENTITY_COL,
             ts_col=TS_COL,
             tiebreak=tiebreak,
@@ -218,11 +393,28 @@ class FeatherStore:
         end=None,
     ) -> ray.data.Dataset:
         """Inclusive [start, end] history for one entity, ts-desc
-        (duckdb.go:683-689)."""
+        (duckdb.go:683-689). File-level time pruning + parquet row-group
+        pushdown happen at the read; the row-level predicate in
+        ``stages.filters.history`` stays normative."""
+        import pyarrow.compute as pc
+
         from featherstore_ray.stages.filters import history
 
+        fmt, _ = self._set_conf(name)
+        expr = None
+        if fmt.supports_pushdown:
+            expr = pc.field(ENTITY_COL) == entity_id
+            if start is not None:
+                expr = expr & (
+                    pc.field(TS_COL)
+                    >= pa.scalar(start).cast(pa.timestamp("us"))
+                )
+            if end is not None:
+                expr = expr & (
+                    pc.field(TS_COL) <= pa.scalar(end).cast(pa.timestamp("us"))
+                )
         return history(
-            self.dataset(name),
+            self.dataset(name, start=start, end=end, filter_expr=expr),
             entity_col=ENTITY_COL,
             ts_col=TS_COL,
             entity_ids=[entity_id],

@@ -99,6 +99,70 @@ def _reduce_apply(kernel, batch_format: str, bucket_col: str, *parts):
     return out, out.num_rows
 
 
+@ray.remote(num_returns=2)
+def _reduce_concat(bucket_col: str, *parts):
+    """Wave 2 without a kernel: concat this reducer's slices ordered so every
+    bucket's rows are contiguous (whole buckets per output block)."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table({}), 0
+    t = pa.concat_tables(tables, promote_options="default")
+    b = t[bucket_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    t = t.take(order).replace_schema_metadata(None)
+    return t, t.num_rows
+
+
+def repartition_by_bucket(
+    ds: ray.data.Dataset,
+    *,
+    num_buckets: int,
+    bucket_col: str = BUCKET_COL,
+    num_reducers: int | None = None,
+) -> ray.data.Dataset:
+    """Materialized repartition: every output block holds WHOLE buckets.
+
+    The move-once primitive for multi-pass algorithms (e.g. the chunked
+    window suite: summarize pass + finalize pass both run map-only over the
+    repartitioned data instead of shuffling twice). Falls back to the sort
+    shuffle with an identity kernel under the same conditions as
+    ``bucketed_map_groups``.
+    """
+    mode = os.environ.get("FSR_EXCHANGE", "direct")
+    if mode == "direct":
+        mat = ds.materialize()
+        block_refs = [
+            ref for rb in mat.iter_internal_ref_bundles() for ref in rb.block_refs
+        ]
+        m = len(block_refs)
+        if m:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            r = num_reducers or min(num_buckets, max(2 * cpus, 8))
+            r = max(2, min(r, num_buckets))
+            if m * r <= DIRECT_MAX_OBJECTS:
+                splits = [
+                    _split_block.options(num_returns=r).remote(
+                        b, r, num_buckets, bucket_col
+                    )
+                    for b in block_refs
+                ]
+                out_refs, count_refs = [], []
+                for j in range(r):
+                    t_ref, n_ref = _reduce_concat.remote(
+                        bucket_col, *[s[j] for s in splits]
+                    )
+                    out_refs.append(t_ref)
+                    count_refs.append(n_ref)
+                counts = ray.get(count_refs)
+                keep = [ref for ref, n in zip(out_refs, counts) if n > 0]
+                if keep:
+                    return ray.data.from_arrow_refs(keep).materialize()
+    out = ds.groupby(bucket_col).map_groups(
+        lambda t: t, batch_format="pyarrow"
+    )
+    return out.materialize()
+
+
 def bucketed_map_groups(
     ds: ray.data.Dataset,
     kernel: Callable,

@@ -105,11 +105,18 @@ def derive_doc_events(ds: ray.data.Dataset) -> ray.data.Dataset:
 def tokens_feature_suite(
     tokens: ray.data.Dataset, *, num_buckets: int = 64
 ) -> ray.data.Dataset:
-    """Flagship over the corpus: windows + as-of in ONE doc_id shuffle."""
-    from featherstore_ray.pipelines.feature_suite import feature_suite
+    """Flagship over the corpus: windows + as-of, rows moved once.
+
+    The corpus doc_id is Zipf-skewed (top doc ~18% of rows), so the plain
+    one-shuffle suite is straggler-bound: one bucket holds ~25% of the data
+    and caps scaling at ~4x regardless of CPUs. The chunked suite
+    (stages/chunked.py) time-slices hot entities with exact halo semantics —
+    identical output (tests/test_chunked.py), straggler-free.
+    """
+    from featherstore_ray.stages.chunked import feature_suite_chunked
 
     events = derive_doc_events(tokens)
-    return feature_suite(
+    return feature_suite_chunked(
         events,
         entity_col="doc_id",
         ts_col="ts",

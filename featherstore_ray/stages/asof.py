@@ -151,6 +151,9 @@ def asof_join(
             out = sp.copy()
             for c in feat_out_cols:
                 out[c] = np.nan
+            out[out_ts] = pd.Series(
+                pd.NaT, index=out.index, dtype="datetime64[us]"
+            )
         else:
             out = pd.merge_asof(
                 sp,

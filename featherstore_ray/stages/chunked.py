@@ -1,0 +1,580 @@
+"""Intra-entity time-chunk parallelism for the window+as-of suite.
+
+THE hot-entity scaling fix. ``partition_hot_entities`` (stages/skew.py)
+isolates a hot entity into its own partition, but a single entity holding
+20% of the corpus still caps every wide window/as-of stage at the wall time
+of ONE task — adding CPUs cannot help. This module splits a hot entity's
+timeline into TIME CHUNKS and computes the full feature suite exactly:
+
+- chunk assignment: ``c = (ts - tmin) * chunks / span`` with chunk span
+  >= the rolling window ``w`` (so a window never reaches past the
+  immediately preceding chunk);
+- HALO replication: every row whose ts lies within ``w`` of the next chunk's
+  start is also sent to that chunk (flagged, never emitted) — rolling
+  windows over ``[t - w, t]`` are then EXACT inside one chunk;
+- per-chunk SUMMARIES (first/last row, internal session-break count, last
+  feature row) + a driver-side SCAN over the tiny summary table computes the
+  carry-ins a chunk cannot see: the session-id offset, the boundary break,
+  lag/lead values across the boundary, and the as-of carry feature;
+- FINALIZE: map-only second pass over the repartitioned data applies the
+  broadcast carry-ins. Rows move through the exchange exactly once.
+
+Parallelism bound: span/w chunks per entity (e.g. 30 for a 30-day corpus
+with a 24h window) — the fundamental limit for exact closed-form windows
+without cross-chunk prefix machinery. Requires ``rolling_window >=
+session_gap`` (asserted): an empty halo then implies the cross-boundary gap
+exceeds the session gap.
+
+Scale contract: summaries are one row per (hot entity, chunk) — at 10^12
+rows with 10^6-row chunks that is ~10^6 tiny rows on the driver. Chunks must
+stay well under the Dataset block size so the sort-shuffle fallback of
+``repartition_by_bucket`` never splits one (direct exchange guarantees
+whole buckets per block).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from featherstore_ray.exchange import bucketed_map_groups, repartition_by_bucket
+from featherstore_ray.partition import BUCKET_COL, bucket_of
+
+_HALO_COL = "_fsr_halo"
+
+
+def _ts_us_arr(col) -> np.ndarray:
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+class _HotSpec:
+    """Driver-built chunking plan for the hot entities (broadcast once)."""
+
+    def __init__(self, entities, tmin, tmax, chunks, num_buckets):
+        self.entities = np.asarray(entities)
+        self.tmin = np.asarray(tmin, dtype=np.int64)
+        self.tmax = np.asarray(tmax, dtype=np.int64)
+        self.chunks = np.asarray(chunks, dtype=np.int64)
+        self.base = num_buckets + np.concatenate(
+            ([0], np.cumsum(self.chunks)[:-1])
+        ).astype(np.int64)
+        self.num_buckets = num_buckets
+        self.total_partitions = int(num_buckets + self.chunks.sum())
+        self.index = pd.Series(
+            np.arange(len(self.entities)), index=self.entities
+        )
+
+    def entity_of_pid(self, pid: np.ndarray) -> np.ndarray:
+        """pid (>= num_buckets) -> index into the hot-entity arrays."""
+        return np.searchsorted(self.base, pid, side="right") - 1
+
+
+def hot_entity_stats(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    *,
+    threshold: int,
+    num_blocks: int,
+) -> pd.DataFrame:
+    """(entity, n, tmin_us, tmax_us) for entities with n > threshold.
+
+    ONE map-only pass, no shuffle, driver holds only the heavy tail: each
+    block reports stats for entities exceeding ``threshold / num_blocks``
+    rows IN THAT BLOCK (by pigeonhole, every truly hot entity crosses the
+    cut somewhere). Blocks where a hot entity stays under the cut are
+    omitted, so n/tmin/tmax are slight under-estimates — which is SAFE: the
+    chunk map clamps out-of-range timestamps to the edge chunks, halo
+    assignment uses the same map, and detection misses are bounded cold
+    stragglers (< 2x threshold rows), never wrong results.
+    """
+    cut = max(1, threshold // max(num_blocks, 1))
+    empty = pd.DataFrame({entity_col: [], "n": [], "tmin": [], "tmax": []})
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_empty = pa.table(
+            {
+                entity_col: t[entity_col].slice(0, 0),
+                "n": pa.array([], pa.int64()),
+                "tmin": pa.array([], pa.int64()),
+                "tmax": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return out_empty
+        vc = pc.value_counts(t[entity_col])
+        heavy = vc.field("values").filter(
+            pc.greater(vc.field("counts"), cut)
+        )
+        if len(heavy) == 0:
+            return out_empty
+        sub = t.filter(pc.is_in(t[entity_col], value_set=heavy))
+        df = pd.DataFrame(
+            {
+                entity_col: sub[entity_col].to_numpy(zero_copy_only=False),
+                "ts": _ts_us_arr(sub[ts_col]),
+            }
+        )
+        g = df.groupby(entity_col, sort=False)["ts"]
+        out = pd.DataFrame(
+            {"n": g.size(), "tmin": g.min(), "tmax": g.max()}
+        ).reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = ds.map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if parts.empty or entity_col not in parts.columns:
+        return empty
+    g = parts.groupby(entity_col, sort=True)
+    out = pd.DataFrame(
+        {
+            "n": g["n"].sum(),
+            "tmin": g["tmin"].min(),
+            "tmax": g["tmax"].max(),
+        }
+    ).reset_index()
+    return out[out["n"] > threshold]
+
+
+def build_hot_spec(
+    hot_stats: pd.DataFrame,  # (entity_col, n, tmin, tmax) for hot entities
+    *,
+    entity_col: str,
+    window_us: int,
+    target_chunk_rows: int,
+    num_buckets: int,
+) -> _HotSpec | None:
+    if hot_stats.empty:
+        return None
+    merged = hot_stats.sort_values(entity_col)
+    span = merged["tmax"].to_numpy() - merged["tmin"].to_numpy() + 1
+    want = np.ceil(merged["n"].to_numpy() / target_chunk_rows).astype(np.int64)
+    max_chunks = np.maximum(1, span // max(window_us, 1))
+    chunks = np.clip(want, 1, max_chunks)
+    return _HotSpec(
+        merged[entity_col].to_numpy(),
+        merged["tmin"].to_numpy(),
+        merged["tmax"].to_numpy(),
+        chunks,
+        num_buckets,
+    )
+
+
+def assign_partitions(
+    ds: ray.data.Dataset,
+    spec: _HotSpec | None,
+    *,
+    entity_col: str,
+    ts_col: str,
+    num_buckets: int,
+    window_us: int,
+) -> ray.data.Dataset:
+    """Add BUCKET_COL (+halo flag; halo rows are duplicated forward)."""
+    spec_ref = ray.put(spec)
+
+    def assign(t: pa.Table) -> pa.Table:
+        sp: _HotSpec | None = ray.get(spec_ref)
+        n = t.num_rows
+        halo0 = pa.array(np.zeros(n, dtype=np.int8))
+        if sp is None or n == 0:
+            pid = bucket_of(t[entity_col], num_buckets)
+            return t.append_column(BUCKET_COL, pa.array(pid)).append_column(
+                _HALO_COL, halo0
+            )
+        ent = t[entity_col].to_numpy(zero_copy_only=False)
+        idx = sp.index.reindex(ent).to_numpy()
+        is_hot = ~np.isnan(idx)
+        pid = bucket_of(t[entity_col], num_buckets).astype(np.int64)
+        out_tables = []
+        if is_hot.any():
+            hi = idx[is_hot].astype(np.int64)
+            ts = _ts_us_arr(t[ts_col])[is_hot]
+            tmin = sp.tmin[hi]
+            span = sp.tmax[hi] - tmin + 1
+            k = sp.chunks[hi]
+            # clip BOTH ends: stats may under-estimate [tmin, tmax]
+            c_self = np.clip((ts - tmin) * k // span, 0, k - 1)
+            c_fwd = np.clip((ts - tmin + window_us) * k // span, 0, k - 1)
+            pid[is_hot] = sp.base[hi] + c_self
+            # forward halo copies (rolling-window context for the next chunk)
+            halo_mask = c_fwd > c_self
+            if halo_mask.any():
+                rows = np.flatnonzero(is_hot)[halo_mask]
+                dup = t.take(rows)
+                dup_pid = (sp.base[hi] + c_fwd)[halo_mask]
+                out_tables.append(
+                    dup.append_column(
+                        BUCKET_COL, pa.array(dup_pid.astype(np.int32))
+                    ).append_column(
+                        _HALO_COL,
+                        pa.array(np.ones(len(rows), dtype=np.int8)),
+                    )
+                )
+        base_t = t.append_column(
+            BUCKET_COL, pa.array(pid.astype(np.int32))
+        ).append_column(_HALO_COL, halo0)
+        out_tables.insert(0, base_t)
+        return pa.concat_tables(out_tables)
+
+    return ds.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def feature_suite_chunked(
+    events: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    spine_type="purchase",
+    feature_type="click",
+    num_buckets: int = 64,
+    rolling_window=timedelta(hours=24),
+    session_gap=timedelta(minutes=30),
+    hot_row_threshold: int | None = None,
+    target_chunk_rows: int | None = None,
+) -> ray.data.Dataset:
+    """feature_suite with hot entities time-chunked — identical output.
+
+    Same semantics/oracle as ``pipelines.feature_suite.feature_suite``; the
+    physical plan adds the chunking machinery from the module doc. Cold
+    entities take the plain one-shuffle path inside the same exchange.
+    """
+    from featherstore_ray.stages.window import _window_us
+
+    w_us = _window_us(rolling_window)
+    gap_us = _window_us(session_gap)
+    if gap_us > w_us:
+        raise ValueError(
+            "chunked suite requires rolling_window >= session_gap "
+            "(empty halo must imply a session break)"
+        )
+
+    # materialize the input ONCE: the stats pass, the assign pass and the
+    # exchange all read these blocks instead of re-executing upstream lineage
+    events = events.materialize()
+    total = events.count()  # block metadata — free on a materialized Dataset
+    if hot_row_threshold is None:
+        # hot = bigger than an average bucket: such an entity would dominate
+        # whichever bucket it hashes into
+        hot_row_threshold = max(50_000, total // max(num_buckets, 1))
+    if target_chunk_rows is None:
+        # chunks at half-bucket granularity so the slowest hot chunk is
+        # strictly smaller than a typical cold bucket
+        target_chunk_rows = max(25_000, total // (2 * max(num_buckets, 1)))
+    stats = hot_entity_stats(
+        events, entity_col, ts_col,
+        threshold=hot_row_threshold, num_blocks=events.num_blocks(),
+    )
+    spec = build_hot_spec(
+        stats,
+        entity_col=entity_col,
+        window_us=w_us,
+        target_chunk_rows=target_chunk_rows,
+        num_buckets=num_buckets,
+    )
+
+    assigned = assign_partitions(
+        events, spec,
+        entity_col=entity_col, ts_col=ts_col,
+        num_buckets=num_buckets, window_us=w_us,
+    )
+    total_parts = spec.total_partitions if spec else num_buckets
+    part = repartition_by_bucket(assigned, num_buckets=total_parts)
+
+    carry_ref = ray.put(
+        _scan_summaries(part, spec, entity_col=entity_col, ts_col=ts_col,
+                        value_col=value_col, type_col=type_col,
+                        tiebreak=tiebreak, feature_type=feature_type,
+                        gap_us=gap_us)
+        if spec is not None
+        else {}
+    )
+    spec_ref = ray.put(spec)
+
+    kernel = _finalize_kernel(
+        entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+        type_col=type_col, tiebreak=tiebreak, spine_type=spine_type,
+        feature_type=feature_type, num_buckets=num_buckets,
+        w_us=w_us, gap_us=gap_us, carry_ref=carry_ref, spec_ref=spec_ref,
+    )
+    return part.map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _scan_summaries(
+    part: ray.data.Dataset,
+    spec: _HotSpec,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    tiebreak: str,
+    feature_type,
+    gap_us: int,
+) -> dict:
+    """Per-chunk summaries (map-only over the repartitioned data) + the
+    driver scan that turns them into per-chunk carry-ins.
+
+    Returns {pid: (boundary_break, session_offset, lag_val, lead_val,
+    carry_feat_ts, carry_feat_val)} with NaN for absent carries.
+    """
+    nb = spec.num_buckets
+
+    def summarize(t: pa.Table) -> pa.Table:
+        pid = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        halo = t[_HALO_COL].to_numpy(zero_copy_only=False)
+        mask = (pid >= nb) & (halo == 0)
+        out = {
+            "pid": [], "first_ts": [], "first_val": [], "last_ts": [],
+            "last_val": [], "breaks": [], "feat_ts": [], "feat_val": [],
+            "n": [],
+        }
+        if mask.any():
+            sub = t.filter(pa.array(mask))
+            df = pd.DataFrame(
+                {
+                    "pid": sub[BUCKET_COL].to_numpy(zero_copy_only=False),
+                    "ts": _ts_us_arr(sub[ts_col]),
+                    "val": sub[value_col].to_numpy(zero_copy_only=False),
+                    "tb": sub[tiebreak].to_numpy(zero_copy_only=False),
+                    "is_feat": (
+                        sub[type_col].to_numpy(zero_copy_only=False)
+                        == feature_type
+                    ),
+                }
+            )
+            df = df.sort_values(["pid", "ts", "tb"], kind="stable")
+            for p, g in df.groupby("pid", sort=True):
+                ts = g["ts"].to_numpy()
+                out["pid"].append(int(p))
+                out["first_ts"].append(ts[0])
+                out["first_val"].append(g["val"].iloc[0])
+                out["last_ts"].append(ts[-1])
+                out["last_val"].append(g["val"].iloc[-1])
+                out["breaks"].append(int((np.diff(ts) > gap_us).sum()))
+                f = g[g["is_feat"]]
+                out["feat_ts"].append(f["ts"].iloc[-1] if len(f) else np.nan)
+                out["feat_val"].append(f["val"].iloc[-1] if len(f) else np.nan)
+                out["n"].append(len(g))
+        types = {
+            "pid": pa.int64(), "first_ts": pa.int64(),
+            "first_val": pa.float64(), "last_ts": pa.int64(),
+            "last_val": pa.float64(), "breaks": pa.int64(),
+            "feat_ts": pa.float64(), "feat_val": pa.float64(),
+            "n": pa.int64(),
+        }
+        return pa.table({k: pa.array(v, types[k]) for k, v in out.items()})
+
+    summ = part.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if summ.empty:
+        return {}
+    summ = summ.sort_values("pid")
+    summ["ent"] = spec.entity_of_pid(summ["pid"].to_numpy())
+    carries: dict = {}
+    for _, g in summ.groupby("ent", sort=True):
+        prev_ts = prev_val = None
+        feat_ts = feat_val = None
+        offset = 0
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            boundary = int(
+                prev_ts is not None and (r.first_ts - prev_ts) > gap_us
+            )
+            lead_val = rows[i + 1].first_val if i + 1 < len(rows) else np.nan
+            carries[int(r.pid)] = (
+                boundary,
+                offset,
+                prev_val if prev_val is not None else np.nan,
+                lead_val,
+                feat_ts if feat_ts is not None else np.nan,
+                feat_val if feat_val is not None else np.nan,
+            )
+            offset += boundary + int(r.breaks)
+            prev_ts, prev_val = r.last_ts, r.last_val
+            if not np.isnan(r.feat_ts):
+                feat_ts, feat_val = r.feat_ts, r.feat_val
+    return carries
+
+
+def _finalize_kernel(
+    *, entity_col, ts_col, value_col, type_col, tiebreak, spine_type,
+    feature_type, num_buckets, w_us, gap_us, carry_ref, spec_ref,
+):
+    """Per-block finalize: cold buckets run the plain suite kernel, hot
+    chunks run the halo-aware chunk kernel with broadcast carry-ins."""
+    from datetime import timedelta as _td
+
+    from featherstore_ray.pipelines.feature_suite import _window_kernel
+
+    wk = _window_kernel(
+        entity_col, ts_col, value_col, tiebreak,
+        rolling_window=_td(microseconds=w_us),
+        session_gap=_td(microseconds=gap_us),
+    )
+    out_val, out_ts = f"{value_col}_asof", f"{ts_col}_asof"
+
+    def cold_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = wk(df)
+        is_spine = (df[type_col] == spine_type).to_numpy()
+        is_feat = (df[type_col] == feature_type).to_numpy()
+        sp = df.loc[is_spine]
+        ft = df.loc[is_feat, [entity_col, ts_col, value_col, tiebreak]].rename(
+            columns={value_col: out_val, ts_col: "_ft_ts"}
+        )
+        ft[out_ts] = ft["_ft_ts"]
+        ft = ft.sort_values(["_ft_ts", tiebreak], kind="stable").drop(
+            columns=[tiebreak]
+        )
+        sp = sp.sort_values(ts_col, kind="stable")
+        if len(sp) == 0:
+            out = sp.copy()
+            out[out_val] = pd.Series(dtype="float64")
+            out[out_ts] = pd.Series(dtype=ft[out_ts].dtype)
+            return out
+        return pd.merge_asof(
+            sp, ft, left_on=ts_col, right_on="_ft_ts", by=entity_col,
+            direction="backward", allow_exact_matches=True,
+        ).drop(columns=["_ft_ts"])
+
+    def chunk_kernel(df: pd.DataFrame, carry) -> pd.DataFrame:
+        boundary, offset, lag_in, lead_in, cf_ts, cf_val = carry
+        df = df.sort_values([ts_col, tiebreak], kind="stable").reset_index(
+            drop=True
+        )
+        n = len(df)
+        halo = df[_HALO_COL].to_numpy() != 0
+        n_halo = int(halo.sum())  # halo rows sort strictly before emitted
+        ts = df[ts_col].to_numpy()
+        ts = (
+            ts.astype("datetime64[us]").astype(np.int64)
+            if ts.dtype.kind == "M"
+            else ts.astype(np.int64)
+        )
+        vals = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        # lag/lead over the full halo+chunk sequence
+        lag = np.concatenate(([np.nan], vals[:-1]))
+        lead = np.concatenate((vals[1:], [np.nan]))
+        if n_halo == 0 and n > 0:
+            lag[0] = lag_in
+        if n > 0:
+            lead[-1] = lead_in
+        # rolling [t-w, t]: exact — the halo holds every in-window predecessor
+        lo = np.searchsorted(ts, ts - w_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        valid = ~np.isnan(vals)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid, vals, 0.0))))
+        ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        rcnt = ccnt[hi] - ccnt[lo]
+        rsum = np.where(rcnt == 0, np.nan, csum[hi] - csum[lo])
+        # sessions: local breaks + broadcast boundary/offset
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        if n_halo < n:
+            brk[n_halo] = boundary
+        session = offset + np.cumsum(brk) - brk[:n_halo].sum()
+        df[f"{value_col}_lag1"] = lag
+        df[f"{value_col}_lead1"] = lead
+        df[f"{value_col}_rsum"] = np.round(rsum, 6)
+        df[f"{value_col}_rmean"] = np.round(
+            rsum / np.where(rcnt == 0, 1, rcnt), 6
+        )
+        df[f"{value_col}_rcount"] = rcnt
+        df["session_id"] = session
+        emit = df.loc[~halo]
+        is_spine = (emit[type_col] == spine_type).to_numpy()
+        is_feat = (df[type_col] == feature_type).to_numpy()  # halo included
+        sp = emit.loc[is_spine]
+        ft = df.loc[is_feat, [ts_col, value_col, tiebreak]].rename(
+            columns={value_col: out_val, ts_col: "_ft_ts"}
+        )
+        ft[out_ts] = ft["_ft_ts"]
+        ft = ft.sort_values(["_ft_ts", tiebreak], kind="stable").drop(
+            columns=[tiebreak]
+        )
+        sp = sp.sort_values(ts_col, kind="stable")
+        if len(sp) == 0:
+            out = sp.copy()
+            out[out_val] = pd.Series(dtype="float64")
+            out[out_ts] = pd.Series(dtype=df[ts_col].dtype)
+            return out
+        if len(ft) == 0:
+            out = sp.copy()
+            out[out_val] = np.nan
+            out[out_ts] = pd.Series(
+                pd.NaT, index=out.index, dtype=df[ts_col].dtype
+            )
+        else:
+            out = pd.merge_asof(
+                sp, ft, left_on=ts_col, right_on="_ft_ts",
+                direction="backward", allow_exact_matches=True,
+            ).drop(columns=["_ft_ts"])
+        # as-of carry: spine rows older than every local/halo feature
+        if not np.isnan(cf_ts):
+            miss = out[out_val].isna().to_numpy()
+            if miss.any():
+                out.loc[miss, out_val] = cf_val
+                out.loc[miss, out_ts] = pd.Timestamp(cf_ts, unit="us")
+        return out
+
+    def finalize(t: pa.Table) -> pa.Table:
+        carries = ray.get(carry_ref)
+        # one canonical column order for every block (cold and hot kernels
+        # append feature columns at different points)
+        expected = [
+            c for c in t.column_names if c not in (BUCKET_COL, _HALO_COL)
+        ] + [
+            f"{value_col}_lag1", f"{value_col}_lead1", f"{value_col}_rsum",
+            f"{value_col}_rmean", f"{value_col}_rcount", "session_id",
+            out_val, out_ts,
+        ]
+        pid = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        t2 = t.take(order)
+        ps = pid[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ps[1:] != ps[:-1]))
+        )
+        bounds = np.append(starts, len(ps))
+        outs = []
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            p = int(ps[g0])
+            df = t2.slice(g0, g1 - g0).to_pandas()
+            df = df.drop(columns=[BUCKET_COL])
+            if p < num_buckets:
+                res = cold_kernel(df.drop(columns=[_HALO_COL]))
+            else:
+                res = chunk_kernel(df, carries.get(p, (0, 0, np.nan, np.nan, np.nan, np.nan)))
+                res = res.drop(columns=[_HALO_COL])
+            if len(res):
+                outs.append(
+                    pa.Table.from_pandas(res[expected], preserve_index=False)
+                    .replace_schema_metadata(None)
+                )
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return finalize

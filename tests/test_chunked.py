@@ -1,0 +1,74 @@
+"""Chunked (intra-entity time-parallel) suite == plain suite, exactly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from featherstore_ray.pipelines.feature_suite import feature_suite
+from featherstore_ray.stages.chunked import feature_suite_chunked
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns), kind="stable").reset_index(
+        drop=True
+    )
+
+
+def test_chunked_matches_plain_on_events(ray_session):
+    plain = feature_suite(
+        ray.data.read_parquet(EVENTS), num_buckets=8
+    ).to_pandas()
+    # tiny threshold/chunk target: every user becomes hot and gets chunked
+    chunked = feature_suite_chunked(
+        ray.data.read_parquet(EVENTS),
+        num_buckets=8,
+        hot_row_threshold=20,
+        target_chunk_rows=25,
+    ).to_pandas()
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c)
+    assert list(p.columns) == list(c.columns)
+    pd.testing.assert_frame_equal(p, c, check_dtype=False)
+
+
+def test_chunked_matches_plain_on_tokens(ray_session):
+    from featherstore_ray.pipelines.tokens_features import derive_doc_events
+
+    tokens = ray.data.read_parquet("/root/testdata/sf0.001")
+    # use the documents-derived corpus instead: build from tokens generator
+    from featherstore_ray.sources.tokens import tokens_parquet
+
+    tdir = tokens_parquet(20_000)
+    events = lambda: derive_doc_events(ray.data.read_parquet(tdir))
+    kw = dict(
+        entity_col="doc_id", ts_col="ts", value_col="value",
+        type_col="event_kind", tiebreak="seq_hash",
+        spine_type=1, feature_type=0, num_buckets=8,
+    )
+    plain = feature_suite(events(), **kw).to_pandas()
+    chunked = feature_suite_chunked(
+        events(), hot_row_threshold=300, target_chunk_rows=200, **kw
+    ).to_pandas()
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c), (len(p), len(c))
+    pd.testing.assert_frame_equal(p, c, check_dtype=False)
+
+
+def test_chunked_no_hot_falls_through(ray_session):
+    # threshold higher than any entity count: spec is None, pure cold path
+    plain = feature_suite(
+        ray.data.read_parquet(EVENTS), num_buckets=8
+    ).to_pandas()
+    chunked = feature_suite_chunked(
+        ray.data.read_parquet(EVENTS),
+        num_buckets=8,
+        hot_row_threshold=10**9,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(plain), _canon(chunked), check_dtype=False
+    )
