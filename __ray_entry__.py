@@ -277,13 +277,15 @@ def q_embedding_dedup(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF approximate top-k (k-means cells, n_probe probing; rows-only)."""
+    """IVF top-k at FULL probe (n_probe = n_centroids → exact, so the
+    brute-force SQL oracles it); approximate probing (n_probe < cells) is
+    recall-tested in pytest (test_ivf_topk_recall_and_exactness)."""
     from featherstore_ray.stages.ann import ivf_topk
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
     return ivf_topk(
-        _read(sf_dir, "embeddings"), queries, k=5, n_centroids=16, n_probe=6
+        _read(sf_dir, "embeddings"), queries, k=5, n_centroids=16, n_probe=16
     )
 
 
@@ -430,13 +432,24 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+# The three oracled tokens queries run on a FIXED-size corpus (the sf0.01
+# size) so oracle_sql() — which cannot see sf_dir — can reference the cached
+# parquet path directly with read_parquet(). Scaling behavior of the same
+# pipelines over sf-sized corpora is exercised by bench.py.
+_ORACLE_TOKENS_ROWS = 100_000
+
+
+def _oracle_tokens_path() -> str:
+    from featherstore_ray.sources.tokens import tokens_parquet
+
+    return tokens_parquet(_ORACLE_TOKENS_ROWS)
+
+
 def q_tokens_validate(sf_dir: str):
     """Tokens-table invariant: recomputed n_tok == stored n_tok per row
-    (input_hint per-row token-array equality; table synthesized
-    deterministically — no driver view, rows-only check)."""
-    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
-
-    path = tokens_parquet(sf_num_rows(sf_dir))
+    (input_hint per-row token-array equality; oracled against read_parquet
+    of the same deterministic corpus)."""
+    path = _oracle_tokens_path()
     ds = ray.data.read_parquet(path)
 
     def check(t: pa.Table) -> pa.Table:
@@ -452,12 +465,11 @@ def q_tokens_validate(sf_dir: str):
 
 
 def q_tokens_stats(sf_dir: str):
-    """Per-source corpus stats over the synthetic tokens table (rows-only)."""
-    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
+    """Per-source corpus stats over the synthetic tokens table (oracled)."""
     from featherstore_ray.stages.aggregate import grouped_aggregate
 
-    path = tokens_parquet(sf_num_rows(sf_dir))
-    return grouped_aggregate(
+    path = _oracle_tokens_path()
+    out = grouped_aggregate(
         ray.data.read_parquet(path, columns=["source", "n_tok"]),
         ["source"],
         {
@@ -466,36 +478,126 @@ def q_tokens_stats(sf_dir: str):
             "max_len": ("n_tok", "max"),
         },
         final="driver",  # 20 groups
-    )
+    ).to_pandas()
+    # int64 on both sides (duckdb sums int32 into hugeint; we CAST there)
+    for c in ("docs", "total_tokens", "max_len"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 def q_tokens_dedup(sf_dir: str):
-    """Exact dedup of token sequences by content hash (rows-only)."""
+    """Exact dedup of token sequences by content hash (oracled: the SQL
+    partitions by the token list itself; the Ray side keys on a 64-bit
+    content hash + length — collision odds ~1e-9 at this corpus size)."""
     import numpy as np
-    from featherstore_ray.sources.tokens import sf_num_rows, tokens_parquet
     from featherstore_ray.stages.dedup import exact_dedup
 
-    path = tokens_parquet(sf_num_rows(sf_dir))
+    path = _oracle_tokens_path()
     ds = ray.data.read_parquet(path)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        toks = t["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (flat + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
-        csum = np.concatenate(([np.uint64(0)], np.cumsum(h, dtype=np.uint64)))
-        seq_hash = (csum[offsets[1:]] - csum[offsets[:-1]]) ^ (
-            (offsets[1:] - offsets[:-1]).astype(np.uint64)
+        # the order-sensitive positional hash (value + position sums must
+        # BOTH collide) — a plain value-sum hash is linear in the tokens and
+        # collides massively on short sequences
+        from featherstore_ray.pipelines.tokens_features import (
+            _seq_hashes,
+            _token_hashes,
         )
+
+        h, offsets = _token_hashes(t["tokens"])
+        seq_hash = _seq_hashes(h, offsets)
         return t.append_column("seq_hash", pa.array(seq_hash.view(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     out = exact_dedup(hashed, ["seq_hash", "n_tok"], keep_col="doc_id")
-    return out.select_columns(["doc_id", "n_tok", "source", "seq_hash"])
+    # (doc_id, n_tok) only: fully deterministic even when the winning doc_id
+    # has several rows with identical content but different source
+    return out.select_columns(["doc_id", "n_tok"])
+
+
+def q_feature_suite_chunked(sf_dir: str):
+    """Flagship suite via the chunked hot-entity path (stages/chunked.py):
+    hot entities are split into rolling-window-halo time chunks, carries come
+    from a summary scan — output provably identical to the plain suite (the
+    oracle below is the plain-suite SQL). Thresholds forced low so real
+    chunking happens at driver scale."""
+    from featherstore_ray.stages.chunked import feature_suite_chunked
+
+    out = feature_suite_chunked(
+        _read(sf_dir, "events"),
+        num_buckets=16,
+        hot_row_threshold=50,
+        target_chunk_rows=30,
+    )
+    return out.select_columns(
+        ["event_id", "value_lag1", "value_lead1", "value_rsum",
+         "value_rmean", "value_rcount", "session_id", "value_asof", "ts_asof"]
+    )
+
+
+def q_history_range_pruned(sf_dir: str):
+    """History query against a day-partitioned FeatherStore layout:
+    file-level bucket pruning + parquet row-group pushdown at the read, the
+    row predicate normative (reference parquet.go:485-499 made first-class).
+    The store is built once per sf_dir under /tmp (deterministic)."""
+    import shutil
+    from pathlib import Path
+
+    from featherstore_ray.catalog import FeatherStore
+
+    root = Path("/tmp/fsr_hist_store") / Path(sf_dir).name
+    done = root / "_SUCCESS"
+    if not done.exists():
+        if root.exists():
+            shutil.rmtree(root)
+        store = FeatherStore(root, partition_granularity="day")
+        events = pq.read_table(f"{sf_dir}/events.parquet")
+        renamed = events.rename_columns(
+            ["entity_id" if c == "user_id" else
+             "timestamp" if c == "ts" else c
+             for c in events.column_names]
+        )
+        store.create_feature_set("events_hist", renamed.schema)
+        store.ingest("events_hist", renamed)
+        done.touch()
+    store = FeatherStore(root)
+    return store.get_feature_history(
+        "events_hist",
+        7,
+        start=pa.scalar(_HIST_START).cast(pa.timestamp("us")).as_py(),
+        end=pa.scalar(_HIST_END).cast(pa.timestamp("us")).as_py(),
+    ).select_columns(
+        ["entity_id", "timestamp", "event_id", "event_type", "value"]
+    )
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (hash-min + pointer jumping) over a
+    derived order-graph: custkey — (custkey mod 97) hub edges. Oracle is a
+    recursive-CTE min-label closure."""
+    from featherstore_ray.stages.components import connected_components
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
+
+    e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(e, num_buckets=16)
+
+
+def q_embedding_dedup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs — the no-broadcast scale path; emitted
+    pairs are a deterministic subset of the exact variant (pytest-verified),
+    so the driver records the rows-only determinism check."""
+    from featherstore_ray.stages.ann import lsh_dup_pairs
+
+    return lsh_dup_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.4, num_buckets=16
+    )
 
 
 # --------------------------------------------------------------- contract --
@@ -543,11 +645,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
         "tokens_dedup": q_tokens_dedup,
+        "feature_suite_chunked": q_feature_suite_chunked,
+        "history_range_pruned": q_history_range_pruned,
+        "connected_components": q_connected_components,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     ids = ", ".join(str(i) for i in _IDS)
+    # ensure the deterministic corpus exists before DuckDB reads it (cached;
+    # plain numpy generation, no Ray needed)
+    _TOKENS_GLOB = _oracle_tokens_path() + "/part-*.parquet"
     return {
         "latest_per_entity": """
             SELECT event_id, user_id, ts, event_type, value FROM (
@@ -734,7 +843,87 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score DESC, vec_id) rn FROM s)
             WHERE rn <= 5
         """,
-        # lang_id, fingerprint, simhash, minhash_dedup, tokens_* are
-        # deliberately omitted: not ANSI-SQL-expressible (hash/heuristic ops
-        # or synthetic input outside the driver's views) → rows-only check.
+        "ann_ivf": f"""
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                       WHERE vec_id IN ({", ".join(map(str, _ANN_QIDS))})),
+            s AS (SELECT qid, vec_id,
+                         round(list_cosine_similarity(qe, embedding), 4) AS score
+                  FROM q, embeddings WHERE vec_id != qid)
+            SELECT qid AS query_id, vec_id, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, vec_id) rn FROM s)
+            WHERE rn <= 5
+        """,
+        "feature_suite_chunked": f"""
+            WITH w AS (
+              SELECT *,
+                     lag(value, 1)  OVER ww AS value_lag1,
+                     lead(value, 1) OVER ww AS value_lead1,
+                     round(sum(value) OVER r, 6) AS value_rsum,
+                     round(avg(value) OVER r, 6) AS value_rmean,
+                     count(value) OVER r AS value_rcount,
+                     CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                               AND date_diff('microsecond', prev_ts, ts)
+                                   > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events)
+              WINDOW ww AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     r AS (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
+                                 AND CURRENT ROW)
+            )
+            SELECT s.event_id, s.value_lag1, s.value_lead1, s.value_rsum,
+                   s.value_rmean, s.value_rcount, s.session_id,
+                   f.value AS value_asof, f.ts AS ts_asof
+            FROM (SELECT * FROM w WHERE event_type = 'purchase') s
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+              ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "history_range_pruned": f"""
+            SELECT user_id AS entity_id, ts AS "timestamp",
+                   event_id, event_type, value
+            FROM events
+            WHERE user_id = 7
+              AND ts >= TIMESTAMP '{_HIST_START}'
+              AND ts <= TIMESTAMP '{_HIST_END}'
+        """,
+        "connected_components": """
+            WITH RECURSIVE
+              edges AS (SELECT DISTINCT o_custkey AS a,
+                               o_custkey % 97 AS b FROM orders),
+              sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+              nodes AS (SELECT DISTINCT a AS node FROM sym),
+              reach(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+              )
+            SELECT node, min(label) AS dup_group FROM reach GROUP BY node
+        """,
+        "tokens_validate": f"""
+            SELECT doc_id, n_tok, source
+            FROM read_parquet('{_TOKENS_GLOB}')
+            WHERE len(tokens) = n_tok
+        """,
+        "tokens_stats": f"""
+            SELECT source, count(n_tok) AS docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_len
+            FROM read_parquet('{_TOKENS_GLOB}') GROUP BY 1
+        """,
+        "tokens_dedup": f"""
+            SELECT doc_id, n_tok FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY CAST(tokens AS VARCHAR), n_tok
+                ORDER BY doc_id) rn
+              FROM read_parquet('{_TOKENS_GLOB}')) WHERE rn = 1
+        """,
+        # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh and
+        # embedding_dedup_lsh are deliberately omitted: hash/heuristic or
+        # probabilistic-subset ops with no exact ANSI-SQL equivalent →
+        # rows-only determinism check (their quality properties — recall vs
+        # the exact paths — are asserted in pytest instead).
     }

@@ -68,7 +68,13 @@ def _seq_hashes(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     pcsum[0] = 0
     np.cumsum(ph, out=pcsum[1:])
     s = csum[offsets[1:]] - csum[offsets[:-1]]
-    p = pcsum[offsets[1:]] - pcsum[offsets[:-1]]
+    # positional sum RELATIVE to the sequence start (sum (i-b)*h_i):
+    # an absolute-position sum would make the hash depend on where the row
+    # sits inside its block — not a content hash at all
+    p = (
+        pcsum[offsets[1:]] - pcsum[offsets[:-1]]
+        - offsets[:-1].astype(np.uint64) * s
+    )
     return s ^ (p * _C3) ^ (lens * _C2)
 
 

@@ -66,20 +66,23 @@ class _TopKScorer:
         scores = emb @ self.qm.T  # (n, nq)
         self_mask = ids[:, None] == self.qids[None, :]
         scores = np.where(self_mask, -np.inf, scores)
-        k = min(self.k, n)
-        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
-        nq = len(self.qids)
-        qcol = np.repeat(self.qids, k)
-        icol = ids[top.T.reshape(-1)]
-        scol = scores[top.T.reshape(-1), np.repeat(np.arange(nq), k)]
-        keep = np.isfinite(scol)
+        # round BEFORE the per-batch cut: the final merge ranks by rounded
+        # score with vec_id tie-break, so the partial must keep every row
+        # tied at the k-th ROUNDED score or a tie straddling the cutoff
+        # could drop the row the tie-break keeps
         if self.round_digits is not None:
-            scol = np.round(scol, self.round_digits)
+            scores = np.round(scores, self.round_digits)
+        k = min(self.k, n)
+        kth = -np.partition(-scores, k - 1, axis=0)[k - 1]  # (nq,)
+        keep_mask = scores >= kth[None, :]
+        ri, ci = np.nonzero(keep_mask)
+        scol = scores[ri, ci]
+        fin = np.isfinite(scol)
         return pa.table(
             {
-                "query_id": pa.array(qcol[keep].astype(np.int64)),
-                self.id_col: pa.array(icol[keep].astype(np.int64)),
-                "score": pa.array(scol[keep]),
+                "query_id": pa.array(self.qids[ci[fin]].astype(np.int64)),
+                self.id_col: pa.array(ids[ri[fin]].astype(np.int64)),
+                "score": pa.array(scol[fin]),
             }
         )
 
@@ -288,6 +291,152 @@ def embedding_dup_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+    )
+
+
+def lsh_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    target_recall: float = 0.9,
+    num_buckets: int = 64,
+    round_digits: int = 4,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Embedding near-dup pairs via random-hyperplane LSH buckets — the
+    scale path ``embedding_dup_pairs`` defers to.
+
+    No broadcast corpus, no all-pairs: each row lands in ONE sign bucket per
+    table; pairs are scored exactly (float64 dot product) inside each
+    (table, bucket) group, then deduped across tables. Exchange cost:
+    ``num_tables`` copies of (id, embedding) rows — linear in the corpus.
+    Recall = 1 - (1 - p^planes)^tables with p = 1 - theta/pi. When
+    ``num_planes`` is None it is sized so pairs AT the threshold reach
+    ``target_recall``: low thresholds (wide angles) force few planes and
+    therefore big buckets — the intrinsic LSH cost of weak similarity; at
+    the near-dup regime (cosine >= ~0.85) buckets stay fine-grained.
+    Emitted pairs and scores are a deterministic SUBSET of the exact result
+    (verified in tests against ``embedding_dup_pairs``).
+    """
+    if num_planes is None:
+        p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+        need = 1.0 - (1.0 - target_recall) ** (1.0 / num_tables)
+        num_planes = max(2, int(np.log(need) / np.log(p)))
+    rng = np.random.default_rng(seed)
+    # per-table plane matrices are re-derived from seeds inside workers (the
+    # embedding dim is only known once a batch arrives)
+    plane_seeds = [int(rng.integers(0, 2**31)) for _ in range(num_tables)]
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "table_id": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    emb_col: t[emb_col],
+                    BUCKET_COL: pa.array([], pa.int32()),
+                }
+            )
+        emb = _normalize(_stack_embeddings(t[emb_col]))
+        dim = emb.shape[1]
+        tables = []
+        for ti, s in enumerate(plane_seeds):
+            pl = np.random.default_rng(s).normal(size=(num_planes, dim))
+            b = ((emb @ pl.T) > 0) @ weights
+            tables.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(
+                            np.full(n, ti, dtype=np.int32)
+                        ),
+                        "bucket": pa.array(b),
+                        id_col: t[id_col],
+                        emb_col: t[emb_col],
+                        BUCKET_COL: pa.array(
+                            (
+                                (b.astype(np.uint64)
+                                 * np.uint64(0x9E3779B97F4A7C15)
+                                 + np.uint64(ti))
+                                % np.uint64(num_buckets)
+                            ).astype(np.int32)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    exploded = ds.map_batches(
+        explode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if df.empty:
+            return empty
+        outs = []
+        for (_, _), g in df.groupby(["table_id", "bucket"], sort=True):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy().astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            emb = _normalize(
+                np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+            )
+            scores = np.round(emb @ emb.T, round_digits)
+            iu, ju = np.triu_indices(len(g), k=1)
+            sc = scores[iu, ju]
+            ok = sc >= threshold
+            # duplicate ids within a bucket (same row via two batches) drop
+            dup = ids[iu] == ids[ju]
+            ok &= ~dup
+            outs.append(
+                pd.DataFrame(
+                    {"a": ids[iu[ok]], "b": ids[ju[ok]], "score": sc[ok]}
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucketed_map_groups(
+        exploded, pairs_kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            BUCKET_COL,
+            pa.array(
+                ((a * np.uint64(0xBF58476D1CE4E5B9) ^ b)
+                 % np.uint64(num_buckets)).astype(np.int32)
+            ),
+        )
+
+    cand = cand.map_batches(
+        add_pair_bucket, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=[BUCKET_COL]).drop_duplicates(["a", "b"])
+
+    return bucketed_map_groups(
+        cand, distinct, num_buckets=num_buckets, batch_format="pandas"
     )
 
 

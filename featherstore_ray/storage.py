@@ -69,10 +69,13 @@ def _parquet_write(table: pa.Table, path: Path, *, compression, row_group_size):
 
 
 def _parquet_read(files, *, columns=None, filter_expr=None, schema=None):
+    # partitioning=None: bucket directories (ts_bucket=...) are a pruning
+    # index, not hive columns — the timestamp stays in the data itself
     return ray.data.read_parquet(
         list(files),
         columns=list(columns) if columns else None,
         filter=filter_expr,
+        partitioning=None,
     )
 
 

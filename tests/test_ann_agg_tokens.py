@@ -146,3 +146,39 @@ def test_ivf_topk_recall_and_exactness():
         approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
         approx2.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
     )
+
+
+def test_lsh_dup_pairs_subset_of_exact():
+    import pyarrow.parquet as pq
+
+    from featherstore_ray.stages.ann import embedding_dup_pairs, lsh_dup_pairs
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    exact = (
+        embedding_dup_pairs(ray.data.from_arrow(emb), emb, threshold=0.4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    approx = (
+        lsh_dup_pairs(ray.data.from_arrow(emb), threshold=0.4, num_buckets=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exact_pairs = {(a, b): s for a, b, s in exact.itertuples(index=False)}
+    # precision 1.0: every LSH pair is an exact pair with the same score
+    for a, b, s in approx.itertuples(index=False):
+        assert (a, b) in exact_pairs, (a, b)
+        assert abs(exact_pairs[(a, b)] - s) < 1e-9
+    # usable recall on this corpus
+    if len(exact):
+        assert len(approx) / len(exact) >= 0.5, (len(approx), len(exact))
+    # deterministic
+    approx2 = (
+        lsh_dup_pairs(ray.data.from_arrow(emb), threshold=0.4, num_buckets=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(approx, approx2)
