@@ -50,7 +50,8 @@ def q_latest_per_entity(sf_dir: str):
     from featherstore_ray.stages.latest import latest_per_entity
 
     return latest_per_entity(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"]),
         entity_col="user_id",
         ts_col="ts",
         tiebreak="event_id",
@@ -62,7 +63,8 @@ def q_latest_semi_join(sf_dir: str):
     from featherstore_ray.stages.latest import latest_per_entity
 
     return latest_per_entity(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"]),
         entity_col="user_id",
         ts_col="ts",
         tiebreak="event_id",
@@ -90,7 +92,8 @@ def q_asof_join(sf_dir: str):
     from featherstore_ray.pipelines.feature_suite import split_events
     from featherstore_ray.stages.asof import asof_join
 
-    events = _read(sf_dir, "events")
+    events = _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
     spine, feats = split_events(events, "purchase", "click", "event_type")
     out = asof_join(
         spine,
@@ -112,7 +115,8 @@ def q_asof_join_broadcast(sf_dir: str):
     feat_tbl = feat_tbl.filter(pc.equal(feat_tbl["event_type"], "click")).select(
         ["user_id", "ts", "value", "event_id"]
     )
-    events = _read(sf_dir, "events")
+    events = _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
     spine = events.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
         batch_format="pyarrow",
@@ -524,7 +528,8 @@ def q_feature_suite_chunked(sf_dir: str):
     from featherstore_ray.stages.chunked import feature_suite_chunked
 
     out = feature_suite_chunked(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"]),
         num_buckets=16,
         hot_row_threshold=50,
         target_chunk_rows=30,
@@ -607,7 +612,10 @@ def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
 
-    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    events = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
     return feature_suite(events, num_buckets=16)
 
 

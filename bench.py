@@ -48,11 +48,23 @@ def _pipelines(sf_dir: str):
     nb = max(NUM_CPUS * 2, 32)
 
     def p_feature_suite():
-        out = feature_suite(ray.data.read_parquet(events_path), num_buckets=nb)
+        out = feature_suite(
+            ray.data.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "event_type", "value"],
+            ),
+            num_buckets=nb,
+        )
         return out.count()
 
     def p_window_features():
-        out = window_features(ray.data.read_parquet(events_path), num_buckets=nb)
+        out = window_features(
+            ray.data.read_parquet(
+                events_path,
+                columns=["event_id", "user_id", "ts", "value"],
+            ),
+            num_buckets=nb,
+        )
         return out.count()
 
     # corpus size: sf-derived by default; --scaling passes FSR_BENCH_ROWS so
@@ -61,21 +73,26 @@ def _pipelines(sf_dir: str):
     # regime. Generation is deterministic and cached (untimed).
     corpus_rows = int(os.environ.get("FSR_BENCH_ROWS", sf_num_rows(sf_dir)))
     tokens_dir = tokens_parquet(corpus_rows)
+    # ~4 blocks per CPU slot: the corpus cache is written as many small
+    # files; reading 1 block per file multiplies per-task overhead (measured
+    # 19s -> 13s at 16 cpus on the 8M criterion)
+    tokens_blocks = max(4 * NUM_CPUS, 16)
+
+    def read_tokens(**kw):
+        return ray.data.read_parquet(
+            tokens_dir, override_num_blocks=tokens_blocks, **kw
+        )
 
     def p_tokens_feature_suite():
-        out = tokens_feature_suite(
-            ray.data.read_parquet(tokens_dir), num_buckets=nb
-        )
+        out = tokens_feature_suite(read_tokens(), num_buckets=nb)
         return out.count()
 
     def p_tokens_minhash():
-        out = tokens_minhash_pairs(
-            ray.data.read_parquet(tokens_dir), num_buckets=nb, num_perm=64
-        )
+        out = tokens_minhash_pairs(read_tokens(), num_buckets=nb, num_perm=64)
         return out.count()
 
     def p_tokens_suite():
-        ds = ray.data.read_parquet(tokens_dir)
+        ds = read_tokens()
 
         def check(t: pa.Table) -> pa.Table:
             n = pc.cast(pc.list_value_length(t["tokens"]), pa.int32())
@@ -95,7 +112,7 @@ def _pipelines(sf_dir: str):
     def p_tokens_dedup():
         import numpy as np
 
-        ds = ray.data.read_parquet(tokens_dir)
+        ds = read_tokens()
 
         def add_hash(t: pa.Table) -> pa.Table:
             toks = t["tokens"]

@@ -237,6 +237,10 @@ class FeatherStore:
             )
             tmp.rename(d / f"part-{idx:06d}.{fmt.extension}")
             written += sub.num_rows
+        if ray.is_initialized():  # counters need a live session; never init
+            from featherstore_ray import metrics
+
+            metrics.record(f"ingest.{name}", rows=written, nbytes=batch.nbytes)
         return written
 
     def _ingest_dataset(

@@ -99,18 +99,21 @@ def _reduce_apply(kernel, batch_format: str, bucket_col: str, *parts):
     return out, out.num_rows
 
 
-@ray.remote(num_returns=2)
-def _reduce_concat(bucket_col: str, *parts):
+@ray.remote(num_returns=3)
+def _reduce_concat(bucket_col: str, summary_kernel, *parts):
     """Wave 2 without a kernel: concat this reducer's slices ordered so every
-    bucket's rows are contiguous (whole buckets per output block)."""
+    bucket's rows are contiguous (whole buckets per output block). When a
+    ``summary_kernel`` (whole-bucket-block -> small table) is given, it runs
+    here too — a fused side output with zero extra passes over the data."""
     tables = [p for p in parts if p.num_rows]
     if not tables:
-        return pa.table({}), 0
+        return pa.table({}), 0, pa.table({})
     t = pa.concat_tables(tables, promote_options="default")
     b = t[bucket_col].to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     t = t.take(order).replace_schema_metadata(None)
-    return t, t.num_rows
+    summary = summary_kernel(t) if summary_kernel is not None else pa.table({})
+    return t, t.num_rows, summary
 
 
 def repartition_by_bucket(
@@ -119,14 +122,20 @@ def repartition_by_bucket(
     num_buckets: int,
     bucket_col: str = BUCKET_COL,
     num_reducers: int | None = None,
-) -> ray.data.Dataset:
+    summary_kernel=None,
+) -> tuple[ray.data.Dataset, pa.Table | None]:
     """Materialized repartition: every output block holds WHOLE buckets.
 
     The move-once primitive for multi-pass algorithms (e.g. the chunked
-    window suite: summarize pass + finalize pass both run map-only over the
-    repartitioned data instead of shuffling twice). Falls back to the sort
-    shuffle with an identity kernel under the same conditions as
-    ``bucketed_map_groups``.
+    window suite): the returned Dataset can be consumed repeatedly with no
+    recompute (blocks are concrete objects, not copied again). When
+    ``summary_kernel`` is given it runs inside the reduce wave on each
+    whole-bucket block and the concatenated result comes back as the second
+    element — a fused side channel with zero extra passes. Falls back to the
+    sort shuffle (summary computed in a separate map pass) under the same
+    conditions as ``bucketed_map_groups``.
+
+    Returns (dataset, summary table | None-when-no-kernel).
     """
     mode = os.environ.get("FSR_EXCHANGE", "direct")
     if mode == "direct":
@@ -140,27 +149,63 @@ def repartition_by_bucket(
             r = num_reducers or min(num_buckets, max(2 * cpus, 8))
             r = max(2, min(r, num_buckets))
             if m * r <= DIRECT_MAX_OBJECTS:
+                sk_ref = ray.put(summary_kernel)
                 splits = [
                     _split_block.options(num_returns=r).remote(
                         b, r, num_buckets, bucket_col
                     )
                     for b in block_refs
                 ]
-                out_refs, count_refs = [], []
+                out_refs, count_refs, sum_refs = [], [], []
                 for j in range(r):
-                    t_ref, n_ref = _reduce_concat.remote(
-                        bucket_col, *[s[j] for s in splits]
+                    t_ref, n_ref, s_ref = _reduce_concat.remote(
+                        bucket_col, sk_ref, *[s[j] for s in splits]
                     )
                     out_refs.append(t_ref)
                     count_refs.append(n_ref)
+                    sum_refs.append(s_ref)
                 counts = ray.get(count_refs)
                 keep = [ref for ref, n in zip(out_refs, counts) if n > 0]
                 if keep:
-                    return ray.data.from_arrow_refs(keep).materialize()
+                    summary = None
+                    if summary_kernel is not None:
+                        parts = [s for s in ray.get(sum_refs) if s.num_rows]
+                        summary = (
+                            pa.concat_tables(parts, promote_options="default")
+                            if parts
+                            else pa.table({})
+                        )
+                    # no .materialize(): the refs are concrete objects —
+                    # re-consuming reads them zero-copy, a materialize here
+                    # would be one wasted full copy of the data
+                    return ray.data.from_arrow_refs(keep), summary
     out = ds.groupby(bucket_col).map_groups(
         lambda t: t, batch_format="pyarrow"
-    )
-    return out.materialize()
+    ).materialize()
+    summary = None
+    if summary_kernel is not None:
+        parts = [
+            p
+            for p in ray.get(
+                [
+                    _apply_summary.remote(summary_kernel, ref)
+                    for rb in out.iter_internal_ref_bundles()
+                    for ref in rb.block_refs
+                ]
+            )
+            if p.num_rows
+        ]
+        summary = (
+            pa.concat_tables(parts, promote_options="default")
+            if parts
+            else pa.table({})
+        )
+    return out, summary
+
+
+@ray.remote
+def _apply_summary(summary_kernel, t: pa.Table) -> pa.Table:
+    return summary_kernel(t)
 
 
 def bucketed_map_groups(

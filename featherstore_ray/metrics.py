@@ -1,0 +1,101 @@
+"""Operational metrics: per-operator rows/bytes/latency counters.
+
+Ray-native equivalent of the reference's metrics registry
+(pkg/metrics/metrics.go:56-249 — per-op row/byte/latency counters served to
+the operator). One named metrics actor per Ray session aggregates counts
+reported by instrumented stages; the driver (or a job monitor) reads a
+snapshot at any time while the pipeline is still running.
+
+Usage::
+
+    ds = instrument(ds, "ingest.read")          # pass-through counting stage
+    ... run pipeline ...
+    print(report())                             # {'ingest.read': {...}}
+
+``instrument`` adds one actor RPC per BLOCK (not per row/batch of 1024), so
+overhead is microseconds per hundreds of MB. Counters survive across
+pipelines within a session and reset with ``reset()``.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_ACTOR_NAME = "fsr_metrics"
+
+
+@ray.remote(num_cpus=0)
+class _MetricsActor:
+    def __init__(self):
+        self._ops: dict[str, dict] = {}
+
+    def inc(self, op: str, rows: int, nbytes: int, seconds: float) -> None:
+        d = self._ops.setdefault(
+            op, {"rows": 0, "bytes": 0, "seconds": 0.0, "batches": 0}
+        )
+        d["rows"] += rows
+        d["bytes"] += nbytes
+        d["seconds"] += seconds
+        d["batches"] += 1
+
+    def snapshot(self) -> dict:
+        return {k: dict(v) for k, v in self._ops.items()}
+
+    def reset(self) -> None:
+        self._ops.clear()
+
+
+def _actor():
+    return _MetricsActor.options(
+        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+    ).remote()
+
+
+def instrument(
+    ds: ray.data.Dataset, op: str, *, sample_latency: bool = True
+) -> ray.data.Dataset:
+    """Append a zero-copy pass-through stage that counts rows/bytes for
+    ``op``. Latency is the in-stage observation time (per block)."""
+
+    def count(t: pa.Table) -> pa.Table:
+        t0 = time.perf_counter() if sample_latency else 0.0
+        handle = ray.get_actor(_ACTOR_NAME)
+        handle.inc.remote(
+            op, t.num_rows, t.nbytes, time.perf_counter() - t0
+        )
+        return t
+
+    _actor()  # ensure it exists before workers look it up
+    return ds.map_batches(
+        count, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def record(op: str, rows: int = 0, nbytes: int = 0, seconds: float = 0.0):
+    """Direct driver-side counter bump (e.g. around a write or a query)."""
+    ray.get(_actor().inc.remote(op, rows, nbytes, seconds))
+
+
+@contextmanager
+def timed(op: str, rows: int = 0, nbytes: int = 0):
+    """Time a driver-side operation into the metrics registry."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        record(op, rows, nbytes, time.perf_counter() - t0)
+
+
+def report() -> dict:
+    """Snapshot of all counters: {op: {rows, bytes, seconds, batches}}."""
+    return ray.get(_actor().snapshot.remote())
+
+
+def reset() -> None:
+    ray.get(_actor().reset.remote())

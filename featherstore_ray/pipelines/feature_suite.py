@@ -150,6 +150,8 @@ def feature_suite(
     spine_type: str = "purchase",
     feature_type: str = "click",
     num_buckets: int = 64,
+    rolling_window=timedelta(hours=24),
+    session_gap=timedelta(minutes=30),
 ) -> ray.data.Dataset:
     """Full suite in ONE entity-bucket shuffle.
 
@@ -168,7 +170,7 @@ def feature_suite(
 
     wf_kernel = _window_kernel(
         entity_col, ts_col, value_col, tiebreak,
-        rolling_window=timedelta(hours=24), session_gap=timedelta(minutes=30),
+        rolling_window=rolling_window, session_gap=session_gap,
     )
     out_val, out_ts = f"{value_col}_asof", f"{ts_col}_asof"
 

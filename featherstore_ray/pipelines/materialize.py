@@ -117,6 +117,15 @@ def materialize(
     )
     recs = [PartitionRecord(**r) for r in recs_df.to_dict("records")]
     log.append_many(recs)
+    # operational counters (reference pkg/metrics parity)
+    from featherstore_ray import metrics
+
+    metrics.record(
+        "materialize.write",
+        rows=int(recs_df["rows"].sum()) if len(recs_df) else 0,
+        nbytes=int(recs_df["num_bytes"].sum()) if len(recs_df) else 0,
+        seconds=float(recs_df["duration_sec"].sum()) if len(recs_df) else 0.0,
+    )
     return recs
 
 

@@ -121,6 +121,9 @@ def tokens_feature_suite(
     """
     from featherstore_ray.stages.chunked import feature_suite_chunked
 
+    # metadata-only count on the raw parquet read (derive preserves rows):
+    # lets the chunked suite skip a full counting execution
+    total = tokens.count()
     events = derive_doc_events(tokens)
     return feature_suite_chunked(
         events,
@@ -132,6 +135,7 @@ def tokens_feature_suite(
         spine_type=1,
         feature_type=0,
         num_buckets=num_buckets,
+        total_rows=total,
     )
 
 

@@ -42,8 +42,11 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _TopKScorer:
     """Actor: holds the broadcast normalized query matrix; scores batches."""
 
-    def __init__(self, qref, id_col, emb_col, k, round_digits):
-        q = ray.get(qref)
+    def __init__(self, q, id_col, emb_col, k, round_digits):
+        # small payload passed BY VALUE: actor constructor args living in
+        # the object store + max_restarts > 0 trips ray#53727 warnings
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
         self.qids = q["ids"]
         self.qm = q["matrix"]  # already normalized, float64
         self.id_col = id_col
@@ -104,12 +107,12 @@ def cosine_topk(
     """
     qm = _normalize(_stack_embeddings(queries[emb_col]))
     qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    qref = ray.put({"ids": qids, "matrix": qm})
+    qval = {"ids": qids, "matrix": qm}  # small: ship by value (ray#53727)
 
     partials = ds.map_batches(_TopKScorer, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        fn_constructor_args=(qref, id_col, emb_col, k, round_digits),
+        fn_constructor_args=(qval, id_col, emb_col, k, round_digits),
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -192,13 +195,11 @@ def ivf_topk(
     # each query's probe set: its n_probe nearest centroids
     order = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")
     probed = np.unique(order[:, : max(1, n_probe)].reshape(-1))
-    qref = ray.put(
-        {"ids": qids, "matrix": qm, "centroids": centroids, "probed": probed}
-    )
+    qval = {"ids": qids, "matrix": qm, "centroids": centroids, "probed": probed}
 
     class IVFScorer(_TopKScorer):
         def __init__(self):
-            q = ray.get(qref)
+            q = qval
             self.qids = q["ids"]
             self.qm = q["matrix"]
             self.centroids = q["centroids"]
@@ -464,7 +465,7 @@ def lsh_topk(
     weights = 1 << np.arange(num_planes)
     qbuckets = ((qm @ planes.T) > 0) @ weights
 
-    qref = ray.put({"ids": qids, "matrix": qm})
+    qval = {"ids": qids, "matrix": qm}
 
     class BucketScorer(_TopKScorer):
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -479,7 +480,7 @@ def lsh_topk(
         ds.map_batches(BucketScorer, batch_size=None, batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency,
-            fn_constructor_args=(qref, id_col, emb_col, k, round_digits),
+            fn_constructor_args=(qval, id_col, emb_col, k, round_digits),
         )
         .groupby("query_id")
         .map_groups(

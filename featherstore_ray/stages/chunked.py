@@ -150,6 +150,46 @@ def hot_entity_stats(
     return out[out["n"] > threshold]
 
 
+def sample_entity_stats(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    *,
+    threshold: int,
+    total: int,
+    sample_rows: int = 400_000,
+) -> pd.DataFrame:
+    """Estimated (entity, n, tmin_us, tmax_us) for the heavy tail from a
+    prefix sample — ONE partial execution instead of a full stats pass.
+
+    Counts scale by total/sample; tmin/tmax are sample-side under-estimates.
+    Both are SAFE approximations (see ``hot_entity_stats``): the chunk map
+    clamps, halo uses the same map, and a missed borderline-hot entity is a
+    bounded cold straggler, never a wrong result. Assumes entities are not
+    systematically ordered in the input (true for hash-derived ingest
+    layouts); pass ``stats_mode="exact"`` otherwise.
+    """
+    n_s = min(total, sample_rows)
+    if n_s == 0:
+        return pd.DataFrame({entity_col: [], "n": [], "tmin": [], "tmax": []})
+    sample = (
+        ds.select_columns([entity_col, ts_col]).limit(n_s).to_pandas()
+    )
+    factor = total / max(len(sample), 1)
+    df = pd.DataFrame(
+        {
+            entity_col: sample[entity_col].to_numpy(),
+            "ts": _ts_us_arr(pa.array(sample[ts_col])),
+        }
+    )
+    g = df.groupby(entity_col, sort=True)["ts"]
+    out = pd.DataFrame(
+        {"n": g.size(), "tmin": g.min(), "tmax": g.max()}
+    ).reset_index()
+    out["n"] = (out["n"] * factor).astype(np.int64)
+    return out[out["n"] > threshold]
+
+
 def build_hot_spec(
     hot_stats: pd.DataFrame,  # (entity_col, n, tmin, tmax) for hot entities
     *,
@@ -250,6 +290,8 @@ def feature_suite_chunked(
     session_gap=timedelta(minutes=30),
     hot_row_threshold: int | None = None,
     target_chunk_rows: int | None = None,
+    total_rows: int | None = None,
+    stats_mode: str = "sample",
 ) -> ray.data.Dataset:
     """feature_suite with hot entities time-chunked — identical output.
 
@@ -267,22 +309,32 @@ def feature_suite_chunked(
             "(empty halo must imply a session break)"
         )
 
-    # materialize the input ONCE: the stats pass, the assign pass and the
-    # exchange all read these blocks instead of re-executing upstream lineage
-    events = events.materialize()
-    total = events.count()  # block metadata — free on a materialized Dataset
+    if total_rows is None:
+        # count() is metadata-free only for pure reads; callers with lazy
+        # map lineage should pass total_rows (e.g. from the source read)
+        total_rows = events.count()
+    total = total_rows
     if hot_row_threshold is None:
-        # hot = bigger than an average bucket: such an entity would dominate
-        # whichever bucket it hashes into
-        hot_row_threshold = max(50_000, total // max(num_buckets, 1))
+        # hot = bigger than an average bucket AND big in absolute terms: a
+        # sub-250k-row straggler kernel is sub-second — cheaper than the
+        # chunking machinery it would replace (below the floor the suite
+        # falls through to the pure cold path)
+        hot_row_threshold = max(250_000, total // max(num_buckets, 1))
     if target_chunk_rows is None:
         # chunks at half-bucket granularity so the slowest hot chunk is
         # strictly smaller than a typical cold bucket
         target_chunk_rows = max(25_000, total // (2 * max(num_buckets, 1)))
-    stats = hot_entity_stats(
-        events, entity_col, ts_col,
-        threshold=hot_row_threshold, num_blocks=events.num_blocks(),
-    )
+    if stats_mode == "exact":
+        events = events.materialize()
+        stats = hot_entity_stats(
+            events, entity_col, ts_col,
+            threshold=hot_row_threshold, num_blocks=events.num_blocks(),
+        )
+    else:
+        stats = sample_entity_stats(
+            events, entity_col, ts_col,
+            threshold=hot_row_threshold, total=total,
+        )
     spec = build_hot_spec(
         stats,
         entity_col=entity_col,
@@ -290,6 +342,18 @@ def feature_suite_chunked(
         target_chunk_rows=target_chunk_rows,
         num_buckets=num_buckets,
     )
+    if spec is None:
+        # nothing hot: the plain suite's single fused exchange beats the
+        # repartition+finalize machinery
+        from featherstore_ray.pipelines.feature_suite import feature_suite
+
+        return feature_suite(
+            events,
+            entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+            type_col=type_col, tiebreak=tiebreak, spine_type=spine_type,
+            feature_type=feature_type, num_buckets=num_buckets,
+            rolling_window=rolling_window, session_gap=session_gap,
+        )
 
     assigned = assign_partitions(
         events, spec,
@@ -297,15 +361,22 @@ def feature_suite_chunked(
         num_buckets=num_buckets, window_us=w_us,
     )
     total_parts = spec.total_partitions if spec else num_buckets
-    part = repartition_by_bucket(assigned, num_buckets=total_parts)
-
-    carry_ref = ray.put(
-        _scan_summaries(part, spec, entity_col=entity_col, ts_col=ts_col,
-                        value_col=value_col, type_col=type_col,
-                        tiebreak=tiebreak, feature_type=feature_type,
-                        gap_us=gap_us)
+    summary_kernel = (
+        _make_summary_kernel(
+            num_buckets=num_buckets, ts_col=ts_col, value_col=value_col,
+            type_col=type_col, tiebreak=tiebreak, feature_type=feature_type,
+            gap_us=gap_us,
+        )
         if spec is not None
-        else {}
+        else None
+    )
+    # ONE heavy pass: read→derive→assign materialize + exchange, with the
+    # per-chunk summaries computed INSIDE the reduce wave (fused side output)
+    part, summ = repartition_by_bucket(
+        assigned, num_buckets=total_parts, summary_kernel=summary_kernel
+    )
+    carry_ref = ray.put(
+        _scan_carries(summ, spec, gap_us=gap_us) if spec is not None else {}
     )
     spec_ref = ray.put(spec)
 
@@ -320,25 +391,19 @@ def feature_suite_chunked(
     )
 
 
-def _scan_summaries(
-    part: ray.data.Dataset,
-    spec: _HotSpec,
+def _make_summary_kernel(
     *,
-    entity_col: str,
+    num_buckets: int,
     ts_col: str,
     value_col: str,
     type_col: str,
     tiebreak: str,
     feature_type,
     gap_us: int,
-) -> dict:
-    """Per-chunk summaries (map-only over the repartitioned data) + the
-    driver scan that turns them into per-chunk carry-ins.
-
-    Returns {pid: (boundary_break, session_offset, lag_val, lead_val,
-    carry_feat_ts, carry_feat_val)} with NaN for absent carries.
-    """
-    nb = spec.num_buckets
+):
+    """Per-chunk summary kernel (whole-bucket block -> small table); runs
+    INSIDE the exchange's reduce wave (fused side output)."""
+    nb = num_buckets
 
     def summarize(t: pa.Table) -> pa.Table:
         pid = t[BUCKET_COL].to_numpy(zero_copy_only=False)
@@ -385,11 +450,16 @@ def _scan_summaries(
         }
         return pa.table({k: pa.array(v, types[k]) for k, v in out.items()})
 
-    summ = part.map_batches(
-        summarize, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    if summ.empty:
+    return summarize
+
+
+def _scan_carries(summary: pa.Table, spec: _HotSpec, *, gap_us: int) -> dict:
+    """Driver scan over the tiny per-chunk summary table → carry-ins:
+    {pid: (boundary_break, session_offset, lag_val, lead_val,
+    carry_feat_ts, carry_feat_val)} with NaN for absent carries."""
+    if summary is None or summary.num_rows == 0:
         return {}
+    summ = summary.to_pandas()
     summ = summ.sort_values("pid")
     summ["ent"] = spec.entity_of_pid(summ["pid"].to_numpy())
     carries: dict = {}

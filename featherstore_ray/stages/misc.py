@@ -33,18 +33,21 @@ def distinct(
     """Distinct combinations of ``cols`` (two-stage dedup)."""
     cols = list(cols)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[cols].drop_duplicates().reset_index(drop=True)
+    def partial(t):
+        # Arrow-native distinct: group_by with no aggregates = unique keys,
+        # no pandas conversion per batch
+        return t.select(cols).group_by(cols).aggregate([])
 
-    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
     ds = add_bucket_column(ds, cols[0], num_buckets)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.drop(columns=[BUCKET_COL]).drop_duplicates().reset_index(drop=True)
-        )
+    def final(t):
+        return t.select(cols).group_by(cols).aggregate([])
 
-    return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")
+    return bucketed_map_groups(
+        ds, final, num_buckets=num_buckets, batch_format="pyarrow"
+    )
 
 
 def top_k(
@@ -65,17 +68,13 @@ def top_k(
     asc = [not descending] + ([True] if tiebreak else [])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=asc, kind="stable").head(k)
+        # per-batch top-k + the constant routing key in one stage; the copy
+        # is over <= k rows, not the input batch
+        out = df.sort_values(by, ascending=asc, kind="stable").head(k).copy()
+        out[BUCKET_COL] = 0
+        return out
 
     ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
-
-    # all partials collapse to one tiny group for the final selection
-    def add_const(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[BUCKET_COL] = 0
-        return df
-
-    ds = ds.map_batches(add_const, batch_size=None, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return (
