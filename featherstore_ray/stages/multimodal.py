@@ -35,16 +35,42 @@ class ImageDecodeStage:
     """
 
     def __init__(self, *, payload_col: str = "image", feat_dim: int = 16,
-                 decoder: str = "fake"):
+                 decoder: str = "fake", resize: tuple[int, int] = (32, 32)):
         self.payload_col = payload_col
         self.feat_dim = feat_dim
+        self.resize = resize
         if decoder == "fake":
             self.decode = self._fake_decode
+        elif decoder == "pillow":
+            # import-try gate: real codec when the library exists (not in
+            # this container), honest NotImplementedError otherwise
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "decoder 'pillow': PIL is not installed in this "
+                    "environment; the fake decoder exercises the same "
+                    "plumbing deterministically"
+                ) from e
+            self.decode = self._pillow_decode
         else:
             raise NotImplementedError(
                 f"decoder {decoder!r}: real image codecs are not available in "
                 "this environment; plug a callable bytes -> np.ndarray here"
             )
+
+    def _pillow_decode(self, payload: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(self.resize)
+        px = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        # mean-pool down to feat_dim buckets
+        pad = (-len(px)) % self.feat_dim
+        if pad:
+            px = np.concatenate([px, np.zeros(pad, np.float32)])
+        return px.reshape(self.feat_dim, -1).mean(axis=1)
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-features from a content hash
@@ -130,6 +156,85 @@ class FrameSampleStage:
             "frame_feat", pa.ListArray.from_arrays(offsets, flat)
         )
         return out
+
+
+class AudioFeatureStage:
+    """Actor: binary audio column → fixed windowed feature matrix.
+
+    Real plumbing, stubbed codec (as with images): ``decoder="fake"``
+    deterministically expands a content digest into ``num_windows`` per-window
+    feature rows of ``feat_dim`` — the shape a real
+    decode→resample→frame→spectrogram chain produces. A real decoder plugs
+    in as ``bytes -> np.ndarray (num_windows, feat_dim)``.
+
+    Output: input columns + ``audio_feat`` (list<float32>, flattened
+    windows-major) + ``n_windows:int32``.
+    """
+
+    def __init__(self, *, payload_col: str = "audio", num_windows: int = 8,
+                 feat_dim: int = 8, decoder: str = "fake"):
+        self.payload_col = payload_col
+        self.num_windows = num_windows
+        self.feat_dim = feat_dim
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"decoder {decoder!r}: audio codecs unavailable in this "
+                "environment; plug a callable bytes -> (windows, feat) array"
+            )
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        n = self.num_windows * self.feat_dim * 4
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(
+            (digest * (n // len(digest) + 1))[:n], dtype=np.uint32
+        )
+        return (raw / np.float64(2**32)).astype(np.float32).reshape(
+            self.num_windows, self.feat_dim
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        per = self.num_windows * self.feat_dim
+        flat = np.zeros(len(payloads) * per, dtype=np.float32)
+        nwin = np.zeros(len(payloads), dtype=np.int32)
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            flat[i * per:(i + 1) * per] = self._fake_features(p).reshape(-1)
+            nwin[i] = self.num_windows
+        offsets = pa.array(
+            np.arange(0, (len(payloads) + 1) * per, per, dtype=np.int32)
+        )
+        batch = batch.append_column(
+            "audio_feat",
+            pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32())),
+        )
+        return batch.append_column("n_windows", pa.array(nwin))
+
+
+def audio_features(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "audio",
+    num_windows: int = 8,
+    feat_dim: int = 8,
+    decoder: str = "fake",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col,
+            num_windows=num_windows,
+            feat_dim=feat_dim,
+            decoder=decoder,
+        ),
+    )
 
 
 def sample_frames(

@@ -176,3 +176,42 @@ def test_compression_codecs(tmp_path):
 
     with _pytest.raises(ValueError):
         FeatherStore(tmp_path / "bad", compression="lzma")
+
+
+def test_multimodal_audio_features():
+    import pyarrow as pa
+
+    from featherstore_ray.stages.multimodal import audio_features
+
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([1, 2, 3], pa.int64()),
+            "audio": pa.array([b"\x01\x02" * 100, None, b"\x05" * 50],
+                              pa.binary()),
+        }
+    )
+    out = audio_features(
+        ray.data.from_arrow(tbl), num_windows=4, feat_dim=8
+    ).to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert list(out["n_windows"]) == [4, 0, 4]
+    assert all(len(f) == 32 for f in out["audio_feat"])
+    # deterministic
+    out2 = audio_features(
+        ray.data.from_arrow(tbl), num_windows=4, feat_dim=8
+    ).to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert (out["audio_feat"].apply(tuple) == out2["audio_feat"].apply(tuple)).all()
+
+
+def test_multimodal_pillow_gate():
+    import pytest
+
+    from featherstore_ray.stages.multimodal import ImageDecodeStage
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the gated real decoder would activate")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow"):
+        ImageDecodeStage(decoder="pillow")
