@@ -137,3 +137,59 @@ def test_asof_never_leaks(tbl):
         out.loc[m, "ts_asof"].to_numpy("datetime64[us]")
         <= out.loc[m, "ts"].to_numpy("datetime64[us]")
     ).all()
+
+
+@st.composite
+def typed_event_tables(draw):
+    """Events with a type column for the suite (spine/feature split)."""
+    n = draw(st.integers(2, 80))
+    ent = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 60), min_size=n, max_size=n))
+    typ = draw(st.lists(st.integers(0, 1), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(st.integers(-50, 50), min_size=n, max_size=n)
+    )
+    return pa.table(
+        {
+            "eid": pa.array(range(n), pa.int64()),
+            "entity": pa.array(ent, pa.int64()),
+            "ts": pa.array([t * 1_000_000 for t in ts], pa.timestamp("us")),
+            "etype": pa.array(typ, pa.int64()),
+            "value": pa.array([float(v) for v in vals], pa.float64()),
+        }
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    tbl=typed_event_tables(),
+    chunk_rows=st.integers(3, 20),
+    w_s=st.integers(2, 30),
+)
+def test_chunked_suite_property_parity(tbl, chunk_rows, w_s):
+    """Chunked path == plain path for arbitrary small inputs, thresholds
+    forced so chunking really happens (every entity hot, tiny chunks)."""
+    from datetime import timedelta
+
+    from featherstore_ray.pipelines.feature_suite import feature_suite
+    from featherstore_ray.stages.chunked import feature_suite_chunked
+
+    kw = dict(
+        entity_col="entity", ts_col="ts", value_col="value",
+        type_col="etype", tiebreak="eid", spine_type=1, feature_type=0,
+        num_buckets=4,
+        rolling_window=timedelta(seconds=w_s),
+        session_gap=timedelta(seconds=2),
+    )
+    plain = feature_suite(ray.data.from_arrow(tbl), **kw).to_pandas()
+    chunked = feature_suite_chunked(
+        ray.data.from_arrow(tbl),
+        hot_row_threshold=1,
+        target_chunk_rows=chunk_rows,
+        **kw,
+    ).to_pandas()
+    cols = sorted(plain.columns)
+    p = plain[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    c = chunked[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    assert len(p) == len(c)
+    pd.testing.assert_frame_equal(p, c, check_dtype=False)
