@@ -107,12 +107,18 @@ def cosine_topk(
     """
     qm = _normalize(_stack_embeddings(queries[emb_col]))
     qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    qval = {"ids": qids, "matrix": qm}  # small: ship by value (ray#53727)
+    qval = {"ids": qids, "matrix": qm}
 
-    partials = ds.map_batches(_TopKScorer, batch_size=None, batch_format="pyarrow",
+    # capture the (small) payload in a closure class: Ray Data always puts
+    # fn_constructor_args in the object store, which trips the ray#53727
+    # actor-restart warning; closures serialize into the actor definition
+    class Scorer(_TopKScorer):
+        def __init__(self):
+            super().__init__(qval, id_col, emb_col, k, round_digits)
+
+    partials = ds.map_batches(Scorer, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        fn_constructor_args=(qval, id_col, emb_col, k, round_digits),
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -468,6 +474,9 @@ def lsh_topk(
     qval = {"ids": qids, "matrix": qm}
 
     class BucketScorer(_TopKScorer):
+        def __init__(self):
+            super().__init__(qval, id_col, emb_col, k, round_digits)
+
         def __call__(self, t: pa.Table) -> pa.Table:
             emb = _normalize(_stack_embeddings(t[self.emb_col])) if t.num_rows else None
             if t.num_rows:
@@ -480,7 +489,6 @@ def lsh_topk(
         ds.map_batches(BucketScorer, batch_size=None, batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency,
-            fn_constructor_args=(qval, id_col, emb_col, k, round_digits),
         )
         .groupby("query_id")
         .map_groups(
