@@ -605,6 +605,48 @@ def q_embedding_dedup_lsh(sf_dir: str):
     )
 
 
+def q_interval_join(sf_dir: str):
+    """Range join: every event matched to the session interval containing
+    it (events -> session_stats -> interval_join; sessions are time-disjoint
+    per user, so each event matches exactly one interval)."""
+    from featherstore_ray.stages.join import interval_join
+    from featherstore_ray.stages.window import session_stats
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sess = session_stats(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id",
+        ts_col="ts",
+        gap=timedelta(minutes=_GAP_MIN),
+        value_col="value",
+        tiebreak="event_id",
+    ).select_columns(["user_id", "session_id", "start_ts", "end_ts"])
+    return interval_join(
+        events,
+        sess,
+        entity_col="user_id",
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+    ).select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 48h windows sliding daily; the
+    explode fan-out is pre-aggregated per batch so only (entity, window)
+    partials cross the exchange."""
+    from featherstore_ray.stages.window import hopping_aggregate
+
+    return hopping_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        width=2 * 24 * 3600 * 1_000_000,
+        slide=24 * 3600 * 1_000_000,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -657,6 +699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "history_range_pruned": q_history_range_pruned,
         "connected_components": q_connected_components,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "interval_join": q_interval_join,
+        "hopping_window": q_hopping_window,
     }
 
 
@@ -928,6 +972,35 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY CAST(tokens AS VARCHAR), n_tok
                 ORDER BY doc_id) rn
               FROM read_parquet('{_TOKENS_GLOB}')) WHERE rn = 1
+        """,
+        "interval_join": f"""
+            WITH s AS (
+              SELECT *, CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                               AND date_diff('microsecond', prev_ts, ts)
+                                   > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events)),
+            iv AS (
+              SELECT user_id, session_id,
+                     min(ts) AS start_ts, max(ts) AS end_ts
+              FROM s GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts, i.session_id
+            FROM events e JOIN iv i
+              ON e.user_id = i.user_id
+             AND e.ts BETWEEN i.start_ts AND i.end_ts
+        """,
+        "hopping_window": f"""
+            SELECT user_id,
+                   make_timestamp(
+                     (epoch_us(ts) // {24 * 3600 * 1_000_000} - j)
+                     * {24 * 3600 * 1_000_000}) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events CROSS JOIN generate_series(0, 1) AS g(j)
+            GROUP BY 1, 2
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh and
         # embedding_dedup_lsh are deliberately omitted: hash/heuristic or

@@ -50,6 +50,102 @@ def broadcast_join(
                              concurrency=(1, 8))
 
 
+def interval_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Range join: each point row matched to every same-entity interval with
+    ``start <= ts <= end`` (inclusive both ends — the engine's time-range
+    convention). Output: point columns + the interval's payload columns.
+
+    Physical plan (the one-shuffle template, like the as-of join): tagged
+    union co-partitioned on ``hash(entity) % B``; per bucket an inner pandas
+    merge on entity followed by the range predicate. Per-entity cost is
+    |points_e| x |intervals_e| — fine for bounded per-entity interval counts
+    (sessions, campaigns, maintenance windows); for a hot entity carrying
+    thousands of both, route it through ``stages/chunked``-style isolation
+    first. Oracle: ``JOIN ... ON p.entity = i.entity AND p.ts BETWEEN
+    i.start AND i.end``.
+    """
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    side = "_fsr_side"
+    pt_schema = pa.schema(points.schema().base_schema)
+    iv_schema = pa.schema(intervals.schema().base_schema)
+    pt_payload = [c for c in pt_schema.names if c != entity_col]
+    iv_payload = [
+        c for c in iv_schema.names if c not in (entity_col,)
+    ]
+    out_schema = pa.schema(
+        [pt_schema.field(entity_col)]
+        + [pt_schema.field(c) for c in pt_payload]
+        + [iv_schema.field(c) for c in iv_payload]
+    )
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in [entity_col] + pt_payload}
+        for c in iv_payload:
+            cols[c] = pa.nulls(t.num_rows, type=iv_schema.field(c).type)
+        cols[side] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        cols = {entity_col: t[entity_col]}
+        for c in pt_payload:
+            cols[c] = pa.nulls(t.num_rows, type=pt_schema.field(c).type)
+        for c in iv_payload:
+            cols[c] = t[c]
+        cols[side] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = points.map_batches(
+        tag_points, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(
+        intervals.map_batches(
+            tag_intervals, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    tagged = add_bucket_column(tagged, entity_col, num_buckets)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_pt = pc.equal(t[side], 1)
+        # split sides in Arrow BEFORE pandas: null padding must never touch
+        # the other side's dtypes (the asof.py lesson)
+        pts = t.filter(is_pt).select([entity_col] + pt_payload).to_pandas()
+        ivs = t.filter(pc.invert(is_pt)).select(
+            [entity_col] + iv_payload
+        ).to_pandas()
+        if pts.empty or ivs.empty:
+            return out_schema.empty_table()
+        out = pts.merge(ivs, on=entity_col, how="inner")
+        ts = out[ts_col].to_numpy()
+        keep = (out[start_col].to_numpy() <= ts) & (
+            ts <= out[end_col].to_numpy()
+        )
+        out = out.loc[keep]
+        res = pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+        return res.replace_schema_metadata(None)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -317,6 +317,96 @@ def tumbling_aggregate(
     return _bucketed(ds, entity_col, num_buckets, kernel)
 
 
+def hopping_aggregate(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    width,
+    slide,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Hopping (sliding) time-window aggregate per entity: windows of
+    ``width`` starting every ``slide`` (epoch-anchored); a row lands in
+    every window whose ``[start, start + width)`` half-open span covers it —
+    ``width / slide`` windows per row.
+
+    Physical plan: the per-row window ids are a contiguous integer range, so
+    each batch EXPLODES rows into (entity, window, value) triples with
+    ``np.repeat`` (vectorized, fan-out = width/slide), pre-aggregates the
+    triples per (entity, window) INSIDE the batch, and only those partials
+    cross the one bucket shuffle — the exchange moves per-(entity, window)
+    partials, not the fan-out. Oracle: a lateral ``generate_series`` join.
+    """
+    w_us = _window_us(width)
+    s_us = _window_us(slide)
+    if w_us % s_us != 0:
+        raise ValueError("width must be a multiple of slide")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    entity_col: df[entity_col],
+                    "_w": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "sum_value": pd.Series(dtype="float64"),
+                    "_vcnt": pd.Series(dtype="int64"),
+                }
+            )
+        ts = _ts_us(df[ts_col])
+        # window k covers [k*s, k*s + w): row joins k in
+        # (floor((ts - w) / s), floor(ts / s)] — exactly w/s windows
+        k_hi = ts // s_us
+        k_lo = (ts - w_us) // s_us + 1
+        fan = (k_hi - k_lo + 1).astype(np.int64)
+        ent = np.repeat(df[entity_col].to_numpy(), fan)
+        vals = np.repeat(
+            df[value_col].to_numpy(dtype=np.float64, na_value=np.nan), fan
+        )
+        # per-row contiguous ranges k_lo..k_hi, flattened
+        offs = np.concatenate(([0], np.cumsum(fan)))
+        idx = np.arange(offs[-1]) - np.repeat(offs[:-1], fan)
+        win = np.repeat(k_lo, fan) + idx
+        g = (
+            pd.DataFrame({entity_col: ent, "_w": win, "_v": vals})
+            .groupby([entity_col, "_w"], sort=False)
+            .agg(n_events=("_v", "size"), sum_value=("_v", "sum"),
+                 _vcnt=("_v", "count"))
+            .reset_index()
+        )
+        g["sum_value"] = np.where(g["_vcnt"] == 0, np.nan, g["sum_value"])
+        return g
+
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+    ds = add_bucket_column(ds, entity_col, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby([entity_col, "_w"], sort=True)
+            .agg(
+                n_events=("n_events", "sum"),
+                sum_value=("sum_value", "sum"),
+                _vcnt=("_vcnt", "sum"),
+            )
+            .reset_index()
+        )
+        g["sum_value"] = np.where(g["_vcnt"] == 0, np.nan, g["sum_value"])
+        if round_digits is not None:
+            g["sum_value"] = g["sum_value"].round(round_digits)
+        g["window_start"] = (g["_w"] * s_us).astype("datetime64[us]")
+        return g.drop(columns=["_w", "_vcnt"])
+
+    from featherstore_ray.exchange import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds, final, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
 # -- sessionization --------------------------------------------------------
 
 

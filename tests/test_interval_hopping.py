@@ -1,0 +1,99 @@
+"""Range (interval) join + hopping window aggregate vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from featherstore_ray.stages.join import interval_join
+from featherstore_ray.stages.window import hopping_aggregate
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+EV_COLS = ["event_id", "user_id", "ts", "value"]
+
+
+def test_interval_join_matches_duckdb(ray_session):
+    events = pq.read_table(EVENTS, columns=EV_COLS)
+    # synthetic disjoint-ish intervals per user: 3 fixed day spans
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC in us
+    day = 24 * 3600 * 1_000_000
+    users = np.arange(0, 150, dtype=np.int64)
+    rows = []
+    for d in (2, 9, 16):
+        for u in users:
+            rows.append((int(u), d, base + d * day, base + (d + 3) * day))
+    iv = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "span_id": pa.array([r[1] for r in rows], pa.int64()),
+            "start_ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "end_ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(events),
+        ray.data.from_arrow(iv),
+        entity_col="user_id",
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        num_buckets=8,
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("events", events)
+    con.register("iv", iv)
+    exp = con.execute(
+        """
+        SELECT e.user_id, e.event_id, e.ts, e.value,
+               i.span_id, i.start_ts, i.end_ts
+        FROM events e JOIN iv i
+          ON e.user_id = i.user_id AND e.ts BETWEEN i.start_ts AND i.end_ts
+        """
+    ).df()
+    cols = sorted(out.columns)
+    assert sorted(exp.columns) == cols
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+
+def test_hopping_aggregate_matches_duckdb(ray_session):
+    events = pq.read_table(EVENTS, columns=["user_id", "ts", "value"])
+    w_us = 2 * 24 * 3600 * 1_000_000  # 48h windows
+    s_us = 24 * 3600 * 1_000_000  # sliding daily
+    out = hopping_aggregate(
+        ray.data.from_arrow(events),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        width=w_us,
+        slide=s_us,
+        num_buckets=8,
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("events", events)
+    m = w_us // s_us
+    exp = con.execute(
+        f"""
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // {s_us} - j) * {s_us})
+                 AS window_start,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events CROSS JOIN generate_series(0, {m - 1}) AS g(j)
+        GROUP BY 1, 2
+        """
+    ).df()
+    cols = sorted(out.columns)
+    assert sorted(exp.columns) == cols
+    o = out[cols].sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    x = exp[cols].sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    # every row appears in exactly width/slide = 2 windows
+    assert o["n_events"].sum() == 2 * events.num_rows
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
