@@ -510,7 +510,15 @@ def q_tokens_dedup(sf_dir: str):
 
         h, offsets = _token_hashes(t["tokens"])
         seq_hash = _seq_hashes(h, offsets)
-        return t.append_column("seq_hash", pa.array(seq_hash.view(np.int64)))
+        # drop the wide tokens list before the shuffle: the dedup key is the
+        # content hash; only narrow columns cross the exchange
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+                "seq_hash": pa.array(seq_hash.view(np.int64)),
+            }
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     out = exact_dedup(hashed, ["seq_hash", "n_tok"], keep_col="doc_id")

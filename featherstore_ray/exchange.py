@@ -78,6 +78,10 @@ def _reduce_apply(kernel, batch_format: str, bucket_col: str, *parts):
     if not tables:
         return pa.table({}), 0
     t = pa.concat_tables(tables, promote_options="default")
+    # upstream pandas-format stages can leave pandas metadata whose dtype
+    # strings (e.g. "numpy.ndarray(...)" for list columns) break to_pandas;
+    # the kernel contract is plain Arrow types, so drop it
+    t = t.replace_schema_metadata(None)
     b = t[bucket_col].to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     t = t.take(order)

@@ -51,10 +51,18 @@ class _MetricsActor:
         self._ops.clear()
 
 
+_HANDLE = None
+
+
 def _actor():
-    return _MetricsActor.options(
-        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached"
-    ).remote()
+    global _HANDLE
+    if _HANDLE is None:
+        # named (session-scoped) actor; NOT detached — detached actors in an
+        # anonymous namespace draw a raylet warning and outlive the session
+        _HANDLE = _MetricsActor.options(
+            name=_ACTOR_NAME, get_if_exists=True
+        ).remote()
+    return _HANDLE
 
 
 def instrument(
