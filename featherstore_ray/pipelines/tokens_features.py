@@ -174,17 +174,19 @@ def tokens_minhash_pairs(
         sig = minhash_signatures_from_hashes(sh, soff, num_perm=num_perm)
         bh = _band_hashes(sig, bands)
         n = t.num_rows
-        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        # ONE mixed group key instead of (band, band_hash): narrows the
+        # 16n-row exchange by a 12B column; cross-band collisions are
+        # ~2^-64 and candidates are verified by band count downstream
+        band_col = np.repeat(
+            np.arange(1, bands + 1, dtype=np.uint64), n
+        )
+        gk = bh.T.reshape(-1) * _C2 + band_col
         return pa.table(
             {
-                "band": pa.array(band_col),
-                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                "gk": pa.array(gk.view(np.int64)),
                 "key": pa.array(np.tile(seq, bands)),
                 BUCKET_COL: pa.array(
-                    (
-                        (bh.T.reshape(-1) ^ band_col.astype(np.uint64))
-                        % np.uint64(num_buckets)
-                    ).astype(np.int32)
+                    (gk % np.uint64(num_buckets)).astype(np.int32)
                 ),
             }
         )
@@ -201,13 +203,12 @@ def tokens_minhash_pairs(
             return pd.DataFrame(
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
             )
-        df = df.sort_values(["band", "band_hash", "key"], kind="stable")
-        band = df["band"].to_numpy()
-        bh = df["band_hash"].to_numpy()
+        df = df.sort_values(["gk", "key"], kind="stable")
+        gk = df["gk"].to_numpy()
         key = df["key"].to_numpy()
         new_grp = np.empty(n, dtype=bool)
         new_grp[0] = True
-        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        new_grp[1:] = gk[1:] != gk[:-1]
         dup = np.zeros(n, dtype=bool)
         dup[1:] = (~new_grp[1:]) & (key[1:] == key[:-1])
         keep = ~dup

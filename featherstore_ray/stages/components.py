@@ -24,6 +24,7 @@ import pyarrow as pa
 
 import ray.data
 
+from featherstore_ray.exchange import bucketed_map_groups
 from featherstore_ray.partition import BUCKET_COL, bucket_of
 
 
@@ -93,14 +94,16 @@ def connected_components(
         return ds.map_batches(_add, batch_size=None, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    labels = (
-        with_bucket(edges.map_batches(init_nodes, batch_size=None,
-                                      batch_format="pyarrow",
-                                      zero_copy_batch=True), node_col)
-        .groupby(BUCKET_COL)
-        .map_groups(uniq, batch_format="pandas")
-        .materialize()
-    )
+    labels = bucketed_map_groups(
+        with_bucket(
+            edges.map_batches(init_nodes, batch_size=None,
+                              batch_format="pyarrow", zero_copy_batch=True),
+            node_col,
+        ),
+        uniq,
+        num_buckets=num_buckets,
+        batch_format="pandas",
+    ).materialize()
 
     # symmetric edge view tagged by the endpoint whose label we gather
     def tag_edges(t: pa.Table) -> pa.Table:
@@ -176,8 +179,8 @@ def connected_components(
             out[label_col] = out[label_col].astype(df[node_col].dtype)
             return out
 
-        messages = tagged.groupby(BUCKET_COL).map_groups(
-            gather, batch_format="pandas"
+        messages = bucketed_map_groups(
+            tagged, gather, num_buckets=num_buckets, batch_format="pandas"
         )
         messages = with_bucket(messages, node_col)
 
@@ -191,11 +194,10 @@ def connected_components(
             ).astype(np.int64)
             return out
 
-        new_labels = (
-            messages.groupby(BUCKET_COL)
-            .map_groups(reduce_min, batch_format="pandas")
-            .materialize()
-        )
+        new_labels = bucketed_map_groups(
+            messages, reduce_min, num_buckets=num_buckets,
+            batch_format="pandas",
+        ).materialize()
         changed = new_labels.sum("_cc_changed")
         labels = new_labels.drop_columns(["_cc_changed"]).materialize()
         if not changed:
