@@ -199,18 +199,17 @@ def minhash_band_pairs(
         bh = _band_hashes(sig, bands)
         n = t.num_rows
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        flat_bh = bh.T.reshape(-1)
-        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        # one mixed 64-bit group key instead of (band, band_hash): narrower
+        # exchange rows; cross-band key collisions are ~2^-64 and candidates
+        # are signature-verified downstream anyway
+        band_col = np.repeat(np.arange(1, bands + 1, dtype=np.uint64), n)
+        gk = bh.T.reshape(-1) * np.uint64(0xBF58476D1CE4E5B9) + band_col
         return pa.table(
             {
-                "band": pa.array(band_col),
-                "band_hash": pa.array(flat_bh.view(np.int64)),
+                "gk": pa.array(gk.view(np.int64)),
                 id_col: pa.array(np.tile(ids, bands)),
                 BUCKET_COL: pa.array(
-                    (
-                        (flat_bh ^ band_col.astype(np.uint64))
-                        % np.uint64(num_buckets)
-                    ).astype(np.int32)
+                    (gk % np.uint64(num_buckets)).astype(np.int32)
                 ),
             }
         )
@@ -227,13 +226,12 @@ def minhash_band_pairs(
         )
         if n == 0:
             return empty
-        df = df.sort_values(["band", "band_hash", id_col], kind="stable")
-        band = df["band"].to_numpy()
-        bh = df["band_hash"].to_numpy()
+        df = df.sort_values(["gk", id_col], kind="stable")
+        gk = df["gk"].to_numpy()
         ids = df[id_col].to_numpy()
         new_grp = np.empty(n, dtype=bool)
         new_grp[0] = True
-        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        new_grp[1:] = gk[1:] != gk[:-1]
         # drop repeated ids within a group (same doc exploded twice)
         dup = np.zeros(n, dtype=bool)
         dup[1:] = (~new_grp[1:]) & (ids[1:] == ids[:-1])
