@@ -203,7 +203,8 @@ def run_bench() -> dict:
 
     # min-of-R repeats: the sandbox VM has noisy co-tenants (2x run-to-run
     # swings on identical jobs); the minimum is the steady-state capability
-    repeats = int(os.environ.get("FSR_BENCH_REPEATS", "1"))
+    # min-of-2 by default: this VM has noisy co-tenants with 2-3x swings
+    repeats = int(os.environ.get("FSR_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     feature_rows = 0
