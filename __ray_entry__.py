@@ -380,6 +380,16 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_token_count_bpe(sf_dir: str):
+    """BPE-style pre-token counting (GPT-2-ish regex classes, RE2 on both
+    the Ray and oracle sides)."""
+    from featherstore_ray.stages.text import token_count_bpe
+
+    return token_count_bpe(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tok_bpe"])
+
+
 def q_quality_score(sf_dir: str):
     """Quality features: char/word counts, stopword hits (RE2 both sides)."""
     from featherstore_ray.stages.text import quality_score
@@ -694,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -882,6 +893,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+                     AS n_tok_bpe
             FROM documents
         """,
         "quality_score": r"""

@@ -43,6 +43,28 @@ def token_count(
     return ds.map_batches(_count, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# GPT-2-flavored pre-tokenizer classes, RE2-compatible (both pyarrow and
+# DuckDB run RE2, so the oracle agrees bit-for-bit): a token is a letter
+# run (with optional leading space), a digit run, a punctuation run, or
+# residual whitespace. A real BPE would then split these further against a
+# merges table — the COUNT of pre-tokens is the standard length proxy.
+_BPE_PRETOKEN = r" ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def token_count_bpe(
+    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "n_tok_bpe"
+) -> ray.data.Dataset:
+    """BPE-style pre-token count per document (GPT-2-ish regex classes)."""
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], _BPE_PRETOKEN)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(
+        _count, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_score(
     ds: ray.data.Dataset,
     text_col: str = "text",
