@@ -90,6 +90,18 @@ class _TopKScorer:
         )
 
 
+def _merge_topk(df: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
+    return (
+        df.sort_values(["score", id_col], ascending=[False, True],
+                       kind="stable")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .sort_values(["query_id", "score", id_col],
+                     ascending=[True, False, True], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
 def cosine_topk(
     ds: ray.data.Dataset,
     queries: pa.Table,
@@ -121,13 +133,10 @@ def cosine_topk(
         concurrency=concurrency,
     )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["score", id_col], ascending=[False, True], kind="stable"
-        ).head(k)
-        return df.reset_index(drop=True)
-
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    # the partials are O(queries x k x batches) tiny rows — a driver-side
+    # merge beats a full sort-shuffle stage (a ~1.5s floor here) and is
+    # exactly the "driver pulls partials only" contract
+    return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
 
 
 def _kmeans_lite(
@@ -222,25 +231,14 @@ def ivf_topk(
                 t = t.filter(pa.array(np.isin(cell, self.probed)))
             return super().__call__(t)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["score", id_col], ascending=[False, True],
-                           kind="stable")
-            .head(k)
-            .reset_index(drop=True)
-        )
-
-    return (
-        ds.map_batches(
-            IVFScorer,
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(
+        IVFScorer,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
     )
+    return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
 
 
 def embedding_dup_pairs(
@@ -485,18 +483,9 @@ def lsh_topk(
                 t = t.filter(pa.array(mask))
             return super().__call__(t)
 
-    return (
-        ds.map_batches(BucketScorer, batch_size=None, batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
-        .groupby("query_id")
-        .map_groups(
-            lambda df: df.sort_values(
-                ["score", id_col], ascending=[False, True], kind="stable"
-            )
-            .head(k)
-            .reset_index(drop=True),
-            batch_format="pandas",
-        )
+    partials = ds.map_batches(BucketScorer, batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
     )
+    return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
