@@ -230,6 +230,10 @@ def bucketed_map_groups(
     """
     mode = os.environ.get("FSR_EXCHANGE", "direct")
     if mode == "direct":
+        # materialize ONCE: the direct path needs block refs, and if it
+        # declines (object-count cap, empty data) the sort fallback reuses
+        # the same blocks instead of re-executing the upstream lineage
+        ds = ds.materialize()
         out = _direct(
             ds, kernel, num_buckets=num_buckets, batch_format=batch_format,
             bucket_col=bucket_col, num_reducers=num_reducers,
@@ -248,10 +252,11 @@ def _direct(
     bucket_col: str,
     num_reducers: int | None,
 ) -> ray.data.Dataset | None:
-    """Two-wave exchange; returns None to signal sort-path fallback."""
-    mat = ds.materialize()
+    """Two-wave exchange; returns None to signal sort-path fallback.
+
+    ``ds`` arrives already materialized (bucketed_map_groups does it)."""
     block_refs = [
-        ref for rb in mat.iter_internal_ref_bundles() for ref in rb.block_refs
+        ref for rb in ds.iter_internal_ref_bundles() for ref in rb.block_refs
     ]
     m = len(block_refs)
     if m == 0:
