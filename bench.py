@@ -73,10 +73,12 @@ def _pipelines(sf_dir: str):
     # regime. Generation is deterministic and cached (untimed).
     corpus_rows = int(os.environ.get("FSR_BENCH_ROWS", sf_num_rows(sf_dir)))
     tokens_dir = tokens_parquet(corpus_rows)
-    # ~4 blocks per CPU slot: the corpus cache is written as many small
-    # files; reading 1 block per file multiplies per-task overhead (measured
-    # 19s -> 13s at 16 cpus on the 8M criterion)
-    tokens_blocks = max(4 * NUM_CPUS, 16)
+    # ~4 blocks per CPU slot, but never MORE blocks than cache files:
+    # coalescing many small files into fewer read tasks is a measured win
+    # (19s -> 13s at 16 cpus on the 8M criterion), while splitting a file's
+    # single row group across blocks forces repeated decode of that group
+    corpus_files = max(1, -(-corpus_rows // 25_000))  # ROWS_PER_BLOCK
+    tokens_blocks = min(max(4 * NUM_CPUS, 16), corpus_files)
 
     def read_tokens(**kw):
         return ray.data.read_parquet(
