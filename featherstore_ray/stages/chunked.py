@@ -496,12 +496,20 @@ def _finalize_kernel(
     chunks run the halo-aware chunk kernel with broadcast carry-ins."""
     from datetime import timedelta as _td
 
-    from featherstore_ray.pipelines.feature_suite import _window_kernel
+    from featherstore_ray.pipelines.feature_suite import (
+        _window_kernel,
+        make_suite_kernel_arrow,
+    )
 
     wk = _window_kernel(
         entity_col, ts_col, value_col, tiebreak,
         rolling_window=_td(microseconds=w_us),
         session_gap=_td(microseconds=gap_us),
+    )
+    arrow_cold = make_suite_kernel_arrow(
+        entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+        type_col=type_col, tiebreak=tiebreak, spine_type=spine_type,
+        feature_type=feature_type, w_us=w_us, gap_us=gap_us,
     )
     out_val, out_ts = f"{value_col}_asof", f"{ts_col}_asof"
 
@@ -631,20 +639,36 @@ def _finalize_kernel(
         outs = []
         for g0, g1 in zip(bounds[:-1], bounds[1:]):
             p = int(ps[g0])
-            df = t2.slice(g0, g1 - g0).to_pandas()
-            df = df.drop(columns=[BUCKET_COL])
+            group = t2.slice(g0, g1 - g0)
             if p < num_buckets:
-                res = cold_kernel(df.drop(columns=[_HALO_COL]))
+                try:
+                    # Arrow-native cold kernel: no pandas round trip
+                    res_t = arrow_cold(group).select(expected)
+                except TypeError:
+                    res_t = None
+                if res_t is None:
+                    df = group.to_pandas().drop(
+                        columns=[BUCKET_COL, _HALO_COL]
+                    )
+                    res = cold_kernel(df)
+                    res_t = pa.Table.from_pandas(
+                        res[expected], preserve_index=False
+                    )
             else:
+                df = group.to_pandas().drop(columns=[BUCKET_COL])
                 res = chunk_kernel(df, carries.get(p, (0, 0, np.nan, np.nan, np.nan, np.nan)))
                 res = res.drop(columns=[_HALO_COL])
-            if len(res):
-                outs.append(
-                    pa.Table.from_pandas(res[expected], preserve_index=False)
-                    .replace_schema_metadata(None)
+                res_t = pa.Table.from_pandas(
+                    res[expected], preserve_index=False
                 )
+            if res_t.num_rows:
+                outs.append(res_t.replace_schema_metadata(None))
         if not outs:
             return pa.table({})
-        return pa.concat_tables(outs, promote_options="default")
+        # the arrow and pandas kernels can disagree on dictionary index
+        # widths (int32 vs int8); cast everything to the first schema
+        target = outs[0].schema
+        outs = [o if o.schema.equals(target) else o.cast(target) for o in outs]
+        return pa.concat_tables(outs)
 
     return finalize
