@@ -617,6 +617,87 @@ def _finalize_kernel(
                 out.loc[miss, out_ts] = pd.Timestamp(cf_ts, unit="us")
         return out
 
+    def chunk_kernel_arrow(group: pa.Table, carry) -> pa.Table:
+        """Arrow-native single-chunk kernel (the hot path) — mirrors
+        chunk_kernel exactly but with one lexsort + searchsorted as-of
+        instead of pandas sorts and merge_asof."""
+        boundary, offset, lag_in, lead_in, cf_ts, cf_val = carry
+        keep = [c for c in group.column_names
+                if c not in (BUCKET_COL, _HALO_COL)]
+        n = group.num_rows
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        ts = (
+            ts.astype("datetime64[us]").astype(np.int64)
+            if ts.dtype.kind == "M"
+            else ts.astype(np.int64)
+        )
+        tb = group[tiebreak].to_numpy(zero_copy_only=False)
+        if tb.dtype.kind not in "iufM":
+            raise TypeError("numeric tiebreak required")
+        halo_raw = group[_HALO_COL].to_numpy(zero_copy_only=False)
+        vc = group[value_col].cast(pa.float64())
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals_raw = np.asarray(vc.to_pandas(), dtype=np.float64)
+        order = np.lexsort((tb, ts))
+        ts_s, vals, halo = ts[order], vals_raw[order], halo_raw[order] != 0
+        n_halo = int(halo.sum())  # halo sorts strictly before emitted
+        lag = np.concatenate(([np.nan], vals[:-1]))
+        lead = np.concatenate((vals[1:], [np.nan]))
+        if n_halo == 0 and n > 0:
+            lag[0] = lag_in
+        if n > 0:
+            lead[-1] = lead_in
+        lo = np.searchsorted(ts_s, ts_s - w_us, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        valid = ~np.isnan(vals)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid, vals, 0.0))))
+        ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        rcnt = ccnt[hi] - ccnt[lo]
+        rsum = np.where(rcnt == 0, np.nan, csum[hi] - csum[lo])
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (ts_s[1:] - ts_s[:-1]) > gap_us
+        if n_halo < n:
+            brk[n_halo] = boundary
+        session = offset + np.cumsum(brk) - brk[:n_halo].sum()
+        typ = group[type_col].to_numpy(zero_copy_only=False)[order]
+        is_sp = (typ == spine_type) & ~halo
+        is_ft = typ == feature_type  # halo included (as-of context)
+        sp_pos = np.flatnonzero(is_sp)
+        ft_pos = np.flatnonzero(is_ft)
+        a_val = np.full(len(sp_pos), np.nan)
+        a_ts = np.full(len(sp_pos), np.iinfo(np.int64).min, dtype=np.int64)
+        if len(ft_pos) and len(sp_pos):
+            p = np.searchsorted(ts_s[ft_pos], ts_s[sp_pos], "right") - 1
+            ok = p >= 0
+            cand = ft_pos[p[ok]]
+            a_val[ok] = vals[cand]
+            a_ts[ok] = ts_s[cand]
+        if not np.isnan(cf_ts):
+            miss = a_ts == np.iinfo(np.int64).min
+            a_val[miss] = cf_val
+            a_ts[miss] = np.int64(cf_ts)
+        out = group.select(keep).take(order[sp_pos])
+        sel = sp_pos
+        out = out.append_column(f"{value_col}_lag1", pa.array(lag[sel]))
+        out = out.append_column(f"{value_col}_lead1", pa.array(lead[sel]))
+        out = out.append_column(
+            f"{value_col}_rsum", pa.array(np.round(rsum, 6)[sel])
+        )
+        out = out.append_column(
+            f"{value_col}_rmean",
+            pa.array(np.round(rsum / np.where(rcnt == 0, 1, rcnt), 6)[sel]),
+        )
+        out = out.append_column(f"{value_col}_rcount", pa.array(rcnt[sel]))
+        out = out.append_column("session_id", pa.array(session[sel]))
+        out = out.append_column(out_val, pa.array(a_val))
+        missing = a_ts == np.iinfo(np.int64).min
+        dt = a_ts.astype("datetime64[us]")
+        dt[missing] = np.datetime64("NaT")
+        out = out.append_column(out_ts, pa.array(dt))
+        return out
+
     def finalize(t: pa.Table) -> pa.Table:
         carries = ray.get(carry_ref)
         # one canonical column order for every block (cold and hot kernels
@@ -655,12 +736,16 @@ def _finalize_kernel(
                         res[expected], preserve_index=False
                     )
             else:
-                df = group.to_pandas().drop(columns=[BUCKET_COL])
-                res = chunk_kernel(df, carries.get(p, (0, 0, np.nan, np.nan, np.nan, np.nan)))
-                res = res.drop(columns=[_HALO_COL])
-                res_t = pa.Table.from_pandas(
-                    res[expected], preserve_index=False
-                )
+                carry = carries.get(p, (0, 0, np.nan, np.nan, np.nan, np.nan))
+                try:
+                    res_t = chunk_kernel_arrow(group, carry).select(expected)
+                except TypeError:
+                    df = group.to_pandas().drop(columns=[BUCKET_COL])
+                    res = chunk_kernel(df, carry)
+                    res = res.drop(columns=[_HALO_COL])
+                    res_t = pa.Table.from_pandas(
+                        res[expected], preserve_index=False
+                    )
             if res_t.num_rows:
                 outs.append(res_t.replace_schema_metadata(None))
         if not outs:
