@@ -459,6 +459,19 @@ def _oracle_tokens_path() -> str:
     return tokens_parquet(_ORACLE_TOKENS_ROWS)
 
 
+def q_jaccard_verify(sf_dir: str):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard (ground
+    truth, not the signature estimate); deterministic rows-only check —
+    the probabilistic candidate set has no SQL equivalent."""
+    from featherstore_ray.stages.dedup import jaccard_verify_pairs
+
+    return jaccard_verify_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        threshold=0.5,
+    )
+
+
 def q_tokens_validate(sf_dir: str):
     """Tokens-table invariant: recomputed n_tok == stored n_tok per row
     (input_hint per-row token-array equality; oracled against read_parquet
@@ -711,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
+        "jaccard_verify": q_jaccard_verify,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
         "tokens_dedup": q_tokens_dedup,

@@ -412,6 +412,57 @@ def simhash(
     return ds.map_batches(_sim, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def jaccard_verify_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 16,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """LSH candidates verified by EXACT n-gram Jaccard (not the signature
+    estimate): (a, b, jaccard) pairs with jaccard >= threshold.
+
+    The candidate set comes from ``minhash_band_pairs`` (signatures never
+    shuffled); texts for the candidate ids only are fetched with a broadcast
+    id filter, and the exact shingle-set Jaccard runs on those pairs —
+    bounded by the candidate count, like the signature verify in
+    ``minhash_lsh_dedup`` but with ground-truth similarity.
+    """
+    cand = minhash_band_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, num_buckets=num_buckets,
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"a": cand["a"], "b": cand["b"],
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    ids_ref = ray.put(ids)
+
+    def fetch_texts(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = np.isin(t[id_col].to_numpy(zero_copy_only=False), wanted)
+        return t.filter(pa.array(mask)).select([id_col, text_col])
+
+    texts = ds.map_batches(
+        fetch_texts, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas().drop_duplicates(id_col).set_index(id_col)[text_col]
+    jac = ngram_jaccard(
+        texts.reindex(cand["a"]).tolist(),
+        texts.reindex(cand["b"]).tolist(),
+        k=shingle_k,
+    )
+    out = cand.assign(jaccard=np.round(jac, 6))
+    out = out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def ngram_jaccard(
     texts_a: Sequence[str], texts_b: Sequence[str], *, k: int = 3
 ) -> np.ndarray:
