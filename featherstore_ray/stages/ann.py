@@ -121,16 +121,13 @@ def cosine_topk(
     qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     qval = {"ids": qids, "matrix": qm}
 
-    # capture the (small) payload in a closure class: Ray Data always puts
-    # fn_constructor_args in the object store, which trips the ray#53727
-    # actor-restart warning; closures serialize into the actor definition
-    class Scorer(_TopKScorer):
-        def __init__(self):
-            super().__init__(qval, id_col, emb_col, k, round_digits)
+    # plain function map, not an actor pool: the payload is tiny and ships
+    # by value inside the closure, so there is no per-actor init to
+    # amortize — and task maps skip the ~1-2s actor-pool spin-up entirely
+    scorer = _TopKScorer(qval, id_col, emb_col, k, round_digits)
 
-    partials = ds.map_batches(Scorer, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    partials = ds.map_batches(scorer.__call__, batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
     # the partials are O(queries x k x batches) tiny rows — a driver-side
@@ -232,11 +229,10 @@ def ivf_topk(
             return super().__call__(t)
 
     partials = ds.map_batches(
-        IVFScorer,
+        IVFScorer().__call__,
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
     return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
 
@@ -264,6 +260,10 @@ def embedding_dup_pairs(
     ref = ray.put({"ids": cids, "matrix": cm})
 
     class PairScorer:
+        """Plain task map: ray.get on the broadcast ref is a zero-copy
+        object-store read, cached per worker process — no actor pool
+        spin-up needed."""
+
         def __init__(self):
             c = ray.get(ref)
             self.cids = c["ids"]
@@ -290,12 +290,16 @@ def embedding_dup_pairs(
                 }
             )
 
+    def score(t: pa.Table) -> pa.Table:
+        # per-batch construction is fine: ray.get on a local ref is a
+        # cached zero-copy read, not a fetch
+        return PairScorer()(t)
+
     return ds.map_batches(
-        PairScorer,
+        score,
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 
@@ -483,9 +487,7 @@ def lsh_topk(
                 t = t.filter(pa.array(mask))
             return super().__call__(t)
 
-    partials = ds.map_batches(BucketScorer, batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    partials = ds.map_batches(BucketScorer().__call__, batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
