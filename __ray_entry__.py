@@ -459,6 +459,49 @@ def _oracle_tokens_path() -> str:
     return tokens_parquet(_ORACLE_TOKENS_ROWS)
 
 
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing end-to-end: documents' text bytes as opaque
+    binary payloads through the actor-pool image-decode stage (deterministic
+    fake codec — real codecs are import-try-gated; rows-only check)."""
+    from featherstore_ray.stages.multimodal import decode_images
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "image": t["text"].cast(pa.binary()),
+            }
+        )
+
+    ds = docs.map_batches(
+        to_binary, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = decode_images(ds, feat_dim=8)
+
+    def project(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = t["feat"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        f0 = flat.reshape(-1, 8)[:, 0].astype("float64").round(6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "feat0": pa.array(f0),
+                "decode_ok": t["decode_ok"],
+            }
+        )
+
+    return out.map_batches(
+        project, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_jaccard_verify(sf_dir: str):
     """MinHash-LSH candidates verified by EXACT n-gram Jaccard (ground
     truth, not the signature estimate); deterministic rows-only check —
@@ -725,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_verify": q_jaccard_verify,
+        "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
         "tokens_dedup": q_tokens_dedup,
