@@ -110,7 +110,7 @@ def cosine_topk(
     emb_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 4,
-    concurrency=(1, 8),
+    concurrency=None,  # retained for API compatibility; scorers run as task maps
 ) -> ray.data.Dataset:
     """Exact cosine top-k of each query over the corpus (self-matches excluded).
 
@@ -185,7 +185,7 @@ def ivf_topk(
     train_sample: int = 10_000,
     round_digits: int | None = 4,
     seed: int = 13,
-    concurrency=(1, 8),
+    concurrency=None,  # retained for API compatibility; scorers run as task maps
 ) -> ray.data.Dataset:
     """IVF approximate top-k: score only corpus rows whose nearest centroid
     is among each query's ``n_probe`` closest cells.
@@ -245,7 +245,7 @@ def embedding_dup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.4,
     round_digits: int = 4,
-    concurrency=(1, 8),
+    concurrency=None,  # retained for API compatibility; scorers run as task maps
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (exact, broadcast variant).
 
@@ -459,7 +459,7 @@ def lsh_topk(
     num_planes: int = 8,
     round_digits: int | None = 4,
     seed: int = 5,
-    concurrency=(1, 8),
+    concurrency=None,  # retained for API compatibility; scorers run as task maps
 ) -> ray.data.Dataset:
     """Approximate top-k: score only corpus rows whose random-hyperplane
     sign bucket matches the query's. Recall rises with fewer planes (bigger

@@ -97,3 +97,53 @@ def test_hopping_aggregate_matches_duckdb(ray_session):
     # every row appears in exactly width/slide = 2 windows
     assert o["n_events"].sum() == 2 * events.num_rows
     pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+
+def test_interval_join_overlapping_random(ray_session):
+    rng = np.random.default_rng(11)
+    n_pts, n_iv = 400, 60
+    pts = pa.table(
+        {
+            "eid": pa.array(np.arange(n_pts), pa.int64()),
+            "ent": pa.array(rng.integers(0, 5, n_pts), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 10_000, n_pts).astype("datetime64[us]")
+            ),
+        }
+    )
+    starts = rng.integers(0, 10_000, n_iv)
+    # random lengths; some intervals empty (end < start), many overlapping
+    ends = starts + rng.integers(-500, 2_000, n_iv)
+    iv = pa.table(
+        {
+            "ent": pa.array(rng.integers(0, 5, n_iv), pa.int64()),
+            "iid": pa.array(np.arange(n_iv), pa.int64()),
+            "s": pa.array(starts.astype("datetime64[us]")),
+            "e": pa.array(ends.astype("datetime64[us]")),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(iv),
+        entity_col="ent",
+        ts_col="ts",
+        start_col="s",
+        end_col="e",
+        num_buckets=4,
+    ).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("iv", iv)
+    exp = con.execute(
+        """
+        SELECT p.ent, p.eid, p.ts, i.iid, i.s, i.e
+        FROM p JOIN iv i ON p.ent = i.ent AND p.ts BETWEEN i.s AND i.e
+        """
+    ).df()
+    cols = sorted(out.columns)
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
