@@ -380,6 +380,19 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_quality_filter(sf_dir: str):
+    """Corpus cleaning: documents passing the quality bands (the standard
+    pre-training filter: length + stopword-ratio + word-shape cuts)."""
+    from featherstore_ray.stages.text import quality_filter
+
+    return quality_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_words=8,
+        min_stop_ratio=0.05,
+        max_avg_word_len=12.0,
+    ).select_columns(["doc_id", "word_count", "stop_ratio", "avg_word_len"])
+
+
 def q_token_count_bpe(sf_dir: str):
     """BPE-style pre-token counting (GPT-2-ish regex classes, RE2 on both
     the Ray and oracle sides)."""
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "quality_filter": q_quality_filter,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -952,6 +966,24 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
             FROM documents
+        """,
+        "quality_filter": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS word_count,
+                     round(len(regexp_extract_all(text,
+                       '\b(the|a|and|of|to|in|is)\b'))
+                       / len(string_split(text, ' '))::DOUBLE, 6)
+                       AS stop_ratio,
+                     round((length(text) - (len(string_split(text, ' ')) - 1))
+                       / len(string_split(text, ' '))::DOUBLE, 6)
+                       AS avg_word_len
+              FROM documents)
+            SELECT doc_id, word_count, stop_ratio, avg_word_len
+            FROM q
+            WHERE word_count >= 8
+              AND stop_ratio >= 0.05 AND stop_ratio <= 1.0
+              AND avg_word_len >= 0.0 AND avg_word_len <= 12.0
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

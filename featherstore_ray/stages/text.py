@@ -101,6 +101,49 @@ def quality_score(
     return ds.map_batches(_score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quality_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_stop_ratio: float = 0.0,
+    max_stop_ratio: float = 1.0,
+    min_avg_word_len: float = 0.0,
+    max_avg_word_len: float = 40.0,
+) -> ray.data.Dataset:
+    """Corpus cleaning: keep documents whose quality features fall inside
+    the configured bands (the standard pre-training filter shape: drop
+    too-short/too-long docs, gibberish with no stopwords, and runaway
+    average word lengths). Pure column predicates over ``quality_score``
+    output — streams, no shuffle; SQL-oracle-able end to end.
+    """
+    scored = quality_score(ds, text_col)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["word_count"], min_words),
+                pc.less_equal(t["word_count"], max_words),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["stop_ratio"], min_stop_ratio),
+                    pc.less_equal(t["stop_ratio"], max_stop_ratio),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["avg_word_len"], min_avg_word_len),
+                    pc.less_equal(t["avg_word_len"], max_avg_word_len),
+                ),
+            ),
+        )
+        return t.filter(m)
+
+    return scored.map_batches(
+        keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _explode_words(texts: pa.ChunkedArray | pa.Array):
     """Split texts on single spaces → (flat word array, int64 offsets)."""
     if isinstance(texts, pa.ChunkedArray):
