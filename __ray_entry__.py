@@ -380,6 +380,18 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val split by a SQL-expressible multiplicative
+    hash — identical assignment across engines/runs/partitionings."""
+    from featherstore_ray.stages.misc import hash_split
+
+    return hash_split(
+        _read(sf_dir, "events", columns=["event_id"]),
+        "event_id",
+        val_fraction=0.1,
+    )
+
+
 def q_quality_filter(sf_dir: str):
     """Corpus cleaning: documents passing the quality bands (the standard
     pre-training filter: length + stopword-ratio + word-shape cuts)."""
@@ -775,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_filter": q_quality_filter,
+        "hash_split": q_hash_split,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -966,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
             FROM documents
+        """,
+        "hash_split": f"""
+            SELECT event_id,
+                   CASE WHEN (event_id % 4294967296) * 2654435761
+                             % 4294967296 < {int(0.1 * (1 << 32))}
+                        THEN 'val' ELSE 'train' END AS split
+            FROM events
         """,
         "quality_filter": r"""
             WITH q AS (

@@ -50,6 +50,40 @@ def distinct(
     )
 
 
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    val_fraction: float = 0.1,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/validation assignment by a multiplicative hash
+    of an integer key — the standard reproducible corpus split.
+
+    The hash is deliberately SQL-expressible (``(key % 2^32) * 2654435761
+    % 2^32``, exact in both uint64 numpy and DuckDB's int128 arithmetic) so
+    the split is oracle-checkable and identical across engines, runs and
+    partitionings. Rows with ``bucket < val_fraction * 2^32`` go to 'val'.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cut = np.uint64(int(val_fraction * (1 << 32)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) % np.uint64(1 << 32)
+        lab = np.where(h < cut, "val", "train")
+        return t.append_column(out_col, pa.array(lab))
+
+    return ds.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def top_k(
     ds: ray.data.Dataset,
     order_col: str,
