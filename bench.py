@@ -271,7 +271,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             FSR_BENCH_ROWS=str(scaling_rows),
             FSR_BENCH_ONLY=",".join(SCALING_PIPELINES),
-            FSR_BENCH_REPEATS=os.environ.get("FSR_SCALE_REPEATS", "3"),
+            FSR_BENCH_REPEATS=os.environ.get("FSR_SCALE_REPEATS", "1"),
         )
         out = subprocess.run(
             [sys.executable, __file__],
@@ -283,7 +283,28 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = SCALE_LO, SCALE_HI
-    r_lo, r_hi = run(lo), run(hi)
+    # ALTERNATE the levels across cycles and take the min per level: the
+    # host's co-tenant noise comes in multi-minute bursts, so two
+    # back-to-back blocks (all-lo then all-hi) let one burst poison exactly
+    # one level and swing the ratio wildly (observed 0.31-1.22 on identical
+    # code); interleaving exposes both levels to the same windows
+    cycles = int(os.environ.get("FSR_SCALE_CYCLES", "3"))
+    r_lo = r_hi = None
+
+    def _min_merge(best: dict | None, cur: dict) -> dict:
+        if best is None:
+            return cur
+        q = {
+            k: min(best["queries"][k], cur["queries"][k])
+            for k in cur["queries"]
+        }
+        out = dict(cur)
+        out["queries"] = q
+        return out
+
+    for _ in range(cycles):
+        r_lo = _min_merge(r_lo, run(lo))
+        r_hi = _min_merge(r_hi, run(hi))
 
     def eff_over(names) -> tuple[float, float, float]:
         t_lo = sum(r_lo["queries"][n] for n in names)
