@@ -380,6 +380,33 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum downsampling (corpus rebalancing shape):
+    keep 50% of clicks, 100% of purchases, drop the rest — by the same
+    SQL-expressible hash as hash_split."""
+    from featherstore_ray.stages.misc import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type"]),
+        "event_id",
+        "event_type",
+        fractions={"click": 0.5, "purchase": 1.0},
+    )
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p90 of value per event type)."""
+    from featherstore_ray.stages.misc import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"],
+        "value",
+        quantiles=(0.5, 0.9),
+    )
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val split by a SQL-expressible multiplicative
     hash — identical assignment across engines/runs/partitionings."""
@@ -788,6 +815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "quality_filter": q_quality_filter,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "grouped_quantiles": q_grouped_quantiles,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -979,6 +1008,20 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
             FROM documents
+        """,
+        "stratified_sample": f"""
+            SELECT event_id, user_id, event_type FROM events
+            WHERE (event_id % 4294967296) * 2654435761 % 4294967296
+                  < CASE event_type
+                      WHEN 'click' THEN {int(0.5 * (1 << 32))}
+                      WHEN 'purchase' THEN {int(1.0 * (1 << 32))}
+                      ELSE 0 END
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS value_p50,
+                   round(quantile_cont(value, 0.9), 6) AS value_p90
+            FROM events GROUP BY 1
         """,
         "hash_split": f"""
             SELECT event_id,

@@ -84,6 +84,86 @@ def hash_split(
     )
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    strata_col: str,
+    *,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    out_col: str = "sampled",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling by the SQL-expressible
+    multiplicative hash: keep a row iff ``hash(key) < fraction(stratum) *
+    2^32``. Reproducible across runs/partitionings; no shuffle (pure map);
+    the usual shape for corpus rebalancing (downsample hot sources).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    items = sorted(fractions.items())
+    strat_keys = np.array([k for k, _ in items])
+    strat_cuts = np.array(
+        [np.uint64(int(v * (1 << 32))) for _, v in items], dtype=np.uint64
+    )
+    default_cut = np.uint64(int(default_fraction * (1 << 32)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) % np.uint64(1 << 32)
+        sv = t[strata_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(strat_keys, sv)
+        pos_ok = (pos < len(strat_keys)) & (
+            strat_keys[np.minimum(pos, len(strat_keys) - 1)] == sv
+        )
+        cuts = np.where(
+            pos_ok, strat_cuts[np.minimum(pos, len(strat_cuts) - 1)],
+            default_cut,
+        )
+        return t.filter(pa.array(h < cuts))
+
+    return ds.map_batches(
+        keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_keys,
+    value_col: str,
+    *,
+    quantiles=(0.5,),
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (median etc.) — deliberately not a sketch:
+    rows of (keys, value) shuffle once on the first key and each group's
+    quantiles are computed from its full value set, continuous
+    interpolation (SQL ``quantile_cont``). For sketch-grade cardinalities
+    use a t-digest-style partial instead; this is the oracle-exact path.
+    """
+    import pandas as pd
+
+    group_keys = list(group_keys)
+    ds = ds.select_columns(group_keys + [value_col])
+    ds = add_bucket_column(ds, group_keys[0], num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(group_keys, sort=True)[value_col]
+        out = None
+        for q in quantiles:
+            col = g.quantile(q).round(round_digits).rename(
+                f"{value_col}_p{int(q * 100)}"
+            )
+            out = col.to_frame() if out is None else out.join(col)
+        return out.reset_index()
+
+    return bucketed_map_groups(
+        ds, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
 def top_k(
     ds: ray.data.Dataset,
     order_col: str,
