@@ -380,6 +380,21 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type — mergeable
+    register sketches as the partial state (groups x 2^p bytes cross the
+    exchange, never rows). Deterministic (fixed hash) but approximate, so
+    rows-only; accuracy vs exact is pytest-gated (tests/test_sketch.py)."""
+    from featherstore_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        ["event_type"],
+        "user_id",
+        precision=12,
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum downsampling (corpus rebalancing shape):
     keep 50% of clicks, 100% of purchases, drop the rest — by the same
@@ -816,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,

@@ -1,0 +1,58 @@
+"""HyperLogLog distinct sketch: accuracy vs exact, determinism, merge paths."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from featherstore_ray.stages.sketch import hll_distinct
+
+EVENTS = "/root/testdata/sf0.01/events.parquet"
+
+
+def test_hll_accuracy_vs_exact(ray_session):
+    t = pq.read_table(EVENTS, columns=["event_type", "user_id"])
+    exact = (
+        t.to_pandas().groupby("event_type")["user_id"].nunique().to_dict()
+    )
+    approx = hll_distinct(
+        ray.data.from_arrow(t), ["event_type"], "user_id", precision=12
+    ).set_index("event_type")["approx_distinct"].to_dict()
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.05 * e), (k, approx[k], e)
+
+
+def test_hll_large_cardinality(ray_session):
+    n = 200_000
+    t = pa.table(
+        {
+            "g": pa.array(np.zeros(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64)),  # all distinct
+        }
+    )
+    out = hll_distinct(ray.data.from_arrow(t), ["g"], "v", precision=12)
+    est = int(out["approx_distinct"].iloc[0])
+    assert abs(est - n) <= 0.05 * n, est
+
+
+def test_hll_deterministic_and_shuffle_final(ray_session):
+    t = pq.read_table(EVENTS, columns=["event_type", "user_id"])
+    a = hll_distinct(ray.data.from_arrow(t), ["event_type"], "user_id")
+    b = hll_distinct(ray.data.from_arrow(t), ["event_type"], "user_id")
+    pd.testing.assert_frame_equal(a, b)
+    c = (
+        hll_distinct(
+            ray.data.from_arrow(t), ["event_type"], "user_id",
+            final="shuffle", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_type").reset_index(drop=True), c,
+        check_dtype=False,
+    )
