@@ -56,3 +56,19 @@ def test_hll_deterministic_and_shuffle_final(ray_session):
         a.sort_values("event_type").reset_index(drop=True), c,
         check_dtype=False,
     )
+
+
+def test_hll_multi_key_groups(ray_session):
+    import pyarrow.compute as pc
+
+    t = pq.read_table(EVENTS, columns=["event_type", "user_id"])
+    t = t.append_column(
+        "half", pc.cast(pc.greater(t["user_id"], 75), pa.int64())
+    )
+    out = hll_distinct(
+        ray.data.from_arrow(t), ["event_type", "half"], "user_id"
+    ).set_index(["event_type", "half"])["approx_distinct"]
+    exact = t.to_pandas().groupby(["event_type", "half"])["user_id"].nunique()
+    assert set(out.index) == set(exact.index)
+    for k, e in exact.items():
+        assert abs(int(out[k]) - e) <= max(3, 0.05 * e), (k, int(out[k]), e)
