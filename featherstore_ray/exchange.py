@@ -142,8 +142,12 @@ def repartition_by_bucket(
     Returns (dataset, summary table | None-when-no-kernel).
     """
     mode = os.environ.get("FSR_EXCHANGE", "direct")
+    src = ds
     if mode == "direct":
         mat = ds.materialize()
+        # if the direct path declines below, the sort fallback consumes the
+        # already-materialized blocks instead of re-executing the lineage
+        src = mat
         block_refs = [
             ref for rb in mat.iter_internal_ref_bundles() for ref in rb.block_refs
         ]
@@ -183,9 +187,14 @@ def repartition_by_bucket(
                     # re-consuming reads them zero-copy, a materialize here
                     # would be one wasted full copy of the data
                     return ray.data.from_arrow_refs(keep), summary
-    out = ds.groupby(bucket_col).map_groups(
+    out = src.groupby(bucket_col).map_groups(
         lambda t: t, batch_format="pyarrow"
     ).materialize()
+    # Ray's dynamic block splitting can split one group's output across
+    # blocks, silently violating the whole-buckets-per-block contract that
+    # downstream map_batches finalizers rely on — repair by merging any
+    # blocks whose bucket ranges overlap (no-op when nothing split).
+    out = _coalesce_split_buckets(out, bucket_col)
     summary = None
     if summary_kernel is not None:
         parts = [
@@ -210,6 +219,62 @@ def repartition_by_bucket(
 @ray.remote
 def _apply_summary(summary_kernel, t: pa.Table) -> pa.Table:
     return summary_kernel(t)
+
+
+@ray.remote
+def _block_span(t, bucket_col: str):
+    """(min bucket, max bucket, rows) of one block — tiny driver probe."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0:
+        return None, None, 0
+    b = t[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return int(b.min()), int(b.max()), t.num_rows
+
+
+@ray.remote
+def _concat_blocks(*tables) -> pa.Table:
+    ts = [
+        pa.Table.from_pandas(t, preserve_index=False)
+        if isinstance(t, pd.DataFrame)
+        else t
+        for t in tables
+    ]
+    return pa.concat_tables(ts, promote_options="default")
+
+
+def _coalesce_split_buckets(
+    out: ray.data.Dataset, bucket_col: str
+) -> ray.data.Dataset:
+    """Merge blocks whose bucket-id ranges overlap so every bucket's rows
+    land in exactly ONE block. Blocks already disjoint pass through
+    untouched (zero copies); empty blocks are dropped."""
+    refs = [
+        ref for rb in out.iter_internal_ref_bundles() for ref in rb.block_refs
+    ]
+    if len(refs) <= 1:
+        return out
+    spans = ray.get([_block_span.remote(r, bucket_col) for r in refs])
+    blocks = [
+        (lo, hi, r) for (lo, hi, n), r in zip(spans, refs) if n > 0
+    ]
+    if not blocks:
+        return out
+    blocks.sort(key=lambda x: (x[0], x[1]))
+    merged: list[list] = [[blocks[0][0], blocks[0][1], [blocks[0][2]]]]
+    for lo, hi, r in blocks[1:]:
+        if lo <= merged[-1][1]:  # shares (at least) a boundary bucket
+            merged[-1][1] = max(merged[-1][1], hi)
+            merged[-1][2].append(r)
+        else:
+            merged.append([lo, hi, [r]])
+    if all(len(g[2]) == 1 for g in merged) and len(merged) == len(refs):
+        return out
+    new_refs = [
+        g[2][0] if len(g[2]) == 1 else _concat_blocks.remote(*g[2])
+        for g in merged
+    ]
+    return ray.data.from_arrow_refs(new_refs)
 
 
 def bucketed_map_groups(

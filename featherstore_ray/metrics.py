@@ -65,18 +65,15 @@ def _actor():
     return _HANDLE
 
 
-def instrument(
-    ds: ray.data.Dataset, op: str, *, sample_latency: bool = True
-) -> ray.data.Dataset:
+def instrument(ds: ray.data.Dataset, op: str) -> ray.data.Dataset:
     """Append a zero-copy pass-through stage that counts rows/bytes for
-    ``op``. Latency is the in-stage observation time (per block)."""
+    ``op``. A pass-through stage cannot observe the producing stage's
+    compute time, so its ``seconds`` counter stays 0 — latency comes only
+    from ``record()`` / ``timed()`` around driver-side operations."""
 
     def count(t: pa.Table) -> pa.Table:
-        t0 = time.perf_counter() if sample_latency else 0.0
         handle = ray.get_actor(_ACTOR_NAME)
-        handle.inc.remote(
-            op, t.num_rows, t.nbytes, time.perf_counter() - t0
-        )
+        handle.inc.remote(op, t.num_rows, t.nbytes, 0.0)
         return t
 
     _actor()  # ensure it exists before workers look it up

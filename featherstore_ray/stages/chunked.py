@@ -609,9 +609,12 @@ def _finalize_kernel(
                 sp, ft, left_on=ts_col, right_on="_ft_ts",
                 direction="backward", allow_exact_matches=True,
             ).drop(columns=["_ft_ts"])
-        # as-of carry: spine rows older than every local/halo feature
+        # as-of carry: spine rows older than every local/halo feature.
+        # Detect misses via the matched feature TIMESTAMP (NaT), not value
+        # NaN — a spine row that matched a null-VALUED feature must keep
+        # that feature's ts (mirrors chunk_kernel_arrow's int64.min key).
         if not np.isnan(cf_ts):
-            miss = out[out_val].isna().to_numpy()
+            miss = out[out_ts].isna().to_numpy()
             if miss.any():
                 out.loc[miss, out_val] = cf_val
                 out.loc[miss, out_ts] = pd.Timestamp(cf_ts, unit="us")

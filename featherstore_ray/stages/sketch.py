@@ -94,6 +94,21 @@ def hll_distinct(
             pd.MultiIndex.from_frame(gdf) if len(group_keys) > 1
             else gdf[group_keys[0]]
         )
+        # null group keys factorize to -1; dropping them here keeps the
+        # flat (group, register) index non-negative (a -1 code would wrap
+        # into the LAST group's register row and corrupt its estimate)
+        valid_code = codes >= 0
+        if not valid_code.all():
+            codes, idx, rho = (
+                codes[valid_code], idx[valid_code], rho[valid_code]
+            )
+            if codes.size == 0:  # batch was all-null keys
+                return pa.table(
+                    {
+                        **{k: t[k].slice(0, 0) for k in group_keys},
+                        "_regs": pa.array([], pa.list_(pa.uint8())),
+                    }
+                )
         key = codes.astype(np.int64) * m + idx
         order = np.argsort(key, kind="stable")
         ks, rs = key[order], rho[order]

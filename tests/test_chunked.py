@@ -59,6 +59,48 @@ def test_chunked_matches_plain_on_tokens(ray_session):
     pd.testing.assert_frame_equal(p, c, check_dtype=False)
 
 
+def test_chunked_pandas_carry_null_valued_feature(ray_session):
+    """Pandas chunk kernel (string tiebreak forces it): a spine row whose
+    latest feature has a NULL value must keep that feature's ts_asof — the
+    cross-chunk carry applies only to true misses (ts_asof NaT), never to
+    null-VALUED matches (the ADVICE chunked.py:614 regression)."""
+    from datetime import timedelta
+
+    n = 200
+    ts = pd.date_range("2024-01-01", periods=n, freq="60s")
+    types = np.array(["click"] * n, dtype=object)
+    types[[50, 101, 150]] = "purchase"
+    vals = np.arange(n, dtype=np.float64)
+    vals[100] = np.nan  # null-valued click right before the purchase at 101
+    t = pa.table(
+        {
+            "user_id": pa.array(np.ones(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "event_type": pa.array(types),
+            "value": pa.array(vals),
+            "tb": pa.array([f"e{i:05d}" for i in range(n)]),  # string
+        }
+    )
+    kw = dict(
+        entity_col="user_id", ts_col="ts", value_col="value",
+        type_col="event_type", tiebreak="tb", num_buckets=4,
+        rolling_window=timedelta(minutes=10),
+        session_gap=timedelta(minutes=5),
+    )
+    plain = feature_suite(ray.data.from_arrow(t), **kw).to_pandas()
+    chunked = feature_suite_chunked(
+        ray.data.from_arrow(t), hot_row_threshold=20, target_chunk_rows=25,
+        **kw
+    ).to_pandas()
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c)
+    pd.testing.assert_frame_equal(p, c, check_dtype=False)
+    hit = c[c["tb"] == "e00101"]
+    assert len(hit) == 1
+    assert np.isnan(hit["value_asof"].iloc[0])  # null-valued match kept
+    assert hit["ts_asof"].iloc[0] == ts[100]  # its ts, not the carry's
+
+
 def test_chunked_no_hot_falls_through(ray_session):
     # threshold higher than any entity count: spec is None, pure cold path
     plain = feature_suite(

@@ -57,6 +57,70 @@ def test_chunked_suite_sort_path(sort_mode, ray_session):
     )
 
 
+def test_coalesce_split_buckets(ray_session):
+    """A bucket split across blocks (Ray's dynamic splitting on the sort
+    fallback) must be re-merged so every bucket is whole in ONE block."""
+    import numpy as np
+
+    import ray
+
+    from featherstore_ray.exchange import _coalesce_split_buckets
+    from featherstore_ray.partition import BUCKET_COL
+
+    def blk(buckets):
+        b = np.asarray(buckets, dtype=np.int64)
+        return pa.table(
+            {BUCKET_COL: pa.array(b), "v": pa.array(np.arange(len(b)))}
+        )
+
+    # bucket 1 split across blocks 0/1, bucket 3 across 2/3; 5 whole
+    refs = [
+        ray.put(blk([0, 1, 1])),
+        ray.put(blk([1, 2])),
+        ray.put(blk([3])),
+        ray.put(blk([3, 4])),
+        ray.put(blk([5])),
+    ]
+    ds = ray.data.from_arrow_refs(refs)
+    fixed = _coalesce_split_buckets(ds, BUCKET_COL)
+    seen: dict[int, int] = {}
+    for i, batch in enumerate(
+        fixed.iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for bkt in set(batch[BUCKET_COL].to_pylist()):
+            assert bkt not in seen, f"bucket {bkt} in blocks {seen[bkt]},{i}"
+            seen[bkt] = i
+    assert set(seen) == {0, 1, 2, 3, 4, 5}
+    assert fixed.count() == ds.count()
+
+
+def test_repartition_sort_path_whole_buckets(sort_mode, ray_session):
+    """repartition_by_bucket on the sort fallback keeps whole buckets per
+    block (the chunked-suite finalize contract)."""
+    import numpy as np
+
+    from featherstore_ray.exchange import repartition_by_bucket
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    n = 5000
+    t = pa.table(
+        {
+            "user_id": pa.array(np.arange(n, dtype=np.int64) % 13),
+            "v": pa.array(np.arange(n, dtype=np.float64)),
+        }
+    )
+    ds = add_bucket_column(ray.data.from_arrow(t), "user_id", 8)
+    out, _ = repartition_by_bucket(ds, num_buckets=8)
+    seen: dict[int, int] = {}
+    for i, batch in enumerate(
+        out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for bkt in set(batch[BUCKET_COL].to_pylist()):
+            assert bkt not in seen, f"bucket {bkt} split across blocks"
+            seen[bkt] = i
+    assert out.count() == n
+
+
 def test_asof_join_sort_path(sort_mode, ray_session):
     import pyarrow.compute as pc
 

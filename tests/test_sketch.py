@@ -58,6 +58,24 @@ def test_hll_deterministic_and_shuffle_final(ray_session):
     )
 
 
+def test_hll_null_group_keys_dont_corrupt(ray_session):
+    # null keys factorize to -1; pre-fix they scatter-minned into the LAST
+    # group's register row. The null group is dropped; real groups exact.
+    n = 3000
+    g = np.array(["a"] * 1000 + ["z"] * 1000 + [None] * 1000, dtype=object)
+    t = pa.table(
+        {
+            "g": pa.array(g),
+            "v": pa.array(np.arange(n, dtype=np.int64) % 40),
+        }
+    )
+    out = hll_distinct(ray.data.from_arrow(t), ["g"], "v", precision=12)
+    got = out.set_index("g")["approx_distinct"].to_dict()
+    assert None not in got and np.nan not in got
+    for k in ("a", "z"):
+        assert abs(got[k] - 40) <= 2, got
+
+
 def test_hll_multi_key_groups(ray_session):
     import pyarrow.compute as pc
 
