@@ -65,13 +65,16 @@ def interval_join(
     convention). Output: point columns + the interval's payload columns.
 
     Physical plan (the one-shuffle template, like the as-of join): tagged
-    union co-partitioned on ``hash(entity) % B``; per bucket an inner pandas
-    merge on entity followed by the range predicate. Per-entity cost is
-    |points_e| x |intervals_e| — fine for bounded per-entity interval counts
-    (sessions, campaigns, maintenance windows); for a hot entity carrying
-    thousands of both, route it through ``stages/chunked``-style isolation
-    first. Oracle: ``JOIN ... ON p.entity = i.entity AND p.ts BETWEEN
-    i.start AND i.end``.
+    union co-partitioned on ``hash(entity) % B``. Per bucket, when each
+    entity's intervals are pairwise DISJOINT (sessions, maintenance windows
+    — the dominant case), each point is assigned its single containing
+    interval by one merge-rank + ``searchsorted`` pass: O((n+m) log(n+m))
+    time, O(n+m) memory, fully vectorized, no per-entity materialization.
+    Only when a bucket actually contains overlapping intervals does it fall
+    back to the pandas merge + range filter, whose per-entity cost is
+    |points_e| x |intervals_e| (required: a point may match many intervals).
+    Oracle: ``JOIN ... ON p.entity = i.entity AND p.ts BETWEEN i.start AND
+    i.end``.
     """
     import numpy as np
 
@@ -118,18 +121,77 @@ def interval_join(
     )
     tagged = add_bucket_column(tagged, entity_col, num_buckets)
 
+    def _as_key(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "M":
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr
+
     def kernel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         is_pt = pc.equal(t[side], 1)
         # split sides in Arrow BEFORE pandas: null padding must never touch
         # the other side's dtypes (the asof.py lesson)
-        pts = t.filter(is_pt).select([entity_col] + pt_payload).to_pandas()
-        ivs = t.filter(pc.invert(is_pt)).select(
-            [entity_col] + iv_payload
-        ).to_pandas()
-        if pts.empty or ivs.empty:
+        pts_t = t.filter(is_pt).select([entity_col] + pt_payload)
+        ivs_t = t.filter(pc.invert(is_pt)).select([entity_col] + iv_payload)
+        if pts_t.num_rows == 0 or ivs_t.num_rows == 0:
             return out_schema.empty_table()
+        p_ent = pts_t[entity_col].to_numpy(zero_copy_only=False)
+        i_ent = ivs_t[entity_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(
+            np.concatenate([p_ent, i_ent]), return_inverse=True
+        )
+        p_code, i_code = codes[: len(p_ent)], codes[len(p_ent):]
+        p_ts = _as_key(pts_t[ts_col])
+        i_s, i_e = _as_key(ivs_t[start_col]), _as_key(ivs_t[end_col])
+        if any(a.dtype.kind == "f" for a in (p_ts, i_s, i_e)):
+            p_ts, i_s, i_e = (
+                a.astype(np.float64) for a in (p_ts, i_s, i_e)
+            )
+        else:
+            p_ts, i_s, i_e = (
+                a.astype(np.int64) for a in (p_ts, i_s, i_e)
+            )
+        iorder = np.lexsort((i_s, i_code))
+        ic, is_, ie = i_code[iorder], i_s[iorder], i_e[iorder]
+        same = ic[1:] == ic[:-1]
+        if not np.any(same & (is_[1:] <= ie[:-1])):
+            # disjoint per entity: each point has AT MOST ONE containing
+            # interval — the latest start <= ts. One merged lexsort gives
+            # every point its count of (code, start) pairs at-or-before it
+            # (the as-of rank trick); a candidate from another entity or
+            # with end < ts is simply no match.
+            k = len(is_)
+            all_code = np.concatenate([ic, p_code])
+            all_val = np.concatenate([is_, p_ts])
+            # intervals sort BEFORE points on (code, val) ties: start <= ts
+            flag = np.concatenate(
+                [np.zeros(k, np.int8), np.ones(len(p_ts), np.int8)]
+            )
+            order = np.lexsort((flag, all_val, all_code))
+            is_iv = order < k
+            n_iv_upto = np.cumsum(is_iv)
+            pt_slots = np.flatnonzero(~is_iv)
+            p_idx = order[pt_slots] - k  # original point row
+            cand = n_iv_upto[pt_slots] - 1  # global sorted-interval index
+            ok = cand >= 0
+            safe = np.maximum(cand, 0)
+            ok &= ic[safe] == p_code[p_idx]
+            ok &= p_ts[p_idx] <= ie[safe]
+            hit_p = p_idx[ok]
+            hit_i = iorder[safe[ok]]
+            cols = {entity_col: pts_t[entity_col].take(hit_p)}
+            for c in pt_payload:
+                cols[c] = pts_t[c].take(hit_p)
+            for c in iv_payload:
+                cols[c] = ivs_t[c].take(hit_i)
+            res = pa.table(cols).cast(out_schema)
+            return res.replace_schema_metadata(None)
+        # overlapping intervals: a point may match MANY — pandas merge +
+        # range filter (per-entity product; unavoidable for this input)
+        pts = pts_t.to_pandas()
+        ivs = ivs_t.to_pandas()
         out = pts.merge(ivs, on=entity_col, how="inner")
         ts = out[ts_col].to_numpy()
         keep = (out[start_col].to_numpy() <= ts) & (

@@ -62,6 +62,45 @@ def test_interval_join_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(o, x, check_dtype=False)
 
 
+def test_interval_join_hot_entity_no_cross_product(ray_session):
+    """One hot entity with 2e4 points x 2e3 disjoint intervals: the merge
+    path would materialize 4e7 intermediate rows; the searchsorted kernel
+    is O((n+m) log(n+m)). Verified exactly against numpy assignment."""
+    n_pts, n_iv = 20_000, 2_000
+    rng = np.random.default_rng(7)
+    p_ts = np.sort(rng.integers(0, 10_000_000, n_pts)).astype(np.int64)
+    starts = (np.arange(n_iv, dtype=np.int64)) * 5_000
+    ends = starts + 3_000  # gaps [3000, 5000) unmatched; disjoint
+    pts = pa.table(
+        {
+            "eid": pa.array(np.arange(n_pts), pa.int64()),
+            "ent": pa.array(np.ones(n_pts, np.int64)),
+            "ts": pa.array(p_ts.astype("datetime64[us]")),
+        }
+    )
+    iv = pa.table(
+        {
+            "ent": pa.array(np.ones(n_iv, np.int64)),
+            "iid": pa.array(np.arange(n_iv), pa.int64()),
+            "s": pa.array(starts.astype("datetime64[us]")),
+            "e": pa.array(ends.astype("datetime64[us]")),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(iv),
+        entity_col="ent", ts_col="ts", start_col="s", end_col="e",
+        num_buckets=4,
+    ).to_pandas()
+    # expected: point in interval floor(ts/5000) iff ts % 5000 <= 3000
+    idx = p_ts // 5_000
+    inside = (p_ts - idx * 5_000) <= 3_000
+    exp_n = int(inside.sum())
+    assert len(out) == exp_n
+    got = out.sort_values("eid")
+    assert (got["iid"].to_numpy() == idx[inside]).all()
+
+
 def test_hopping_aggregate_matches_duckdb(ray_session):
     events = pq.read_table(EVENTS, columns=["user_id", "ts", "value"])
     w_us = 2 * 24 * 3600 * 1_000_000  # 48h windows
