@@ -422,6 +422,25 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_grouped_quantiles_sketch(sf_dir: str):
+    """t-digest-style mergeable quantile sketch — the scale path paired
+    with the exact ``grouped_quantiles`` oracle: each batch collapses a
+    group's values into <= compression weighted centroids, so the exchange
+    moves O(groups x compression) floats and a hot group never lands its
+    full value set on one reducer. Deterministic but approximate, so
+    rows-only; error vs the exact path is pytest-gated
+    (tests/test_sketch.py)."""
+    from featherstore_ray.stages.sketch import grouped_quantiles_sketch
+
+    return grouped_quantiles_sketch(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"],
+        "value",
+        quantiles=(0.5, 0.9),
+        compression=200,
+    )
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val split by a SQL-expressible multiplicative
     hash — identical assignment across engines/runs/partitionings."""
@@ -833,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
+        "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -1196,9 +1216,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
         """,
-        # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh and
-        # embedding_dedup_lsh are deliberately omitted: hash/heuristic or
-        # probabilistic-subset ops with no exact ANSI-SQL equivalent →
-        # rows-only determinism check (their quality properties — recall vs
-        # the exact paths — are asserted in pytest instead).
+        # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh,
+        # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately
+        # omitted: hash/heuristic, probabilistic-subset or sketch ops with
+        # no exact ANSI-SQL equivalent → rows-only determinism check (their
+        # quality properties — recall/error vs the exact paths — are
+        # asserted in pytest instead).
     }

@@ -90,3 +90,81 @@ def test_hll_multi_key_groups(ray_session):
     assert set(out.index) == set(exact.index)
     for k, e in exact.items():
         assert abs(int(out[k]) - e) <= max(3, 0.05 * e), (k, int(out[k]), e)
+
+
+# -- grouped_quantiles_sketch -----------------------------------------------
+
+
+def test_quantile_sketch_accuracy_vs_exact(ray_session):
+    from featherstore_ray.stages.misc import grouped_quantiles
+    from featherstore_ray.stages.sketch import grouped_quantiles_sketch
+
+    t = pq.read_table(EVENTS, columns=["event_type", "value"])
+    qs = (0.1, 0.5, 0.9, 0.99)
+    exact = (
+        grouped_quantiles(
+            ray.data.from_arrow(t), ["event_type"], "value", quantiles=qs
+        )
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    approx = grouped_quantiles_sketch(
+        ray.data.from_arrow(t).repartition(8),  # force multi-batch merge
+        ["event_type"],
+        "value",
+        quantiles=qs,
+        compression=200,
+    ).set_index("event_type").sort_index()
+    assert list(exact.index) == list(approx.index)
+    spread = float(t["value"].to_pandas().std())
+    for q in qs:
+        col = f"value_p{int(q * 100)}"
+        err = (exact[col] - approx[col]).abs().max()
+        assert err <= 0.05 * spread, (col, err, spread)
+
+
+def test_quantile_sketch_deterministic_and_shuffle_final(ray_session):
+    from featherstore_ray.stages.sketch import grouped_quantiles_sketch
+
+    t = pq.read_table(EVENTS, columns=["event_type", "value"])
+    a = grouped_quantiles_sketch(
+        ray.data.from_arrow(t), ["event_type"], "value", quantiles=(0.5, 0.9)
+    )
+    b = grouped_quantiles_sketch(
+        ray.data.from_arrow(t), ["event_type"], "value", quantiles=(0.5, 0.9)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    c = (
+        grouped_quantiles_sketch(
+            ray.data.from_arrow(t), ["event_type"], "value",
+            quantiles=(0.5, 0.9), final="shuffle", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_type").reset_index(drop=True), c,
+        check_dtype=False,
+    )
+
+
+def test_quantile_sketch_hot_group_exactish_tails(ray_session):
+    # one group, 300k rows: partials stay tiny; tails track the exact value
+    from featherstore_ray.stages.sketch import grouped_quantiles_sketch
+
+    n = 300_000
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, n)
+    t = pa.table(
+        {"g": pa.array(np.zeros(n, np.int64)), "v": pa.array(v)}
+    )
+    out = grouped_quantiles_sketch(
+        ray.data.from_arrow(t).repartition(16), ["g"], "v",
+        quantiles=(0.001, 0.5, 0.999), compression=200,
+    )
+    for q in (0.001, 0.5, 0.999):
+        exact = np.quantile(v, q)
+        got = out[f"v_p{int(q * 100)}" if q >= 0.01 else "v_p0"].iloc[0]
+        assert abs(got - exact) < 0.05, (q, got, exact)
