@@ -1216,6 +1216,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
         """,
+        # the fake image decoder is sha256-derived, which DuckDB can compute
+        # exactly: feat0 = float32(uint32_le(digest[0:4]) / 2^32)
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0.0
+                        ELSE round(CAST(CAST((
+                              CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT)
+                            + CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT) * 256
+                            + CAST(('0x' || substr(sha256(text), 5, 2)) AS BIGINT) * 65536
+                            + CAST(('0x' || substr(sha256(text), 7, 2)) AS BIGINT) * 16777216
+                          )::DOUBLE / 4294967296 AS REAL) AS DOUBLE), 6)
+                   END AS feat0,
+                   text IS NOT NULL AS decode_ok
+            FROM documents
+        """,
         # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately
         # omitted: hash/heuristic, probabilistic-subset or sketch ops with

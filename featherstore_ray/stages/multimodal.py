@@ -7,8 +7,11 @@ STUBBED because the image/audio libraries are not in this container:
 
 - ``decoder="fake"`` — deterministic fake decode (seeded by a content hash)
   so pipelines and tests exercise the full path end-to-end;
-- ``decoder="pillow"`` / real codecs — raise ``NotImplementedError`` with a
-  clear message until the dependency exists.
+- ``decoder="png"`` — REAL image decode with zero dependencies: pure-stdlib
+  PNG (zlib inflate + numpy unfilter, ``stages/png.py``) → grayscale →
+  nearest resize → mean-pooled features;
+- ``decoder="pillow"`` / other codecs — raise ``NotImplementedError`` with
+  a clear message until the dependency exists.
 
 Scale notes baked into the defaults: small ``batch_size`` (large rows —
 batch bytes = batch_size × payload size must fit the worker heap), actor
@@ -41,6 +44,10 @@ class ImageDecodeStage:
         self.resize = resize
         if decoder == "fake":
             self.decode = self._fake_decode
+        elif decoder == "png":
+            # pure-stdlib real decode path (zlib + numpy unfilter) — no
+            # imaging dependency needed; see stages/png.py
+            self.decode = self._png_decode
         elif decoder == "pillow":
             # import-try gate: real codec when the library exists (not in
             # this container), honest NotImplementedError otherwise
@@ -67,6 +74,22 @@ class ImageDecodeStage:
         img = Image.open(io.BytesIO(payload)).convert("L").resize(self.resize)
         px = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
         # mean-pool down to feat_dim buckets
+        pad = (-len(px)) % self.feat_dim
+        if pad:
+            px = np.concatenate([px, np.zeros(pad, np.float32)])
+        return px.reshape(self.feat_dim, -1).mean(axis=1)
+
+    def _png_decode(self, payload: bytes) -> np.ndarray:
+        from featherstore_ray.stages.png import (
+            decode_png,
+            resize_nearest,
+            to_grayscale,
+        )
+
+        px = resize_nearest(
+            to_grayscale(decode_png(payload)), self.resize
+        ).reshape(-1)
+        # mean-pool down to feat_dim buckets (same layout as pillow path)
         pad = (-len(px)) % self.feat_dim
         if pad:
             px = np.concatenate([px, np.zeros(pad, np.float32)])
