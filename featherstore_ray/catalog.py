@@ -22,6 +22,7 @@ from __future__ import annotations
 import base64
 import json
 import shutil
+import uuid
 from collections.abc import Sequence
 from datetime import datetime, timezone
 from pathlib import Path
@@ -228,14 +229,17 @@ class FeatherStore:
         for bucket_dir, sub in self._split_by_bucket(batch, granularity):
             d = data_dir / bucket_dir if bucket_dir else data_dir
             d.mkdir(parents=True, exist_ok=True)
-            idx = len(list(d.glob(f"part-*.{fmt.extension}")))
-            tmp = d / f".part-{idx:06d}.{fmt.extension}.tmp"
+            # uuid part names (same as the Dataset path): concurrent
+            # ingest() calls to one set can never collide on a filename —
+            # a glob-counted index named the same part-NNNNNN twice
+            part = f"part-{uuid.uuid4().hex}.{fmt.extension}"
+            tmp = d / f".{part}.tmp"
             fmt.write_table(
                 sub, tmp,
                 compression=self.compression,
                 row_group_size=self.row_group_size,
             )
-            tmp.rename(d / f"part-{idx:06d}.{fmt.extension}")
+            tmp.rename(d / part)
             written += sub.num_rows
         if ray.is_initialized():  # counters need a live session; never init
             from featherstore_ray import metrics
@@ -258,8 +262,6 @@ class FeatherStore:
         the staging dir — ``dataset()`` never sees partial files. The row
         count comes from the write results, not a second pipeline execution.
         """
-        import uuid
-
         expected = self.schema(name)
         validate_schema(
             pa.schema(ds.schema().base_schema), expected, strict=strict

@@ -182,7 +182,10 @@ class AsOfLookup:
     ``__init__`` runs once per actor: fetch the broadcast index (one
     ``ray.get`` on a driver-side ``ray.put`` ref — zero-copy from the local
     object store on every node). ``__call__`` answers a spine batch with one
-    vectorized ``np.searchsorted`` per distinct entity in the batch.
+    vectorized ``np.searchsorted`` per distinct entity in the batch, then
+    ONE gather per payload column over the global match positions — payload
+    columns keep their NATIVE dtype (ints arrive as pandas nullable Int64,
+    strings as object-with-None, floats as float64-with-NaN).
     """
 
     def __init__(self, index_ref, *, entity_col, spine_ts, out_ts, payload_map):
@@ -196,10 +199,9 @@ class AsOfLookup:
         n = len(batch)
         ent = batch[self.entity_col].to_numpy()
         ts = batch[self.spine_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        out = {
-            c: np.full(n, np.nan, dtype=np.float64) for c in self.payload_map
-        }
-        matched_ts = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        idx = self.index
+        ets = idx["ts"]
+        gpos = np.full(n, -1, dtype=np.int64)  # global match position
         order = np.argsort(ent, kind="stable")
         sorted_ent = ent[order]
         bounds = np.flatnonzero(
@@ -208,23 +210,43 @@ class AsOfLookup:
         bounds = np.append(bounds, n)
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             rows = order[b0:b1]
-            e = sorted_ent[b0]
-            idx = self.index.get(e)
-            if idx is None:
+            span = idx["entities"].get(sorted_ent[b0])
+            if span is None:
                 continue
-            ets, payload = idx
-            pos = np.searchsorted(ets, ts[rows], side="right") - 1
+            e0, e1 = span
+            pos = np.searchsorted(ets[e0:e1], ts[rows], side="right") - 1
             hit = pos >= 0
-            hit_rows = rows[hit]
-            hit_pos = pos[hit]
-            matched_ts[hit_rows] = ets[hit_pos]
-            for c, arr in payload.items():
-                out[c][hit_rows] = arr[hit_pos]
+            gpos[rows[hit]] = e0 + pos[hit]
+        miss = gpos < 0
+        take = np.maximum(gpos, 0)
         res = batch.copy()
         for raw, out_col in self.payload_map.items():
-            res[out_col] = out[raw]
-        mts = matched_ts.astype("float64")
-        mts[matched_ts == np.iinfo(np.int64).min] = np.nan
+            vals = idx["payload"][raw][take]
+            null = miss.copy()
+            vmask = idx["valid"][raw]
+            if vmask is not None:
+                null |= ~vmask[take]
+            k = vals.dtype.kind
+            if k == "f":
+                vals = vals.copy()
+                vals[null] = np.nan
+                res[out_col] = vals
+            elif k in "iu":
+                res[out_col] = pd.arrays.IntegerArray(
+                    vals.astype(np.int64), mask=null
+                )
+            elif k == "b":
+                res[out_col] = pd.arrays.BooleanArray(vals, mask=null)
+            elif k == "M":
+                vals = vals.copy()
+                vals[null] = np.datetime64("NaT")
+                res[out_col] = vals
+            else:  # object/string
+                vals = vals.astype(object, copy=True)
+                vals[null] = None
+                res[out_col] = vals
+        mts = ets[take].astype("float64")
+        mts[miss] = np.nan
         res[self.out_ts] = pd.to_datetime(
             pd.Series(mts, index=res.index), unit="us", errors="coerce"
         )
@@ -239,10 +261,15 @@ def build_asof_index(
     feature_cols: Sequence[str],
     tiebreak: str | None = None,
 ) -> dict:
-    """Per-entity (sorted ts µs, payload arrays) index for broadcast as-of.
+    """Broadcast as-of index: globally (entity, ts)-sorted flat arrays plus
+    per-entity slice spans — ``{"ts": int64[], "payload": {col: ndarray},
+    "valid": {col: bool[] | None}, "entities": {entity: (start, end)}}``.
 
-    Deterministic: stable sort by (entity, ts[, tiebreak]); on equal ts the
-    max-tiebreak row is last, and searchsorted(side="right")-1 picks it.
+    Payload columns keep their NATIVE dtype; nulls are carried in a
+    separate validity mask (None when the column has no nulls) instead of
+    the old float64-with-NaN coercion. Deterministic: stable sort by
+    (entity, ts[, tiebreak]); on equal ts the max-tiebreak row is last, and
+    searchsorted(side="right")-1 picks it.
     """
     df = features.select(
         [entity_col, feature_ts]
@@ -254,16 +281,39 @@ def build_asof_index(
     ent = df[entity_col].to_numpy()
     ts = df[feature_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
     payload_cols = [c for c in feature_cols if c != feature_ts]
-    payloads = {c: df[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in payload_cols}
-    index: dict = {}
-    bounds = np.flatnonzero(np.concatenate(([True], ent[1:] != ent[:-1])))
-    bounds = np.append(bounds, len(df))
-    for b0, b1 in zip(bounds[:-1], bounds[1:]):
-        index[ent[b0]] = (
-            ts[b0:b1],
-            {c: v[b0:b1] for c, v in payloads.items()},
+    payloads: dict = {}
+    valids: dict = {}
+    for c in payload_cols:
+        s = df[c]
+        isna = s.isna().to_numpy()
+        has_null = bool(isna.any())
+        valids[c] = ~isna if has_null else None
+        kind = s.dtype.kind
+        if kind in "iu" and not has_null:
+            payloads[c] = s.to_numpy()
+        elif kind in "iufb" or str(s.dtype) in ("Int64", "Float64", "boolean"):
+            if kind == "f" or str(s.dtype) == "Float64":
+                payloads[c] = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            elif kind == "b" or str(s.dtype) == "boolean":
+                payloads[c] = s.fillna(False).to_numpy(dtype=bool)
+            else:  # nullable integer
+                payloads[c] = s.fillna(0).to_numpy(dtype=np.int64)
+        elif kind == "M":
+            arr = s.to_numpy().astype("datetime64[us]")
+            payloads[c] = arr
+        else:
+            payloads[c] = s.to_numpy(dtype=object, na_value=None)
+    entities: dict = {}
+    if len(df):
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ent[1:] != ent[:-1]))
         )
-    return index
+        bounds = np.append(bounds, len(df))
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            entities[ent[b0]] = (int(b0), int(b1))
+    return {
+        "ts": ts, "payload": payloads, "valid": valids, "entities": entities
+    }
 
 
 def asof_join_broadcast(
@@ -283,7 +333,8 @@ def asof_join_broadcast(
 
     ``ray.put`` the index ONCE; every actor reads it zero-copy. Use when the
     feature side fits comfortably in the object store (e.g. <= a few GB);
-    otherwise use ``asof_join``. Payload columns are served as float64.
+    otherwise use ``asof_join``. Payload columns keep their native dtype
+    (ints → nullable Int64, strings → string-with-null, floats → float64).
     """
     index = build_asof_index(
         features,

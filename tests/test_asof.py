@@ -146,3 +146,60 @@ def test_asof_tiebreak_deterministic():
         concurrency=1,
     ).to_pandas()
     assert list(out2["value_asof"]) == [200.0]
+
+
+def test_asof_broadcast_native_payload_dtypes(ray_session, sides):
+    """Broadcast path serves non-float payloads in their native dtype:
+    string/int/bool columns through the ST4 index match the partitioned
+    path (which was always dtype-correct via explicit output schemas)."""
+    spine, feat = sides
+    rng = np.random.default_rng(23)
+    nf = feat.num_rows
+    labels = np.array(["alpha", "beta", None, "gamma"], dtype=object)[
+        rng.integers(0, 4, nf)
+    ]
+    feat2 = feat.append_column(
+        "label", pa.array(labels, pa.string())
+    ).append_column(
+        "grade", pa.array(rng.integers(0, 100, nf), pa.int64())
+    )
+    out = asof_join_broadcast(
+        ray.data.from_arrow(spine),
+        feat2,
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value", "label", "grade"],
+        tiebreak="fid",
+        concurrency=2,
+        batch_size=512,
+    ).to_pandas()
+    exp = asof_join(
+        ray.data.from_arrow(spine),
+        ray.data.from_arrow(feat2),
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value", "label", "grade"],
+        tiebreak="fid",
+        num_buckets=8,
+    ).to_pandas()
+    m = out.sort_values("sid").reset_index(drop=True)
+    e = exp.sort_values("sid").reset_index(drop=True)
+    assert len(m) == len(e)
+    # string payload: exact values incl. null-valued matches and misses
+    got_l = m["label_asof"].where(m["label_asof"].notna(), None)
+    want_l = e["label_asof"].where(e["label_asof"].notna(), None)
+    assert list(got_l) == list(want_l)
+    # int payload: nullable Int64, no float coercion on the broadcast side
+    got_g = m["grade_asof"]
+    want_g = e["grade_asof"]
+    assert (got_g.isna() == want_g.isna()).all()
+    ok = ~got_g.isna()
+    assert (
+        got_g[ok].astype(np.int64).to_numpy()
+        == want_g[ok].astype(np.int64).to_numpy()
+    ).all()
+    np.testing.assert_allclose(
+        m["value_asof"], e["value_asof"], equal_nan=True
+    )

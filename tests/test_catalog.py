@@ -129,3 +129,39 @@ def test_ingest_ray_dataset(store):
     )
     with pytest.raises(SchemaError):
         store.ingest("fs", bad)
+
+
+def test_concurrent_table_ingest_no_collision(store):
+    """Two simultaneous ingest() calls into one set must never overwrite
+    each other's part file (uuid part names; was a glob-counted index)."""
+    import threading
+
+    store.create_feature_set("conc", SCHEMA)
+    n_threads, per = 8, 25
+    errs = []
+
+    def work(k):
+        try:
+            for i in range(3):
+                store.ingest(
+                    "conc",
+                    _batch(
+                        [f"e{k}-{i}-{j}" for j in range(per)],
+                        [1_700_000_000_000_000 + k] * per,
+                        [float(j) for j in range(per)],
+                        list(range(per)),
+                    ),
+                )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(k,)) for k in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = store.dataset("conc")
+    assert got.count() == n_threads * 3 * per
