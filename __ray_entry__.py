@@ -167,6 +167,32 @@ def q_rolling_window(sf_dir: str):
     )
 
 
+def q_rolling_window_chunked(sf_dir: str):
+    """A2 via the hot-entity time-chunk machinery: same RANGE rolling
+    semantics/oracle as ``rolling_window``, but hot entities are split into
+    halo-replicated time chunks so one entity never caps a stage at a
+    single task's wall time (rolling needs no cross-chunk carries — the
+    halo holds every in-window predecessor). Thresholds forced low here so
+    the driver run exercises the chunked path, not the fall-through."""
+    from featherstore_ray.stages.chunked import rolling_window_chunked
+
+    return rolling_window_chunked(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+        aggs=("sum", "mean", "count", "min", "max"),
+        rolling_window=timedelta(hours=_ROLL_HOURS),
+        num_buckets=16,
+        hot_row_threshold=30,
+        target_chunk_rows=25,
+    ).select_columns(
+        ["event_id", "value_rsum", "value_rmean", "value_rcount",
+         "value_rmin", "value_rmax"]
+    )
+
+
 def q_sessionize(sf_dir: str):
     """A3: gap-based session ids (30 min, strict >)."""
     from featherstore_ray.stages.window import sessionize
@@ -830,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
         "rolling_window": q_rolling_window,
+        "rolling_window_chunked": q_rolling_window_chunked,
         "window_suite_skew": q_window_suite_skew,
         "cumulative": q_cumulative,
         "tumbling_daily": q_tumbling_daily,
@@ -920,6 +947,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "rolling_window": f"""
+            SELECT event_id,
+                   round(sum(value) OVER w, 6) AS value_rsum,
+                   round(avg(value) OVER w, 6) AS value_rmean,
+                   count(value) OVER w AS value_rcount,
+                   round(min(value) OVER w, 6) AS value_rmin,
+                   round(max(value) OVER w, 6) AS value_rmax
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "rolling_window_chunked": f"""
             SELECT event_id,
                    round(sum(value) OVER w, 6) AS value_rsum,
                    round(avg(value) OVER w, 6) AS value_rmean,

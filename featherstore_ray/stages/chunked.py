@@ -760,3 +760,111 @@ def _finalize_kernel(
         return pa.concat_tables(outs)
 
     return finalize
+
+
+def rolling_window_chunked(
+    events: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    aggs=("sum", "mean", "count"),
+    rolling_window=timedelta(hours=24),
+    num_buckets: int = 64,
+    hot_row_threshold: int | None = None,
+    target_chunk_rows: int | None = None,
+    total_rows: int | None = None,
+    stats_mode: str = "sample",
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Standalone RANGE-frame rolling aggregate with hot entities
+    time-chunked — same halo machinery as ``feature_suite_chunked``, but
+    rolling ``[t - w, t]`` needs NO cross-chunk carries at all: the halo
+    already holds every in-window predecessor, so there is no summary pass
+    and no carry scan. One exchange, map-only finalize, identical output to
+    ``stages.window.rolling_aggregate`` (same kernel, same oracle).
+    """
+    from featherstore_ray.stages.window import _window_us, make_rolling_kernel
+
+    w_us = _window_us(rolling_window)
+    if total_rows is None:
+        total_rows = events.count()
+    total = total_rows
+    if hot_row_threshold is None:
+        hot_row_threshold = max(250_000, total // max(num_buckets, 1))
+    if target_chunk_rows is None:
+        target_chunk_rows = max(25_000, total // (2 * max(num_buckets, 1)))
+    if stats_mode == "exact":
+        events = events.materialize()
+        stats = hot_entity_stats(
+            events, entity_col, ts_col,
+            threshold=hot_row_threshold, num_blocks=events.num_blocks(),
+        )
+    else:
+        stats = sample_entity_stats(
+            events, entity_col, ts_col,
+            threshold=hot_row_threshold, total=total,
+        )
+    spec = build_hot_spec(
+        stats,
+        entity_col=entity_col,
+        window_us=w_us,
+        target_chunk_rows=target_chunk_rows,
+        num_buckets=num_buckets,
+    )
+    kernel = make_rolling_kernel(
+        entity_col, ts_col, value_col, tiebreak,
+        w_us=w_us, aggs=aggs, round_digits=round_digits,
+    )
+    if spec is None:
+        from featherstore_ray.exchange import bucketed_map_groups as bmg
+        from featherstore_ray.partition import add_bucket_column
+
+        def plain(df: pd.DataFrame) -> pd.DataFrame:
+            return kernel(df.drop(columns=[BUCKET_COL]))
+
+        ds = add_bucket_column(events, entity_col, num_buckets)
+        return bmg(ds, plain, num_buckets=num_buckets, batch_format="pandas")
+
+    assigned = assign_partitions(
+        events, spec,
+        entity_col=entity_col, ts_col=ts_col,
+        num_buckets=num_buckets, window_us=w_us,
+    )
+    part, _ = repartition_by_bucket(
+        assigned, num_buckets=spec.total_partitions
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        pid = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        t2 = t.take(order)
+        ps = pid[order]
+        starts = np.flatnonzero(np.concatenate(([True], ps[1:] != ps[:-1])))
+        bounds = np.append(starts, len(ps))
+        outs = []
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            group = t2.slice(g0, g1 - g0)
+            df = group.to_pandas().drop(columns=[BUCKET_COL])
+            halo = df.pop(_HALO_COL).to_numpy() != 0
+            res = kernel(df.assign(**{_HALO_COL: halo}))
+            res = res.loc[~res[_HALO_COL].to_numpy()].drop(
+                columns=[_HALO_COL]
+            )
+            if len(res):
+                outs.append(
+                    pa.Table.from_pandas(
+                        res, preserve_index=False
+                    ).replace_schema_metadata(None)
+                )
+        if not outs:
+            return pa.table({})
+        target = outs[0].schema
+        outs = [o if o.schema.equals(target) else o.cast(target) for o in outs]
+        return pa.concat_tables(outs)
+
+    return part.map_batches(
+        finalize, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

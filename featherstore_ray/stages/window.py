@@ -165,6 +165,27 @@ def rolling_aggregate(
     last ulp; pass ``None`` to disable.
     """
     w_us = _window_us(window)
+    kernel = make_rolling_kernel(
+        entity_col, ts_col, value_col, tiebreak,
+        w_us=w_us, aggs=aggs, suffix=suffix, round_digits=round_digits,
+    )
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def make_rolling_kernel(
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None,
+    *,
+    w_us: int,
+    aggs: Sequence[str] = ("sum", "mean", "count"),
+    suffix: str | None = None,
+    round_digits: int | None = 6,
+):
+    """Bucket-local RANGE-frame rolling kernel (the body of
+    ``rolling_aggregate``), exposed so other physical plans — e.g. the
+    chunked hot-entity path — can reuse the exact same semantics."""
     sfx = suffix if suffix is not None else ""
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -222,7 +243,7 @@ def rolling_aggregate(
             df[name] = arr
         return df
 
-    return _bucketed(ds, entity_col, num_buckets, kernel)
+    return kernel
 
 
 # -- cumulative + tumbling -------------------------------------------------

@@ -114,3 +114,30 @@ def test_chunked_no_hot_falls_through(ray_session):
     pd.testing.assert_frame_equal(
         _canon(plain), _canon(chunked), check_dtype=False
     )
+
+
+def test_rolling_window_chunked_matches_plain(ray_session):
+    from datetime import timedelta
+
+    from featherstore_ray.stages.chunked import rolling_window_chunked
+    from featherstore_ray.stages.window import rolling_aggregate
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    kw = dict(
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id", aggs=("sum", "mean", "count", "min", "max"),
+        num_buckets=8,
+    )
+    plain = rolling_aggregate(
+        ray.data.read_parquet(EVENTS, columns=cols),
+        window=timedelta(hours=24), **kw
+    ).to_pandas()
+    chunked = rolling_window_chunked(
+        ray.data.read_parquet(EVENTS, columns=cols),
+        rolling_window=timedelta(hours=24),
+        hot_row_threshold=5, target_chunk_rows=4,  # everyone hot, tiny chunks
+        **kw
+    ).to_pandas()
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c), (len(p), len(c))
+    pd.testing.assert_frame_equal(p, c, check_dtype=False)
