@@ -320,12 +320,32 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
-    from featherstore_ray.stages.ann import lsh_topk
+    """LSH-bucketed approximate top-k (scale path; rows-only check).
+
+    The result carries a driver-visible ``recall`` column: per query, the
+    overlap fraction against the EXACT cosine top-k (the oracled
+    ``ann_topk`` path) computed on the same inputs — so the quality of the
+    approximation is recorded in the correctness artifact itself, not only
+    in pytest."""
+    from featherstore_ray.stages.ann import cosine_topk, lsh_topk
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
-    return lsh_topk(_read(sf_dir, "embeddings"), queries, k=5, num_planes=4)
+    approx = lsh_topk(
+        _read(sf_dir, "embeddings"), queries, k=5, num_planes=4
+    ).to_pandas()
+    exact = cosine_topk(
+        _read(sf_dir, "embeddings"), queries, k=5
+    ).to_pandas()
+    recall = {
+        qid: len(
+            set(approx.loc[approx["query_id"] == qid, "vec_id"])
+            & set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        ) / max((exact["query_id"] == qid).sum(), 1)
+        for qid in exact["query_id"].unique()
+    }
+    approx["recall"] = approx["query_id"].map(recall).round(6)
+    return approx
 
 
 def q_distinct(sf_dir: str):

@@ -138,6 +138,14 @@ def _pipelines(sf_dir: str):
         )
         return out.count()
 
+    def p_tokens_minhash_heavy():
+        # compute-bound scaling probe (only runs when FSR_BENCH_HEAVY=1):
+        # 512 permutations make the OPH kernel ALU-dominated, so this
+        # pipeline shows engine scaling where DRAM bandwidth is NOT the
+        # binding resource (BASELINE.md two-regime table)
+        out = tokens_minhash_pairs(read_tokens(), num_buckets=nb, num_perm=512)
+        return out.count()
+
     def p_minhash_docs():
         out = minhash_lsh_dedup(
             ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
@@ -154,7 +162,7 @@ def _pipelines(sf_dir: str):
         )
         return out.count()
 
-    return {
+    pipes = {
         "feature_suite": p_feature_suite,
         "window_features": p_window_features,
         "tokens_feature_suite": p_tokens_feature_suite,
@@ -164,6 +172,9 @@ def _pipelines(sf_dir: str):
         "minhash_docs": p_minhash_docs,
         "ann_topk": p_ann_topk,
     }
+    if os.environ.get("FSR_BENCH_HEAVY") == "1":
+        pipes["tokens_minhash_heavy"] = p_tokens_minhash_heavy
+    return pipes
 
 
 def run_bench() -> dict:
@@ -246,6 +257,9 @@ def run_bench() -> dict:
 # on any engine.
 CRITERION_PIPELINE = "tokens_feature_suite"
 SCALING_PIPELINES = ("feature_suite", "window_features", "tokens_feature_suite")
+# compute-bound regime probe: the same corpus through a 512-permutation
+# MinHash — ALU-dominated, so it shows scaling where DRAM isn't binding
+COMPUTE_PIPELINE = "tokens_minhash_heavy"
 
 # Parallelism levels for N→4N: this sandbox exposes 32 SMT threads on ~16
 # physical cores (measured: pure-ALU speedup saturates at ~16.7x), so
@@ -270,7 +284,8 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             FSR_BENCH_ROWS=str(scaling_rows),
-            FSR_BENCH_ONLY=",".join(SCALING_PIPELINES),
+            FSR_BENCH_HEAVY="1",
+            FSR_BENCH_ONLY=",".join(SCALING_PIPELINES + (COMPUTE_PIPELINE,)),
             FSR_BENCH_REPEATS=os.environ.get("FSR_SCALE_REPEATS", "1"),
         )
         out = subprocess.run(
@@ -312,11 +327,20 @@ def run_scaling() -> dict:
         return t_lo, t_hi, round((t_lo / t_hi) / (hi / lo), 3)
 
     c_lo, c_hi, c_eff = eff_over([CRITERION_PIPELINE])
-    a_lo, a_hi, a_eff = eff_over(r_lo["queries"].keys())
+    a_lo, a_hi, a_eff = eff_over(
+        [n for n in r_lo["queries"] if n != COMPUTE_PIPELINE]
+    )
+    h_lo, h_hi, h_eff = eff_over([COMPUTE_PIPELINE])
     rows = r_hi["rows"][CRITERION_PIPELINE]
     return {
         "metric": f"throughput scaling efficiency (N={lo}→4N={hi} cpus)",
         "scaling_efficiency": c_eff,
+        # two-regime evidence: the criterion pipeline is DRAM-bound on this
+        # single box (BASELINE.md envelopes); the compute-bound probe shows
+        # the engine's scaling when the hardware can supply it
+        "compute_bound_efficiency": h_eff,
+        f"compute_bound_sec_{lo}": round(h_lo, 3),
+        f"compute_bound_sec_{hi}": round(h_hi, 3),
         "criterion_pipeline": CRITERION_PIPELINE,
         "criterion_rows": rows,
         f"criterion_sec_{lo}": round(c_lo, 3),

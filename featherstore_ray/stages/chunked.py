@@ -43,10 +43,53 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from featherstore_ray.exchange import bucketed_map_groups, repartition_by_bucket
+from featherstore_ray.exchange import (
+    DIRECT_MAX_OBJECTS,
+    _split_block,
+    bucketed_map_groups,
+    repartition_by_bucket,
+)
 from featherstore_ray.partition import BUCKET_COL, bucket_of
 
 _HALO_COL = "_fsr_halo"
+
+
+@ray.remote
+def _summarize_parts(summary_kernel, num_buckets, bucket_col, halo_col, *parts):
+    """Fused-exchange summary wave: compute per-chunk summaries straight
+    from one reducer's split slices (filter hot non-halo rows per slice,
+    concat the small remainder, one kernel call). The full concatenated
+    partition never exists here — only in the finalize task."""
+    outs = []
+    for p in parts:
+        if p.num_rows == 0:
+            continue
+        pid = p[bucket_col].to_numpy(zero_copy_only=False)
+        halo = p[halo_col].to_numpy(zero_copy_only=False)
+        mask = (pid >= num_buckets) & (halo == 0)
+        if mask.any():
+            outs.append(p.filter(pa.array(mask)))
+    if not outs:
+        return pa.table({})
+    return summary_kernel(
+        pa.concat_tables(outs, promote_options="default")
+    )
+
+
+@ray.remote(num_returns=2)
+def _finalize_parts(kernel, *parts):
+    """Fused-exchange finalize wave: concat one reducer's slices in task
+    heap and apply the (carry-aware) finalize kernel directly — the
+    repartitioned table is never written to the object store; only the
+    suite OUTPUT is."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table({}), 0
+    t = pa.concat_tables(
+        tables, promote_options="default"
+    ).replace_schema_metadata(None)
+    out = kernel(t)
+    return out, out.num_rows
 
 
 def _ts_us_arr(col) -> np.ndarray:
@@ -370,8 +413,75 @@ def feature_suite_chunked(
         if spec is not None
         else None
     )
-    # ONE heavy pass: read→derive→assign materialize + exchange, with the
-    # per-chunk summaries computed INSIDE the reduce wave (fused side output)
+    import os
+
+    # fully-fused single-materialization plan: split each block by reducer
+    # once; a SUMMARY wave reads the slices (tiny filtered concat), the
+    # driver scans carries, then a FINALIZE wave concats the same slices in
+    # task heap and emits the suite output directly — the repartitioned
+    # intermediate table is never written to the object store (one full
+    # store write + read removed vs repartition+map). Slices are task
+    # outputs, so lineage reconstruction stays intact.
+    mode = os.environ.get("FSR_EXCHANGE", "direct")
+    fused = os.environ.get("FSR_CHUNKED_FUSED", "1") == "1"
+    if fused and mode == "direct":
+        mat = assigned.materialize()
+        block_refs = [
+            ref
+            for rb in mat.iter_internal_ref_bundles()
+            for ref in rb.block_refs
+        ]
+        m = len(block_refs)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        r = max(2, min(min(total_parts, max(2 * cpus, 8)), total_parts))
+        if m and m * r <= DIRECT_MAX_OBJECTS:
+            splits = [
+                _split_block.options(num_returns=r).remote(
+                    b, r, total_parts, BUCKET_COL
+                )
+                for b in block_refs
+            ]
+            sk_ref = ray.put(summary_kernel)
+            sums = ray.get(
+                [
+                    _summarize_parts.remote(
+                        sk_ref, num_buckets, BUCKET_COL, _HALO_COL,
+                        *[s[j] for s in splits]
+                    )
+                    for j in range(r)
+                ]
+            )
+            parts_sum = [s for s in sums if s.num_rows]
+            summ = (
+                pa.concat_tables(parts_sum, promote_options="default")
+                if parts_sum
+                else pa.table({})
+            )
+            carry_ref = ray.put(_scan_carries(summ, spec, gap_us=gap_us))
+            kernel = _finalize_kernel(
+                entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+                type_col=type_col, tiebreak=tiebreak, spine_type=spine_type,
+                feature_type=feature_type, num_buckets=num_buckets,
+                w_us=w_us, gap_us=gap_us, carry_ref=carry_ref,
+                spec_ref=ray.put(spec),
+            )
+            k_ref = ray.put(kernel)
+            out_refs, count_refs = [], []
+            for j in range(r):
+                t_ref, n_ref = _finalize_parts.remote(
+                    k_ref, *[s[j] for s in splits]
+                )
+                out_refs.append(t_ref)
+                count_refs.append(n_ref)
+            counts = ray.get(count_refs)
+            keep = [ref for ref, n in zip(out_refs, counts) if n > 0]
+            if keep:
+                return ray.data.from_arrow_refs(keep)
+            # all-empty: fall through to the materializing path below
+        assigned = mat  # reuse the blocks on the fallback
+
+    # fallback (sort exchange / object-count cap): materializing
+    # repartition with the summaries fused into the reduce wave
     part, summ = repartition_by_bucket(
         assigned, num_buckets=total_parts, summary_kernel=summary_kernel
     )
