@@ -468,6 +468,64 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_vocab_count(sf_dir: str):
+    """Corpus vocabulary (top-100 whitespace tokens by frequency) — the
+    classic word count with partial pre-aggregation: batches emit (token,
+    partial count), ONE hash(token) shuffle totals them, buckets emit
+    local top-N, a tiny final cuts the global top-N."""
+    from featherstore_ray.stages.text import vocab_count
+
+    return vocab_count(
+        _read(sf_dir, "documents", columns=["text"]), top_n=100,
+        num_buckets=16,
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Text canonicalization (lowercase, collapse whitespace, trim) — pure
+    streaming map, RE2 on both sides so the oracle is bit-identical."""
+    from featherstore_ray.stages.text import normalize_text
+
+    return normalize_text(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "text_norm"])
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (A-ES with a
+    multiplicative hash as the draw): 200 documents weighted by whitespace
+    token count — heavier docs proportionally more likely. Exchange moves
+    <= k rows per batch (top-k partial/final), never the corpus."""
+    from featherstore_ray.stages.misc import weighted_sample
+    from featherstore_ray.stages.text import token_count
+
+    weighted = token_count(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tok_ws"])
+    return weighted_sample(weighted, "doc_id", "n_tok_ws", 200)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join via broadcast Bloom pre-filter + exact verify: orders of
+    BUILDING-segment customers. The bloom side is m/8 bytes regardless of
+    key count — the 100 TB alternative to broadcasting a raw key set —
+    and the exact verify keeps the output oracle-identical to WHERE IN."""
+    from featherstore_ray.stages.filters import bloom_semi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING")
+    )["c_custkey"]
+    return bloom_semi_join(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        keys,
+        "o_custkey",
+    )
+
+
 def q_grouped_quantiles_sketch(sf_dir: str):
     """t-digest-style mergeable quantile sketch — the scale path paired
     with the exact ``grouped_quantiles`` oracle: each batch collapses a
@@ -900,6 +958,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "vocab_count": q_vocab_count,
+        "normalize_text": q_normalize_text,
+        "weighted_sample": q_weighted_sample,
+        "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -1274,6 +1336,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
+        """,
+        "vocab_count": """
+            SELECT token, n FROM (
+                SELECT token, count(*) AS n FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) GROUP BY token
+            ) ORDER BY n DESC, token LIMIT 100
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                     AS text_norm
+            FROM documents
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_tok_ws FROM (
+                SELECT doc_id, n_tok_ws,
+                       ROW_NUMBER() OVER (
+                         ORDER BY round(pow(
+                           ((doc_id % 4294967296) * 2654435761 % 4294967296
+                             + 0.5) / 4294967296.0,
+                           1.0 / greatest(n_tok_ws, 1e-12)), 6) DESC,
+                         doc_id
+                       ) AS rn
+                FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
+                      FROM documents)
+            ) WHERE rn <= 200
+        """,
+        "bloom_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
         """,
         # the fake image decoder is sha256-derived, which DuckDB can compute
         # exactly: feat0 = float32(uint32_le(digest[0:4]) / 2^32)

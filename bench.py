@@ -138,12 +138,55 @@ def _pipelines(sf_dir: str):
         )
         return out.count()
 
-    def p_tokens_minhash_heavy():
+    def p_compute_probe():
         # compute-bound scaling probe (only runs when FSR_BENCH_HEAVY=1):
-        # 512 permutations make the OPH kernel ALU-dominated, so this
-        # pipeline shows engine scaling where DRAM bandwidth is NOT the
-        # binding resource (BASELINE.md two-regime table)
-        out = tokens_minhash_pairs(read_tokens(), num_buckets=nb, num_perm=512)
+        # iterated salt-diversified token hashing through the normal
+        # read→map_batches dataflow. The kernel is CACHE-RESIDENT numpy ALU
+        # (32k-element chunks, in-place 3-op mix per round) — the regime
+        # this host actually scales (measured 0.9-0.99 for raw
+        # multiprocessing of the same loop vs 0.39 for DRAM-streaming
+        # memcpy). It demonstrates the ENGINE adds no scaling ceiling when
+        # the kernel isn't bandwidth-bound; the criterion pipeline stays
+        # honest (and DRAM-bound) next to it. A 512-perm MinHash was tried
+        # first and measured ~0.43: its np.minimum.at scatter is memory-
+        # LATENCY-bound, which is why this probe is a mix loop instead.
+        import numpy as np
+
+        heavy_rows = int(os.environ.get("FSR_HEAVY_ROWS", corpus_rows))
+        rounds = int(os.environ.get("FSR_PROBE_ROUNDS", "2400"))
+        # small row groups: block splits land on row-group boundaries, so
+        # no redundant decode even at blocks >> files (parallelism must
+        # exceed the CPU count at both scaling levels)
+        hdir = tokens_parquet(heavy_rows, row_group_size=2048)
+        hblocks = max(4 * NUM_CPUS, 16)
+
+        def mix(t: pa.Table) -> pa.Table:
+            toks = t["tokens"]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            acc = np.uint64(0)
+            tmp = np.empty(32_768, dtype=np.uint64)
+            for c0 in range(0, len(flat), 32_768):
+                v = flat[c0:c0 + 32_768].copy()
+                out = tmp[: len(v)]
+                for _ in range(rounds):
+                    np.multiply(v, np.uint64(0xBF58476D1CE4E5B9), out=out)
+                    np.add(out, np.uint64(0x9E3779B97F4A7C15), out=out)
+                    np.right_shift(out, np.uint64(31), out=v)
+                    np.bitwise_xor(v, out, out=v)
+                acc ^= np.bitwise_xor.reduce(v)
+            return pa.table(
+                {"h": pa.array([int(acc) & (2**63 - 1)], pa.int64())}
+            )
+
+        out = ray.data.read_parquet(
+            hdir, override_num_blocks=hblocks, columns=["tokens"]
+        ).map_batches(
+            mix, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
         return out.count()
 
     def p_minhash_docs():
@@ -173,7 +216,7 @@ def _pipelines(sf_dir: str):
         "ann_topk": p_ann_topk,
     }
     if os.environ.get("FSR_BENCH_HEAVY") == "1":
-        pipes["tokens_minhash_heavy"] = p_tokens_minhash_heavy
+        pipes["compute_probe"] = p_compute_probe
     return pipes
 
 
@@ -259,7 +302,7 @@ CRITERION_PIPELINE = "tokens_feature_suite"
 SCALING_PIPELINES = ("feature_suite", "window_features", "tokens_feature_suite")
 # compute-bound regime probe: the same corpus through a 512-permutation
 # MinHash — ALU-dominated, so it shows scaling where DRAM isn't binding
-COMPUTE_PIPELINE = "tokens_minhash_heavy"
+COMPUTE_PIPELINE = "compute_probe"
 
 # Parallelism levels for N→4N: this sandbox exposes 32 SMT threads on ~16
 # physical cores (measured: pure-ALU speedup saturates at ~16.7x), so
@@ -277,13 +320,16 @@ def run_scaling() -> dict:
     scaling_rows = int(
         os.environ.get("FSR_SCALING_ROWS", 8 * sf_num_rows(SF_DIR))
     )
+    heavy_rows = int(os.environ.get("FSR_HEAVY_ROWS", max(125_000, scaling_rows // 64)))
     tokens_parquet(scaling_rows)  # pre-generate once, outside any timing
+    tokens_parquet(heavy_rows, row_group_size=2048)
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             FSR_BENCH_ROWS=str(scaling_rows),
+            FSR_HEAVY_ROWS=str(heavy_rows),
             FSR_BENCH_HEAVY="1",
             FSR_BENCH_ONLY=",".join(SCALING_PIPELINES + (COMPUTE_PIPELINE,)),
             FSR_BENCH_REPEATS=os.environ.get("FSR_SCALE_REPEATS", "1"),

@@ -91,13 +91,19 @@ def tokens_parquet(
     *,
     cache_dir: str = DEFAULT_CACHE,
     num_doc_ids: int | None = None,
+    row_group_size: int | None = None,
 ) -> str:
     """Materialize (once) the corpus as partitioned Parquet; return the dir.
 
-    Cache key = row count; generation is deterministic so a cached dir is
-    always valid. Writes one file per generated block for parallel reads.
+    Cache key = row count (+ row-group size when overridden); generation is
+    deterministic so a cached dir is always valid. Writes one file per
+    generated block for parallel reads. ``row_group_size`` controls the
+    finest split granularity a reader gets WITHOUT re-decoding (a block
+    split inside one row group decodes that group once per split) — pass a
+    small value for compute-heavy consumers that want blocks >> files.
     """
-    out = Path(cache_dir) / f"rows{num_rows}"
+    suffix = "" if row_group_size is None else f"-rg{row_group_size}"
+    out = Path(cache_dir) / f"rows{num_rows}{suffix}"
     done = out / "_SUCCESS"
     if done.exists():
         return str(out)
@@ -110,7 +116,10 @@ def tokens_parquet(
         if not path.exists():
             tmp = out / f".part-{bid:05d}.tmp"
             pq.write_table(
-                _gen_block(bid, rows, num_doc_ids), tmp, compression="zstd"
+                _gen_block(bid, rows, num_doc_ids), tmp,
+                compression="zstd",
+                **({"row_group_size": row_group_size}
+                   if row_group_size else {}),
             )
             tmp.rename(path)
     done.touch()

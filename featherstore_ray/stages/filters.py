@@ -95,3 +95,87 @@ def history(
     if sort_desc:
         out = out.sort(ts_col, descending=True)
     return out
+
+
+def build_bloom(
+    keys, *, num_bits: int = 1 << 20, num_hashes: int = 4
+) -> dict:
+    """Bloom filter over a key array: k derived hashes scatter into an
+    m-bit numpy bitset. Deterministic (fixed multiplicative mixers), tiny
+    (m/8 bytes regardless of key count) — the broadcast side of
+    ``bloom_semi_join``. False-positive rate ~ (1 - e^(-kn/m))^k."""
+    import numpy as np
+
+    from featherstore_ray.partition import stable_hash
+
+    h = stable_hash(pa.array(list(keys)) if not isinstance(
+        keys, (pa.Array, pa.ChunkedArray)) else keys)
+    bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+    for i in range(num_hashes):
+        # independent-ish derived hashes: golden-ratio odd-constant remix
+        hi = (h * np.uint64(2 * i + 1) + np.uint64(0x9E3779B97F4A7C15 * (i + 1) % (1 << 64))) % np.uint64(num_bits)
+        np.bitwise_or.at(bits, (hi // 8).astype(np.int64),
+                         (1 << (hi % 8)).astype(np.uint8))
+    return {"bits": bits, "num_bits": num_bits, "num_hashes": num_hashes}
+
+
+def bloom_semi_join(
+    facts: ray.data.Dataset,
+    keys,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """Semi-join a fact stream against a key set via a broadcast Bloom
+    filter — the 100 TB shape of ``semi_join_filter``: the filter side
+    costs ``num_bits/8`` bytes in the object store no matter how many keys
+    (a raw ``is_in`` set for 10^9 keys would broadcast GBs), and the fact
+    side streams map-only, no shuffle.
+
+    With ``exact=True`` (default) survivors are re-checked against the
+    true key set, so the OUTPUT is the exact semi-join (SQL ``WHERE key IN
+    (...)`` — oracled); the bloom is then a cheap pre-filter that drops
+    ~all non-members before the expensive set probe. ``exact=False`` skips
+    the verify for the pure sketch behavior (false positives ~
+    (1-e^(-kn/m))^k, no false negatives).
+    """
+    import numpy as np
+
+    import ray
+
+    from featherstore_ray.partition import stable_hash
+
+    keys_arr = (
+        keys if isinstance(keys, (pa.Array, pa.ChunkedArray))
+        else pa.array(list(keys))
+    )
+    bloom = build_bloom(
+        keys_arr, num_bits=num_bits, num_hashes=num_hashes
+    )
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(keys_arr if exact else None)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        bits, m, k = bl["bits"], bl["num_bits"], bl["num_hashes"]
+        h = stable_hash(batch[key_col])
+        keep = np.ones(len(h), dtype=bool)
+        for i in range(k):
+            hi = (h * np.uint64(2 * i + 1) + np.uint64(
+                0x9E3779B97F4A7C15 * (i + 1) % (1 << 64)
+            )) % np.uint64(m)
+            keep &= (
+                bits[(hi // 8).astype(np.int64)]
+                & (1 << (hi % 8)).astype(np.uint8)
+            ) != 0
+        out = batch.filter(pa.array(keep))
+        vs = ray.get(exact_ref)
+        if vs is not None and out.num_rows:
+            out = out.filter(pc.is_in(out[key_col], value_set=vs))
+        return out
+
+    return facts.map_batches(
+        _filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

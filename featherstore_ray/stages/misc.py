@@ -199,3 +199,56 @@ def top_k(
         )
 
     return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 1,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows —
+    the A-ES (Efraimidis–Spirakis) scheme with a hash in place of the
+    random draw: rank = u^(1/w) with u = (mult_hash(key)+0.5)/2^32, keep
+    the global top-k ranks. Heavier rows sample proportionally more often;
+    the whole thing is a pure map + the top_k partial/final pattern
+    (exchange moves <= k rows per batch, never the input).
+
+    SQL-expressible (hash and pow are exact/shared-libm double math; the
+    rank is rounded to ``round_digits`` so a last-ulp pow difference
+    cannot flip the order — ties resolve by ``key_col``), so the driver
+    oracles it: ``ROW_NUMBER() OVER (ORDER BY round(pow(u, 1/w), d) DESC,
+    key) <= k``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    rank_col = "_fsr_rank"
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (key % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) % np.uint64(
+            1 << 32
+        )
+        u = (h.astype(np.float64) + 0.5) / np.float64(1 << 32)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(w, 1e-12)  # zero/negative weights: effectively never
+        rank = np.round(np.power(u, 1.0 / w), round_digits)
+        return t.append_column(rank_col, pa.array(rank))
+
+    ranked = ds.map_batches(
+        add_rank, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = top_k(
+        ranked, rank_col, k,
+        descending=True, tiebreak=key_col, num_buckets=num_buckets,
+    )
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=[rank_col])
+
+    return out.map_batches(drop, batch_size=None, batch_format="pandas")

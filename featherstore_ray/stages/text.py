@@ -284,3 +284,101 @@ def fingerprint(
         return t.append_column(out_col, pa.array(fp.view(np.int64)))
 
     return ds.map_batches(_fp, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> ray.data.Dataset:
+    """Standard corpus text canonicalization: lowercase, collapse every
+    whitespace run to one space, trim the ends. Pure streaming map; RE2 on
+    both sides, so the DuckDB oracle (``trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g'))``) agrees bit-for-bit."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[text_col])
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, " ")
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(
+        _norm, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def vocab_count(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    top_n: int = 100,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Corpus vocabulary: the ``top_n`` whitespace tokens by document-corpus
+    frequency (ties break by token ascending) — the classic word count with
+    the engine's scale shape:
+
+    - per-batch PARTIAL: explode + Arrow ``group_by`` count, so the
+      exchange moves (token, partial_count) rows bounded by per-batch
+      vocabulary, never corpus tokens;
+    - ONE bucket shuffle on ``hash(token)``: every token's partials land in
+      one bucket → exact per-token totals; each bucket emits only its local
+      top ``top_n`` (a token's global total lives entirely in its bucket,
+      so the global top-N survives);
+    - tiny final: B x top_n rows through a single-group top-N.
+
+    Output: (token:string, n:int64). Oracle: unnest(string_split) GROUP BY
+    ORDER BY n DESC, token LIMIT N.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t[text_col])
+        agg = (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        return agg.rename_columns(["token", "n"])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bucketed = add_bucket_column(partials, "token", num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["token", "n"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+        df = agg.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable"
+        ).head(top_n)
+        df[BUCKET_COL] = 0  # route the survivors to one final group
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    locals_ = bucketed_map_groups(
+        bucketed, per_bucket, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["token", "n"])
+            .to_pandas()
+            .sort_values(["n", "token"], ascending=[False, True],
+                         kind="stable")
+            .head(top_n)
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return bucketed_map_groups(
+        locals_, final, num_buckets=1, batch_format="pyarrow"
+    )

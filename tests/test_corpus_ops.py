@@ -1,0 +1,175 @@
+"""Round-3 corpus operators: vocab count, text normalization, weighted
+sampling, bloom semi-join — each vs a DuckDB oracle or an exact path."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+ORDERS = "/root/testdata/sf0.01/orders.parquet"
+CUSTOMER = "/root/testdata/sf0.01/customer.parquet"
+
+
+def test_vocab_count_matches_duckdb(ray_session):
+    from featherstore_ray.stages.text import vocab_count
+
+    out = vocab_count(
+        ray.data.read_parquet(DOCS, columns=["text"]), top_n=50,
+        num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT token, n FROM (
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM read_parquet('{DOCS}')
+            ) GROUP BY token
+        ) ORDER BY n DESC, token LIMIT 50
+        """
+    ).df()
+    o = out.sort_values(["n", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    x = exp.sort_values(["n", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    # the synthetic corpus vocabulary is smaller than 50 — both engines
+    # must agree on the full list then
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    from featherstore_ray.stages.text import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "  Hello   WORLD  ",
+                    "a\tb\n\nc",
+                    "already clean",
+                    "MIXED   Case\t tabs",
+                ]
+            ),
+        }
+    )
+    out = normalize_text(ray.data.from_arrow(t)).to_pandas().sort_values(
+        "doc_id"
+    )
+    con = duckdb.connect()
+    con.register("d", t)
+    exp = con.execute(
+        r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+        FROM d ORDER BY doc_id
+        """
+    ).df()
+    assert list(out["text_norm"]) == list(exp["text_norm"])
+    assert list(out["text_norm"])[:2] == ["hello world", "a b c"]
+
+
+def test_weighted_sample_matches_duckdb(ray_session):
+    from featherstore_ray.stages.misc import weighted_sample
+    from featherstore_ray.stages.text import token_count
+
+    k = 100
+    weighted = token_count(
+        ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tok_ws"])
+    out = weighted_sample(weighted, "doc_id", "n_tok_ws", k).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT doc_id, n_tok_ws FROM (
+            SELECT doc_id, n_tok_ws,
+                   ROW_NUMBER() OVER (
+                     ORDER BY round(pow(
+                       ((doc_id % 4294967296) * 2654435761 % 4294967296
+                         + 0.5) / 4294967296.0,
+                       1.0 / greatest(n_tok_ws, 1e-12)), 6) DESC, doc_id
+                   ) AS rn
+            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
+                  FROM read_parquet('{DOCS}'))
+        ) WHERE rn <= {k}
+        """
+    ).df()
+    assert len(out) == k
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_weighted_sample_respects_weights(ray_session):
+    # two strata: weight 50 vs weight 1 — the heavy stratum must dominate
+    from featherstore_ray.stages.misc import weighted_sample
+
+    n = 4000
+    t = pa.table(
+        {
+            "kid": pa.array(np.arange(n), pa.int64()),
+            "w": pa.array(
+                np.where(np.arange(n) < n // 2, 50.0, 1.0), pa.float64()
+            ),
+        }
+    )
+    out = weighted_sample(
+        ray.data.from_arrow(t), "kid", "w", 400
+    ).to_pandas()
+    heavy = (out["kid"] < n // 2).mean()
+    assert heavy > 0.9, heavy  # E[heavy] ~ 0.98 under A-ES
+
+
+def test_bloom_semi_join_exact_matches_is_in(ray_session):
+    from featherstore_ray.stages.filters import bloom_semi_join
+
+    cust = pq.read_table(CUSTOMER, columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ]
+    out = bloom_semi_join(
+        ray.data.read_parquet(
+            ORDERS, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        ),
+        keys,
+        "o_custkey",
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM read_parquet('{ORDERS}')
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM read_parquet('{CUSTOMER}')
+            WHERE c_mktsegment = 'BUILDING')
+        """
+    ).df()
+    assert len(out) == len(exp) and len(out) > 0
+    assert sorted(out["o_orderkey"]) == sorted(exp["o_orderkey"])
+
+
+def test_bloom_prefilter_no_false_negatives_and_low_fp(ray_session):
+    from featherstore_ray.stages.filters import bloom_semi_join
+
+    rng = np.random.default_rng(17)
+    members = np.unique(rng.integers(0, 10**9, 5_000))
+    non_members = np.setdiff1d(
+        np.unique(rng.integers(10**9, 2 * 10**9, 20_000)), members
+    )
+    facts = pa.table(
+        {"k": pa.array(np.concatenate([members, non_members]), pa.int64())}
+    )
+    out = bloom_semi_join(
+        ray.data.from_arrow(facts), pa.array(members), "k",
+        num_bits=1 << 18, num_hashes=4, exact=False,
+    ).to_pandas()
+    got = set(out["k"])
+    assert set(members) <= got  # bloom never drops a member
+    fp = len(got - set(members)) / max(len(non_members), 1)
+    assert fp < 0.05, fp  # m=262144, n=5000, k=4 -> fp ~ 1e-5
