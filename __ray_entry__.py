@@ -107,6 +107,31 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "value_asof", "ts_asof"])
 
 
+def q_asof_join_forward(sf_dir: str):
+    """Forward as-of (next-event attribution): for each click, the FIRST
+    purchase at-or-after it per user — the symmetric direction of J3, the
+    standard conversion-attribution shape. Max tiebreak on equal ts."""
+    from featherstore_ray.pipelines.feature_suite import split_events
+    from featherstore_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
+    spine, feats = split_events(events, "click", "purchase", "event_type")
+    out = asof_join(
+        spine,
+        feats.select_columns(["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id",
+        spine_ts="ts",
+        feature_ts="ts",
+        feature_cols=["ts", "value"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "value_asof", "ts_asof"]
+    )
+
+
 def q_asof_join_broadcast(sf_dir: str):
     """J3/ST4: same join served from a broadcast actor-held sorted index."""
     from featherstore_ray.stages.asof import asof_join_broadcast
@@ -465,6 +490,33 @@ def q_grouped_quantiles(sf_dir: str):
         ["event_type"],
         "value",
         quantiles=(0.5, 0.9),
+    )
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style word-repetition quality signal (1 - distinct/total
+    words) per document — vectorized explode + lexsort, no shuffle."""
+    from featherstore_ray.stages.text import repetition_ratio
+
+    return repetition_ratio(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "rep_ratio"])
+
+
+def q_top_n_per_group(sf_dir: str):
+    """Top-3 most recent events per user (ROW_NUMBER <= 3) — the
+    generalization of latest-per-entity; exchange moves <= n rows per
+    (group, batch)."""
+    from featherstore_ray.stages.latest import top_n_per_group
+
+    return top_n_per_group(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]),
+        group_col="user_id",
+        order_col="ts",
+        n=3,
+        descending=True,
+        tiebreak="event_id",
     )
 
 
@@ -931,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_semi_join": q_latest_semi_join,
         "history_range": q_history_range,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
         "rolling_window": q_rolling_window,
@@ -958,6 +1011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "repetition_ratio": q_repetition_ratio,
+        "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
         "normalize_text": q_normalize_text,
         "weighted_sample": q_weighted_sample,
@@ -1012,6 +1067,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "asof_join_forward": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   f.value_asof, f.ts_asof
+            FROM (SELECT * FROM events WHERE event_type = 'click') s
+            LEFT JOIN LATERAL (
+                SELECT value AS value_asof, ts AS ts_asof
+                FROM events f
+                WHERE f.event_type = 'purchase'
+                  AND f.user_id = s.user_id AND f.ts >= s.ts
+                ORDER BY f.ts ASC, f.event_id DESC
+                LIMIT 1
+            ) f ON true
         """,
         "asof_join_broadcast": """
             SELECT s.event_id, s.user_id, s.ts,
@@ -1336,6 +1404,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
+        """,
+        "repetition_ratio": """
+            SELECT doc_id,
+                   round(1 - len(list_distinct(string_split(text, ' ')))
+                         * 1.0 / len(string_split(text, ' ')), 6)
+                     AS rep_ratio
+            FROM documents
+        """,
+        "top_n_per_group": """
+            SELECT event_id, user_id, ts, value FROM (
+                SELECT event_id, user_id, ts, value,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3
         """,
         "vocab_count": """
             SELECT token, n FROM (

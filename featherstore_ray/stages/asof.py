@@ -56,16 +56,26 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance=None,
     num_buckets: int = 64,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Left as-of join: spine row + latest feature row with event_ts <= query_ts.
+    """Left as-of join: spine row + latest feature row with event_ts <= query_ts
+    (``direction="backward"``, the default point-in-time semantics) or the
+    EARLIEST feature row with event_ts >= query_ts (``direction="forward"``
+    — next-event attribution, e.g. "first purchase after the impression").
 
     Output = all spine columns, plus ``{c}{suffix}`` for each feature payload
     column and ``{feature_ts}{suffix}`` (the matched event time; null when the
-    entity has no feature row at or before query_ts).
+    entity has no feature row at/before — respectively at/after — query_ts).
 
-    Oracle: DuckDB ``ASOF LEFT JOIN ... ON s.entity = f.entity AND
-    s.query_ts >= f.event_ts``.
+    Tie-break is the same in both directions: among feature rows with the
+    matched event_ts, the MAX ``tiebreak`` row wins.
+
+    Oracle (backward): DuckDB ``ASOF LEFT JOIN ... ON s.entity = f.entity
+    AND s.query_ts >= f.event_ts``; (forward): LATERAL
+    ``ORDER BY f.ts ASC, tiebreak DESC LIMIT 1`` over ``f.ts >= s.ts``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction {direction!r}")
     feature_payload = [c for c in feature_cols if c != feature_ts]
     out_ts = f"{feature_ts}{suffix}"
 
@@ -140,10 +150,15 @@ def asof_join(
         ft = t.filter(pc.invert(is_spine)).select(ft_cols).to_pandas()
         if len(sp) == 0:
             return out_schema.empty_table()
-        # merge_asof requires a global sort on the `on` column; stable sort
-        # with the tiebreak secondary makes "last match wins" = max tiebreak.
+        # merge_asof requires a global sort on the `on` column; the stable
+        # tiebreak secondary makes max-tiebreak win in BOTH directions:
+        # backward picks the LAST row <= key (tiebreak ascending), forward
+        # picks the FIRST row >= key (tiebreak descending).
         ft_sort = [_TS_COL] + (["_fsr_tb"] if tiebreak else [])
-        ft = ft.sort_values(ft_sort, kind="stable")
+        ft_asc = [True] + (
+            [direction == "backward"] if tiebreak else []
+        )
+        ft = ft.sort_values(ft_sort, ascending=ft_asc, kind="stable")
         if tiebreak:
             ft = ft.drop(columns=["_fsr_tb"])
         sp = sp.sort_values(_TS_COL, kind="stable")
@@ -160,7 +175,7 @@ def asof_join(
                 ft,
                 on=_TS_COL,
                 by=entity_col,
-                direction="backward",
+                direction=direction,
                 allow_exact_matches=True,
                 tolerance=tolerance,
             )

@@ -74,3 +74,55 @@ def latest_per_entity(
         return out.drop(columns=[BUCKET_COL])
 
     return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")
+
+
+def top_n_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Top-``n`` rows per group by ``order_col`` — the generalization of
+    latest-per-entity (O3, n=1) to SQL ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY o [DESC][, tiebreak DESC]) <= n``.
+
+    Scale shape: per-batch partial (each batch keeps <= n rows per group
+    present in it) → ONE bucket shuffle on hash(group) → per-bucket final
+    top-n. The exchange moves at most n rows per (group, batch), never the
+    input. Ties on ``order_col`` break by max ``tiebreak`` (both DESC),
+    deterministic on both engines.
+    """
+    import pandas as pd
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    by = [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([False] if tiebreak else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=asc, kind="stable")
+            .groupby(group_col, sort=False)
+            .head(n)
+        )
+
+    ds = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+    ds = add_bucket_column(ds, group_col, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=[BUCKET_COL])
+            .sort_values(by, ascending=asc, kind="stable")
+            .groupby(group_col, sort=False)
+            .head(n)
+            .reset_index(drop=True)
+        )
+
+    return bucketed_map_groups(
+        ds, final, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -382,3 +382,45 @@ def vocab_count(
     return bucketed_map_groups(
         locals_, final, num_buckets=1, batch_format="pyarrow"
     )
+
+
+def repetition_ratio(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "rep_ratio",
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Gopher-style word-repetition quality signal per document:
+    ``1 - distinct_words / total_words`` (0 = no repetition). Pure
+    streaming map, vectorized: one explode + one lexsort over (row,
+    word-hash) + boundary count — no per-row Python. Oracle:
+    ``1 - len(list_distinct(string_split(text,' '))) /
+    len(string_split(text,' '))``."""
+
+    def _rep(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        flat, offsets = _explode_words(t[text_col])
+        total = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        h = pd.util.hash_array(
+            flat.to_numpy(zero_copy_only=False).astype(object)
+        )
+        row = np.repeat(np.arange(n, dtype=np.int64), total)
+        order = np.lexsort((h, row))
+        rs, hs = row[order], h[order]
+        new = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1]))
+        )
+        distinct = np.bincount(rs[new], minlength=n)
+        ratio = np.where(
+            total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0
+        )
+        return t.append_column(
+            out_col, pa.array(np.round(ratio, round_digits))
+        )
+
+    return ds.map_batches(
+        _rep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

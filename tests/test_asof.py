@@ -203,3 +203,50 @@ def test_asof_broadcast_native_payload_dtypes(ray_session, sides):
     np.testing.assert_allclose(
         m["value_asof"], e["value_asof"], equal_nan=True
     )
+
+
+def test_asof_forward_matches_oracle(ray_session, sides):
+    """direction='forward': earliest feature with ts >= query ts; max
+    tiebreak on the matched timestamp."""
+    spine, feat = sides
+    out = asof_join(
+        ray.data.from_arrow(spine),
+        ray.data.from_arrow(feat),
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        num_buckets=8,
+        direction="forward",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("spine", spine)
+    con.register("feat", feat)
+    exp = con.execute(
+        """
+        SELECT s.sid, s.entity, s.query_ts, f.value_asof, f.event_ts_asof
+        FROM spine s
+        LEFT JOIN LATERAL (
+            SELECT value AS value_asof, event_ts AS event_ts_asof
+            FROM feat f
+            WHERE f.entity = s.entity AND f.event_ts >= s.query_ts
+            ORDER BY f.event_ts ASC, f.fid DESC
+            LIMIT 1
+        ) f ON true
+        """
+    ).df()
+    m = out.sort_values("sid").reset_index(drop=True)
+    e = exp.sort_values("sid").reset_index(drop=True)
+    assert len(m) == len(e)
+    np.testing.assert_allclose(
+        m["value_asof"], e["value_asof"], equal_nan=True
+    )
+    got_ts = m["event_ts_asof"].to_numpy("datetime64[us]")
+    want_ts = e["event_ts_asof"].to_numpy("datetime64[us]")
+    assert (pd.isna(got_ts) == pd.isna(want_ts)).all()
+    both = ~pd.isna(got_ts)
+    assert (got_ts[both] == want_ts[both]).all()
+    # forward anti-leakage: matched ts is never BEFORE the query ts
+    q = m["query_ts"].to_numpy("datetime64[us]")
+    assert (got_ts[both] >= q[both]).all()

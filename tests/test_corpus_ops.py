@@ -173,3 +173,72 @@ def test_bloom_prefilter_no_false_negatives_and_low_fp(ray_session):
     assert set(members) <= got  # bloom never drops a member
     fp = len(got - set(members)) / max(len(non_members), 1)
     assert fp < 0.05, fp  # m=262144, n=5000, k=4 -> fp ~ 1e-5
+
+
+def test_repetition_ratio_matches_duckdb(ray_session):
+    from featherstore_ray.stages.text import repetition_ratio
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",          # 0.75
+                    "all distinct words here",  # 0
+                    "x",                # 0
+                    "spam spam ham spam eggs",  # 2/5 = 0.4
+                ]
+            ),
+        }
+    )
+    out = repetition_ratio(
+        ray.data.from_arrow(t)
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["rep_ratio"]) == [0.75, 0.0, 0.0, 0.4]
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT doc_id,
+               round(1 - len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS rep_ratio
+        FROM read_parquet('{DOCS}')
+        ORDER BY doc_id
+        """
+    ).df()
+    got = repetition_ratio(
+        ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["rep_ratio"], exp["rep_ratio"])
+
+
+def test_top_n_per_group_matches_duckdb(ray_session):
+    from featherstore_ray.stages.latest import top_n_per_group
+
+    events = "/root/testdata/sf0.01/events.parquet"
+    out = top_n_per_group(
+        ray.data.read_parquet(
+            events, columns=["event_id", "user_id", "ts", "value"]
+        ),
+        group_col="user_id", order_col="ts", n=3,
+        descending=True, tiebreak="event_id", num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT event_id, user_id, ts, value FROM (
+            SELECT event_id, user_id, ts, value,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM read_parquet('{events}')
+        ) WHERE rn <= 3
+        """
+    ).df()
+    cols = ["event_id", "user_id"]
+    o = out.sort_values(cols).reset_index(drop=True)
+    x = exp.sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(
+        o[sorted(o.columns)], x[sorted(x.columns)], check_dtype=False
+    )
