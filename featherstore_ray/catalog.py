@@ -303,6 +303,92 @@ class FeatherStore:
         shutil.rmtree(staging, ignore_errors=True)
         return int(manifest["rows"].sum())
 
+    # -- maintenance ------------------------------------------------------
+
+    def compact(
+        self,
+        name: str,
+        *,
+        target_bytes: int = 256 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Merge small part files into ~``target_bytes`` files, per
+        directory (each ``ts_bucket=`` dir independently — the layout and
+        its pruning are preserved). High-frequency ingest writes one file
+        per batch (the reference does too, parquet.go:269-299); compaction
+        is what keeps the file count O(data/target) instead of O(batches)
+        at 100 TB. Merge groups run as parallel Ray tasks when a session
+        is live, serially otherwise.
+
+        Maintenance op, SINGLE-WRITER: run without concurrent ingest or
+        readers on this set (a reader listing files mid-commit could see a
+        merged file alongside its not-yet-deleted sources). Each group
+        commits atomically per file: tmp-write → rename → unlink sources.
+        Returns {"groups": merged-group count, "files_before", "files_after"}.
+        """
+        fmt, _ = self._set_conf(name)
+        data_dir = self._set_dir(name) / _DATA_DIR
+        if not data_dir.exists():
+            raise FeatureSetNotFound(name)
+        pattern = f"part-*.{fmt.extension}"
+        dirs = [data_dir] + sorted(
+            d for d in data_dir.glob(f"{_TS_BUCKET_PREFIX}*") if d.is_dir()
+        )
+        groups: list[list[Path]] = []
+        files_before = 0
+        for d in dirs:
+            files = sorted(d.glob(pattern))
+            files_before += len(files)
+            if len(files) < min_files:
+                continue
+            cur: list[Path] = []
+            cur_bytes = 0
+            for f in files:
+                sz = f.stat().st_size
+                if cur and cur_bytes + sz > target_bytes:
+                    if len(cur) >= 2:
+                        groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += sz
+            if len(cur) >= 2:
+                groups.append(cur)
+
+        compression, rgs = self.compression, self.row_group_size
+        fmt_name = fmt.name
+
+        def merge_group(paths: list[str]) -> int:
+            from featherstore_ray.storage import get_format
+
+            f = get_format(fmt_name)
+            merged = pa.concat_tables(
+                [f.read_table(p) for p in paths], promote_options="default"
+            )
+            d = Path(paths[0]).parent
+            part = f"part-{uuid.uuid4().hex}.{f.extension}"
+            tmp = d / f".{part}.tmp"
+            f.write_table(
+                merged, tmp, compression=compression, row_group_size=rgs
+            )
+            tmp.rename(d / part)
+            for p in paths:
+                Path(p).unlink()
+            return merged.num_rows
+
+        if groups:
+            if ray.is_initialized():
+                task = ray.remote(merge_group)
+                ray.get([task.remote([str(p) for p in g]) for g in groups])
+            else:
+                for g in groups:
+                    merge_group([str(p) for p in g])
+        files_after = files_before - sum(len(g) - 1 for g in groups)
+        return {
+            "groups": len(groups),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     # -- retrieval --------------------------------------------------------
 
     def _files(

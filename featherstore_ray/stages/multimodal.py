@@ -60,6 +60,9 @@ class ImageDecodeStage:
                     "plumbing deterministically"
                 ) from e
             self.decode = self._pillow_decode
+        elif callable(decoder):
+            # plug-in point: any bytes -> np.ndarray(feat_dim,) callable
+            self.decode = decoder
         else:
             raise NotImplementedError(
                 f"decoder {decoder!r}: real image codecs are not available in "
@@ -141,7 +144,10 @@ class FrameSampleStage:
         self.payload_col = payload_col
         self.num_frames = num_frames
         self.feat_dim = feat_dim
-        if decoder != "fake":
+        if callable(decoder):
+            # plug-in point: (bytes, frame_idx) -> np.ndarray(feat_dim,)
+            self._fake_frame = decoder
+        elif decoder != "fake":
             raise NotImplementedError(
                 f"decoder {decoder!r}: video codecs unavailable in this "
                 "environment; plug a callable (bytes, frame_idx) -> ndarray"
@@ -199,7 +205,10 @@ class AudioFeatureStage:
         self.payload_col = payload_col
         self.num_windows = num_windows
         self.feat_dim = feat_dim
-        if decoder != "fake":
+        if callable(decoder):
+            # plug-in point: bytes -> np.ndarray(num_windows, feat_dim)
+            self._fake_features = decoder
+        elif decoder != "fake":
             raise NotImplementedError(
                 f"decoder {decoder!r}: audio codecs unavailable in this "
                 "environment; plug a callable bytes -> (windows, feat) array"

@@ -33,6 +33,8 @@ class StorageFormat:
     write_table: Callable[..., None]
     # read(files, *, columns, filter_expr, schema) -> Dataset
     read_dataset: Callable[..., ray.data.Dataset]
+    # read one file eagerly -> pa.Table (compaction / maintenance path)
+    read_table: Callable[..., pa.Table] = None
     supports_pushdown: bool = False
 
 
@@ -85,6 +87,9 @@ register_format(
         extension="parquet",
         write_table=_parquet_write,
         read_dataset=_parquet_read,
+        read_table=lambda path, columns=None: pq.read_table(
+            path, columns=columns
+        ),
         supports_pushdown=True,
     )
 )
@@ -115,6 +120,9 @@ register_format(
         extension="arrow",
         write_table=_ipc_write,
         read_dataset=_ipc_read,
+        read_table=lambda path, columns=None: feather.read_table(
+            path, columns=columns
+        ),
     )
 )
 
@@ -148,5 +156,10 @@ register_format(
         extension="csv",
         write_table=_csv_write,
         read_dataset=_csv_read,
+        read_table=lambda path, columns=None: (
+            pacsv.read_csv(path)
+            if columns is None
+            else pacsv.read_csv(path).select(list(columns))
+        ),
     )
 )

@@ -165,3 +165,59 @@ def test_concurrent_table_ingest_no_collision(store):
     assert not errs, errs
     got = store.dataset("conc")
     assert got.count() == n_threads * 3 * per
+
+
+def test_compact_merges_small_files(store):
+    store.create_feature_set("cmp", SCHEMA)
+    for i in range(10):
+        store.ingest(
+            "cmp",
+            _batch(
+                [f"e{i}-{j}" for j in range(20)],
+                [1_700_000_000_000_000 + i] * 20,
+                [float(j) for j in range(20)],
+                list(range(20)),
+            ),
+        )
+    before = store.dataset("cmp").to_pandas().sort_values(
+        ["entity_id"]
+    ).reset_index(drop=True)
+    res = store.compact("cmp")
+    assert res["files_before"] == 10
+    assert res["files_after"] == 1
+    after = store.dataset("cmp").to_pandas().sort_values(
+        ["entity_id"]
+    ).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_compact_respects_target_bytes_and_buckets(tmp_path):
+    store = FeatherStore(
+        tmp_path / "bstore", partition_granularity="day"
+    )
+    store.create_feature_set("cmpb", SCHEMA)
+    # two days, several files each
+    day = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    for i in range(4):
+        for d in range(2):
+            store.ingest(
+                "cmpb",
+                _batch(
+                    [f"e{d}-{i}-{j}" for j in range(10)],
+                    [t0 + d * day] * 10,
+                    [1.0] * 10,
+                    [1] * 10,
+                ),
+            )
+    before = store.dataset("cmpb").count_rows() if hasattr(
+        store.dataset("cmpb"), "count_rows"
+    ) else store.dataset("cmpb").to_pandas().shape[0]
+    res = store.compact("cmpb")
+    # per-bucket merge: 8 files -> 2 (one per day directory)
+    assert res["files_before"] == 8
+    assert res["files_after"] == 2
+    after = store.dataset("cmpb").to_pandas().shape[0]
+    assert after == before == 80

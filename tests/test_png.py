@@ -118,3 +118,59 @@ def test_png_decode_through_actor_stage(ray_session):
         exp = px.reshape(4, -1).mean(axis=1)
         got = np.asarray(out["feat"].iloc[i], dtype=np.float32)
         np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_multimodal_callable_decoder_injection(ray_session):
+    """Custom decoders plug in as plain callables through the actor-pool
+    constructor args (pickled once per actor)."""
+    import numpy as np
+
+    from featherstore_ray.stages.multimodal import (
+        audio_features,
+        decode_images,
+        sample_frames,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "image": pa.array([b"aa", b"bb"], pa.binary()),
+        }
+    )
+
+    def img_dec(payload: bytes) -> np.ndarray:
+        return np.full(4, float(len(payload)), dtype=np.float32)
+
+    out = decode_images(
+        ray.data.from_arrow(t), feat_dim=4, decoder=img_dec
+    ).to_pandas()
+    assert all(np.allclose(f, 2.0) for f in out["feat"])
+
+    def frame_dec(payload: bytes, idx: int) -> np.ndarray:
+        return np.full(8, float(idx), dtype=np.float32)
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "video": pa.array([b"vv"], pa.binary()),
+        }
+    )
+    fr = sample_frames(
+        ray.data.from_arrow(t2), num_frames=3, feat_dim=8, decoder=frame_dec
+    ).to_pandas()
+    assert list(fr["frame_idx"]) == [0, 1, 2]
+    assert np.allclose(fr["frame_feat"].iloc[2], 2.0)
+
+    def audio_dec(payload: bytes) -> np.ndarray:
+        return np.ones((2, 4), dtype=np.float32)
+
+    t3 = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "audio": pa.array([b"au"], pa.binary()),
+        }
+    )
+    au = audio_features(
+        ray.data.from_arrow(t3), num_windows=2, feat_dim=4, decoder=audio_dec
+    ).to_pandas()
+    assert np.allclose(au["audio_feat"].iloc[0], 1.0)
