@@ -493,6 +493,21 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_pivot_counts(sf_dir: str):
+    """Event-type pivot per user (SUM(CASE WHEN ...) conditional
+    aggregation): the standard event-log -> per-entity feature-vector
+    reshape, with the grouped_aggregate partial pre-agg underneath."""
+    from featherstore_ray.stages.aggregate import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        agg="count",
+    )
+
+
 def q_repetition_ratio(sf_dir: str):
     """Gopher-style word-repetition quality signal (1 - distinct/total
     words) per document — vectorized explode + lexsort, no shuffle."""
@@ -1011,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "pivot_counts": q_pivot_counts,
         "repetition_ratio": q_repetition_ratio,
         "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
@@ -1404,6 +1420,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS event_type_click,
+                   count(*) FILTER (event_type = 'error')    AS event_type_error,
+                   count(*) FILTER (event_type = 'purchase') AS event_type_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS event_type_signup,
+                   count(*) FILTER (event_type = 'view')     AS event_type_view
+            FROM events GROUP BY user_id
         """,
         "repetition_ratio": """
             SELECT doc_id,

@@ -106,3 +106,81 @@ def grouped_aggregate(
         return merge_frame(df.drop(columns=[BUCKET_COL]))
 
     return bucketed_map_groups(ds, merge, num_buckets=num_buckets, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    pivot_col: str,
+    *,
+    values: Sequence | None = None,
+    value_col: str | None = None,
+    agg: str = "count",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+    final: str = "shuffle",
+) -> ray.data.Dataset:
+    """Pivot ``pivot_col``'s (small, known or sampled) value set into wide
+    per-group columns — SQL conditional aggregation
+    (``SUM(CASE WHEN p = v THEN ...)``), the standard way to turn an event
+    log into per-entity feature vectors.
+
+    ``values`` lists the pivot categories (a column per value, named
+    ``{pivot_col}_{v}``); when omitted they are discovered from one cheap
+    distinct pass (fine for bounded-cardinality pivots — an unbounded
+    pivot column is a modeling error). ``agg``: "count" (rows where
+    p = v) or "sum"/"mean" of ``value_col``. Scale shape = one synthetic
+    conditional column per value + the grouped_aggregate partial
+    pre-aggregation (the exchange moves one partial row per group/batch).
+    """
+    import pyarrow as pa
+
+    if values is None:
+        from featherstore_ray.stages.misc import distinct
+
+        vals_ds = distinct(ds, [pivot_col], num_buckets=min(num_buckets, 16))
+        values = sorted(
+            vals_ds.to_pandas()[pivot_col].dropna().tolist()
+        )
+    values = list(values)
+    if agg != "count" and value_col is None:
+        raise ValueError(f"agg={agg!r} needs value_col")
+
+    def widen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for v in values:
+            m = pc.equal(t[pivot_col], v)
+            if agg == "count":
+                col = pc.cast(pc.fill_null(m, False), pa.int64())
+            else:
+                col = pc.if_else(
+                    pc.fill_null(m, False),
+                    pc.cast(t[value_col], pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                )
+            t = t.append_column(_pivot_name(pivot_col, v), col)
+        return t
+
+    wide = ds.map_batches(
+        widen, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aggs = {
+        _pivot_name(pivot_col, v): (
+            _pivot_name(pivot_col, v),
+            "sum" if agg == "count" else agg,
+        )
+        for v in values
+    }
+    return grouped_aggregate(
+        wide,
+        [group_col],
+        aggs,
+        round_digits=round_digits,
+        num_buckets=num_buckets,
+        final=final,
+    )
+
+
+def _pivot_name(pivot_col: str, v) -> str:
+    return f"{pivot_col}_{v}"

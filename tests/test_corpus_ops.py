@@ -242,3 +242,50 @@ def test_top_n_per_group_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         o[sorted(o.columns)], x[sorted(x.columns)], check_dtype=False
     )
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    from featherstore_ray.stages.aggregate import pivot_counts
+
+    events = "/root/testdata/sf0.01/events.parquet"
+    out = pivot_counts(
+        ray.data.read_parquet(events, columns=["user_id", "event_type"]),
+        "user_id", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS event_type_click,
+               count(*) FILTER (event_type = 'error')    AS event_type_error,
+               count(*) FILTER (event_type = 'purchase') AS event_type_purchase,
+               count(*) FILTER (event_type = 'signup')   AS event_type_signup,
+               count(*) FILTER (event_type = 'view')     AS event_type_view
+        FROM read_parquet('{events}') GROUP BY user_id
+        """
+    ).df()
+    o = out.sort_values("user_id").reset_index(drop=True)
+    x = exp.sort_values("user_id").reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(
+        o[sorted(o.columns)], x[sorted(x.columns)], check_dtype=False
+    )
+
+
+def test_pivot_counts_discovers_values(ray_session):
+    from featherstore_ray.stages.aggregate import pivot_counts
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "p": pa.array(["a", "b", "a", "a", None]),
+        }
+    )
+    out = pivot_counts(
+        ray.data.from_arrow(t), "g", "p", num_buckets=4
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert sorted(c for c in out.columns if c != "g") == ["p_a", "p_b"]
+    assert list(out["p_a"]) == [1, 2]
+    assert list(out["p_b"]) == [1, 0]
