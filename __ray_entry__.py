@@ -493,6 +493,79 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_explode(sf_dir: str):
+    """Unnest a list column with ordinality (embedding -> one row per
+    element) — pure streaming map, zero-copy flatten + one take."""
+    from featherstore_ray.stages.misc import explode
+
+    return explode(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        "embedding",
+        keep_cols=["vec_id"],
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti-join: orders whose customer is NOT in the BUILDING
+    segment (WHERE key NOT IN ...)."""
+    from featherstore_ray.stages.filters import anti_join_filter
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING")
+    )["c_custkey"]
+    return anti_join_filter(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        "o_custkey",
+        keys,
+    )
+
+
+def q_intersect_keys(sf_dir: str):
+    """SQL INTERSECT over distributed key sets: users who both clicked
+    AND purchased. Per-batch distinct partials + one tagged exchange."""
+    from featherstore_ray.stages.misc import intersect_keys
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def only(v):
+        return lambda t: t.filter(pc.equal(t["event_type"], v)).select(
+            ["user_id"]
+        )
+
+    left = events.map_batches(only("click"), batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    right = events.map_batches(only("purchase"), batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    return intersect_keys(left, right, ["user_id"], num_buckets=16)
+
+
+def q_except_keys(sf_dir: str):
+    """SQL EXCEPT: clicking users minus the even-id population (the
+    synthetic corpus is dense — every user does everything — so the right
+    side is an id-parity cut to keep the result non-degenerate at every
+    scale factor)."""
+    from featherstore_ray.stages.misc import except_keys
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    left = events.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    right = events.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["user_id"], 1), 0)
+        ).select(["user_id"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return except_keys(left, right, ["user_id"], num_buckets=16)
+
+
 def q_pivot_counts(sf_dir: str):
     """Event-type pivot per user (SUM(CASE WHEN ...) conditional
     aggregation): the standard event-log -> per-entity feature-vector
@@ -1026,6 +1099,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "explode": q_explode,
+        "anti_join": q_anti_join,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
         "pivot_counts": q_pivot_counts,
         "repetition_ratio": q_repetition_ratio,
         "top_n_per_group": q_top_n_per_group,
@@ -1420,6 +1497,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
+        """,
+        "explode": """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS embedding_item
+            FROM embeddings
+        """,
+        "anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
+        "intersect_keys": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except_keys": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0
         """,
         "pivot_counts": """
             SELECT user_id,

@@ -179,3 +179,28 @@ def bloom_semi_join(
     return facts.map_batches(
         _filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def anti_join_filter(
+    ds: ray.data.Dataset,
+    key: str,
+    values,
+) -> ray.data.Dataset:
+    """Keep rows whose ``key`` is NOT in ``values`` (broadcast anti-join —
+    SQL ``WHERE key NOT IN (...)``; null keys are kept, matching NOT IN
+    over a null-free value list). The complement of ``semi_join_filter``;
+    same broadcast contract (driver-side small key set — for key sets too
+    big to broadcast raw, build a bloom of the FACT side instead or use a
+    partitioned join)."""
+    value_set = (
+        values if isinstance(values, (pa.Array, pa.ChunkedArray))
+        else pa.array(sorted(set(values)))
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[key], value_set=value_set)
+        return batch.filter(pc.invert(pc.fill_null(m, False)))
+
+    return ds.map_batches(
+        _filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

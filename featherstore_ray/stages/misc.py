@@ -252,3 +252,130 @@ def weighted_sample(
         return df.drop(columns=[rank_col])
 
     return out.map_batches(drop, batch_size=None, batch_format="pandas")
+
+
+def explode(
+    ds: ray.data.Dataset,
+    list_col: str,
+    *,
+    keep_cols: Sequence[str] = (),
+    out_col: str | None = None,
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Unnest a list column into one row per element, with the element's
+    0-based position — SQL ``unnest(... WITH ORDINALITY)``. Pure streaming
+    map, fully Arrow-native: the flattened values are zero-copy and the
+    parent rows replicate via one ``take`` on repeated indices.
+
+    Output: ``keep_cols`` + ``pos_col:int64`` + ``out_col`` (defaults to
+    ``{list_col}_item``). Rows with null/empty lists produce no output
+    (SQL unnest semantics).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_col = out_col or f"{list_col}_item"
+    keep_cols = list(keep_cols)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        lists = t[list_col]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        counts = offsets[1:] - offsets[:-1]
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], counts
+        )
+        cols = {c: t[c].take(pa.array(parent)) for c in keep_cols}
+        cols[pos_col] = pa.array(pos)
+        cols[out_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(
+        _explode, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _keyed_set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: Sequence[str],
+    op: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    cols = list(cols)
+    side = "_fsr_side"
+
+    def tag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            # per-batch distinct partial: the exchange moves unique keys
+            # per (side, batch), never input rows
+            agg = t.select(cols).group_by(cols).aggregate([])
+            return agg.append_column(
+                side, pa.array(np.full(agg.num_rows, v, dtype=np.int8))
+            )
+
+        return f
+
+    tagged = left.map_batches(
+        tag(0), batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            tag(1), batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    bucketed = add_bucket_column(tagged, cols[0], num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, sort=True)[side].agg(["min", "max"])
+        if op == "intersect":
+            keep = (g["min"] == 0) & (g["max"] == 1)
+        else:  # except: present on the left only
+            keep = g["max"] == 0
+        return g.loc[keep].reset_index()[cols]
+
+    out = bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+    # an all-empty result would otherwise lose its schema entirely (the
+    # exchange drops empty blocks); seed with a typed empty block
+    import pyarrow as pa
+
+    key_schema = pa.schema(
+        [pa.schema(left.schema().base_schema).field(c) for c in cols]
+    )
+    return ray.data.from_arrow(key_schema.empty_table()).union(out)
+
+
+def intersect_keys(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: Sequence[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` over the key columns: distinct combinations
+    present on BOTH sides. Per-batch distinct partials + ONE bucket
+    shuffle carrying a one-byte side tag."""
+    return _keyed_set_op(left, right, cols, "intersect", num_buckets)
+
+
+def except_keys(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: Sequence[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT``: distinct key combinations on the left absent from
+    the right. Same exchange shape as ``intersect_keys``."""
+    return _keyed_set_op(left, right, cols, "except", num_buckets)
