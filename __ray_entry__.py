@@ -493,6 +493,28 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_streaming_tumbling(sf_dir: str):
+    """Streaming tumbling windows with watermark semantics, replayed
+    distributed: one entity exchange, each bucket feeds its rows in
+    event-time order through the stateful window machine (micro-batches +
+    flush, exactly-once emission). In-order replay equals the batch
+    tumbling aggregate — the oracle; the watermark/lateness machinery is
+    pytest-gated (tests/test_streaming.py)."""
+    from datetime import timedelta as _td
+
+    from featherstore_ray.stages.streaming import streaming_tumbling
+
+    return streaming_tumbling(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        width=_td(days=1),
+        micro_batch_rows=512,
+        num_buckets=16,
+    )
+
+
 def q_explode(sf_dir: str):
     """Unnest a list column with ordinality (embedding -> one row per
     element) — pure streaming map, zero-copy flatten + one take."""
@@ -1099,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "streaming_tumbling": q_streaming_tumbling,
         "explode": q_explode,
         "anti_join": q_anti_join,
         "intersect_keys": q_intersect_keys,
@@ -1497,6 +1520,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events CROSS JOIN generate_series(0, 1) AS g(j)
             GROUP BY 1, 2
+        """,
+        "streaming_tumbling": """
+            SELECT user_id,
+                   CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400)
+                        AS TIMESTAMP) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "explode": """
             SELECT vec_id,

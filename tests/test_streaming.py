@@ -1,0 +1,90 @@
+"""Streaming tumbling windows: watermark emission, lateness, parity."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from featherstore_ray.stages.streaming import (
+    TumblingWindowState,
+    streaming_tumbling,
+)
+from featherstore_ray.stages.window import tumbling_aggregate
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _mk(ts_s, vals, ent=1):
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(ts_s), ent, dtype=np.int64),
+            "ts": pd.to_datetime(np.asarray(ts_s), unit="s"),
+            "value": np.asarray(vals, dtype=np.float64),
+        }
+    )
+
+
+def _state(**kw):
+    return TumblingWindowState(
+        entity_col="user_id", ts_col="ts", value_col="value",
+        width=timedelta(seconds=100), **kw,
+    )
+
+
+def test_watermark_closes_windows_exactly_once():
+    st = _state()
+    # window 0 = [0, 100); window 1 = [100, 200)
+    out0 = st.process(_mk([10, 20], [1.0, 2.0]))
+    assert len(out0) == 0  # watermark 20 < 100: nothing closes
+    out1 = st.process(_mk([105], [5.0]))
+    # watermark 105 >= 100: window 0 closes with its complete sum
+    assert len(out1) == 1
+    assert out1["n_events"].iloc[0] == 2 and out1["sum_value"].iloc[0] == 3.0
+    out2 = st.flush()
+    assert len(out2) == 1  # window 1, exactly once, never re-emitted
+    assert out2["sum_value"].iloc[0] == 5.0
+    assert st.emitted == 2 and st.dropped_late == 0
+
+
+def test_allowed_lateness_merges_then_drops():
+    st = _state(allowed_lateness=timedelta(seconds=50))
+    st.process(_mk([10], [1.0]))
+    # ts 120: watermark = 120-50 = 70 < 100 -> window 0 still open
+    assert len(st.process(_mk([120], [4.0]))) == 0
+    # a late row for window 0 within lateness MERGES
+    assert len(st.process(_mk([90], [2.0]))) == 0
+    # ts 160: watermark 110 -> window 0 closes with the merged late row
+    closed = st.process(_mk([160], [8.0]))
+    assert len(closed) == 1
+    assert closed["n_events"].iloc[0] == 2
+    assert closed["sum_value"].iloc[0] == 3.0
+    # beyond-lateness row for the CLOSED window 0 is dropped and counted
+    assert len(st.process(_mk([30], [9.0]))) == 0
+    assert st.dropped_late == 1
+    rest = st.flush()
+    assert rest["sum_value"].sum() == 12.0  # 4 + 8 in window 1
+
+
+def test_streaming_tumbling_matches_batch(ray_session):
+    cols = ["user_id", "ts", "value"]
+    kw = dict(
+        entity_col="user_id", ts_col="ts", value_col="value",
+        width=timedelta(days=1), num_buckets=8,
+    )
+    batch = tumbling_aggregate(
+        ray.data.read_parquet(EVENTS, columns=cols), **kw
+    ).to_pandas()
+    stream = streaming_tumbling(
+        ray.data.read_parquet(EVENTS, columns=cols),
+        micro_batch_rows=64, **kw
+    ).to_pandas()
+    key = ["user_id", "window_start"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = stream.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) and len(b) > 0
+    pd.testing.assert_frame_equal(
+        b[sorted(b.columns)], s[sorted(s.columns)], check_dtype=False
+    )
