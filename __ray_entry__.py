@@ -493,6 +493,22 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical-doc selection: near-dup groups (MinHash-LSH) reduced to
+    one highest-quality survivor each (max word count, ties to smallest
+    id); ungrouped docs pass through. Deterministic but built on the
+    probabilistic candidate set, so rows-only; the one-survivor-per-group
+    and argmax-quality invariants are pytest-gated
+    (tests/test_text_dedup.py)."""
+    from featherstore_ray.stages.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        threshold=0.6,
+    ).select_columns(["doc_id", "n_tok_ws"])
+
+
 def q_streaming_tumbling(sf_dir: str):
     """Streaming tumbling windows with watermark semantics, replayed
     distributed: one entity exchange, each bucket feeds its rows in
@@ -1121,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
+        "dedup_keep_best": q_dedup_keep_best,
         "streaming_tumbling": q_streaming_tumbling,
         "explode": q_explode,
         "anti_join": q_anti_join,
@@ -1630,7 +1647,7 @@ def oracle_sql() -> dict[str, str]:
                    text IS NOT NULL AS decode_ok
             FROM documents
         """,
-        # lang_id, fingerprint, simhash, minhash_dedup, ann_lsh,
+        # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately
         # omitted: hash/heuristic, probabilistic-subset or sketch ops with
         # no exact ANSI-SQL equivalent → rows-only determinism check (their

@@ -475,3 +475,72 @@ def ngram_jaccard(
         u = len(sa | sb)
         out[i] = len(sa & sb) / u if u else 0.0
     return out
+
+
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    quality_col: str | None = None,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Canonical-document selection — the standard corpus-dedup END step:
+    group near-duplicates (MinHash-LSH, ``minhash_lsh_dedup``), then keep
+    exactly ONE document per group: the highest-quality one (max
+    ``quality_col``; word count by default), ties to the smallest id.
+    Documents in no dup group pass through untouched.
+
+    Shape: the (id, dup_group) map is SMALL by construction (only docs in
+    a near-dup component), broadcast once; the corpus streams through a
+    membership/winner filter — no second shuffle of the corpus. Winner
+    selection runs on the (group, id, quality) triples, never full rows.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    groups = minhash_lsh_dedup(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, threshold=threshold, num_buckets=num_buckets,
+    )
+    if quality_col is None:
+        from featherstore_ray.stages.text import token_count
+
+        quality_col = "n_tok_ws"
+        scored = token_count(ds, text_col, quality_col)
+    else:
+        scored = ds
+    if len(groups) == 0:
+        return scored
+
+    # quality of the grouped docs only (small, driver-side)
+    gid_set = pa.array(sorted(groups[id_col].tolist()))
+
+    def member_quality(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t[id_col], value_set=gid_set))
+        return sub.select([id_col, quality_col])
+
+    q = scored.map_batches(
+        member_quality, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    merged = groups.merge(q, on=id_col, how="left")
+    merged = merged.sort_values(
+        [quality_col, id_col], ascending=[False, True], kind="stable"
+    )
+    winners = merged.groupby("dup_group", sort=False).head(1)[id_col]
+    losers = set(merged[id_col]) - set(winners)
+    losers_ref = ray.put(pa.array(sorted(losers)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ls = ray.get(losers_ref)
+        m = pc.is_in(t[id_col], value_set=ls)
+        return t.filter(pc.invert(pc.fill_null(m, False)))
+
+    return scored.map_batches(
+        keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

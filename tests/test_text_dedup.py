@@ -159,3 +159,31 @@ def test_simhash_hamming(docs):
     a, b = np.uint64(two["simhash"][0]), np.uint64(two["simhash"][1])
     ham = bin(int(a) ^ int(b)).count("1")
     assert ham < 24  # similar docs → close hashes
+
+
+def test_dedup_keep_best_keeps_highest_quality(ray_session):
+    from featherstore_ray.stages.dedup import dedup_keep_best, minhash_lsh_dedup
+
+    import pyarrow.parquet as pq
+
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    ds = lambda: ray.data.read_parquet(docs, columns=["doc_id", "text"])
+    groups = minhash_lsh_dedup(ds(), id_col="doc_id", threshold=0.6)
+    out = dedup_keep_best(
+        ds(), id_col="doc_id", threshold=0.6
+    ).to_pandas()
+    total = pq.read_metadata(docs).num_rows
+    # exactly one survivor per dup group; everything ungrouped survives
+    n_groups = groups["dup_group"].nunique()
+    assert len(out) == total - len(groups) + n_groups
+    kept = set(out["doc_id"])
+    for g, sub in groups.groupby("dup_group"):
+        assert len(kept & set(sub["doc_id"])) == 1, g
+    # the survivor is the longest (max n_tok_ws), ties to smallest id
+    full = ray.data.read_parquet(docs, columns=["doc_id", "text"]).to_pandas()
+    full["n"] = full["text"].str.count(" ") + 1
+    qual = full.set_index("doc_id")["n"]
+    for g, sub in groups.groupby("dup_group"):
+        ids = sorted(sub["doc_id"])
+        best = max(ids, key=lambda i: (qual[i], -i))
+        assert (kept & set(ids)) == {best}, (g, best)
