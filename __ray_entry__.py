@@ -1291,8 +1291,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tumbling_daily": """
             SELECT user_id,
-                   CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400)
-                        AS TIMESTAMP) AS window_start,
+                   make_timestamp((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS window_start,
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
@@ -1540,8 +1540,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_tumbling": """
             SELECT user_id,
-                   CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400)
-                        AS TIMESTAMP) AS window_start,
+                   make_timestamp((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS window_start,
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2

@@ -165,20 +165,36 @@ def pivot_counts(
     wide = ds.map_batches(
         widen, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    aggs = {
-        _pivot_name(pivot_col, v): (
-            _pivot_name(pivot_col, v),
-            "sum" if agg == "count" else agg,
-        )
-        for v in values
-    }
-    return grouped_aggregate(
+    aggs = {}
+    for v in values:
+        col = _pivot_name(pivot_col, v)
+        aggs[col] = (col, "sum" if agg == "count" else agg)
+        if agg == "sum":
+            # matched-row count per value: SQL SUM(CASE ...) is NULL for a
+            # group with no matching rows, but pandas' skipna sum of the
+            # all-null indicator column would yield 0.0 — null it out below
+            aggs[f"__{col}_cnt"] = (col, "count")
+    out = grouped_aggregate(
         wide,
         [group_col],
         aggs,
         round_digits=round_digits,
         num_buckets=num_buckets,
         final=final,
+    )
+    if agg != "sum":
+        return out
+
+    def null_empty_sums(df):
+        for v in values:
+            col = _pivot_name(pivot_col, v)
+            cnt = f"__{col}_cnt"
+            df.loc[df[cnt] == 0, col] = float("nan")
+            df = df.drop(columns=[cnt])
+        return df
+
+    return out.map_batches(
+        null_empty_sums, batch_size=None, batch_format="pandas"
     )
 
 

@@ -216,6 +216,14 @@ class AsOfLookup:
         ts = batch[self.spine_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         idx = self.index
         ets = idx["ts"]
+        if len(ets) == 0:  # empty feature side: all misses, typed nulls
+            res = batch.copy()
+            for _raw, out_col in self.payload_map.items():
+                res[out_col] = np.full(n, np.nan)
+            res[self.out_ts] = pd.Series(
+                pd.NaT, index=res.index, dtype="datetime64[us]"
+            )
+            return res
         gpos = np.full(n, -1, dtype=np.int64)  # global match position
         order = np.argsort(ent, kind="stable")
         sorted_ent = ent[order]

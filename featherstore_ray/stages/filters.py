@@ -97,6 +97,18 @@ def history(
     return out
 
 
+def _bloom_positions(h, i: int, num_bits: int):
+    """Bit position of derived hash ``i`` for pre-mixed key hashes ``h``
+    (golden-ratio odd-constant remix) — shared by build and probe so the
+    two sides can never drift."""
+    import numpy as np
+
+    return (
+        h * np.uint64(2 * i + 1)
+        + np.uint64(0x9E3779B97F4A7C15 * (i + 1) % (1 << 64))
+    ) % np.uint64(num_bits)
+
+
 def build_bloom(
     keys, *, num_bits: int = 1 << 20, num_hashes: int = 4
 ) -> dict:
@@ -112,8 +124,7 @@ def build_bloom(
         keys, (pa.Array, pa.ChunkedArray)) else keys)
     bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
     for i in range(num_hashes):
-        # independent-ish derived hashes: golden-ratio odd-constant remix
-        hi = (h * np.uint64(2 * i + 1) + np.uint64(0x9E3779B97F4A7C15 * (i + 1) % (1 << 64))) % np.uint64(num_bits)
+        hi = _bloom_positions(h, i, num_bits)
         np.bitwise_or.at(bits, (hi // 8).astype(np.int64),
                          (1 << (hi % 8)).astype(np.uint8))
     return {"bits": bits, "num_bits": num_bits, "num_hashes": num_hashes}
@@ -163,9 +174,7 @@ def bloom_semi_join(
         h = stable_hash(batch[key_col])
         keep = np.ones(len(h), dtype=bool)
         for i in range(k):
-            hi = (h * np.uint64(2 * i + 1) + np.uint64(
-                0x9E3779B97F4A7C15 * (i + 1) % (1 << 64)
-            )) % np.uint64(m)
+            hi = _bloom_positions(h, i, m)
             keep &= (
                 bits[(hi // 8).astype(np.int64)]
                 & (1 << (hi % 8)).astype(np.uint8)
@@ -187,11 +196,12 @@ def anti_join_filter(
     values,
 ) -> ray.data.Dataset:
     """Keep rows whose ``key`` is NOT in ``values`` (broadcast anti-join —
-    SQL ``WHERE key NOT IN (...)``; null keys are kept, matching NOT IN
-    over a null-free value list). The complement of ``semi_join_filter``;
-    same broadcast contract (driver-side small key set — for key sets too
-    big to broadcast raw, build a bloom of the FACT side instead or use a
-    partitioned join)."""
+    SQL ``WHERE key NOT IN (...)``). Matching SQL's three-valued logic,
+    NULL keys are DROPPED: ``NULL NOT IN (non-empty list)`` evaluates to
+    NULL, which a WHERE clause filters out. The complement of
+    ``semi_join_filter``; same broadcast contract (driver-side small key
+    set — for key sets too big to broadcast raw, build a bloom of the
+    FACT side instead or use a partitioned join)."""
     value_set = (
         values if isinstance(values, (pa.Array, pa.ChunkedArray))
         else pa.array(sorted(set(values)))
@@ -199,7 +209,10 @@ def anti_join_filter(
 
     def _filter(batch: pa.Table) -> pa.Table:
         m = pc.is_in(batch[key], value_set=value_set)
-        return batch.filter(pc.invert(pc.fill_null(m, False)))
+        keep = pc.and_(
+            pc.invert(pc.fill_null(m, False)), pc.is_valid(batch[key])
+        )
+        return batch.filter(keep)
 
     return ds.map_batches(
         _filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True

@@ -336,7 +336,11 @@ def _keyed_set_op(
     bucketed = add_bucket_column(tagged, cols[0], num_buckets)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(cols, sort=True)[side].agg(["min", "max"])
+        # dropna=False: SQL INTERSECT/EXCEPT treat NULL keys as equal
+        # values — a null combination present on both sides intersects
+        g = df.groupby(cols, sort=True, dropna=False)[side].agg(
+            ["min", "max"]
+        )
         if op == "intersect":
             keep = (g["min"] == 0) & (g["max"] == 1)
         else:  # except: present on the left only

@@ -119,8 +119,12 @@ class TumblingWindowState:
         watermark = self.max_ts - self.late_us
         closable_end = watermark // self.w_us  # windows with end <= watermark
         keys = sorted(k for k in self.open if k[1] < closable_end)
-        self.closed_below = max(
-            self.closed_below or 0, int(closable_end)
+        # no clamp to 0: pre-epoch timestamps give NEGATIVE window ids and
+        # must not be marked closed by the first watermark
+        self.closed_below = (
+            int(closable_end)
+            if self.closed_below is None
+            else max(self.closed_below, int(closable_end))
         )
         return self._emit(keys)
 

@@ -250,3 +250,39 @@ def test_asof_forward_matches_oracle(ray_session, sides):
     # forward anti-leakage: matched ts is never BEFORE the query ts
     q = m["query_ts"].to_numpy("datetime64[us]")
     assert (got_ts[both] >= q[both]).all()
+
+
+def test_asof_broadcast_empty_feature_side(ray_session):
+    # an empty feature table must yield all-miss rows with typed nulls,
+    # not crash the lookup kernel
+    spine = pa.table(
+        {
+            "entity": pa.array([1, 2], pa.int64()),
+            "query_ts": pa.array(
+                [1_700_000_000_000_000, 1_700_000_001_000_000],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    feat = pa.table(
+        {
+            "entity": pa.array([], pa.int64()),
+            "event_ts": pa.array([], pa.timestamp("us")),
+            "fid": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    out = asof_join_broadcast(
+        ray.data.from_arrow(spine),
+        feat,
+        entity_col="entity",
+        spine_ts="query_ts",
+        feature_ts="event_ts",
+        feature_cols=["event_ts", "value"],
+        tiebreak="fid",
+        concurrency=1,
+        batch_size=256,
+    ).to_pandas()
+    assert len(out) == 2
+    assert out["value_asof"].isna().all()
+    assert out["event_ts_asof"].isna().all()

@@ -332,3 +332,43 @@ def test_explode_with_position(ray_session):
     assert list(out["rid"]) == [10, 10, 10, 12]
     assert list(out["pos"]) == [0, 1, 2, 0]
     assert list(out["xs_item"]) == [1, 2, 3, 7]
+
+
+def test_pivot_sum_empty_group_is_null(ray_session):
+    # SQL SUM(CASE WHEN p=v THEN x END) is NULL for a group with no
+    # matching rows (and for all-null matched values) — not 0.0
+    from featherstore_ray.stages.aggregate import pivot_counts
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, 3], pa.int64()),
+            "p": pa.array(["a", "b", "a", "a"]),
+            "x": pa.array([1.5, 2.0, 4.0, None], pa.float64()),
+        }
+    )
+    out = pivot_counts(
+        ray.data.from_arrow(t), "g", "p",
+        values=["a", "b"], value_col="x", agg="sum", num_buckets=4,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert sorted(out.columns) == ["g", "p_a", "p_b"]
+    assert out["p_a"].iloc[0] == 1.5 and out["p_b"].iloc[0] == 2.0
+    assert out["p_a"].iloc[1] == 4.0
+    assert pd.isna(out["p_b"].iloc[1])  # group 2 has no p='b' rows
+    assert pd.isna(out["p_a"].iloc[2])  # group 3 matched only a NULL x
+
+
+def test_keyed_set_ops_null_keys(ray_session):
+    # SQL INTERSECT/EXCEPT treat NULL keys as equal values
+    from featherstore_ray.stages.misc import except_keys, intersect_keys
+
+    l = pa.table({"k": pa.array([1, None, 2], pa.int64())})
+    r = pa.table({"k": pa.array([None, 2, 4], pa.int64())})
+    inter = intersect_keys(
+        ray.data.from_arrow(l), ray.data.from_arrow(r), ["k"], num_buckets=4
+    ).to_pandas()
+    assert len(inter) == 2  # {NULL, 2}
+    assert inter["k"].isna().sum() == 1 and set(inter["k"].dropna()) == {2}
+    exc = except_keys(
+        ray.data.from_arrow(l), ray.data.from_arrow(r), ["k"], num_buckets=4
+    ).to_pandas()
+    assert list(exc["k"].dropna()) == [1] and exc["k"].isna().sum() == 0

@@ -91,3 +91,42 @@ def test_semi_join_filter(events):
     assert set(out["entity_id"]) <= {3, 4}
     ent = events["entity_id"].to_numpy()
     assert len(out) == ((ent == 3) | (ent == 4)).sum()
+
+
+def test_anti_join_filter_null_keys_dropped(ray_session):
+    # SQL: NULL NOT IN (non-empty list) is NULL -> WHERE drops the row
+    from featherstore_ray.stages.filters import anti_join_filter
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None, 3, None], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    out = anti_join_filter(
+        ray.data.from_arrow(t), "k", [2, 9]
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT * FROM t WHERE k NOT IN (2, 9) ORDER BY v"
+    ).df()
+    got = out.sort_values("v").reset_index(drop=True)
+    assert list(got["v"]) == list(exp["v"]) == [10, 40]
+
+
+def test_bloom_build_probe_share_positions():
+    # build and probe must derive identical bit positions for the same key
+    import numpy as np
+
+    from featherstore_ray.partition import stable_hash
+    from featherstore_ray.stages.filters import _bloom_positions, build_bloom
+
+    keys = pa.array([7, 42, 99], pa.int64())
+    bl = build_bloom(keys, num_bits=1 << 12, num_hashes=3)
+    h = stable_hash(keys)
+    for i in range(3):
+        hi = _bloom_positions(h, i, bl["num_bits"])
+        assert (
+            (bl["bits"][(hi // 8).astype(np.int64)]
+             & (1 << (hi % 8)).astype(np.uint8)) != 0
+        ).all()

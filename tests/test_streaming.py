@@ -88,3 +88,17 @@ def test_streaming_tumbling_matches_batch(ray_session):
     pd.testing.assert_frame_equal(
         b[sorted(b.columns)], s[sorted(s.columns)], check_dtype=False
     )
+
+
+def test_pre_epoch_windows_not_swallowed():
+    # negative timestamps give NEGATIVE window ids; the first watermark
+    # must not mark them closed (closed_below starts None, not 0)
+    st = _state()
+    out0 = st.process(_mk([-150, -120], [1.0, 2.0]))
+    assert len(out0) == 0
+    out1 = st.process(_mk([50], [4.0]))  # watermark 50 closes window -2
+    assert len(out1) == 1
+    assert out1["n_events"].iloc[0] == 2 and out1["sum_value"].iloc[0] == 3.0
+    rest = st.flush()
+    assert st.emitted == 2 and st.dropped_late == 0
+    assert rest["sum_value"].iloc[0] == 4.0
