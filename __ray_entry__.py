@@ -659,6 +659,27 @@ def q_vocab_count(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-10 corpus tokens via the Misra-Gries sketch + exact recount —
+    the shuffle-FREE counterpart of vocab_count: batches collapse to
+    bounded (key, count) counters merged driver-side, then only the
+    surviving candidates are recounted exactly (broadcast is_in filter).
+    Exact whenever the k-th frequency exceeds n/(capacity+1)."""
+    import pyarrow as pa
+
+    from featherstore_ray.stages.sketch import heavy_hitters
+    from featherstore_ray.stages.text import _explode_words
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t["text"])
+        return pa.table({"token": flat})
+
+    tok_ds = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        toks, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return heavy_hitters(tok_ds, "token", k=10, capacity=4096)
+
+
 def q_normalize_text(sf_dir: str):
     """Text canonicalization (lowercase, collapse whitespace, trim) — pure
     streaming map, RE2 on both sides so the oracle is bit-identical."""
@@ -1147,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": q_repetition_ratio,
         "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
+        "heavy_hitters": q_heavy_hitters,
         "normalize_text": q_normalize_text,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1603,6 +1625,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) GROUP BY token
             ) ORDER BY n DESC, token LIMIT 100
+        """,
+        "heavy_hitters": """
+            SELECT token, n FROM (
+                SELECT token, count(*) AS n FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) GROUP BY token
+            ) ORDER BY n DESC, token LIMIT 10
         """,
         "normalize_text": r"""
             SELECT doc_id,

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -164,6 +165,116 @@ def hll_distinct(
 
     return bucketed_map_groups(
         ds2, merge, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+
+def _mg_truncate(df: pd.DataFrame, key_col: str, capacity: int) -> pd.DataFrame:
+    """Misra-Gries summary truncation: keep the top ``capacity`` counters
+    after subtracting the (capacity+1)-th largest count (Agarwal et al.,
+    "Mergeable Summaries", PODS'12 merge rule). Every surviving counter
+    under-counts its key by at most n/(capacity+1) of the mass it has
+    seen; any key with true frequency above that bound survives."""
+    if len(df) <= capacity:
+        return df
+    df = df.sort_values(
+        ["n", key_col], ascending=[False, True], kind="stable"
+    )
+    thr = int(df["n"].iloc[capacity])
+    out = df.head(capacity).copy()
+    out["n"] = out["n"] - thr
+    return out[out["n"] > 0]
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    k: int = 10,
+    capacity: int = 4096,
+    recount: bool = True,
+) -> pd.DataFrame:
+    """Top-``k`` most frequent ``key_col`` values via a Misra-Gries sketch
+    with an exact recount of the surviving candidates.
+
+    The shuffle-free counterpart of ``stages/text.vocab_count`` (which is
+    exact but pays one (token, partial_count) exchange): here each batch
+    collapses to <= ``capacity`` (key, count) counters — fixed memory no
+    matter how large the vocabulary — and the driver merges them by
+    summing and re-truncating (associative MG merge), so NOTHING shuffles.
+    A second pass recounts only the <= ``capacity`` candidate keys exactly
+    (broadcast ``is_in`` filter + per-batch counts summed driver-side).
+
+    Guarantee: the result EXACTLY matches SQL ``GROUP BY key ORDER BY
+    count(*) DESC, key LIMIT k`` whenever the true k-th frequency exceeds
+    n/(capacity+1) (every such key survives the sketch; the recount then
+    restores exact counts and deterministic tie order). Below that
+    threshold the candidate set may miss tail keys — size ``capacity``
+    for the expected head mass, not the vocabulary.
+
+    Two passes over ``ds`` (the sketch pass and the recount) re-execute
+    its lineage; pass a cheap-to-recompute dataset or pre-materialize.
+    Returns a small driver-side DataFrame (key_col, n:int64).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return pa.table(
+                {key_col: t[key_col].slice(0, 0),
+                 "n": pa.array([], pa.int64())}
+            )
+        vc = arr.value_counts()
+        df = pd.DataFrame(
+            {key_col: vc.field("values").to_pandas(),
+             "n": vc.field("counts").to_numpy()}
+        )
+        return pa.Table.from_pandas(
+            _mg_truncate(df, key_col, capacity), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    sel = ds.select_columns([key_col])
+    merged = (
+        sel.map_batches(
+            partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .groupby(key_col, as_index=False)["n"].sum()
+    )
+    merged = _mg_truncate(merged, key_col, capacity)
+    if not recount:
+        return (
+            merged.sort_values(["n", key_col], ascending=[False, True],
+                               kind="stable")
+            .head(k).reset_index(drop=True)
+        )
+
+    cand = pa.Array.from_pandas(merged[key_col])
+
+    def recount_partial(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(t[key_col], value_set=cand), False)
+        return partial(t.filter(m))
+
+    exact = (
+        sel.map_batches(
+            recount_partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .groupby(key_col, as_index=False)["n"].sum()
+    )
+    return (
+        exact.sort_values(["n", key_col], ascending=[False, True],
+                          kind="stable")
+        .head(k).reset_index(drop=True)
+        .astype({"n": np.int64})
     )
 
 

@@ -168,3 +168,48 @@ def test_quantile_sketch_hot_group_exactish_tails(ray_session):
         exact = np.quantile(v, q)
         got = out[f"v_p{int(q * 100)}" if q >= 0.01 else "v_p0"].iloc[0]
         assert abs(got - exact) < 0.05, (q, got, exact)
+
+
+def test_heavy_hitters_zipf_exact_topk(ray_session):
+    # distinct keys >> capacity: the MG truncation path actually runs, and
+    # the recount still restores the EXACT SQL top-k (Zipf head clears the
+    # n/(capacity+1) survival bound)
+    import duckdb
+
+    from featherstore_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.3, size=200_000).astype(np.int64)
+    assert len(np.unique(keys)) > 4 * 256  # truncation is exercised
+    t = pa.table({"k": pa.array(keys)})
+    got = heavy_hitters(
+        ray.data.from_arrow(t).repartition(8), "k", k=10, capacity=256
+    )
+    exp = duckdb.connect().execute(
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "ORDER BY n DESC, k LIMIT 10"
+    ).df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_heavy_hitters_nulls_and_no_recount_bound(ray_session):
+    from featherstore_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"s": pa.array(["a", "b", "a", None, "c", "a", "b", None])})
+    got = heavy_hitters(ray.data.from_arrow(t), "s", k=2, capacity=16)
+    assert got.to_dict("records") == [
+        {"s": "a", "n": 3}, {"s": "b", "n": 2}
+    ]
+    # recount=False returns LOWER BOUNDS (MG counters under-count)
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.5, size=50_000).astype(np.int64)
+    t2 = pa.table({"k": pa.array(keys)})
+    lb = heavy_hitters(
+        ray.data.from_arrow(t2).repartition(4), "k",
+        k=3, capacity=64, recount=False,
+    )
+    true = pd.Series(keys).value_counts()
+    for _, row in lb.iterrows():
+        assert row["n"] <= true[row["k"]]
+    assert lb["k"].iloc[0] == true.index[0]  # head key still ranks first
