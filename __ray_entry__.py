@@ -174,6 +174,20 @@ def q_lag_lead(sf_dir: str):
     ).select_columns(["event_id", "value_lag1", "value_lag2", "value_lead1"])
 
 
+def q_group_rank(sf_dir: str):
+    """SQL window ranks per entity: ROW_NUMBER (peer order broken by
+    event_id), RANK and DENSE_RANK with ts peers pooled — one bucket
+    shuffle on hash(user_id), vectorized run-length kernel."""
+    from featherstore_ray.stages.window import group_rank
+
+    return group_rank(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        entity_col="user_id",
+        order_cols=["ts"],
+        tiebreak="event_id",
+    ).select_columns(["event_id", "rn", "rnk", "dense_rnk"])
+
+
 def q_rolling_window(sf_dir: str):
     """A2: trailing 24h sum/mean/count per entity, RANGE semantics."""
     from featherstore_ray.stages.window import rolling_aggregate
@@ -1133,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": q_asof_join_forward,
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
+        "group_rank": q_group_rank,
         "rolling_window": q_rolling_window,
         "rolling_window_chunked": q_rolling_window_chunked,
         "window_suite_skew": q_window_suite_skew,
@@ -1302,6 +1317,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM (
               SELECT *, row_number() OVER (ORDER BY value DESC, event_id) rn
               FROM events) WHERE rn <= 20
+        """,
+        "group_rank": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                     AS dense_rnk
+            FROM events
         """,
         "cumulative": """
             SELECT event_id,

@@ -289,6 +289,64 @@ def cumulative(
     return _bucketed(ds, entity_col, num_buckets, kernel)
 
 
+def group_rank(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    order_cols: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Add SQL window-rank columns per entity: ``rn`` (ROW_NUMBER), ``rnk``
+    (RANK), ``dense_rnk`` (DENSE_RANK), all int64.
+
+    Peers (ties) are rows equal on ALL ``order_cols`` — two nulls are
+    peers, matching SQL ORDER BY. ``rn`` additionally orders peers by
+    ``tiebreak`` so it is deterministic; pass a unique tiebreak (oracle:
+    ``ROW_NUMBER() OVER (PARTITION BY e ORDER BY cols..., tb)`` next to
+    ``RANK()/DENSE_RANK() OVER (PARTITION BY e ORDER BY cols...)``).
+    One bucket shuffle on hash(entity); vectorized run-length kernel.
+    """
+    order_cols = list(order_cols)
+    asc = list(ascending) if ascending is not None else [True] * len(order_cols)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        by = [entity_col] + order_cols + ([tiebreak] if tiebreak else [])
+        df = df.sort_values(
+            by, ascending=[True] + asc + ([True] if tiebreak else []),
+            kind="stable",
+        ).reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            for c in ("rn", "rnk", "dense_rnk"):
+                df[c] = pd.Series([], dtype=np.int64)
+            return df
+
+        def _neq(col: str) -> np.ndarray:
+            s = df[col]
+            a, b = s.iloc[1:].reset_index(drop=True), s.iloc[:-1].reset_index(drop=True)
+            both_na = a.isna().to_numpy() & b.isna().to_numpy()
+            return (a != b).to_numpy() & ~both_na
+
+        new_ent = np.concatenate(([True], _neq(entity_col)))
+        chg = new_ent.copy()
+        for c in order_cols:
+            chg[1:] |= _neq(c)
+        starts = np.flatnonzero(new_ent)
+        sizes = np.diff(np.append(starts, n))
+        group_base = np.repeat(starts, sizes)
+        rn = np.arange(n, dtype=np.int64) - group_base
+        run_id = np.cumsum(chg) - 1
+        run_first = np.flatnonzero(chg)  # global pos of each run's first row
+        df["rn"] = rn + 1
+        df["rnk"] = run_first[run_id] - group_base + 1
+        df["dense_rnk"] = run_id - run_id[group_base] + 1
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
 def tumbling_aggregate(
     ds: ray.data.Dataset,
     *,

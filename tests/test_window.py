@@ -187,3 +187,89 @@ def test_session_stats(events):
     assert (m["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
     np.testing.assert_allclose(m["sum_value"], e["sum_value"], atol=1e-5)
     assert (m["start_ts"].to_numpy() == e["start_ts"].to_numpy("datetime64[us]")).all()
+
+
+def test_group_rank_vs_duckdb_with_ties(ray_session):
+    # duplicated ts values per entity: rank pools peers (rnk repeats,
+    # dense_rnk is consecutive), rn breaks them by the tiebreak
+    from featherstore_ray.stages.window import group_rank
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "entity": pa.array(rng.integers(0, 23, n), pa.int64()),
+            # coarse grid -> plenty of exact ts collisions within entity
+            "ts": pa.array(
+                rng.integers(0, 40, n) * 1_000_000, pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        group_rank(
+            ray.data.from_arrow(t),
+            entity_col="entity",
+            order_cols=["ts"],
+            tiebreak="event_id",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        """
+        SELECT event_id, entity, ts,
+               ROW_NUMBER() OVER (PARTITION BY entity
+                                  ORDER BY ts, event_id) AS rn,
+               RANK() OVER (PARTITION BY entity ORDER BY ts) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY entity ORDER BY ts)
+                 AS dense_rnk
+        FROM t ORDER BY event_id
+        """
+    ).df()
+    for c in ("rn", "rnk", "dense_rnk"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert (got["rnk"] != got["rn"]).any()  # ties actually exercised
+    assert (got["dense_rnk"] != got["rnk"]).any()
+
+
+def test_group_rank_descending_and_null_peers(ray_session):
+    from featherstore_ray.stages.window import group_rank
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "e": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([3.0, None, 3.0, None, 1.0, 2.0], pa.float64()),
+        }
+    )
+    got = (
+        group_rank(
+            ray.data.from_arrow(t),
+            entity_col="e",
+            order_cols=["v"],
+            ascending=[False],
+            tiebreak="id",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        """
+        SELECT id,
+               ROW_NUMBER() OVER (PARTITION BY e ORDER BY v DESC, id) AS rn,
+               RANK() OVER (PARTITION BY e ORDER BY v DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY e ORDER BY v DESC)
+                 AS dense_rnk
+        FROM t ORDER BY id
+        """
+    ).df()
+    for c in ("rn", "rnk", "dense_rnk"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    # the two NULLs are peers: same rnk, same dense_rnk
+    nulls = got[got["id"].isin([1, 3])]
+    assert nulls["rnk"].nunique() == 1 and nulls["dense_rnk"].nunique() == 1
