@@ -673,6 +673,14 @@ def q_vocab_count(sf_dir: str):
     )
 
 
+def q_tf_idf(sf_dir: str):
+    """Per-(doc, token) TF-IDF, shuffle-free: batch-local df partials +
+    doc-count markers merged driver-side, idf broadcast, tf row-local."""
+    from featherstore_ray.stages.text import tf_idf
+
+    return tf_idf(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_heavy_hitters(sf_dir: str):
     """Top-10 corpus tokens via the Misra-Gries sketch + exact recount —
     the shuffle-FREE counterpart of vocab_count: batches collapse to
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
         "heavy_hitters": q_heavy_hitters,
+        "tf_idf": q_tf_idf,
         "normalize_text": q_normalize_text,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1657,6 +1666,23 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) GROUP BY token
             ) ORDER BY n DESC, token LIMIT 10
+        """,
+        "tf_idf": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
         """,
         "normalize_text": r"""
             SELECT doc_id,

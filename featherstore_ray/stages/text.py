@@ -384,6 +384,96 @@ def vocab_count(
     )
 
 
+def tf_idf(
+    ds: ray.data.Dataset,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Per-(document, token) TF-IDF over whitespace tokens: ``tf`` is the
+    in-document term count, ``tfidf = round(tf * ln(N / df), 6)`` with
+    ``df`` the number of documents containing the token and ``N`` the
+    corpus document count.
+
+    Two passes, NO shuffle: pass 1 collapses each batch to its distinct
+    (token, containing-doc count) partials plus a doc-count marker row —
+    exchange volume is per-batch vocabulary, merged driver-side (for an
+    unbounded vocabulary route the merge through the vocab_count-style
+    hash(token) bucket exchange instead). The merged idf map is broadcast
+    (serialized once into the object store with the stage closure) and
+    pass 2 is row-local: per-doc token counts joined to idf in-batch.
+    Re-executes ``ds`` lineage twice, like heavy_hitters.
+
+    Output: (doc_id, token, tf:int64, tfidf:float64).
+    """
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, offsets = _explode_words(t[text_col])
+        doc_idx = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        dfr = pd.DataFrame({"_d": doc_idx, "token": flat.to_pandas()})
+        cnt = (
+            dfr.drop_duplicates()
+            .groupby("token", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        # marker row (null token) carries the batch's document count
+        cnt = pd.concat(
+            [cnt, pd.DataFrame({"token": [None], "df": [t.num_rows]})],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            cnt, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    sel = ds.select_columns([doc_id_col, text_col])
+    parts = sel.map_batches(
+        df_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    n_docs = int(parts.loc[parts["token"].isna(), "df"].sum())
+    dfs = (
+        parts[parts["token"].notna()]
+        .groupby("token")["df"].sum()
+    )
+    idf = np.log(float(n_docs) / dfs)  # pandas Series: token -> idf
+
+    def tf_map(t: pa.Table) -> pa.Table:
+        flat, offsets = _explode_words(t[text_col])
+        doc_idx = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        g = (
+            pd.DataFrame({"_d": doc_idx, "token": flat.to_pandas()})
+            .groupby(["_d", "token"], as_index=False, sort=True)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        doc_ids = t[doc_id_col].to_numpy(zero_copy_only=False)[
+            g["_d"].to_numpy()
+        ]
+        tfidf = np.round(
+            g["tf"].to_numpy(dtype=np.float64)
+            * idf.reindex(g["token"]).to_numpy(dtype=np.float64),
+            round_digits,
+        )
+        return pa.table(
+            {
+                doc_id_col: pa.array(doc_ids),
+                "token": pa.Array.from_pandas(g["token"]),
+                "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    return sel.map_batches(
+        tf_map, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def repetition_ratio(
     ds: ray.data.Dataset,
     text_col: str = "text",

@@ -187,3 +187,52 @@ def test_dedup_keep_best_keeps_highest_quality(ray_session):
         ids = sorted(sub["doc_id"])
         best = max(ids, key=lambda i: (qual[i], -i))
         assert (kept & set(ids)) == {best}, (g, best)
+
+
+def test_tf_idf_vs_duckdb(ray_session):
+    # multi-block input: df merge must be batch-boundary-invariant
+    import duckdb
+
+    from featherstore_ray.stages.text import tf_idf
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b b c",
+                    "a a d",
+                    "b c c c",
+                    "e",
+                    "a e e b",
+                ]
+            ),
+        }
+    )
+    got = (
+        tf_idf(ray.data.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM docs
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM docs)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        ORDER BY doc_id, token
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # a corpus-wide token ('a' is in 3/5 docs) scores below a rare one
+    rare = got[(got["doc_id"] == 4) & (got["token"] == "e")]["tfidf"].iloc[0]
+    common = got[(got["doc_id"] == 2) & (got["token"] == "a")]["tfidf"].iloc[0]
+    assert rare > 0 and common > 0
