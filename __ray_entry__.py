@@ -673,6 +673,34 @@ def q_vocab_count(sf_dir: str):
     )
 
 
+def q_ntile(sf_dir: str):
+    """NTILE(4) quartile assignment per entity in (value, event_id)
+    order — the group_rank kernel's tile column."""
+    from featherstore_ray.stages.window import group_rank
+
+    return group_rank(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        entity_col="user_id",
+        order_cols=["value"],
+        tiebreak="event_id",
+        ntile=4,
+    ).select_columns(["event_id", "tile"])
+
+
+def q_group_standardize(sf_dir: str):
+    """Per-entity z-score + min-max scaling of value — two shuffle-free
+    passes: batch moment partials merged driver-side, stats broadcast,
+    row-local transform."""
+    from featherstore_ray.stages.misc import group_standardize
+
+    return group_standardize(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        "user_id",
+        "value",
+        methods=("zscore", "minmax"),
+    ).select_columns(["event_id", "value_z", "value_mm"])
+
+
 def q_tf_idf(sf_dir: str):
     """Per-(doc, token) TF-IDF, shuffle-free: batch-local df partials +
     doc-count markers merged driver-side, idf broadcast, tf row-local."""
@@ -1156,6 +1184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
         "group_rank": q_group_rank,
+        "ntile": q_ntile,
+        "group_standardize": q_group_standardize,
         "rolling_window": q_rolling_window,
         "rolling_window_chunked": q_rolling_window_chunked,
         "window_suite_skew": q_window_suite_skew,
@@ -1326,6 +1356,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM (
               SELECT *, row_number() OVER (ORDER BY value DESC, event_id) rn
               FROM events) WHERE rn <= 20
+        """,
+        "ntile": """
+            SELECT event_id,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS tile
+            FROM events
+        """,
+        "group_standardize": """
+            SELECT event_id,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 6) AS value_z,
+                   round((value - min(value) OVER w)
+                         / nullif(max(value) OVER w - min(value) OVER w, 0),
+                         6) AS value_mm
+            FROM events WINDOW w AS (PARTITION BY user_id)
         """,
         "group_rank": """
             SELECT event_id,

@@ -84,6 +84,100 @@ def hash_split(
     )
 
 
+def group_standardize(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    methods: Sequence[str] = ("zscore",),
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Per-group feature scaling: ``{value}_z`` (z-score against the
+    group's mean / sample stddev) and/or ``{value}_mm`` (min-max to
+    [0, 1]), rounded to ``round_digits``.
+
+    Two passes, NO shuffle — the tf_idf/heavy_hitters shape: pass 1
+    collapses each batch to (group, count, sum, sumsq, min, max) moment
+    partials merged driver-side (moments are associative; for
+    high-cardinality groups route the merge through grouped_aggregate's
+    bucket exchange instead), the merged stats broadcast with the stage
+    closure, pass 2 is a row-local transform. SQL nulls preserved: a
+    1-row group's sample stddev is NULL (z NULL), a constant group's
+    min==max leaves mm NULL, null values stay null.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    methods = list(methods)
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].to_numpy(zero_copy_only=False),
+                "v": t[value_col].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                ),
+            }
+        )
+        agg = df.groupby("g")["v"].agg(
+            n="count", s="sum", ss=lambda x: float((x.dropna() ** 2).sum()),
+            mn="min", mx="max",
+        ).reset_index()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            moments, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    stats = parts.groupby("g").agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    )
+    n, s, ss = (stats[c].to_numpy(np.float64) for c in ("n", "s", "ss"))
+    mean = np.divide(s, n, out=np.full_like(s, np.nan), where=n > 0)
+    # sample variance from moments; clamp tiny negative cancellation
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.maximum(ss - n * mean**2, 0.0) / (n - 1)
+    std = np.sqrt(var)
+    std[n < 2] = np.nan
+    stats["mean"], stats["std"] = mean, std
+    stats["rng"] = stats["mx"] - stats["mn"]
+
+    lut = stats[["mean", "std", "mn", "rng"]]
+
+    def transform(t: pa.Table) -> pa.Table:
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows = lut.reindex(g)
+        out = t
+        if "zscore" in methods:
+            z = (v - rows["mean"].to_numpy()) / rows["std"].to_numpy()
+            out = out.append_column(
+                f"{value_col}_z", pa.array(np.round(z, round_digits))
+            )
+        if "minmax" in methods:
+            rng = rows["rng"].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mm = np.where(
+                    rng == 0, np.nan, (v - rows["mn"].to_numpy()) / rng
+                )
+            out = out.append_column(
+                f"{value_col}_mm", pa.array(np.round(mm, round_digits))
+            )
+        return out
+
+    return ds.map_batches(
+        transform, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     key_col: str,

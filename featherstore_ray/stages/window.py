@@ -296,10 +296,13 @@ def group_rank(
     order_cols: Sequence[str],
     ascending: Sequence[bool] | None = None,
     tiebreak: str | None = None,
+    ntile: int | None = None,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Add SQL window-rank columns per entity: ``rn`` (ROW_NUMBER), ``rnk``
-    (RANK), ``dense_rnk`` (DENSE_RANK), all int64.
+    (RANK), ``dense_rnk`` (DENSE_RANK), all int64 — plus ``tile`` when
+    ``ntile=k`` is given (SQL NTILE(k): the first n%k tiles get
+    ceil(n/k) rows in rn order, the rest floor(n/k)).
 
     Peers (ties) are rows equal on ALL ``order_cols`` — two nulls are
     peers, matching SQL ORDER BY. ``rn`` additionally orders peers by
@@ -319,7 +322,9 @@ def group_rank(
         ).reset_index(drop=True)
         n = len(df)
         if n == 0:
-            for c in ("rn", "rnk", "dense_rnk"):
+            for c in ("rn", "rnk", "dense_rnk") + (
+                ("tile",) if ntile else ()
+            ):
                 df[c] = pd.Series([], dtype=np.int64)
             return df
 
@@ -342,6 +347,16 @@ def group_rank(
         df["rn"] = rn + 1
         df["rnk"] = run_first[run_id] - group_base + 1
         df["dense_rnk"] = run_id - run_id[group_base] + 1
+        if ntile:
+            gn = np.repeat(sizes, sizes)  # group size per row
+            big = gn // ntile + 1  # rows in each of the first n%k tiles
+            r = gn % ntile
+            cut = r * big  # rows covered by the big tiles
+            in_big = rn < cut
+            small = np.maximum(gn // ntile, 1)  # avoid 0-div when n < k
+            df["tile"] = np.where(
+                in_big, rn // big, r + (rn - cut) // small
+            ).astype(np.int64) + 1
         return df
 
     return _bucketed(ds, entity_col, num_buckets, kernel)

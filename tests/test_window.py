@@ -273,3 +273,93 @@ def test_group_rank_descending_and_null_peers(ray_session):
     # the two NULLs are peers: same rnk, same dense_rnk
     nulls = got[got["id"].isin([1, 3])]
     assert nulls["rnk"].nunique() == 1 and nulls["dense_rnk"].nunique() == 1
+
+
+def test_ntile_vs_duckdb(ray_session):
+    from featherstore_ray.stages.window import group_rank
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "e": pa.array(rng.integers(0, 17, n), pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+    for k in (1, 3, 4, 7):
+        got = (
+            group_rank(
+                ray.data.from_arrow(t),
+                entity_col="e",
+                order_cols=["v"],
+                tiebreak="id",
+                ntile=k,
+                num_buckets=8,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        exp = duckdb.connect().execute(
+            f"""
+            SELECT id, NTILE({k}) OVER (PARTITION BY e ORDER BY v, id)
+                     AS tile
+            FROM t ORDER BY id
+            """
+        ).df()
+        assert got["tile"].tolist() == exp["tile"].tolist(), k
+    # n < k: every row its own tile
+    small = pa.table(
+        {"id": pa.array([0, 1], pa.int64()),
+         "e": pa.array([9, 9], pa.int64()),
+         "v": pa.array([2.0, 1.0])}
+    )
+    got = (
+        group_rank(
+            ray.data.from_arrow(small), entity_col="e", order_cols=["v"],
+            tiebreak="id", ntile=5, num_buckets=2,
+        )
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert got["tile"].tolist() == [1, 2]
+
+
+def test_group_standardize_vs_duckdb(ray_session):
+    from featherstore_ray.stages.misc import group_standardize
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "e": pa.array(
+                np.concatenate(
+                    [rng.integers(0, 29, n - 2), [97, 98]]  # two 1-row groups
+                ).astype(np.int64)
+            ),
+            "v": pa.array(
+                np.concatenate([rng.normal(50, 20, n - 2), [7.0, 7.0]])
+            ),
+        }
+    )
+    got = (
+        group_standardize(
+            ray.data.from_arrow(t).repartition(6), "e", "v",
+            methods=("zscore", "minmax"),
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        """
+        SELECT id,
+               round((v - avg(v) OVER w) / stddev_samp(v) OVER w, 6) AS v_z,
+               round((v - min(v) OVER w)
+                     / nullif(max(v) OVER w - min(v) OVER w, 0), 6) AS v_mm
+        FROM t WINDOW w AS (PARTITION BY e) ORDER BY id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["id", "v_z", "v_mm"]], exp, check_dtype=False
+    )
+    # the two 1-row groups: stddev_samp NULL -> z NULL; min==max -> mm NULL
+    tail = got.tail(2)
+    assert tail["v_z"].isna().all() and tail["v_mm"].isna().all()
