@@ -259,6 +259,23 @@ def q_session_stats(sf_dir: str):
     )
 
 
+def q_streaming_sessions(sf_dir: str):
+    """Session windows through the STREAMING state machine (watermark
+    closing, exactly-once emission, bridged-session merging), replayed
+    distributed per entity-hash bucket — equals batch session_stats on
+    in-order replay, session ids included."""
+    from featherstore_ray.stages.streaming import streaming_sessionize
+
+    return streaming_sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        entity_col="user_id",
+        ts_col="ts",
+        gap=timedelta(minutes=_GAP_MIN),
+        value_col="value",
+        micro_batch_rows=512,
+    )
+
+
 def q_window_suite_skew(sf_dir: str):
     """A1-A3 via the skew-aware path (hot entities isolated into dedicated
     partitions) — output identical to the plain path, proven by the oracle."""
@@ -1213,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_sketch": q_grouped_quantiles_sketch,
         "dedup_keep_best": q_dedup_keep_best,
         "streaming_tumbling": q_streaming_tumbling,
+        "streaming_sessions": q_streaming_sessions,
         "explode": q_explode,
         "anti_join": q_anti_join,
         "intersect_keys": q_intersect_keys,
@@ -1251,7 +1269,7 @@ def oracle_sql() -> dict[str, str]:
     # ensure the deterministic corpus exists before DuckDB reads it (cached;
     # plain numpy generation, no Ray needed)
     _TOKENS_GLOB = _oracle_tokens_path() + "/part-*.parquet"
-    return {
+    sql = {
         "latest_per_entity": """
             SELECT event_id, user_id, ts, event_type, value FROM (
               SELECT *, row_number() OVER (
@@ -1779,3 +1797,6 @@ def oracle_sql() -> dict[str, str]:
         # quality properties — recall/error vs the exact paths — are
         # asserted in pytest instead).
     }
+    # streaming session windows replay to exactly the batch sessionization
+    sql["streaming_sessions"] = sql["session_stats"]
+    return sql

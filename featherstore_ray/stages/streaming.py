@@ -147,6 +147,203 @@ class TumblingWindowState:
         return out
 
 
+class SessionWindowState:
+    """Incremental gap-based session windows with watermark closing — the
+    session-window counterpart of ``TumblingWindowState`` (Flink-style
+    merging session windows).
+
+    Per entity the state holds a SORTED list of open sessions
+    ``[start, last, n, vsum, vcnt]``; a micro-batch's rows are first
+    collapsed vectorized into per-entity mini-sessions (the batch
+    ``sessionize`` gap split), then merged into the open list, fusing
+    sessions a row bridges. A session EMITS exactly once, when the
+    watermark (max_ts − allowed_lateness) passes ``last + gap`` — no
+    in-time row can extend it after that (any ts ≥ watermark is > last +
+    gap by construction, and older arrivals fall to the late rule). After
+    emitting, ``closed_until[entity] = end + gap``: a later arrival at or
+    under that boundary would have extended the emitted session, so it is
+    DROPPED and counted (``dropped_late``); older-than-watermark rows
+    beyond the boundary belong to strictly newer sessions and are merged
+    normally. Closability is monotone over the sorted list (a later
+    session closable ⇒ every earlier one is), so emission is a prefix pop
+    and per-entity session ids stay in start order (0-based, matching
+    batch ``session_stats``).
+
+    State size: O(entities × open sessions) — bounded by gap/lateness
+    over the event-time span in flight, never by stream length.
+    """
+
+    def __init__(
+        self,
+        *,
+        entity_col: str,
+        ts_col: str,
+        gap,
+        value_col: str | None = None,
+        allowed_lateness=0,
+        round_digits: int | None = 6,
+    ):
+        self.entity_col = entity_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.gap_us = _window_us(gap)
+        self.late_us = _window_us(allowed_lateness) if allowed_lateness else 0
+        self.round_digits = round_digits
+        self.open: dict = {}  # entity -> [[start, last, n, vsum, vcnt], ...]
+        self.next_sid: dict = {}
+        self.closed_until: dict = {}
+        self.max_ts = None
+        self.dropped_late = 0
+        self.emitted = 0
+
+    def process(self, batch: pd.DataFrame | pa.Table) -> pd.DataFrame:
+        if isinstance(batch, pa.Table):
+            batch = batch.to_pandas()
+        if len(batch):
+            df = batch.sort_values(
+                [self.entity_col, self.ts_col], kind="stable"
+            )
+            ts = _ts_us(df[self.ts_col])
+            ents = df[self.entity_col].to_numpy()
+            vals = (
+                df[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+                if self.value_col is not None
+                else np.zeros(len(df))
+            )
+            new_ent = np.concatenate(([True], ents[1:] != ents[:-1]))
+            e_starts = np.flatnonzero(new_ent)
+            e_bounds = np.append(e_starts, len(df))
+            for i0, i1 in zip(e_bounds[:-1], e_bounds[1:]):
+                e = ents[i0]
+                ets, evs = ts[i0:i1], vals[i0:i1]
+                cu = self.closed_until.get(e)
+                if cu is not None:
+                    late = ets <= cu
+                    if late.any():
+                        self.dropped_late += int(late.sum())
+                        ets, evs = ets[~late], evs[~late]
+                if not len(ets):
+                    continue
+                # vectorized gap split into mini-sessions
+                brk = np.flatnonzero(np.diff(ets) > self.gap_us) + 1
+                b = np.concatenate(([0], brk, [len(ets)]))
+                minis = []
+                for j0, j1 in zip(b[:-1], b[1:]):
+                    seg = evs[j0:j1]
+                    valid = ~np.isnan(seg)
+                    minis.append(
+                        [int(ets[j0]), int(ets[j1 - 1]), int(j1 - j0),
+                         float(seg[valid].sum()), int(valid.sum())]
+                    )
+                # merge into the open list, fusing bridged sessions
+                merged = []
+                for s in sorted(self.open.get(e, []) + minis):
+                    if merged and s[0] <= merged[-1][1] + self.gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
+                        m[4] += s[4]
+                    else:
+                        merged.append(s)
+                self.open[e] = merged
+            m = int(ts.max())
+            self.max_ts = m if self.max_ts is None else max(self.max_ts, m)
+        return self._close()
+
+    def flush(self) -> pd.DataFrame:
+        rows = []
+        for e in sorted(self.open):
+            for s in self.open[e]:
+                rows.append(self._emit_row(e, s))
+        self.open.clear()
+        return self._frame(rows)
+
+    # -- internals ----------------------------------------------------------
+
+    def _close(self) -> pd.DataFrame:
+        if self.max_ts is None:
+            return self._frame([])
+        watermark = self.max_ts - self.late_us
+        rows = []
+        for e in sorted(self.open):
+            sess = self.open[e]
+            k = 0
+            while k < len(sess) and sess[k][1] + self.gap_us < watermark:
+                rows.append(self._emit_row(e, sess[k]))
+                k += 1
+            if k:
+                self.open[e] = sess[k:]
+        return self._frame(rows)
+
+    def _emit_row(self, e, s):
+        sid = self.next_sid.get(e, 0)
+        self.next_sid[e] = sid + 1
+        self.closed_until[e] = max(
+            self.closed_until.get(e, s[1] + self.gap_us),
+            s[1] + self.gap_us,
+        )
+        self.emitted += 1
+        sum_v = np.nan if s[4] == 0 else s[3]
+        if self.round_digits is not None and not np.isnan(sum_v):
+            sum_v = round(sum_v, self.round_digits)
+        return (e, sid, s[2], s[0], s[1], (s[1] - s[0]) / 1_000_000.0, sum_v)
+
+    def _frame(self, rows) -> pd.DataFrame:
+        out = pd.DataFrame(
+            rows,
+            columns=[self.entity_col, "session_id", "n_events", "start_ts",
+                     "end_ts", "duration_sec", "sum_value"],
+        )
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+        out["end_ts"] = out["end_ts"].astype("datetime64[us]")
+        out["duration_sec"] = out["duration_sec"].astype("float64")
+        out["sum_value"] = out["sum_value"].astype("float64")
+        if self.value_col is None:
+            out = out.drop(columns=["sum_value"])
+        return out
+
+
+def streaming_sessionize(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    gap,
+    value_col: str | None = None,
+    allowed_lateness=0,
+    micro_batch_rows: int = 4096,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed replay of the session-window machine: one entity-hash
+    exchange, each bucket feeds its rows in event-time order through
+    ``SessionWindowState`` in micro-batch slices + a final flush. On
+    in-order replay nothing is late and the output equals batch
+    ``session_stats`` (the oracle), session ids included."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(ts_col, kind="stable")
+        state = SessionWindowState(
+            entity_col=entity_col, ts_col=ts_col, gap=gap,
+            value_col=value_col, allowed_lateness=allowed_lateness,
+            round_digits=round_digits,
+        )
+        outs = []
+        for i in range(0, len(df), micro_batch_rows):
+            outs.append(state.process(df.iloc[i:i + micro_batch_rows]))
+        outs.append(state.flush())
+        assert state.dropped_late == 0  # in-order replay can't be late
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = add_bucket_column(ds, entity_col, num_buckets)
+    return bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
 def streaming_tumbling(
     ds: ray.data.Dataset,
     *,

@@ -102,3 +102,90 @@ def test_pre_epoch_windows_not_swallowed():
     rest = st.flush()
     assert st.emitted == 2 and st.dropped_late == 0
     assert rest["sum_value"].iloc[0] == 4.0
+
+
+def _sess(**kw):
+    from featherstore_ray.stages.streaming import SessionWindowState
+
+    return SessionWindowState(
+        entity_col="user_id", ts_col="ts", value_col="value",
+        gap=timedelta(seconds=30), **kw,
+    )
+
+
+def test_session_watermark_closes_exactly_once():
+    st = _sess()
+    out0 = st.process(_mk([10, 25], [1.0, 2.0]))  # one session, still open
+    assert len(out0) == 0
+    # ts 100: watermark 100 > 25+30 -> session [10,25] closes
+    out1 = st.process(_mk([100], [5.0]))
+    assert len(out1) == 1
+    r = out1.iloc[0]
+    assert r["session_id"] == 0 and r["n_events"] == 2
+    assert r["sum_value"] == 3.0 and r["duration_sec"] == 15.0
+    rest = st.flush()
+    assert len(rest) == 1 and rest["session_id"].iloc[0] == 1
+    assert st.emitted == 2 and st.dropped_late == 0
+
+
+def test_session_late_row_dropped_after_close_merged_before():
+    st = _sess(allowed_lateness=timedelta(seconds=60))
+    st.process(_mk([10], [1.0]))
+    # ts 80: watermark 20 -> open; 80 > 10+30 so it's a NEW session
+    assert len(st.process(_mk([80], [4.0]))) == 0
+    # ts 35 is late (watermark 20... now 35<80) but bridges [10] and [80]?
+    # 35 <= 10+30 extends s0; 80 <= 35+30+... 80 > 65 -> still two sessions
+    assert len(st.process(_mk([35], [2.0]))) == 0
+    assert len(st.open[1]) == 2
+    # ts 150: watermark 90 > 35+30 closes s0 (merged late row included)
+    closed = st.process(_mk([150], [8.0]))
+    assert len(closed) == 1
+    assert closed["n_events"].iloc[0] == 2 and closed["sum_value"].iloc[0] == 3.0
+    # a row at/under closed_until (65) is DROPPED as late
+    assert len(st.process(_mk([60], [9.0]))) == 0
+    assert st.dropped_late == 1
+
+
+def test_session_bridge_merges_two_open_sessions():
+    st = _sess(allowed_lateness=timedelta(seconds=500))
+    st.process(_mk([10], [1.0]))
+    st.process(_mk([100], [2.0]))  # big lateness: both stay open
+    assert len(st.open[1]) == 2
+    # 55 bridges: 55<=10+30? no... 55-10=45>30 -> doesn't extend s0.
+    # use 40: 40<=10+30 extends s0 to last=40; then 100<=40+30? no.
+    st.process(_mk([40], [4.0]))
+    assert len(st.open[1]) == 2
+    # 70 extends s0 (70<=40+30) AND bridges to s1 (100<=70+30): ONE session
+    st.process(_mk([70], [8.0]))
+    assert len(st.open[1]) == 1
+    out = st.flush()
+    assert len(out) == 1
+    assert out["n_events"].iloc[0] == 4 and out["sum_value"].iloc[0] == 15.0
+    assert out["duration_sec"].iloc[0] == 90.0
+
+
+def test_streaming_sessions_match_batch(ray_session):
+    from featherstore_ray.stages.streaming import streaming_sessionize
+    from featherstore_ray.stages.window import session_stats
+
+    ds = ray.data.read_parquet(EVENTS, columns=["user_id", "ts", "value"])
+    got = (
+        streaming_sessionize(
+            ds, entity_col="user_id", ts_col="ts",
+            gap=timedelta(minutes=30), value_col="value",
+            micro_batch_rows=256, num_buckets=8,
+        )
+        .to_pandas()
+    )
+    exp = (
+        session_stats(
+            ray.data.read_parquet(EVENTS, columns=["user_id", "ts", "value"]),
+            entity_col="user_id", ts_col="ts",
+            gap=timedelta(minutes=30), value_col="value", num_buckets=8,
+        )
+        .to_pandas()
+    )
+    key = ["user_id", "session_id"]
+    g = got[sorted(got.columns)].sort_values(key).reset_index(drop=True)
+    x = exp[sorted(exp.columns)].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, x, check_dtype=False)
