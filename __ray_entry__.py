@@ -757,6 +757,32 @@ def q_normalize_text(sf_dir: str):
     ).select_columns(["doc_id", "text_norm"])
 
 
+_DECONTAM_MOD = 31  # benchmark = docs with doc_id % 31 == 0 (small side)
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-leakage decontamination: per document, the count of DISTINCT
+    word 3-grams shared with a benchmark set (docs with doc_id %% 31 == 0
+    stand in for the external eval suite) + a contaminated flag. The
+    benchmark side is built driver-side (it is by definition small) and
+    broadcast once via ray.put; the corpus side is a narrow streaming map —
+    no shuffle."""
+    import pyarrow.parquet as pq
+
+    from featherstore_ray.stages.text import benchmark_ngram_set, decontaminate
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy()
+    bench_rows = tbl.filter(pa.array(ids % _DECONTAM_MOD == 0))
+    bench = benchmark_ngram_set(bench_rows["text"], n=3)
+    ref = ray.put(bench)
+    return decontaminate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        ref,
+        n=3,
+    ).select_columns(["doc_id", "contam_ngrams", "contaminated"])
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (A-ES with a
     multiplicative hash as the draw): 200 documents weighted by whitespace
@@ -1242,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "tf_idf": q_tf_idf,
         "normalize_text": q_normalize_text,
+        "decontaminate": q_decontaminate,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
@@ -1752,6 +1779,28 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM words
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0
+            ),
+            hits AS (
+              SELECT doc_id, count(DISTINCT g) AS n FROM grams
+              WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS contam_ngrams,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "weighted_sample": """
             SELECT doc_id, n_tok_ws FROM (

@@ -514,3 +514,104 @@ def repetition_ratio(
     return ds.map_batches(
         _rep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ngram_strings(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Flat word n-gram STRINGS + owning doc index, fully vectorized.
+
+    Grams are built on the whole flat word array with one Arrow
+    ``binary_join_element_wise`` over shifted slices; grams that would cross
+    a document boundary are dropped by an index-equality mask (same trick as
+    ``shingle_hashes``). Docs with fewer than ``n`` words emit no grams —
+    exactly DuckDB's ``range(1, len(words) - n + 2)`` being empty. String
+    (not hashed) grams so oracle SQL matches literally.
+    """
+    flat, offsets = _explode_words(texts)
+    total = len(flat)
+    n_docs = len(offsets) - 1
+    doc_idx = np.repeat(
+        np.arange(n_docs, dtype=np.int64), offsets[1:] - offsets[:-1]
+    )
+    if total < n:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    parts = [flat.slice(i, total - n + 1) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[: total - n + 1] == doc_idx[n - 1 :]
+    return (
+        grams.to_numpy(zero_copy_only=False)[valid],
+        doc_idx[: total - n + 1][valid],
+    )
+
+
+def benchmark_ngram_set(texts, n: int = 3) -> frozenset:
+    """Distinct word n-grams of a (small) benchmark corpus — the broadcast
+    side of ``decontaminate``. Size is O(benchmark), never O(corpus)."""
+    grams, _ = ngram_strings(texts, n)
+    return frozenset(grams.tolist())
+
+
+class _DecontamStage:
+    """Actor-pool stage: benchmark n-gram set deserialized ONCE per actor
+    (ST2 pattern — a real benchmark set is 1e6-1e8 grams; per-task
+    ``ray.get`` would re-deserialize it per block)."""
+
+    def __init__(self, bench_ref, *, text_col: str, n: int):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if not isinstance(bench_ref, frozenset)
+            else bench_ref
+        )
+        self.text_col = text_col
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        counts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows:
+            grams, doc_idx = ngram_strings(t[self.text_col], self.n)
+            if len(grams):
+                hit = pd.Series(grams, copy=False).isin(self.bench).to_numpy()
+                if hit.any():
+                    # distinct matched grams per doc
+                    d = pd.DataFrame(
+                        {"d": doc_idx[hit], "g": grams[hit]}
+                    ).drop_duplicates()
+                    vc = d["d"].value_counts()
+                    counts[vc.index.to_numpy()] = vc.to_numpy()
+        t = t.append_column("contam_ngrams", pa.array(counts))
+        return t.append_column("contaminated", pa.array(counts > 0))
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_ngrams: frozenset | object,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Benchmark decontamination: per document, the number of DISTINCT word
+    n-grams that also appear in a benchmark set (broadcast via ``ray.put``),
+    plus a boolean flag. The standard eval-leakage filter for training
+    corpora (flag-then-drop); narrow map, no shuffle — scale-safe at 100 TB
+    as long as the benchmark side stays broadcastable (it is by definition
+    the small side).
+
+    ``benchmark_ngrams``: a ``frozenset`` (tests) or an ``ObjectRef`` to one
+    (production — put once, fetched once per actor).
+    """
+    return ds.map_batches(
+        _DecontamStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            bench_ref=benchmark_ngrams, text_col=text_col, n=n
+        ),
+        # the ctor arg is an ObjectRef: actor RESTART could not replay it if
+        # the ref went out of scope; the stage is deterministic, so disable
+        # restarts and let the driver-level retry re-create the pool instead
+        max_restarts=0,
+    )

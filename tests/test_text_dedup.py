@@ -236,3 +236,49 @@ def test_tf_idf_vs_duckdb(ray_session):
     rare = got[(got["doc_id"] == 4) & (got["token"] == "e")]["tfidf"].iloc[0]
     common = got[(got["doc_id"] == 2) & (got["token"] == "a")]["tfidf"].iloc[0]
     assert rare > 0 and common > 0
+
+
+def test_decontaminate_known_counts(ray_session):
+    from featherstore_ray.stages.text import benchmark_ngram_set, decontaminate
+
+    bench = benchmark_ngram_set(
+        pa.array(["a b c d e"]), n=3
+    )  # grams: "a b c", "b c d", "c d e"
+    assert bench == {"a b c", "b c d", "c d e"}
+    corpus = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d e",      # all 3 grams
+                "x a b c y",      # 1 gram
+                "a b c a b c",    # gram "a b c" twice -> DISTINCT count 1
+                "q r",            # too short, no grams
+            ],
+        }
+    )
+    out = (
+        decontaminate(ray.data.from_arrow(corpus), bench, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contam_ngrams"].tolist() == [3, 1, 1, 0]
+    assert out["contaminated"].tolist() == [True, True, True, False]
+
+
+def test_decontaminate_batch_boundary_invariant(docs, ray_session):
+    """Same result whether the corpus arrives as 1 block or 8."""
+    from featherstore_ray.stages.text import benchmark_ngram_set, decontaminate
+
+    ids = docs["doc_id"].to_numpy()
+    bench = benchmark_ngram_set(docs.filter(pa.array(ids % 17 == 0))["text"])
+
+    def run(blocks):
+        ds = ray.data.from_arrow(docs).repartition(blocks)
+        return (
+            decontaminate(ds, bench)
+            .to_pandas()[["doc_id", "contam_ngrams"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(8))
