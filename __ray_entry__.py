@@ -783,6 +783,25 @@ def q_decontaminate(sf_dir: str):
     ).select_columns(["doc_id", "contam_ngrams", "contaminated"])
 
 
+_WRAP_WORDS = 8  # words per derived line (docs have no newlines; see oracle)
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide line dedup: each distinct line survives only
+    at its first (doc_id, line_no) occurrence; docs reassembled from
+    surviving lines. The synthetic corpus has no newlines, so both sides
+    first reshape each doc into 8-word lines (wrap_words / the SQL
+    list_transform) — the operator itself is line-general."""
+    from featherstore_ray.stages.dedup import line_dedup
+    from featherstore_ray.stages.text import wrap_words
+
+    lined = wrap_words(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        words_per_line=_WRAP_WORDS,
+    )
+    return line_dedup(lined, num_buckets=32)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (A-ES with a
     multiplicative hash as the draw): 200 documents weighted by whitespace
@@ -1269,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": q_tf_idf,
         "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
@@ -1801,6 +1821,41 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0) AS contam_ngrams,
                    COALESCE(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "line_dedup": f"""
+            WITH lined AS (
+              SELECT doc_id,
+                array_to_string(
+                  list_transform(range(1, len(w)+1, {_WRAP_WORDS}),
+                    i -> array_to_string(w[i:i+{_WRAP_WORDS - 1}], ' ')),
+                  chr(10)) AS text
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS ln
+              FROM lined
+            ),
+            ranked AS (
+              SELECT doc_id, line, ln, row_number() OVER (
+                PARTITION BY line ORDER BY doc_id, ln) AS rn
+              FROM lines
+            ),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY ln) AS text_dedup,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   COALESCE(k.text_dedup, '') AS text_dedup,
+                   COALESCE(k.n_kept, 0) AS n_kept,
+                   len(string_split(l.text, chr(10)))
+                     - COALESCE(k.n_kept, 0) AS n_dropped
+            FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
         "weighted_sample": """
             SELECT doc_id, n_tok_ws FROM (

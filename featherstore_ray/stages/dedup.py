@@ -23,6 +23,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -543,4 +544,121 @@ def dedup_keep_best(
 
     return scored.map_batches(
         keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- line-level dedup (CCNet-style) ----------------------------------------
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_buckets: int = 64,
+    out_col: str = "text_dedup",
+) -> ray.data.Dataset:
+    """Corpus-wide line-level exact dedup (the CCNet / RefinedWeb cleaning
+    step): every distinct line survives exactly once — at its first
+    occurrence in ``(doc_id, line_no)`` order — and every other occurrence
+    (including repeats within the same document) is dropped; documents are
+    reassembled from their surviving lines in original order.
+
+    Output: ``(id_col, out_col, n_kept, n_dropped)`` — one row per input
+    document, empty string when every line lost.
+
+    Scale shape (100 TB): two narrow exchanges, no broadcast state.
+      1. explode docs → ``(doc, line_no, line)`` rows, hash-partition on the
+         LINE → per-bucket winner = min (doc, line_no) per distinct line
+         (exact string compare inside the bucket, so hash collisions are
+         harmless);
+      2. union winners with a per-doc spine ``(doc, n_lines)`` and
+         hash-partition on the DOC → reassemble. Only surviving lines +
+         one spine row per doc cross the second exchange.
+    A hash-only variant (shuffle 128-bit line hashes instead of line text)
+    would halve exchange bytes at the cost of exactness; not needed while
+    the oracle contract requires exact string semantics.
+    """
+    _TAG_SPINE, _TAG_LINE = 0, 1
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, sep)
+        flat = lists.flatten()
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = off[1:] - off[:-1]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: np.repeat(ids, nl),
+                "line_no": np.arange(len(flat)) - np.repeat(off[:-1], nl),
+                "line": flat,
+            }
+        )
+
+    def winner_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df.sort_values(["line", id_col, "line_no"], kind="stable")
+            .drop_duplicates("line")[[id_col, "line_no", "line"]]
+        )
+        w["tag"] = np.int8(_TAG_LINE)
+        return w
+
+    def spine(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_lines = pc.add(pc.count_substring(texts, sep), 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "line_no": pc.cast(n_lines, pa.int64()),  # reuse slot
+                "line": pa.nulls(t.num_rows, pa.string()),
+                "tag": pa.array(
+                    np.full(t.num_rows, _TAG_SPINE, np.int8)
+                ),
+            }
+        )
+
+    def assemble_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        sp = df[df["tag"] == _TAG_SPINE]
+        out = pd.DataFrame(
+            {id_col: sp[id_col].to_numpy(), "n_lines": sp["line_no"].to_numpy()}
+        )
+        keep = df[df["tag"] == _TAG_LINE].sort_values(
+            [id_col, "line_no"], kind="stable"
+        )
+        g = keep.groupby(id_col, sort=False)
+        agg = pd.DataFrame(
+            {out_col: g["line"].agg(sep.join), "n_kept": g.size()}
+        )
+        out = out.merge(agg, left_on=id_col, right_index=True, how="left")
+        out[out_col] = out[out_col].fillna("")
+        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+        out["n_dropped"] = (out["n_lines"] - out["n_kept"]).astype(np.int64)
+        return out[[id_col, out_col, "n_kept", "n_dropped"]]
+
+    lines = ds.map_batches(
+        explode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = bucketed_map_groups(
+        add_bucket_column(lines, "line", num_buckets),
+        winner_kernel,
+        num_buckets=num_buckets,
+        batch_format="pandas",
+    )
+    doc_spine = ds.map_batches(
+        spine, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = add_bucket_column(winners, id_col, num_buckets).union(
+        add_bucket_column(doc_spine, id_col, num_buckets)
+    )
+    return bucketed_map_groups(
+        both,
+        assemble_kernel,
+        num_buckets=num_buckets,
+        batch_format="pandas",
     )

@@ -615,3 +615,44 @@ def decontaminate(
         # restarts and let the driver-level retry re-create the pool instead
         max_restarts=0,
     )
+
+
+def wrap_words(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    words_per_line: int = 8,
+    sep: str = "\n",
+) -> ray.data.Dataset:
+    """Reshape space-separated text into ``sep``-joined lines of
+    ``words_per_line`` words — fully vectorized (two Arrow ``binary_join``
+    passes over one flat word array, zero per-row Python). Matches DuckDB
+    ``list_transform(range(1, len(w)+1, k), i -> array_to_string(w[i:i+k-1],
+    ' '))`` exactly. Test adapter for line-level ops over the newline-free
+    synthetic corpus; real corpora skip this."""
+    wpl = words_per_line
+
+    def _wrap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        flat, offsets = _explode_words(t[text_col])
+        lengths = offsets[1:] - offsets[:-1]
+        n_lines = -(-lengths // wpl)  # ceil; split() never yields 0 words
+        total_lines = int(n_lines.sum())
+        line_base = np.concatenate(([0], np.cumsum(n_lines)))
+        within = np.arange(total_lines) - np.repeat(line_base[:-1], n_lines)
+        starts = np.repeat(offsets[:-1], n_lines) + within * wpl
+        line_offsets = np.append(starts, offsets[-1]).astype(np.int32)
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(line_offsets, flat), " "
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(line_base.astype(np.int32), lines), sep
+        )
+        return t.set_column(
+            t.schema.get_field_index(text_col), text_col, joined
+        )
+
+    return ds.map_batches(
+        _wrap, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -282,3 +282,53 @@ def test_decontaminate_batch_boundary_invariant(docs, ray_session):
         )
 
     pd.testing.assert_frame_equal(run(1), run(8))
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    from featherstore_ray.stages.dedup import line_dedup
+
+    corpus = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "keep A\nkeep B\nkeep A",   # in-doc repeat drops too
+                "keep B\nonly in 1",        # "keep B" already owned by doc 0
+                "keep A",                   # all lines lost -> empty doc
+            ],
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_arrow(corpus), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist() == ["keep A\nkeep B", "only in 1", ""]
+    assert out["n_kept"].tolist() == [2, 1, 0]
+    assert out["n_dropped"].tolist() == [1, 1, 1]
+
+
+def test_line_dedup_hot_line_across_docs(ray_session):
+    """One line repeated in every doc (the boilerplate-footer case) must
+    survive exactly once, at the smallest doc_id."""
+    from featherstore_ray.stages.dedup import line_dedup
+
+    n = 300
+    corpus = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": [f"unique {i}\nshared footer" for i in range(n)],
+        }
+    )
+    out = (
+        line_dedup(
+            ray.data.from_arrow(corpus).repartition(8), num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert (out["n_kept"].to_numpy() == np.where(np.arange(n) == 0, 2, 1)).all()
+    assert out.loc[0, "text_dedup"] == "unique 0\nshared footer"
+    assert out.loc[5, "text_dedup"] == "unique 5"
