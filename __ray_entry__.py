@@ -802,6 +802,67 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(lined, num_buckets=32)
 
 
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table — exact oracle
+    semantics (float64 Euclidean, init = embeddings of the k smallest ids,
+    tie -> lowest cluster, empty cluster keeps its centroid); each iteration
+    is one streaming pass emitting k moment rows per block."""
+    from featherstore_ray.stages.ann import kmeans_assign
+
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled-iteration SQL mirror of ``kmeans_assign`` (one CTE pair per
+    Lloyd step: assign via list_distance argmin, update via per-dimension
+    AVG with COALESCE keeping empty clusters' previous centroids)."""
+    sql = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+        )"""
+    cur = "c0"
+    for t in range(iters):
+        a, m, c = f"a{t}", f"m{t + 1}", f"c{t + 1}"
+        sql += f""",
+        {a} AS (
+          SELECT vec_id, v, cl FROM (
+            SELECT e.vec_id, e.v, c.cl, row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, c.v), c.cl) AS rn
+            FROM emb e CROSS JOIN {cur} c) WHERE rn = 1
+        ),
+        {m} AS (
+          SELECT cl, list(av ORDER BY dim) AS v FROM (
+            SELECT cl, dim, avg(val) AS av FROM (
+              SELECT cl, unnest(v) AS val,
+                     generate_subscripts(v, 1) AS dim FROM {a})
+            GROUP BY cl, dim) GROUP BY cl
+        ),
+        {c} AS (
+          SELECT p.cl, COALESCE(u.v, p.v) AS v
+          FROM {cur} p LEFT JOIN {m} u ON p.cl = u.cl
+        )"""
+        cur = c
+    sql += f"""
+        SELECT vec_id, cl AS cluster FROM (
+          SELECT e.vec_id, c.cl, row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_distance(e.v, c.v), c.cl) AS rn
+          FROM emb e CROSS JOIN {cur} c) WHERE rn = 1"""
+    return sql
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (A-ES with a
     multiplicative hash as the draw): 200 documents weighted by whitespace
@@ -1289,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
+        "kmeans": q_kmeans,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
@@ -1857,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
                      - COALESCE(k.n_kept, 0) AS n_dropped
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
+        "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
         "weighted_sample": """
             SELECT doc_id, n_tok_ws FROM (
                 SELECT doc_id, n_tok_ws,

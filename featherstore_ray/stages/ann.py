@@ -491,3 +491,116 @@ def lsh_topk(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
+
+
+# -- distributed k-means (Lloyd's) -----------------------------------------
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    out_col: str = "cluster",
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over an embedding column, EXACT oracle
+    semantics (unlike the sampled spherical ``_kmeans_lite`` used for IVF
+    training): Euclidean distance in float64, deterministic init (the
+    embeddings of the ``k`` smallest ids), ties → lowest cluster id, empty
+    cluster keeps its previous centroid. Returns ``(id_col, out_col)`` with
+    the assignment under the centroids after ``iters`` update steps.
+
+    Scale shape (100 TB): each iteration is ONE streaming pass — centroids
+    (k × dim float64, tiny) ship inside the task closure; every batch emits
+    only k partial (count, sum-vector) moment rows, so the driver reduce is
+    O(blocks × k × dim), never O(rows). No shuffle anywhere. The projected
+    ``(id, embedding)`` input is materialized once so the ``iters + 2``
+    passes don't re-execute the read lineage (set
+    ``materialize_input=False`` to stream from source each pass instead).
+    """
+    proj = ds.select_columns([id_col, emb_col])
+    if materialize_input:
+        proj = proj.materialize()
+
+    # deterministic init: per-batch k smallest ids -> tiny driver merge
+    def smallest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.take(np.argsort(ids, kind="stable")[:k])
+
+    head = (
+        proj.map_batches(
+            smallest, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    C = np.stack(head[emb_col].to_numpy()).astype(np.float64)
+    n_c, dim = C.shape
+
+    def assign_of(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        d2 = (
+            (emb * emb).sum(axis=1)[:, None]
+            - 2.0 * (emb @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)  # first min -> lowest cluster id
+
+    off = (np.arange(n_c + 1) * dim).astype(np.int32)
+    for _ in range(iters):
+
+        def moments(t: pa.Table, cent=C) -> pa.Table:
+            sums = np.zeros((n_c, dim))
+            counts = np.zeros(n_c, dtype=np.int64)
+            if t.num_rows:
+                emb = _stack_embeddings(t[emb_col])
+                a = assign_of(emb, cent)
+                np.add.at(sums, a, emb)
+                counts = np.bincount(a, minlength=n_c).astype(np.int64)
+            return pa.table(
+                {
+                    "cl": np.arange(n_c, dtype=np.int64),
+                    "n": counts,
+                    "s": pa.ListArray.from_arrays(off, sums.ravel()),
+                }
+            )
+
+        part = proj.map_batches(
+            moments, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # blocks x k rows — tiny
+        n_tot = part.groupby("cl")["n"].sum()
+        s_tot = np.zeros((n_c, dim))
+        np.add.at(
+            s_tot,
+            part["cl"].to_numpy(),
+            np.stack(part["s"].to_numpy()),
+        )
+        n_arr = n_tot.reindex(range(n_c), fill_value=0).to_numpy()
+        C = np.where(
+            (n_arr > 0)[:, None], s_tot / np.maximum(n_arr, 1)[:, None], C
+        )
+
+    def final(t: pa.Table, cent=C) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 out_col: pa.array([], pa.int64())}
+            )
+        emb = _stack_embeddings(t[emb_col])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: assign_of(emb, cent).astype(np.int64),
+            }
+        )
+
+    return proj.map_batches(
+        final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -182,3 +182,52 @@ def test_lsh_dup_pairs_subset_of_exact():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(approx, approx2)
+
+
+def test_kmeans_assign_separated_clusters(ray_session):
+    from featherstore_ray.stages.ann import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.05, (40, 4)) + np.array([10, 0, 0, 0])
+    b = rng.normal(0.0, 0.05, (40, 4)) + np.array([-10, 0, 0, 0])
+    vecs = np.concatenate([a, b])
+    t = pa.table(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+        }
+    )
+    out = (
+        kmeans_assign(ray.data.from_arrow(t).repartition(4), k=2, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cl = out["cluster"].to_numpy()
+    # both well-separated blobs end up pure (labels are 0/1 in some order)
+    assert len(set(cl[:40])) == 1 and len(set(cl[40:])) == 1
+    assert cl[0] != cl[40]
+
+
+def test_kmeans_assign_batch_invariant_and_empty_cluster(ray_session):
+    from featherstore_ray.stages.ann import kmeans_assign
+
+    # only two distinct points but k=3: init takes vec 0,1,2 where vec 2
+    # duplicates vec 0 -> cluster 2 never wins a point (tie -> lowest id),
+    # stays on its initial centroid, and the run must not crash
+    pts = np.array([[0.0, 0.0], [5.0, 5.0], [0.0, 0.0], [5.0, 5.0]] * 5)
+    t = pa.table(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": pa.array(list(pts.astype(np.float32))),
+        }
+    )
+    one = (
+        kmeans_assign(ray.data.from_arrow(t), k=3, iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    many = (
+        kmeans_assign(ray.data.from_arrow(t).repartition(5), k=3, iters=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    assert set(one["cluster"]) == {0, 1}
