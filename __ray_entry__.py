@@ -863,6 +863,30 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     return sql
 
 
+_PACK_BUDGET = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing: per source, docs in doc_id order fill
+    fixed-256-token training sequences (doc starts a new sequence when it
+    would overflow; oversized docs pack alone). One exchange on source;
+    per-group kernel loops over SEQUENCES, not rows."""
+    from featherstore_ray.stages.packing import pack_sequences
+    from featherstore_ray.stages.text import token_count
+
+    sized = token_count(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    )
+    return pack_sequences(
+        sized,
+        id_col="doc_id",
+        group_col="source",
+        size_col="n_tok_ws",
+        budget=_PACK_BUDGET,
+        num_buckets=16,
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (A-ES with a
     multiplicative hash as the draw): 200 documents weighted by whitespace
@@ -1351,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "kmeans": q_kmeans,
+        "pack_sequences": q_pack_sequences,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
@@ -1920,6 +1945,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+        "pack_sequences": f"""
+            WITH RECURSIVE ord AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_tok_ws,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            pack AS (
+              SELECT source, rn, doc_id, n_tok_ws,
+                     CAST(0 AS BIGINT) AS seq_id,
+                     CAST(n_tok_ws AS BIGINT) AS acc
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.source, o.rn, o.doc_id, o.n_tok_ws,
+                     CASE WHEN p.acc + o.n_tok_ws > {_PACK_BUDGET}
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.acc + o.n_tok_ws > {_PACK_BUDGET}
+                          THEN CAST(o.n_tok_ws AS BIGINT)
+                          ELSE p.acc + o.n_tok_ws END
+              FROM pack p JOIN ord o
+                ON o.source = p.source AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, source, n_tok_ws, seq_id,
+                   acc - n_tok_ws AS seq_offset
+            FROM pack
+        """,
         "weighted_sample": """
             SELECT doc_id, n_tok_ws FROM (
                 SELECT doc_id, n_tok_ws,

@@ -372,3 +372,54 @@ def test_keyed_set_ops_null_keys(ray_session):
         ray.data.from_arrow(l), ray.data.from_arrow(r), ["k"], num_buckets=4
     ).to_pandas()
     assert list(exc["k"].dropna()) == [1] and exc["k"].isna().sum() == 0
+
+
+def test_pack_greedy_known():
+    from featherstore_ray.stages.packing import pack_greedy
+
+    sid, off = pack_greedy(np.array([100, 100, 100, 301, 50, 260, 10]), 300)
+    # [100,100,100] fills 300; [301] oversized alone; [50] + 260 would
+    # overflow -> [50,?] no: 50+260=310>300 so 260 starts new; [260,10] fits
+    assert sid.tolist() == [0, 0, 0, 1, 2, 3, 3]
+    assert off.tolist() == [0, 100, 200, 0, 0, 0, 260]
+
+
+def test_pack_sequences_batch_invariant(ray_session):
+    from featherstore_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": np.array([f"s{i % 7}" for i in range(n)]),
+            "n_tokens": rng.integers(1, 200, n),
+        }
+    )
+
+    def run(blocks):
+        return (
+            pack_sequences(
+                ray.data.from_arrow(t).repartition(blocks),
+                budget=512, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    one, many = run(1), run(6)
+    pd.testing.assert_frame_equal(one, many)
+    # every sequence within budget unless it is a single oversized doc
+    g = one.groupby(["source", "seq_id"])["n_tokens"]
+    tot, cnt = g.sum(), g.count()
+    assert ((tot <= 512) | (cnt == 1)).all()
+    # offsets are the running sum within each sequence
+    assert (
+        one.groupby(["source", "seq_id"])["n_tokens"]
+        .apply(lambda s: s.cumsum().shift(fill_value=0).tolist())
+        .explode()
+        .astype(int)
+        .to_numpy()
+        == one["seq_offset"].to_numpy()
+    ).all()
