@@ -887,6 +887,25 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+_JOURNEY_LEN = 20
+
+
+def q_event_sequence(sf_dir: str):
+    """Per-user behavioral journey: event types joined in (ts, event_id)
+    order, capped at the first 20 events; n_events counts all. One
+    entity-hash exchange."""
+    from featherstore_ray.stages.aggregate import event_sequence
+
+    return event_sequence(
+        _read(
+            sf_dir, "events",
+            columns=["user_id", "ts", "event_type", "event_id"],
+        ),
+        max_len=_JOURNEY_LEN,
+        num_buckets=16,
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (A-ES with a
     multiplicative hash as the draw): 200 documents weighted by whitespace
@@ -1376,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "kmeans": q_kmeans,
         "pack_sequences": q_pack_sequences,
+        "event_sequence": q_event_sequence,
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
@@ -1945,6 +1965,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+        "event_sequence": f"""
+            WITH ranked AS (
+              SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            j AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS journey
+              FROM ranked WHERE rn <= {_JOURNEY_LEN} GROUP BY user_id
+            ),
+            n AS (
+              SELECT user_id, count(*) AS n_events FROM events
+              GROUP BY user_id
+            )
+            SELECT n.user_id, j.journey, n.n_events
+            FROM n JOIN j USING (user_id)
+        """,
         "pack_sequences": f"""
             WITH RECURSIVE ord AS (
               SELECT doc_id, source,

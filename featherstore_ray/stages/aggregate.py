@@ -200,3 +200,55 @@ def pivot_counts(
 
 def _pivot_name(pivot_col: str, v) -> str:
     return f"{pivot_col}_{v}"
+
+
+def event_sequence(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_len: int | None = 20,
+    sep: str = ">",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity behavioral journey: the entity's event types concatenated
+    in ``(ts, tiebreak)`` order, capped at the FIRST ``max_len`` events (a
+    journey cap is mandatory at scale — an uncapped hot entity would build
+    an unbounded string). Output: ``(entity_col, journey, n_events)`` where
+    ``n_events`` counts ALL events, not just the capped prefix.
+
+    One exchange on the entity key; the per-bucket kernel sorts once and
+    emits one row per entity.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [entity_col, ts_col, tiebreak_col], kind="stable"
+        )
+        g = df.groupby(entity_col, sort=False)
+        n = g.size()
+        head = df.groupby(entity_col, sort=False).head(
+            max_len
+        ) if max_len is not None else df
+        journey = head.groupby(entity_col, sort=False)[type_col].agg(
+            sep.join
+        )
+        out = pd.DataFrame(
+            {
+                entity_col: n.index.to_numpy(),
+                "journey": journey.reindex(n.index).to_numpy(),
+                "n_events": n.to_numpy().astype(np.int64),
+            }
+        )
+        return out
+
+    bucketed = add_bucket_column(
+        ds.select_columns([entity_col, ts_col, type_col, tiebreak_col]),
+        entity_col,
+        num_buckets,
+    )
+    return bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

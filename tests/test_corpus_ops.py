@@ -423,3 +423,39 @@ def test_pack_sequences_batch_invariant(ray_session):
         .to_numpy()
         == one["seq_offset"].to_numpy()
     ).all()
+
+
+def test_event_sequence_order_cap_and_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import event_sequence
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:00:05",
+         "2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+    )
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": ts,
+            "event_type": ["a", "b", "c", "d", "x"],
+            "event_id": [11, 10, 12, 13, 14],  # tie at t0 -> id 10 first
+        }
+    )
+
+    def run(blocks, max_len):
+        return (
+            event_sequence(
+                ray.data.from_arrow(t).repartition(blocks),
+                max_len=max_len, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(1, None)
+    assert out["journey"].tolist() == ["b>a>d>c", "x"]
+    assert out["n_events"].tolist() == [4, 1]
+    capped = run(3, 2)
+    assert capped["journey"].tolist() == ["b>a", "x"]
+    assert capped["n_events"].tolist() == [4, 1]  # count is uncapped
+    pd.testing.assert_frame_equal(run(1, 2), capped)
