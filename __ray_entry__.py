@@ -650,6 +650,35 @@ def q_pivot_counts(sf_dir: str):
     )
 
 
+def q_unpivot(sf_dir: str):
+    """Wide→long melt of three lineitem measures into (metric, value) —
+    SQL UNPIVOT. Pure per-batch Arrow reshape, zero shuffle."""
+    from featherstore_ray.stages.aggregate import unpivot
+
+    return unpivot(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        ),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) over documents: finest level + per-
+    source subtotal + grand total from ONE input scan (coarser levels
+    re-merge the tiny finest aggregate)."""
+    from featherstore_ray.stages.aggregate import rollup
+
+    return rollup(
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        {"n": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
 def q_repetition_ratio(sf_dir: str):
     """Gopher-style word-repetition quality signal (1 - distinct/total
     words) per document — vectorized explode + lexsort, no shuffle."""
@@ -1385,6 +1414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
         "pivot_counts": q_pivot_counts,
+        "unpivot": q_unpivot,
+        "rollup": q_rollup,
         "repetition_ratio": q_repetition_ratio,
         "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
@@ -1850,6 +1881,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup')   AS event_type_signup,
                    count(*) FILTER (event_type = 'view')     AS event_type_view
             FROM events GROUP BY user_id
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "rollup": """
+            SELECT source, lang,
+                   count(n_chars) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "repetition_ratio": """
             SELECT doc_id,

@@ -252,3 +252,89 @@ def event_sequence(
     return bucketed_map_groups(
         bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    var_col: str = "metric",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column), values cast to float64 for a uniform value
+    column. Pure per-batch Arrow transform — zero shuffle, streams at any
+    scale (output is |value_cols|× the input rows but each block melts
+    independently)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[var_col] = pa.repeat(pa.scalar(c, pa.string()), t.num_rows)
+            cols[val_col] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def rollup(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    *,
+    round_digits: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): the finest-level aggregate plus every prefix
+    level up to the grand total, grouped-out keys null-filled (SQL ROLLUP
+    semantics). fn ∈ {sum, count, min, max} only — these re-merge exactly
+    from the finest level, so the input is scanned ONCE: the full-scale
+    work is the finest ``grouped_aggregate`` (partial pre-aggregation →
+    one exchange); coarser levels re-reduce the already-tiny finest table
+    on a single block.
+
+    Grouped-out key columns are emitted as null; with non-string keys the
+    pandas concat coerces ints to float — keep rollup keys strings (the
+    normal case for dimension columns).
+    """
+    keys = list(keys)
+    finest = grouped_aggregate(
+        ds, keys, aggs, round_digits=round_digits, num_buckets=num_buckets
+    )
+    merge_fns = {out: _MERGE[fn] for out, (_c, fn) in aggs.items()}
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [df]
+        for depth in range(len(keys) - 1, -1, -1):
+            sub = keys[:depth]
+            if sub:
+                g = df.groupby(sub, sort=False)
+                lvl = pd.DataFrame(
+                    {o: g[o].agg(m) for o, m in merge_fns.items()}
+                ).reset_index()
+            else:
+                lvl = pd.DataFrame(
+                    {o: [df[o].agg(m)] for o, m in merge_fns.items()}
+                )
+            for k in keys[depth:]:
+                lvl[k] = None
+            frames.append(lvl[list(df.columns)])
+        out = pd.concat(frames, ignore_index=True)
+        if round_digits is not None:
+            for c in out.columns:
+                if c not in keys and out[c].dtype.kind == "f":
+                    out[c] = out[c].round(round_digits)
+        return out
+
+    return finest.repartition(1).map_batches(
+        levels, batch_size=None, batch_format="pandas"
+    )

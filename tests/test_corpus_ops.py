@@ -459,3 +459,59 @@ def test_event_sequence_order_cap_and_invariance(ray_session):
     assert capped["journey"].tolist() == ["b>a", "x"]
     assert capped["n_events"].tolist() == [4, 1]  # count is uncapped
     pd.testing.assert_frame_equal(run(1, 2), capped)
+
+
+def test_unpivot_matches_melt(ray_session):
+    from featherstore_ray.stages.aggregate import unpivot
+
+    t = pa.table(
+        {"k": [1, 2, 3], "a": [1.0, 2.0, 3.0], "b": [10, None, 30]}
+    )
+    out = (
+        unpivot(ray.data.from_arrow(t).repartition(2), ["k"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["metric", "k"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas()
+        .melt(id_vars=["k"], var_name="metric", value_name="value")
+        .sort_values(["metric", "k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_rollup_matches_duckdb(ray_session):
+    import duckdb
+
+    from featherstore_ray.stages.aggregate import rollup
+
+    t = pa.table(
+        {
+            "s": ["x", "x", "y", "y", "y"],
+            "l": ["en", "fr", "en", "en", "fr"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    out = rollup(
+        ray.data.from_arrow(t).repartition(3),
+        ["s", "l"],
+        {"n": ("v", "count"), "sv": ("v", "sum")},
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT s, l, count(v) AS n, CAST(sum(v) AS BIGINT) AS sv "
+        "FROM t GROUP BY ROLLUP(s, l)"
+    ).df()
+
+    def canon(df):
+        df = df.copy()
+        for c in ["s", "l"]:
+            df[c] = df[c].astype(object).where(df[c].notna(), "~null~")
+        return (
+            df.astype({"n": "int64", "sv": "int64"})
+            .sort_values(["s", "l"])
+            .reset_index(drop=True)[["s", "l", "n", "sv"]]
+        )
+
+    pd.testing.assert_frame_equal(canon(out), canon(exp))
