@@ -574,6 +574,16 @@ def q_explode(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (long format): segment-sum partials per
+    batch, labels x dim rows cross the exchange, never vectors."""
+    from featherstore_ray.stages.ann import label_centroids
+
+    return label_centroids(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    )
+
+
 def q_anti_join(sf_dir: str):
     """Broadcast anti-join: orders whose customer is NOT in the BUILDING
     segment (WHERE key NOT IN ...)."""
@@ -1410,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_sessions": q_streaming_sessions,
         "explode": q_explode,
+        "label_centroids": q_label_centroids,
         "anti_join": q_anti_join,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -1854,6 +1865,14 @@ def oracle_sql() -> dict[str, str]:
                    generate_subscripts(embedding, 1) - 1 AS pos,
                    unnest(embedding) AS embedding_item
             FROM embeddings
+        """,
+        "label_centroids": """
+            SELECT label, dim, round(avg(v), 6) AS centroid FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ) GROUP BY label, dim
         """,
         "anti_join": """
             SELECT o_orderkey, o_custkey, o_totalprice

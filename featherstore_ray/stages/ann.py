@@ -604,3 +604,60 @@ def kmeans_assign(
     return proj.map_batches(
         final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Element-wise mean embedding per label, long format
+    ``(label, dim, centroid)`` — the class-centroid primitive behind
+    nearest-centroid classification and cluster summarization.
+
+    Scale shape: each batch collapses to per-label (sum, count) vectors
+    via a sort + ``np.add.reduceat`` segment sum (no scattered writes), so
+    the exchange moves labels × dim partial rows per batch, never
+    embeddings; the partials merge on the driver (small by construction),
+    exactly the ``grouped_aggregate(final="driver")`` contract.
+    """
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(t[emb_col])
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        valid = codes >= 0  # null labels factorize to -1 — drop, don't wrap
+        codes, mat = codes[valid], mat[valid]
+        order = np.argsort(codes, kind="stable")
+        sorted_mat = mat[order]
+        n_lab, dim = len(uniq), mat.shape[1]
+        bounds = np.searchsorted(codes[order], np.arange(n_lab))
+        sums = np.add.reduceat(sorted_mat, bounds, axis=0)
+        counts = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        return pa.table(
+            {
+                label_col: np.repeat(np.asarray(uniq), dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n_lab),
+                "s": sums.ravel(),
+                "c": np.repeat(counts, dim),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = grouped_aggregate(
+        parts,
+        [label_col, "dim"],
+        {"s": ("s", "sum"), "c": ("c", "sum")},
+        final="driver",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["centroid"] = (df["s"] / df["c"]).round(round_digits)
+        return df.drop(columns=["s", "c"])
+
+    return merged.map_batches(finalize, batch_size=None, batch_format="pandas")

@@ -515,3 +515,30 @@ def test_rollup_matches_duckdb(ray_session):
         )
 
     pd.testing.assert_frame_equal(canon(out), canon(exp))
+
+
+def test_label_centroids_null_labels_and_invariance(ray_session):
+    from featherstore_ray.stages.ann import label_centroids
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1, None, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 3.0], [3.0, 5.0], [2.0, 2.0], [9.0, 9.0], [4.0, 0.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+    def run(blocks):
+        return (
+            label_centroids(ray.data.from_arrow(t).repartition(blocks))
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    # null-label row dropped (not scattered into another label's sum)
+    assert out["centroid"].tolist() == [2.0, 4.0, 3.0, 1.0]
+    pd.testing.assert_frame_equal(run(3), out)
