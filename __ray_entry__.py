@@ -716,6 +716,29 @@ def q_top_n_per_group(sf_dir: str):
     )
 
 
+def q_profile(sf_dir: str):
+    """Single-pass numeric profiler over events (n, nulls, min, max,
+    mean per column): O(cols x blocks) partials, no shuffle."""
+    from featherstore_ray.stages.misc import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        ["event_id", "user_id", "value"],
+    )
+
+
+def q_ngram_counts(sf_dir: str):
+    """Corpus top-100 bigrams (space-joined, never crossing doc
+    boundaries): flat-array self-join builds the bigram strings with zero
+    per-row loops, then the vocab_count partial→bucket-topN machinery."""
+    from featherstore_ray.stages.text import ngram_counts
+
+    return ngram_counts(
+        _read(sf_dir, "documents", columns=["text"]), n=2, top_n=100,
+        num_buckets=16,
+    )
+
+
 def q_vocab_count(sf_dir: str):
     """Corpus vocabulary (top-100 whitespace tokens by frequency) — the
     classic word count with partial pre-aggregation: batches emit (token,
@@ -1430,6 +1453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": q_repetition_ratio,
         "top_n_per_group": q_top_n_per_group,
         "vocab_count": q_vocab_count,
+        "ngram_counts": q_ngram_counts,
+        "profile": q_profile,
         "heavy_hitters": q_heavy_hitters,
         "tf_idf": q_tf_idf,
         "normalize_text": q_normalize_text,
@@ -1941,6 +1966,39 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) GROUP BY token
             ) ORDER BY n DESC, token LIMIT 100
+        """,
+        "profile": """
+            SELECT 'event_id' AS column_name, count(event_id) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   round(min(event_id * 1.0), 6) AS min,
+                   round(max(event_id * 1.0), 6) AS max,
+                   round(avg(event_id), 6) AS mean
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(user_id),
+                   count(*) - count(user_id),
+                   round(min(user_id * 1.0), 6), round(max(user_id * 1.0), 6),
+                   round(avg(user_id), 6)
+            FROM events
+            UNION ALL
+            SELECT 'value', count("value"),
+                   count(*) - count("value"),
+                   round(min("value"), 6), round(max("value"), 6),
+                   round(avg("value"), 6)
+            FROM events
+        """,
+        "ngram_counts": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos
+                FROM documents
+            )
+            SELECT a.tok || ' ' || b.tok AS token, count(*) AS n
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 100
         """,
         "heavy_hitters": """
             SELECT token, n FROM (

@@ -477,3 +477,70 @@ def except_keys(
     """SQL ``EXCEPT``: distinct key combinations on the left absent from
     the right. Same exchange shape as ``intersect_keys``."""
     return _keyed_set_op(left, right, cols, "except", num_buckets)
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Single-pass numeric column profiler: one output row per column with
+    ``(column_name, n, n_null, min, max, mean)`` — the data-quality summary
+    a pipeline runs before trusting a new drop of data.
+
+    Scale shape: every batch collapses to |cols| partial rows (count,
+    null-count, min, max, sum per column), merged on the driver — the
+    partials are O(cols × blocks) regardless of row count, so the whole
+    profile costs ONE streaming scan and no shuffle. Columns are cast to
+    float64 for a uniform stats row; min/max/mean are rounded for
+    summation-order-stable comparison.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "column_name": [], "n": [], "n_null": [],
+            "min": [], "max": [], "s": [],
+        }
+        for c in cols:
+            arr = pc.cast(t[c], pa.float64())
+            mm = pc.min_max(arr)
+            rows["column_name"].append(c)
+            rows["n"].append(len(arr) - arr.null_count)
+            rows["n_null"].append(arr.null_count)
+            rows["min"].append(mm["min"].as_py())
+            rows["max"].append(mm["max"].as_py())
+            rows["s"].append(pc.sum(arr).as_py())
+        return pa.table(rows)
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = grouped_aggregate(
+        parts,
+        ["column_name"],
+        {
+            "n": ("n", "sum"),
+            "n_null": ("n_null", "sum"),
+            "min": ("min", "min"),
+            "max": ("max", "max"),
+            "s": ("s", "sum"),
+        },
+        final="driver",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean"] = (df["s"] / df["n"]).round(round_digits)
+        df["min"] = df["min"].round(round_digits)
+        df["max"] = df["max"].round(round_digits)
+        df["n"] = df["n"].astype("int64")
+        df["n_null"] = df["n_null"].astype("int64")
+        return df.drop(columns=["s"])
+
+    return merged.map_batches(finalize, batch_size=None, batch_format="pandas")

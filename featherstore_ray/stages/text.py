@@ -330,9 +330,6 @@ def vocab_count(
     Output: (token:string, n:int64). Oracle: unnest(string_split) GROUP BY
     ORDER BY n DESC, token LIMIT N.
     """
-    from featherstore_ray.exchange import bucketed_map_groups
-    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
-
     def partial(t: pa.Table) -> pa.Table:
         flat, _ = _explode_words(t[text_col])
         agg = (
@@ -345,17 +342,34 @@ def vocab_count(
     partials = ds.select_columns([text_col]).map_batches(
         partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    bucketed = add_bucket_column(partials, "token", num_buckets)
+    return _bucketed_topn(partials, top_n=top_n, num_buckets=num_buckets)
+
+
+def _bucketed_topn(
+    partials: ray.data.Dataset,
+    *,
+    top_n: int,
+    num_buckets: int,
+    key_col: str = "token",
+) -> ray.data.Dataset:
+    """Exact global top-N over (key, partial-count) rows: ONE bucket
+    shuffle on ``hash(key)`` (a key's total lives entirely in its bucket),
+    each bucket emits its local top-N, tiny single-group final. Ties break
+    by key ascending on both levels."""
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    bucketed = add_bucket_column(partials, key_col, num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         agg = (
-            t.select(["token", "n"])
-            .group_by("token")
+            t.select([key_col, "n"])
+            .group_by(key_col)
             .aggregate([("n", "sum")])
-            .rename_columns(["token", "n"])
+            .rename_columns([key_col, "n"])
         )
         df = agg.to_pandas().sort_values(
-            ["n", "token"], ascending=[False, True], kind="stable"
+            ["n", key_col], ascending=[False, True], kind="stable"
         ).head(top_n)
         df[BUCKET_COL] = 0  # route the survivors to one final group
         return pa.Table.from_pandas(
@@ -368,9 +382,9 @@ def vocab_count(
 
     def final(t: pa.Table) -> pa.Table:
         df = (
-            t.select(["token", "n"])
+            t.select([key_col, "n"])
             .to_pandas()
-            .sort_values(["n", "token"], ascending=[False, True],
+            .sort_values(["n", key_col], ascending=[False, True],
                          kind="stable")
             .head(top_n)
             .reset_index(drop=True)
@@ -382,6 +396,61 @@ def vocab_count(
     return bucketed_map_groups(
         locals_, final, num_buckets=1, batch_format="pyarrow"
     )
+
+
+def ngram_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    top_n: int = 100,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Corpus top-N word n-grams (whitespace tokens joined by a single
+    space). N-grams never cross document boundaries.
+
+    The n-gram strings are built without any per-row loop: the flat token
+    array is self-joined at offsets 0..n-1 (``binary_join_element_wise``
+    on n sliced views), then start positions whose window would straddle a
+    document boundary are masked out via the list offsets. Same scale
+    shape as ``vocab_count``: per-batch partial counts → one bucket
+    shuffle → exact global top-N.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offsets = _explode_words(t[text_col])
+        total = len(flat)
+        n_starts = total - n + 1
+        if n_starts <= 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        if n == 1:
+            grams = flat
+        else:
+            views = [flat.slice(i, n_starts) for i in range(n)]
+            grams = pc.binary_join_element_wise(*views, " ")
+            # start j is invalid when an interior doc boundary b lies in
+            # (j, j+n): j in [b-n+1, b-1]
+            ends = offsets[1:-1]
+            inv = (ends[:, None] - np.arange(1, n)[None, :]).ravel()
+            inv = inv[(inv >= 0) & (inv < n_starts)]
+            if len(inv):
+                valid = np.ones(n_starts, dtype=bool)
+                valid[inv] = False
+                grams = grams.filter(pa.array(valid))
+        agg = (
+            pa.table({"token": grams})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        return agg.rename_columns(["token", "n"])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _bucketed_topn(partials, top_n=top_n, num_buckets=num_buckets)
 
 
 def tf_idf(

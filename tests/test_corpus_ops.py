@@ -542,3 +542,49 @@ def test_label_centroids_null_labels_and_invariance(ray_session):
     # null-label row dropped (not scattered into another label's sum)
     assert out["centroid"].tolist() == [2.0, 4.0, 3.0, 1.0]
     pd.testing.assert_frame_equal(run(3), out)
+
+
+def test_ngram_counts_boundaries_and_invariance(ray_session):
+    from featherstore_ray.stages.text import ngram_counts
+
+    t = pa.table(
+        {"text": ["a b c", "c a b", "x", "", "a b"]}
+    )  # "c a"/"b c" never cross docs; 1-token and empty docs emit nothing
+
+    def run(blocks, n=2):
+        return (
+            ngram_counts(
+                ray.data.from_arrow(t).repartition(blocks), n=n,
+                top_n=10, num_buckets=4,
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    assert out.iloc[0].tolist() == ["a b", 3]
+    got = dict(zip(out["token"], out["n"]))
+    assert got == {"a b": 3, "b c": 1, "c a": 1}
+    pd.testing.assert_frame_equal(run(4), out)
+    # trigrams: only within-doc windows survive
+    tri = run(1, n=3)
+    assert dict(zip(tri["token"], tri["n"])) == {"a b c": 1, "c a b": 1}
+
+
+def test_profile_columns_nulls(ray_session):
+    from featherstore_ray.stages.misc import profile_columns
+
+    t = pa.table(
+        {"a": [1.0, None, 3.0, None], "b": [4, 5, 6, 7]}
+    )
+    out = (
+        profile_columns(ray.data.from_arrow(t).repartition(2), ["a", "b"])
+        .to_pandas()
+        .sort_values("column_name")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 4]
+    assert out["n_null"].tolist() == [2, 0]
+    assert out["min"].tolist() == [1.0, 4.0]
+    assert out["max"].tolist() == [3.0, 7.0]
+    assert out["mean"].tolist() == [2.0, 5.5]
