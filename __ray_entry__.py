@@ -352,6 +352,30 @@ def q_hash_join(sf_dir: str):
     return hash_join(orders, cust, on=["o_custkey"], how="inner", num_partitions=16)
 
 
+def q_outer_join(sf_dir: str):
+    """FULL OUTER hash join with genuine unmatched rows on BOTH sides:
+    distinct order custkeys vs every-3rd customer; the key column is
+    coalesced across sides (Ray join semantics = SQL COALESCE)."""
+    from featherstore_ray.stages.join import hash_join
+    from featherstore_ray.stages.misc import distinct
+
+    okeys = distinct(
+        _read(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"],
+        num_buckets=16,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(
+            t["c_custkey"].to_numpy() % 3 == 0  # no pc.modulo in this pyarrow
+        ).rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(
+        okeys, cust, on=["o_custkey"], how="full_outer", num_partitions=8
+    )
+
+
 def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact broadcast variant)."""
     from featherstore_ray.stages.ann import embedding_dup_pairs
@@ -764,6 +788,20 @@ def q_ntile(sf_dir: str):
         tiebreak="event_id",
         ntile=4,
     ).select_columns(["event_id", "tile"])
+
+
+def q_group_percentiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per entity in value order (nulls last,
+    SQL peer semantics) — the group_rank run-length kernel's pct mode."""
+    from featherstore_ray.stages.window import group_rank
+
+    return group_rank(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        entity_col="user_id",
+        order_cols=["value"],
+        tiebreak="event_id",
+        pct=True,
+    ).select_columns(["event_id", "pct_rank", "cume_dist"])
 
 
 def q_group_standardize(sf_dir: str):
@@ -1413,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": q_lag_lead,
         "group_rank": q_group_rank,
         "ntile": q_ntile,
+        "group_percentiles": q_group_percentiles,
         "group_standardize": q_group_standardize,
         "rolling_window": q_rolling_window,
         "rolling_window_chunked": q_rolling_window_chunked,
@@ -1421,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_daily": q_tumbling_daily,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
+        "outer_join": q_outer_join,
         "embedding_dedup": q_embedding_dedup,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -1602,6 +1642,12 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY value, event_id) AS tile
             FROM events
         """,
+        "group_percentiles": """
+            SELECT event_id,
+                   round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   round(CUME_DIST() OVER w, 6) AS cume_dist
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
         "group_standardize": """
             SELECT event_id,
                    round((value - avg(value) OVER w)
@@ -1644,6 +1690,15 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_nationkey
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "outer_join": """
+            SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                   c.c_nationkey
+            FROM (SELECT DISTINCT o_custkey FROM orders) o
+            FULL OUTER JOIN (
+                SELECT c_custkey, c_nationkey FROM customer
+                WHERE c_custkey % 3 = 0
+            ) c ON o.o_custkey = c.c_custkey
         """,
         "embedding_dedup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -297,12 +297,16 @@ def group_rank(
     ascending: Sequence[bool] | None = None,
     tiebreak: str | None = None,
     ntile: int | None = None,
+    pct: bool = False,
+    round_digits: int = 6,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Add SQL window-rank columns per entity: ``rn`` (ROW_NUMBER), ``rnk``
     (RANK), ``dense_rnk`` (DENSE_RANK), all int64 — plus ``tile`` when
     ``ntile=k`` is given (SQL NTILE(k): the first n%k tiles get
-    ceil(n/k) rows in rn order, the rest floor(n/k)).
+    ceil(n/k) rows in rn order, the rest floor(n/k)), and ``pct_rank`` /
+    ``cume_dist`` (SQL PERCENT_RANK = (rank-1)/(n-1), 0 for a 1-row group;
+    CUME_DIST = peers-at-or-below / n) when ``pct=True``.
 
     Peers (ties) are rows equal on ALL ``order_cols`` — two nulls are
     peers, matching SQL ORDER BY. ``rn`` additionally orders peers by
@@ -326,6 +330,9 @@ def group_rank(
                 ("tile",) if ntile else ()
             ):
                 df[c] = pd.Series([], dtype=np.int64)
+            if pct:
+                for c in ("pct_rank", "cume_dist"):
+                    df[c] = pd.Series([], dtype=np.float64)
             return df
 
         def _neq(col: str) -> np.ndarray:
@@ -357,6 +364,16 @@ def group_rank(
             df["tile"] = np.where(
                 in_big, rn // big, r + (rn - cut) // small
             ).astype(np.int64) + 1
+        if pct:
+            gn = np.repeat(sizes, sizes).astype(np.float64)
+            rnk0 = (run_first[run_id] - group_base).astype(np.float64)
+            df["pct_rank"] = np.where(
+                gn > 1, rnk0 / np.maximum(gn - 1, 1), 0.0
+            ).round(round_digits)
+            run_end = np.append(run_first[1:], n)  # runs never cross entities
+            df["cume_dist"] = (
+                (run_end[run_id] - group_base) / gn
+            ).round(round_digits)
         return df
 
     return _bucketed(ds, entity_col, num_buckets, kernel)

@@ -323,6 +323,48 @@ def test_ntile_vs_duckdb(ray_session):
     assert got["tile"].tolist() == [1, 2]
 
 
+def test_percent_rank_cume_dist_vs_duckdb(ray_session):
+    from featherstore_ray.stages.window import group_rank
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    # duplicated values (tie peers), null values, and two 1-row groups
+    v = rng.integers(0, 40, n).astype(float)
+    v[rng.random(n) < 0.07] = np.nan
+    e = np.concatenate([rng.integers(0, 13, n - 2), [90, 91]]).astype(np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "e": pa.array(e),
+            "v": pa.array(v),
+        }
+    )
+    got = (
+        group_rank(
+            ray.data.from_arrow(t),
+            entity_col="e",
+            order_cols=["v"],
+            tiebreak="id",
+            pct=True,
+            num_buckets=8,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        """
+        SELECT id,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume_dist
+        FROM t WINDOW w AS (PARTITION BY e ORDER BY v) ORDER BY id
+        """
+    ).df()
+    np.testing.assert_allclose(got["pct_rank"], exp["pct_rank"], atol=1e-9)
+    np.testing.assert_allclose(got["cume_dist"], exp["cume_dist"], atol=1e-9)
+    # 1-row groups: PERCENT_RANK = 0, CUME_DIST = 1
+    one = got[got["e"] >= 90]
+    assert (one["pct_rank"] == 0.0).all() and (one["cume_dist"] == 1.0).all()
+
+
 def test_group_standardize_vs_duckdb(ray_session):
     from featherstore_ray.stages.misc import group_standardize
 
