@@ -919,10 +919,29 @@ def q_kmeans(sf_dir: str):
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
-    """Unrolled-iteration SQL mirror of ``kmeans_assign`` (one CTE pair per
-    Lloyd step: assign via list_distance argmin, update via per-dimension
-    AVG with COALESCE keeping empty clusters' previous centroids)."""
+_SEMDEDUP_T = 0.7
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means clusters (no shuffle —
+    moment partials), ONE bucket exchange co-locating each cluster, then
+    per-cluster strip-blocked pairwise cosine marking rows whose best
+    LOWER-id neighbor is >= threshold (keep-lowest-id)."""
+    from featherstore_ray.stages.ann import semantic_dedup
+
+    return semantic_dedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_T,
+    )
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Shared unrolled-iteration CTE chain for the k-means oracles (one
+    CTE pair per Lloyd step: assign via list_distance argmin, update via
+    per-dimension AVG with COALESCE keeping empty clusters' previous
+    centroids). Returns (cte_sql, final_centroid_cte_name)."""
     sql = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -954,13 +973,45 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
           FROM {cur} p LEFT JOIN {m} u ON p.cl = u.cl
         )"""
         cur = c
-    sql += f"""
+    return sql, cur
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """SQL mirror of ``kmeans_assign`` — see ``_kmeans_ctes``."""
+    sql, cur = _kmeans_ctes(k, iters)
+    return sql + f"""
         SELECT vec_id, cl AS cluster FROM (
           SELECT e.vec_id, c.cl, row_number() OVER (
             PARTITION BY e.vec_id
             ORDER BY list_distance(e.v, c.v), c.cl) AS rn
           FROM emb e CROSS JOIN {cur} c) WHERE rn = 1"""
-    return sql
+
+
+def _semantic_dedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
+    """SQL mirror of ``semantic_dedup``: the k-means assignment CTEs, then
+    per row the max cosine similarity to any LOWER-id member of the same
+    cluster; is_dup decided on the 4dp-ROUNDED similarity (both engines
+    round before comparing so ulp noise can't flip the cut)."""
+    sql, cur = _kmeans_ctes(k, iters)
+    return sql + f""",
+        assign AS (
+          SELECT vec_id, v, cl FROM (
+            SELECT e.vec_id, e.v, c.cl, row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, c.v), c.cl) AS rn
+            FROM emb e CROSS JOIN {cur} c) WHERE rn = 1
+        ),
+        sims AS (
+          SELECT a.vec_id,
+                 round(max(list_cosine_similarity(a.v, b.v)), 4) AS ms
+          FROM assign a JOIN assign b
+            ON a.cl = b.cl AND b.vec_id < a.vec_id
+          GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cl AS cluster,
+               COALESCE(s.ms >= {threshold}, FALSE) AS is_dup,
+               COALESCE(s.ms, -1.0) AS max_sim
+        FROM assign a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
 
 
 _PACK_BUDGET = 256
@@ -1501,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
         "event_sequence": q_event_sequence,
         "weighted_sample": q_weighted_sample,
@@ -2144,6 +2196,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+        "semantic_dedup": _semantic_dedup_oracle_sql(
+            _KMEANS_K, _KMEANS_ITERS, _SEMDEDUP_T
+        ),
         "event_sequence": f"""
             WITH ranked AS (
               SELECT user_id, event_type, row_number() OVER (

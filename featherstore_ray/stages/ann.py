@@ -496,34 +496,31 @@ def lsh_topk(
 # -- distributed k-means (Lloyd's) -----------------------------------------
 
 
-def kmeans_assign(
-    ds: ray.data.Dataset,
-    *,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    k: int = 8,
-    iters: int = 2,
-    out_col: str = "cluster",
-    materialize_input: bool = True,
-) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means over an embedding column, EXACT oracle
-    semantics (unlike the sampled spherical ``_kmeans_lite`` used for IVF
-    training): Euclidean distance in float64, deterministic init (the
-    embeddings of the ``k`` smallest ids), ties → lowest cluster id, empty
-    cluster keeps its previous centroid. Returns ``(id_col, out_col)`` with
-    the assignment under the centroids after ``iters`` update steps.
+def _kmeans_assign_of(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest centroid by Euclidean distance; first min → lowest id."""
+    d2 = (
+        (emb * emb).sum(axis=1)[:, None]
+        - 2.0 * (emb @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
 
-    Scale shape (100 TB): each iteration is ONE streaming pass — centroids
-    (k × dim float64, tiny) ship inside the task closure; every batch emits
-    only k partial (count, sum-vector) moment rows, so the driver reduce is
-    O(blocks × k × dim), never O(rows). No shuffle anywhere. The projected
-    ``(id, embedding)`` input is materialized once so the ``iters + 2``
-    passes don't re-execute the read lineage (set
-    ``materialize_input=False`` to stream from source each pass instead).
+
+def kmeans_fit(
+    proj: ray.data.Dataset,
+    *,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    iters: int,
+) -> np.ndarray:
+    """Fit Lloyd's k-means centroids over ``proj`` (already projected to
+    ``(id_col, emb_col)`` and ideally materialized). Deterministic init
+    (embeddings of the ``k`` smallest ids), Euclidean float64, empty
+    cluster keeps its previous centroid. Returns the ``k × dim`` centroid
+    matrix; each iteration is one streaming pass emitting only k partial
+    (count, sum-vector) moment rows per block — no shuffle.
     """
-    proj = ds.select_columns([id_col, emb_col])
-    if materialize_input:
-        proj = proj.materialize()
 
     # deterministic init: per-batch k smallest ids -> tiny driver merge
     def smallest(t: pa.Table) -> pa.Table:
@@ -543,14 +540,7 @@ def kmeans_assign(
     )
     C = np.stack(head[emb_col].to_numpy()).astype(np.float64)
     n_c, dim = C.shape
-
-    def assign_of(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        d2 = (
-            (emb * emb).sum(axis=1)[:, None]
-            - 2.0 * (emb @ cent.T)
-            + (cent * cent).sum(axis=1)[None, :]
-        )
-        return np.argmin(d2, axis=1)  # first min -> lowest cluster id
+    assign_of = _kmeans_assign_of
 
     off = (np.arange(n_c + 1) * dim).astype(np.int32)
     for _ in range(iters):
@@ -587,6 +577,37 @@ def kmeans_assign(
             (n_arr > 0)[:, None], s_tot / np.maximum(n_arr, 1)[:, None], C
         )
 
+    return C
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    out_col: str = "cluster",
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over an embedding column, EXACT oracle
+    semantics (unlike the sampled spherical ``_kmeans_lite`` used for IVF
+    training): Euclidean distance in float64, deterministic init (the
+    embeddings of the ``k`` smallest ids), ties → lowest cluster id, empty
+    cluster keeps its previous centroid. Returns ``(id_col, out_col)`` with
+    the assignment under the centroids after ``iters`` update steps.
+
+    Scale shape (100 TB): see ``kmeans_fit`` — centroids ship in the task
+    closure, each pass reduces to k moment rows per block, no shuffle. The
+    projected ``(id, embedding)`` input is materialized once so the
+    ``iters + 2`` passes don't re-execute the read lineage (set
+    ``materialize_input=False`` to stream from source each pass instead).
+    """
+    proj = ds.select_columns([id_col, emb_col])
+    if materialize_input:
+        proj = proj.materialize()
+    C = kmeans_fit(proj, id_col=id_col, emb_col=emb_col, k=k, iters=iters)
+
     def final(t: pa.Table, cent=C) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
@@ -597,12 +618,105 @@ def kmeans_assign(
         return pa.table(
             {
                 id_col: t[id_col],
-                out_col: assign_of(emb, cent).astype(np.int64),
+                out_col: _kmeans_assign_of(emb, cent).astype(np.int64),
             }
         )
 
     return proj.map_batches(
         final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.7,
+    round_digits: int = 4,
+    block_rows: int = 1024,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then prune near-duplicates
+    WITHIN each cluster by pairwise cosine similarity. A row is marked
+    ``is_dup`` iff some LOWER-id row in the same cluster has cosine
+    similarity ≥ ``threshold`` (keep-lowest-id — deterministic under any
+    partitioning); ``max_sim`` reports its strongest lower-id neighbor
+    (rounded, -1.0 for the cluster's first row). ``is_dup`` is decided on
+    the ROUNDED similarity so engine/oracle ulp noise can't flip the cut.
+
+    Returns ``(id_col, cluster, is_dup, max_sim)``.
+
+    Scale shape (100 TB): the O(n²) cosine comparison never touches the
+    full corpus — k-means (no shuffle, see ``kmeans_fit``) splits it into
+    k clusters and ONE bucket exchange co-locates each cluster; the
+    per-cluster kernel computes the similarity matrix in ``block_rows``
+    strips (memory O(block × cluster), not O(cluster²)). Cross-cluster
+    duplicates are deliberately not compared — that is the SemDeDup
+    trade-off (recall bounded by clustering quality; raise k to shrink
+    per-cluster cost, lower k to raise recall).
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    C = kmeans_fit(proj, id_col=id_col, emb_col=emb_col, k=k, iters=iters)
+
+    def tag(t: pa.Table, cent=C) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 emb_col: t[emb_col],
+                 "cluster": pa.array([], pa.int64())}
+            )
+        emb = _stack_embeddings(t[emb_col])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                emb_col: t[emb_col],
+                "cluster": _kmeans_assign_of(emb, cent).astype(np.int64),
+            }
+        )
+
+    tagged = proj.map_batches(
+        tag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = _normalize(_stack_embeddings(t[emb_col]))[order]
+        n = len(ids)
+        max_sim = np.full(n, -np.inf)
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            if e <= 1:
+                continue
+            sims = emb[s:e] @ emb[:e].T  # strip vs all earlier + self-block
+            # mask out self and later-or-equal positions within the strip
+            col = np.arange(e)
+            row = np.arange(s, e)
+            sims[col[None, :] >= row[:, None]] = -np.inf
+            strip_max = sims.max(axis=1)
+            lo = max(s, 1)  # row 0 has no earlier neighbor
+            max_sim[lo:e] = strip_max[lo - s:]
+        cl = t["cluster"].to_numpy(zero_copy_only=False)[order]
+        ms = np.where(max_sim == -np.inf, -1.0, max_sim).round(round_digits)
+        is_dup = ms >= threshold
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "is_dup": pa.array(is_dup),
+                "max_sim": pa.array(ms),
+            }
+        )
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=k, bucket_col="cluster",
+        batch_format="pyarrow",
     )
 
 

@@ -231,3 +231,68 @@ def test_kmeans_assign_batch_invariant_and_empty_cluster(ray_session):
     )
     pd.testing.assert_frame_equal(one, many)
     assert set(one["cluster"]) == {0, 1}
+
+
+def test_semantic_dedup_single_cluster_matches_bruteforce(ray_session):
+    from featherstore_ray.stages.ann import semantic_dedup
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(30, 6))
+    # rows 30..44 are near-copies of rows 0..14 (should be marked dup)
+    vecs = np.concatenate([base, base[:15] + rng.normal(0, 1e-3, (15, 6))])
+    t = pa.table(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+        }
+    )
+    thr = 0.9
+    got = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            k=1, iters=1, threshold=thr, block_rows=7,  # force strip path
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # brute force: max cosine vs any lower id (float64, rounded like engine)
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp_ms = np.full(len(m), -1.0)
+    for i in range(1, len(m)):
+        exp_ms[i] = round(sims[i, :i].max(), 4)
+    np.testing.assert_allclose(got["max_sim"], exp_ms, atol=1e-9)
+    assert (got["is_dup"].to_numpy() == (exp_ms >= thr)).all()
+    assert got["is_dup"].to_numpy()[30:].all()  # the planted near-copies
+
+
+def test_semantic_dedup_partition_invariant_and_subset(ray_session):
+    from featherstore_ray.stages.ann import semantic_dedup
+
+    rng = np.random.default_rng(22)
+    vecs = rng.normal(size=(60, 5))
+    vecs[45:] = vecs[:15] * 1.001  # dups across the id space
+    t = pa.table(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+        }
+    )
+    kw = dict(k=3, iters=2, threshold=0.95)
+    one = (
+        semantic_dedup(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    many = (
+        semantic_dedup(ray.data.from_arrow(t).repartition(6), **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    # clustered dup set is a subset of the global (k=1) dup set
+    glob = (
+        semantic_dedup(ray.data.from_arrow(t), k=1, iters=1, threshold=0.95)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert set(one.loc[one["is_dup"], "vec_id"]) <= set(
+        glob.loc[glob["is_dup"], "vec_id"]
+    )
