@@ -804,6 +804,21 @@ def q_group_percentiles(sf_dir: str):
     ).select_columns(["event_id", "pct_rank", "cume_dist"])
 
 
+def q_winsorize(sf_dir: str):
+    """Per-entity percentile clipping (outlier winsorization at p05/p95,
+    SQL quantile_cont interpolation) — one bucket exchange, cython grouped
+    quantile + vectorized clip in the kernel."""
+    from featherstore_ray.stages.misc import winsorize
+
+    return winsorize(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        "user_id",
+        "value",
+        lower=0.05,
+        upper=0.95,
+    ).select_columns(["event_id", "value_w"])
+
+
 def q_group_standardize(sf_dir: str):
     """Per-entity z-score + min-max scaling of value — two shuffle-free
     passes: batch moment partials merged driver-side, stats broadcast,
@@ -1504,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": q_ntile,
         "group_percentiles": q_group_percentiles,
         "group_standardize": q_group_standardize,
+        "winsorize": q_winsorize,
         "rolling_window": q_rolling_window,
         "rolling_window_chunked": q_rolling_window_chunked,
         "window_suite_skew": q_window_suite_skew,
@@ -1699,6 +1715,18 @@ def oracle_sql() -> dict[str, str]:
                    round(PERCENT_RANK() OVER w, 6) AS pct_rank,
                    round(CUME_DIST() OVER w, 6) AS cume_dist
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        "winsorize": """
+            SELECT e.event_id,
+                   round(CASE WHEN e.value < q.q05 THEN q.q05
+                              WHEN e.value > q.q95 THEN q.q95
+                              ELSE e.value END, 6) AS value_w
+            FROM events e JOIN (
+                SELECT user_id,
+                       quantile_cont(value, 0.05) AS q05,
+                       quantile_cont(value, 0.95) AS q95
+                FROM events GROUP BY user_id
+            ) q USING (user_id)
         """,
         "group_standardize": """
             SELECT event_id,

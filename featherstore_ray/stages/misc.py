@@ -544,3 +544,60 @@ def profile_columns(
         return df.drop(columns=["s"])
 
     return merged.map_batches(finalize, batch_size=None, batch_format="pandas")
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group percentile clipping (winsorization — the standard outlier
+    treatment before feature scaling): append ``{value}_w`` = value clipped
+    to the group's [``lower``, ``upper``] quantiles (SQL ``quantile_cont``
+    linear interpolation), rounded. Null values stay null; rows whose
+    group key is null (or whose group is all-null) pass through unclipped
+    — matching ``CASE WHEN v < q THEN ...`` three-valued logic.
+
+    Scale shape: exact quantiles need the group's full value set, so this
+    is ONE bucket exchange on hash(group) + a per-bucket kernel (cython
+    grouped quantile + vectorized clip) — same contract as
+    ``grouped_quantiles``; for sketch-grade group cardinalities pair with
+    ``grouped_quantiles_sketch`` bounds instead.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out = out_col or f"{value_col}_w"
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = (
+            pd.Series(v).groupby(g, dropna=True)
+            .quantile([lower, upper]).unstack()
+        )
+        codes, uniq = pd.factorize(g, use_na_sentinel=True)
+        if len(q):
+            qlo = q[lower].reindex(uniq).to_numpy()
+            qhi = q[upper].reindex(uniq).to_numpy()
+        else:  # every group key null in this bucket
+            qlo = qhi = np.full(len(uniq), np.nan)
+        safe = np.maximum(codes, 0)
+        lo = np.where(codes >= 0, qlo[safe] if len(uniq) else np.nan, np.nan)
+        hi = np.where(codes >= 0, qhi[safe] if len(uniq) else np.nan, np.nan)
+        w = np.where(
+            np.isnan(lo), v, np.minimum(np.maximum(v, lo), hi)
+        )
+        return t.append_column(out, pa.array(np.round(w, round_digits)))
+
+    tagged = add_bucket_column(ds, group_col, num_buckets)
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )

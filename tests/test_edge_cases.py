@@ -109,3 +109,50 @@ def test_inclusive_bounds_exact_boundary():
     ).to_pandas()
     got = sorted(out["ts"].astype("datetime64[us]").astype(np.int64))
     assert got == [T0, T0 + 7]
+
+
+def test_winsorize_nulls_and_partition_invariance():
+    import duckdb
+
+    from featherstore_ray.stages.misc import winsorize
+
+    rng = np.random.default_rng(3)
+    n = 400
+    g = rng.integers(0, 7, n).astype(np.float64)
+    g[::97] = np.nan  # null group keys pass through unclipped
+    v = rng.normal(100, 50, n)
+    v[::41] = np.nan  # null values stay null
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "g": pa.array(g, from_pandas=True),  # NaN -> true nulls
+            "v": pa.array(v, from_pandas=True),
+        }
+    )
+    kw = dict(lower=0.1, upper=0.9, num_buckets=4)
+    one = (
+        winsorize(ray.data.from_arrow(t), "g", "v", **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    many = (
+        winsorize(ray.data.from_arrow(t).repartition(9), "g", "v", **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    exp = duckdb.connect().execute(
+        """
+        SELECT t.id,
+               round(CASE WHEN t.v < q.lo THEN q.lo
+                          WHEN t.v > q.hi THEN q.hi
+                          ELSE t.v END, 6) AS v_w
+        FROM t LEFT JOIN (
+            SELECT g, quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi
+            FROM t WHERE g IS NOT NULL GROUP BY g) q USING (g)
+        ORDER BY t.id
+        """
+    ).df()
+    # null-group rows: engine passes v through; SQL CASE with NULL bounds
+    # also falls to ELSE v — identical
+    np.testing.assert_allclose(
+        one["v_w"], exp["v_w"], atol=1e-9, equal_nan=True
+    )
