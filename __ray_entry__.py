@@ -1161,6 +1161,16 @@ def q_token_count_bpe(sf_dir: str):
     ).select_columns(["doc_id", "n_tok_bpe"])
 
 
+def q_lm_score(sf_dir: str):
+    """Char-bigram LM perplexity scoring (CCNet-style quality signal):
+    self-trained add-one-smoothed byte bigram model — count partials
+    merged driver-side, 512KB log-prob table broadcast, row-local scoring.
+    No shuffle."""
+    from featherstore_ray.stages.text import lm_score
+
+    return lm_score(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_quality_score(sf_dir: str):
     """Quality features: char/word counts, stopword hits (RE2 both sides)."""
     from featherstore_ray.stages.text import quality_score
@@ -1574,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
+        "lm_score": q_lm_score,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1885,6 +1896,30 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                      AS n_tok_bpe
             FROM documents
+        """,
+        "lm_score": """
+            WITH bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text)),
+                           i -> substr(text, i, 2))) AS b
+                FROM documents
+            ),
+            cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+            tot AS (
+                SELECT substr(b, 1, 1) AS c1, sum(n) AS tn
+                FROM cnt GROUP BY c1
+            ),
+            sc AS (
+                SELECT bg.doc_id,
+                       avg(-ln((c.n + 1) / (t.tn + 256.0))) AS nll
+                FROM bg
+                JOIN cnt c ON bg.b = c.b
+                JOIN tot t ON substr(bg.b, 1, 1) = t.c1
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id, round(sc.nll, 6) AS lm_nll
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "quality_score": r"""
             SELECT doc_id,

@@ -725,3 +725,124 @@ def wrap_words(
     return ds.map_batches(
         _wrap, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _byte_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Raw UTF-8 byte buffer + per-doc ABSOLUTE int64 offsets of a string
+    column (zero-copy: no per-row materialization). Null/empty docs have
+    zero length. Positions outside ``[off[0], off[-1])`` belong to no doc."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.type != pa.string():
+        arr = arr.cast(pa.string())
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = raw[arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None else np.empty(0, np.uint8)
+    )
+    return data, off
+
+
+def lm_score(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lm_nll",
+    round_digits: int = 6,
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """Char-bigram language-model perplexity scoring (the CCNet-style
+    quality signal: docs unlike the corpus score high): train a byte-level
+    bigram LM with add-one smoothing on the corpus itself, then score each
+    doc with its average negative log-likelihood ``avg(-ln P(c2|c1))``
+    over its bigrams. Docs with < 2 bytes score null.
+
+    Scale shape (100 TB): pass 1 collapses each block to its nonzero
+    (bigram-code, count) pairs — <= 64Ki rows per block no matter the
+    input — merged driver-side into the 256x256 count matrix; the smoothed
+    log-prob table (512 KB) broadcasts once via ``ray.put``; pass 2 is a
+    row-local vectorized lookup + segment-sum. No shuffle anywhere. For a
+    fixed reference LM (score corpus B under corpus A's model) pass the
+    precomputed table via ``counts``-style refactor — the broadcast path
+    is identical.
+    """
+    import ray
+
+    proj = ds.select_columns([id_col, text_col])
+    if materialize_input:
+        proj = proj.materialize()  # two passes share one read of the corpus
+
+    def partial(t: pa.Table) -> pa.Table:
+        data, off = _byte_view(t[text_col])
+        if t.num_rows == 0 or len(data) < 2 or off[-1] - off[0] < 2:
+            return pa.table(
+                {"code": pa.array([], pa.int32()),
+                 "n": pa.array([], pa.int64())}
+            )
+        codes = data[:-1].astype(np.int32) * 256 + data[1:]
+        valid = np.zeros(len(data) - 1, dtype=bool)
+        valid[off[0]:max(off[-1] - 1, off[0])] = True
+        b = off[1:-1]
+        b = b[(b > 0) & (b < len(data))]
+        valid[b - 1] = False  # bigram would cross a doc boundary
+        cnt = np.bincount(codes[valid], minlength=65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"code": pa.array(nz.astype(np.int32)),
+             "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= 64Ki rows per block, tiny
+    counts = np.zeros(65536, dtype=np.int64)
+    if len(parts):
+        np.add.at(
+            counts, parts["code"].to_numpy().astype(np.int64),
+            parts["n"].to_numpy(),
+        )
+    row_tot = counts.reshape(256, 256).sum(axis=1)
+    logp = np.log(
+        (counts + 1.0) / (np.repeat(row_tot, 256) + 256.0)
+    )
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 out_col: pa.array([], pa.float64())}
+            )
+        lp = ray.get(logp_ref)
+        data, off = _byte_view(t[text_col])
+        lens = off[1:] - off[:-1]
+        m = np.maximum(lens - 1, 0)
+        if len(data) >= 2:
+            codes = data[:-1].astype(np.int32) * 256 + data[1:]
+            valid = np.zeros(len(data) - 1, dtype=bool)
+            valid[off[0]:max(off[-1] - 1, off[0])] = True
+            b = off[1:-1]
+            b = b[(b > 0) & (b < len(data))]
+            valid[b - 1] = False
+            s = -lp[codes[valid]]
+        else:
+            s = np.empty(0, np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(s)))
+        doc_off = np.concatenate(([0], np.cumsum(m)))
+        sums = csum[doc_off[1:]] - csum[doc_off[:-1]]
+        nll = np.round(
+            np.divide(sums, m, out=np.zeros_like(sums), where=m > 0),
+            round_digits,
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.array(nll, mask=m == 0),
+            }
+        )
+
+    return proj.map_batches(
+        score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

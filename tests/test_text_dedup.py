@@ -332,3 +332,48 @@ def test_line_dedup_hot_line_across_docs(ray_session):
     assert (out["n_kept"].to_numpy() == np.where(np.arange(n) == 0, 2, 1)).all()
     assert out.loc[0, "text_dedup"] == "unique 0\nshared footer"
     assert out.loc[5, "text_dedup"] == "unique 5"
+
+
+def test_lm_score_invariance_nulls_and_signal(ray_session):
+    from featherstore_ray.stages.text import lm_score
+
+    texts = (
+        ["the cat sat on the mat and the dog sat too"] * 5
+        + ["the mat and the cat and the dog sat on it"] * 5
+        + ["zqxjkwv bzzkq xqzzv jjqx"]  # unlike the corpus -> high NLL
+        + ["", None, "a"]               # <2 bytes -> null score
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    one = (
+        lm_score(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    many = (
+        lm_score(ray.data.from_arrow(t).repartition(7))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # the LM is corpus-global: block boundaries must not change counts
+    pd.testing.assert_frame_equal(one, many)
+    assert one["lm_nll"].iloc[-3:].isna().all()
+    # the garbage doc scores strictly worse than every corpus-like doc
+    assert one["lm_nll"].iloc[10] > one["lm_nll"].iloc[:10].max() + 0.5
+    # pure-python reference on one doc
+    corpus = [x for x in texts if x]
+    from collections import Counter
+    cnt, tot = Counter(), Counter()
+    for x in corpus:
+        bs = x.encode()
+        for i in range(len(bs) - 1):
+            cnt[(bs[i], bs[i + 1])] += 1
+            tot[bs[i]] += 1
+    bs = texts[0].encode()
+    ref = np.mean(
+        [-np.log((cnt[(bs[i], bs[i + 1])] + 1) / (tot[bs[i]] + 256.0))
+         for i in range(len(bs) - 1)]
+    )
+    assert abs(one["lm_nll"].iloc[0] - round(ref, 6)) < 1e-9
