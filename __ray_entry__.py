@@ -1189,8 +1189,25 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs word-trigram Jaccard similarity join (inverted
+    shingle index: postings exchange -> vectorized triangular pair
+    emission -> pair-keyed reduce; set sizes ride with the rows, no
+    broadcast)."""
+    from featherstore_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        k=3,
+        threshold=0.4,
+    )
+
+
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID (deterministic; no SQL equivalent → rows check)."""
+    """Heuristic stopword-profile language ID — now fully oracled: the
+    per-profile occurrence counts are ``list_filter`` hit counts in SQL and
+    the first-max-wins argmax is a >= CASE cascade in profile order."""
     from featherstore_ray.stages.text import lang_id
 
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"])).select_columns(
@@ -1591,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_verify": q_jaccard_verify,
+        "jaccard_pairs": q_jaccard_pairs,
         "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
@@ -1896,6 +1914,60 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                      AS n_tok_bpe
             FROM documents
+        """,
+        "jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT inter.a, inter.b,
+                   round(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON inter.a = sa.doc_id
+            JOIN sz sb ON inter.b = sb.doc_id
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['the','a','and','of','to','in',
+                                          'is','that','it','for'], x))) AS en,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['el','la','de','que','y','en',
+                                          'los','se','del','por'], x))) AS es,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['le','la','de','et','les','des',
+                                          'en','du','que','une'], x))) AS fr,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['der','die','und','das','von','zu',
+                                          'mit','den','im','ist'], x))) AS de,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['的','了','是','在','我','有',
+                                          '和','就','不','人'], x))) AS zh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'und'
+                        WHEN en + es + fr + de + zh = 0 THEN 'und'
+                        WHEN en >= es AND en >= fr AND en >= de
+                             AND en >= zh THEN 'en'
+                        WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
+                        WHEN fr >= de AND fr >= zh THEN 'fr'
+                        WHEN de >= zh THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
         """,
         "lm_score": """
             WITH bg AS (

@@ -662,3 +662,161 @@ def line_dedup(
         num_buckets=num_buckets,
         batch_format="pandas",
     )
+
+
+_JP_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for shingle combine
+
+
+def jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT all-pairs word-k-gram Jaccard similarity join (no MinHash,
+    no candidates): ``(a, b, jaccard)`` for every unordered doc pair with
+    ``round(|A∩B| / |A∪B|, 6) >= threshold``, where A/B are the DISTINCT
+    k-gram shingle sets (docs with < k words have no shingles and never
+    pair). Matches the SQL self-join on shared shingles bit-for-bit
+    (shingles travel as order-sensitive 64-bit polynomial word-hash
+    combines; collision probability ~ shingles²/2^64, negligible).
+
+    Scale shape (100 TB): an inverted-index similarity join — exchange 1
+    co-locates each shingle's postings (per-doc set sizes ride along, so
+    NO driver-side size broadcast); the per-shingle kernel emits
+    triangular candidate pairs fully vectorized; exchange 2 co-locates
+    each pair's partial counts by hash(a) and finalizes. Cost is
+    Σ freq(shingle)² — exact by construction; for corpora with hot
+    shingles cap the posting length upstream (stopword-shingle removal)
+    or use the MinHash route (``minhash_band_pairs``), which this op
+    oracles.
+    """
+    kk = int(k)
+
+    def shingles(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id": pa.array([], pa.int64()),
+             "sh": pa.array([], pa.int64()),
+             "sz": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        h, off = word_hashes(t[text_col])
+        total = len(h)
+        if total < kk:
+            return empty
+        n = t.num_rows
+        lens = off[1:] - off[:-1]
+        doc_of = np.repeat(np.arange(n), lens)
+        valid = doc_of[:total - kk + 1] == doc_of[kk - 1:]
+        comb = h[:total - kk + 1].copy()
+        for j in range(1, kk):
+            comb = comb * _JP_P + h[j:total - kk + 1 + j]
+        doc_v = doc_of[:total - kk + 1][valid]
+        comb_v = comb[valid]
+        if len(doc_v) == 0:
+            return empty
+        order = np.lexsort((comb_v, doc_v))
+        doc_s, comb_s = doc_v[order], comb_v[order]
+        first = np.ones(len(doc_s), dtype=bool)
+        first[1:] = (doc_s[1:] != doc_s[:-1]) | (comb_s[1:] != comb_s[:-1])
+        doc_u, comb_u = doc_s[first], comb_s[first]
+        sizes = np.bincount(doc_u, minlength=n)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids[doc_u]),
+                "sh": pa.array(comb_u.view(np.int64)),
+                "sz": pa.array(sizes[doc_u].astype(np.int64)),
+            }
+        )
+
+    posting = add_bucket_column(
+        ds.map_batches(
+            shingles, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "sh",
+        num_buckets,
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        sz = t["sz"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids, sz = sh[order], ids[order], sz[order]
+        seg = np.ones(len(sh), dtype=bool)
+        seg[1:] = sh[1:] != sh[:-1]
+        starts = np.nonzero(seg)[0]
+        lens = np.diff(np.append(starts, len(sh)))
+        # triangular expansion: element at in-segment pos p pairs with the
+        # (d - 1 - p) elements after it
+        pos = np.arange(len(sh)) - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - pos
+        T = int(reps.sum())
+        if T == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(sh)), reps)
+        csum = np.concatenate(([0], np.cumsum(reps)))
+        offset = np.arange(T) - csum[a_idx] + 1
+        b_idx = a_idx + offset
+        # partial-aggregate identical pairs within this shingle bucket
+        key = pd.DataFrame(
+            {"a": ids[a_idx], "b": ids[b_idx],
+             "sa": sz[a_idx], "sb": sz[b_idx]}
+        )
+        agg = key.groupby(["a", "b"], sort=False).agg(
+            sa=("sa", "first"), sb=("sb", "first"), n=("sa", "size")
+        ).reset_index()
+        res = pa.Table.from_pandas(agg, preserve_index=False)
+        return res.replace_schema_metadata(None)
+
+    partials = add_bucket_column(
+        bucketed_map_groups(
+            posting, pair_partials, num_buckets=num_buckets,
+            batch_format="pyarrow",
+        ),
+        "a",
+        num_buckets,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        df = t.select(["a", "b", "sa", "sb", "n"]).to_pandas()
+        g = df.groupby(["a", "b"], sort=False).agg(
+            sa=("sa", "first"), sb=("sb", "first"), n=("n", "sum")
+        ).reset_index()
+        j = np.round(
+            g["n"].to_numpy()
+            / (g["sa"].to_numpy() + g["sb"].to_numpy() - g["n"].to_numpy()),
+            round_digits,
+        )
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy()[keep].astype(np.int64)),
+                "b": pa.array(g["b"].to_numpy()[keep].astype(np.int64)),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return bucketed_map_groups(
+        partials, finalize, num_buckets=num_buckets, batch_format="pyarrow"
+    )

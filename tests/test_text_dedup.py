@@ -377,3 +377,33 @@ def test_lm_score_invariance_nulls_and_signal(ray_session):
          for i in range(len(bs) - 1)]
     )
     assert abs(one["lm_nll"].iloc[0] - round(ref, 6)) < 1e-9
+
+
+def test_jaccard_pairs_exact_and_invariant(ray_session):
+    from featherstore_ray.stages.dedup import jaccard_pairs
+
+    texts = [
+        "a b c d e",        # shingles: abc bcd cde
+        "a b c d x",        # abc bcd cdx -> inter 2, union 4, J=0.5
+        "a b c d e",        # identical to doc 0 -> J=1.0
+        "z y",              # < 3 words: no shingles, never pairs
+        "q r s t u v",      # unrelated
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    kw = dict(id_col="doc_id", k=3, threshold=0.3, num_buckets=8)
+    one = (
+        jaccard_pairs(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    many = (
+        jaccard_pairs(ray.data.from_arrow(t).repartition(5), **kw)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    got = {(r.a, r.b): r.jaccard for r in one.itertuples()}
+    assert got == {(0, 1): 0.5, (0, 2): 1.0, (1, 2): 0.5}
