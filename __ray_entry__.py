@@ -1189,6 +1189,32 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+def q_redact(sf_dir: str):
+    """PII redaction over composed customer profiles (name + segment):
+    ordered RE2 masking rules (email/url/phone patterns, then digit runs —
+    the customer ids match the digit-run rule) — streaming map, oracled by
+    nested regexp_replace(..., 'g')."""
+    from featherstore_ray.stages.text import redact
+
+    prof = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "profile": pc.binary_join_element_wise(
+                    t["c_name"], t["c_mktsegment"], " "
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return redact(prof, "profile", out_col="profile_redacted").select_columns(
+        ["c_custkey", "profile_redacted"]
+    )
+
+
 def q_jaccard_pairs(sf_dir: str):
     """EXACT all-pairs word-trigram Jaccard similarity join (inverted
     shingle index: postings exchange -> vectorized triangular pair
@@ -1609,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "jaccard_verify": q_jaccard_verify,
         "jaccard_pairs": q_jaccard_pairs,
+        "redact": q_redact,
         "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
@@ -1914,6 +1941,21 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                      AS n_tok_bpe
             FROM documents
+        """,
+        "redact": """
+            SELECT c_custkey,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   c_name || ' ' || c_mktsegment,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               'https?://[^ ]+', '<URL>', 'g'),
+                           '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                           '<PHONE>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS profile_redacted
+            FROM customer
         """,
         "jaccard_pairs": """
             WITH w AS (

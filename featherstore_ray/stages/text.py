@@ -846,3 +846,42 @@ def lm_score(
     return proj.map_batches(
         score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# Default PII masking rules, applied IN ORDER (most specific first so the
+# generic digit-run rule can't eat a phone number's structure). RE2-only
+# syntax — pyarrow and DuckDB both run RE2, so oracle SQL
+# (nested regexp_replace(..., 'g')) agrees bit-for-bit.
+DEFAULT_REDACT_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def redact(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    rules: list[tuple[str, str]] | None = None,
+    out_col: str = "text_redacted",
+) -> ray.data.Dataset:
+    """PII scrubbing: replace every match of each rule pattern (emails,
+    URLs, phone numbers, digit runs by default) with its mask token,
+    rules applied in order. Pure streaming map, vectorized RE2
+    (``pc.replace_substring_regex``) — no shuffle, no Python per row.
+    """
+    rs = list(rules or DEFAULT_REDACT_RULES)
+
+    def _redact(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        for pat, repl in rs:
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=repl
+            )
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(
+        _redact, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

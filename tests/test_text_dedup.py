@@ -407,3 +407,30 @@ def test_jaccard_pairs_exact_and_invariant(ray_session):
     pd.testing.assert_frame_equal(one, many)
     got = {(r.a, r.b): r.jaccard for r in one.itertuples()}
     assert got == {(0, 1): 0.5, (0, 2): 1.0, (1, 2): 0.5}
+
+
+def test_redact_all_rules(ray_session):
+    from featherstore_ray.stages.text import redact
+
+    texts = [
+        "mail me at bob.smith+x@corp.example.com today",
+        "see https://example.com/a?b=1 and http://x.y/z now",
+        "call 11-746-963-6749 or extension 42",
+        "plain text with no pii at all",
+        "",
+    ]
+    t = pa.table(
+        {"i": pa.array(np.arange(5), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = (
+        redact(ray.data.from_arrow(t))
+        .to_pandas().sort_values("i")["text_redacted"].tolist()
+    )
+    assert out == [
+        "mail me at <EMAIL> today",
+        "see <URL> and <URL> now",
+        "call <PHONE> or extension <NUM>",
+        "plain text with no pii at all",
+        "",
+    ]
