@@ -1189,6 +1189,21 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+def q_co_occurrence(sf_dir: str):
+    """Market-basket co-occurrence: part pairs ordered together (distinct
+    per order), count of shared orders >= 3 — the item2vec/PMI input
+    statistic. Two bucket exchanges, vectorized triangular pair
+    expansion."""
+    from featherstore_ray.stages.aggregate import co_occurrence
+
+    return co_occurrence(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        min_count=3,
+    )
+
+
 def q_redact(sf_dir: str):
     """PII redaction over composed customer profiles (name + segment):
     ordered RE2 masking rules (email/url/phone patterns, then digit runs —
@@ -1636,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": q_jaccard_verify,
         "jaccard_pairs": q_jaccard_pairs,
         "redact": q_redact,
+        "co_occurrence": q_co_occurrence,
         "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
@@ -1941,6 +1957,14 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                      AS n_tok_bpe
             FROM documents
+        """,
+        "co_occurrence": """
+            SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY x.l_partkey, y.l_partkey
+            HAVING count(*) >= 3
         """,
         "redact": """
             SELECT c_custkey,

@@ -338,3 +338,83 @@ def rollup(
     return finest.repartition(1).map_batches(
         levels, batch_size=None, batch_format="pandas"
     )
+
+
+def co_occurrence(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Market-basket / skip-gram-style co-occurrence counting: for every
+    unordered item pair ``(a < b)`` appearing together in a group (order,
+    basket, context window id), the number of groups containing BOTH —
+    the input statistic for item2vec/PMI embeddings and association
+    rules. Duplicate items within a group count once (set semantics).
+
+    Scale shape: exchange 1 co-locates each group's DISTINCT items and
+    emits triangular pairs fully vectorized (``pair_indices``),
+    pre-aggregated per bucket; exchange 2 sums per pair keyed by
+    hash(a). Pair volume is Σ basket_size² — bound basket size upstream
+    for pathological groups (same contract as the Jaccard join).
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.stages.dedup import pair_indices
+
+    proj = ds.select_columns([group_col, item_col])
+    tagged = add_bucket_column(proj, group_col, num_buckets)
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        it = t[item_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        # distinct (group, item): a basket lists an item once
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (g[1:] != g[:-1]) | (it[1:] != it[:-1])
+        g, it = g[first], it[first]
+        a_idx, b_idx = pair_indices(g)
+        if len(a_idx) == 0:
+            return empty
+        agg = (
+            pd.DataFrame({"a": it[a_idx], "b": it[b_idx]})
+            .groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        )
+        res = pa.Table.from_pandas(agg, preserve_index=False)
+        return res.replace_schema_metadata(None)
+
+    partials = add_bucket_column(
+        bucketed_map_groups(
+            tagged, pairs, num_buckets=num_buckets, batch_format="pyarrow"
+        ),
+        "a",
+        num_buckets,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.select(["a", "b", "n"]).to_pandas()
+        g = df.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= min_count]
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy().astype(np.int64)),
+                "b": pa.array(g["b"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return bucketed_map_groups(
+        partials, finalize, num_buckets=num_buckets, batch_format="pyarrow"
+    )

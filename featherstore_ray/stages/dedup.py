@@ -667,6 +667,33 @@ def line_dedup(
 _JP_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for shingle combine
 
 
+def pair_indices(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment unordered index pairs ``(a_idx, b_idx)`` with
+    ``a_idx < b_idx``, for a key array whose equal keys are contiguous
+    (pre-sorted). Fully vectorized triangular expansion: the element at
+    in-segment position p pairs with the (d - 1 - p) elements after it.
+    Shared by the Jaccard similarity join and co-occurrence counting.
+    """
+    m = len(sorted_keys)
+    if m < 2:
+        z = np.empty(0, np.int64)
+        return z, z
+    seg = np.ones(m, dtype=bool)
+    seg[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    starts = np.nonzero(seg)[0]
+    lens = np.diff(np.append(starts, m))
+    pos = np.arange(m) - np.repeat(starts, lens)
+    reps = np.repeat(lens, lens) - 1 - pos
+    T = int(reps.sum())
+    if T == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    a_idx = np.repeat(np.arange(m), reps)
+    csum = np.concatenate(([0], np.cumsum(reps)))
+    offset = np.arange(T) - csum[a_idx] + 1
+    return a_idx, a_idx + offset
+
+
 def jaccard_pairs(
     ds: ray.data.Dataset,
     *,
@@ -757,21 +784,9 @@ def jaccard_pairs(
         sz = t["sz"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, sh))
         sh, ids, sz = sh[order], ids[order], sz[order]
-        seg = np.ones(len(sh), dtype=bool)
-        seg[1:] = sh[1:] != sh[:-1]
-        starts = np.nonzero(seg)[0]
-        lens = np.diff(np.append(starts, len(sh)))
-        # triangular expansion: element at in-segment pos p pairs with the
-        # (d - 1 - p) elements after it
-        pos = np.arange(len(sh)) - np.repeat(starts, lens)
-        reps = np.repeat(lens, lens) - 1 - pos
-        T = int(reps.sum())
-        if T == 0:
+        a_idx, b_idx = pair_indices(sh)
+        if len(a_idx) == 0:
             return empty
-        a_idx = np.repeat(np.arange(len(sh)), reps)
-        csum = np.concatenate(([0], np.cumsum(reps)))
-        offset = np.arange(T) - csum[a_idx] + 1
-        b_idx = a_idx + offset
         # partial-aggregate identical pairs within this shingle bucket
         key = pd.DataFrame(
             {"a": ids[a_idx], "b": ids[b_idx],

@@ -296,3 +296,31 @@ def test_semantic_dedup_partition_invariant_and_subset(ray_session):
     assert set(one.loc[one["is_dup"], "vec_id"]) <= set(
         glob.loc[glob["is_dup"], "vec_id"]
     )
+
+
+def test_co_occurrence_exact_and_invariant(ray_session):
+    from featherstore_ray.stages.aggregate import co_occurrence
+
+    # baskets: {1,2,3}, {1,2}, {2,3}, {1,2} (with dup 2), {5}
+    g = [10, 10, 10, 11, 11, 12, 12, 13, 13, 13, 14]
+    i = [1, 2, 3, 1, 2, 2, 3, 1, 2, 2, 5]
+    t = pa.table(
+        {"o": pa.array(g, pa.int64()), "p": pa.array(i, pa.int64())}
+    )
+    kw = dict(group_col="o", item_col="p", num_buckets=4)
+    one = (
+        co_occurrence(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    many = (
+        co_occurrence(ray.data.from_arrow(t).repartition(6), **kw)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    got = {(r.a, r.b): r.n for r in one.itertuples()}
+    assert got == {(1, 2): 3, (1, 3): 1, (2, 3): 2}
+    filt = (
+        co_occurrence(ray.data.from_arrow(t), min_count=2, **kw)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert {(r.a, r.b): r.n for r in filt.itertuples()} == {(1, 2): 3, (2, 3): 2}
