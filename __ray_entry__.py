@@ -1189,6 +1189,24 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+_NEG_K = 3
+
+
+def q_negative_sampling(sf_dir: str):
+    """Deterministic negative sampling over (supplier, part) interactions:
+    per supplier, the 3 never-supplied parts ranking smallest under the
+    SQL-mirrored Knuth hash. Item catalog broadcast once; one user-bucket
+    exchange; strip-vectorized kernel."""
+    from featherstore_ray.stages.misc import negative_sampling
+
+    return negative_sampling(
+        _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"]),
+        user_col="l_suppkey",
+        item_col="l_partkey",
+        k=_NEG_K,
+    )
+
+
 def q_co_occurrence(sf_dir: str):
     """Market-basket co-occurrence: part pairs ordered together (distinct
     per order), count of shared orders >= 3 — the item2vec/PMI input
@@ -1652,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
+        "negative_sampling": q_negative_sampling,
         "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
@@ -1957,6 +1976,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                      AS n_tok_bpe
             FROM documents
+        """,
+        "negative_sampling": f"""
+            WITH inter AS (
+                SELECT DISTINCT l_suppkey AS u, l_partkey AS i FROM lineitem
+            ),
+            users AS (SELECT DISTINCT u FROM inter),
+            items AS (SELECT DISTINCT i FROM inter),
+            cand AS (
+                SELECT users.u, items.i,
+                       (((users.u * 1000003 + items.i)
+                          % 4294967296)::HUGEINT
+                        * 2654435761) % 4294967296 AS h
+                FROM users CROSS JOIN items
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM inter
+                    WHERE inter.u = users.u AND inter.i = items.i)
+            )
+            SELECT u AS l_suppkey, i AS l_partkey, rn FROM (
+                SELECT u, i, row_number() OVER (
+                    PARTITION BY u ORDER BY h, i) AS rn
+                FROM cand) WHERE rn <= {_NEG_K}
         """,
         "co_occurrence": """
             SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n

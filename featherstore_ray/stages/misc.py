@@ -601,3 +601,112 @@ def winsorize(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+_NEG_MIX = 1000003  # odd mixer folding (user, item) before the Knuth hash
+
+
+def negative_sampling(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    items: "np.ndarray | None" = None,
+    num_buckets: int = 64,
+    user_chunk: int = 256,
+) -> ray.data.Dataset:
+    """Deterministic negative sampling for recommendation / contrastive
+    training: for every user, the ``k`` items they did NOT interact with
+    that rank smallest under the SQL-expressible hash
+    ``((u*1000003 + i) % 2^32) * 2654435761 % 2^32`` (ties → smallest
+    item id). Reproducible across runs, partitionings and engines — the
+    oracle is a CROSS JOIN + NOT EXISTS + ROW_NUMBER. Requires
+    ``u*1000003 + i < 2^63`` (no wrap on the SQL side).
+
+    Returns ``(user_col, item_col, rn)`` with ``rn`` in 1..k per user
+    (fewer when the user interacted with nearly the whole catalog).
+
+    Scale shape: the item catalog broadcasts once (``ray.put``; real
+    catalogs are ~10^6-10^8 ids = MBs, tiny next to the interaction
+    stream) and ONE bucket exchange co-locates each user's history; the
+    kernel scores users in ``user_chunk`` strips (memory O(chunk × |I|)),
+    fully vectorized. When ``items`` is None the catalog is derived from
+    the interactions with a per-batch distinct partial.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    proj = ds.select_columns([user_col, item_col])
+    if items is None:
+        part = proj.map_batches(
+            lambda t: pa.table(
+                {item_col: pc.unique(t[item_col])}
+            ),
+            batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()  # distinct-per-block partials only
+        items = np.unique(part[item_col].to_numpy())
+    items_sorted = np.sort(np.asarray(items).astype(np.int64))
+    items_ref = ray.put(items_sorted)
+    m32 = np.uint64(1 << 32)
+    mult = np.uint64(_SPLIT_MULT)
+    mix = np.uint64(_NEG_MIX)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(user_col, pa.int64()), (item_col, pa.int64()),
+             ("rn", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cat = ray.get(items_ref)
+        ni = len(cat)
+        kk = min(k, ni)
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, u))
+        u, it = u[order], it[order]
+        uu, ustart = np.unique(u, return_index=True)
+        uend = np.append(ustart[1:], len(u))
+        outs = []
+        for s in range(0, len(uu), user_chunk):
+            e = min(s + user_chunk, len(uu))
+            uc = uu[s:e].astype(np.uint64)
+            h = (
+                (uc[:, None] * mix + cat.astype(np.uint64)[None, :]) % m32
+            ) * mult % m32
+            # mask interacted items with +inf-equivalent
+            for r, gi in enumerate(range(s, e)):
+                hist = it[ustart[gi]:uend[gi]]
+                pos = np.searchsorted(cat, hist)
+                ok = (pos < ni) & (cat[np.minimum(pos, ni - 1)] == hist)
+                h[r, pos[ok]] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            top = np.argsort(h, axis=1, kind="stable")[:, :kk]
+            hsel = np.take_along_axis(h, top, axis=1)
+            valid = hsel != np.uint64(0xFFFFFFFFFFFFFFFF)
+            cnt = valid.sum(axis=1)
+            rows = np.repeat(np.arange(e - s), cnt)
+            sel = top[valid]
+            rns = (
+                np.arange(valid.size).reshape(valid.shape)
+                - (np.arange(e - s) * kk)[:, None]
+            )[valid] + 1
+            outs.append(
+                pa.table(
+                    {
+                        user_col: pa.array(uu[s:e][rows]),
+                        item_col: pa.array(cat[sel]),
+                        "rn": pa.array(rns.astype(np.int64)),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    tagged = add_bucket_column(proj, user_col, num_buckets)
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )

@@ -156,3 +156,34 @@ def test_winsorize_nulls_and_partition_invariance():
     np.testing.assert_allclose(
         one["v_w"], exp["v_w"], atol=1e-9, equal_nan=True
     )
+
+
+def test_negative_sampling_properties():
+    from featherstore_ray.stages.misc import negative_sampling
+
+    rng = np.random.default_rng(9)
+    # 30 users x catalog of 12; user 7 interacts with ALL but one item
+    u = rng.integers(0, 30, 400)
+    it = rng.integers(0, 12, 400)
+    u = np.concatenate([u, np.full(11, 7)])
+    it = np.concatenate([it, np.arange(11)])
+    t = pa.table(
+        {"u": pa.array(u.astype(np.int64)), "i": pa.array(it.astype(np.int64))}
+    )
+    kw = dict(user_col="u", item_col="i", k=4, num_buckets=4, user_chunk=3)
+    one = (
+        negative_sampling(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values(["u", "rn"]).reset_index(drop=True)
+    )
+    many = (
+        negative_sampling(ray.data.from_arrow(t).repartition(5), **kw)
+        .to_pandas().sort_values(["u", "rn"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    # no sampled item was interacted with by that user
+    seen = set(zip(u.tolist(), it.tolist()))
+    assert all((r.u, r.i) not in seen for r in one.itertuples())
+    # user 7 has at most 12 - 11 = 1 negative; others get k=4 unless saturated
+    assert len(one[one["u"] == 7]) <= 1
+    per_user = one.groupby("u")["rn"].agg(["size", "max"])
+    assert (per_user["size"] == per_user["max"]).all()  # rn is 1..size
