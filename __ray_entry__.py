@@ -1189,6 +1189,80 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+_PR_ITERS, _PR_D = 3, 0.85
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank over the bidirectional supplier<->part graph
+    (3 synchronous iterations, d=0.85): per-node rank state stays a
+    Dataset; each iteration is two tagged-union bucket exchanges."""
+    from featherstore_ray.stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["l_suppkey"], pa.int64())
+        p = pc.add(pc.cast(t["l_partkey"], pa.int64()), 1000000)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [c for a in (s, p) for c in
+                     (a.chunks if isinstance(a, pa.ChunkedArray) else [a])]
+                ),
+                "dst": pa.concat_arrays(
+                    [c for a in (p, s) for c in
+                     (a.chunks if isinstance(a, pa.ChunkedArray) else [a])]
+                ),
+            }
+        )
+
+    edges = li.map_batches(
+        both_dirs, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+
+
+def _pagerank_oracle_sql(iters: int, d: float) -> str:
+    """Unrolled-iteration SQL mirror of ``pagerank`` — every literal cast
+    to DOUBLE (DuckDB decimal arithmetic would diverge from float64), the
+    base term injected as the exact Python-computed repr."""
+    base = repr(1.0 - d)
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+          FROM lineitem
+          UNION
+          SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst
+          FROM lineitem
+        ),
+        nodes AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e
+        ),
+        nn AS (SELECT count(*) AS c FROM nodes),
+        od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (
+          SELECT v, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS r FROM nodes
+        )"""
+    cur = "r0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        r{t} AS (
+          SELECT nodes.v,
+                 CAST('{base}' AS DOUBLE) / (SELECT c FROM nn)
+                 + CAST({d} AS DOUBLE) * COALESCE(m.s, 0) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS v, sum({cur}.r / od.deg) AS s
+            FROM e JOIN {cur} ON e.src = {cur}.v JOIN od USING (src)
+            GROUP BY e.dst) m ON nodes.v = m.v
+        )"""
+        cur = f"r{t}"
+    sql += f"""
+        SELECT v AS node, round(r, 6) AS pr FROM {cur}"""
+    return sql
+
+
 _NEG_K = 3
 
 
@@ -1671,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
         "negative_sampling": q_negative_sampling,
+        "pagerank": q_pagerank,
         "multimodal_decode": q_multimodal_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
@@ -1977,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tok_bpe
             FROM documents
         """,
+        "pagerank": _pagerank_oracle_sql(_PR_ITERS, _PR_D),
         "negative_sampling": f"""
             WITH inter AS (
                 SELECT DISTINCT l_suppkey AS u, l_partkey AS i FROM lineitem

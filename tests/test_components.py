@@ -70,3 +70,65 @@ def test_long_chain_converges(ray_session):
     out = connected_components(edges, num_buckets=4).to_pandas()
     assert (out["dup_group"] == 0).all()
     assert len(out) == n
+
+
+def test_pagerank_ring_and_star(ray_session):
+    from featherstore_ray.stages.graph import pagerank
+
+    # directed ring 0->1->...->9->0: symmetric, so rank stays uniform 1/10
+    n = 10
+    ring = pa.table(
+        {
+            "src": pa.array(np.arange(n), pa.int64()),
+            "dst": pa.array((np.arange(n) + 1) % n, pa.int64()),
+        }
+    )
+    out = (
+        pagerank(ray.data.from_arrow(ring), iters=4, num_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["pr"], np.full(n, 0.1), atol=1e-9)
+    # star 1..5 -> 0 (0 is dangling): hub accumulates, leaves drop to base
+    star = pa.table(
+        {
+            "src": pa.array(np.arange(1, 6), pa.int64()),
+            "dst": pa.array(np.zeros(5), pa.int64()),
+        }
+    )
+    s1 = (
+        pagerank(ray.data.from_arrow(star), iters=3, num_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    s2 = (
+        pagerank(
+            ray.data.from_arrow(star).repartition(4), iters=3, num_buckets=2
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s1, s2)  # partition/bucket invariant
+    base = 0.15 / 6
+    leaf = base  # leaves have no in-edges after iter 1
+    np.testing.assert_allclose(s1["pr"].iloc[1:], np.full(5, leaf), atol=1e-6)
+    # hub at iter >= 2: base + d * 5 * leaf (each leaf deg 1)
+    np.testing.assert_allclose(
+        s1["pr"].iloc[0], base + 0.85 * 5 * leaf, atol=1e-6
+    )
+    # duplicate edges ignored
+    dup = pa.table(
+        {
+            "src": pa.array([1, 1, 2], pa.int64()),
+            "dst": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    d1 = (
+        pagerank(ray.data.from_arrow(dup), iters=2, num_buckets=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    nd = pa.table(
+        {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([0, 0], pa.int64())}
+    )
+    d2 = (
+        pagerank(ray.data.from_arrow(nd), iters=2, num_buckets=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(d1, d2)
