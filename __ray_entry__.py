@@ -1390,6 +1390,62 @@ def _oracle_tokens_path() -> str:
     return tokens_parquet(_ORACLE_TOKENS_ROWS)
 
 
+def q_audio_decode(sf_dir: str):
+    """REAL audio decode end-to-end (rows-only: the stage emits float32
+    features, whose quantization vs SQL float64 makes a value-hash oracle
+    flaky; the pytest gate asserts analytic sine RMS instead): each doc's
+    text bytes become a deterministic PCM16 WAV payload, decoded by the
+    stdlib ``wave`` path into windowed RMS energy bins."""
+    import io
+    import wave
+
+    from featherstore_ray.stages.multimodal import audio_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        outs = []
+        for s in t["text"].to_pylist():
+            pcm = ((np.frombuffer(
+                (s or "").encode(), dtype=np.uint8
+            ).astype(np.int16) - 128) * 256).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(pcm.tobytes())
+            outs.append(buf.getvalue())
+        return pa.table(
+            {"doc_id": t["doc_id"], "audio": pa.array(outs, pa.binary())}
+        )
+
+    ds = docs.map_batches(
+        to_wav, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = audio_features(ds, num_windows=4, feat_dim=4, decoder="wav")
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t["audio_feat"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, 16).mean(axis=1).astype("float64").round(6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rms_mean": pa.array(m),
+                "n_windows": t["n_windows"],
+            }
+        )
+
+    return out.map_batches(
+        project, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing end-to-end: documents' text bytes as opaque
     binary payloads through the actor-pool image-decode stage (deterministic
@@ -1747,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_sampling": q_negative_sampling,
         "pagerank": q_pagerank,
         "multimodal_decode": q_multimodal_decode,
+        "audio_decode": q_audio_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,
         "tokens_dedup": q_tokens_dedup,

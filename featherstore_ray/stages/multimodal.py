@@ -10,6 +10,8 @@ STUBBED because the image/audio libraries are not in this container:
 - ``decoder="png"`` — REAL image decode with zero dependencies: pure-stdlib
   PNG (zlib inflate + numpy unfilter, ``stages/png.py``) → grayscale →
   nearest resize → mean-pooled features;
+- ``decoder="wav"`` (audio) — REAL zero-dependency decode: stdlib ``wave``
+  PCM parse → channel mean → windowed RMS energy bins;
 - ``decoder="pillow"`` / other codecs — raise ``NotImplementedError`` with
   a clear message until the dependency exists.
 
@@ -208,11 +210,35 @@ class AudioFeatureStage:
         if callable(decoder):
             # plug-in point: bytes -> np.ndarray(num_windows, feat_dim)
             self._fake_features = decoder
+        elif decoder == "wav":
+            # REAL zero-dependency audio decode: stdlib ``wave`` PCM parse
+            # -> channel mean -> windowed RMS energy bins (the shape a
+            # resample->frame->spectrogram chain produces)
+            self._fake_features = self._wav_features
         elif decoder != "fake":
             raise NotImplementedError(
                 f"decoder {decoder!r}: audio codecs unavailable in this "
                 "environment; plug a callable bytes -> (windows, feat) array"
             )
+
+    def _wav_features(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            nf, sw, ch = w.getnframes(), w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(nf)
+        dt = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+        x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+        if sw == 1:
+            x -= 128.0  # 8-bit WAV is unsigned
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1)
+        x /= float(1 << (8 * sw - 1))
+        per = self.num_windows * self.feat_dim
+        x = np.pad(x, (0, (-len(x)) % per))
+        seg = x.reshape(self.num_windows, self.feat_dim, -1)
+        return np.sqrt((seg ** 2).mean(axis=2)).astype(np.float32)
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         n = self.num_windows * self.feat_dim * 4

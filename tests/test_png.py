@@ -174,3 +174,55 @@ def test_multimodal_callable_decoder_injection(ray_session):
         ray.data.from_arrow(t3), num_windows=2, feat_dim=4, decoder=audio_dec
     ).to_pandas()
     assert np.allclose(au["audio_feat"].iloc[0], 1.0)
+
+
+def test_wav_decode_through_actor_stage(ray_session):
+    import io
+    import wave
+
+    from featherstore_ray.stages.multimodal import audio_features
+
+    def make_wav(amp: float, hz: float = 440.0, sec: float = 0.5) -> bytes:
+        sr = 8000
+        t = np.arange(int(sr * sec)) / sr
+        x = (amp * 32767 * np.sin(2 * np.pi * hz * t)).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    quiet, loud = make_wav(0.1), make_wav(0.8)
+    t = pa.table(
+        {
+            "sid": pa.array([0, 1, 2], pa.int64()),
+            "audio": pa.array([quiet, loud, None], pa.binary()),
+        }
+    )
+    out = (
+        audio_features(
+            ray.data.from_arrow(t), num_windows=4, feat_dim=4, decoder="wav"
+        )
+        .to_pandas().sort_values("sid").reset_index(drop=True)
+    )
+    f_quiet = np.array(out["audio_feat"].iloc[0])
+    f_loud = np.array(out["audio_feat"].iloc[1])
+    # RMS of a sine at amp a is a/sqrt(2); windows are uniform
+    assert np.allclose(f_quiet, 0.1 / np.sqrt(2), atol=0.01)
+    assert np.allclose(f_loud, 0.8 / np.sqrt(2), atol=0.05)
+    assert (f_loud > f_quiet * 5).all()
+    assert out["n_windows"].tolist() == [4, 4, 0]
+    assert np.allclose(out["audio_feat"].iloc[2], 0.0)  # null payload
+    # deterministic across runs
+    out2 = (
+        audio_features(
+            ray.data.from_arrow(t), num_windows=4, feat_dim=4, decoder="wav"
+        )
+        .to_pandas().sort_values("sid").reset_index(drop=True)
+    )
+    assert np.array_equal(
+        np.concatenate(out["audio_feat"].to_numpy()),
+        np.concatenate(out2["audio_feat"].to_numpy()),
+    )
