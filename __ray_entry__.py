@@ -1337,6 +1337,21 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_fuzzy_join(sf_dir: str):
+    """Blocked fuzzy-string self-join (record linkage) over distinct part
+    names: Ed-Join q-gram prefix filter (complete for the threshold, see
+    tests/test_linkage.py brute-force parity) + vectorized Levenshtein
+    verify, oracled against DuckDB's own levenshtein()."""
+    from featherstore_ray.stages.linkage import fuzzy_join
+
+    return fuzzy_join(
+        _read(sf_dir, "part", columns=["p_name"]),
+        text_col="p_name",
+        max_dist=3,
+        q=2,
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic stopword-profile language ID — now fully oracled: the
     per-profile occurrence counts are ``list_filter`` hit counts in SQL and
@@ -1798,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "jaccard_verify": q_jaccard_verify,
         "jaccard_pairs": q_jaccard_pairs,
+        "fuzzy_join": q_fuzzy_join,
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
         "negative_sampling": q_negative_sampling,
@@ -2176,6 +2192,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "fuzzy_join": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS name FROM part
+                WHERE p_name IS NOT NULL
+            ),
+            g0 AS (
+                SELECT name,
+                       unnest(list_transform(range(1, len(name)),
+                              i -> substr(name, i, 2))) AS g
+                FROM names WHERE len(name) >= 2
+            ),
+            dg AS (SELECT DISTINCT name, g FROM g0),
+            df AS (SELECT g, count(*) AS dfc FROM dg GROUP BY g),
+            pre AS (
+                SELECT name, g FROM (
+                    SELECT dg.name, dg.g,
+                           row_number() OVER (PARTITION BY dg.name
+                                              ORDER BY df.dfc, dg.g) AS rn
+                    FROM dg JOIN df USING (g)) WHERE rn <= 7
+            ),
+            bandkeys AS (
+                -- short values (< q*(d+1) = 8 chars) also block on
+                -- adjacent length bands (see stages/linkage.py docstring)
+                SELECT name, CAST(len(name) AS BIGINT) // 4 + t.b AS k
+                FROM names, (VALUES (1), (2)) AS t(b)
+                WHERE len(name) < 8
+            ),
+            cand AS (
+                SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                FROM pre a JOIN pre b USING (g) WHERE a.name < b.name
+                UNION
+                SELECT DISTINCT a.name, b.name
+                FROM bandkeys a JOIN bandkeys b USING (k)
+                WHERE a.name < b.name
+            )
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(name_a, name_b) <= 3
         """,
         "lang_id": """
             WITH s AS (
