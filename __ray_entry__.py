@@ -952,6 +952,51 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+def _fuzzy_ctes(d: int) -> str:
+    """SQL mirror of ``stages/linkage.fuzzy_join`` candidate generation
+    (q = 2): distinct part names -> distinct bigrams -> df-ranked prefix
+    (q*d+1 rarest) -> prefix-prefix join, unioned with the short-value
+    length-band join. Shared by the fuzzy_join and entity_resolution
+    oracles (different thresholds)."""
+    pre_len = 2 * d + 1
+    short = 2 * (d + 1)
+    return f"""
+            names AS (
+                SELECT DISTINCT p_name AS name FROM part
+                WHERE p_name IS NOT NULL
+            ),
+            g0 AS (
+                SELECT name,
+                       unnest(list_transform(range(1, len(name)),
+                              i -> substr(name, i, 2))) AS g
+                FROM names WHERE len(name) >= 2
+            ),
+            dg AS (SELECT DISTINCT name, g FROM g0),
+            df AS (SELECT g, count(*) AS dfc FROM dg GROUP BY g),
+            pre AS (
+                SELECT name, g FROM (
+                    SELECT dg.name, dg.g,
+                           row_number() OVER (PARTITION BY dg.name
+                                              ORDER BY df.dfc, dg.g) AS rn
+                    FROM dg JOIN df USING (g)) WHERE rn <= {pre_len}
+            ),
+            bandkeys AS (
+                -- short values (< q*(d+1) chars) also block on adjacent
+                -- length bands (see stages/linkage.py docstring)
+                SELECT name, CAST(len(name) AS BIGINT) // {d + 1} + t.b AS k
+                FROM names, (VALUES (1), (2)) AS t(b)
+                WHERE len(name) < {short}
+            ),
+            cand AS (
+                SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                FROM pre a JOIN pre b USING (g) WHERE a.name < b.name
+                UNION
+                SELECT DISTINCT a.name, b.name
+                FROM bandkeys a JOIN bandkeys b USING (k)
+                WHERE a.name < b.name
+            )"""
+
+
 def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     """Shared unrolled-iteration CTE chain for the k-means oracles (one
     CTE pair per Lloyd step: assign via list_distance argmin, update via
@@ -1349,6 +1394,36 @@ def q_fuzzy_join(sf_dir: str):
         text_col="p_name",
         max_dist=3,
         q=2,
+    )
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution = fuzzy_join pairs (edit distance <= 2) + distributed
+    connected components + lexicographic-min canonical value per cluster.
+    Self-loop edges make every distinct name a node, so singletons map to
+    themselves without any driver-side anti-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.components import connected_components
+    from featherstore_ray.stages.linkage import fuzzy_join
+
+    names_ds = _read(sf_dir, "part", columns=["p_name"])
+    pairs = fuzzy_join(names_ds, text_col="p_name", max_dist=2, q=2)
+
+    def _self_edges(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["p_name"]).drop_null().cast(pa.string())
+        return pa.table({"name_a": u, "name_b": u})
+
+    edges = pairs.select_columns(["name_a", "name_b"]).union(
+        names_ds.map_batches(
+            _self_edges, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return connected_components(
+        edges, a_col="name_a", b_col="name_b",
+        node_col="name", label_col="canon",
     )
 
 
@@ -1814,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": q_jaccard_verify,
         "jaccard_pairs": q_jaccard_pairs,
         "fuzzy_join": q_fuzzy_join,
+        "entity_resolution": q_entity_resolution,
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
         "negative_sampling": q_negative_sampling,
@@ -2193,44 +2269,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
         """,
-        "fuzzy_join": """
-            WITH names AS (
-                SELECT DISTINCT p_name AS name FROM part
-                WHERE p_name IS NOT NULL
-            ),
-            g0 AS (
-                SELECT name,
-                       unnest(list_transform(range(1, len(name)),
-                              i -> substr(name, i, 2))) AS g
-                FROM names WHERE len(name) >= 2
-            ),
-            dg AS (SELECT DISTINCT name, g FROM g0),
-            df AS (SELECT g, count(*) AS dfc FROM dg GROUP BY g),
-            pre AS (
-                SELECT name, g FROM (
-                    SELECT dg.name, dg.g,
-                           row_number() OVER (PARTITION BY dg.name
-                                              ORDER BY df.dfc, dg.g) AS rn
-                    FROM dg JOIN df USING (g)) WHERE rn <= 7
-            ),
-            bandkeys AS (
-                -- short values (< q*(d+1) = 8 chars) also block on
-                -- adjacent length bands (see stages/linkage.py docstring)
-                SELECT name, CAST(len(name) AS BIGINT) // 4 + t.b AS k
-                FROM names, (VALUES (1), (2)) AS t(b)
-                WHERE len(name) < 8
-            ),
-            cand AS (
-                SELECT DISTINCT a.name AS name_a, b.name AS name_b
-                FROM pre a JOIN pre b USING (g) WHERE a.name < b.name
-                UNION
-                SELECT DISTINCT a.name, b.name
-                FROM bandkeys a JOIN bandkeys b USING (k)
-                WHERE a.name < b.name
-            )
+        "fuzzy_join": f"""
+            WITH {_fuzzy_ctes(3)}
             SELECT name_a, name_b,
                    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
             FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        """,
+        "entity_resolution": f"""
+            WITH RECURSIVE {_fuzzy_ctes(2)},
+            pairs AS (
+                SELECT name_a, name_b FROM cand
+                WHERE levenshtein(name_a, name_b) <= 2
+            ),
+            sym AS (
+                SELECT name_a AS a, name_b AS b FROM pairs
+                UNION SELECT name_b, name_a FROM pairs
+                UNION SELECT name, name FROM names
+            ),
+            reach(node, label) AS (
+                SELECT name, name FROM names
+                UNION
+                SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+            )
+            SELECT node AS name, min(label) AS canon
+            FROM reach GROUP BY node
         """,
         "lang_id": """
             WITH s AS (

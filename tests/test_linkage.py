@@ -92,3 +92,30 @@ def test_fuzzy_join_empty_result_keeps_schema(ray_session):
     # Dataset-level schema survives even with zero rows (Ray's to_pandas
     # drops columns on any empty dataset — a consumer quirk, not ours)
     assert sorted(out.schema().names) == ["dist", "name_a", "name_b"]
+
+
+def test_entity_resolution_string_components(ray_session):
+    """fuzzy pairs + string-keyed connected components + self-loops:
+    transitive near-names share one lexicographic-min canon; isolated
+    names canonicalize to themselves."""
+    from featherstore_ray.stages.components import connected_components
+
+    # chain: 'red pin' ~ 'red pinn' ~ 'red pinnn' (transitive), isolate far
+    vals = ["red pin", "red pinn", "red pinnn", "zzzz qqqq xxxx", None]
+    ds = ray.data.from_arrow(pa.table({"name": pa.array(vals, pa.string())}))
+    pairs = fuzzy_join(ds, text_col="name", max_dist=1, q=2)
+
+    def _self_edges(t):
+        import pyarrow.compute as pc
+        u = pc.unique(t["name"]).drop_null().cast(pa.string())
+        return pa.table({"name_a": u, "name_b": u})
+
+    edges = pairs.select_columns(["name_a", "name_b"]).union(
+        ds.map_batches(_self_edges, batch_size=None, batch_format="pyarrow"))
+    out = connected_components(
+        edges, a_col="name_a", b_col="name_b",
+        node_col="name", label_col="canon", num_buckets=4,
+    ).to_pandas().set_index("name")["canon"]
+    assert out["red pin"] == out["red pinn"] == out["red pinnn"] == "red pin"
+    assert out["zzzz qqqq xxxx"] == "zzzz qqqq xxxx"
+    assert len(out) == 4
