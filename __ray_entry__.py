@@ -1382,6 +1382,39 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_group_corr(sf_dir: str):
+    """Per-group Pearson correlation via mergeable moment partials (six
+    floats per group cross the wire, never rows)."""
+    from featherstore_ray.stages.aggregate import group_corr
+
+    return group_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        ["l_returnflag"], "l_quantity", "l_extendedprice",
+    )
+
+
+def q_group_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution (two-stage
+    counts, one group exchange of (group, category) partials)."""
+    from featherstore_ray.stages.aggregate import group_entropy
+
+    return group_entropy(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        ["user_id"], "event_type",
+    )
+
+
+def q_histogram(sf_dir: str):
+    """Equal-width 20-bin histogram of event value: two shuffle-free
+    passes (per-block min/max partials, then per-block bincount vectors),
+    bin edges computed in the oracle's exact IEEE expression order."""
+    from featherstore_ray.stages.aggregate import histogram
+
+    return histogram(_read(sf_dir, "events", columns=["value"]),
+                     "value", num_bins=20)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Blocked fuzzy-string self-join (record linkage) over distinct part
     names: Ed-Join q-gram prefix filter (complete for the threshold, see
@@ -1890,6 +1923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
+        "group_corr": q_group_corr,
+        "group_entropy": q_group_entropy,
+        "histogram": q_histogram,
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
         "negative_sampling": q_negative_sampling,
@@ -2268,6 +2304,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "group_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_xy
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c FROM events
+                WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+            SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
+            FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "histogram": """
+            WITH mm AS (
+                SELECT CAST(min(value) AS DOUBLE) mn,
+                       CAST(max(value) AS DOUBLE) mx
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT CAST(least(floor((CAST(value AS DOUBLE) - mn)
+                                        / (mx - mn) * CAST(20 AS DOUBLE)),
+                                  CAST(19 AS DOUBLE)) AS BIGINT) AS bin
+                FROM events, mm WHERE value IS NOT NULL
+            )
+            SELECT bin,
+                   round(mn + bin * ((mx - mn) / CAST(20 AS DOUBLE)), 6) AS lo,
+                   round(mn + (bin + 1) * ((mx - mn) / CAST(20 AS DOUBLE)), 6)
+                     AS hi,
+                   count(*) AS cnt
+            FROM b, mm GROUP BY bin, mn, mx
         """,
         "fuzzy_join": f"""
             WITH {_fuzzy_ctes(3)}

@@ -418,3 +418,190 @@ def co_occurrence(
     return bucketed_map_groups(
         partials, finalize, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+def group_corr(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    out_col: str = "corr_xy",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+    final: str = "driver",
+) -> ray.data.Dataset:
+    """Per-group sample Pearson correlation via mergeable moment partials.
+
+    Each block collapses to (n, Σx, Σy, Σx², Σy², Σxy) per group before
+    any movement; the merge is a plain sum, so at 100 TB the exchange (or
+    the driver pull, for low-cardinality keys with ``final="driver"``)
+    carries groups × 6 floats, never rows. Rows where either side is null
+    are excluded (SQL ``corr`` semantics). Groups with < 2 rows or zero
+    variance yield null.
+    """
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gk + [x_col, y_col]].dropna(subset=[x_col, y_col])
+        if df.empty:
+            return pd.DataFrame(
+                {**{k: df[k] for k in gk},
+                 **{c: pd.Series(dtype="float64")
+                    for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")}}
+            )
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        d = df[gk].copy()
+        d["_n"] = 1.0
+        d["_sx"], d["_sy"] = x, y
+        d["_sxx"], d["_syy"], d["_sxy"] = x * x, y * y, x * y
+        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(gk, sort=True, observed=True)[
+            ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+        ].sum().reset_index()
+        n = g["_n"].to_numpy()
+        vx = n * g["_sxx"].to_numpy() - g["_sx"].to_numpy() ** 2
+        vy = n * g["_syy"].to_numpy() - g["_sy"].to_numpy() ** 2
+        cov = n * g["_sxy"].to_numpy() - g["_sx"].to_numpy() * g["_sy"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / np.sqrt(vx * vy)
+        r[(n < 2) | (vx <= 0) | (vy <= 0)] = np.nan
+        if round_digits is not None:
+            r = np.round(r, round_digits)
+        out = g[gk].copy()
+        out[out_col] = r
+        return out
+
+    if final == "driver":
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            merge_frame(parts.to_pandas()), preserve_index=False))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_frame(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        merge, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+def group_entropy(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    cat_col: str,
+    *,
+    out_col: str = "entropy",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Shannon entropy (nats) of a categorical distribution per group:
+    ``-Σ p ln p`` over the category frequencies. Two-stage counts: each
+    block collapses to (group, category, count) partials, ONE bucket
+    exchange on the group key, entropy finalized per group. The exchange
+    carries distinct (group, category) partials, never rows."""
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[gk + [cat_col]].dropna(subset=[cat_col])
+        return (
+            d.groupby(gk + [cat_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        c = df.groupby(gk + [cat_col], sort=True, observed=True)["_c"].sum()
+        cf = c.reset_index()
+        n = cf.groupby(gk, sort=True, observed=True)["_c"].transform("sum")
+        p = cf["_c"].to_numpy(dtype=np.float64) / n.to_numpy(dtype=np.float64)
+        cf["_t"] = p * np.log(p)
+        out = (-cf.groupby(gk, sort=True, observed=True)["_t"].sum()).rename(
+            out_col).reset_index()
+        if round_digits is not None:
+            out[out_col] = out[out_col].round(round_digits)
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    num_bins: int = 20,
+    round_digits: int = 6,
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """Equal-width histogram over the global [min, max] of ``value_col``:
+    one row per non-empty bin with ``(bin, lo, hi, cnt)``. Two passes, no
+    shuffle anywhere: pass 1 collapses each block to its (min, max) and
+    merges driver-side; pass 2 bincounts each block against the broadcast
+    range and the per-block count vectors (``num_bins`` ints regardless of
+    rows) merge driver-side. The bin expression ``least(floor((v - mn) /
+    (mx - mn) * B), B - 1)`` is evaluated in the same IEEE order as the
+    SQL oracle so boundary values bin identically."""
+    import pyarrow as pa
+
+    proj = ds.select_columns([value_col])
+    if materialize_input:
+        proj = proj.materialize()  # both passes share one read
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "mn": pa.array([pc.min(t[value_col]).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(t[value_col]).as_py()], pa.float64()),
+        })
+
+    mm = proj.map_batches(
+        mm_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    mm = mm.dropna()
+    empty = pa.table({
+        "bin": pa.array([], pa.int64()),
+        "lo": pa.array([], pa.float64()),
+        "hi": pa.array([], pa.float64()),
+        "cnt": pa.array([], pa.int64()),
+    })
+    if mm.empty:
+        return ray.data.from_arrow(empty)
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    B = int(num_bins)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if mx == mn:
+            b = np.zeros(len(v), np.int64)
+        else:
+            b = np.minimum(
+                np.floor((v - mn) / (mx - mn) * float(B)), float(B - 1)
+            ).astype(np.int64)
+        return pa.table({"cnt": pa.array(np.bincount(b, minlength=B), pa.int64())})
+
+    c = proj.map_batches(
+        counts, batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()  # num_bins × blocks ints — bounded
+    total = c["cnt"].to_numpy().reshape(-1, B).sum(axis=0)
+    bins = np.nonzero(total)[0].astype(np.int64)
+    w = (mx - mn) / float(B)
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "lo": pa.array(np.round(mn + bins * w, round_digits), pa.float64()),
+        "hi": pa.array(np.round(mn + (bins + 1) * w, round_digits), pa.float64()),
+        "cnt": pa.array(total[bins], pa.int64()),
+    }))

@@ -324,3 +324,77 @@ def test_co_occurrence_exact_and_invariant(ray_session):
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     assert {(r.a, r.b): r.n for r in filt.itertuples()} == {(1, 2): 3, (2, 3): 2}
+
+
+def test_group_corr_matches_duckdb_both_finals():
+    from featherstore_ray.stages.aggregate import group_corr
+
+    li = pq.read_table(LI)
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    exp = con.execute(
+        """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6)
+               AS corr_xy FROM lineitem GROUP BY 1 ORDER BY 1"""
+    ).df()
+    for final in ("driver", "shuffle"):
+        out = group_corr(
+            ray.data.from_arrow(li), ["l_returnflag"],
+            "l_quantity", "l_extendedprice",
+            final=final, num_buckets=4,
+        ).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        np.testing.assert_allclose(out["corr_xy"], exp["corr_xy"], atol=2e-6)
+
+
+def test_group_corr_degenerate_groups():
+    from featherstore_ray.stages.aggregate import group_corr
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "c", "c"],
+        "x": [1.0, 2.0, 3.0, 5.0, 7.0, 7.0],   # c: zero x variance
+        "y": [2.0, 4.0, 6.0, 1.0, 3.0, 9.0],
+    })
+    out = group_corr(
+        ray.data.from_arrow(t), ["g"], "x", "y", num_buckets=2
+    ).to_pandas().set_index("g")["corr_xy"]
+    assert out["a"] == 1.0
+    assert np.isnan(out["b"]) and np.isnan(out["c"])
+
+
+def test_group_entropy_matches_manual():
+    from featherstore_ray.stages.aggregate import group_entropy
+
+    t = pa.table({
+        "g": ["u"] * 4 + ["v"] * 3 + ["w"],
+        "c": ["a", "a", "b", "b", "a", "a", "a", "x"],
+    })
+    out = group_entropy(
+        ray.data.from_arrow(t), ["g"], "c", num_buckets=2
+    ).to_pandas().set_index("g")["entropy"]
+    assert out["u"] == round(np.log(2), 6)  # 50/50 split
+    assert out["v"] == 0.0                  # single category
+    assert out["w"] == 0.0
+
+
+def test_histogram_matches_duckdb():
+    from featherstore_ray.stages.aggregate import histogram
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    out = histogram(
+        ray.data.from_arrow(ev), "value", num_bins=10
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.execute("""
+        WITH mm AS (SELECT CAST(min(value) AS DOUBLE) mn,
+                           CAST(max(value) AS DOUBLE) mx
+                    FROM events WHERE value IS NOT NULL),
+        b AS (SELECT CAST(least(floor((CAST(value AS DOUBLE) - mn)
+                                      / (mx - mn) * CAST(10 AS DOUBLE)),
+                                CAST(9 AS DOUBLE)) AS BIGINT) AS bin
+              FROM events, mm WHERE value IS NOT NULL)
+        SELECT bin, count(*) AS cnt FROM b GROUP BY bin ORDER BY bin
+    """).df()
+    assert (out["bin"].to_numpy() == exp["bin"].to_numpy()).all()
+    assert (out["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
+    assert int(out["cnt"].sum()) == ev.num_rows
+    assert (out["lo"] < out["hi"]).all()
