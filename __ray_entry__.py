@@ -1382,6 +1382,28 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view→click→purchase conversion funnel (strictly-after
+    semantics; single entity exchange, per-bucket conditional-min
+    cascade, driver merge of stages × buckets count partials)."""
+    from featherstore_ray.stages.aggregate import funnel
+
+    return funnel(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
+def q_inverted_index(sf_dir: str):
+    """Whitespace-token inverted index over documents: df + ascending
+    comma-joined posting list per token (one token exchange)."""
+    from featherstore_ray.stages.text import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))
+
+
 def q_group_corr(sf_dir: str):
     """Per-group Pearson correlation via mergeable moment partials (six
     floats per group cross the wire, never rows)."""
@@ -1924,6 +1946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
         "group_corr": q_group_corr,
+        "funnel": q_funnel,
+        "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
         "histogram": q_histogram,
         "redact": q_redact,
@@ -2304,6 +2328,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS ts FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.ts GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.ts
+                   GROUP BY 1)
+            SELECT 'view' AS stage, count(*) AS users FROM s1
+            UNION ALL SELECT 'click', count(*) FROM s2
+            UNION ALL SELECT 'purchase', count(*) FROM s3
+        """,
+        "inverted_index": """
+            WITH p AS (
+                SELECT DISTINCT token, doc_id FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token, doc_id
+                    FROM documents)
+            )
+            SELECT token, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p WHERE token <> '' GROUP BY token
         """,
         "group_corr": """
             SELECT l_returnflag,

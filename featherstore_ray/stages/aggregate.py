@@ -605,3 +605,63 @@ def histogram(
         "hi": pa.array(np.round(mn + (bins + 1) * w, round_digits), pa.float64()),
         "cnt": pa.array(total[bins], pa.int64()),
     }))
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered conversion funnel: for each prefix of ``stages``, the number
+    of entities that completed every stage IN ORDER — stage k counts
+    entities with an event of type ``stages[k]`` STRICTLY after their
+    (recursively defined) completion time of stage k-1, which is the
+    earliest qualifying timestamp. Output: one row per stage
+    ``(stage, users)``.
+
+    Scale shape: rows are filtered to funnel event types and projected to
+    three columns before the single entity exchange; the per-bucket kernel
+    is a vectorized conditional-min cascade (len(stages) passes over the
+    bucket); per-bucket per-stage counts (stages × buckets ints) merge
+    driver-side."""
+    stages = list(stages)
+
+    def _keep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[type_col], pa.array(stages)))
+
+    proj = ds.select_columns([entity_col, ts_col, type_col]).map_batches(
+        _keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        t_prev = None
+        for st in stages:
+            sub = df[df[type_col] == st]
+            if t_prev is not None:
+                prev = sub[entity_col].map(t_prev)
+                sub = sub[sub[ts_col] > prev]  # NaT compares False: entity
+                #                                 missing stage k-1 drops out
+            t_prev = sub.groupby(entity_col)[ts_col].min()
+            counts.append(len(t_prev))
+        return pd.DataFrame({"stage": stages, "users": counts})
+
+    parts = bucketed_map_groups(
+        add_bucket_column(proj, entity_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()  # stages × buckets rows — bounded
+    import pyarrow as pa
+
+    out = parts.groupby("stage", sort=False)["users"].sum().reindex(stages)
+    return ray.data.from_arrow(pa.table({
+        "stage": pa.array(stages, pa.string()),
+        "users": pa.array(out.to_numpy(dtype=np.int64), pa.int64()),
+    }))

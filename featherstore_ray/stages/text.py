@@ -885,3 +885,61 @@ def redact(
     return ds.map_batches(
         _redact, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus inverted index: one row per distinct whitespace token with
+    its document frequency and the comma-joined ascending doc-id posting
+    list. Per-batch tokenize + local (token, doc) distinct narrows the
+    postings BEFORE the single token exchange; the per-token kernel
+    dedupes across blocks, sorts and joins. Empty tokens (consecutive
+    delimiters) are dropped on both sides.
+
+    Scale note: hot stopword tokens concentrate their posting list in one
+    kernel invocation — at corpus scale cap or drop ultra-high-df tokens
+    upstream (the vocab_count op gives the df profile), exactly like the
+    jaccard_pairs hot-shingle guidance."""
+    import pandas as pd
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col].combine_chunks().cast(pa.string()),
+                                " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = t[id_col].combine_chunks().take(parent)
+        keep = pc.not_equal(flat, "")
+        d = pd.DataFrame({
+            "token": flat.filter(keep).to_numpy(zero_copy_only=False),
+            "doc": ids.filter(keep).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({"token": pa.array(d["token"], pa.string()),
+                         "doc": pa.array(d["doc"].to_numpy(), pa.int64())})
+
+    from ..exchange import bucketed_map_groups
+    from ..partition import BUCKET_COL, add_bucket_column
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        postings, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).drop_duplicates()
+        d = d.sort_values(["token", "doc"])
+        g = d.groupby("token", sort=True)
+        out = pd.DataFrame({
+            "df": g["doc"].size().astype("int64"),
+            "postings": g["doc"].agg(
+                lambda s: ",".join(str(v) for v in s)),
+        }).reset_index()
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, "token", num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
