@@ -1382,6 +1382,28 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the derived customer-affinity graph
+    (o_custkey%50 — o_custkey%37) by degree-ordered wedge checking: each
+    triangle counted once at its min-(degree,id) corner; orientation
+    bounds out-degrees so the wedge set stays near-linear under hubs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featherstore_ray.stages.graph import triangle_count
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(c % 50), "b": pa.array(c % 37)})
+
+    return triangle_count(
+        orders.map_batches(derive, batch_size=None, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+
+
 def q_funnel(sf_dir: str):
     """Ordered view→click→purchase conversion funnel (strictly-after
     semantics; single entity exchange, per-bucket conditional-min
@@ -1947,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": q_entity_resolution,
         "group_corr": q_group_corr,
         "funnel": q_funnel,
+        "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
         "histogram": q_histogram,
@@ -2328,6 +2351,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "triangle_count": """
+            WITH e AS (
+                SELECT DISTINCT least(o_custkey % 50, o_custkey % 37) AS a,
+                       greatest(o_custkey % 50, o_custkey % 37) AS b
+                FROM orders WHERE o_custkey % 50 <> o_custkey % 37
+            )
+            SELECT count(*) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS ts FROM events

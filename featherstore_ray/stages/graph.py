@@ -231,3 +231,167 @@ def pagerank(
     return ranks.map_batches(
         final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact global triangle count of an undirected graph, by
+    degree-ordered wedge checking (the node-iterator++ / forward
+    algorithm): orient every edge from its lower (degree, id) endpoint to
+    the higher, generate the out-neighbor wedge pairs of each source, and
+    count wedges that are themselves oriented edges. Each triangle is
+    counted exactly once (at its minimum-(degree, id) corner), and the
+    orientation bounds per-node out-degree by O(sqrt(m)), so the wedge
+    set stays near-linear even with power-law hubs.
+
+    Stages (all narrow bucket exchanges; int64 columns only):
+    canonical-edge dedup → two-stage degree count → two tagged-union
+    exchanges to attach endpoint degrees → per-source wedge emission →
+    tagged-union wedge/edge match keyed on the wedge's first node →
+    driver sum of per-bucket counts. Output: one row ``(triangles,)``.
+
+    Self-loops are dropped; duplicate input edges (either direction)
+    count once.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"lo": pa.array(np.minimum(a, b)),
+                         "hi": pa.array(np.maximum(a, b))})
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["lo", "hi"]].drop_duplicates()
+
+    e = bucketed_map_groups(
+        _with_bucket(
+            edges.map_batches(canon, batch_size=None, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "lo", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()  # consumed by the degree pass AND the attach pass
+
+    # ---- two-stage degree count over both endpoints
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+        ])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("node", sort=False)["deg"].sum().reset_index())
+
+    degrees = bucketed_map_groups(
+        _with_bucket(
+            e.map_batches(deg_partial, batch_size=None,
+                          batch_format="pyarrow", zero_copy_batch=True),
+            "node", num_buckets),
+        deg_merge, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()  # unioned into BOTH attach exchanges
+
+    # ---- attach deg(lo) then deg(hi) via tagged-union exchanges
+    def attach(es: ray.data.Dataset, es_cols: list[str], key: str,
+               out: str) -> ray.data.Dataset:
+        def tag_e(t: pa.Table) -> pa.Table:
+            t = t.select(es_cols).append_column("_k", t[key])
+            return t.append_column(
+                "_deg", pa.nulls(t.num_rows, pa.int64()))
+
+        def tag_d(t: pa.Table) -> pa.Table:
+            cols = {c: pa.nulls(t.num_rows, pa.int64()) for c in es_cols}
+            cols["_k"] = t["node"].combine_chunks()
+            cols["_deg"] = t["deg"].combine_chunks()
+            return pa.table(cols)
+
+        tagged = es.map_batches(
+            tag_e, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).union(degrees.map_batches(
+            tag_d, batch_size=None, batch_format="pyarrow"))
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            is_d = df[df.columns[0]].isna()
+            lut = df.loc[is_d].set_index("_k")["_deg"]
+            out_df = df.loc[~is_d].drop(columns=["_deg", BUCKET_COL])
+            out_df[out] = out_df["_k"].map(lut).astype(np.int64)
+            # pandas null-padding coerced the int columns to float; restore
+            for c in out_df.columns:
+                if c != out:
+                    out_df[c] = out_df[c].astype(np.int64)
+            return out_df.drop(columns=["_k"])
+
+        return bucketed_map_groups(
+            _with_bucket(tagged, "_k", num_buckets),
+            gather, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+    e2 = attach(e, ["lo", "hi"], "lo", "dlo")
+    e3 = attach(e2, ["lo", "hi", "dlo"], "hi", "dhi")
+
+    # ---- orient by (deg, id); keep dst degree for wedge-pair ordering
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        dlo = t["dlo"].to_numpy(zero_copy_only=False)
+        dhi = t["dhi"].to_numpy(zero_copy_only=False)
+        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pa.table({
+            "src": pa.array(np.where(fwd, lo, hi), pa.int64()),
+            "dst": pa.array(np.where(fwd, hi, lo), pa.int64()),
+            "ddst": pa.array(np.where(fwd, dhi, dlo), pa.int64()),
+        })
+
+    oriented = e3.map_batches(
+        orient, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by wedge emission AND the match pass
+
+    from .dedup import pair_indices
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["src", "ddst", "dst"])
+        src = d["src"].to_numpy()
+        dst = d["dst"].to_numpy()
+        ai, bi = pair_indices(src)
+        # pairs are emitted in (deg, id) order, matching the orientation
+        return pd.DataFrame({"v": dst[ai], "w": dst[bi],
+                             "_wedge": np.ones(len(ai), np.int8)})
+
+    w = bucketed_map_groups(
+        _with_bucket(oriented, "src", num_buckets),
+        lambda df: wedges(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t["src"].combine_chunks(),
+            "w": t["dst"].combine_chunks(),
+            "_wedge": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    both = w.union(oriented.map_batches(
+        tag_edge, batch_size=None, batch_format="pyarrow"))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        ekeys = df.loc[df["_wedge"] == 0, ["v", "w"]]
+        wk = df.loc[df["_wedge"] == 1, ["v", "w"]]
+        m = wk.merge(ekeys.drop_duplicates(), on=["v", "w"], how="inner")
+        return pd.DataFrame({"n": [np.int64(len(m))]})
+
+    parts = bucketed_map_groups(
+        _with_bucket(both, "v", num_buckets),
+        lambda df: match(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()  # one int per bucket
+    return ray.data.from_arrow(pa.table(
+        {"triangles": pa.array([int(parts["n"].sum())], pa.int64())}))

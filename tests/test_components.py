@@ -132,3 +132,38 @@ def test_pagerank_ring_and_star(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_triangle_count_brute_force(ray_session):
+    """Oriented wedge-check result equals the O(n^3) brute count, with
+    duplicate and self-loop edges in the input."""
+    import itertools
+
+    from featherstore_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 25, 300)
+    b = rng.integers(0, 25, 300)
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    got = triangle_count(
+        ray.data.from_arrow(t), num_buckets=8
+    ).to_pandas()["triangles"][0]
+    E = {tuple(sorted(p)) for p in zip(a.tolist(), b.tolist()) if p[0] != p[1]}
+    nodes = sorted({x for e in E for x in e})
+    brute = sum(
+        1 for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in E and (x, z) in E and (y, z) in E
+    )
+    assert got == brute > 0
+
+
+def test_triangle_count_no_triangles(ray_session):
+    from featherstore_ray.stages.graph import triangle_count
+
+    # a path graph has zero triangles
+    t = pa.table({"a": pa.array([0, 1, 2, 3], pa.int64()),
+                  "b": pa.array([1, 2, 3, 4], pa.int64())})
+    got = triangle_count(
+        ray.data.from_arrow(t), num_buckets=4
+    ).to_pandas()["triangles"][0]
+    assert got == 0
