@@ -1382,6 +1382,33 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """First-order Markov transition counts of per-user event sequences
+    (one entity exchange; vocab² count partials merge driver-side)."""
+    from featherstore_ray.stages.aggregate import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        order_col="event_id",
+    )
+
+
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier (min price, max size) with per-block local
+    pruning — the skyline operator is distributive, so only frontier
+    candidates ever leave a block."""
+    from featherstore_ray.stages.misc import skyline
+
+    return skyline(
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_retailprice", "p_size"]),
+        min_col="p_retailprice", max_col="p_size",
+        keep_cols=["p_partkey"],
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the derived customer-affinity graph
     (o_custkey%50 — o_custkey%37) by degree-ordered wedge checking: each
@@ -1970,6 +1997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": q_group_corr,
         "funnel": q_funnel,
         "triangle_count": q_triangle_count,
+        "transitions": q_transitions,
+        "skyline": q_skyline,
         "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
         "histogram": q_histogram,
@@ -2351,6 +2380,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "transitions": """
+            SELECT prev_type, next_type, count(*) AS n FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events)
+            WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "skyline": """
+            SELECT p_retailprice, p_size, p_partkey FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
         """,
         "triangle_count": """
             WITH e AS (

@@ -665,3 +665,47 @@ def funnel(
         "stage": pa.array(stages, pa.string()),
         "users": pa.array(out.to_numpy(dtype=np.int64), pa.int64()),
     }))
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts of the per-entity event
+    sequence: ``(prev_type, next_type, n)`` over consecutive events
+    ordered by (ts, order_col) within each entity; each entity's first
+    event has no predecessor and contributes nothing. One entity
+    exchange; per-bucket shift + count; the (types × types) count
+    partials merge driver-side (bounded by the category vocabulary)."""
+    cols = [entity_col, ts_col, type_col] + (
+        [order_col] if order_col else [])
+    sort_cols = [entity_col, ts_col] + ([order_col] if order_col else [])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).sort_values(sort_cols)
+        prev = d.groupby(entity_col, sort=False)[type_col].shift(1)
+        d = d.assign(prev_type=prev)
+        d = d[d["prev_type"].notna()]
+        out = (
+            d.groupby(["prev_type", type_col], sort=False, observed=True)
+            .size().rename("n").reset_index()
+            .rename(columns={type_col: "next_type"})
+        )
+        return out
+
+    parts = bucketed_map_groups(
+        add_bucket_column(ds.select_columns(cols), entity_col, num_buckets),
+        kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()  # vocab² × buckets rows — bounded
+    import pyarrow as pa
+
+    out = (parts.groupby(["prev_type", "next_type"], sort=True)["n"]
+           .sum().reset_index())
+    out["n"] = out["n"].astype(np.int64)
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -710,3 +711,59 @@ def negative_sampling(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    *,
+    min_col: str,
+    max_col: str,
+    keep_cols: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """2-D Pareto frontier (skyline): rows not dominated by any other row,
+    where q dominates p iff ``q.min_col <= p.min_col`` and ``q.max_col >=
+    p.max_col`` with at least one strict. Points with identical
+    coordinates never dominate each other, so coordinate duplicates on
+    the frontier all survive (SQL NOT EXISTS semantics).
+
+    Scale shape: the skyline operator is distributive — skyline(union of
+    local skylines) == global skyline — so each block prunes locally
+    first and only frontier candidates leave the block; the global merge
+    re-runs the same vectorized kernel on the (typically tiny) candidate
+    union driver-side. Anti-correlated inputs can in principle keep the
+    frontier large; for those, chain a second bucketed prune pass keyed
+    on a min_col range partition before the merge."""
+    import pyarrow as pa
+
+    cols = [min_col, max_col] + [c for c in keep_cols
+                                 if c not in (min_col, max_col)]
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[min_col, max_col])
+        if d.empty:
+            return d[cols]
+        p = d[min_col].to_numpy()
+        s = d[max_col].to_numpy()
+        order = np.lexsort((-s, p))  # price asc, size desc
+        ps, ss = p[order], s[order]
+        # prefix maxima of size over strictly-cheaper (M1) and
+        # cheaper-or-equal (M2) points
+        run_max = np.maximum.accumulate(ss)
+        new_price = np.ones(len(ps), dtype=bool)
+        new_price[1:] = ps[1:] != ps[:-1]
+        grp = np.cumsum(new_price) - 1                # price-group index
+        grp_last = np.zeros(grp[-1] + 1, np.int64)
+        np.maximum.at(grp_last, grp, np.arange(len(ps)))
+        m2 = run_max[grp_last[grp]]                   # max size, price <= p
+        prev_last = np.where(grp > 0, grp_last[grp - 1], -1)
+        m1 = np.where(prev_last >= 0, run_max[prev_last], -np.inf)
+        dominated = (m1 >= ss) | (m2 > ss)
+        keep_idx = order[~dominated]
+        return d.iloc[np.sort(keep_idx)][cols]
+
+    local = ds.select_columns(cols).map_batches(
+        frontier, batch_size=None, batch_format="pandas")
+    merged = frontier(local.to_pandas())  # candidates only — tiny
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(merged.reset_index(drop=True),
+                             preserve_index=False))
