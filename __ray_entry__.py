@@ -1486,6 +1486,31 @@ def q_histogram(sf_dir: str):
                      "value", num_bins=20)
 
 
+def q_group_mode(sf_dir: str):
+    """Per-user modal event type with deterministic lexicographic
+    tie-break (two-stage counts, one group exchange of (group, category)
+    partials — same shape as group_entropy)."""
+    from featherstore_ray.stages.aggregate import group_mode
+
+    return group_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        ["user_id"], "event_type",
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix over the event log: entities cohorted by
+    first active day, distinct-entity counts per (cohort_day, day_offset).
+    Blocks collapse to distinct (entity, day) pairs before the single
+    entity exchange; cohort × offset count partials merge driver-side."""
+    from featherstore_ray.stages.aggregate import cohort_retention
+
+    return cohort_retention(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        entity_col="user_id", ts_col="ts",
+    )
+
+
 def q_fuzzy_join(sf_dir: str):
     """Blocked fuzzy-string self-join (record linkage) over distinct part
     names: Ed-Join q-gram prefix filter (complete for the threshold, see
@@ -2001,6 +2026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
+        "group_mode": q_group_mode,
+        "cohort_retention": q_cohort_retention,
         "histogram": q_histogram,
         "redact": q_redact,
         "co_occurrence": q_co_occurrence,
@@ -2448,6 +2475,34 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "group_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c FROM events
+                WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT user_id, event_type, c,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY c DESC, event_type ASC) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS mode, c AS mode_count
+            FROM r WHERE rn = 1
+        """,
+        "cohort_retention": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events WHERE ts IS NOT NULL
+            ),
+            f AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY 1)
+            SELECT make_timestamp(f.d0 * 86400000000) AS cohort_day,
+                   d.day - f.d0 AS day_offset,
+                   count(DISTINCT d.user_id) AS users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "histogram": """
             WITH mm AS (

@@ -709,3 +709,116 @@ def transition_counts(
     out["n"] = out["n"].astype(np.int64)
     return ray.data.from_arrow(
         pa.Table.from_pandas(out, preserve_index=False))
+
+
+def group_mode(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    cat_col: str,
+    *,
+    out_col: str = "mode",
+    count_col: str = "mode_count",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Modal (most frequent) category per group, ties broken by the
+    lexicographically smallest category — the deterministic MODE() the
+    reference's DuckDB layer can't guarantee across engines. Two-stage
+    counts exactly like :func:`group_entropy`: per-block (group, category,
+    count) partials, ONE bucket exchange on the group key, per-group argmax
+    in the finalizer. The exchange carries distinct (group, category)
+    partials, never rows."""
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[gk + [cat_col]].dropna(subset=[cat_col])
+        return (
+            d.groupby(gk + [cat_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        c = (
+            df.groupby(gk + [cat_col], sort=False, observed=True)["_c"]
+            .sum().reset_index()
+        )
+        c = c.sort_values(
+            gk + ["_c", cat_col], ascending=[True] * len(gk) + [False, True],
+            kind="mergesort",
+        )
+        top = c.drop_duplicates(subset=gk, keep="first")
+        out = top.rename(columns={cat_col: out_col, "_c": count_col})
+        out[count_col] = out[count_col].astype(np.int64)
+        return out[gk + [out_col, count_col]]
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort-retention matrix: entities are cohorted by their FIRST active
+    day; for every (cohort_day, day_offset) cell, the number of distinct
+    entities active ``day_offset`` days after their cohort day. Output
+    ``(cohort_day, day_offset, users)`` with cohort_day a day-truncated
+    timestamp (UTC epoch-day buckets, matching the tumbling-daily oracle
+    convention).
+
+    Scale shape: each block first collapses to its DISTINCT (entity, day)
+    pairs — bounded by entities × active-days, never raw events — then ONE
+    entity exchange co-locates each entity's days so the true first day is
+    exact; per-bucket (cohort, offset) count partials (cohorts × offsets
+    ints per bucket) merge driver-side, funnel-style. Entities are
+    partitioned across buckets, so bucket counts sum without double
+    counting."""
+    _DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[entity_col, ts_col]].dropna()
+        us = d[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = d.assign(_day=us // _DAY_US)[[entity_col, "_day"]]
+        return d.drop_duplicates()
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).drop_duplicates()
+        first = d.groupby(entity_col, sort=False)["_day"].transform("min")
+        out = pd.DataFrame({
+            "_cohort": first.to_numpy(),
+            "_off": (d["_day"].to_numpy() - first.to_numpy()),
+            entity_col: d[entity_col].to_numpy(),
+        })
+        return (
+            out.groupby(["_cohort", "_off"], sort=False)[entity_col]
+            .nunique().rename("users").reset_index()
+        )
+
+    merged = bucketed_map_groups(
+        add_bucket_column(parts, entity_col, num_buckets),
+        kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()  # cohorts × offsets × buckets rows — bounded
+    import pyarrow as pa
+
+    out = (
+        merged.groupby(["_cohort", "_off"], sort=True)["users"]
+        .sum().reset_index()
+    )
+    return ray.data.from_arrow(pa.table({
+        "cohort_day": pa.array(
+            out["_cohort"].to_numpy(dtype=np.int64) * _DAY_US,
+            pa.timestamp("us"),
+        ),
+        "day_offset": pa.array(out["_off"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+        "users": pa.array(out["users"].to_numpy(dtype=np.int64), pa.int64()),
+    }))

@@ -398,3 +398,41 @@ def test_histogram_matches_duckdb():
     assert (out["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
     assert int(out["cnt"].sum()) == ev.num_rows
     assert (out["lo"] < out["hi"]).all()
+
+
+def test_group_mode_tiebreak_lexicographic():
+    from featherstore_ray.stages.aggregate import group_mode
+
+    t = pa.table({
+        "g": ["u", "u", "u", "u", "v", "v", "w"],
+        "c": ["b", "b", "a", "a", "z", None, "q"],
+    })
+    out = group_mode(
+        ray.data.from_arrow(t), ["g"], "c", num_buckets=2
+    ).to_pandas().set_index("g")
+    assert out.loc["u", "mode"] == "a"          # tie 2-2 → lexicographic min
+    assert out.loc["u", "mode_count"] == 2
+    assert out.loc["v", "mode"] == "z"          # nulls dropped
+    assert out.loc["v", "mode_count"] == 1
+    assert out.loc["w", "mode"] == "q"
+
+
+def test_cohort_retention_manual():
+    from featherstore_ray.stages.aggregate import cohort_retention
+
+    day = 86_400_000_000  # µs
+    ts = pa.array(
+        [0, day // 2, 2 * day,          # e1: day0 twice (dedup), day2
+         day, day,                      # e2: day1 twice (dedup)
+         0, day, 2 * day],              # e3: days 0,1,2
+        pa.timestamp("us"),
+    )
+    t = pa.table({"e": [1, 1, 1, 2, 2, 3, 3, 3], "ts": ts})
+    out = cohort_retention(
+        ray.data.from_arrow(t), entity_col="e", ts_col="ts", num_buckets=2
+    ).to_pandas()
+    out["d"] = out["cohort_day"].astype("datetime64[us]").astype("int64") // day
+    cells = {(r.d, r.day_offset): r.users for r in out.itertuples()}
+    # cohort day0 = {e1, e3}: offsets 0 (both), 1 (e3), 2 (both)
+    # cohort day1 = {e2}: offset 0 only
+    assert cells == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
