@@ -1486,6 +1486,61 @@ def q_histogram(sf_dir: str):
                      "value", num_bins=20)
 
 
+_EWMA_ALPHA = 0.25  # decay a = 0.75 — exact binary fraction, so pow(a, k)
+#                     is bit-identical across numpy and DuckDB and the 6dp
+#                     round can never flip on a ulp
+_EWMA_K = 16
+
+
+def _ewma_oracle() -> str:
+    a = 1.0 - _EWMA_ALPHA
+    terms = "\n                   + ".join(
+        ["CAST(value AS DOUBLE)"] + [
+            f"coalesce(pow({a!r}, {k}) * lag(value, {k}) OVER w, 0)"
+            for k in range(1, _EWMA_K)
+        ]
+    )
+    return f"""
+            SELECT user_id, ts, event_id, value,
+                   round(({terms})
+                         / ((1 - pow({a!r}, least(row_number() OVER w,
+                                                  {_EWMA_K})))
+                            / {_EWMA_ALPHA!r}), 6) AS ewma
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+
+
+def q_ewma(sf_dir: str):
+    """Truncated exponentially-weighted moving average of event value per
+    user (K=16 terms, decay 0.75): one entity exchange, K shifted
+    fused-multiply-adds over the whole bucket. Oracled against the exact
+    K-term LAG expansion."""
+    from featherstore_ray.stages.window import ewma
+
+    return ewma(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        alpha=_EWMA_ALPHA, max_span=_EWMA_K, tiebreak="event_id",
+    ).select_columns(["user_id", "ts", "event_id", "value", "ewma"])
+
+
+def q_resample_ffill(sf_dir: str):
+    """Daily end-of-day snapshot grid per user with forward-filled last
+    value (the point-in-time daily feature table): one entity exchange,
+    repeat/arange grid expansion + a single group-offset searchsorted.
+    Oracled via scalar range() grids + DuckDB ASOF JOIN."""
+    from featherstore_ray.stages.window import resample_ffill
+
+    return resample_ffill(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
 def q_group_mode(sf_dir: str):
     """Per-user modal event type with deterministic lexicographic
     tie-break (two-stage counts, one group exchange of (group, category)
@@ -2026,6 +2081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
+        "ewma": q_ewma,
+        "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
         "cohort_retention": q_cohort_retention,
         "histogram": q_histogram,
@@ -2475,6 +2532,29 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "ewma": _ewma_oracle(),
+        "resample_ffill": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+                       row_number() OVER (
+                           PARTITION BY user_id,
+                                        epoch_us(ts) // 86400000000
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts IS NOT NULL
+            ),
+            l AS (SELECT user_id, day, value FROM e WHERE rn = 1),
+            span AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM e GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span
+            )
+            SELECT g.user_id, make_timestamp(g.day * 86400000000) AS day_ts,
+                   l.value AS value_ffill
+            FROM grid g ASOF JOIN l
+                ON g.user_id = l.user_id AND g.day >= l.day
         """,
         "group_mode": """
             WITH c AS (

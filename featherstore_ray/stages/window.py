@@ -603,3 +603,149 @@ def session_stats(
         return g
 
     return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+# -- exponential moving average ---------------------------------------------
+
+
+def ewma(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    max_span: int = 16,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Truncated exponentially-weighted moving average per entity.
+
+    For each non-null-value row i (ordered by ``(ts, tiebreak)`` within the
+    entity), with decay ``a = 1 - alpha`` and truncation K = ``max_span``::
+
+        ewma_i = Σ_{k=0}^{min(i, K-1)} a^k · x_{i-k}
+                 ─────────────────────────────────────
+                 Σ_{k=0}^{min(i, K-1)} a^k
+
+    (pandas ``ewm(adjust=True)`` truncated to the last K observations).
+    The truncation makes the value an EXACT K-term expression, so the SQL
+    oracle is the matching sum of K ``LAG`` terms — untruncated EWMA is a
+    recursive scan no window frame can express.
+
+    Scale shape: rows with null values are dropped in a streaming filter,
+    then ONE entity exchange; the kernel is K vectorized shifted
+    fused-multiply-adds over the whole bucket (never a per-row loop), with
+    cross-entity leakage masked by row-within-group position.
+    """
+    a = 1.0 - float(alpha)
+    K = int(max_span)
+
+    def drop_null(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[value_col].notna()]
+
+    ds = ds.map_batches(drop_null, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, rwg = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        x = df[value_col].to_numpy(dtype=np.float64)
+        n = len(df)
+        num = np.zeros(n, np.float64)
+        shifted = np.empty(n, np.float64)
+        for k in range(K):
+            if k >= n:
+                break
+            shifted[:k] = 0.0
+            shifted[k:] = x[: n - k]
+            np.multiply(shifted, a**k, out=shifted)
+            shifted[rwg < k] = 0.0  # window never crosses the entity
+            num += shifted
+        nterms = np.minimum(rwg + 1, K).astype(np.float64)
+        den = (1.0 - a**nterms) / (1.0 - a)
+        out = num / den
+        if round_digits is not None:
+            out = np.round(out, round_digits)
+        df[out_col] = out
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+# -- daily resample + forward fill -------------------------------------------
+
+
+def resample_ffill(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "value_ffill",
+    day_col: str = "day_ts",
+) -> ray.data.Dataset:
+    """Daily end-of-day snapshot grid per entity with forward fill.
+
+    For each entity, emits one row per UTC epoch-day from its first to its
+    last active day; ``out_col`` is the value of the entity's latest event
+    (by ``ts`` then ``tiebreak``) on or before the end of that day — the
+    point-in-time daily feature snapshot a feature store serves. A null
+    value on the latest event is CARRIED (last-observation semantics), not
+    skipped.
+
+    Scale shape: ONE entity exchange, then a fully vectorized kernel: the
+    per-entity day grids are built with a repeat/arange expansion and every
+    grid day is as-of-resolved against the sorted events with a single
+    global ``np.searchsorted`` using the same group-offset trick as the
+    rolling kernels. Output size is Σ per-entity day spans — bounded by
+    entities × calendar days, independent of event count.
+    """
+    _DAY = 86_400_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, rwg = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        ent = df[entity_col].to_numpy()
+        if n == 0:
+            return pd.DataFrame({
+                entity_col: ent,
+                day_col: pd.Series(dtype="datetime64[us]"),
+                out_col: df[value_col],
+            })
+        ts = _ts_us(df[ts_col])
+        day = ts // _DAY
+        ends = np.append(starts[1:], n) - 1
+        d0, d1 = day[starts], day[ends]
+        counts = (d1 - d0 + 1).astype(np.int64)
+        # grid_day[j] spans d0..d1 per entity via repeat/arange
+        base = np.repeat(d0, counts)
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        grid_day = base + offs
+        # group-offset both sides so ONE searchsorted resolves all entities
+        rel = ts - ts.min()
+        gid = np.cumsum(new_ent) - 1
+        span = int(rel.max()) + _DAY + 2
+        key_ts = rel + gid * span
+        grid_gid = np.repeat(gid[starts], counts)
+        key_b = ((grid_day + 1) * _DAY - ts.min()) + grid_gid * span
+        idx = np.searchsorted(key_ts, key_b, side="left") - 1
+        vals = df[value_col].to_numpy()
+        return pd.DataFrame({
+            entity_col: np.repeat(ent[starts], counts),
+            day_col: pd.Series(grid_day * _DAY, dtype="int64").astype(
+                "datetime64[us]"),
+            out_col: vals[idx],
+        })
+
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col] + ([tiebreak] if tiebreak else [])
+    ).map_batches(
+        lambda df: df[df[ts_col].notna()],
+        batch_size=None, batch_format="pandas",
+    )
+    return _bucketed(proj, entity_col, 64, kernel)

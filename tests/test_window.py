@@ -405,3 +405,66 @@ def test_group_standardize_vs_duckdb(ray_session):
     # the two 1-row groups: stddev_samp NULL -> z NULL; min==max -> mm NULL
     tail = got.tail(2)
     assert tail["v_z"].isna().all() and tail["v_mm"].isna().all()
+
+
+def test_ewma_matches_pandas_ewm_truncated():
+    from featherstore_ray.stages.window import ewma
+
+    rng = np.random.default_rng(7)
+    n = 200
+    t = pa.table({
+        "e": rng.integers(0, 5, n),
+        "ts": pa.array(
+            np.sort(rng.integers(0, 10**9, n)), pa.timestamp("us")),
+        "id": np.arange(n),
+        "v": rng.normal(size=n),
+    })
+    K = 16
+    out = (
+        ewma(ray.data.from_arrow(t).repartition(4), entity_col="e",
+             ts_col="ts", value_col="v", alpha=0.25, max_span=K,
+             tiebreak="id", round_digits=None)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["e", "ts", "id"])
+    # reference: per-entity truncated adjust=True ewm via rolling apply
+    a = 0.75
+    w = a ** np.arange(K)
+
+    def trunc_ewm(x):
+        x = np.asarray(x)[-K:]
+        ww = w[: len(x)][::-1]
+        return (x * ww).sum() / ww.sum()
+
+    exp = (
+        df.groupby("e")["v"]
+        .transform(lambda s: s.rolling(K, min_periods=1).apply(trunc_ewm))
+    )
+    df = df.assign(exp=exp).sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(out["ewma"], df["exp"], rtol=1e-12)
+
+
+def test_resample_ffill_manual():
+    from featherstore_ray.stages.window import resample_ffill
+
+    day = 86_400_000_000
+    t = pa.table({
+        "e": [1, 1, 1, 2],
+        "ts": pa.array([day // 2, day // 2, 3 * day + 1, 5 * day],
+                       pa.timestamp("us")),
+        "id": [10, 11, 12, 13],
+        "v": [1.0, 2.0, None, 9.0],
+    })
+    out = (
+        resample_ffill(ray.data.from_arrow(t), entity_col="e", ts_col="ts",
+                       value_col="v", tiebreak="id")
+        .to_pandas().sort_values(["e", "day_ts"]).reset_index(drop=True)
+    )
+    # e1: days 0..3 — day0 ties on ts → max id wins (v=2.0); days 1-2 carry;
+    #     day3 latest event has NULL value → carried as NULL, not skipped
+    # e2: single day 5
+    got = list(zip(out["e"],
+                   out["day_ts"].astype("int64") // day,
+                   [None if pd.isna(x) else x for x in out["value_ffill"]]))
+    assert got == [(1, 0, 2.0), (1, 1, 2.0), (1, 2, 2.0), (1, 3, None),
+                   (2, 5, 9.0)]
