@@ -1486,6 +1486,59 @@ def q_histogram(sf_dir: str):
                      "value", num_bins=20)
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): finest grouped
+    aggregate once at full scale, every key subset re-reduced from the
+    tiny finest table on one block."""
+    from featherstore_ray.stages.aggregate import cube
+
+    return cube(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"]),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
+        round_digits=6,
+    )
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Change-data-capture between two deterministic order snapshots
+    (key %7 absent from old, %11 absent from new, %5 price-shifted, %13
+    status-flipped): tagged one-byte-side union, ONE key exchange,
+    unchanged rows never leave the bucket."""
+    import numpy as np
+
+    from featherstore_ray.stages.join import snapshot_diff
+
+    base = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 7 != 0))
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 11 != 0))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        price = np.where(k % 5 == 0, price + 1000.0, price)
+        status = np.asarray(t["o_orderstatus"].to_pandas(), dtype=object)
+        status = np.where(k % 13 == 0, "X", status)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderstatus": pa.array(status.tolist(), pa.string()),
+        })
+
+    old = base.map_batches(mk_old, batch_size=None, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = base.map_batches(mk_new, batch_size=None, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])
+
+
 _EWMA_ALPHA = 0.25  # decay a = 0.75 — exact binary fraction, so pow(a, k)
 #                     is bit-identical across numpy and DuckDB and the 6dp
 #                     round can never flip on a ulp
@@ -2081,6 +2134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "inverted_index": q_inverted_index,
         "group_entropy": q_group_entropy,
+        "cube": q_cube,
+        "snapshot_diff": q_snapshot_diff,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -2532,6 +2587,40 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   count(l_quantity) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN o_totalprice + 1000.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+                FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   o.o_totalprice AS o_totalprice_old,
+                   n.o_totalprice AS o_totalprice_new,
+                   o.o_orderstatus AS o_orderstatus_old,
+                   n.o_orderstatus AS o_orderstatus_new
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         """,
         "ewma": _ewma_oracle(),
         "resample_ffill": """

@@ -340,6 +340,59 @@ def rollup(
     )
 
 
+def cube(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    *,
+    round_digits: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): the finest-level aggregate plus EVERY key
+    subset down to the grand total, grouped-out keys null-filled (SQL CUBE
+    semantics). Same one-scan shape as :func:`rollup` — the full-scale
+    work is the finest ``grouped_aggregate``; the 2^k − 1 coarser levels
+    re-reduce the already-tiny finest table on a single block (fn ∈
+    {sum, count, min, max} re-merge exactly). Keep cube keys strings: the
+    null fill would coerce int key columns to float in pandas concat."""
+    from itertools import combinations
+
+    keys = list(keys)
+    finest = grouped_aggregate(
+        ds, keys, aggs, round_digits=round_digits, num_buckets=num_buckets
+    )
+    merge_fns = {out: _MERGE[fn] for out, (_c, fn) in aggs.items()}
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [df]
+        for r in range(len(keys) - 1, -1, -1):
+            for sub in combinations(keys, r):
+                sub = list(sub)
+                if sub:
+                    g = df.groupby(sub, sort=False)
+                    lvl = pd.DataFrame(
+                        {o: g[o].agg(m) for o, m in merge_fns.items()}
+                    ).reset_index()
+                else:
+                    lvl = pd.DataFrame(
+                        {o: [df[o].agg(m)] for o, m in merge_fns.items()}
+                    )
+                for k in keys:
+                    if k not in sub:
+                        lvl[k] = None
+                frames.append(lvl[list(df.columns)])
+        out = pd.concat(frames, ignore_index=True)
+        if round_digits is not None:
+            for c in out.columns:
+                if c not in keys and out[c].dtype.kind == "f":
+                    out[c] = out[c].round(round_digits)
+        return out
+
+    return finest.repartition(1).map_batches(
+        levels, batch_size=None, batch_format="pandas"
+    )
+
+
 def co_occurrence(
     ds: ray.data.Dataset,
     *,

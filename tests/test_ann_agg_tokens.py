@@ -436,3 +436,43 @@ def test_cohort_retention_manual():
     # cohort day0 = {e1, e3}: offsets 0 (both), 1 (e3), 2 (both)
     # cohort day1 = {e2}: offset 0 only
     assert cells == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_cube_levels():
+    from featherstore_ray.stages.aggregate import cube
+
+    t = pa.table({
+        "a": ["x", "x", "y"],
+        "b": ["p", "q", "p"],
+        "v": [1.0, 2.0, 4.0],
+    })
+    out = cube(
+        ray.data.from_arrow(t), ["a", "b"], {"s": ("v", "sum")},
+        num_buckets=2,
+    ).to_pandas()
+    cells = {
+        (r.a if pd.notna(r.a) else None, r.b if pd.notna(r.b) else None): r.s
+        for r in out.itertuples()
+    }
+    assert cells == {
+        ("x", "p"): 1.0, ("x", "q"): 2.0, ("y", "p"): 4.0,  # finest
+        ("x", None): 3.0, ("y", None): 4.0,                  # by a
+        (None, "p"): 5.0, (None, "q"): 2.0,                  # by b (not in ROLLUP)
+        (None, None): 7.0,                                   # grand total
+    }
+
+
+def test_snapshot_diff_null_semantics():
+    from featherstore_ray.stages.join import snapshot_diff
+
+    old = pa.table({"k": [1, 2, 3, 4], "v": [1.0, None, 3.0, 4.0]})
+    new = pa.table({"k": [2, 3, 4, 5], "v": [None, 9.0, 4.0, 5.0]})
+    out = snapshot_diff(
+        ray.data.from_arrow(old), ray.data.from_arrow(new), ["k"], ["v"],
+        num_buckets=2,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    got = {int(r.k): r.status for r in out.itertuples()}
+    # k=2: NULL == NULL → unchanged (absent); k=4: equal → absent
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    ch = out[out.status == "changed"].iloc[0]
+    assert ch["v_old"] == 3.0 and ch["v_new"] == 9.0
