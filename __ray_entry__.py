@@ -1486,6 +1486,30 @@ def q_histogram(sf_dir: str):
                      "value", num_bins=20)
 
 
+def q_quantile_bins(sf_dir: str):
+    """Global equal-frequency discretization of extended price (quartile
+    edges, rounded identically on both engines): exact-quantile pass +
+    streaming bincount partials, no shuffle."""
+    from featherstore_ray.stages.misc import quantile_bins
+
+    return quantile_bins(
+        _read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice", num_bins=4,
+    )
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-user robust outlier report (median absolute deviation, k=3):
+    one bucket exchange, exact two-level median kernel, unrounded IEEE
+    cut identical to the oracle."""
+    from featherstore_ray.stages.misc import mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        "user_id", "value", k=3.0,
+    )
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE over (returnflag, linestatus): finest grouped
     aggregate once at full scale, every key subset re-reduced from the
@@ -2136,6 +2160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_entropy": q_group_entropy,
         "cube": q_cube,
         "snapshot_diff": q_snapshot_diff,
+        "quantile_bins": q_quantile_bins,
+        "mad_outliers": q_mad_outliers,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -2587,6 +2613,49 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "quantile_bins": """
+            WITH q AS (
+                SELECT quantile_cont(l_extendedprice,
+                                     [0.25, 0.5, 0.75]) AS qs
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            b AS (
+                SELECT (CASE WHEN l_extendedprice > round(qs[1], 6)
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN l_extendedprice > round(qs[2], 6)
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN l_extendedprice > round(qs[3], 6)
+                             THEN 1 ELSE 0 END) AS bin
+                FROM lineitem, q WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n
+            FROM b GROUP BY 1
+        """,
+        "mad_outliers": """
+            WITH v AS (
+                SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+                WHERE value IS NOT NULL
+            ),
+            m AS (
+                SELECT user_id, median(v) AS med, count(*) AS n
+                FROM v GROUP BY 1
+            ),
+            d AS (
+                SELECT v.user_id, abs(v.v - m.med) AS dev
+                FROM v JOIN m USING (user_id)
+            ),
+            m2 AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1),
+            o AS (
+                SELECT d.user_id,
+                       count(*) FILTER (
+                           WHERE d.dev > 3.0::DOUBLE * m2.mad
+                       ) AS n_outliers
+                FROM d JOIN m2 USING (user_id) GROUP BY 1
+            )
+            SELECT m.user_id, m.n, o.n_outliers, round(m.med, 6) AS med,
+                   round(m2.mad, 6) AS mad
+            FROM m JOIN m2 USING (user_id) JOIN o USING (user_id)
         """,
         "cube": """
             SELECT l_returnflag, l_linestatus,

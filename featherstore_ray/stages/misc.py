@@ -767,3 +767,111 @@ def skyline(
     return ray.data.from_arrow(
         pa.Table.from_pandas(merged.reset_index(drop=True),
                              preserve_index=False))
+
+
+def quantile_bins(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    num_bins: int = 4,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Global equal-frequency discretization: bin edges are the exact
+    ``quantile_cont`` values at i/num_bins (rounded to ``round_digits`` on
+    BOTH engine and oracle so the cut is deterministic), and each non-null
+    value lands in ``bin = #edges strictly below it``. Output one
+    ``(bin, n)`` row per non-empty bin.
+
+    Two passes sharing one materialized single-column read: pass 1 is the
+    exact-quantile path (full value set in one kernel — the documented
+    exact-path caveat, pair with ``grouped_quantiles_sketch`` for
+    sketch-grade inputs); pass 2 assigns bins streaming and merges
+    per-block bincount vectors (num_bins ints per block) driver-side —
+    no shuffle anywhere."""
+    import pyarrow as pa
+
+    proj = ds.select_columns([value_col]).materialize()
+    probs = [i / num_bins for i in range(1, num_bins)]
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    qdf = grouped_quantiles(
+        proj.map_batches(add_const, batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["_g"], value_col, quantiles=probs, round_digits=round_digits,
+        num_buckets=1,
+    ).to_pandas()  # one row of num_bins-1 edges
+    empty = pa.table({"bin": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    if qdf.empty:
+        return ray.data.from_arrow(empty)
+    edges = np.sort(np.asarray(
+        [qdf[f"{value_col}_p{int(q * 100)}"].iloc[0] for q in probs],
+        dtype=np.float64,
+    ))
+    B = int(num_bins)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(edges, v, side="left")  # #edges < v, strict
+        return pa.table(
+            {"n": pa.array(np.bincount(b, minlength=B), pa.int64())})
+
+    c = proj.map_batches(
+        counts, batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()  # num_bins × blocks ints — bounded
+    total = c["n"].to_numpy().reshape(-1, B).sum(axis=0)
+    bins = np.nonzero(total)[0].astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "n": pa.array(total[bins], pa.int64()),
+    }))
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 3.0,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group robust outlier report via median absolute deviation:
+    ``MAD = median(|v − median(v)|)``; a value is an outlier when
+    ``|v − median| > k·MAD`` (strict, so an all-equal group — MAD 0 —
+    has zero outliers). Output ``(group, n, n_outliers, med, mad)`` with
+    med/mad rounded; the outlier cut compares UNROUNDED doubles in the
+    identical IEEE expression order as the SQL oracle.
+
+    Scale shape: exact medians need the group's full value set — ONE
+    bucket exchange on hash(group), same contract as
+    ``grouped_quantiles`` (sketch-grade cardinalities: pair with
+    ``grouped_quantiles_sketch``)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).dropna(subset=[value_col])
+        med = d.groupby(group_col, sort=True, dropna=False)[
+            value_col].transform("median")
+        dev = (d[value_col] - med).abs()
+        mad = dev.groupby(d[group_col], dropna=False).transform("median")
+        out_mask = dev.to_numpy() > k * mad.to_numpy()
+        g = d.groupby(group_col, sort=True, dropna=False)
+        out = pd.DataFrame({
+            "n": g[value_col].size(),
+            "n_outliers": pd.Series(out_mask, index=d.index).groupby(
+                d[group_col], dropna=False).sum().astype(np.int64),
+            "med": g[value_col].median().round(round_digits),
+            "mad": dev.groupby(d[group_col], dropna=False).median().round(
+                round_digits),
+        }).reset_index()
+        return out
+
+    proj = ds.select_columns([group_col, value_col])
+    return bucketed_map_groups(
+        add_bucket_column(proj, group_col, num_buckets),
+        kernel, num_buckets=num_buckets, batch_format="pandas",
+    )

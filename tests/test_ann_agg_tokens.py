@@ -476,3 +476,34 @@ def test_snapshot_diff_null_semantics():
     assert got == {1: "removed", 3: "changed", 5: "added"}
     ch = out[out.status == "changed"].iloc[0]
     assert ch["v_old"] == 3.0 and ch["v_new"] == 9.0
+
+
+def test_quantile_bins_equal_frequency():
+    from featherstore_ray.stages.misc import quantile_bins
+
+    t = pa.table({"v": np.arange(100, dtype=np.float64)})
+    out = (
+        quantile_bins(ray.data.from_arrow(t).repartition(5), "v", num_bins=4)
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    )
+    assert list(out["bin"]) == [0, 1, 2, 3]
+    # quartile edges at 24.75/49.5/74.25: strict > cut → 25/25/25/25
+    assert list(out["n"]) == [25, 25, 25, 25]
+    assert out["n"].sum() == 100
+
+
+def test_mad_outliers_manual():
+    from featherstore_ray.stages.misc import mad_outliers
+
+    t = pa.table({
+        "g": ["a"] * 7 + ["b"] * 3,
+        "v": [1.0, 1, 1, 1, 1, 2, 100.0,   # med 1, MAD 0 → 2 and 100 out
+              5.0, 5, 5],                   # all equal → MAD 0, none out
+    })
+    out = (
+        mad_outliers(ray.data.from_arrow(t), "g", "v", k=3.0, num_buckets=2)
+        .to_pandas().set_index("g")
+    )
+    assert out.loc["a", "n"] == 7 and out.loc["a", "n_outliers"] == 2
+    assert out.loc["a", "med"] == 1.0 and out.loc["a", "mad"] == 0.0
+    assert out.loc["b", "n_outliers"] == 0 and out.loc["b", "mad"] == 0.0
