@@ -1486,6 +1486,67 @@ def q_histogram(sf_dir: str):
                      "value", num_bins=20)
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    # constants injected via repr() so the doubles are bit-identical to the
+    # numpy kernel (k1+1 lands on a round-to-even midpoint — never re-derive
+    # it in SQL)
+    k1, b = _BM25_K1, _BM25_B
+    kp1, omb = k1 + 1.0, 1.0 - b
+    return f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            df AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            tt AS (SELECT count(*) AS t FROM tok)
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   round(ln((n.n - df.df + 0.5::DOUBLE)
+                            / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                         * (tf.tf * {kp1!r}::DOUBLE)
+                         / (tf.tf + {k1!r}::DOUBLE * ({omb!r}::DOUBLE
+                            + ({b!r}::DOUBLE * dl.dl)
+                              / (CAST(tt.t AS DOUBLE) / n.n))),
+                         6) AS score
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+                 CROSS JOIN n CROSS JOIN tt
+        """
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 per (doc, token) — tf_idf's two-pass no-shuffle shape
+    plus doc-length normalization (marker rows carry doc/token totals)."""
+    from featherstore_ray.stages.text import bm25
+
+    return bm25(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+def q_association_rules(sf_dir: str):
+    """Directional association rules (support/confidence/lift) over order
+    baskets: pair counts ride the co_occurrence exchanges; item basket
+    counts are one vocabulary-bounded exchange broadcast into a streaming
+    scoring map."""
+    from featherstore_ray.stages.aggregate import association_rules
+
+    return association_rules(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey", min_count=3,
+    )
+
+
 def q_quantile_bins(sf_dir: str):
     """Global equal-frequency discretization of extended price (quartile
     edges, rounded identically on both engines): exact-quantile pass +
@@ -2162,6 +2223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "quantile_bins": q_quantile_bins,
         "mad_outliers": q_mad_outliers,
+        "bm25": q_bm25,
+        "association_rules": q_association_rules,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -2613,6 +2676,33 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "bm25": _bm25_oracle(),
+        "association_rules": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem
+            ),
+            p AS (
+                SELECT x.i AS a, y.i AS b, count(*) AS n
+                FROM bi x JOIN bi y ON x.g = y.g AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+            nn AS (SELECT count(DISTINCT g) AS nb FROM bi),
+            d AS (
+                SELECT a AS antecedent, b AS consequent, n FROM p
+                UNION ALL
+                SELECT b AS antecedent, a AS consequent, n FROM p
+            )
+            SELECT d.antecedent, d.consequent, d.n,
+                   round(CAST(d.n AS DOUBLE) / nn.nb, 6) AS support,
+                   round(CAST(d.n AS DOUBLE) / ia.n_i, 6) AS confidence,
+                   round((CAST(d.n AS DOUBLE) / ia.n_i)
+                         / (CAST( codes.n_i AS DOUBLE) / nn.nb), 6) AS lift
+            FROM d JOIN ic ia ON ia.i = d.antecedent
+                 JOIN ic codes ON codes.i = d.consequent
+                 CROSS JOIN nn
         """,
         "quantile_bins": """
             WITH q AS (

@@ -420,14 +420,16 @@ def co_occurrence(
     proj = ds.select_columns([group_col, item_col])
     tagged = add_bucket_column(proj, group_col, num_buckets)
 
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "n": pa.array([], pa.int64())}
-    )
+    def _empty(item_type: "pa.DataType") -> pa.Table:
+        return pa.table(
+            {"a": pa.array([], item_type), "b": pa.array([], item_type),
+             "n": pa.array([], pa.int64())}
+        )
 
     def pairs(t: pa.Table) -> pa.Table:
+        it_type = t.schema.field(item_col).type
         if t.num_rows == 0:
-            return empty
+            return _empty(it_type)
         g = t[group_col].to_numpy(zero_copy_only=False)
         it = t[item_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((it, g))
@@ -438,13 +440,16 @@ def co_occurrence(
         g, it = g[first], it[first]
         a_idx, b_idx = pair_indices(g)
         if len(a_idx) == 0:
-            return empty
+            return _empty(it_type)
         agg = (
             pd.DataFrame({"a": it[a_idx], "b": it[b_idx]})
             .groupby(["a", "b"], sort=False).size().rename("n").reset_index()
         )
-        res = pa.Table.from_pandas(agg, preserve_index=False)
-        return res.replace_schema_metadata(None)
+        return pa.table({
+            "a": pa.array(agg["a"], it_type),
+            "b": pa.array(agg["b"], it_type),
+            "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        })
 
     partials = add_bucket_column(
         bucketed_map_groups(
@@ -455,16 +460,17 @@ def co_occurrence(
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        it_type = t.schema.field("a").type
         if t.num_rows == 0:
-            return empty
+            return _empty(it_type)
         df = t.select(["a", "b", "n"]).to_pandas()
         g = df.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
         g = g[g["n"] >= min_count]
         return pa.table(
             {
-                "a": pa.array(g["a"].to_numpy().astype(np.int64)),
-                "b": pa.array(g["b"].to_numpy().astype(np.int64)),
-                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "a": pa.array(g["a"], it_type),
+                "b": pa.array(g["b"], it_type),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
             }
         )
 
@@ -875,3 +881,79 @@ def cohort_retention(
                                pa.int64()),
         "users": pa.array(out["users"].to_numpy(dtype=np.int64), pa.int64()),
     }))
+
+
+def association_rules(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Directional association rules over market baskets: for every
+    co-occurring unordered pair (set semantics, ``n >= min_count``), BOTH
+    rules a→b and b→a with::
+
+        support    = n_ab / N
+        confidence = n_ab / n_antecedent
+        lift       = confidence / (n_consequent / N)
+
+    where ``n_x`` is the number of distinct baskets containing x and N the
+    total distinct-basket count.
+
+    Scale shape: pair counts ride the :func:`co_occurrence` exchanges;
+    per-item basket counts are ONE (item, basket)-distinct bucket exchange
+    whose output is vocabulary-bounded and broadcast into the scoring map;
+    N comes from a distinct-key reduce. No additional row-scale shuffle —
+    scoring streams over the pair table."""
+    import pyarrow as pa
+
+    from featherstore_ray.stages.misc import distinct
+
+    pairs = co_occurrence(
+        ds, group_col=group_col, item_col=item_col,
+        min_count=min_count, num_buckets=num_buckets,
+    )
+
+    proj = ds.select_columns([group_col, item_col])
+
+    def ic_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[item_col, group_col]].drop_duplicates()
+
+    def ic_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).drop_duplicates()
+        return (
+            d.groupby(item_col, sort=False).size().rename("_n").reset_index()
+        )
+
+    ic = bucketed_map_groups(
+        add_bucket_column(
+            proj.map_batches(ic_partial, batch_size=None,
+                             batch_format="pandas"),
+            item_col, num_buckets,
+        ),
+        ic_kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()  # vocabulary-bounded
+    counts = ic.set_index(item_col)["_n"]
+    n_baskets = distinct(proj.select_columns([group_col]),
+                         [group_col]).count()
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = pd.concat([
+            df.rename(columns={"a": "antecedent", "b": "consequent"}),
+            df.rename(columns={"b": "antecedent", "a": "consequent"}),
+        ], ignore_index=True)
+        n = out["n"].to_numpy(dtype=np.float64)
+        na = counts.reindex(out["antecedent"]).to_numpy(dtype=np.float64)
+        nc = counts.reindex(out["consequent"]).to_numpy(dtype=np.float64)
+        conf = n / na
+        out["support"] = np.round(n / float(n_baskets), round_digits)
+        out["confidence"] = np.round(conf, round_digits)
+        out["lift"] = np.round(conf / (nc / float(n_baskets)), round_digits)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return pairs.map_batches(score, batch_size=None, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -434,3 +434,52 @@ def test_redact_all_rules(ray_session):
         "plain text with no pii at all",
         "",
     ]
+
+
+def test_bm25_manual():
+    import math
+
+    from featherstore_ray.stages.text import bm25
+
+    t = pa.table({
+        "doc_id": [0, 1],
+        "text": ["a a b", "a c"],
+    })
+    out = (
+        bm25(ray.data.from_arrow(t))
+        .to_pandas().set_index(["doc_id", "token"])["score"]
+    )
+    N, avgdl = 2.0, 2.5
+    k1, b = 1.2, 0.75
+
+    def ref(tf, df, dl):
+        idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        return round(idf * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1 - b + (b * dl) / avgdl)), 6)
+
+    assert out[(0, "a")] == ref(2, 2, 3)
+    assert out[(0, "b")] == ref(1, 1, 3)
+    assert out[(1, "c")] == ref(1, 1, 2)
+    # common token scores below rare token at equal tf/dl
+    assert out[(1, "a")] < out[(1, "c")]
+
+
+def test_association_rules_manual():
+    from featherstore_ray.stages.aggregate import association_rules
+
+    # baskets: {x,y} {x,y} {x} {y,z}  → pair (x,y) n=2; N=4; n_x=3 n_y=3
+    t = pa.table({
+        "g": [1, 1, 2, 2, 3, 4, 4],
+        "i": ["x", "y", "x", "y", "x", "y", "z"],
+    })
+    out = association_rules(
+        ray.data.from_arrow(t), group_col="g", item_col="i", min_count=2,
+        num_buckets=2,
+    ).to_pandas().set_index(["antecedent", "consequent"])
+    r = out.loc[("x", "y")]
+    assert r["n"] == 2
+    assert r["support"] == round(2 / 4, 6)
+    assert r["confidence"] == round(2 / 3, 6)
+    assert r["lift"] == round((2 / 3) / (3 / 4), 6)
+    # both directions emitted; (y,z) below min_count → absent
+    assert ("y", "x") in out.index and ("y", "z") not in out.index
