@@ -1571,6 +1571,73 @@ def q_mad_outliers(sf_dir: str):
     )
 
 
+def q_time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted average value (TWAP over the irregular event
+    series): streaming null filter + ONE entity exchange, lexsort + diff +
+    reduceat kernel."""
+    from featherstore_ray.stages.window import time_weighted_avg
+
+    return time_weighted_avg(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value",
+                                         "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(sf_dir: str):
+    """All-pairs Pearson correlation across the lineitem measures in one
+    pass: per-block pairwise moment partials, driver merge (blocks × 6
+    floats per pair — never rows)."""
+    from featherstore_ray.stages.aggregate import corr_matrix
+
+    return corr_matrix(_read(sf_dir, "lineitem", columns=_CORR_COLS),
+                       _CORR_COLS)
+
+
+def q_vocab_encode(sf_dir: str):
+    """Tokenizer-style corpus encoding: frequency-ranked dense token ids
+    (count DESC, token ASC), corpus re-emitted as (doc_id, pos, token_id).
+    Vocabulary-bounded exchange + broadcast id map + streaming encode."""
+    from featherstore_ray.stages.text import vocab_encode
+
+    return vocab_encode(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def q_chunk_text(sf_dir: str):
+    """Sliding-window context-length chunking (32-token windows, stride
+    24): pure streaming flat-map; chunk strings sliced from the original
+    byte buffer, no Python re-join."""
+    from featherstore_ray.stages.text import chunk_text
+
+    return chunk_text(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                      window=32, stride=24)
+
+
+def q_token_match(sf_dir: str):
+    """Extract-all structured-span pass: every token matching ^s[a-z]+$
+    with per-document ordinals — one vectorized RE2 scan over the flat
+    word array per batch."""
+    from featherstore_ray.stages.text import token_match
+
+    return token_match(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                       r"^s[a-z]+$")
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact cross-document duplicated trigram statistics (the substring-
+    dedup signal of Lee et al. 2022): distinct (kgram, doc) partials → one
+    kgram exchange → one doc exchange; text itself never shuffles."""
+    from featherstore_ray.stages.dedup import dup_spans
+
+    return dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                     k=3)
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE over (returnflag, linestatus): finest grouped
     aggregate once at full scale, every key subset re-reduced from the
@@ -2225,6 +2292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,
         "bm25": q_bm25,
         "association_rules": q_association_rules,
+        "time_weighted_avg": q_time_weighted_avg,
+        "corr_matrix": q_corr_matrix,
+        "vocab_encode": q_vocab_encode,
+        "chunk_text": q_chunk_text,
+        "token_match": q_token_match,
+        "dup_spans": q_dup_spans,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -2678,6 +2751,105 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (user_id) GROUP BY c.user_id
         """,
         "bm25": _bm25_oracle(),
+        "time_weighted_avg": """
+            WITH e AS (
+                SELECT user_id, ts, value, event_id FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            d AS (
+                SELECT user_id, value, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nts
+                FROM e
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(value * epoch_us(nts - ts)) AS num,
+                       sum(CAST(epoch_us(nts - ts) AS DOUBLE)) AS den
+                FROM d WHERE nts IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, round(num / den, 6) AS twa
+            FROM s WHERE den > 0
+        """,
+        "corr_matrix": " UNION ALL ".join(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+            f" round(corr({a}, {b}), 6) AS corr FROM lineitem"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        ),
+        "vocab_encode": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            f AS (
+                SELECT doc_id, s['pos'] AS pos, s['tk'] AS tk
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(w) + 1),
+                                  i -> struct_pack(pos := i, tk := w[i]))) AS s
+                    FROM t
+                )
+            ),
+            vc AS (SELECT tk, count(*) AS c FROM f GROUP BY 1),
+            vid AS (
+                SELECT tk,
+                       row_number() OVER (ORDER BY c DESC, tk) - 1 AS token_id
+                FROM vc
+            )
+            SELECT f.doc_id, f.pos, vid.token_id
+            FROM f JOIN vid USING (tk)
+        """,
+        "chunk_text": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            )
+            SELECT doc_id, s['cid'] AS chunk_id, s['txt'] AS chunk_text
+            FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(0, ((len(w) - 1) // 24) + 1),
+                    j -> struct_pack(
+                        cid := j,
+                        txt := array_to_string(w[j*24 + 1 : j*24 + 32], ' ')
+                    ))) AS s
+                FROM t WHERE len(w) > 0
+            )
+        """,
+        "token_match": """
+            WITH m AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> regexp_matches(x, '^s[a-z]+$')) AS ms
+                FROM documents
+            )
+            SELECT doc_id, s['o'] AS "ord", s['m'] AS "match"
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ms) + 1),
+                              i -> struct_pack(o := i, m := ms[i]))) AS s
+                FROM m
+            )
+        """,
+        "dup_spans": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(w) - 1),
+                    i -> array_to_string(w[i : i + 2], ' '))) AS kg
+                FROM t WHERE len(w) >= 3
+            ),
+            nd AS (SELECT kg, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+            c AS (
+                SELECT g.doc_id, count(*) AS total_ngrams,
+                       count(*) FILTER (WHERE nd.nd >= 2) AS dup_ngrams
+                FROM g JOIN nd USING (kg) GROUP BY 1
+            )
+            SELECT doc_id, total_ngrams, dup_ngrams,
+                   round(CAST(dup_ngrams AS DOUBLE) / total_ngrams, 6)
+                       AS dup_ratio
+            FROM c
+        """,
         "association_rules": """
             WITH bi AS (
                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i

@@ -957,3 +957,61 @@ def association_rules(
 
     return pairs.map_batches(score, batch_size=None, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def corr_matrix(
+    ds: ray.data.Dataset,
+    columns: Sequence[str],
+    *,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Pairwise Pearson correlation across numeric columns in ONE pass.
+
+    Each block collapses to pairwise-complete moment sums (n, Σx, Σy, Σx²,
+    Σy², Σxy per column pair, excluding rows where either side is null —
+    SQL ``corr`` semantics); the driver sums the per-block partials (tiny:
+    blocks × C(k,2) × 6 floats) and finishes with the same n·Σxy − ΣxΣy
+    formula as :func:`group_corr`. Output: one row per unordered pair
+    (col_x < col_y) with ``corr`` (null when < 2 rows or zero variance).
+
+    At 100 TB the exchange carries only the moment partials — never rows.
+    """
+    import pyarrow as pa
+
+    cols = list(columns)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = {c: df[c].to_numpy(dtype=np.float64) for c in cols}
+        masks = {c: df[c].notna().to_numpy() for c in cols}
+        rows = []
+        for a, b in pairs:
+            m = masks[a] & masks[b]
+            x, y = vals[a][m], vals[b][m]
+            rows.append((a, b, float(len(x)), x.sum(), y.sum(),
+                         (x * x).sum(), (y * y).sum(), (x * y).sum()))
+        return pd.DataFrame(
+            rows, columns=["col_x", "col_y",
+                           "_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"])
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    ).to_pandas()  # blocks × pairs rows — bounded
+
+    g = parts.groupby(["col_x", "col_y"], sort=True)[
+        ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+    ].sum().reset_index()
+    n = g["_n"].to_numpy()
+    vx = n * g["_sxx"].to_numpy() - g["_sx"].to_numpy() ** 2
+    vy = n * g["_syy"].to_numpy() - g["_sy"].to_numpy() ** 2
+    cov = n * g["_sxy"].to_numpy() - g["_sx"].to_numpy() * g["_sy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = cov / np.sqrt(vx * vy)
+    r[(n < 2) | (vx <= 0) | (vy <= 0)] = np.nan
+    if round_digits is not None:
+        r = np.round(r, round_digits)
+    return ray.data.from_arrow(pa.table({
+        "col_x": pa.array(g["col_x"], pa.string()),
+        "col_y": pa.array(g["col_y"], pa.string()),
+        "corr": pa.array(r, pa.float64()),
+    }))

@@ -835,3 +835,145 @@ def jaccard_pairs(
     return bucketed_map_groups(
         partials, finalize, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+# -- cross-document duplicated-span statistics -------------------------------
+
+
+def dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact cross-document duplicated k-gram statistics (the per-document
+    signal behind suffix-style exact substring dedup, cf. Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document with ≥ k whitespace tokens, the number of k-token window
+    positions whose exact k-gram occurs in at least one OTHER document.
+
+    Output: (doc_id, total_ngrams, dup_ngrams, dup_ratio) — rank by
+    dup_ratio to find documents dominated by boilerplate shared with the
+    rest of the corpus.
+
+    Scale shape: two narrow exchanges, no text shuffle.
+
+    1. per-batch partial: distinct (kgram, doc) with position counts —
+       exchange volume is bounded by distinct (kgram, doc) pairs, the same
+       bound as :func:`featherstore_ray.stages.text.inverted_index`;
+    2. kgram-bucket exchange: each kgram's partials land in one bucket;
+       kgrams seen in ≥ 2 distinct docs contribute their per-doc position
+       counts to (doc, dup_partial) rows;
+    3. doc-bucket exchange: sums dup partials with the per-doc window
+       totals (a cheap streaming side pass). Both union sides carry the
+       identical int64 schema, so no pandas null-padding coercion.
+
+    Kgrams are the literal joined token strings (exact, oracle-clean); a
+    64-bit-hash variant would shrink step-2 traffic at 100 TB at the cost
+    of a ~n²/2⁶⁴ false-dup probability.
+    """
+    K = int(k)
+    from featherstore_ray.stages.text import _explode_words
+
+    def _kgram_frame(t: pa.Table) -> tuple[pd.Series, np.ndarray]:
+        """Flat kgram strings + owning doc-row index for one batch."""
+        flat, offsets = _explode_words(t[text_col])
+        lens = np.diff(offsets)
+        n = len(flat)
+        words = flat.to_numpy(zero_copy_only=False)  # object array
+        m = n - K + 1
+        if m <= 0:
+            return pd.Series([], dtype=object), np.empty(0, np.int64)
+        kg = words[:m].copy()
+        for j in range(1, K):
+            kg = kg + " "
+            kg = kg + words[j: j + m]
+        # windows crossing a doc boundary are invalid: the last K-1
+        # positions of every doc (covers docs shorter than K entirely)
+        valid = np.ones(m, dtype=bool)
+        ends = offsets[1:]
+        for j in range(1, K):
+            pos = ends - j
+            sel = (lens >= j) & (pos < m)
+            valid[pos[sel]] = False
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        return pd.Series(kg[valid], dtype=object), doc_idx[:m][valid]
+
+    def kg_partial(t: pa.Table) -> pa.Table:
+        kg, doc_idx = _kgram_frame(t)
+        ids = t[doc_id_col].to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"kg": kg, "_doc": ids[doc_idx]})
+            .groupby(["kg", "_doc"], sort=False)
+            .size()
+            .rename("npos")
+            .reset_index()
+        )
+        return pa.table({
+            "kg": pa.array(g["kg"], pa.string()),
+            "_doc": pa.array(g["_doc"].to_numpy(dtype=np.int64)),
+            "npos": pa.array(g["npos"].to_numpy(dtype=np.int64)),
+        })
+
+    sel = ds.select_columns([doc_id_col, text_col])
+    partials = sel.map_batches(
+        kg_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_kgram(t: pa.Table) -> pa.Table:
+        df = t.select(["kg", "_doc", "npos"]).to_pandas()
+        nd = df.groupby("kg", sort=False)["_doc"].nunique()
+        dup_kg = nd.index[nd.to_numpy() >= 2]
+        d = df[df["kg"].isin(dup_kg)]
+        out = d.groupby("_doc", sort=False)["npos"].sum().reset_index()
+        return pa.table({
+            "_doc": pa.array(out["_doc"].to_numpy(dtype=np.int64)),
+            "dup": pa.array(out["npos"].to_numpy(dtype=np.int64)),
+            "total": pa.array(np.zeros(len(out), np.int64)),
+        })
+
+    dup_parts = bucketed_map_groups(
+        add_bucket_column(partials, "kg", num_buckets),
+        per_kgram, num_buckets=num_buckets, batch_format="pyarrow",
+    )
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        _, offsets = _explode_words(t[text_col])
+        lens = np.diff(offsets)
+        tot = np.maximum(lens - (K - 1), 0)
+        keep = tot > 0
+        ids = t[doc_id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "_doc": pa.array(ids.astype(np.int64)),
+            "dup": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "total": pa.array(tot[keep].astype(np.int64)),
+        })
+
+    total_parts = sel.map_batches(
+        total_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.select(["_doc", "dup", "total"]).to_pandas()
+        g = df.groupby("_doc", sort=False)[["dup", "total"]].sum()
+        g = g[g["total"] > 0].reset_index()
+        ratio = np.round(
+            g["dup"].to_numpy(dtype=np.float64)
+            / g["total"].to_numpy(dtype=np.float64), round_digits)
+        return pa.table({
+            doc_id_col: pa.array(g["_doc"].to_numpy(dtype=np.int64)),
+            "total_ngrams": pa.array(g["total"].to_numpy(dtype=np.int64)),
+            "dup_ngrams": pa.array(g["dup"].to_numpy(dtype=np.int64)),
+            "dup_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    both = dup_parts.union(total_parts)
+    return bucketed_map_groups(
+        add_bucket_column(both, "_doc", num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pyarrow",
+    )

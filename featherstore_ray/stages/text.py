@@ -1035,3 +1035,185 @@ def bm25(
         score_map, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def vocab_encode(
+    ds: ray.data.Dataset,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Tokenizer-style corpus encoding: build the full whitespace vocabulary,
+    assign dense ids by (corpus count DESC, token ASC) — id 0 is the most
+    frequent token, the standard tokenizer layout — then re-encode every
+    document as (doc_id, pos, token_id) with 1-based positions.
+
+    Scale shape: vocabulary totals come from the :func:`vocab_count`
+    partial pattern (per-batch (token, count) partials → one token-bucket
+    exchange; exchange volume is per-batch vocabulary, never corpus
+    tokens); the id map is vocabulary-bounded, merged driver-side and
+    broadcast in the encode closure; the encode pass itself is a streaming
+    row-local map. Output rows = corpus tokens (written, not collected).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t[text_col])
+        agg = (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        return agg.rename_columns(["token", "n"])
+
+    sel = ds.select_columns([doc_id_col, text_col])
+    parts = sel.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # vocabulary-bounded by construction
+    totals = parts.groupby("token")["n"].sum().reset_index()
+    totals = totals.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    id_map = pd.Series(
+        np.arange(len(totals), dtype=np.int64), index=totals["token"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        flat, offsets = _explode_words(t[text_col])
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], lens) + 1
+        tid = id_map.reindex(flat.to_pandas()).to_numpy(dtype=np.int64)
+        return pa.table({
+            doc_id_col: pa.array(
+                t[doc_id_col].to_numpy(zero_copy_only=False)[doc_idx]),
+            "pos": pa.array(pos),
+            "token_id": pa.array(tid),
+        })
+
+    return sel.map_batches(
+        encode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def chunk_text(
+    ds: ray.data.Dataset,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+    out_col: str = "chunk_text",
+) -> ray.data.Dataset:
+    """Sliding-window training-chunk splitter: each document becomes
+    overlapping chunks of up to ``window`` whitespace tokens starting every
+    ``stride`` tokens (chunk j covers tokens ``[j·stride, j·stride+window)``;
+    starts run while ``j·stride < len``, so the tail chunk may be short).
+    Output: (doc_id, chunk_id, chunk_text) — the context-length splitting
+    pass that precedes sequence packing.
+
+    Scale shape: pure streaming flat-map, no exchange. The chunk texts are
+    rebuilt by slicing the document's byte buffer directly (token offsets →
+    byte offsets), never by re-joining word lists in Python.
+    """
+    W, S = int(window), int(stride)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, " ")
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        n_chunks = np.where(lens > 0, (lens - 1) // S + 1, 0)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_chunks)
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))
+        cid = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+            cum[:-1], n_chunks)
+        # token index span of each chunk (within doc), clipped to doc end
+        tok_lo = cid * S
+        tok_hi = np.minimum(tok_lo + W, lens[doc_idx])
+        # chunk text = byte slice of the ORIGINAL document buffer (keeps the
+        # single-space separators; no Python re-join). Token k of doc d
+        # starts at doc_start + Σ_{w<k}(wordlen_w + 1); word byte-lengths
+        # come from the split array's offsets.
+        flat = lists.flatten()
+        buf = flat.buffers()
+        word_offs = np.frombuffer(buf[1], dtype=np.int32)[
+            flat.offset: flat.offset + len(flat) + 1].astype(np.int64)
+        otext = texts
+        obuf = otext.buffers()
+        ooffs = np.frombuffer(obuf[1], dtype=np.int32)[
+            otext.offset: otext.offset + len(otext) + 1].astype(np.int64)
+        odata = np.frombuffer(obuf[2], dtype=np.uint8) if obuf[2] else (
+            np.empty(0, np.uint8))
+        step = (word_offs[1:] - word_offs[:-1]) + 1
+        csum = np.concatenate(([0], np.cumsum(step)))
+        doc_base = csum[offsets[:-1]]
+        tok_start = csum[offsets[:-1][doc_idx] + tok_lo] - doc_base[doc_idx]
+        tok_end = csum[offsets[:-1][doc_idx] + tok_hi] - 1 - doc_base[doc_idx]
+        abs_lo = ooffs[:-1][doc_idx] + tok_start
+        abs_hi = ooffs[:-1][doc_idx] + tok_end
+        out_lens = abs_hi - abs_lo
+        out_offs = np.concatenate(
+            ([0], np.cumsum(out_lens))).astype(np.int32)
+        out_buf = np.empty(int(out_offs[-1]), dtype=np.uint8)
+        # gather chunk bytes: vectorized per-chunk copy via repeat/arange
+        idx = np.repeat(abs_lo, out_lens) + (
+            np.arange(int(out_offs[-1]), dtype=np.int64)
+            - np.repeat(out_offs[:-1].astype(np.int64), out_lens))
+        np.take(odata, idx, out=out_buf)
+        chunk_arr = pa.StringArray.from_buffers(
+            len(cid), pa.py_buffer(out_offs.tobytes()),
+            pa.py_buffer(out_buf.tobytes()))
+        return pa.table({
+            doc_id_col: pa.array(
+                t[doc_id_col].to_numpy(zero_copy_only=False)[doc_idx]),
+            "chunk_id": pa.array(cid),
+            out_col: chunk_arr,
+        })
+
+    return ds.select_columns([doc_id_col, text_col]).map_batches(
+        chunks, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_match(
+    ds: ray.data.Dataset,
+    pattern: str,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Extract-all for token-shaped patterns: every whitespace token matching
+    the RE2 ``pattern``, exploded as (doc_id, ord, match) with a 1-based
+    per-document ordinal in token order — the structured-span extraction
+    pass (IDs, entities, markers) of a text pipeline.
+
+    Scale shape: streaming map; ONE vectorized Arrow RE2 scan over the flat
+    exploded word array per batch (``pc.match_substring_regex``), never a
+    per-row Python regex loop.
+    """
+
+    def extract(t: pa.Table) -> pa.Table:
+        flat, offsets = _explode_words(t[text_col])
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        hit = pc.match_substring_regex(flat, pattern).to_numpy(
+            zero_copy_only=False)
+        hit = np.asarray(hit, dtype=bool)
+        kept = np.flatnonzero(hit)
+        kdoc = doc_idx[kept]
+        # ordinal within doc among kept tokens
+        csum = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
+        ordinal = (csum[kept + 1] - csum[offsets[:-1][kdoc]])
+        return pa.table({
+            doc_id_col: pa.array(
+                t[doc_id_col].to_numpy(zero_copy_only=False)[kdoc]),
+            "ord": pa.array(ordinal.astype(np.int64)),
+            "match": flat.take(pa.array(kept)),
+        })
+
+    return ds.select_columns([doc_id_col, text_col]).map_batches(
+        extract, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -749,3 +749,67 @@ def resample_ffill(
         batch_size=None, batch_format="pandas",
     )
     return _bucketed(proj, entity_col, 64, kernel)
+
+
+# -- time-weighted average ---------------------------------------------------
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "twa",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity time-weighted average over an irregular series (TWAP).
+
+    Each observation holds from its timestamp to the next one within the
+    entity (piecewise-constant, ordered by ``(ts, tiebreak)``)::
+
+        twa = Σ value_i · (ts_{i+1} − ts_i)  /  (ts_last − ts_first)
+
+    The last observation contributes no duration. Rows with null values are
+    dropped up front on both engines; entities whose observations all share
+    one timestamp (zero total duration, incl. single-row entities) are
+    omitted — division semantics match the SQL ``HAVING sum(dt) > 0``.
+
+    Scale shape: streaming null filter + column projection, then ONE entity
+    exchange; the kernel is a lexsort + diff + ``add.reduceat`` — no per-row
+    or per-entity loop.
+    """
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 out_col: pd.Series(dtype="float64")})
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        dt = np.zeros(n, np.float64)
+        dt[:-1] = (ts[1:] - ts[:-1]).astype(np.float64)
+        dt[np.flatnonzero(new_ent) - 1] = 0.0  # last row of each entity
+        if n:
+            dt[-1] = 0.0
+        x = df[value_col].to_numpy(dtype=np.float64)
+        seg = np.flatnonzero(new_ent)
+        num = np.add.reduceat(x * dt, seg)
+        den = np.add.reduceat(dt, seg)
+        ent = df[entity_col].to_numpy()[seg]
+        keep = den > 0
+        twa = num[keep] / den[keep]
+        if round_digits is not None:
+            twa = np.round(twa, round_digits)
+        return pd.DataFrame({entity_col: ent[keep], out_col: twa})
+
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col] + ([tiebreak] if tiebreak else [])
+    ).map_batches(
+        lambda df: df[df[value_col].notna() & df[ts_col].notna()],
+        batch_size=None, batch_format="pandas",
+    )
+    return _bucketed(proj, entity_col, num_buckets, kernel)

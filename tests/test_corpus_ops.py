@@ -588,3 +588,112 @@ def test_profile_columns_nulls(ray_session):
     assert out["min"].tolist() == [1.0, 4.0]
     assert out["max"].tolist() == [3.0, 7.0]
     assert out["mean"].tolist() == [2.0, 5.5]
+
+
+def test_time_weighted_avg_manual(ray_session):
+    from featherstore_ray.stages.window import time_weighted_avg
+
+    t = pa.table({
+        "e": [1, 1, 1, 2, 2, 3],
+        "ts": pa.array(
+            np.array([0, 10, 30, 5, 5, 7], dtype="int64"),
+            pa.timestamp("us")),
+        "v": [1.0, 3.0, 99.0, 4.0, 6.0, 8.0],
+    })
+    out = time_weighted_avg(
+        ray.data.from_arrow(t), entity_col="e", ts_col="ts", value_col="v",
+        num_buckets=2,
+    ).to_pandas().set_index("e")["twa"]
+    # entity 1: 1.0 for 10us + 3.0 for 20us → 70/30
+    assert out[1] == round(70 / 30, 6)
+    # entity 2: both at same ts → zero duration → dropped; entity 3: single
+    assert 2 not in out.index and 3 not in out.index
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    from featherstore_ray.stages.aggregate import corr_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=500)
+    t = pa.table({
+        "a": x, "b": 2 * x + rng.normal(size=500), "c": rng.normal(size=500),
+    })
+    out = corr_matrix(
+        ray.data.from_arrow(t).repartition(4), ["a", "b", "c"]
+    ).to_pandas().set_index(["col_x", "col_y"])["corr"]
+    df = t.to_pandas()
+    for a, b in [("a", "b"), ("a", "c"), ("b", "c")]:
+        assert abs(out[(a, b)] - np.corrcoef(df[a], df[b])[0, 1]) < 1e-6
+    assert len(out) == 3
+
+
+def test_vocab_encode_manual(ray_session):
+    from featherstore_ray.stages.text import vocab_encode
+
+    t = pa.table({
+        "doc_id": [0, 1],
+        "text": ["b a b", "c b"],
+    })
+    out = vocab_encode(ray.data.from_arrow(t)).to_pandas()
+    # counts: b=3 (id 0), a=1, c=1 → ties by token: a=1, c=2
+    got = out.set_index(["doc_id", "pos"])["token_id"]
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 0
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 0
+
+
+def test_chunk_text_manual(ray_session):
+    from featherstore_ray.stages.text import chunk_text
+
+    words = [f"w{i}" for i in range(10)]
+    t = pa.table({
+        "doc_id": [7, 8],
+        "text": [" ".join(words), "solo"],
+    })
+    out = chunk_text(
+        ray.data.from_arrow(t), window=4, stride=3
+    ).to_pandas().set_index(["doc_id", "chunk_id"])["chunk_text"]
+    assert out[(7, 0)] == "w0 w1 w2 w3"
+    assert out[(7, 1)] == "w3 w4 w5 w6"
+    assert out[(7, 2)] == "w6 w7 w8 w9"
+    assert out[(7, 3)] == "w9"
+    assert out[(8, 0)] == "solo"
+    assert len(out) == 5
+
+
+def test_token_match_manual(ray_session):
+    from featherstore_ray.stages.text import token_match
+
+    t = pa.table({
+        "doc_id": [0, 1],
+        "text": ["spark is sparky and sharp", "no hits here"],
+    })
+    out = token_match(
+        ray.data.from_arrow(t), r"^sp\w+$"
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [0, 0]
+    assert out["ord"].tolist() == [1, 2]
+    assert out["match"].tolist() == ["spark", "sparky"]
+
+
+def test_dup_spans_manual(ray_session):
+    from featherstore_ray.stages.dedup import dup_spans
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e",      # shares "a b c" and "b c d" with doc 1
+            "x a b c d y",    # shares "a b c", "b c d" (and nothing else)
+            "q r s",          # unique trigram
+            "a b",            # too short → excluded
+        ],
+    })
+    out = dup_spans(
+        ray.data.from_arrow(t), k=3, num_buckets=4
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[0, "total_ngrams"] == 3
+    assert out.loc[0, "dup_ngrams"] == 2
+    assert out.loc[0, "dup_ratio"] == round(2 / 3, 6)
+    assert out.loc[1, "total_ngrams"] == 4
+    assert out.loc[1, "dup_ngrams"] == 2
+    assert out.loc[2, "dup_ngrams"] == 0
+    assert 3 not in out.index
