@@ -2187,6 +2187,32 @@ def q_hopping_window(sf_dir: str):
     )
 
 
+_FIT_REF_DAYS = 19723.0  # 2024-01-01 in epoch days — fixed x origin
+
+
+def q_group_linear_fit(sf_dir: str):
+    """Per-user OLS trend of value over time (slope / intercept / r²):
+    per-block moment partials (groups × 6 floats cross the wire, never
+    rows), driver merge, closed-form finish mirrored exactly by the
+    oracle's explicit-sum SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featherstore_ray.stages.aggregate import group_linear_fit
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64).astype(np.float64)
+        x = us / 1000000.0 / 86400.0 - _FIT_REF_DAYS
+        x[np.asarray(pa.compute.is_null(t["ts"]))] = np.nan
+        return t.append_column("x_days", pa.array(x, pa.float64()))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(derive, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return group_linear_fit(ds, ["user_id"], "x_days", "value")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -2294,6 +2320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": q_association_rules,
         "time_weighted_avg": q_time_weighted_avg,
         "corr_matrix": q_corr_matrix,
+        "group_linear_fit": q_group_linear_fit,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2770,6 +2797,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, round(num / den, 6) AS twa
             FROM s WHERE den > 0
+        """,
+        "group_linear_fit": f"""
+            WITH b AS (
+                SELECT user_id,
+                       epoch_us(ts)::DOUBLE / 1000000.0 / 86400.0
+                           - {_FIT_REF_DAYS!r} AS x,
+                       value AS y
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+                SELECT user_id, count(*)::DOUBLE AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM b GROUP BY user_id
+            )
+            SELECT user_id, n::BIGINT AS n,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+                       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   END AS slope,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+                       round((sy - ((n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx)) * sx) / n, 6)
+                   END AS intercept,
+                   CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                             AND (n * syy - sy * sy) > 0 THEN
+                       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   END AS r2
+            FROM m
         """,
         "corr_matrix": " UNION ALL ".join(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y,"

@@ -959,6 +959,89 @@ def association_rules(
                              zero_copy_batch=True)
 
 
+def group_linear_fit(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+    final: str = "driver",
+) -> ray.data.Dataset:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` — the trend
+    extractor behind drift detection and per-entity feature slopes.
+
+    Same mergeable-moment design as :func:`group_corr`: each block collapses
+    to (n, Σx, Σy, Σx², Σy², Σxy) per group before any movement, so at
+    100 TB the exchange (or driver pull for low-cardinality keys) carries
+    groups × 6 floats, never rows. Output per group: ``slope``,
+    ``intercept`` and ``r2`` (null when < 2 rows or x has zero variance;
+    ``r2`` additionally null when y has zero variance — SQL ``regr_*``
+    guard semantics, expressed via the closed-form moment formula so the
+    oracle can mirror it exactly).
+    """
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gk + [x_col, y_col]].dropna(subset=[x_col, y_col])
+        if df.empty:
+            return pd.DataFrame(
+                {**{k: df[k] for k in gk},
+                 **{c: pd.Series(dtype="float64")
+                    for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")}}
+            )
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        d = df[gk].copy()
+        d["_n"] = 1.0
+        d["_sx"], d["_sy"] = x, y
+        d["_sxx"], d["_syy"], d["_sxy"] = x * x, y * y, x * y
+        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(gk, sort=True, observed=True)[
+            ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+        ].sum().reset_index()
+        n = g["_n"].to_numpy()
+        sx, sy = g["_sx"].to_numpy(), g["_sy"].to_numpy()
+        vx = n * g["_sxx"].to_numpy() - sx * sx
+        vy = n * g["_syy"].to_numpy() - sy * sy
+        cov = n * g["_sxy"].to_numpy() - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = cov / vx
+            intercept = (sy - slope * sx) / n
+            r2 = (cov * cov) / (vx * vy)
+        bad = (n < 2) | (vx <= 0)
+        slope[bad] = np.nan
+        intercept[bad] = np.nan
+        r2[bad | (vy <= 0)] = np.nan
+        if round_digits is not None:
+            slope = np.round(slope, round_digits)
+            intercept = np.round(intercept, round_digits)
+            r2 = np.round(r2, round_digits)
+        out = g[gk].copy()
+        out["n"] = n.astype(np.int64)
+        out["slope"], out["intercept"], out["r2"] = slope, intercept, r2
+        return out
+
+    if final == "driver":
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            merge_frame(parts.to_pandas()), preserve_index=False))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_frame(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        merge, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
 def corr_matrix(
     ds: ray.data.Dataset,
     columns: Sequence[str],

@@ -360,6 +360,44 @@ def test_group_corr_degenerate_groups():
     assert np.isnan(out["b"]) and np.isnan(out["c"])
 
 
+def test_group_linear_fit_matches_polyfit():
+    from featherstore_ray.stages.aggregate import group_linear_fit
+
+    rng = np.random.default_rng(7)
+    g = np.repeat(["a", "b", "c"], 50)
+    x = np.tile(np.arange(50, dtype=np.float64), 3)
+    y = np.where(g == "a", 2.0 * x + 1.0,
+                 np.where(g == "b", -0.5 * x + 3.0, rng.normal(size=150)))
+    t = pa.table({"g": g, "x": x, "y": y})
+    for final in ("driver", "shuffle"):
+        out = group_linear_fit(
+            ray.data.from_arrow(t), ["g"], "x", "y",
+            final=final, num_buckets=4,
+        ).to_pandas().set_index("g")
+        for key in ("a", "b", "c"):
+            sl, ic = np.polyfit(x[g == key], y[g == key], 1)
+            assert abs(out.loc[key, "slope"] - sl) < 1e-6
+            assert abs(out.loc[key, "intercept"] - ic) < 1e-6
+        assert out.loc["a", "r2"] == 1.0 and out.loc["b", "r2"] == 1.0
+        assert (out["n"] == 50).all()
+
+
+def test_group_linear_fit_degenerate():
+    from featherstore_ray.stages.aggregate import group_linear_fit
+
+    t = pa.table({
+        "g": ["a", "b", "b", "c", "c"],
+        "x": [1.0, 4.0, 4.0, 1.0, 2.0],   # a: n=1; b: zero x variance
+        "y": [2.0, 1.0, 3.0, 5.0, 5.0],   # c: zero y variance → r2 null
+    })
+    out = group_linear_fit(
+        ray.data.from_arrow(t), ["g"], "x", "y", num_buckets=2
+    ).to_pandas().set_index("g")
+    assert np.isnan(out.loc["a", "slope"]) and np.isnan(out.loc["b", "slope"])
+    assert out.loc["c", "slope"] == 0.0
+    assert np.isnan(out.loc["c", "r2"])
+
+
 def test_group_entropy_matches_manual():
     from featherstore_ray.stages.aggregate import group_entropy
 
