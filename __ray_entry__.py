@@ -2213,6 +2213,20 @@ def q_group_linear_fit(sf_dir: str):
     return group_linear_fit(ds, ["user_id"], "x_days", "value")
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 scalar quantization of the embedding column: per-dim min/max
+    partials (blocks × 64 × 2 floats), broadcast ranges, streaming affine
+    encode — bit-exact across partitionings (no summation anywhere).
+    Long (vec_id, dim, q) layout for the oracle; list<int8> is the scale
+    layout."""
+    from featherstore_ray.stages.ann import quantize_embeddings
+
+    return quantize_embeddings(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        out="long",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -2321,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": q_time_weighted_avg,
         "corr_matrix": q_corr_matrix,
         "group_linear_fit": q_group_linear_fit,
+        "quantize_embeddings": q_quantize_embeddings,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2826,6 +2841,25 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "quantize_embeddings": """
+            WITH f AS (
+                SELECT vec_id, s['d'] AS dim, s['v']::DOUBLE AS v
+                FROM (
+                    SELECT vec_id,
+                           unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(d := i - 1,
+                                                   v := embedding[i]))) AS s
+                    FROM embeddings
+                )
+            ),
+            r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM f GROUP BY dim)
+            SELECT f.vec_id, f.dim,
+                   CAST(CASE WHEN r.hi > r.lo
+                        THEN floor(((f.v - r.lo) / (r.hi - r.lo)) * 255.0
+                                   + 0.5)
+                        ELSE 0.0 END AS BIGINT) - 128 AS q
+            FROM f JOIN r USING (dim)
         """,
         "corr_matrix": " UNION ALL ".join(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y,"

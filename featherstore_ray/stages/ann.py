@@ -775,3 +775,70 @@ def label_centroids(
         return df.drop(columns=["s", "c"])
 
     return merged.map_batches(finalize, batch_size=None, batch_format="pandas")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    out: str = "list",
+) -> ray.data.Dataset:
+    """Int8 scalar quantization of an embedding column — the standard 4×
+    vector-store compression (per-dimension min/max affine codes).
+
+    Pass 1 collapses each block to per-dimension (min, max) partials
+    (blocks × dim × 2 floats cross the wire — never rows); the driver
+    merges them and the tiny (lo, hi) range vectors ride into pass 2 as a
+    task closure (shipped once per task, not per batch). Pass 2 is a
+    streaming map: ``code = floor((v - lo) / (hi - lo) * 255 + 0.5) - 128``
+    ∈ [-128, 127]; a degenerate dimension (hi == lo) encodes to -128.
+    Every step is exact IEEE double arithmetic (no summation), so the
+    output is bit-identical across partitionings and engines — the oracle
+    mirrors the formula literally.
+
+    ``out="list"`` keeps one row per vector with a ``fixed_size_list<int8>``
+    code column — the layout you'd write at 100 TB. ``out="long"`` explodes
+    to (id, dim, q) rows for driver/oracle comparison.
+    """
+    if out not in ("list", "long"):
+        raise ValueError(f"out must be 'list' or 'long', got {out!r}")
+
+    def ranges(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t[emb_col])
+        return pa.table({
+            "dim": np.arange(m.shape[1], dtype=np.int64),
+            "lo": m.min(axis=0),
+            "hi": m.max(axis=0),
+        })
+
+    parts = ds.select_columns([emb_col]).map_batches(
+        ranges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # blocks × dim rows — bounded
+    g = parts.groupby("dim", sort=True).agg(lo=("lo", "min"), hi=("hi", "max"))
+    lo = g["lo"].to_numpy()
+    rng = g["hi"].to_numpy() - lo
+    degenerate = rng <= 0
+    rng = np.where(degenerate, 1.0, rng)
+
+    def encode(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t[emb_col])
+        q = np.floor((m - lo) / rng * 255.0 + 0.5)
+        q[:, degenerate] = 0.0
+        codes = (q - 128.0).astype(np.int8)
+        ids = t[id_col]
+        if out == "list":
+            col = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.int8()), codes.shape[1])
+            return pa.table({id_col: ids, "code": col})
+        n, d = codes.shape
+        return pa.table({
+            id_col: pa.array(np.repeat(
+                ids.to_numpy(zero_copy_only=False), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(codes.ravel().astype(np.int64)),
+        })
+
+    return ds.map_batches(
+        encode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

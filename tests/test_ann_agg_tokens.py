@@ -545,3 +545,35 @@ def test_mad_outliers_manual():
     assert out.loc["a", "n"] == 7 and out.loc["a", "n_outliers"] == 2
     assert out.loc["a", "med"] == 1.0 and out.loc["a", "mad"] == 0.0
     assert out.loc["b", "n_outliers"] == 0 and out.loc["b", "mad"] == 0.0
+
+
+def test_quantize_embeddings_roundtrip_and_layouts():
+    from featherstore_ray.stages.ann import quantize_embeddings
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(40, 8)).astype(np.float32)
+    m[:, 3] = 7.5  # degenerate dimension
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float32()), 8).cast(
+                pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    wide = quantize_embeddings(ds, out="list").to_pandas()
+    codes = np.stack(wide.sort_values("vec_id")["code"].to_numpy())
+    assert codes.dtype == np.int8 and codes.shape == (40, 8)
+    assert (codes[:, 3] == -128).all()  # degenerate dim → constant code
+
+    # dequantize error bounded by half a quantization step per dimension
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    step = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    deq = (codes + 128.0) * step + lo
+    err = np.abs(deq - m)[:, [d for d in range(8) if d != 3]]
+    assert err.max() <= step.max() / 2 + 1e-6
+
+    # long layout agrees with the list layout
+    long = quantize_embeddings(ds, out="long").to_pandas()
+    piv = long.pivot(index="vec_id", columns="dim", values="q").sort_index()
+    np.testing.assert_array_equal(piv.to_numpy(), codes.astype(np.int64))
