@@ -2227,6 +2227,18 @@ def q_quantize_embeddings(sf_dir: str):
     )
 
 
+def q_shuffle_shard(sf_dir: str):
+    """Deterministic training-shuffle layout over documents: multiplicative
+    hash → shard = h % 16, pos = rank of (h, doc_id) within the shard.
+    One shard-bucketed exchange; per-shard lexsort kernel."""
+    from featherstore_ray.stages.misc import shuffle_shard
+
+    return shuffle_shard(
+        _read(sf_dir, "documents", columns=["doc_id"]), "doc_id",
+        num_shards=16,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -2336,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix": q_corr_matrix,
         "group_linear_fit": q_group_linear_fit,
         "quantize_embeddings": q_quantize_embeddings,
+        "shuffle_shard": q_shuffle_shard,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2841,6 +2854,18 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "shuffle_shard": """
+            WITH h AS (
+                SELECT doc_id,
+                       (((doc_id % 4294967296)::HUGEINT * 2654435761)
+                        % 4294967296)::BIGINT AS h
+                FROM documents
+            )
+            SELECT doc_id, h % 16 AS shard,
+                   row_number() OVER (PARTITION BY h % 16
+                                      ORDER BY h, doc_id) - 1 AS pos
+            FROM h
         """,
         "quantize_embeddings": """
             WITH f AS (

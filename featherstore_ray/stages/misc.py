@@ -875,3 +875,47 @@ def mad_outliers(
         add_bucket_column(proj, group_col, num_buckets),
         kernel, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def shuffle_shard(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    num_shards: int = 16,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Deterministic global training shuffle: every row gets a stable
+    (shard, position) slot — the write layout for epoch-shuffled training
+    data (readers stream shard files sequentially; the hash order IS the
+    shuffle).
+
+    ``h = (key % 2^32) * 2654435761 % 2^32`` (the :func:`hash_split`
+    multiplicative hash — SQL-exact in HUGEINT arithmetic), ``shard =
+    h % num_shards``, ``pos`` = rank of ``(h, key)`` within the shard.
+    ONE exchange bucketed by shard; the per-shard kernel is a lexsort +
+    arange — no global sort, no driver materialization. At 100 TB the
+    rows move exactly once and each reducer ranks only its own shard.
+    """
+    import pyarrow as pa
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) % np.uint64(1 << 32)
+        t = t.append_column("_h", pa.array(h.astype(np.int64)))
+        return t.append_column(
+            shard_col, pa.array((h % np.uint64(num_shards)).astype(np.int64)))
+
+    tagged = ds.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", key_col], kind="mergesort").reset_index(
+            drop=True)
+        df[pos_col] = np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["_h"])
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_shards, bucket_col=shard_col,
+    )

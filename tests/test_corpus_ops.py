@@ -697,3 +697,30 @@ def test_dup_spans_manual(ray_session):
     assert out.loc[1, "dup_ngrams"] == 2
     assert out.loc[2, "dup_ngrams"] == 0
     assert 3 not in out.index
+
+
+def test_shuffle_shard_partition_invariant(ray_session):
+    import pyarrow as pa
+
+    from featherstore_ray.stages.misc import shuffle_shard
+
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"doc_id": ids})
+
+    def run(nparts):
+        return (
+            shuffle_shard(ray.data.from_arrow(t).repartition(nparts),
+                          "doc_id", num_shards=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(7)
+    pd.testing.assert_frame_equal(a, b)  # layout independent of blocking
+    # positions are a contiguous 0..n_s-1 enumeration inside each shard
+    for s, grp in a.groupby("shard"):
+        pos = np.sort(grp["pos"].to_numpy())
+        assert (pos == np.arange(len(grp))).all()
+    assert set(a["shard"].unique()) == set(range(8))
+    # the hash order actually shuffles: consecutive keys land apart
+    first = a.sort_values(["shard", "pos"]).groupby("shard").head(20)
+    assert first["doc_id"].diff().abs().dropna().median() > 10
