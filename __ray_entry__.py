@@ -2239,6 +2239,21 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+_MIX = {"src0": 0.4, "src1": 0.35, "src2": 0.25}  # target output proportions
+
+
+def q_source_mix(sf_dir: str):
+    """Pretraining-mixture downsampling: per-source counts (tiny partials)
+    → largest feasible output at the target proportions → streaming
+    hash-threshold filter, reproducible across engines/partitionings."""
+    from featherstore_ray.stages.misc import source_mix
+
+    return source_mix(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        "source", "doc_id", _MIX,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -2349,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_linear_fit": q_group_linear_fit,
         "quantize_embeddings": q_quantize_embeddings,
         "shuffle_shard": q_shuffle_shard,
+        "source_mix": q_source_mix,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2854,6 +2870,20 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "source_mix": f"""
+            WITH t(source, w) AS (VALUES {", ".join(
+                f"('{s}', {w!r})" for s, w in _MIX.items())}),
+            c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+                  GROUP BY source),
+            f AS (SELECT min(n / w) AS cap FROM c JOIN t USING (source)),
+            r AS (SELECT t.source,
+                         floor(cap * w / n * 4294967296.0) AS cut
+                  FROM c JOIN t USING (source), f)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE (((d.doc_id % 4294967296)::HUGEINT * 2654435761)
+                   % 4294967296)::BIGINT < r.cut
         """,
         "shuffle_shard": """
             WITH h AS (

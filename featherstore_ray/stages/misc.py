@@ -919,3 +919,62 @@ def shuffle_shard(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_shards, bucket_col=shard_col,
     )
+
+
+def source_mix(
+    ds: ray.data.Dataset,
+    source_col: str,
+    key_col: str,
+    proportions: dict,
+) -> ray.data.Dataset:
+    """Deterministic corpus mixing: downsample each source so the output
+    matches target ``proportions`` — the standard pretraining-mixture step
+    (e.g. 40% web / 35% code / 25% books), downsample-only.
+
+    Per-source counts collapse to a tiny driver-side aggregate (sources ×
+    1 int — never rows); the largest feasible output is ``cap = min_s
+    count_s / w_s`` and each source keeps rows whose multiplicative key
+    hash falls under ``floor(cap · w_s / count_s · 2^32)`` — the same
+    SQL-exact hash as :func:`hash_split`, so the selection is reproducible
+    across engines, runs and partitionings, and the filter itself is a
+    streaming map (the only exchange is the count partials). Sources
+    absent from ``proportions`` are dropped.
+    """
+    import pyarrow as pa
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t[source_col].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table({
+            source_col: vc.index.astype(str),
+            "_n": vc.to_numpy().astype(np.int64),
+        })
+
+    counts = (
+        ds.select_columns([source_col])
+        .map_batches(count_partial, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas().groupby(source_col)["_n"].sum()
+    )
+    have = {s: float(counts.get(s, 0)) for s in proportions}
+    if any(v == 0 for v in have.values()):
+        missing = [s for s, v in have.items() if v == 0]
+        raise ValueError(f"sources absent from input: {missing}")
+    cap = min(have[s] / w for s, w in proportions.items())
+    cuts = {s: np.int64(np.floor(cap * w / have[s] * 4294967296.0))
+            for s, w in proportions.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        cut_arr = np.array([cuts.get(u, np.int64(0)) for u in uniq]
+                           + [np.int64(0)], dtype=np.int64)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) % np.uint64(1 << 32)
+        # factorize yields -1 for nulls — route them to the zero-cut slot
+        mask = h.astype(np.int64) < cut_arr[codes]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(
+        keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -8,6 +8,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import pytest
+
 import ray.data
 
 DOCS = "/root/testdata/sf0.01/documents.parquet"
@@ -724,3 +726,35 @@ def test_shuffle_shard_partition_invariant(ray_session):
     # the hash order actually shuffles: consecutive keys land apart
     first = a.sort_values(["shard", "pos"]).groupby("shard").head(20)
     assert first["doc_id"].diff().abs().dropna().median() > 10
+
+
+def test_source_mix_proportions_and_determinism(ray_session):
+    import pyarrow as pa
+
+    from featherstore_ray.stages.misc import source_mix
+
+    rng = np.random.default_rng(3)
+    src = np.repeat(["web", "code", "books", "junk"], [8000, 3000, 1500, 500])
+    ids = rng.permutation(len(src)).astype(np.int64)
+    t = pa.table({"doc_id": ids, "source": src})
+    target = {"web": 0.5, "code": 0.3, "books": 0.2}
+
+    out = (source_mix(ray.data.from_arrow(t).repartition(5),
+                      "source", "doc_id", target)
+           .to_pandas())
+    assert "junk" not in set(out["source"])  # unlisted sources dropped
+    mix = out["source"].value_counts(normalize=True)
+    for s, w in target.items():
+        assert abs(mix[s] - w) < 0.03, (s, mix[s], w)
+    # books is the binding source: kept (nearly) whole
+    assert out["source"].value_counts()["books"] >= 1450
+
+    out2 = (source_mix(ray.data.from_arrow(t).repartition(11),
+                       "source", "doc_id", target).to_pandas())
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+    with pytest.raises(ValueError):
+        source_mix(ray.data.from_arrow(t), "source", "doc_id",
+                   {"web": 0.5, "absent": 0.5}).to_pandas()
