@@ -2239,6 +2239,21 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_rolling_quantile(sf_dir: str):
+    """Trailing 24h rolling MEDIAN per entity (RANGE frame, quantile_cont
+    interpolation): one entity exchange, positional pandas time-rolling
+    quantile gathered at the last-peer index."""
+    from featherstore_ray.stages.window import rolling_quantile
+
+    return rolling_quantile(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        window=timedelta(hours=_ROLL_HOURS), q=0.5, tiebreak="event_id",
+        out_col="value_rmed",
+    ).select_columns(["event_id", "value_rmed"])
+
+
 _MIX = {"src0": 0.4, "src1": 0.35, "src2": 0.25}  # target output proportions
 
 
@@ -2365,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "shuffle_shard": q_shuffle_shard,
         "source_mix": q_source_mix,
+        "rolling_quantile": q_rolling_quantile,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2870,6 +2886,14 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "rolling_quantile": f"""
+            SELECT event_id,
+                   round(quantile_cont(value, 0.5) OVER w, 6) AS value_rmed
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS PRECEDING
+                               AND CURRENT ROW)
         """,
         "source_mix": f"""
             WITH t(source, w) AS (VALUES {", ".join(

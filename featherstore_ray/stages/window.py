@@ -246,6 +246,65 @@ def make_rolling_kernel(
     return kernel
 
 
+def rolling_quantile(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window,
+    q: float = 0.5,
+    tiebreak: str | None = None,
+    out_col: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Trailing time-window quantile per entity over ``[t - w, t]`` —
+    the robust rolling statistic (rolling median / p90) that ``sum``-family
+    frames can't express.
+
+    Same RANGE-frame semantics as :func:`rolling_aggregate` (inclusive
+    both ends, equal-ts peers pooled): pandas computes the POSITIONAL
+    time-rolling quantile (linear interpolation — SQL ``quantile_cont``)
+    and each row gathers at its last-peer index ``hi - 1``. Nulls inside
+    the frame are skipped; an all-null frame yields null. ONE entity
+    exchange; the kernel never loops rows except the documented ts-overflow
+    fallback.
+    """
+    w_us = _window_us(window)
+    name = out_col or f"{value_col}_rq"
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, new_ent, starts, _ = _sort_entity_ts(df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        ts = _ts_us(df[ts_col])
+        vals = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        key = _group_offset_ts(ts, new_ent, w_us)
+        if key is None:  # overflow fallback: per-entity searchsorted loop
+            hi = np.empty(n, np.int64)
+            bounds = np.append(starts, n)
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                tg = ts[g0:g1]
+                hi[g0:g1] = g0 + np.searchsorted(tg, tg, side="right")
+        else:
+            hi = np.searchsorted(key, key, side="right")
+        tmp = pd.DataFrame({
+            "g": np.cumsum(new_ent) - 1,
+            "t": ts.astype("datetime64[us]"),
+            "v": vals,
+        })
+        roll = tmp.groupby("g", sort=False).rolling(
+            pd.Timedelta(microseconds=w_us), on="t", closed="both"
+        )["v"]
+        rq = roll.quantile(q, interpolation="linear").to_numpy()[hi - 1]
+        if round_digits is not None:
+            rq = np.round(rq, round_digits)
+        df[name] = rq
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
 # -- cumulative + tumbling -------------------------------------------------
 
 

@@ -468,3 +468,35 @@ def test_resample_ffill_manual():
                    [None if pd.isna(x) else x for x in out["value_ffill"]]))
     assert got == [(1, 0, 2.0), (1, 1, 2.0), (1, 2, 2.0), (1, 3, None),
                    (2, 5, 9.0)]
+
+
+def test_rolling_quantile_matches_duckdb(ray_session):
+    import duckdb
+
+    from featherstore_ray.stages.window import rolling_quantile
+
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table({
+        "eid": np.arange(n, dtype=np.int64),
+        "e": rng.integers(0, 5, n),
+        "ts": pa.array(
+            np.sort(rng.integers(0, 3_600_000_000, n)).astype(
+                "datetime64[us]")),
+        "v": pa.array(rng.normal(size=n), mask=rng.random(n) < 0.1),
+    })
+    out = rolling_quantile(
+        ray.data.from_arrow(t), entity_col="e", ts_col="ts", value_col="v",
+        window=pd.Timedelta(minutes=10), q=0.25, tiebreak="eid",
+        out_col="p25", num_buckets=3,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT eid, round(quantile_cont(v, 0.25) OVER (
+            PARTITION BY e ORDER BY ts
+            RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+        ), 6) AS p25 FROM t ORDER BY eid
+    """).df()
+    np.testing.assert_allclose(out["p25"], exp["p25"], atol=1e-6,
+                               equal_nan=True)
