@@ -2239,6 +2239,21 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch point-frequency estimates for the 20 sources (+ one
+    absent key): per-block depth×width counter partials, elementwise-sum
+    merge, min-over-rows estimate. Deterministic (fixed SipHash base) but
+    one-sided approximate, so rows-only; the overcount bound and the
+    merge-associativity invariant are pytest-gated (tests/test_sketch.py)."""
+    from featherstore_ray.stages.sketch import cms_frequencies
+
+    keys = [f"src{i}" for i in range(20)] + ["src_absent"]
+    return cms_frequencies(
+        _read(sf_dir, "documents", columns=["source"]), "source", keys,
+        depth=4, width=2048,
+    )
+
+
 def q_rolling_quantile(sf_dir: str):
     """Trailing 24h rolling MEDIAN per entity (RANGE frame, quantile_cont
     interpolation): one entity exchange, positional pandas time-rolling
@@ -2381,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shard": q_shuffle_shard,
         "source_mix": q_source_mix,
         "rolling_quantile": q_rolling_quantile,
+        "cms_counts": q_cms_counts,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,

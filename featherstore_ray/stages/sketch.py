@@ -445,3 +445,80 @@ def grouped_quantiles_sketch(
     return bucketed_map_groups(
         ds2, merge, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch point-frequency estimates
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5 | 1],
+    dtype=np.uint64,
+)  # odd multiply-shift constants (splitmix64 / murmur3 finalizer mixers)
+
+
+def _cms_rows(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) row positions via multiply-shift over a stable uint64
+    base hash — deterministic across batches, runs and engines."""
+    h = keys[None, :] * _CMS_SEEDS[:depth, None]
+    return ((h >> np.uint64(21)) % np.uint64(width)).astype(np.int64)
+
+
+def cms_frequencies(
+    ds: ray.data.Dataset,
+    key_col: str,
+    query_keys: Sequence,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> pd.DataFrame:
+    """Point-frequency estimates for ``query_keys`` via a count-min sketch.
+
+    The third mergeable sketch next to :func:`hll_distinct` (distincts) and
+    :func:`grouped_quantiles_sketch` (quantiles): each block collapses to a
+    fixed ``depth × width`` int64 counter matrix regardless of cardinality;
+    merge is elementwise sum (associative — blocks × depth·width ints cross
+    the wire, never rows) and ``est(k) = min_i C[i, h_i(k)]``. One-sided
+    error: ``true <= est <= true + εN`` with ``ε ≈ e/width`` at probability
+    ``1 - e^-depth`` — size ``width`` for the tail you care about. Unlike
+    :func:`heavy_hitters` this answers ARBITRARY point queries after one
+    pass, including keys chosen after the scan.
+
+    Returns a small driver-side DataFrame (key_col, est:int64), rows in
+    ``query_keys`` order. Deterministic for a fixed input regardless of
+    blocking (the base hash is SipHash with a fixed key).
+    """
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth <= {len(_CMS_SEEDS)} supported")
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        counts = np.zeros((depth, width), dtype=np.int64)
+        if len(arr):
+            # collapse to per-key counts first: one scatter per DISTINCT key
+            vc = arr.value_counts()
+            keys = stable_hash(vc.field("values"))
+            cnt = vc.field("counts").to_numpy()
+            rows = _cms_rows(keys, depth, width)
+            for i in range(depth):  # depth is a small constant (<= 6)
+                np.add.at(counts[i], rows[i], cnt)
+        return pa.table({
+            "slot": np.arange(depth * width, dtype=np.int64),
+            "c": counts.ravel(),
+        })
+
+    merged = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas().groupby("slot")["c"].sum()
+        .to_numpy().reshape(depth, width)
+    )
+    qarr = pa.array(list(query_keys))
+    qrows = _cms_rows(stable_hash(qarr), depth, width)
+    est = merged[np.arange(depth)[:, None], qrows].min(axis=0)
+    return pd.DataFrame({key_col: list(query_keys),
+                         "est": est.astype(np.int64)})

@@ -213,3 +213,36 @@ def test_heavy_hitters_nulls_and_no_recount_bound(ray_session):
     for _, row in lb.iterrows():
         assert row["n"] <= true[row["k"]]
     assert lb["k"].iloc[0] == true.index[0]  # head key still ranks first
+
+
+def test_cms_frequencies_bounds_and_merge_invariance(ray_session):
+    from featherstore_ray.stages.sketch import cms_frequencies
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: a few heavy keys + a long tail
+    keys = np.concatenate([
+        np.repeat(["hot_a", "hot_b", "hot_c"], [5000, 3000, 1000]),
+        np.array([f"tail{i}" for i in rng.integers(0, 2000, 4000)]),
+    ])
+    t = pa.table({"k": rng.permutation(keys)})
+    true = pd.Series(keys).value_counts()
+    probe = ["hot_a", "hot_b", "hot_c", "tail5", "never_seen"]
+
+    est = cms_frequencies(
+        ray.data.from_arrow(t).repartition(6), "k", probe,
+        depth=4, width=4096,
+    ).set_index("k")["est"]
+    n = len(keys)
+    for p in probe:
+        tv = int(true.get(p, 0))
+        assert est[p] >= tv, (p, est[p], tv)          # one-sided
+        assert est[p] <= tv + int(np.e / 4096 * n) + 1  # ε·N overcount bound
+    # heavy keys essentially exact at this width
+    assert est["hot_a"] == 5000 and est["hot_b"] == 3000
+
+    # merge associativity: result independent of blocking
+    est2 = cms_frequencies(
+        ray.data.from_arrow(t).repartition(13), "k", probe,
+        depth=4, width=4096,
+    ).set_index("k")["est"]
+    pd.testing.assert_series_equal(est, est2)
