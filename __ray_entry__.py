@@ -2239,6 +2239,18 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_ks_test(sf_dir: str):
+    """Per-user two-sample KS statistic between click and purchase value
+    distributions (drift test): streaming label/null filter, ONE narrow
+    group exchange, lexsort + cumsum + boundary-gather kernel."""
+    from featherstore_ray.stages.aggregate import ks_test
+
+    return ks_test(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "value", "event_type", "click", "purchase",
+    )
+
+
 def q_cms_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates for the 20 sources (+ one
     absent key): per-block depth×width counter partials, elementwise-sum
@@ -2397,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "rolling_quantile": q_rolling_quantile,
         "cms_counts": q_cms_counts,
+        "ks_test": q_ks_test,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2902,6 +2915,27 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "ks_test": """
+            WITH s AS (
+                SELECT user_id, value, (event_type = 'click')::INT AS ia
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            n AS (
+                SELECT user_id, sum(ia)::DOUBLE AS na,
+                       sum(1 - ia)::DOUBLE AS nb
+                FROM s GROUP BY 1
+            ),
+            e AS (
+                SELECT user_id, sum(ia) OVER w AS ca, sum(1 - ia) OVER w AS cb
+                FROM s WINDOW w AS (PARTITION BY user_id ORDER BY value
+                                    RANGE UNBOUNDED PRECEDING)
+            )
+            SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
+            FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
+            GROUP BY e.user_id
         """,
         "rolling_quantile": f"""
             SELECT event_id,

@@ -1098,3 +1098,81 @@ def corr_matrix(
         "col_y": pa.array(g["col_y"], pa.string()),
         "corr": pa.array(r, pa.float64()),
     }))
+
+
+def ks_test(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    *,
+    out_col: str = "ks",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two labels — the standard drift / A-B distribution
+    test (``D = max_v |ECDF_a(v) - ECDF_b(v)|``, ECDFs evaluated at the
+    pooled sample points with ties fully pooled — SQL RANGE-frame
+    semantics, so the oracle is an exact window-function mirror).
+
+    Rows are filtered to the two labels and non-null values in a streaming
+    map (3 narrow columns cross the ONE group exchange); the per-bucket
+    kernel is a lexsort + cumsum + boundary gather — no Python row loop.
+    Groups missing either label are dropped.
+    """
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[label_col].isin([label_a, label_b])
+                & df[value_col].notna() & df[group_col].notna()]
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "_v": df[value_col].astype(np.float64),
+            "_ia": (df[label_col] == label_a).to_numpy(),
+        })
+
+    slim = ds.map_batches(pick, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "_v"], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df["_v"].to_numpy()
+        ia = df["_ia"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({group_col: df[group_col],
+                                 out_col: pd.Series(dtype="float64")})
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        cum_a = np.cumsum(ia.astype(np.int64))
+        cum_b = np.cumsum((~ia).astype(np.int64))
+        base_a = np.repeat(cum_a[starts] - ia[starts], sizes)
+        base_b = np.repeat(cum_b[starts] - (~ia[starts]), sizes)
+        ca = (cum_a - base_a).astype(np.float64)
+        cb = (cum_b - base_b).astype(np.float64)
+        gid = np.cumsum(new_g) - 1
+        na = np.bincount(gid, weights=ia)[gid]
+        nb = sizes[gid] - na
+        # evaluate at each group's LAST tie row (peers pooled, RANGE frame)
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = (g[1:] != g[:-1]) | (v[1:] != v[:-1])
+        ok = last & (na > 0) & (nb > 0)
+        diff = np.abs(ca[ok] / na[ok] - cb[ok] / nb[ok])
+        out = (pd.DataFrame({group_col: g[ok], out_col: diff})
+               .groupby(group_col, sort=True, observed=True)[out_col]
+               .max().reset_index())
+        if round_digits is not None:
+            out[out_col] = np.round(out[out_col], round_digits)
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(slim, group_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )

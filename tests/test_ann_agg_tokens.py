@@ -577,3 +577,38 @@ def test_quantize_embeddings_roundtrip_and_layouts():
     long = quantize_embeddings(ds, out="long").to_pandas()
     piv = long.pivot(index="vec_id", columns="dim", values="q").sort_index()
     np.testing.assert_array_equal(piv.to_numpy(), codes.astype(np.int64))
+
+
+def test_ks_test_matches_scipy_style_reference():
+    from featherstore_ray.stages.aggregate import ks_test
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g, (mu_b, n_a, n_b) in {"g1": (0.0, 80, 60), "g2": (1.5, 50, 70),
+                                "only_a": (0.0, 30, 0)}.items():
+        rows += [(g, "A", float(x)) for x in rng.normal(0, 1, n_a)]
+        rows += [(g, "B", float(x)) for x in rng.normal(mu_b, 1, n_b)]
+    # duplicated values exercise tie pooling
+    rows += [("g1", "A", 0.5)] * 5 + [("g1", "B", 0.5)] * 3
+    t = pa.table({
+        "g": [r[0] for r in rows],
+        "lab": [r[1] for r in rows],
+        "v": [r[2] for r in rows],
+    })
+    out = ks_test(ray.data.from_arrow(t).repartition(4), "g", "v", "lab",
+                  "A", "B", num_buckets=2).to_pandas().set_index("g")["ks"]
+    assert "only_a" not in out.index  # one-sided groups dropped
+
+    def ref_ks(a, b):
+        pts = np.sort(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+        return np.abs(fa - fb).max()
+
+    df = pd.DataFrame(rows, columns=["g", "lab", "v"])
+    for g in ("g1", "g2"):
+        a = df[(df.g == g) & (df.lab == "A")]["v"].to_numpy()
+        b = df[(df.g == g) & (df.lab == "B")]["v"].to_numpy()
+        assert abs(out[g] - ref_ks(a, b)) < 1e-6, g
+    # shifted distribution separates harder than identical one
+    assert out["g2"] > out["g1"]
