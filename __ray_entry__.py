@@ -2239,6 +2239,28 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_frequency_spectrum(sf_dir: str):
+    """Corpus token count-of-counts (Zipf audit): per-batch vocabulary
+    partials, one token exchange, per-bucket spectrum collapse, tiny
+    driver sum."""
+    from featherstore_ray.stages.text import frequency_spectrum
+
+    return frequency_spectrum(_read(sf_dir, "documents", columns=["text"]))
+
+
+def q_weighted_stats(sf_dir: str):
+    """Quantity-weighted discount statistics per return flag: (Σw, Σwx,
+    Σwx²) moment partials — groups × 3 floats cross the wire, closed-form
+    finish mirrored by the oracle."""
+    from featherstore_ray.stages.aggregate import grouped_weighted_stats
+
+    return grouped_weighted_stats(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_discount", "l_quantity"]),
+        ["l_returnflag"], "l_discount", "l_quantity",
+    )
+
+
 def q_ks_test(sf_dir: str):
     """Per-user two-sample KS statistic between click and purchase value
     distributions (drift test): streaming label/null filter, ONE narrow
@@ -2410,6 +2432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_quantile": q_rolling_quantile,
         "cms_counts": q_cms_counts,
         "ks_test": q_ks_test,
+        "weighted_stats": q_weighted_stats,
+        "frequency_spectrum": q_frequency_spectrum,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2914,6 +2938,32 @@ def oracle_sql() -> dict[str, str]:
                        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
+            FROM m
+        """,
+        "frequency_spectrum": """
+            WITH f AS (
+                SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+            ),
+            c AS (SELECT tk, count(*) AS n FROM f GROUP BY tk)
+            SELECT n AS freq, count(*) AS num_tokens FROM c GROUP BY n
+        """,
+        "weighted_stats": """
+            WITH b AS (
+                SELECT l_returnflag AS g, l_discount::DOUBLE AS x,
+                       l_quantity::DOUBLE AS w
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+                  AND l_quantity > 0
+            ),
+            m AS (
+                SELECT g, sum(w) AS sw, sum(w * x) AS swx,
+                       sum(w * x * x) AS swxx
+                FROM b GROUP BY g
+            )
+            SELECT g AS l_returnflag, round(sw, 6) AS wsum,
+                   round(swx / sw, 6) AS wmean,
+                   round(greatest(swxx / sw - (swx / sw) * (swx / sw),
+                                  0.0), 6) AS wvar
             FROM m
         """,
         "ks_test": """

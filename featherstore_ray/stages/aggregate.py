@@ -1176,3 +1176,83 @@ def ks_test(
         lambda df: kernel(df.drop(columns=[BUCKET_COL])),
         num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def grouped_weighted_stats(
+    ds: ray.data.Dataset,
+    group_keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+    final: str = "driver",
+) -> ray.data.Dataset:
+    """Per-group weighted mean and (population) weighted variance — the
+    importance-weighted statistics behind loss-weighted corpus summaries
+    and weighted feature normalization.
+
+    Same mergeable-moment design as :func:`group_corr` /
+    :func:`group_linear_fit`: each block collapses to (Σw, Σwx, Σwx²) per
+    group before any movement, so the exchange (or driver pull for
+    low-cardinality keys) carries groups × 3 floats, never rows. Rows with
+    a null value or null/zero-or-negative weight are excluded. Outputs
+    ``wsum``, ``wmean`` and ``wvar = Σwx²/Σw − wmean²`` (null when Σw is
+    0; clamped at >= 0 against cancellation) — the closed-form mirrored by
+    the oracle.
+    """
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gk + [value_col, weight_col]].dropna(
+            subset=[value_col, weight_col])
+        df = df[df[weight_col] > 0]
+        if df.empty:
+            return pd.DataFrame(
+                {**{k: df[k] for k in gk},
+                 **{c: pd.Series(dtype="float64")
+                    for c in ("_sw", "_swx", "_swxx")}}
+            )
+        x = df[value_col].to_numpy(dtype=np.float64)
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        d = df[gk].copy()
+        d["_sw"] = w
+        d["_swx"] = w * x
+        d["_swxx"] = w * x * x
+        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(gk, sort=True, observed=True)[
+            ["_sw", "_swx", "_swxx"]
+        ].sum().reset_index()
+        sw = g["_sw"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            wmean = g["_swx"].to_numpy() / sw
+            wvar = g["_swxx"].to_numpy() / sw - wmean * wmean
+        wvar = np.maximum(wvar, 0.0)
+        bad = sw <= 0
+        wmean[bad] = np.nan
+        wvar[bad] = np.nan
+        out = g[gk].copy()
+        out["wsum"] = sw
+        out["wmean"], out["wvar"] = wmean, wvar
+        if round_digits is not None:
+            for c in ("wsum", "wmean", "wvar"):
+                out[c] = np.round(out[c], round_digits)
+        return out
+
+    if final == "driver":
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            merge_frame(parts.to_pandas()), preserve_index=False))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_frame(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        merge, num_buckets=num_buckets, batch_format="pandas",
+    )

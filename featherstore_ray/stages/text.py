@@ -1217,3 +1217,59 @@ def token_match(
     return ds.select_columns([doc_id_col, text_col]).map_batches(
         extract, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def frequency_spectrum(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Token frequency spectrum — count-of-counts (how many distinct tokens
+    occur exactly k times), the Zipf/heap audit behind vocabulary sizing
+    and Good-Turing smoothing.
+
+    Scale shape: per-batch PARTIAL token counts (the :func:`vocab_count`
+    partial — the exchange moves per-batch vocabulary, never corpus
+    tokens); ONE bucket shuffle on ``hash(token)`` makes per-token totals
+    exact in-bucket; each bucket then collapses to its local
+    (freq, num_tokens) spectrum, and the driver sums spectra across
+    buckets (bounded by distinct frequencies — thousands at most, by
+    Zipf). Output: (freq:int64, num_tokens:int64).
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t[text_col])
+        agg = (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        return agg.rename_columns(["token", "n"])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bucketed = add_bucket_column(partials, "token", num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("token")["n"].sum().value_counts()
+        return pd.DataFrame({
+            "freq": vc.index.to_numpy().astype(np.int64),
+            "num_tokens": vc.to_numpy().astype(np.int64),
+        })
+
+    spectra = bucketed_map_groups(
+        bucketed,
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+    merged = (
+        spectra.to_pandas()
+        .groupby("freq", as_index=False)["num_tokens"].sum()
+        .sort_values("freq").reset_index(drop=True)
+    )
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        merged, preserve_index=False))

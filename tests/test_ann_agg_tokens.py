@@ -612,3 +612,25 @@ def test_ks_test_matches_scipy_style_reference():
         assert abs(out[g] - ref_ks(a, b)) < 1e-6, g
     # shifted distribution separates harder than identical one
     assert out["g2"] > out["g1"]
+
+
+def test_grouped_weighted_stats_matches_manual():
+    from featherstore_ray.stages.aggregate import grouped_weighted_stats
+
+    rng = np.random.default_rng(23)
+    g = rng.choice(["a", "b"], 300)
+    x = rng.normal(2.0, 1.0, 300)
+    w = rng.integers(0, 5, 300).astype(float)  # zeros excluded by contract
+    t = pa.table({"g": g, "x": x, "w": w})
+    for final in ("driver", "shuffle"):
+        out = grouped_weighted_stats(
+            ray.data.from_arrow(t).repartition(4), ["g"], "x", "w",
+            final=final, num_buckets=2,
+        ).to_pandas().set_index("g")
+        for key in ("a", "b"):
+            m = (g == key) & (w > 0)
+            wm = np.average(x[m], weights=w[m])
+            wv = np.average((x[m] - wm) ** 2, weights=w[m])
+            assert abs(out.loc[key, "wmean"] - wm) < 1e-6
+            assert abs(out.loc[key, "wvar"] - wv) < 1e-6
+            assert abs(out.loc[key, "wsum"] - w[m].sum()) < 1e-9
