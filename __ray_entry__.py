@@ -2261,6 +2261,27 @@ def q_weighted_stats(sf_dir: str):
     )
 
 
+def q_pmi(sf_dir: str):
+    """Adjacent-bigram PMI collocations (phrase-mining statistic):
+    driver-merged Heaps-bounded vocabulary broadcast once, bigram partials
+    through ONE hash(a) exchange, per-bucket finish."""
+    from featherstore_ray.stages.text import pmi
+
+    return pmi(_read(sf_dir, "documents", columns=["text"]), min_count=5)
+
+
+def q_robust_scale(sf_dir: str):
+    """Per-event-type robust standardization (value − median)/IQR —
+    RobustScaler semantics, quantile_cont interpolation, NULLIF(iqr,0):
+    one bucket exchange on hash(group), vectorized kernel."""
+    from featherstore_ray.stages.misc import robust_scale
+
+    return robust_scale(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]),
+        "event_type", "value",
+    ).select_columns(["event_id", "value_rs"])
+
+
 def q_ks_test(sf_dir: str):
     """Per-user two-sample KS statistic between click and purchase value
     distributions (drift test): streaming label/null filter, ONE narrow
@@ -2434,6 +2455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": q_ks_test,
         "weighted_stats": q_weighted_stats,
         "frequency_spectrum": q_frequency_spectrum,
+        "pmi": q_pmi,
+        "robust_scale": q_robust_scale,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -2965,6 +2988,52 @@ def oracle_sql() -> dict[str, str]:
                    round(greatest(swxx / sw - (swx / sw) * (swx / sw),
                                   0.0), 6) AS wvar
             FROM m
+        """,
+        "pmi": """
+            WITH toks AS (
+                SELECT string_split(text, ' ') AS l FROM documents
+            ),
+            uc AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+            ),
+            tot AS (
+                SELECT (SELECT sum(c)::DOUBLE FROM uc) AS nu,
+                       (SELECT sum(c)::DOUBLE FROM uc)
+                       - (SELECT count(*)::DOUBLE FROM toks) AS nb
+            ),
+            bg AS (
+                SELECT unnest(list_transform(range(1, len(l)),
+                              i -> l[i])) AS a,
+                       unnest(list_transform(range(1, len(l)),
+                              i -> l[i+1])) AS b
+                FROM toks WHERE len(l) >= 2
+            ),
+            bc AS (SELECT a, b, count(*) AS n FROM bg GROUP BY a, b)
+            SELECT bc.a, bc.b, bc.n,
+                   round(ln((bc.n::DOUBLE / tot.nb)
+                            / ((ua.c::DOUBLE / tot.nu)
+                               * (ub.c::DOUBLE / tot.nu))), 6) AS pmi
+            FROM bc
+            CROSS JOIN tot
+            JOIN uc ua ON ua.w = bc.a
+            JOIN uc ub ON ub.w = bc.b
+            WHERE bc.n >= 5
+        """,
+        "robust_scale": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.5) AS med,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events
+                WHERE event_type IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id,
+                   round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
+                       AS value_rs
+            FROM events e LEFT JOIN q ON e.event_type = q.event_type
         """,
         "ks_test": """
             WITH s AS (

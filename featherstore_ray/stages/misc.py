@@ -604,6 +604,61 @@ def winsorize(
     )
 
 
+def robust_scale(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group robust standardization — ``(v − median) / IQR`` — the
+    outlier-insensitive alternative to z-scoring (sklearn RobustScaler
+    semantics) used before feature scaling on heavy-tailed columns.
+
+    Appends ``{value}_rs``; null when the value is null, the group key is
+    null, or the group's IQR is 0 (SQL ``NULLIF(q3 − q1, 0)``). Quantiles
+    are ``quantile_cont`` linear interpolation, matching pandas'
+    ``quantile`` — same cross-engine contract as :func:`winsorize`.
+
+    Scale shape: exact per-group quantiles need the group's full value
+    set, so ONE bucket exchange on hash(group) + a vectorized per-bucket
+    kernel (same contract as ``grouped_quantiles``); for sketch-grade
+    cardinalities pair with ``grouped_quantiles_sketch``.
+    """
+    import pyarrow as pa
+
+    out = out_col or f"{value_col}_rs"
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = (
+            pd.Series(v).groupby(g, dropna=True)
+            .quantile([0.25, 0.5, 0.75]).unstack()
+        )
+        codes, uniq = pd.factorize(g, use_na_sentinel=True)
+        if len(q):
+            q1 = q[0.25].reindex(uniq).to_numpy()
+            med = q[0.5].reindex(uniq).to_numpy()
+            iqr = q[0.75].reindex(uniq).to_numpy() - q1
+        else:  # every group key null in this bucket
+            med = iqr = np.full(len(uniq), np.nan)
+        safe = np.maximum(codes, 0)
+        m = np.where(codes >= 0, med[safe] if len(uniq) else np.nan, np.nan)
+        s = np.where(codes >= 0, iqr[safe] if len(uniq) else np.nan, np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rs = (v - m) / np.where(s == 0, np.nan, s)
+        return t.append_column(out, pa.array(np.round(rs, round_digits)))
+
+    tagged = add_bucket_column(ds, group_col, num_buckets)
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+
 _NEG_MIX = 1000003  # odd mixer folding (user, item) before the Knuth hash
 
 

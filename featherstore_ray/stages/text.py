@@ -1273,3 +1273,122 @@ def frequency_spectrum(
     )
     return ray.data.from_arrow(pa.Table.from_pandas(
         merged, preserve_index=False))
+
+
+def pmi(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Adjacent-bigram pointwise mutual information over whitespace
+    tokens — the collocation statistic behind phrase mining (word2vec
+    phrases, "new york"-style merges) and tokenizer-merge auditing:
+    ``pmi(a,b) = ln((c_ab/NB) / ((c_a/NU)·(c_b/NU)))`` with ``NB`` total
+    bigram windows and ``NU`` total tokens. Bigrams never cross document
+    boundaries; pairs with ``c_ab < min_count`` are dropped.
+
+    Scale shape: the unigram side collapses to per-batch vocabulary
+    partials merged on the driver (Heaps-law bounded) and broadcast ONCE
+    via ``ray.put``; the bigram side stays distributed — per-batch
+    (a, b, count) partials, ONE bucket exchange on ``hash(a)`` (every
+    partial of a pair shares ``a``, so totals are exact in-bucket), and
+    each bucket finishes its own pairs against the broadcast vocabulary.
+    ``NB = NU − n_docs`` exactly (every doc of L tokens has L−1 windows;
+    ``split`` gives every doc ≥1 token), so no extra pass is needed.
+    Output: (a, b, n:int64, pmi:double rounded).
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    proj = ds.select_columns([text_col])
+
+    def upartial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t[text_col])
+        agg = (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+        # null-token marker row carries this batch's document count
+        return pa.table({
+            "token": pa.concat_arrays(
+                [agg["token"].combine_chunks(), pa.array([None], pa.string())]
+            ),
+            "n": pa.concat_arrays(
+                [agg["n"].cast(pa.int64()).combine_chunks(),
+                 pa.array([t.num_rows], pa.int64())]
+            ),
+        })
+
+    udf = (
+        proj.map_batches(upartial, batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .to_pandas()
+    )
+    marker = udf["token"].isna()
+    n_docs = int(udf.loc[marker, "n"].sum())
+    uc = udf[~marker].groupby("token")["n"].sum()
+    nu = float(uc.sum())
+    nb = float(uc.sum() - n_docs)
+    uc_ref = ray.put(uc)
+
+    def bpartial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        flat, offsets = _explode_words(t[text_col])
+        n_starts = len(flat) - 1
+        if n_starts <= 0:
+            return empty
+        a = flat.slice(0, n_starts)
+        b = flat.slice(1, n_starts)
+        # start j is invalid when an interior doc boundary sits at j+1
+        inv = offsets[1:-1] - 1
+        inv = inv[(inv >= 0) & (inv < n_starts)]
+        if len(inv):
+            valid = np.ones(n_starts, dtype=bool)
+            valid[inv] = False
+            mask = pa.array(valid)
+            a, b = a.filter(mask), b.filter(mask)
+        if len(a) == 0:
+            return empty
+        agg = (
+            pa.table({"a": a, "b": b})
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+        )
+        return pa.table({
+            "a": agg["a"], "b": agg["b"],
+            "n": agg["a_count"].cast(pa.int64()),
+        })
+
+    partials = proj.map_batches(
+        bpartial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bucketed = add_bucket_column(partials, "a", num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
+        )
+        g = g[g["n"] >= min_count]
+        u = ray.get(uc_ref)
+        ca = g["a"].map(u).to_numpy(dtype=np.float64)
+        cb = g["b"].map(u).to_numpy(dtype=np.float64)
+        n = g["n"].to_numpy(dtype=np.float64)
+        val = np.round(
+            np.log((n / nb) / ((ca / nu) * (cb / nu))), round_digits
+        )
+        out = g.reset_index(drop=True)
+        out["pmi"] = val
+        return out
+
+    return bucketed_map_groups(
+        bucketed, finalize, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -634,3 +634,50 @@ def test_grouped_weighted_stats_matches_manual():
             assert abs(out.loc[key, "wmean"] - wm) < 1e-6
             assert abs(out.loc[key, "wvar"] - wv) < 1e-6
             assert abs(out.loc[key, "wsum"] - w[m].sum()) < 1e-9
+
+
+def test_robust_scale_nulls_and_zero_iqr():
+    from featherstore_ray.stages.misc import robust_scale
+
+    t = pa.table({
+        "g": ["a", "a", "a", "a", "b", "b", "b", None, "c"],
+        "v": [1.0, 2.0, 3.0, 4.0, 7.0, 7.0, 7.0, 5.0, None],
+        "i": list(range(9)),
+    })
+    out = (
+        robust_scale(ray.data.from_arrow(t).repartition(3), "g", "v",
+                     num_buckets=4)
+        .to_pandas().set_index("i").sort_index()
+    )
+    # group a: q1=1.75, med=2.5, q3=3.25 -> iqr=1.5
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        assert abs(out.loc[i, "v_rs"] - round((v - 2.5) / 1.5, 6)) < 1e-9
+    # constant group b: iqr 0 -> null; null group key -> null; null value -> null
+    assert out.loc[[4, 5, 6, 7, 8], "v_rs"].isna().all()
+
+
+def test_pmi_matches_manual_and_block_invariant():
+    from collections import Counter
+
+    from featherstore_ray.stages.text import pmi
+
+    docs = ["x y x y z", "x y q", "z", "", "y x y x"] * 3
+    toks = [d.split(" ") for d in docs]
+    uc = Counter(w for t in toks for w in t)
+    bc = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    nu = sum(uc.values())
+    nb = nu - len(docs)
+    expect = {
+        k: round(np.log((n / nb) / ((uc[k[0]] / nu) * (uc[k[1]] / nu))), 6)
+        for k, n in bc.items() if n >= 3
+    }
+    for parts in (1, 4):
+        out = pmi(
+            ray.data.from_arrow(pa.table({"text": docs})).repartition(parts),
+            min_count=3, num_buckets=4,
+        ).to_pandas()
+        got = {(r.a, r.b): (r.n, r.pmi) for r in out.itertuples()}
+        assert set(got) == set(expect)
+        for k, want in expect.items():
+            assert got[k][0] == bc[k]
+            assert abs(got[k][1] - want) < 1e-9
