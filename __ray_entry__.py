@@ -2282,6 +2282,18 @@ def q_robust_scale(sf_dir: str):
     ).select_columns(["event_id", "value_rs"])
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information between document language and source (feature
+    association / leakage audit): per-batch contingency partials, driver
+    merge of the |X|x|Y|-bounded table, closed-form finish."""
+    from featherstore_ray.stages.aggregate import mutual_info
+
+    return mutual_info(
+        _read(sf_dir, "documents", columns=["lang", "source"]),
+        "lang", "source",
+    )
+
+
 def q_ks_test(sf_dir: str):
     """Per-user two-sample KS statistic between click and purchase value
     distributions (drift test): streaming label/null filter, ONE narrow
@@ -2457,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_spectrum": q_frequency_spectrum,
         "pmi": q_pmi,
         "robust_scale": q_robust_scale,
+        "mutual_info": q_mutual_info,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -3034,6 +3047,33 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "mutual_info": """
+            WITH j AS (
+                SELECT lang AS x, source AS y, count(*) AS c
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
+            ),
+            n AS (SELECT sum(c)::DOUBLE AS n FROM j),
+            px AS (SELECT x, sum(c) AS cx FROM j GROUP BY x),
+            py AS (SELECT y, sum(c) AS cy FROM j GROUP BY y),
+            mi AS (
+                SELECT sum((j.c::DOUBLE / n.n)
+                           * ln((j.c::DOUBLE / n.n)
+                                / ((px.cx::DOUBLE / n.n)
+                                   * (py.cy::DOUBLE / n.n)))) AS v
+                FROM j CROSS JOIN n
+                JOIN px ON j.x = px.x JOIN py ON j.y = py.y
+            ),
+            hx AS (SELECT -sum((cx::DOUBLE / n.n) * ln(cx::DOUBLE / n.n)) AS v
+                   FROM px CROSS JOIN n),
+            hy AS (SELECT -sum((cy::DOUBLE / n.n) * ln(cy::DOUBLE / n.n)) AS v
+                   FROM py CROSS JOIN n)
+            SELECT round(mi.v, 6) AS mi, round(hx.v, 6) AS hx,
+                   round(hy.v, 6) AS hy,
+                   round(mi.v / nullif(sqrt(hx.v * hy.v), 0), 6) AS nmi
+            FROM mi CROSS JOIN hx CROSS JOIN hy
         """,
         "ks_test": """
             WITH s AS (

@@ -1256,3 +1256,63 @@ def grouped_weighted_stats(
         add_bucket_column(parts, gk[0], num_buckets),
         merge, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def mutual_info(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Mutual information between two categorical columns — the feature/
+    label association statistic behind redundancy pruning and leakage
+    audits: ``I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`` (nats), plus the
+    marginal entropies and ``nmi = I/√(H(X)·H(Y))``. Rows with a null on
+    either side are excluded. One row out: (mi, hx, hy, nmi).
+
+    Scale shape: each block collapses to its (x, y, count) contingency
+    partials — the exchange carries distinct category pairs, never rows —
+    and the driver merges the |X|×|Y|-bounded table (categorical by
+    contract; for high-cardinality keys use :func:`pmi` per pair
+    instead). The closed-form finish is mirrored literally by the oracle.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[x_col, y_col]].dropna()
+        return (
+            d.groupby([x_col, y_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    j = (
+        parts.to_pandas()
+        .groupby([x_col, y_col], sort=True, observed=True)["_c"]
+        .sum().reset_index()
+    )
+    n = float(j["_c"].sum())
+    if n == 0:
+        mi = hx = hy = nmi = np.nan
+    else:
+        cx = j.groupby(x_col, sort=True, observed=True)["_c"].sum()
+        cy = j.groupby(y_col, sort=True, observed=True)["_c"].sum()
+        pxy = j["_c"].to_numpy(dtype=np.float64) / n
+        px = j[x_col].map(cx).to_numpy(dtype=np.float64) / n
+        py = j[y_col].map(cy).to_numpy(dtype=np.float64) / n
+        mi = float(np.sum(pxy * np.log(pxy / (px * py))))
+        mx = cx.to_numpy(dtype=np.float64) / n
+        my = cy.to_numpy(dtype=np.float64) / n
+        hx = float(-np.sum(mx * np.log(mx)))
+        hy = float(-np.sum(my * np.log(my)))
+        nmi = mi / np.sqrt(hx * hy) if hx > 0 and hy > 0 else np.nan
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        "mi": [np.round(mi, round_digits)],
+        "hx": [np.round(hx, round_digits)],
+        "hy": [np.round(hy, round_digits)],
+        "nmi": [np.round(nmi, round_digits)],
+    }))

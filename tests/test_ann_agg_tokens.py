@@ -681,3 +681,24 @@ def test_pmi_matches_manual_and_block_invariant():
         for k, want in expect.items():
             assert got[k][0] == bc[k]
             assert abs(got[k][1] - want) < 1e-9
+
+
+def test_mutual_info_independent_and_dependent():
+    from featherstore_ray.stages.aggregate import mutual_info
+
+    # perfectly dependent: y = f(x) -> mi == hx == hy, nmi == 1
+    x = ["a", "b", "c", "a", "b", "c"] * 50
+    t = pa.table({"x": x, "y": [s.upper() for s in x]})
+    out = mutual_info(
+        ray.data.from_arrow(t).repartition(4), "x", "y"
+    ).to_pandas().iloc[0]
+    assert abs(out["mi"] - out["hx"]) < 1e-9
+    assert abs(out["nmi"] - 1.0) < 1e-9
+    # independent uniform grid -> mi == 0
+    xs = [a for a in "ab" for _ in range(100)]
+    ys = (["p"] * 50 + ["q"] * 50) * 2
+    out2 = mutual_info(
+        ray.data.from_arrow(pa.table({"x": xs, "y": ys})).repartition(3),
+        "x", "y",
+    ).to_pandas().iloc[0]
+    assert abs(out2["mi"]) < 1e-9
