@@ -2282,6 +2282,18 @@ def q_robust_scale(sf_dir: str):
     ).select_columns(["event_id", "value_rs"])
 
 
+def q_target_encode(sf_dir: str):
+    """Smoothed mean target encoding of user_id against event value
+    (high-cardinality categorical encoder): per-batch (cat, sum, count)
+    partials merged driver-side, broadcast lookup transform."""
+    from featherstore_ray.stages.misc import target_encode
+
+    return target_encode(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        "user_id", "value", smoothing=20.0,
+    ).select_columns(["event_id", "value_te"])
+
+
 def q_mutual_info(sf_dir: str):
     """Mutual information between document language and source (feature
     association / leakage audit): per-batch contingency partials, driver
@@ -2470,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi": q_pmi,
         "robust_scale": q_robust_scale,
         "mutual_info": q_mutual_info,
+        "target_encode": q_target_encode,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -3047,6 +3060,17 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "target_encode": """
+            WITH s AS (
+                SELECT user_id AS c, sum(value) AS sv, count(value) AS cv
+                FROM events GROUP BY user_id
+            ),
+            p AS (SELECT sum(sv) / sum(cv) AS prior FROM s)
+            SELECT e.event_id,
+                   round((coalesce(s.sv, 0) + 20.0 * p.prior)
+                         / (coalesce(s.cv, 0) + 20.0), 6) AS value_te
+            FROM events e CROSS JOIN p LEFT JOIN s ON e.user_id = s.c
         """,
         "mutual_info": """
             WITH j AS (

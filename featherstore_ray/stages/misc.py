@@ -1033,3 +1033,63 @@ def source_mix(
     return ds.map_batches(
         keep, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def target_encode(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Smoothed mean target encoding — the classic high-cardinality
+    categorical encoder: appends ``{target}_te`` =
+    ``(Σ_c y + m·prior) / (n_c + m)`` with ``prior`` the global target
+    mean and ``m = smoothing``. A category shrinks toward the prior in
+    proportion to how few labeled rows it has; unseen/null categories
+    encode to the prior exactly (the n_c = 0 limit). Null targets don't
+    contribute to the statistics but their rows are still encoded.
+
+    Two passes, NO shuffle — the ``group_standardize`` shape: pass 1
+    collapses each batch to (category, Σy, count) partials merged
+    driver-side (for ID-grade cardinalities route the merge through the
+    bucket exchange and co-partition the transform instead); the merged
+    table broadcasts with the stage closure; pass 2 is a row-local
+    lookup.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out = out_col or f"{target_col}_te"
+    m = float(smoothing)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[cat_col, target_col]].dropna(subset=[target_col])
+        agg = d.groupby(cat_col, sort=False, dropna=False)[target_col].agg(
+            s="sum", n="count"
+        ).reset_index()
+        return agg
+
+    parts = (
+        ds.select_columns([cat_col, target_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    stats = parts.groupby(cat_col, sort=True, dropna=False)[["s", "n"]].sum()
+    n_tot = float(stats["n"].sum())
+    prior = float(stats["s"].sum()) / n_tot if n_tot > 0 else np.nan
+    lut = ((stats["s"] + m * prior) / (stats["n"] + m)).rename("enc")
+    lut = lut[lut.index.notna()]
+
+    def transform(t: pa.Table) -> pa.Table:
+        g = pd.Series(t[cat_col].to_numpy(zero_copy_only=False))
+        enc = lut.reindex(g).to_numpy(dtype=np.float64)
+        enc = np.where(np.isnan(enc), prior, enc)
+        return t.append_column(out, pa.array(np.round(enc, round_digits)))
+
+    return ds.map_batches(
+        transform, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

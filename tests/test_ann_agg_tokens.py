@@ -702,3 +702,26 @@ def test_mutual_info_independent_and_dependent():
         "x", "y",
     ).to_pandas().iloc[0]
     assert abs(out2["mi"]) < 1e-9
+
+
+def test_target_encode_shrinkage_and_unseen():
+    from featherstore_ray.stages.misc import target_encode
+
+    t = pa.table({
+        "c": ["a"] * 100 + ["b"] * 2 + [None] * 3,
+        "y": [1.0] * 100 + [10.0, 10.0] + [None, 4.0, 4.0],
+        "i": list(range(105)),
+    })
+    out = (
+        target_encode(ray.data.from_arrow(t).repartition(4), "c", "y",
+                      smoothing=10.0)
+        .to_pandas().set_index("i").sort_index()
+    )
+    prior = (100 * 1.0 + 2 * 10.0 + 2 * 4.0) / 104
+    assert abs(out.loc[0, "y_te"] - round((100 + 10 * prior) / 110, 6)) < 1e-9
+    # thin category shrinks hard toward the prior
+    assert abs(out.loc[100, "y_te"]
+               - round((20.0 + 10 * prior) / 12, 6)) < 1e-9
+    # null category -> exactly the prior; null target rows still encoded
+    assert abs(out.loc[102, "y_te"] - round(prior, 6)) < 1e-9
+    assert out["y_te"].notna().all()
