@@ -2282,6 +2282,18 @@ def q_robust_scale(sf_dir: str):
     ).select_columns(["event_id", "value_rs"])
 
 
+def q_global_rank(sf_dir: str):
+    """Distributed global ROW_NUMBER over event value (sample-sort):
+    per-batch value sample -> range splitters, narrow counting pass ->
+    exact offsets, ONE range exchange + in-bucket sort."""
+    from featherstore_ray.stages.misc import global_rank
+
+    return global_rank(
+        _read(sf_dir, "events", columns=["event_id", "value"]),
+        "value", "event_id",
+    )
+
+
 def q_target_encode(sf_dir: str):
     """Smoothed mean target encoding of user_id against event value
     (high-cardinality categorical encoder): per-batch (cat, sum, count)
@@ -2483,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale": q_robust_scale,
         "mutual_info": q_mutual_info,
         "target_encode": q_target_encode,
+        "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
@@ -3060,6 +3073,11 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "global_rank": """
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY value, event_id) AS rnk
+            FROM events WHERE value IS NOT NULL
         """,
         "target_encode": """
             WITH s AS (

@@ -1093,3 +1093,93 @@ def target_encode(
         transform, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    out_col: str = "rnk",
+    num_buckets: int = 64,
+    sample_per_batch: int = 256,
+) -> ray.data.Dataset:
+    """Global order statistics — distributed ``ROW_NUMBER() OVER (ORDER BY
+    value, tiebreak)`` (1-based; rows with a null value are dropped, SQL
+    ORDER-BY-rank over non-null rows). The op Ray's built-in sort gives
+    you only as a total re-layout; this yields the rank column directly.
+
+    The classic sample-sort: (1) a deterministic evenly-spaced per-batch
+    value sample merged driver-side picks ``num_buckets − 1`` range
+    splitters; (2) a narrow counting pass (searchsorted per batch → a
+    B-long vector per block) gives exact bucket sizes, prefix-summed to
+    global offsets; (3) rows exchange ONCE by range bucket and each
+    bucket sorts locally by (value, tiebreak) and adds its offset. Equal
+    values always share a bucket (``side="left"`` on both the splitter
+    assignment and the counts), so ties resolve wholly in-bucket. Skewed
+    single values concentrate in one bucket — same hot-key contract as
+    ``grouped_quantiles``; the three passes all project just the two
+    columns.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([value_col, tiebreak_col])
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) > sample_per_batch:  # evenly spaced — deterministic
+            v = v[:: max(1, len(v) // sample_per_batch)][:sample_per_batch]
+        return pa.table({"v": v})
+
+    sv = np.sort(np.concatenate([
+        b["v"].to_numpy(zero_copy_only=False)
+        for b in proj.map_batches(
+            sample, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ] or [np.array([], dtype=np.float64)]))
+    if len(sv):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        splitters = np.unique(np.quantile(sv, qs))
+    else:
+        splitters = np.array([], dtype=np.float64)
+    nb = len(splitters) + 1
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(splitters, v, side="left")
+        c = np.bincount(b, minlength=nb).astype(np.int64)
+        return pa.table({"b": np.arange(nb, dtype=np.int64), "c": c})
+
+    sizes = (
+        proj.map_batches(counts, batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .to_pandas().groupby("b")["c"].sum()
+        .reindex(range(nb), fill_value=0).to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        t = t.filter(pa.array(keep))
+        b = np.searchsorted(splitters, v[keep], side="left")
+        return t.append_column(BUCKET_COL, pa.array(b.astype(np.int64)))
+
+    tagged = proj.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df[BUCKET_COL].iloc[0])
+        d = df.drop(columns=[BUCKET_COL]).sort_values(
+            [value_col, tiebreak_col], kind="stable"
+        ).reset_index(drop=True)
+        d[out_col] = offsets[b] + 1 + np.arange(len(d), dtype=np.int64)
+        return d
+
+    return bucketed_map_groups(
+        tagged, rank, num_buckets=nb, batch_format="pandas"
+    )

@@ -725,3 +725,21 @@ def test_target_encode_shrinkage_and_unseen():
     # null category -> exactly the prior; null target rows still encoded
     assert abs(out.loc[102, "y_te"] - round(prior, 6)) < 1e-9
     assert out["y_te"].notna().all()
+
+
+def test_global_rank_matches_argsort_with_ties_and_nulls():
+    from featherstore_ray.stages.misc import global_rank
+
+    rng = np.random.default_rng(7)
+    v = rng.choice([1.0, 2.0, 2.0, 3.5, None], 500).astype(object)
+    t = pa.table({"i": list(range(500)), "v": pa.array(list(v), pa.float64())})
+    out = (
+        global_rank(ray.data.from_arrow(t).repartition(5), "v", "i",
+                    num_buckets=4, sample_per_batch=16)
+        .to_pandas().sort_values("rnk").reset_index(drop=True)
+    )
+    df = t.to_pandas().dropna(subset=["v"]).sort_values(
+        ["v", "i"], kind="stable").reset_index(drop=True)
+    assert len(out) == len(df)
+    assert (out["rnk"].to_numpy() == np.arange(1, len(df) + 1)).all()
+    assert (out["i"].to_numpy() == df["i"].to_numpy()).all()
