@@ -107,6 +107,32 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "value_asof", "ts_asof"])
 
 
+def q_asof_tolerance(sf_dir: str):
+    """Bounded-staleness as-of: latest prior click per user but only
+    within a 6-hour freshness window — the standard point-in-time join
+    with a feature-TTL guard (stale features become misses, not silent
+    leaks from days ago)."""
+    import pandas as pd
+
+    from featherstore_ray.pipelines.feature_suite import split_events
+    from featherstore_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
+    spine, feats = split_events(events, "purchase", "click", "event_type")
+    out = asof_join(
+        spine,
+        feats.select_columns(["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id",
+        spine_ts="ts",
+        feature_ts="ts",
+        feature_cols=["ts", "value"],
+        tiebreak="event_id",
+        tolerance=pd.Timedelta(hours=6),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value_asof", "ts_asof"])
+
+
 def q_asof_join_forward(sf_dir: str):
     """Forward as-of (next-event attribution): for each click, the FIRST
     purchase at-or-after it per user — the symmetric direction of J3, the
@@ -2395,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_semi_join": q_latest_semi_join,
         "history_range": q_history_range,
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_broadcast": q_asof_join_broadcast,
         "lag_lead": q_lag_lead,
@@ -2553,6 +2580,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "asof_tolerance": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   f.value_asof, f.ts_asof
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+            LEFT JOIN LATERAL (
+                SELECT value AS value_asof, ts AS ts_asof
+                FROM events f
+                WHERE f.event_type = 'click'
+                  AND f.user_id = s.user_id
+                  AND f.ts <= s.ts
+                  AND f.ts >= s.ts - INTERVAL 6 HOUR
+                ORDER BY f.ts DESC, f.event_id DESC
+                LIMIT 1
+            ) f ON true
         """,
         "asof_join_forward": """
             SELECT s.event_id, s.user_id, s.ts,

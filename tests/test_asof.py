@@ -286,3 +286,37 @@ def test_asof_broadcast_empty_feature_side(ray_session):
     assert len(out) == 2
     assert out["value_asof"].isna().all()
     assert out["event_ts_asof"].isna().all()
+
+
+def test_asof_tolerance_drops_stale_matches():
+    import pandas as pd
+
+    from featherstore_ray.stages.asof import asof_join
+
+    spine = pa.table({
+        "e": [1, 1, 2],
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 12:00", "2024-01-02 12:00",
+                            "2024-01-01 00:30"]).astype("datetime64[us]")),
+        "sid": [10, 11, 12],
+    })
+    feats = pa.table({
+        "e": [1, 1, 2],
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 11:00", "2024-01-01 13:00",
+                            "2023-12-31 23:00"]).astype("datetime64[us]")),
+        "v": [1.0, 2.0, 3.0],
+        "fid": [100, 101, 102],
+    })
+    out = asof_join(
+        ray.data.from_arrow(spine), ray.data.from_arrow(feats),
+        entity_col="e", spine_ts="ts", feature_ts="ts",
+        feature_cols=["ts", "v"], tiebreak="fid",
+        tolerance=pd.Timedelta(hours=2), num_buckets=2,
+    ).to_pandas().set_index("sid").sort_index()
+    # sid 10: click 1h before -> inside 2h window
+    assert out.loc[10, "v_asof"] == 1.0
+    # sid 11: latest prior click is 23h stale -> tolerance miss
+    assert pd.isna(out.loc[11, "v_asof"]) and pd.isna(out.loc[11, "ts_asof"])
+    # sid 12: 1.5h stale -> inside
+    assert out.loc[12, "v_asof"] == 3.0
