@@ -2265,6 +2265,20 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer training over the documents corpus: learn the top-30
+    adjacent-symbol merges from the distinct-word frequency table (the
+    HF-tokenizers factorization — rounds iterate over the Heaps-bounded
+    vocab, never the corpus). Deterministic (lexicographic tie-break) but
+    iterative string rewriting, so rows-only; exactness vs a pure-Python
+    reference BPE is pytest-gated (tests/test_corpus_ops.py)."""
+    from featherstore_ray.stages.text import bpe_train
+
+    return bpe_train(
+        _read(sf_dir, "documents", columns=["text"]), num_merges=30,
+    )
+
+
 def q_frequency_spectrum(sf_dir: str):
     """Corpus token count-of-counts (Zipf audit): per-batch vocabulary
     partials, one token exchange, per-bucket spectrum collapse, tiny
@@ -2518,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": q_ks_test,
         "weighted_stats": q_weighted_stats,
         "frequency_spectrum": q_frequency_spectrum,
+        "bpe_train": q_bpe_train,
         "pmi": q_pmi,
         "robust_scale": q_robust_scale,
         "mutual_info": q_mutual_info,

@@ -1392,3 +1392,149 @@ def pmi(
     return bucketed_map_groups(
         bucketed, finalize, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def _greedy_nonoverlap(m: np.ndarray) -> np.ndarray:
+    """Left-to-right non-overlapping selection from a boolean match mask:
+    within every maximal run of consecutive matches keep positions 0, 2,
+    4, … (the classic BPE "aaa" → ("aa", "a") rule). Returns the kept
+    match indices."""
+    pos = np.flatnonzero(m)
+    if len(pos) == 0:
+        return pos
+    run_id = np.cumsum(np.diff(pos, prepend=pos[0] - 2) != 1) - 1
+    run_start = pos[np.flatnonzero(np.diff(run_id, prepend=-1))]
+    return pos[(pos - run_start[run_id]) % 2 == 0]
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    num_merges: int = 30,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Byte-pair-encoding tokenizer training — learn the ``num_merges``
+    highest-count adjacent symbol merges over the corpus (GPT-2-style:
+    merges never cross word boundaries). Ties break lexicographically on
+    (left, right) so the merge table is deterministic across runs,
+    partitionings and engines.
+
+    Scale shape (the HF-tokenizers factorization): BPE statistics depend
+    only on the DISTINCT-word frequency table, so pass 1 collapses the
+    corpus to (word, count) — per-batch vocabulary partials, ONE
+    hash(word) exchange — and the merge rounds run over that Heaps-law-
+    bounded table, never the corpus. Each round is a per-batch weighted
+    pair-count partial (driver-merged: active pair space is vocab-bounded),
+    one broadcast argmax merge, and a vectorized rewrite of the symbol
+    streams; the word table is re-materialized per round (k rounds ⇒ k
+    bounded passes over vocab, not corpus — the inherent BPE loop).
+
+    Returns a driver-side DataFrame (rank:int64, left, right, n:int64) —
+    tokenizer merge tables are tiny by construction. Iterative and
+    string-rewriting, so no SQL oracle; exactness is pytest-gated against
+    a pure-Python reference implementation.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    # pass 1: exact (word, count) table — vocab_count without the top-N cut
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_words(t[text_col])
+        agg = (
+            pa.table({"w": flat}).group_by("w").aggregate([("w", "count")])
+        )
+        return agg.rename_columns(["w", "c"])
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=[BUCKET_COL])
+            .groupby("w", as_index=False, sort=False)["c"].sum()
+        )
+
+    words = bucketed_map_groups(
+        add_bucket_column(parts, "w", num_buckets),
+        merge_counts, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    # symbol-stream representation: per word, a list<string> of symbols
+    def to_symbols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["w"].str.len() > 0].copy()
+        df["syms"] = df["w"].map(list)
+        return df[["syms", "c"]]
+
+    table = words.map_batches(
+        to_symbols, batch_size=None, batch_format="pandas"
+    ).materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        syms = df["syms"]
+        lens = syms.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(s, dtype=object) for s in syms])
+        wid = np.repeat(np.arange(len(lens)), lens)
+        cnt = df["c"].to_numpy(dtype=np.int64)
+        a, b = flat[:-1], flat[1:]
+        same = wid[:-1] == wid[1:]
+        g = pd.DataFrame({
+            "a": a[same], "b": b[same], "n": cnt[wid[:-1][same]],
+        })
+        return g.groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
+
+    merges: list[tuple[str, str, int]] = []
+    for _rank in range(num_merges):
+        pc_all = table.map_batches(
+            pair_partial, batch_size=None, batch_format="pandas"
+        ).to_pandas()
+        if pc_all.empty:
+            break
+        tot = pc_all.groupby(["a", "b"], as_index=False)["n"].sum()
+        tot = tot.sort_values(["n", "a", "b"],
+                              ascending=[False, True, True], kind="stable")
+        best = tot.iloc[0]
+        if best["n"] < 2:
+            break
+        la, lb = str(best["a"]), str(best["b"])
+        merges.append((la, lb, int(best["n"])))
+
+        def rewrite(df: pd.DataFrame, la=la, lb=lb) -> pd.DataFrame:
+            syms = df["syms"]
+            lens = syms.str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                return df
+            flat = np.concatenate(
+                [np.asarray(s, dtype=object) for s in syms])
+            wid = np.repeat(np.arange(len(lens)), lens)
+            m = np.zeros(len(flat), dtype=bool)
+            m[:-1] = (flat[:-1] == la) & (flat[1:] == lb) & (
+                wid[:-1] == wid[1:])
+            keep = _greedy_nonoverlap(m)
+            if len(keep) == 0:
+                return df
+            flat[keep] = la + lb
+            alive = np.ones(len(flat), dtype=bool)
+            alive[keep + 1] = False
+            shrink = np.bincount(wid[keep], minlength=len(lens))
+            new_lens = lens - shrink
+            out = df.copy()
+            out["syms"] = np.split(
+                flat[alive], np.cumsum(new_lens)[:-1].tolist())
+            return out
+
+        table = table.map_batches(
+            rewrite, batch_size=None, batch_format="pandas"
+        ).materialize()
+
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "n": np.array([m[2] for m in merges], dtype=np.int64),
+    })

@@ -758,3 +758,50 @@ def test_source_mix_proportions_and_determinism(ray_session):
     with pytest.raises(ValueError):
         source_mix(ray.data.from_arrow(t), "source", "doc_id",
                    {"web": 0.5, "absent": 0.5}).to_pandas()
+
+
+def test_bpe_train_matches_pure_python_reference():
+    from collections import Counter
+
+    from featherstore_ray.stages.text import bpe_train
+
+    def ref_bpe(texts, k):
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        words = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < 2:
+                break
+            merges.append((a, b, n))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    texts = [
+        "the cat sat on the mat", "the bat and the cat", "  ",
+        "aaaa aaa aa a", "banana bandana", "the the the", "",
+    ] * 3
+    want = ref_bpe(texts, 12)
+    got = bpe_train(
+        ray.data.from_arrow(pa.table({"text": texts})).repartition(4),
+        num_merges=12, num_buckets=4,
+    )
+    assert len(got) == len(want)
+    for i, (a, b, n) in enumerate(want):
+        r = got.iloc[i]
+        assert (r["left"], r["right"], r["n"]) == (a, b, n), (i, want[i], r)
