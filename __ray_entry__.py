@@ -2265,6 +2265,29 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+def q_tokenize_bpe(sf_dir: str):
+    """End-to-end tokenizer pipeline: train 15 BPE merges on the corpus
+    word table, then encode every document with the learned table
+    (distinct-word cache per batch) and report per-doc BPE token counts.
+    Deterministic but iterative/string-rewriting → rows-only; both halves
+    are pytest-gated exact vs pure-Python references."""
+    from featherstore_ray.stages.text import apply_bpe, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=15)
+    return apply_bpe(docs, merges).select_columns(["doc_id", "n_tok_bpe"])
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character entropy (boilerplate/base64 spam signal):
+    zero-copy byte-buffer bincount per batch, no shuffle."""
+    from featherstore_ray.stages.text import char_entropy
+
+    return char_entropy(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "char_entropy"])
+
+
 def q_bpe_train(sf_dir: str):
     """BPE tokenizer training over the documents corpus: learn the top-30
     adjacent-symbol merges from the distinct-word frequency table (the
@@ -2533,6 +2556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_stats": q_weighted_stats,
         "frequency_spectrum": q_frequency_spectrum,
         "bpe_train": q_bpe_train,
+        "char_entropy": q_char_entropy,
+        "tokenize_bpe": q_tokenize_bpe,
         "pmi": q_pmi,
         "robust_scale": q_robust_scale,
         "mutual_info": q_mutual_info,
@@ -3058,6 +3083,23 @@ def oracle_sql() -> dict[str, str]:
                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    END AS r2
             FROM m
+        """,
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(text) + 1),
+                              i -> text[i])) AS c
+                FROM documents
+            ),
+            cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+            n AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cc GROUP BY doc_id),
+            e AS (
+                SELECT cc.doc_id,
+                       -sum((k::DOUBLE / n.n) * ln(k::DOUBLE / n.n)) AS h
+                FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id
+            )
+            SELECT d.doc_id, round(e.h, 6) AS char_entropy
+            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         """,
         "frequency_spectrum": """
             WITH f AS (

@@ -1538,3 +1538,126 @@ def bpe_train(
         "right": [m[1] for m in merges],
         "n": np.array([m[2] for m in merges], dtype=np.int64),
     })
+
+
+def char_entropy(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Per-document character entropy (nats) — the randomness quality
+    signal that separates natural text from boilerplate/base64/padding
+    spam: ``H = −Σ p(c)·ln p(c)`` over the doc's byte frequencies (byte ==
+    character for ASCII corpora, matching the SQL per-char oracle; for
+    multibyte text this is byte-level entropy). Empty/null docs → null.
+
+    Pure streaming map, no shuffle: each batch reads the zero-copy UTF-8
+    buffer (:func:`_byte_view`), bincounts distinct (doc, byte) keys once
+    and segment-sums the −p·ln p terms back per doc — no per-row loop, no
+    dense docs × 256 matrix.
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        data, off = _byte_view(t[text_col])
+        lens = (off[1:] - off[:-1]).astype(np.int64)
+        h = np.full(n, np.nan)
+        total = int(off[-1] - off[0])
+        if total:
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            key = doc * 256 + data[off[0]:off[-1]].astype(np.int64)
+            uk, uc = np.unique(key, return_counts=True)
+            ud = uk >> 8
+            p = uc.astype(np.float64) / lens[ud].astype(np.float64)
+            terms = -p * np.log(p)
+            acc = np.zeros(n, dtype=np.float64)
+            np.add.at(acc, ud, terms)
+            nz = lens > 0
+            h[nz] = acc[nz]
+        return t.append_column(out_col, pa.array(np.round(h, round_digits)))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def apply_bpe(
+    ds: ray.data.Dataset,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tok_bpe",
+    *,
+    keep_text: bool = False,
+) -> ray.data.Dataset:
+    """Encode the corpus with a learned BPE merge table (the inference
+    side of :func:`bpe_train`): per document, the token count after
+    applying merges GPT-2-style — repeatedly merge the LOWEST-RANK pair
+    present in each word (leftmost-greedy, non-overlapping) until none
+    applies. ``merges`` is the ``bpe_train`` output frame or a list of
+    (left, right) in rank order.
+
+    Scale shape: the merge table broadcasts in the stage closure (KBs);
+    each batch encodes only its DISTINCT words (the word-level cache every
+    production tokenizer uses — per-batch vocabulary is Heaps-bounded, so
+    the per-word loop is off the per-token hot path) and doc token counts
+    come from one vectorized segment-sum over the exploded word stream.
+    No shuffle.
+    """
+    if hasattr(merges, "itertuples"):
+        pairs = [(str(r.left), str(r.right)) for r in merges.itertuples()]
+    else:
+        pairs = [(str(a), str(b)) for a, b in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+
+    def enc_len(word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best, r_best = None, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and r < r_best:
+                    r_best, best = r, (syms[i], syms[i + 1])
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        flat, offsets = _explode_words(t[text_col])
+        words = pd.Series(flat.to_pandas(), copy=False)
+        uniq = words.unique()
+        lut = pd.Series(
+            [enc_len(w) if w else 0 for w in uniq], index=uniq,
+            dtype="int64",
+        )
+        per_word = words.map(lut).to_numpy(dtype=np.int64)
+        counts = np.add.reduceat(
+            np.concatenate([per_word, [0]]), np.minimum(offsets[:-1],
+                                                        len(per_word)),
+        )
+        counts = np.where(offsets[1:] > offsets[:-1], counts, 0)
+        return t.append_column(out_col, pa.array(counts.astype(np.int64)))
+
+    cols = [id_col, text_col] if not keep_text else None
+    proj = ds.select_columns(cols) if cols else ds
+    return proj.map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -805,3 +805,65 @@ def test_bpe_train_matches_pure_python_reference():
     for i, (a, b, n) in enumerate(want):
         r = got.iloc[i]
         assert (r["left"], r["right"], r["n"]) == (a, b, n), (i, want[i], r)
+
+
+def test_char_entropy_manual_and_edges():
+    from collections import Counter
+    import math
+
+    from featherstore_ray.stages.text import char_entropy
+
+    texts = ["aaaa", "abab", "", None, "abcd"]
+    out = (
+        char_entropy(ray.data.from_arrow(pa.table({
+            "doc_id": list(range(5)), "text": texts,
+        })).repartition(2))
+        .to_pandas().set_index("doc_id").sort_index()["char_entropy"]
+    )
+    for i, t in enumerate(texts):
+        if not t:
+            assert pd.isna(out[i])
+            continue
+        c = Counter(t)
+        want = -sum((k / len(t)) * math.log(k / len(t)) for k in c.values())
+        assert abs(out[i] - round(want, 6)) < 1e-9, (i, t)
+    assert out[0] == 0.0 and out[4] > out[1] > 0
+
+
+def test_apply_bpe_matches_reference_encoder():
+    from featherstore_ray.stages.text import apply_bpe
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "e"), ("abc", "abc")]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_encode(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cand = [(ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks]
+            if not cand:
+                break
+            r, _ = min(cand)
+            a, b = merges[r]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = ["abc abcabc de", "ababab", "", "xyz abcd", "abcabcabcabc"]
+    out = (
+        apply_bpe(ray.data.from_arrow(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+        })).repartition(2), merges)
+        .to_pandas().set_index("doc_id").sort_index()["n_tok_bpe"]
+    )
+    for i, t in enumerate(texts):
+        want = sum(len(ref_encode(w)) for w in t.split(" ") if w)
+        assert out[i] == want, (i, t, out[i], want)
