@@ -2369,6 +2369,19 @@ def q_target_encode(sf_dir: str):
     ).select_columns(["event_id", "value_te"])
 
 
+def q_ohlc(sf_dir: str):
+    """Daily OHLC bars per user (open/high/low/close/volume): custom
+    mergeable first/last-by-time aggregate — per-batch partials, ONE
+    hash(user) exchange carrying groups x 9 scalars."""
+    from featherstore_ray.stages.aggregate import ohlc
+
+    return ohlc(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        "user_id", "ts", "value", "event_id",
+    )
+
+
 def q_mutual_info(sf_dir: str):
     """Mutual information between document language and source (feature
     association / leakage audit): per-batch contingency partials, driver
@@ -2562,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale": q_robust_scale,
         "mutual_info": q_mutual_info,
         "target_encode": q_target_encode,
+        "ohlc": q_ohlc,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
@@ -3172,6 +3186,26 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "ohlc": """
+            WITH r AS (
+                SELECT user_id, date_trunc('day', ts) AS period,
+                       value, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT user_id, period,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+                   count(*) AS volume
+            FROM r GROUP BY user_id, period
         """,
         "global_rank": """
             SELECT event_id, value,

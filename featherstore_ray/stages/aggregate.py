@@ -1316,3 +1316,98 @@ def mutual_info(
         "hy": [np.round(hy, round_digits)],
         "nmi": [np.round(nmi, round_digits)],
     }))
+
+
+def ohlc(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    freq: str = "D",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-(entity, period) OHLC bars — open/high/low/close/volume, the
+    classic resampled summary for telemetry and market streams. Open is
+    the value at the MIN (ts, tiebreak), close at the MAX (ts, tiebreak)
+    (deterministic on equal timestamps); null values are excluded.
+
+    A custom MERGEABLE aggregate: each block collapses to per-group
+    (open_ts, open_tb, open, high, low, close_ts, close_tb, close, n)
+    partials — first/last-by-time merge associatively by re-applying the
+    same argmin/argmax rule — so ONE bucket exchange on hash(entity)
+    carries groups × 9 scalars, never rows.
+    """
+    import pyarrow as pa
+
+    gk = [entity_col, "period"]
+
+    def collapse(df: pd.DataFrame, first_cols: dict) -> pd.DataFrame:
+        """Reduce (already-partial or raw) rows to one row per group.
+        Open and close candidates need SEPARATE sorts: when merging
+        partials, the partial holding the earliest open is not in
+        general the one holding the latest close."""
+        s_open = df.sort_values(
+            gk + [first_cols["ts"], first_cols["tb"]], kind="stable"
+        )
+        head = s_open.groupby(gk, sort=False, observed=True).head(
+            1).set_index(gk)
+        s_close = df.sort_values(
+            gk + [first_cols["close_ts"], first_cols["close_tb"]],
+            kind="stable",
+        )
+        tail = s_close.groupby(gk, sort=False, observed=True).tail(
+            1).set_index(gk)
+        out = df.groupby(gk, sort=False, observed=True).agg(
+            high=(first_cols["high"], "max"),
+            low=(first_cols["low"], "min"),
+            volume=(first_cols["n"], "sum"),
+        )
+        out["open_ts"] = head[first_cols["ts"]]
+        out["open_tb"] = head[first_cols["tb"]]
+        out["open"] = head[first_cols["open"]]
+        out["close_ts"] = tail[first_cols["close_ts"]]
+        out["close_tb"] = tail[first_cols["close_tb"]]
+        out["close"] = tail[first_cols["close"]]
+        return out.reset_index()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[entity_col, ts_col, value_col, tiebreak_col]].dropna(
+            subset=[value_col])
+        d = d.rename(columns={value_col: "_v"})
+        d["period"] = d[ts_col].dt.floor(freq)
+        d["_n"] = np.int64(1)
+        # raw rows: open/close candidates are the row itself
+        d["_cts"], d["_ctb"], d["_cv"] = d[ts_col], d[tiebreak_col], d["_v"]
+        d["_hi"] = d["_v"]
+        d["_lo"] = d["_v"]
+        return collapse(d, {
+            "ts": ts_col, "tb": tiebreak_col, "open": "_v",
+            "close_ts": "_cts", "close_tb": "_ctb", "close": "_cv",
+            "high": "_hi", "low": "_lo", "n": "_n",
+        })
+
+    parts = ds.select_columns(
+        [entity_col, ts_col, value_col, tiebreak_col]
+    ).map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = collapse(df.drop(columns=[BUCKET_COL]), {
+            "ts": "open_ts", "tb": "open_tb", "open": "open",
+            "close_ts": "close_ts", "close_tb": "close_tb",
+            "close": "close", "high": "high", "low": "low", "n": "volume",
+        })
+        # close = last by (close_ts, close_tb): re-sort for the tail pick
+        out = out[gk + ["open", "high", "low", "close", "volume"]]
+        if round_digits is not None:
+            for c in ("open", "high", "low", "close"):
+                out[c] = out[c].round(round_digits)
+        out["volume"] = out["volume"].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, entity_col, num_buckets),
+        merge, num_buckets=num_buckets, batch_format="pandas",
+    )

@@ -743,3 +743,33 @@ def test_global_rank_matches_argsort_with_ties_and_nulls():
     assert len(out) == len(df)
     assert (out["rnk"].to_numpy() == np.arange(1, len(df) + 1)).all()
     assert (out["i"].to_numpy() == df["i"].to_numpy()).all()
+
+
+def test_ohlc_merge_across_blocks():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import ohlc
+
+    # block 1 holds the earliest open AND the latest close; block 2 sits in
+    # the middle — the merge must pick open/close with separate sorts.
+    b1 = pa.table({
+        "u": [1, 1], "ts": pa.array(pd.to_datetime(
+            ["2024-01-01 01:00", "2024-01-01 23:00"]
+        ).astype("datetime64[us]")),
+        "v": [5.0, 9.0], "eid": [1, 6],
+    })
+    b2 = pa.table({
+        "u": [1, 1, 1], "ts": pa.array(pd.to_datetime(
+            ["2024-01-01 05:00", "2024-01-01 12:00", "2024-01-01 23:00"]
+        ).astype("datetime64[us]")),
+        "v": [1.0, 20.0, 7.0], "eid": [2, 3, 4],
+    })
+    out = ohlc(
+        ray.data.from_arrow(b1).union(ray.data.from_arrow(b2)),
+        "u", "ts", "v", "eid", num_buckets=2,
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # open = v at earliest ts; close = max (ts, eid) -> eid 6 wins the tie
+    assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
+        5.0, 20.0, 1.0, 9.0, 5)
