@@ -2394,6 +2394,30 @@ def q_mutual_info(sf_dir: str):
     )
 
 
+def q_chi2_test(sf_dir: str):
+    """Pearson chi-squared independence test between document language and
+    source: same contingency partials as mutual_info, zero-cell-free
+    closed form mirrored by the oracle."""
+    from featherstore_ray.stages.aggregate import chi2_test
+
+    return chi2_test(
+        _read(sf_dir, "documents", columns=["lang", "source"]),
+        "lang", "source",
+    )
+
+
+def q_welch_t(sf_dir: str):
+    """Per-user Welch two-sample t statistic between click and purchase
+    values (mean-shift drift test): (n, Σx, Σx²) moment partials per
+    (group, side) — never rows — with an explicit-sum SQL mirror."""
+    from featherstore_ray.stages.aggregate import welch_t
+
+    return welch_t(
+        _read(sf_dir, "events", columns=["user_id", "value", "event_type"]),
+        "user_id", "value", "event_type", "click", "purchase",
+    )
+
+
 def q_ks_test(sf_dir: str):
     """Per-user two-sample KS statistic between click and purchase value
     distributions (drift test): streaming label/null filter, ONE narrow
@@ -2576,6 +2600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": q_mutual_info,
         "target_encode": q_target_encode,
         "ohlc": q_ohlc,
+        "chi2_test": q_chi2_test,
+        "welch_t": q_welch_t,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
@@ -3249,6 +3275,59 @@ def oracle_sql() -> dict[str, str]:
                    round(hy.v, 6) AS hy,
                    round(mi.v / nullif(sqrt(hx.v * hy.v), 0), 6) AS nmi
             FROM mi CROSS JOIN hx CROSS JOIN hy
+        """,
+        "chi2_test": """
+            WITH j AS (
+                SELECT lang AS x, source AS y, count(*) AS c
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
+            ),
+            n AS (SELECT sum(c)::DOUBLE AS n FROM j),
+            px AS (SELECT x, sum(c) AS cx FROM j GROUP BY x),
+            py AS (SELECT y, sum(c) AS cy FROM j GROUP BY y),
+            s AS (
+                SELECT sum(j.c::DOUBLE * j.c::DOUBLE
+                           / (px.cx::DOUBLE * py.cy::DOUBLE)) AS acc
+                FROM j JOIN px ON j.x = px.x JOIN py ON j.y = py.y
+            )
+            SELECT round(n.n * (s.acc - 1), 6) AS chi2,
+                   ((SELECT count(*) FROM px) - 1)
+                   * ((SELECT count(*) FROM py) - 1) AS dof
+            FROM n CROSS JOIN s
+        """,
+        "welch_t": """
+            WITH s AS (
+                SELECT user_id AS g, (event_type = 'click')::INT AS ia,
+                       count(*)::DOUBLE AS n, sum(value) AS sx,
+                       sum(value * value) AS sxx
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY g, ia
+            ),
+            w AS (
+                SELECT a.g,
+                       a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+                       b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+                FROM s a JOIN s b ON a.g = b.g AND a.ia = 1 AND b.ia = 0
+                WHERE a.n >= 2 AND b.n >= 2
+            ),
+            v AS (
+                SELECT g, n1, n2,
+                       sx1 / n1 AS m1, sx2 / n2 AS m2,
+                       ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 AS v1,
+                       ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2 AS v2
+                FROM w
+            )
+            SELECT g AS user_id,
+                   CASE WHEN v1 + v2 > 0 THEN
+                       round((m1 - m2) / sqrt(v1 + v2), 6) END AS t,
+                   CASE WHEN v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1) > 0 THEN
+                       round((v1 + v2) * (v1 + v2)
+                             / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 6)
+                   END AS dof
+            FROM v
         """,
         "ks_test": """
             WITH s AS (

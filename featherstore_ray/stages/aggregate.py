@@ -1258,6 +1258,28 @@ def grouped_weighted_stats(
     )
 
 
+def _contingency(ds: ray.data.Dataset, x_col: str, y_col: str):
+    """Driver-merged (x, y, count) contingency table from per-batch
+    partials — the exchange carries distinct category pairs, never rows.
+    Returns (joint DataFrame with '_c', total count)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[x_col, y_col]].dropna()
+        return (
+            d.groupby([x_col, y_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    j = (
+        parts.to_pandas()
+        .groupby([x_col, y_col], sort=True, observed=True)["_c"]
+        .sum().reset_index()
+    )
+    return j, float(j["_c"].sum())
+
+
 def mutual_info(
     ds: ray.data.Dataset,
     x_col: str,
@@ -1277,22 +1299,7 @@ def mutual_info(
     contract; for high-cardinality keys use :func:`pmi` per pair
     instead). The closed-form finish is mirrored literally by the oracle.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[x_col, y_col]].dropna()
-        return (
-            d.groupby([x_col, y_col], sort=False, observed=True)
-            .size().rename("_c").reset_index()
-        )
-
-    parts = ds.select_columns([x_col, y_col]).map_batches(
-        partial, batch_size=None, batch_format="pandas"
-    )
-    j = (
-        parts.to_pandas()
-        .groupby([x_col, y_col], sort=True, observed=True)["_c"]
-        .sum().reset_index()
-    )
-    n = float(j["_c"].sum())
+    j, n = _contingency(ds, x_col, y_col)
     if n == 0:
         mi = hx = hy = nmi = np.nan
     else:
@@ -1411,3 +1418,108 @@ def ohlc(
         add_bucket_column(parts, entity_col, num_buckets),
         merge, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def chi2_test(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Pearson χ² test of independence between two categorical columns —
+    the feature-selection / drift companion to :func:`mutual_info`
+    (same contingency partials, different statistic). Uses the
+    zero-cell-free identity ``χ² = n·(Σ_obs o²/(rx·cy) − 1)`` so both
+    engines sum over OBSERVED cells only; ``dof = (|X|−1)·(|Y|−1)`` over
+    observed marginals. One row out: (chi2, dof).
+    """
+    import pyarrow as pa
+
+    j, n = _contingency(ds, x_col, y_col)
+    if n == 0:
+        chi2, dof = np.nan, 0
+    else:
+        cx = j.groupby(x_col, sort=True, observed=True)["_c"].sum()
+        cy = j.groupby(y_col, sort=True, observed=True)["_c"].sum()
+        o = j["_c"].to_numpy(dtype=np.float64)
+        rx = j[x_col].map(cx).to_numpy(dtype=np.float64)
+        ry = j[y_col].map(cy).to_numpy(dtype=np.float64)
+        chi2 = n * (float(np.sum(o * o / (rx * ry))) - 1.0)
+        dof = (len(cx) - 1) * (len(cy) - 1)
+
+    return ray.data.from_arrow(pa.table({
+        "chi2": [np.round(chi2, round_digits)],
+        "dof": pa.array([dof], pa.int64()),
+    }))
+
+
+def welch_t(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    *,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group Welch two-sample t statistic between the values of two
+    labels — the mean-shift drift test next to :func:`ks_test`'s
+    distribution test. Outputs (group, t, dof) with Welch-Satterthwaite
+    degrees of freedom; groups lacking ≥ 2 values on either side (or
+    with zero pooled variance) are dropped/null per SQL semantics.
+
+    Scale shape: moments are sufficient — each block collapses to
+    (group, side, n, Σx, Σx²) partials merged driver-side (blocks ×
+    groups × 2 rows; route through the bucket exchange for ID-grade
+    group cardinalities). The closed form mirrors the oracle's explicit
+    sums term for term (never variance built-ins).
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[label_col].isin([label_a, label_b])
+               & df[value_col].notna() & df[group_col].notna()]
+        x = d[value_col].astype(np.float64)
+        out = pd.DataFrame({
+            group_col: d[group_col],
+            "_ia": (d[label_col] == label_a).to_numpy().astype(np.int8),
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x,
+        })
+        return out.groupby([group_col, "_ia"], sort=False, observed=True)[
+            ["_n", "_sx", "_sxx"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([group_col, value_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "_ia"], sort=True, observed=True)[
+            ["_n", "_sx", "_sxx"]].sum().reset_index()
+    )
+    a = m[m["_ia"] == 1].set_index(group_col)
+    b = m[m["_ia"] == 0].set_index(group_col)
+    g = a.join(b, how="inner", lsuffix="_1", rsuffix="_2")
+    g = g[(g["_n_1"] >= 2) & (g["_n_2"] >= 2)]
+
+    def side(nn, sx, sxx):
+        var = (sxx - sx * sx / nn) / (nn - 1.0)
+        return sx / nn, var / nn
+
+    n1 = g["_n_1"].to_numpy(dtype=np.float64)
+    n2 = g["_n_2"].to_numpy(dtype=np.float64)
+    m1, v1 = side(n1, g["_sx_1"].to_numpy(), g["_sxx_1"].to_numpy())
+    m2, v2 = side(n2, g["_sx_2"].to_numpy(), g["_sxx_2"].to_numpy())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pooled = v1 + v2
+        t = np.where(pooled > 0, (m1 - m2) / np.sqrt(pooled), np.nan)
+        ddenom = v1 * v1 / (n1 - 1.0) + v2 * v2 / (n2 - 1.0)
+        dof = np.where(ddenom > 0, pooled * pooled / ddenom, np.nan)
+    if round_digits is not None:
+        t, dof = np.round(t, round_digits), np.round(dof, round_digits)
+
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(g.index.to_numpy()),
+        "t": pa.array(t, pa.float64()),
+        "dof": pa.array(dof, pa.float64()),
+    }))

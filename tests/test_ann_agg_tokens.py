@@ -773,3 +773,46 @@ def test_ohlc_merge_across_blocks():
     # open = v at earliest ts; close = max (ts, eid) -> eid 6 wins the tie
     assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
         5.0, 20.0, 1.0, 9.0, 5)
+
+
+def test_chi2_independence_and_dependence():
+    from featherstore_ray.stages.aggregate import chi2_test
+
+    # independent uniform grid -> chi2 == 0
+    xs = [a for a in "ab" for _ in range(100)]
+    ys = (["p"] * 50 + ["q"] * 50) * 2
+    out = chi2_test(
+        ray.data.from_arrow(pa.table({"x": xs, "y": ys})).repartition(3),
+        "x", "y",
+    ).to_pandas().iloc[0]
+    assert abs(out["chi2"]) < 1e-9 and out["dof"] == 1
+    # perfect dependence 2x2, n=200 -> chi2 == n
+    t = pa.table({"x": ["a"] * 100 + ["b"] * 100,
+                  "y": ["p"] * 100 + ["q"] * 100})
+    out2 = chi2_test(ray.data.from_arrow(t).repartition(4), "x", "y"
+                     ).to_pandas().iloc[0]
+    assert abs(out2["chi2"] - 200.0) < 1e-9 and out2["dof"] == 1
+
+
+def test_welch_t_matches_manual():
+    from featherstore_ray.stages.aggregate import welch_t
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["u1", "u2"], 400)
+    lab = rng.choice(["click", "purchase", "view"], 400)
+    v = rng.normal(0, 1, 400) + (lab == "click") * 0.5
+    t = pa.table({"g": g, "lab": lab, "v": v})
+    out = welch_t(
+        ray.data.from_arrow(t).repartition(4),
+        "g", "v", "lab", "click", "purchase",
+    ).to_pandas().set_index("g")
+    for key in ("u1", "u2"):
+        a = v[(g == key) & (lab == "click")]
+        b = v[(g == key) & (lab == "purchase")]
+        v1 = a.var(ddof=1) / len(a)
+        v2 = b.var(ddof=1) / len(b)
+        want_t = (a.mean() - b.mean()) / np.sqrt(v1 + v2)
+        want_dof = (v1 + v2) ** 2 / (
+            v1 * v1 / (len(a) - 1) + v2 * v2 / (len(b) - 1))
+        assert abs(out.loc[key, "t"] - want_t) < 1e-5, key
+        assert abs(out.loc[key, "dof"] - want_dof) < 1e-4, key
