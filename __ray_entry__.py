@@ -2394,6 +2394,20 @@ def q_mutual_info(sf_dir: str):
     )
 
 
+def q_expanding_zscore(sf_dir: str):
+    """Leakage-free expanding z-score per user: each value standardized
+    against STRICTLY PRIOR history only (shifted cumulative moments, one
+    entity exchange) — point-in-time scaling with zero temporal leakage."""
+    from featherstore_ray.stages.window import expanding_zscore
+
+    return expanding_zscore(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    ).select_columns(["event_id", "value_xz"])
+
+
 def q_chi2_test(sf_dir: str):
     """Pearson chi-squared independence test between document language and
     source: same contingency partials as mutual_info, zero-cell-free
@@ -2602,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc": q_ohlc,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
+        "expanding_zscore": q_expanding_zscore,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
@@ -3275,6 +3290,24 @@ def oracle_sql() -> dict[str, str]:
                    round(hy.v, 6) AS hy,
                    round(mi.v / nullif(sqrt(hx.v * hy.v), 0), 6) AS nmi
             FROM mi CROSS JOIN hx CROSS JOIN hy
+        """,
+        "expanding_zscore": """
+            WITH b AS (
+                SELECT event_id, value,
+                       count(value) OVER w AS n,
+                       sum(value) OVER w AS s,
+                       sum(value * value) OVER w AS ss
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+            )
+            SELECT event_id,
+                   CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+                        THEN round((value - s / n)
+                                   / sqrt((ss - s * s / n) / (n - 1)), 6)
+                   END AS value_xz
+            FROM b
         """,
         "chi2_test": """
             WITH j AS (

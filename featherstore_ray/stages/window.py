@@ -348,6 +348,63 @@ def cumulative(
     return _bucketed(ds, entity_col, num_buckets, kernel)
 
 
+def expanding_zscore(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Leakage-free expanding standardization: each value z-scored against
+    the mean/sample-std of the entity's STRICTLY PRIOR values in
+    (ts, tiebreak) order — the point-in-time feature scaling that never
+    reads the current or any future row (zero temporal leakage by
+    construction, unlike a full-group z-score).
+
+    Null when fewer than 2 prior non-null values exist, when the prior
+    variance is 0, or when the value is null. Oracle: ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING`` window sums, explicit-sum
+    variance. Same one-exchange shape as :func:`cumulative` — vectorized
+    shifted cumsums per bucket, no per-row loop.
+    """
+    out = out_col or f"{value_col}_xz"
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        sizes = np.diff(np.append(starts, n))
+        vals = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(vals)
+        v0 = np.where(valid, vals, 0.0)
+        cs = np.cumsum(v0)
+        css = np.cumsum(v0 * v0)
+        cc = np.cumsum(valid.astype(np.int64))
+        base_s = np.repeat(cs[starts] - v0[starts], sizes)
+        base_ss = np.repeat(css[starts] - v0[starts] * v0[starts], sizes)
+        base_c = np.repeat(cc[starts] - valid[starts].astype(np.int64),
+                           sizes)
+        # strictly-prior running moments: inclusive minus the current row
+        ps = (cs - base_s) - v0
+        pss = (css - base_ss) - v0 * v0
+        pc_ = (cc - base_c) - valid.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = ps / pc_
+            var = (pss - ps * ps / pc_) / (pc_ - 1.0)
+            z = np.where((pc_ >= 2) & (var > 0),
+                         (vals - mean) / np.sqrt(var), np.nan)
+        if round_digits is not None:
+            z = np.round(z, round_digits)
+        df[out] = z
+        return df
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
 def group_rank(
     ds: ray.data.Dataset,
     *,

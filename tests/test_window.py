@@ -500,3 +500,31 @@ def test_rolling_quantile_matches_duckdb(ray_session):
     """).df()
     np.testing.assert_allclose(out["p25"], exp["p25"], atol=1e-6,
                                equal_nan=True)
+
+
+def test_expanding_zscore_strictly_prior_and_nulls():
+    import pandas as pd
+
+    from featherstore_ray.stages.window import expanding_zscore
+
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05",
+    ]).astype("datetime64[us]")
+    t = pa.table({
+        "e": [1] * 5, "ts": pa.array(ts),
+        "v": pa.array([10.0, 20.0, None, 30.0, 15.0], pa.float64()),
+        "i": [1, 2, 3, 4, 5],
+    })
+    out = (
+        expanding_zscore(
+            ray.data.from_arrow(t).repartition(2),
+            entity_col="e", ts_col="ts", value_col="v", tiebreak="i",
+            num_buckets=2,
+        ).to_pandas().set_index("i").sort_index()["v_xz"]
+    )
+    # rows 1-2: <2 prior values; row 3: value null
+    assert out[[1, 2, 3]].isna().all()
+    # row 4: prior = [10, 20] -> mean 15, sample std sqrt(50)
+    assert abs(out[4] - round((30 - 15) / np.sqrt(50.0), 6)) < 1e-9
+    # row 5: prior = [10, 20, 30] (null skipped) -> mean 20, std 10
+    assert abs(out[5] - round((15 - 20) / 10.0, 6)) < 1e-9
