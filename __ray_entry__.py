@@ -2394,6 +2394,26 @@ def q_mutual_info(sf_dir: str):
     )
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured props projection: extract the integer 'k' field
+    from the JSON props column (one vectorized RE2 extract per batch,
+    mirrored by regexp_extract in the oracle), then per-event-type mean —
+    the standard payload→feature path."""
+    from featherstore_ray.stages.aggregate import grouped_aggregate
+    from featherstore_ray.stages.text import json_extract_scalar
+
+    ev = json_extract_scalar(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "props"]),
+        "props", "k",
+    )
+    return grouped_aggregate(
+        ev, ["event_type"],
+        {"k_mean": ("k", "mean"), "k_max": ("k", "max"),
+         "n": ("k", "count")},
+        round_digits=6, final="driver",
+    )
+
+
 def q_expanding_zscore(sf_dir: str):
     """Leakage-free expanding z-score per user: each value standardized
     against STRICTLY PRIOR history only (shifted cumulative moments, one
@@ -2617,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "expanding_zscore": q_expanding_zscore,
+        "json_extract": q_json_extract,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
@@ -3290,6 +3311,24 @@ def oracle_sql() -> dict[str, str]:
                    round(hy.v, 6) AS hy,
                    round(mi.v / nullif(sqrt(hx.v * hy.v), 0), 6) AS nmi
             FROM mi CROSS JOIN hx CROSS JOIN hy
+        """,
+        "json_extract": """
+            WITH x AS (
+                SELECT event_type,
+                       regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS kv
+                FROM events
+            ),
+            k AS (
+                SELECT event_type,
+                       CASE WHEN kv = '' THEN NULL
+                            ELSE kv::BIGINT END AS k
+                FROM x
+            )
+            SELECT event_type,
+                   round(sum(k)::DOUBLE / count(k), 6) AS k_mean,
+                   max(k) AS k_max,
+                   count(k) AS n
+            FROM k GROUP BY event_type
         """,
         "expanding_zscore": """
             WITH b AS (

@@ -1661,3 +1661,66 @@ def apply_bpe(
     return proj.map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_JSON_PATTERNS = {
+    "int": r'"{key}"\s*:\s*(?P<v>-?\d+)',
+    "float": r'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)',
+    "string": r'"{key}"\s*:\s*"(?P<v>(?:[^"\\]|\\.)*)"',
+}
+
+
+def json_extract_scalar(
+    ds: ray.data.Dataset,
+    json_col: str,
+    key: str,
+    *,
+    out_col: str | None = None,
+    value_type: str = "int",
+    engine: str = "regex",
+) -> ray.data.Dataset:
+    """Extract a top-level scalar field from a JSON string column — the
+    semi-structured props/payload projection every event pipeline needs
+    before feature building. Missing key / null / non-matching rows → null.
+
+    ``engine="regex"`` (default): one vectorized RE2 ``extract_regex``
+    per batch — zero-copy, no per-row parse; RE2 on both sides makes the
+    DuckDB ``regexp_extract`` oracle an exact mirror. String values come
+    back raw (escapes NOT decoded — the documented fast-path contract).
+    ``engine="python"``: ``json.loads`` per row for nested/escaped
+    payloads (actor-friendly slow path; same output contract, decoded
+    strings).
+    """
+    import json as _json
+
+    if value_type not in _JSON_PATTERNS:
+        raise ValueError(f"value_type {value_type!r}")
+    out = out_col or key
+    pat = _JSON_PATTERNS[value_type].format(key=key)
+    arrow_t = {"int": pa.int64(), "float": pa.float64(),
+               "string": pa.string()}[value_type]
+
+    def rx(t: pa.Table) -> pa.Table:
+        col = t[json_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ext = pc.extract_regex(col, pat)
+        v = pc.struct_field(ext, "v")
+        if value_type != "string":
+            v = v.cast(arrow_t)
+        return t.append_column(out, v)
+
+    def py(t: pa.Table) -> pa.Table:
+        vals = []
+        for s in t[json_col].to_pylist():
+            try:
+                v = _json.loads(s).get(key) if s is not None else None
+            except (ValueError, AttributeError):
+                v = None
+            vals.append(v if isinstance(v, (int, float, str)) else None)
+        return t.append_column(out, pa.array(vals, arrow_t))
+
+    fn = rx if engine == "regex" else py
+    return ds.map_batches(
+        fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -867,3 +867,26 @@ def test_apply_bpe_matches_reference_encoder():
     for i, t in enumerate(texts):
         want = sum(len(ref_encode(w)) for w in t.split(" ") if w)
         assert out[i] == want, (i, t, out[i], want)
+
+
+def test_json_extract_scalar_modes_and_misses():
+    from featherstore_ray.stages.text import json_extract_scalar
+
+    t = pa.table({
+        "i": list(range(5)),
+        "j": ['{"k": 7, "s": "hi"}', '{"k": -3}', '{"other": 1}', None,
+              '{"f": 2.5, "k": 0}'],
+    })
+    for engine in ("regex", "python"):
+        out = json_extract_scalar(
+            ray.data.from_arrow(t).repartition(2), "j", "k", engine=engine
+        ).to_pandas().set_index("i").sort_index()["k"]
+        assert list(out.fillna(-999).astype(int)) == [7, -3, -999, -999, 0], engine
+    s = json_extract_scalar(
+        ray.data.from_arrow(t), "j", "s", value_type="string"
+    ).to_pandas().set_index("i").sort_index()["s"]
+    assert s[0] == "hi" and s[1:].isna().all()
+    f = json_extract_scalar(
+        ray.data.from_arrow(t), "j", "f", value_type="float"
+    ).to_pandas().set_index("i").sort_index()["f"]
+    assert f[4] == 2.5 and f[[0, 1, 2, 3]].isna().all()
