@@ -2394,6 +2394,28 @@ def q_mutual_info(sf_dir: str):
     )
 
 
+def q_share_of_group(sf_dir: str):
+    """Ratio feature: each event's share of its user's total value —
+    per-batch sum partials broadcast back, row-local divide, no shuffle."""
+    from featherstore_ray.stages.misc import share_of_group
+
+    return share_of_group(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]),
+        "user_id", "value",
+    ).select_columns(["event_id", "value_share"])
+
+
+def q_rfm(sf_dir: str):
+    """RFM scoring per user (recency/frequency/monetary): one partial
+    pass, corpus 'now' = max merged last-event ts, closed-form finish."""
+    from featherstore_ray.stages.aggregate import rfm
+
+    return rfm(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        "user_id", "ts", "value",
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured props projection: extract the integer 'k' field
     from the JSON props column (one vectorized RE2 extract per batch,
@@ -2638,6 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_t": q_welch_t,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
+        "share_of_group": q_share_of_group,
+        "rfm": q_rfm,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,
@@ -3311,6 +3335,27 @@ def oracle_sql() -> dict[str, str]:
                    round(hy.v, 6) AS hy,
                    round(mi.v / nullif(sqrt(hx.v * hy.v), 0), 6) AS nmi
             FROM mi CROSS JOIN hx CROSS JOIN hy
+        """,
+        "share_of_group": """
+            SELECT event_id,
+                   round(value / nullif(sum(value) OVER
+                             (PARTITION BY user_id), 0), 6) AS value_share
+            FROM events
+        """,
+        "rfm": """
+            WITH a AS (
+                SELECT user_id, max(ts) AS last_ts,
+                       count(*) AS frequency, sum(value) AS monetary
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            n AS (SELECT max(last_ts) AS now FROM a)
+            SELECT user_id,
+                   round((epoch(n.now) - epoch(a.last_ts)) / 86400.0, 6)
+                       AS recency_days,
+                   frequency,
+                   round(monetary, 6) AS monetary
+            FROM a CROSS JOIN n
         """,
         "json_extract": """
             WITH x AS (

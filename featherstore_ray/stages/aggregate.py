@@ -1523,3 +1523,60 @@ def welch_t(
         "t": pa.array(t, pa.float64()),
         "dof": pa.array(dof, pa.float64()),
     }))
+
+
+def rfm(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """RFM features — the classic customer/entity scoring triple:
+    ``recency_days`` (days from the entity's last event to the corpus'
+    latest event), ``frequency`` (event count) and ``monetary``
+    (Σ value, null if the entity has only null values). Null entity keys
+    are excluded.
+
+    One pass: per-batch (entity, max ts, count, Σv) partials merged
+    driver-side (entities × blocks rows — route through the bucket
+    exchange for ID-grade cardinalities); the corpus "now" is the max of
+    the merged last timestamps, so no extra pass.
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[entity_col].notna()]
+        g = d.groupby(entity_col, sort=False, observed=True)
+        out = pd.DataFrame({
+            "_last": g[ts_col].max(),
+            "_n": g.size(),
+            "_mon": g[value_col].sum(min_count=1),
+        }).reset_index()
+        return out
+
+    m = (
+        ds.select_columns([entity_col, ts_col, value_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    g = m.groupby(entity_col, sort=True, observed=True)
+    agg = pd.DataFrame({
+        "_last": g["_last"].max(),
+        "frequency": g["_n"].sum().astype(np.int64),
+        "monetary": g["_mon"].sum(min_count=1),
+    })
+    now = agg["_last"].max()
+    rec = (
+        (now - agg["_last"]).dt.total_seconds().to_numpy(np.float64)
+        / 86400.0
+    )
+    out = agg.reset_index()
+    return ray.data.from_arrow(pa.table({
+        entity_col: pa.array(out[entity_col]),
+        "recency_days": pa.array(np.round(rec, round_digits)),
+        "frequency": pa.array(out["frequency"].to_numpy(np.int64)),
+        "monetary": pa.array(
+            np.round(out["monetary"].to_numpy(np.float64), round_digits)),
+    }))

@@ -1183,3 +1183,54 @@ def global_rank(
     return bucketed_map_groups(
         tagged, rank, num_buckets=nb, batch_format="pandas"
     )
+
+
+def share_of_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Ratio feature: each row's share of its group's total —
+    ``v / Σ_group v`` (the "share of user's spend" family). Null value →
+    null; zero/null group total → null (SQL ``NULLIF`` semantics); null
+    group keys form their own share pool, matching SQL
+    ``PARTITION BY g`` null-group behavior.
+
+    Two passes, NO shuffle (the ``group_standardize`` shape): per-batch
+    (group, Σv) partials merge driver-side and broadcast back with the
+    stage closure; pass 2 is a row-local divide.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out = out_col or f"{value_col}_share"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[[group_col, value_col]]
+            .groupby(group_col, sort=False, dropna=False)[value_col]
+            .sum(min_count=1).rename("_s").reset_index()
+        )
+
+    totals = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col, sort=True, dropna=False)["_s"].sum(min_count=1)
+    )
+
+    def transform(t: pa.Table) -> pa.Table:
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = totals.reindex(g).to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = v / np.where(tot == 0, np.nan, tot)
+        return t.append_column(out, pa.array(np.round(share, round_digits)))
+
+    return ds.map_batches(
+        transform, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -816,3 +816,41 @@ def test_welch_t_matches_manual():
             v1 * v1 / (len(a) - 1) + v2 * v2 / (len(b) - 1))
         assert abs(out.loc[key, "t"] - want_t) < 1e-5, key
         assert abs(out.loc[key, "dof"] - want_dof) < 1e-4, key
+
+
+def test_share_of_group_nulls_and_zero_total():
+    from featherstore_ray.stages.misc import share_of_group
+
+    t = pa.table({
+        "g": ["a", "a", "b", "b", "c"],
+        "v": pa.array([1.0, 3.0, 2.0, -2.0, None], pa.float64()),
+        "i": list(range(5)),
+    })
+    out = (
+        share_of_group(ray.data.from_arrow(t).repartition(2), "g", "v")
+        .to_pandas().set_index("i").sort_index()["v_share"]
+    )
+    assert abs(out[0] - 0.25) < 1e-9 and abs(out[1] - 0.75) < 1e-9
+    # zero group total -> null; null value -> null
+    assert out[[2, 3, 4]].isna().all()
+
+
+def test_rfm_matches_manual():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import rfm
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-05 00:00", "2024-01-03 00:00",
+        "2024-01-11 12:00",
+    ]).astype("datetime64[us]")
+    t = pa.table({
+        "u": [1, 1, 2, 2], "ts": pa.array(ts),
+        "v": [10.0, 5.0, 7.0, 1.0],
+    })
+    out = rfm(ray.data.from_arrow(t).repartition(2), "u", "ts", "v"
+              ).to_pandas().set_index("u")
+    # now = 2024-01-11 12:00
+    assert abs(out.loc[1, "recency_days"] - 6.5) < 1e-9
+    assert out.loc[1, "frequency"] == 2 and out.loc[1, "monetary"] == 15.0
+    assert out.loc[2, "recency_days"] == 0.0 and out.loc[2, "monetary"] == 8.0
