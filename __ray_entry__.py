@@ -289,7 +289,10 @@ def q_streaming_sessions(sf_dir: str):
     """Session windows through the STREAMING state machine (watermark
     closing, exactly-once emission, bridged-session merging), replayed
     distributed per entity-hash bucket — equals batch session_stats on
-    in-order replay, session ids included."""
+    in-order replay, session ids included. Stateful streaming semantics
+    have no SQL equivalent → rows-only; the batch-equivalence and
+    watermark/late-data machinery are pytest-gated
+    (tests/test_streaming.py)."""
     from featherstore_ray.stages.streaming import streaming_sessionize
 
     return streaming_sessionize(
@@ -2394,6 +2397,21 @@ def q_mutual_info(sf_dir: str):
     )
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection of the embeddings table to 8 components:
+    (n, Σx, XᵀX) moment partials (d-vector + d×d matrix per block, never
+    rows) → driver eigh → broadcast matvec projection. Deterministic
+    (canonical eigenvector signs) but eigendecomposition has no SQL
+    mirror → rows-only; exactness vs full-matrix numpy PCA is
+    pytest-gated (tests/test_ann_agg_tokens.py)."""
+    from featherstore_ray.stages.ann import pca_project
+
+    return pca_project(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_components=8,
+    )
+
+
 def q_share_of_group(sf_dir: str):
     """Ratio feature: each event's share of its user's total value —
     per-batch sum partials broadcast back, row-local divide, no shuffle."""
@@ -2662,6 +2680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
         "rfm": q_rfm,
+        "pca_project": q_pca_project,
         "global_rank": q_global_rank,
         "vocab_encode": q_vocab_encode,
         "chunk_text": q_chunk_text,

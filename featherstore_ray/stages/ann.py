@@ -842,3 +842,70 @@ def quantize_embeddings(
     return ds.map_batches(
         encode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_components: int = 8,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Distributed PCA projection — whiten/compress an embedding column to
+    its top ``n_components`` principal directions, the standard
+    pre-clustering / pre-ANN dimensionality reduction.
+
+    The textbook dim-bounded moment shape: each block collapses to
+    (n, Σx, ΣxᵀX) — a d-vector and a d×d matrix regardless of row count —
+    partials merge by addition on the driver, the covariance
+    eigendecomposition (d×d, trivial) runs once, and the top components
+    broadcast back with the projection closure; pass 2 is one matvec per
+    batch. Deterministic: eigenvector signs are canonicalized (largest-
+    |loading| coordinate made positive, ties → lowest index).
+
+    Rows-only contract (eigendecomposition has no SQL mirror); exactness
+    vs full-matrix numpy PCA is pytest-gated. Output: (id, pc0..pc{k-1}).
+    """
+    def moments(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t[emb_col])
+        d = m.shape[1]
+        s = m.sum(axis=0)
+        ss = m.T @ m
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = ds.select_columns([emb_col]).map_batches(
+        moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = len(s)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comp = evecs[:, order]  # d × k
+    # canonical signs: make the largest-|loading| coordinate positive
+    amax = np.argmax(np.abs(comp), axis=0)
+    signs = np.sign(comp[amax, np.arange(comp.shape[1])])
+    signs[signs == 0] = 1.0
+    comp = comp * signs
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t[emb_col])
+        proj = (m - mean) @ comp
+        if round_digits is not None:
+            proj = np.round(proj, round_digits)
+        out = {id_col: t[id_col]}
+        for j in range(proj.shape[1]):
+            out[f"pc{j}"] = pa.array(proj[:, j])
+        return pa.table(out)
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

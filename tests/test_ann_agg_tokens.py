@@ -854,3 +854,37 @@ def test_rfm_matches_manual():
     assert abs(out.loc[1, "recency_days"] - 6.5) < 1e-9
     assert out.loc[1, "frequency"] == 2 and out.loc[1, "monetary"] == 15.0
     assert out.loc[2, "recency_days"] == 0.0 and out.loc[2, "monetary"] == 8.0
+
+
+def test_pca_project_matches_numpy_full_matrix():
+    from featherstore_ray.stages.ann import pca_project
+
+    rng = np.random.default_rng(3)
+    d, n, k = 16, 300, 4
+    # anisotropic data so components are well separated
+    m = rng.normal(0, 1, (n, d)) * np.linspace(5, 0.1, d)
+    t = pa.table({
+        "vec_id": list(range(n)),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float32())),
+    })
+    m64 = np.stack([np.asarray(r, dtype=np.float64)
+                    for r in t["embedding"].to_pylist()])
+    out = (
+        pca_project(ray.data.from_arrow(t).repartition(5),
+                    n_components=k, round_digits=None)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    mean = m64.mean(axis=0)
+    cov = np.cov(m64, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, np.argsort(evals)[::-1][:k]]
+    amax = np.argmax(np.abs(comp), axis=0)
+    sg = np.sign(comp[amax, np.arange(k)])
+    comp = comp * sg
+    want = (m64 - mean) @ comp
+    got = out[[f"pc{j}" for j in range(k)]].to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-8)
+    # variance ordering: pc0 explains the most
+    v = got.var(axis=0)
+    assert v[0] > v[1] > v[2] > v[3]
