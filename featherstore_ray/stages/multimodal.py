@@ -337,3 +337,83 @@ def decode_images(
             payload_col=payload_col, feat_dim=feat_dim, decoder=decoder
         ),
     )
+
+
+class ImageResizeStage:
+    """Actor-pool image RESIZE: binary payload → fixed (h × w) grayscale
+    pixel grid, the canonical pre-model normalization step. ``decoder="png"``
+    is REAL (pure-stdlib PNG via ``stages/png.py`` → grayscale →
+    nearest-neighbor resize); ``decoder="fake"`` derives a deterministic
+    content-hash grid so the plumbing runs anywhere. Output columns:
+    ``pixels`` (fixed_size_list<float32> of h·w, row-major, 0-1 range),
+    ``height``, ``width``. Null payloads → null pixels.
+    """
+
+    def __init__(self, *, payload_col: str = "image",
+                 out_hw: tuple[int, int] = (8, 8), decoder: str = "png"):
+        self.payload_col = payload_col
+        self.h, self.w = int(out_hw[0]), int(out_hw[1])
+        if decoder not in ("png", "fake"):
+            raise NotImplementedError(
+                f"decoder {decoder!r}: only the stdlib 'png' codec and the "
+                "deterministic 'fake' codec exist in this container"
+            )
+        self.decoder = decoder
+        if decoder == "png":
+            from featherstore_ray.stages.png import (
+                decode_png, resize_nearest, to_grayscale)
+            self._decode = decode_png
+            self._gray = to_grayscale
+            self._resize = resize_nearest
+
+    def _one(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "fake":
+            seed = np.frombuffer(
+                hashlib.sha256(payload).digest()[: 8], dtype=np.uint64)[0]
+            rng = np.random.default_rng(seed)
+            return rng.random((self.h, self.w), dtype=np.float32)
+        # to_grayscale already yields [0, 1] float32 luminance;
+        # resize_nearest takes (out_w, out_h) and returns (out_h, out_w)
+        img = self._resize(self._gray(self._decode(payload)),
+                           (self.w, self.h))
+        return img.astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        d = self.h * self.w
+        grids = [
+            None if p is None else self._one(p).reshape(d) for p in payloads
+        ]
+        # plain list<float32> (not fixed_size_list): Ray's pandas conversion
+        # tensor-casts fixed-size lists and fails on null rows
+        pixels = pa.array(
+            [None if g is None else g.tolist() for g in grids],
+            pa.list_(pa.float32()),
+        )
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("pixels", pixels)
+        n = batch.num_rows
+        out = out.append_column(
+            "height", pa.array(np.full(n, self.h, dtype=np.int32)))
+        return out.append_column(
+            "width", pa.array(np.full(n, self.w, dtype=np.int32)))
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "image",
+    out_hw: tuple[int, int] = (8, 8),
+    decoder: str = "png",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col, out_hw=out_hw, decoder=decoder
+        ),
+    )

@@ -226,3 +226,37 @@ def test_wav_decode_through_actor_stage(ray_session):
         np.concatenate(out["audio_feat"].to_numpy()),
         np.concatenate(out2["audio_feat"].to_numpy()),
     )
+
+
+def test_image_resize_stage_real_png(ray_session):
+    from featherstore_ray.stages.multimodal import resize_images
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+            for _ in range(6)]
+    payloads = [encode_png(i) for i in imgs] + [None]
+    t = pa.table({
+        "img_id": list(range(7)),
+        "image": pa.array(payloads, pa.binary()),
+    })
+    # consume as Arrow: a null row in a uniform-length list column trips
+    # Ray's pandas tensor-extension cast (the stage is arrow-native anyway)
+    batches = list(
+        resize_images(ray.data.from_arrow(t).repartition(2),
+                      out_hw=(4, 5), decoder="png", batch_size=3)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    out = pa.concat_tables(batches)
+    order = np.argsort(out["img_id"].to_numpy(zero_copy_only=False))
+    pixels = out["pixels"].to_pylist()
+    assert set(out["height"].to_pylist()) == {4}
+    assert set(out["width"].to_pylist()) == {5}
+    by_id = {out["img_id"][int(i)].as_py(): pixels[int(i)] for i in order}
+    for i, img in enumerate(imgs):
+        gray = to_grayscale(img)
+        # out_hw=(4, 5) = 4 rows x 5 cols; resize_nearest takes (w, h)
+        want = resize_nearest(gray, (5, 4)).astype(np.float32)
+        assert want.shape == (4, 5)
+        np.testing.assert_allclose(
+            np.asarray(by_id[i], dtype=np.float32), want.reshape(-1), atol=0)
+    assert by_id[6] is None
