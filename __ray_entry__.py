@@ -3233,7 +3233,7 @@ def oracle_sql() -> dict[str, str]:
                        l_quantity::DOUBLE AS w
                 FROM lineitem
                 WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
-                  AND l_quantity > 0
+                  AND l_quantity > 0 AND l_returnflag IS NOT NULL
             ),
             m AS (
                 SELECT g, sum(w) AS sw, sum(w * x) AS swx,
@@ -3257,7 +3257,7 @@ def oracle_sql() -> dict[str, str]:
             tot AS (
                 SELECT (SELECT sum(c)::DOUBLE FROM uc) AS nu,
                        (SELECT sum(c)::DOUBLE FROM uc)
-                       - (SELECT count(*)::DOUBLE FROM toks) AS nb
+                       - (SELECT count(l)::DOUBLE FROM toks) AS nb
             ),
             bg AS (
                 SELECT unnest(list_transform(range(1, len(l)),
@@ -3302,7 +3302,9 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY user_id, date_trunc('day', ts)
                            ORDER BY ts DESC, event_id DESC) AS rn_d
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
             )
             SELECT user_id, period,
                    round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,

@@ -1196,7 +1196,8 @@ def grouped_weighted_stats(
     :func:`group_linear_fit`: each block collapses to (Σw, Σwx, Σwx²) per
     group before any movement, so the exchange (or driver pull for
     low-cardinality keys) carries groups × 3 floats, never rows. Rows with
-    a null value or null/zero-or-negative weight are excluded. Outputs
+    a null group key, a null value, or a null/zero-or-negative weight are
+    excluded (mirrored by the oracle's WHERE clause). Outputs
     ``wsum``, ``wmean`` and ``wvar = Σwx²/Σw − wmean²`` (null when Σw is
     0; clamped at >= 0 against cancellation) — the closed-form mirrored by
     the oracle.
@@ -1204,8 +1205,10 @@ def grouped_weighted_stats(
     gk = list(group_keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # null group keys are excluded EXPLICITLY (the oracle filters them
+        # too — pandas groupby would silently drop them only impl-side)
         df = df[gk + [value_col, weight_col]].dropna(
-            subset=[value_col, weight_col])
+            subset=gk + [value_col, weight_col])
         df = df[df[weight_col] > 0]
         if df.empty:
             return pd.DataFrame(
@@ -1339,7 +1342,8 @@ def ohlc(
     """Per-(entity, period) OHLC bars — open/high/low/close/volume, the
     classic resampled summary for telemetry and market streams. Open is
     the value at the MIN (ts, tiebreak), close at the MAX (ts, tiebreak)
-    (deterministic on equal timestamps); null values are excluded.
+    (deterministic on equal timestamps); rows with a null value, entity
+    or timestamp are excluded (mirrored by the oracle's WHERE).
 
     A custom MERGEABLE aggregate: each block collapses to per-group
     (open_ts, open_tb, open, high, low, close_ts, close_tb, close, n)
@@ -1381,8 +1385,10 @@ def ohlc(
         return out.reset_index()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # null entity/ts rows are excluded EXPLICITLY, mirroring the
+        # oracle's WHERE — pandas groupby would drop them only impl-side
         d = df[[entity_col, ts_col, value_col, tiebreak_col]].dropna(
-            subset=[value_col])
+            subset=[entity_col, ts_col, value_col])
         d = d.rename(columns={value_col: "_v"})
         d["period"] = d[ts_col].dt.floor(freq)
         d["_n"] = np.int64(1)

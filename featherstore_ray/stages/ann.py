@@ -868,8 +868,14 @@ def pca_project(
     vs full-matrix numpy PCA is pytest-gated. Output: (id, pc0..pc{k-1}).
     """
     def moments(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.float64())),
+            "ss": pa.array([], pa.list_(pa.float64())),
+        })
+        if t.num_rows == 0:
+            return empty
         m = _stack_embeddings(t[emb_col])
-        d = m.shape[1]
         s = m.sum(axis=0)
         ss = m.T @ m
         return pa.table({
@@ -881,7 +887,11 @@ def pca_project(
     parts = ds.select_columns([emb_col]).map_batches(
         moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    n = int(parts["n"].sum())
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n < 2:
+        raise ValueError(
+            f"pca_project needs >= 2 rows to estimate a covariance; got {n}"
+        )
     s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
     d = len(s)
     ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)

@@ -1118,12 +1118,13 @@ def global_rank(
     values always share a bucket (``side="left"`` on both the splitter
     assignment and the counts), so ties resolve wholly in-bucket. Skewed
     single values concentrate in one bucket — same hot-key contract as
-    ``grouped_quantiles``; the three passes all project just the two
-    columns.
+    ``grouped_quantiles``. The two-column projection is materialized ONCE
+    so the sample / count / assign passes never re-execute the upstream
+    read (the ``lm_score`` multi-pass precedent).
     """
     import pyarrow as pa
 
-    proj = ds.select_columns([value_col, tiebreak_col])
+    proj = ds.select_columns([value_col, tiebreak_col]).materialize()
 
     def sample(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)

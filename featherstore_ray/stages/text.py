@@ -154,6 +154,22 @@ def _explode_words(texts: pa.ChunkedArray | pa.Array):
     return flat, offsets
 
 
+def _token_count_partial(
+    t: pa.Table, text_col: str, *, key_name: str = "token",
+    count_name: str = "n",
+) -> pa.Table:
+    """Per-batch (token, count) vocabulary partial — THE shared word-count
+    kernel (vocab_count / frequency_spectrum / pmi / bpe_train /
+    vocab_encode all collapse batches through this exact shape)."""
+    flat, _ = _explode_words(t[text_col])
+    agg = (
+        pa.table({key_name: flat})
+        .group_by(key_name)
+        .aggregate([(key_name, "count")])
+    )
+    return agg.rename_columns([key_name, count_name])
+
+
 def lang_id(
     ds: ray.data.Dataset, text_col: str = "text", out_col: str = "lang_pred"
 ) -> ray.data.Dataset:
@@ -331,13 +347,7 @@ def vocab_count(
     ORDER BY n DESC, token LIMIT N.
     """
     def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _explode_words(t[text_col])
-        agg = (
-            pa.table({"token": flat})
-            .group_by("token")
-            .aggregate([("token", "count")])
-        )
-        return agg.rename_columns(["token", "n"])
+        return _token_count_partial(t, text_col)
 
     partials = ds.select_columns([text_col]).map_batches(
         partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
@@ -1057,13 +1067,7 @@ def vocab_encode(
     row-local map. Output rows = corpus tokens (written, not collected).
     """
     def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _explode_words(t[text_col])
-        agg = (
-            pa.table({"token": flat})
-            .group_by("token")
-            .aggregate([("token", "count")])
-        )
-        return agg.rename_columns(["token", "n"])
+        return _token_count_partial(t, text_col)
 
     sel = ds.select_columns([doc_id_col, text_col])
     parts = sel.select_columns([text_col]).map_batches(
@@ -1241,13 +1245,7 @@ def frequency_spectrum(
     from featherstore_ray.partition import BUCKET_COL, add_bucket_column
 
     def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _explode_words(t[text_col])
-        agg = (
-            pa.table({"token": flat})
-            .group_by("token")
-            .aggregate([("token", "count")])
-        )
-        return agg.rename_columns(["token", "n"])
+        return _token_count_partial(t, text_col)
 
     partials = ds.select_columns([text_col]).map_batches(
         partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
@@ -1296,8 +1294,9 @@ def pmi(
     (a, b, count) partials, ONE bucket exchange on ``hash(a)`` (every
     partial of a pair shares ``a``, so totals are exact in-bucket), and
     each bucket finishes its own pairs against the broadcast vocabulary.
-    ``NB = NU − n_docs`` exactly (every doc of L tokens has L−1 windows;
-    ``split`` gives every doc ≥1 token), so no extra pass is needed.
+    ``NB = NU − n_docs`` exactly over NON-NULL docs (every such doc of L
+    tokens has L−1 windows; ``split`` gives every non-null doc ≥1 token
+    and null docs contribute nothing), so no extra pass is needed.
     Output: (a, b, n:int64, pmi:double rounded).
     """
     from featherstore_ray.exchange import bucketed_map_groups
@@ -1306,21 +1305,18 @@ def pmi(
     proj = ds.select_columns([text_col])
 
     def upartial(t: pa.Table) -> pa.Table:
-        flat, _ = _explode_words(t[text_col])
-        agg = (
-            pa.table({"token": flat})
-            .group_by("token")
-            .aggregate([("token", "count")])
-            .rename_columns(["token", "n"])
-        )
-        # null-token marker row carries this batch's document count
+        agg = _token_count_partial(t, text_col)
+        # null-token marker row carries this batch's NON-NULL document
+        # count (null docs contribute 0 tokens and 0 bigram windows, so
+        # they must not shift NB = NU − n_docs)
+        n_docs = t.num_rows - t[text_col].null_count
         return pa.table({
             "token": pa.concat_arrays(
                 [agg["token"].combine_chunks(), pa.array([None], pa.string())]
             ),
             "n": pa.concat_arrays(
                 [agg["n"].cast(pa.int64()).combine_chunks(),
-                 pa.array([t.num_rows], pa.int64())]
+                 pa.array([n_docs], pa.int64())]
             ),
         })
 
@@ -1440,11 +1436,7 @@ def bpe_train(
 
     # pass 1: exact (word, count) table — vocab_count without the top-N cut
     def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _explode_words(t[text_col])
-        agg = (
-            pa.table({"w": flat}).group_by("w").aggregate([("w", "count")])
-        )
-        return agg.rename_columns(["w", "c"])
+        return _token_count_partial(t, text_col, key_name="w", count_name="c")
 
     parts = ds.select_columns([text_col]).map_batches(
         partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
@@ -1692,11 +1684,14 @@ def json_extract_scalar(
     strings).
     """
     import json as _json
+    import re as _re
 
     if value_type not in _JSON_PATTERNS:
         raise ValueError(f"value_type {value_type!r}")
     out = out_col or key
-    pat = _JSON_PATTERNS[value_type].format(key=key)
+    # escape the key: regex metacharacters in a field name must match
+    # literally, not as pattern syntax
+    pat = _JSON_PATTERNS[value_type].format(key=_re.escape(key))
     arrow_t = {"int": pa.int64(), "float": pa.float64(),
                "string": pa.string()}[value_type]
 
@@ -1717,7 +1712,19 @@ def json_extract_scalar(
                 v = _json.loads(s).get(key) if s is not None else None
             except (ValueError, AttributeError):
                 v = None
-            vals.append(v if isinstance(v, (int, float, str)) else None)
+            # booleans are ints in Python but not in Arrow — treat as
+            # missing, like the regex path; numeric types coerce the way
+            # the regex path reads them (2.5 → 2 for int: leading digits
+            # = truncation toward zero)
+            if isinstance(v, bool):
+                v = None
+            elif value_type == "int":
+                v = int(v) if isinstance(v, (int, float)) else None
+            elif value_type == "float":
+                v = float(v) if isinstance(v, (int, float)) else None
+            else:
+                v = v if isinstance(v, str) else None
+            vals.append(v)
         return t.append_column(out, pa.array(vals, arrow_t))
 
     fn = rx if engine == "regex" else py

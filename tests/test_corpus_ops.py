@@ -890,3 +890,38 @@ def test_json_extract_scalar_modes_and_misses():
         ray.data.from_arrow(t), "j", "f", value_type="float"
     ).to_pandas().set_index("i").sort_index()["f"]
     assert f[4] == 2.5 and f[[0, 1, 2, 3]].isna().all()
+
+
+def test_json_extract_regex_key_escaping_and_bools():
+    from featherstore_ray.stages.text import json_extract_scalar
+
+    t = pa.table({
+        "i": [0, 1, 2, 3],
+        "j": ['{"axb": 7}', '{"a.b": 9}', '{"k": true}', '{"k": 2}'],
+    })
+    # dotted key must match literally, not as regex wildcard
+    out = json_extract_scalar(ray.data.from_arrow(t), "j", "a.b"
+                              ).to_pandas().set_index("i")["a.b"]
+    assert pd.isna(out[0]) and out[1] == 9
+    # booleans are missing on BOTH engines; ints pass through
+    for engine in ("regex", "python"):
+        k = json_extract_scalar(ray.data.from_arrow(t), "j", "k",
+                                engine=engine
+                                ).to_pandas().set_index("i")["k"]
+        assert pd.isna(k[2]) and k[3] == 2, engine
+
+
+def test_pmi_null_docs_do_not_shift_nb():
+    from featherstore_ray.stages.text import pmi
+
+    base = ["x y x y", "x y"] * 5
+    with_nulls = base + [None] * 7
+    a = pmi(ray.data.from_arrow(pa.table({"text": base})), min_count=2
+            ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = pmi(
+        ray.data.from_arrow(
+            pa.table({"text": pa.array(with_nulls, pa.string())})
+        ).repartition(3),
+        min_count=2,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
