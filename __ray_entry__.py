@@ -2372,6 +2372,30 @@ def q_target_encode(sf_dir: str):
     ).select_columns(["event_id", "value_te"])
 
 
+def q_count_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — the exact companion to
+    hll_distinct: per-batch (group, value) dedup partial, one exchange of
+    distinct pairs, per-bucket size."""
+    from featherstore_ray.stages.aggregate import count_distinct
+
+    return count_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
+def q_time_features(sf_dir: str):
+    """Calendar features per event (dow/hour/day/month + is_weekend):
+    pure epoch integer arithmetic, streaming map, no shuffle."""
+    from featherstore_ray.stages.aggregate import time_features
+
+    return time_features(
+        _read(sf_dir, "events", columns=["event_id", "ts"]), "ts",
+    ).select_columns(
+        ["event_id", "dow", "is_weekend", "hour", "day", "month"]
+    )
+
+
 def q_ohlc(sf_dir: str):
     """Daily OHLC bars per user (open/high/low/close/volume): custom
     mergeable first/last-by-time aggregate — per-batch partials, ONE
@@ -2674,6 +2698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": q_mutual_info,
         "target_encode": q_target_encode,
         "ohlc": q_ohlc,
+        "count_distinct": q_count_distinct,
+        "time_features": q_time_features,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "expanding_zscore": q_expanding_zscore,
@@ -3291,6 +3317,21 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
+        """,
+        "time_features": """
+            SELECT event_id,
+                   (isodow(ts) - 1)::BIGINT AS dow,
+                   isodow(ts) >= 6 AS is_weekend,
+                   hour(ts)::BIGINT AS hour,
+                   day(ts)::BIGINT AS day,
+                   month(ts)::BIGINT AS month
+            FROM events
         """,
         "ohlc": """
             WITH r AS (

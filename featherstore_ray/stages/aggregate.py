@@ -1586,3 +1586,105 @@ def rfm(
         "monetary": pa.array(
             np.round(out["monetary"].to_numpy(np.float64), round_digits)),
     }))
+
+
+def count_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT value) per group — the exact companion to
+    :func:`~featherstore_ray.stages.sketch.hll_distinct`. Null values
+    don't count; null group keys are excluded (oracle WHERE mirror).
+
+    Scale shape: per-batch (group, value) dedup partial FIRST (the
+    exchange carries distinct pairs, never rows), ONE bucket shuffle on
+    hash(group), per-bucket distinct + size. Skew bound: a group's
+    distinct-value set lands in one bucket — for billion-distinct groups
+    use the HLL sketch instead.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([group_col, value_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        return t.group_by([group_col, value_col]).aggregate([])
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates([group_col, value_col])
+            .groupby(group_col, sort=True, observed=True)
+            .size().rename(out_col).reset_index()
+        )
+        g[out_col] = g[out_col].astype(np.int64)
+        return g
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, group_col, num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+_TIME_PARTS = {
+    # epoch day 0 = Thursday = 3 under 0=Monday … 6=Sunday
+    "dow": lambda ts: ((ts.astype("datetime64[D]").view(np.int64) + 3)
+                       % 7).astype(np.int64),
+    "hour": lambda ts: ((ts.view(np.int64) // 3_600_000_000) % 24
+                        ).astype(np.int64),
+    "day": lambda ts: (ts.astype("datetime64[D]")
+                       - ts.astype("datetime64[M]")).astype(np.int64) + 1,
+    "month": lambda ts: (ts.astype("datetime64[M]").view(np.int64) % 12
+                         ).astype(np.int64) + 1,
+}
+
+
+def time_features(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    *,
+    parts: Sequence[str] = ("dow", "hour", "day", "month"),
+    prefix: str | None = None,
+) -> ray.data.Dataset:
+    """Calendar feature extraction — day-of-week (0 = Monday), hour of
+    day, day of month, month, plus ``is_weekend`` when ``dow`` is
+    requested. Pure integer arithmetic on the epoch (no per-row datetime
+    objects), streaming map, no shuffle. Matches DuckDB ``isodow - 1`` /
+    ``hour`` / ``day`` / ``month`` semantics; null timestamps → nulls.
+    """
+    import pyarrow as pa
+
+    pre = f"{prefix}_" if prefix else ""
+    bad = set(parts) - set(_TIME_PARTS)
+    if bad:
+        raise ValueError(f"unknown time parts: {sorted(bad)}")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t[ts_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = col.is_null().to_numpy(zero_copy_only=False)
+        ts = col.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        safe = np.where(mask, np.datetime64(0, "us"), ts)
+        out = t
+        for p in parts:
+            v = _TIME_PARTS[p](safe)
+            arr = pa.array(v, pa.int64(), mask=mask)
+            out = out.append_column(f"{pre}{p}", arr)
+            if p == "dow":
+                wk = (v >= 5)
+                out = out.append_column(
+                    f"{pre}is_weekend", pa.array(wk, pa.bool_(), mask=mask))
+        return out
+
+    return ds.map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -888,3 +888,34 @@ def test_pca_project_matches_numpy_full_matrix():
     # variance ordering: pc0 explains the most
     v = got.var(axis=0)
     assert v[0] > v[1] > v[2] > v[3]
+
+
+def test_count_distinct_and_time_features():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import count_distinct, time_features
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", None],
+        "v": [1, 1, 2, 3, 4],
+    })
+    out = count_distinct(
+        ray.data.from_arrow(t).repartition(3), "g", "v", num_buckets=2
+    ).to_pandas().set_index("g")["n_distinct"]
+    assert out["a"] == 2 and out["b"] == 1 and len(out) == 2
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:30",   # Monday
+        "2024-01-06 23:15",   # Saturday
+        "1970-01-01 05:00",   # Thursday (epoch day 0)
+        None,
+    ]).astype("datetime64[us]")
+    tf = time_features(
+        ray.data.from_arrow(pa.table({"i": [0, 1, 2, 3],
+                                      "ts": pa.array(ts)})), "ts"
+    ).to_pandas().set_index("i").sort_index()
+    assert list(tf.loc[0, ["dow", "hour", "day", "month"]]) == [0, 0, 1, 1]
+    assert not tf.loc[0, "is_weekend"]
+    assert tf.loc[1, "dow"] == 5 and tf.loc[1, "is_weekend"]
+    assert tf.loc[2, "dow"] == 3 and tf.loc[2, "hour"] == 5
+    assert tf.loc[3, ["dow", "hour", "day", "month"]].isna().all()
