@@ -3168,7 +3168,8 @@ def oracle_sql() -> dict[str, str]:
         "group_corr": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr_xy
-            FROM lineitem GROUP BY l_returnflag
+            FROM lineitem WHERE l_returnflag IS NOT NULL
+            GROUP BY l_returnflag
         """,
         "group_entropy": """
             WITH c AS (
@@ -3206,7 +3207,9 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts)::DOUBLE / 1000000.0 / 86400.0
                            - {_FIT_REF_DAYS!r} AS x,
                        value AS y
-                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND user_id IS NOT NULL
             ),
             m AS (
                 SELECT user_id, count(*)::DOUBLE AS n,

@@ -496,13 +496,14 @@ def group_corr(
     any movement; the merge is a plain sum, so at 100 TB the exchange (or
     the driver pull, for low-cardinality keys with ``final="driver"``)
     carries groups × 6 floats, never rows. Rows where either side is null
-    are excluded (SQL ``corr`` semantics). Groups with < 2 rows or zero
+    are excluded (SQL ``corr`` semantics), as are rows with a null group
+    key (mirrored by the oracle's WHERE). Groups with < 2 rows or zero
     variance yield null.
     """
     gk = list(group_keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gk + [x_col, y_col]].dropna(subset=[x_col, y_col])
+        df = df[gk + [x_col, y_col]].dropna(subset=gk + [x_col, y_col])
         if df.empty:
             return pd.DataFrame(
                 {**{k: df[k] for k in gk},
@@ -984,7 +985,7 @@ def group_linear_fit(
     gk = list(group_keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gk + [x_col, y_col]].dropna(subset=[x_col, y_col])
+        df = df[gk + [x_col, y_col]].dropna(subset=gk + [x_col, y_col])
         if df.empty:
             return pd.DataFrame(
                 {**{k: df[k] for k in gk},

@@ -919,3 +919,21 @@ def test_count_distinct_and_time_features():
     assert tf.loc[1, "dow"] == 5 and tf.loc[1, "is_weekend"]
     assert tf.loc[2, "dow"] == 3 and tf.loc[2, "hour"] == 5
     assert tf.loc[3, ["dow", "hour", "day", "month"]].isna().all()
+
+
+def test_moment_partial_ops_drop_null_group_keys():
+    from featherstore_ray.stages.aggregate import (
+        group_corr, group_linear_fit, grouped_weighted_stats)
+
+    rng = np.random.default_rng(9)
+    g = pa.array(["a"] * 50 + [None] * 10, pa.string())
+    x = rng.normal(0, 1, 60)
+    y = 2 * x + rng.normal(0, 0.1, 60)
+    t = pa.table({"g": g, "x": x, "y": y})
+    ds = ray.data.from_arrow(t).repartition(3)
+    assert len(group_corr(ds, ["g"], "x", "y").to_pandas()) == 1
+    assert len(group_linear_fit(ds, ["g"], "x", "y").to_pandas()) == 1
+    w = pa.table({"g": g, "x": x, "w": np.ones(60)})
+    out = grouped_weighted_stats(
+        ray.data.from_arrow(w).repartition(3), ["g"], "x", "w")
+    assert len(out.to_pandas()) == 1
