@@ -193,3 +193,74 @@ def test_chunked_suite_property_parity(tbl, chunk_rows, w_s):
     c = chunked[cols].sort_values(cols, kind="stable").reset_index(drop=True)
     assert len(p) == len(c)
     pd.testing.assert_frame_equal(p, c, check_dtype=False)
+
+
+@st.composite
+def ranked_tables(draw):
+    n = draw(st.integers(1, 80))
+    # heavy ties + nulls to stress splitter/bucket edges
+    vals = draw(st.lists(
+        st.one_of(st.none(), st.sampled_from([0.0, 1.0, 1.0, 2.5, -3.0, 7.0])),
+        min_size=n, max_size=n,
+    ))
+    parts = draw(st.integers(1, 5))
+    buckets = draw(st.integers(1, 6))
+    return vals, parts, buckets
+
+
+@settings(max_examples=25, deadline=None)
+@given(ranked_tables())
+def test_global_rank_property(case):
+    from featherstore_ray.stages.misc import global_rank
+
+    vals, parts, buckets = case
+    t = pa.table({
+        "v": pa.array(vals, pa.float64()),
+        "i": list(range(len(vals))),
+    })
+    out = global_rank(
+        ray.data.from_arrow(t).repartition(parts), "v", "i",
+        num_buckets=buckets, sample_per_batch=4,
+    ).to_pandas()
+    ref = (
+        t.to_pandas().dropna(subset=["v"])
+        .sort_values(["v", "i"], kind="stable").reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    if not len(ref):  # all-null input: empty result, no schema to check
+        return
+    out = out.sort_values("rnk").reset_index(drop=True)
+    assert (out["rnk"].to_numpy() == np.arange(1, len(ref) + 1)).all()
+    assert (out["i"].to_numpy() == ref["i"].to_numpy()).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(event_tables())
+def test_expanding_zscore_property(tbl):
+    from featherstore_ray.stages.window import expanding_zscore
+
+    out = (
+        expanding_zscore(
+            ray.data.from_arrow(tbl).repartition(2),
+            entity_col="entity", ts_col="ts", value_col="value",
+            tiebreak="eid", num_buckets=3, round_digits=None,
+        ).to_pandas().set_index("eid").sort_index()["value_xz"]
+    )
+    df = tbl.to_pandas().sort_values(["entity", "ts", "eid"],
+                                     kind="stable")
+    for ent, g in df.groupby("entity"):
+        seen = []
+        for _, row in g.iterrows():
+            want = np.nan
+            prior = [x for x in seen if not pd.isna(x)]
+            if not pd.isna(row["value"]) and len(prior) >= 2:
+                mu = float(np.mean(prior))
+                sd = float(np.std(prior, ddof=1))
+                if sd > 0:
+                    want = (row["value"] - mu) / sd
+            got = out[row["eid"]]
+            if np.isnan(want):
+                assert pd.isna(got), (ent, row["eid"], got)
+            else:
+                assert abs(got - want) < 1e-9, (ent, row["eid"])
+            seen.append(row["value"])
