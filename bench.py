@@ -300,8 +300,10 @@ def run_bench() -> dict:
 # on any engine.
 CRITERION_PIPELINE = "tokens_feature_suite"
 SCALING_PIPELINES = ("feature_suite", "window_features", "tokens_feature_suite")
-# compute-bound regime probe: the same corpus through a 512-permutation
-# MinHash — ALU-dominated, so it shows scaling where DRAM isn't binding
+# compute-bound regime probe: an iterated CACHE-RESIDENT mix loop through
+# read→map_batches — ALU-dominated, shows scaling where DRAM isn't binding
+# (a 512-perm MinHash was tried and REJECTED: np.minimum.at is memory-
+# latency-bound, measured eff 0.43 — see CLAUDE.md scaling-probe lesson)
 COMPUTE_PIPELINE = "compute_probe"
 
 # Parallelism levels for N→4N: this sandbox exposes 32 SMT threads on ~16

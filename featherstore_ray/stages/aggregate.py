@@ -286,6 +286,39 @@ def unpivot(
     )
 
 
+
+def _grouping_sets_levels(keys, merge_fns, subsets, round_digits):
+    """Re-reduce the finest aggregate over ``subsets`` (lists of key
+    columns), null-filling grouped-out keys — the shared single-block
+    finish of rollup (prefix subsets) and cube (all subsets)."""
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [df]
+        for sub in subsets:
+            sub = list(sub)
+            if sub:
+                g = df.groupby(sub, sort=False)
+                lvl = pd.DataFrame(
+                    {o: g[o].agg(m) for o, m in merge_fns.items()}
+                ).reset_index()
+            else:
+                lvl = pd.DataFrame(
+                    {o: [df[o].agg(m)] for o, m in merge_fns.items()}
+                )
+            for k in keys:
+                if k not in sub:
+                    lvl[k] = None
+            frames.append(lvl[list(df.columns)])
+        out = pd.concat(frames, ignore_index=True)
+        if round_digits is not None:
+            for c in out.columns:
+                if c not in keys and out[c].dtype.kind == "f":
+                    out[c] = out[c].round(round_digits)
+        return out
+
+    return levels
+
+
 def rollup(
     ds: ray.data.Dataset,
     keys: Sequence[str],
@@ -312,29 +345,8 @@ def rollup(
     )
     merge_fns = {out: _MERGE[fn] for out, (_c, fn) in aggs.items()}
 
-    def levels(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [df]
-        for depth in range(len(keys) - 1, -1, -1):
-            sub = keys[:depth]
-            if sub:
-                g = df.groupby(sub, sort=False)
-                lvl = pd.DataFrame(
-                    {o: g[o].agg(m) for o, m in merge_fns.items()}
-                ).reset_index()
-            else:
-                lvl = pd.DataFrame(
-                    {o: [df[o].agg(m)] for o, m in merge_fns.items()}
-                )
-            for k in keys[depth:]:
-                lvl[k] = None
-            frames.append(lvl[list(df.columns)])
-        out = pd.concat(frames, ignore_index=True)
-        if round_digits is not None:
-            for c in out.columns:
-                if c not in keys and out[c].dtype.kind == "f":
-                    out[c] = out[c].round(round_digits)
-        return out
-
+    subsets = [keys[:d] for d in range(len(keys) - 1, -1, -1)]
+    levels = _grouping_sets_levels(keys, merge_fns, subsets, round_digits)
     return finest.repartition(1).map_batches(
         levels, batch_size=None, batch_format="pandas"
     )
@@ -363,31 +375,9 @@ def cube(
     )
     merge_fns = {out: _MERGE[fn] for out, (_c, fn) in aggs.items()}
 
-    def levels(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [df]
-        for r in range(len(keys) - 1, -1, -1):
-            for sub in combinations(keys, r):
-                sub = list(sub)
-                if sub:
-                    g = df.groupby(sub, sort=False)
-                    lvl = pd.DataFrame(
-                        {o: g[o].agg(m) for o, m in merge_fns.items()}
-                    ).reset_index()
-                else:
-                    lvl = pd.DataFrame(
-                        {o: [df[o].agg(m)] for o, m in merge_fns.items()}
-                    )
-                for k in keys:
-                    if k not in sub:
-                        lvl[k] = None
-                frames.append(lvl[list(df.columns)])
-        out = pd.concat(frames, ignore_index=True)
-        if round_digits is not None:
-            for c in out.columns:
-                if c not in keys and out[c].dtype.kind == "f":
-                    out[c] = out[c].round(round_digits)
-        return out
-
+    subsets = [list(s) for r in range(len(keys) - 1, -1, -1)
+               for s in combinations(keys, r)]
+    levels = _grouping_sets_levels(keys, merge_fns, subsets, round_digits)
     return finest.repartition(1).map_batches(
         levels, batch_size=None, batch_format="pandas"
     )
@@ -417,7 +407,13 @@ def co_occurrence(
 
     from featherstore_ray.stages.dedup import pair_indices
 
-    proj = ds.select_columns([group_col, item_col])
+    # drop null group/item rows explicitly: a null item would crash the
+    # lexsort pair kernel (object arrays can't compare None to str) and
+    # SQL's inner self-join excludes them anyway
+    proj = ds.select_columns([group_col, item_col]).map_batches(
+        lambda t: t.drop_null(),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    )
     tagged = add_bucket_column(proj, group_col, num_buckets)
 
     def _empty(item_type: "pa.DataType") -> pa.Table:
@@ -479,6 +475,31 @@ def co_occurrence(
     )
 
 
+
+def _xy_moment_partial(gk, x_col, y_col):
+    """Per-batch (n, Σx, Σy, Σx², Σy², Σxy) moment collapse shared by
+    group_corr and group_linear_fit. Null group keys and null x/y rows
+    are excluded — mirrored by each caller's oracle WHERE."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gk + [x_col, y_col]].dropna(subset=gk + [x_col, y_col])
+        if df.empty:
+            return pd.DataFrame(
+                {**{k: df[k] for k in gk},
+                 **{c: pd.Series(dtype="float64")
+                    for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")}}
+            )
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        d = df[gk].copy()
+        d["_n"] = 1.0
+        d["_sx"], d["_sy"] = x, y
+        d["_sxx"], d["_syy"], d["_sxy"] = x * x, y * y, x * y
+        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+
+    return partial
+
+
 def group_corr(
     ds: ray.data.Dataset,
     group_keys: Sequence[str],
@@ -502,21 +523,7 @@ def group_corr(
     """
     gk = list(group_keys)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gk + [x_col, y_col]].dropna(subset=gk + [x_col, y_col])
-        if df.empty:
-            return pd.DataFrame(
-                {**{k: df[k] for k in gk},
-                 **{c: pd.Series(dtype="float64")
-                    for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")}}
-            )
-        x = df[x_col].to_numpy(dtype=np.float64)
-        y = df[y_col].to_numpy(dtype=np.float64)
-        d = df[gk].copy()
-        d["_n"] = 1.0
-        d["_sx"], d["_sy"] = x, y
-        d["_sxx"], d["_syy"], d["_sxy"] = x * x, y * y, x * y
-        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+    partial = _xy_moment_partial(gk, x_col, y_col)
 
     parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
 
@@ -720,10 +727,16 @@ def funnel(
     ).to_pandas()  # stages × buckets rows — bounded
     import pyarrow as pa
 
-    out = parts.groupby("stage", sort=False)["users"].sum().reindex(stages)
+    if parts.empty:  # no event matched any stage: all-zero funnel, not a crash
+        totals = np.zeros(len(stages), dtype=np.int64)
+    else:
+        totals = (
+            parts.groupby("stage", sort=False)["users"].sum()
+            .reindex(stages).fillna(0).to_numpy(dtype=np.int64)
+        )
     return ray.data.from_arrow(pa.table({
         "stage": pa.array(stages, pa.string()),
-        "users": pa.array(out.to_numpy(dtype=np.int64), pa.int64()),
+        "users": pa.array(totals, pa.int64()),
     }))
 
 
@@ -764,6 +777,12 @@ def transition_counts(
     ).to_pandas()  # vocab² × buckets rows — bounded
     import pyarrow as pa
 
+    if parts.empty:  # fully-empty input: typed empty result, not a KeyError
+        return ray.data.from_arrow(pa.table({
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }))
     out = (parts.groupby(["prev_type", "next_type"], sort=True)["n"]
            .sum().reset_index())
     out["n"] = out["n"].astype(np.int64)
@@ -869,6 +888,12 @@ def cohort_retention(
     ).to_pandas()  # cohorts × offsets × buckets rows — bounded
     import pyarrow as pa
 
+    if merged.empty:  # fully-empty input: typed empty result, not a KeyError
+        merged = pd.DataFrame({
+            "_cohort": pd.Series(dtype="int64"),
+            "_off": pd.Series(dtype="int64"),
+            "users": pd.Series(dtype="int64"),
+        })
     out = (
         merged.groupby(["_cohort", "_off"], sort=True)["users"]
         .sum().reset_index()
@@ -984,21 +1009,7 @@ def group_linear_fit(
     """
     gk = list(group_keys)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gk + [x_col, y_col]].dropna(subset=gk + [x_col, y_col])
-        if df.empty:
-            return pd.DataFrame(
-                {**{k: df[k] for k in gk},
-                 **{c: pd.Series(dtype="float64")
-                    for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")}}
-            )
-        x = df[x_col].to_numpy(dtype=np.float64)
-        y = df[y_col].to_numpy(dtype=np.float64)
-        d = df[gk].copy()
-        d["_n"] = 1.0
-        d["_sx"], d["_sy"] = x, y
-        d["_sxx"], d["_syy"], d["_sxy"] = x * x, y * y, x * y
-        return d.groupby(gk, sort=False, observed=True).sum().reset_index()
+    partial = _xy_moment_partial(gk, x_col, y_col)
 
     parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
 

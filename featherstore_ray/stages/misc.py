@@ -1000,8 +1000,12 @@ def source_mix(
     def count_partial(t: pa.Table) -> pa.Table:
         vc = pd.Series(
             t[source_col].to_numpy(zero_copy_only=False)).value_counts()
+        # keep the source's ORIGINAL type: stringifying the index here
+        # while looking proportions up by raw value silently misaligns
+        # counts for non-string source columns
         return pa.table({
-            source_col: vc.index.astype(str),
+            source_col: pa.array(vc.index.tolist(),
+                                 t.schema.field(source_col).type),
             "_n": vc.to_numpy().astype(np.int64),
         })
 

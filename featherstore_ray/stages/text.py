@@ -721,6 +721,11 @@ def wrap_words(
         line_base = np.concatenate(([0], np.cumsum(n_lines)))
         within = np.arange(total_lines) - np.repeat(line_base[:-1], n_lines)
         starts = np.repeat(offsets[:-1], n_lines) + within * wpl
+        if offsets[-1] >= (1 << 31):  # Arrow list offsets are int32
+            raise ValueError(
+                "wrap_words block has too many words for int32 list "
+                f"offsets ({int(offsets[-1])}); read with more blocks"
+            )
         line_offsets = np.append(starts, offsets[-1]).astype(np.int32)
         lines = pc.binary_join(
             pa.ListArray.from_arrays(line_offsets, flat), " "
@@ -1159,8 +1164,15 @@ def chunk_text(
         abs_lo = ooffs[:-1][doc_idx] + tok_start
         abs_hi = ooffs[:-1][doc_idx] + tok_end
         out_lens = abs_hi - abs_lo
-        out_offs = np.concatenate(
-            ([0], np.cumsum(out_lens))).astype(np.int32)
+        out_offs64 = np.concatenate(([0], np.cumsum(out_lens)))
+        if out_offs64[-1] >= (1 << 31):  # Arrow string offsets are int32
+            raise ValueError(
+                "chunk_text output exceeds 2 GiB in one block "
+                f"({int(out_offs64[-1])} bytes) — overlap amplification "
+                "overflowed int32 string offsets; reduce the block size "
+                "(read with more blocks) or the window/stride ratio"
+            )
+        out_offs = out_offs64.astype(np.int32)
         out_buf = np.empty(int(out_offs[-1]), dtype=np.uint8)
         # gather chunk bytes: vectorized per-chunk copy via repeat/arange
         idx = np.repeat(abs_lo, out_lens) + (

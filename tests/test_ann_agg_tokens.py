@@ -937,3 +937,41 @@ def test_moment_partial_ops_drop_null_group_keys():
     out = grouped_weighted_stats(
         ray.data.from_arrow(w).repartition(3), ["g"], "x", "w")
     assert len(out.to_pandas()) == 1
+
+
+def test_empty_and_null_robustness_for_driver_mergers():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import (
+        co_occurrence, funnel, transition_counts)
+    from featherstore_ray.stages.misc import source_mix
+
+    ts = pa.array(pd.to_datetime(["2024-01-01", "2024-01-02"]
+                                 ).astype("datetime64[us]"))
+    ev = pa.table({"u": [1, 1], "ts": ts, "et": ["click", "view"]})
+    # funnel with zero matching events -> all-zero rows, no crash
+    out = funnel(ray.data.from_arrow(ev), entity_col="u", ts_col="ts",
+                 type_col="et", stages=["signup", "buy"],
+                 num_buckets=2).to_pandas()
+    assert list(out["users"]) == [0, 0]
+    # transitions on an entity with one event -> typed empty, no crash
+    one = pa.table({"u": [1], "ts": ts.slice(0, 1), "et": ["click"]})
+    tr = transition_counts(ray.data.from_arrow(one), entity_col="u",
+                           ts_col="ts", type_col="et",
+                           num_buckets=2).to_pandas()
+    # Ray's to_pandas drops the schema of a fully-empty dataset; the point
+    # is the merge no longer raises KeyError
+    assert len(tr) == 0
+    # co_occurrence with null items -> nulls dropped, no TypeError
+    b = pa.table({"g": [1, 1, 1, 2], "it": ["a", "b", None, "a"]})
+    co = co_occurrence(ray.data.from_arrow(b), group_col="g", item_col="it",
+                       num_buckets=2).to_pandas()
+    assert len(co) == 1 and (co.iloc[0]["a"], co.iloc[0]["b"]) == ("a", "b")
+    # source_mix with INT source column: counts align by raw value
+    src = pa.table({"s": [0, 0, 0, 0, 10, 10], "k": [1, 2, 3, 4, 5, 6]})
+    mixed = source_mix(ray.data.from_arrow(src), "s", "k",
+                       {0: 0.5, 10: 0.5}).to_pandas()
+    # cap = min(4/.5, 2/.5) = 4 -> keep ~2 of each source; exact keep set is
+    # hash-determined, but source 10 must NOT be starved by misaligned counts
+    assert set(mixed["s"].unique()) <= {0, 10}
+    assert (mixed["s"] == 10).sum() >= 1
