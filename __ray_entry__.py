@@ -2372,6 +2372,26 @@ def q_target_encode(sf_dir: str):
     ).select_columns(["event_id", "value_te"])
 
 
+def q_expect(sf_dir: str):
+    """Declarative data-quality gate over events (great-expectations-style
+    rules): per-rule violation counts from two-int block partials; the
+    unique rule routes through the count_distinct exchange."""
+    from featherstore_ray.stages.misc import expect
+
+    return expect(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value", "props"]),
+        [
+            {"col": "value", "kind": "not_null"},
+            {"col": "value", "kind": "between", "lo": 0.0, "hi": 1000.0},
+            {"col": "event_type", "kind": "in_set",
+             "values": ["click", "view", "purchase", "error", "signup"]},
+            {"col": "props", "kind": "regex", "pattern": r"^\{.*\}$"},
+            {"col": "event_id", "kind": "unique"},
+        ],
+    )
+
+
 def q_count_distinct(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — the exact companion to
     hll_distinct: per-batch (group, value) dedup partial, one exchange of
@@ -2700,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc": q_ohlc,
         "count_distinct": q_count_distinct,
         "time_features": q_time_features,
+        "expect": q_expect,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "expanding_zscore": q_expanding_zscore,
@@ -3320,6 +3341,45 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "expect": """
+            SELECT 'value:not_null' AS rule,
+                   count(*) - count(value) AS violations,
+                   count(*) AS total,
+                   count(*) - count(value) = 0 AS passed
+            FROM events
+            UNION ALL
+            SELECT 'value:between',
+                   count(value) - count(CASE WHEN value >= 0.0
+                                        AND value <= 1000.0 THEN 1 END),
+                   count(value),
+                   count(value) = count(CASE WHEN value >= 0.0
+                                        AND value <= 1000.0 THEN 1 END)
+            FROM events
+            UNION ALL
+            SELECT 'event_type:in_set',
+                   count(event_type) - count(CASE WHEN event_type IN
+                       ('click', 'view', 'purchase', 'error', 'signup')
+                       THEN 1 END),
+                   count(event_type),
+                   count(event_type) = count(CASE WHEN event_type IN
+                       ('click', 'view', 'purchase', 'error', 'signup')
+                       THEN 1 END)
+            FROM events
+            UNION ALL
+            SELECT 'props:regex',
+                   count(props) - count(CASE WHEN
+                       regexp_matches(props, '^\\{.*\\}$') THEN 1 END),
+                   count(props),
+                   count(props) = count(CASE WHEN
+                       regexp_matches(props, '^\\{.*\\}$') THEN 1 END)
+            FROM events
+            UNION ALL
+            SELECT 'event_id:unique',
+                   count(event_id) - count(DISTINCT event_id),
+                   count(event_id),
+                   count(event_id) = count(DISTINCT event_id)
+            FROM events
         """,
         "count_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -1239,3 +1239,130 @@ def share_of_group(
         transform, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def expect(
+    ds: ray.data.Dataset,
+    rules: Sequence[dict],
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Declarative data-quality gate — evaluate expectation rules over the
+    dataset and report per-rule violation counts (the great-expectations
+    validation step pipelines run before training). Each rule is a dict:
+
+    - ``{"col", "kind": "not_null"}`` — violations = null rows
+    - ``{"col", "kind": "between", "lo", "hi"}`` — non-null values outside
+      [lo, hi]
+    - ``{"col", "kind": "in_set", "values": [...]}`` — non-null values not
+      in the set
+    - ``{"col", "kind": "regex", "pattern"}`` — non-null strings NOT
+      matching the RE2 pattern (SQL ``regexp_matches`` mirror)
+    - ``{"col", "kind": "unique"}`` — duplicate rows =
+      non-null total − distinct count
+
+    Output: (rule:string, violations:int64, total:int64, passed:bool),
+    one row per rule in input order; ``rule`` is ``"{col}:{kind}"``.
+
+    Scale shape: every rule except ``unique`` collapses each block to two
+    ints (violations, total) — a pure map + driver sum. ``unique`` routes
+    through the count_distinct shape: per-batch distinct-value partials,
+    ONE hash(value) exchange, per-bucket distinct counts summed
+    driver-side (the only rule that must see values globally).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rules = [dict(r) for r in rules]
+    simple = [(i, r) for i, r in enumerate(rules) if r["kind"] != "unique"]
+    uniq = [(i, r) for i, r in enumerate(rules) if r["kind"] == "unique"]
+
+    cols = sorted({r["col"] for r in rules})
+    proj = ds.select_columns(cols)
+
+    def counts(t: pa.Table) -> pa.Table:
+        viol, tot = [], []
+        for _i, r in simple:
+            col = t[r["col"]]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = col.is_valid()
+            n_valid = pc.sum(valid).as_py() or 0
+            if r["kind"] == "not_null":
+                viol.append(t.num_rows - n_valid)
+                tot.append(t.num_rows)
+                continue
+            if r["kind"] == "between":
+                ok = pc.and_(pc.greater_equal(col, r["lo"]),
+                             pc.less_equal(col, r["hi"]))
+            elif r["kind"] == "in_set":
+                ok = pc.is_in(col, value_set=pa.array(r["values"]))
+            elif r["kind"] == "regex":
+                ok = pc.match_substring_regex(col, r["pattern"])
+            else:
+                raise ValueError(f"unknown rule kind {r['kind']!r}")
+            n_ok = pc.sum(pc.and_(valid, pc.fill_null(ok, False))).as_py() or 0
+            viol.append(n_valid - n_ok)
+            tot.append(n_valid)
+        return pa.table({
+            "idx": pa.array([i for i, _ in simple], pa.int64()),
+            "v": pa.array(viol, pa.int64()),
+            "t": pa.array(tot, pa.int64()),
+        })
+
+    results: dict[int, tuple[int, int]] = {}
+    if simple:
+        agg = (
+            proj.map_batches(counts, batch_size=None, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .to_pandas().groupby("idx")[["v", "t"]].sum()
+        )
+        for i, _r in simple:
+            results[i] = (int(agg.loc[i, "v"]), int(agg.loc[i, "t"]))
+
+    for i, r in uniq:
+        col = r["col"]
+
+        def upart(t: pa.Table, col=col) -> pa.Table:
+            c = t[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            c = c.drop_null()
+            u = pc.unique(c)
+            # first row of each partial carries the batch's non-null total
+            n = np.zeros(len(u), dtype=np.int64)
+            if len(n):
+                n[0] = len(c)
+            return pa.table({"val": u, "n": pa.array(n)})
+
+        parts = proj.select_columns([col]).map_batches(
+            upart, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        from featherstore_ray.exchange import bucketed_map_groups
+        from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "d": [df["val"].nunique()],
+                "n": [df["n"].sum()],
+            })
+
+        merged = bucketed_map_groups(
+            add_bucket_column(parts, "val", num_buckets),
+            lambda df: per_bucket(df.drop(columns=[BUCKET_COL])),
+            num_buckets=num_buckets, batch_format="pandas",
+        ).to_pandas()
+        total = int(merged["n"].sum())
+        distinct_n = int(merged["d"].sum())
+        results[i] = (total - distinct_n, total)
+
+    names = [f"{r['col']}:{r['kind']}" for r in rules]
+    v = [results[i][0] for i in range(len(rules))]
+    t_ = [results[i][1] for i in range(len(rules))]
+    return ray.data.from_arrow(pa.table({
+        "rule": pa.array(names, pa.string()),
+        "violations": pa.array(v, pa.int64()),
+        "total": pa.array(t_, pa.int64()),
+        "passed": pa.array([x == 0 for x in v], pa.bool_()),
+    }))

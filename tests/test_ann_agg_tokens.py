@@ -975,3 +975,32 @@ def test_empty_and_null_robustness_for_driver_mergers():
     # hash-determined, but source 10 must NOT be starved by misaligned counts
     assert set(mixed["s"].unique()) <= {0, 10}
     assert (mixed["s"] == 10).sum() >= 1
+
+
+def test_expect_rules_count_violations():
+    from featherstore_ray.stages.misc import expect
+
+    t = pa.table({
+        "v": pa.array([1.0, 50.0, None, 2000.0, -1.0], pa.float64()),
+        "c": ["a", "b", "zz", "a", None],
+        "k": [1, 2, 2, 3, 3],
+        "s": ["{x}", "nope", "{y}", None, "{z}"],
+    })
+    out = expect(
+        ray.data.from_arrow(t).repartition(3),
+        [
+            {"col": "v", "kind": "not_null"},
+            {"col": "v", "kind": "between", "lo": 0.0, "hi": 100.0},
+            {"col": "c", "kind": "in_set", "values": ["a", "b"]},
+            {"col": "s", "kind": "regex", "pattern": r"^\{.*\}$"},
+            {"col": "k", "kind": "unique"},
+        ],
+        num_buckets=2,
+    ).to_pandas().set_index("rule")
+    assert out.loc["v:not_null", "violations"] == 1
+    assert out.loc["v:between", ["violations", "total"]].tolist() == [2, 4]
+    assert out.loc["c:in_set", "violations"] == 1
+    assert out.loc["s:regex", ["violations", "total"]].tolist() == [1, 4]
+    # k has 5 non-null rows, 3 distinct -> 2 duplicates
+    assert out.loc["k:unique", ["violations", "total"]].tolist() == [2, 5]
+    assert not out["passed"].any()
