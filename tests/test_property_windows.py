@@ -264,3 +264,30 @@ def test_expanding_zscore_property(tbl):
             else:
                 assert abs(got - want) < 1e-9, (ent, row["eid"])
             seen.append(row["value"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(event_tables())
+def test_ohlc_property(tbl):
+    from featherstore_ray.stages.aggregate import ohlc
+
+    out = ohlc(
+        ray.data.from_arrow(tbl).repartition(3),
+        "entity", "ts", "value", "eid", num_buckets=3, round_digits=None,
+    ).to_pandas()
+    df = tbl.to_pandas().dropna(subset=["value"])
+    if df.empty:
+        assert len(out) == 0
+        return
+    df = df.assign(period=df["ts"].dt.floor("D"))
+    got = out.set_index(["entity", "period"]).sort_index()
+    ref_groups = df.groupby(["entity", "period"])
+    assert len(got) == ref_groups.ngroups
+    for key, g in ref_groups:
+        g = g.sort_values(["ts", "eid"], kind="stable")
+        r = got.loc[key]
+        assert r["open"] == g["value"].iloc[0], key
+        assert r["close"] == g["value"].iloc[-1], key
+        assert r["high"] == g["value"].max(), key
+        assert r["low"] == g["value"].min(), key
+        assert r["volume"] == len(g), key
