@@ -2372,6 +2372,38 @@ def q_target_encode(sf_dir: str):
     ).select_columns(["event_id", "value_te"])
 
 
+def q_merge_upsert(sf_dir: str):
+    """Incremental snapshot maintenance: upsert the second half-month's
+    latest-per-user profile into the first half's — result must equal the
+    latest-per-user over the WHOLE table (the oracle), proving recency
+    resolution across base/delta."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.latest import latest_per_entity, merge_upsert
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    cutoff = np.datetime64("2024-01-15", "us")
+
+    def _half(before: bool):
+        def f(t):
+            m = pc.less(t["ts"], pa.scalar(cutoff))
+            return t.filter(m if before else pc.invert(m))
+        return f
+
+    base = latest_per_entity(
+        ev.map_batches(_half(True), batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        entity_col="user_id", ts_col="ts", tiebreak="event_id")
+    delta = latest_per_entity(
+        ev.map_batches(_half(False), batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        entity_col="user_id", ts_col="ts", tiebreak="event_id")
+    return merge_upsert(
+        base, delta, entity_col="user_id", ts_col="ts", tiebreak="event_id")
+
+
 def q_expect(sf_dir: str):
     """Declarative data-quality gate over events (great-expectations-style
     rules): per-rule violation counts from two-int block partials; the
@@ -2721,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q_count_distinct,
         "time_features": q_time_features,
         "expect": q_expect,
+        "merge_upsert": q_merge_upsert,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "expanding_zscore": q_expanding_zscore,
@@ -3341,6 +3374,15 @@ def oracle_sql() -> dict[str, str]:
                    round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6)
                        AS value_rs
             FROM events e LEFT JOIN q ON e.event_type = q.event_type
+        """,
+        "merge_upsert": """
+            SELECT event_id, user_id, ts, event_type, value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "expect": """
             SELECT 'value:not_null' AS rule,

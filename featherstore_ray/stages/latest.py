@@ -126,3 +126,35 @@ def top_n_per_group(
     return bucketed_map_groups(
         ds, final, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def merge_upsert(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SCD-1 upsert — the feature-store incremental-maintenance primitive:
+    merge a delta batch into a base snapshot keeping ONE row per key, the
+    latest by (ts, tiebreak) across both sides. Keys only in the base
+    survive unchanged; keys only in the delta insert; overlapping keys
+    resolve by recency (the delta wins exactly when it is newer — same
+    deterministic ordering as :func:`latest_per_entity`, so repeated
+    upserts are idempotent and order-independent for distinct
+    timestamps).
+
+    Scale shape: the union streams; each side's blocks collapse to
+    per-batch winners BEFORE the one hash(key) exchange (the
+    latest_per_entity two-stage reduce on the concatenated lineage) —
+    the exchange carries candidate winners, never snapshots.
+    """
+    return latest_per_entity(
+        base.union(delta),
+        entity_col=entity_col,
+        ts_col=ts_col,
+        tiebreak=tiebreak,
+        num_buckets=num_buckets,
+    )

@@ -130,3 +130,41 @@ def test_bloom_build_probe_share_positions():
             (bl["bits"][(hi // 8).astype(np.int64)]
              & (1 << (hi % 8)).astype(np.uint8)) != 0
         ).all()
+
+
+def test_merge_upsert_semantics_and_idempotence():
+    import pandas as pd
+
+    from featherstore_ray.stages.latest import merge_upsert
+
+    base = pa.table({
+        "k": [1, 2, 3],
+        "ts": pa.array(pd.to_datetime(
+            ["2024-01-01", "2024-01-05", "2024-01-03"]
+        ).values.astype("datetime64[us]")),
+        "v": [10.0, 20.0, 30.0], "tb": [1, 2, 3],
+    })
+    delta = pa.table({
+        "k": [2, 3, 4],
+        "ts": pa.array(pd.to_datetime(
+            ["2024-01-04", "2024-01-03", "2024-01-02"]
+        ).values.astype("datetime64[us]")),
+        "v": [21.0, 31.0, 40.0], "tb": [5, 6, 7],
+    })
+    out = merge_upsert(
+        ray.data.from_arrow(base), ray.data.from_arrow(delta),
+        entity_col="k", ts_col="ts", tiebreak="tb", num_buckets=2,
+    ).to_pandas().set_index("k").sort_index()
+    # base-only key survives; delta-only inserts
+    assert out.loc[1, "v"] == 10.0 and out.loc[4, "v"] == 40.0
+    # older delta loses (k=2); equal-ts resolves by max tiebreak (k=3)
+    assert out.loc[2, "v"] == 20.0
+    assert out.loc[3, "v"] == 31.0 and out.loc[3, "tb"] == 6
+    # idempotent: upserting the delta again changes nothing
+    out2 = merge_upsert(
+        ray.data.from_arrow(pa.Table.from_pandas(
+            out.reset_index(), preserve_index=False)),
+        ray.data.from_arrow(delta),
+        entity_col="k", ts_col="ts", tiebreak="tb", num_buckets=2,
+    ).to_pandas().set_index("k").sort_index()
+    pd.testing.assert_frame_equal(out, out2[out.columns])
