@@ -2281,6 +2281,21 @@ def q_tokenize_bpe(sf_dir: str):
     return apply_bpe(docs, merges).select_columns(["doc_id", "n_tok_bpe"])
 
 
+def q_unigram_train(sf_dir: str):
+    """Unigram-LM tokenizer training (SentencePiece-style hard EM) over
+    the documents corpus: seed substrings + EM/prune rounds over the
+    Heaps-bounded word table, pieces + logprobs out. Iterative, not
+    SQL-expressible → rows-only; invariants (normalization, char
+    coverage, partition invariance, Viterbi optimality) are pytest-gated
+    (tests/test_corpus_ops.py)."""
+    from featherstore_ray.stages.text import unigram_train
+
+    return unigram_train(
+        _read(sf_dir, "documents", columns=["text"]),
+        vocab_size=60, seed_size=400, max_piece_len=5, num_rounds=3,
+    )
+
+
 def q_char_entropy(sf_dir: str):
     """Per-document character entropy (boilerplate/base64 spam signal):
     zero-copy byte-buffer bincount per batch, no shuffle."""
@@ -2743,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_stats": q_weighted_stats,
         "frequency_spectrum": q_frequency_spectrum,
         "bpe_train": q_bpe_train,
+        "unigram_train": q_unigram_train,
         "char_entropy": q_char_entropy,
         "tokenize_bpe": q_tokenize_bpe,
         "pmi": q_pmi,

@@ -1743,3 +1743,151 @@ def json_extract_scalar(
     return ds.map_batches(
         fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _viterbi_pieces(word: str, logp: dict, maxlen: int):
+    """Best unigram-LM segmentation of ``word`` (ties → shortest last
+    piece, deterministic). Single characters are guaranteed in ``logp``,
+    so a segmentation always exists. Returns the piece list."""
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        lo = max(0, i - maxlen)
+        for j in range(lo, i):
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            s = best[j] + lp
+            if s > best[i]:
+                best[i], back[i] = s, i - j
+    out, i = [], n
+    while i > 0:
+        l = back[i]
+        out.append(word[i - l:i])
+        i -= l
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    vocab_size: int = 100,
+    seed_size: int = 1000,
+    max_piece_len: int = 6,
+    num_rounds: int = 4,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style, hard-EM
+    variant) — the sampling-friendly sibling of :func:`bpe_train`: learn a
+    ``vocab_size`` piece vocabulary with log-probabilities by iterating
+    (Viterbi segmentation of every word under the current model) →
+    (re-estimate piece probabilities) → (prune lowest-count pieces on a
+    geometric schedule), single characters always retained so every word
+    stays segmentable. Deterministic: count ties prune lexicographically,
+    Viterbi ties prefer the shorter final piece.
+
+    Scale shape (the bpe_train factorization): the corpus collapses ONCE
+    to the Heaps-bounded distinct-word count table (shared vocab partial +
+    one hash(word) exchange); seeding and every EM round are map_batches
+    over that table with the piece table broadcast in the closure (KBs),
+    emitting per-batch piece-count partials merged driver-side. Rounds
+    touch vocab, never the corpus.
+
+    Returns a driver-side DataFrame (piece:string, logprob:float64,
+    n:int64) sorted by count desc, piece asc. Iterative and not
+    SQL-expressible → rows-only; invariants are pytest-gated.
+    """
+    import math
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def wpartial(t: pa.Table) -> pa.Table:
+        return _token_count_partial(t, text_col, key_name="w", count_name="c")
+
+    parts = ds.select_columns([text_col]).map_batches(
+        wpartial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    words = bucketed_map_groups(
+        add_bucket_column(parts, "w", num_buckets),
+        lambda df: df.drop(columns=[BUCKET_COL])
+        .groupby("w", as_index=False, sort=False)["c"].sum(),
+        num_buckets=num_buckets, batch_format="pandas",
+    ).map_batches(
+        lambda df: df[df["w"].str.len() > 0],
+        batch_size=None, batch_format="pandas",
+    ).materialize()
+
+    # seed: weighted substring counts over the word table
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for w, c in zip(df["w"], df["c"]):
+            n = len(w)
+            for l in range(1, min(max_piece_len, n) + 1):
+                for j in range(n - l + 1):
+                    s = w[j:j + l]
+                    acc[s] = acc.get(s, 0) + c
+        return pd.DataFrame({"p": list(acc), "n": list(acc.values())})
+
+    seeds = (
+        words.map_batches(seed_partial, batch_size=None,
+                          batch_format="pandas")
+        .to_pandas().groupby("p", as_index=False)["n"].sum()
+        .sort_values(["n", "p"], ascending=[False, True], kind="stable")
+    )
+    chars = set(seeds.loc[seeds["p"].str.len() == 1, "p"])
+    top = seeds.head(seed_size)
+    pieces = set(top["p"]) | chars
+    counts = dict(zip(seeds["p"], seeds["n"].astype(float)))
+    cur = {p: counts[p] for p in pieces}
+
+    def em_counts(cur_logp: dict) -> pd.Series:
+        def epart(df: pd.DataFrame) -> pd.DataFrame:
+            acc: dict = {}
+            for w, c in zip(df["w"], df["c"]):
+                for p in _viterbi_pieces(w, cur_logp, max_piece_len):
+                    acc[p] = acc.get(p, 0) + c
+            return pd.DataFrame({"p": list(acc), "n": list(acc.values())})
+
+        return (
+            words.map_batches(epart, batch_size=None, batch_format="pandas")
+            .to_pandas().groupby("p")["n"].sum()
+        )
+
+    # geometric prune schedule seed_size -> vocab_size over num_rounds
+    sizes = [
+        max(vocab_size, int(round(seed_size
+                                  * (vocab_size / seed_size)
+                                  ** ((r + 1) / num_rounds))))
+        for r in range(num_rounds)
+    ]
+    em = None
+    for target in sizes:
+        tot = float(sum(cur.values()))
+        logp = {p: math.log(c / tot) for p, c in cur.items() if c > 0}
+        for ch in chars:  # unsegmentable-word floor
+            logp.setdefault(ch, math.log(0.5 / tot))
+        em = em_counts(logp)
+        ranked = em.reset_index().sort_values(
+            ["n", "p"], ascending=[False, True], kind="stable")
+        keep = set(ranked.head(target)["p"]) | chars
+        cur = {
+            p: float(em.get(p, 0.0)) if em.get(p, 0.0) > 0 else 1.0
+            for p in keep
+        }
+
+    tot = float(sum(cur.values()))
+    out = pd.DataFrame({
+        "piece": list(cur), "n": [int(v) for v in cur.values()],
+    })
+    out["logprob"] = np.log(np.array([cur[p] for p in out["piece"]]) / tot)
+    out = out.sort_values(["n", "piece"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    out["logprob"] = out["logprob"].round(6)
+    return out[["piece", "logprob", "n"]]

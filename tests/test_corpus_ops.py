@@ -925,3 +925,47 @@ def test_pmi_null_docs_do_not_shift_nb():
         min_count=2,
     ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_unigram_train_invariants_and_block_invariance():
+    import math
+
+    from featherstore_ray.stages.text import _viterbi_pieces, unigram_train
+
+    docs = ["banana band bandana", "the band and the banana", "ana ana ban",
+            ""] * 4
+    outs = []
+    for parts in (1, 3):
+        out = unigram_train(
+            ray.data.from_arrow(pa.table({"text": docs})).repartition(parts),
+            vocab_size=20, seed_size=60, max_piece_len=4, num_rounds=3,
+            num_buckets=4,
+        )
+        outs.append(out)
+    # partition-count invariant (merge correctness)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # every character of the corpus is in the vocabulary
+    corpus_chars = {ch for d in docs for w in d.split(" ") for ch in w}
+    assert corpus_chars <= set(out["piece"])
+    # probabilities normalize
+    assert abs(np.exp(out["logprob"]).sum() - 1.0) < 1e-4
+    # the learned model segments every corpus word (chars guarantee it),
+    # and frequent substrings like 'an'/'ban'/'ana' earn multi-char pieces
+    logp = dict(zip(out["piece"], out["logprob"]))
+    for w in {w for d in docs for w in d.split(" ") if w}:
+        pieces = _viterbi_pieces(w, logp, 4)
+        assert "".join(pieces) == w
+    assert any(len(p) > 1 for p in out["piece"]), out["piece"].tolist()
+
+
+def test_viterbi_pieces_prefers_max_likelihood():
+    import math
+
+    from featherstore_ray.stages.text import _viterbi_pieces
+
+    logp = {"a": math.log(0.3), "b": math.log(0.3), "ab": math.log(0.4)}
+    assert _viterbi_pieces("ab", logp, 2) == ["ab"]       # 0.4 > 0.09
+    logp2 = {"a": math.log(0.5), "b": math.log(0.5), "ab": math.log(0.2)}
+    assert _viterbi_pieces("ab", logp2, 2) == ["a", "b"]  # 0.25 > 0.2
+    assert _viterbi_pieces("aab", logp2, 2) == ["a", "a", "b"]
