@@ -2296,6 +2296,22 @@ def q_unigram_train(sf_dir: str):
     )
 
 
+def q_tokenize_unigram(sf_dir: str):
+    """End-to-end unigram tokenizer pipeline: train a 60-piece unigram LM
+    on the corpus word table, then Viterbi-encode every document with the
+    broadcast vocabulary (distinct-word cache per batch) and report
+    per-doc piece counts. Rows-only (iterative training); both halves
+    pytest-gated."""
+    from featherstore_ray.stages.text import apply_unigram, unigram_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = unigram_train(
+        docs, vocab_size=60, seed_size=400, max_piece_len=5, num_rounds=2,
+    )
+    return apply_unigram(docs, vocab, max_piece_len=5).select_columns(
+        ["doc_id", "n_tok_unigram"])
+
+
 def q_char_entropy(sf_dir: str):
     """Per-document character entropy (boilerplate/base64 spam signal):
     zero-copy byte-buffer bincount per batch, no shuffle."""
@@ -2759,6 +2775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_spectrum": q_frequency_spectrum,
         "bpe_train": q_bpe_train,
         "unigram_train": q_unigram_train,
+        "tokenize_unigram": q_tokenize_unigram,
         "char_entropy": q_char_entropy,
         "tokenize_bpe": q_tokenize_bpe,
         "pmi": q_pmi,

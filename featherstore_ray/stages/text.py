@@ -1747,8 +1747,11 @@ def json_extract_scalar(
 
 def _viterbi_pieces(word: str, logp: dict, maxlen: int):
     """Best unigram-LM segmentation of ``word`` (ties → shortest last
-    piece, deterministic). Single characters are guaranteed in ``logp``,
-    so a segmentation always exists. Returns the piece list."""
+    piece, deterministic). Training keeps every corpus character in
+    ``logp`` so a segmentation always exists there; at ENCODE time a
+    character unseen in training falls back to a single-char "unknown"
+    piece (¬back positions step one char) rather than looping. Returns
+    the piece list."""
     n = len(word)
     neg = float("-inf")
     best = [neg] * (n + 1)
@@ -1757,12 +1760,17 @@ def _viterbi_pieces(word: str, logp: dict, maxlen: int):
     for i in range(1, n + 1):
         lo = max(0, i - maxlen)
         for j in range(lo, i):
+            if best[j] == neg:
+                continue
             lp = logp.get(word[j:i])
             if lp is None:
                 continue
             s = best[j] + lp
             if s > best[i]:
                 best[i], back[i] = s, i - j
+        if back[i] == 0:  # position unreachable: unknown-char fallback
+            back[i] = 1
+            best[i] = best[i - 1] if best[i - 1] != neg else 0.0
     out, i = [], n
     while i > 0:
         l = back[i]
@@ -1891,3 +1899,46 @@ def unigram_train(
                           kind="stable").reset_index(drop=True)
     out["logprob"] = out["logprob"].round(6)
     return out[["piece", "logprob", "n"]]
+
+
+def apply_unigram(
+    ds: ray.data.Dataset,
+    vocab: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tok_unigram",
+    *,
+    max_piece_len: int = 6,
+) -> ray.data.Dataset:
+    """Encode the corpus with a learned unigram-LM vocabulary (the
+    inference side of :func:`unigram_train`): per document, the piece
+    count of the Viterbi-best segmentation of each word. Same scale shape
+    as :func:`apply_bpe`: the (KB-sized) piece table broadcasts in the
+    closure, each batch segments only its DISTINCT words (Heaps-bounded
+    word cache), and doc counts come from one vectorized segment-sum.
+    """
+    logp = dict(zip(vocab["piece"], vocab["logprob"].astype(float)))
+
+    def enc_len(word: str) -> int:
+        return len(_viterbi_pieces(word, logp, max_piece_len)) if word else 0
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        flat, offsets = _explode_words(t[text_col])
+        words = pd.Series(flat.to_pandas(), copy=False)
+        uniq = words.unique()
+        lut = pd.Series([enc_len(w) for w in uniq], index=uniq,
+                        dtype="int64")
+        per_word = words.map(lut).to_numpy(dtype=np.int64)
+        counts = np.add.reduceat(
+            np.concatenate([per_word, [0]]),
+            np.minimum(offsets[:-1], len(per_word)),
+        )
+        counts = np.where(offsets[1:] > offsets[:-1], counts, 0)
+        return t.append_column(out_col, pa.array(counts.astype(np.int64)))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

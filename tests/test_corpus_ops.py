@@ -969,3 +969,30 @@ def test_viterbi_pieces_prefers_max_likelihood():
     logp2 = {"a": math.log(0.5), "b": math.log(0.5), "ab": math.log(0.2)}
     assert _viterbi_pieces("ab", logp2, 2) == ["a", "b"]  # 0.25 > 0.2
     assert _viterbi_pieces("aab", logp2, 2) == ["a", "a", "b"]
+
+
+def test_apply_unigram_counts_and_unknown_chars():
+    import math
+
+    from featherstore_ray.stages.text import _viterbi_pieces, apply_unigram
+
+    vocab = pd.DataFrame({
+        "piece": ["ab", "a", "b", "c"],
+        "logprob": [math.log(0.4), math.log(0.25), math.log(0.25),
+                    math.log(0.1)],
+    })
+    texts = ["ab abc", "aaa", "", "azb"]  # 'z' unseen in the vocabulary
+    out = (
+        apply_unigram(
+            ray.data.from_arrow(pa.table({
+                "doc_id": list(range(4)), "text": texts,
+            })).repartition(2),
+            vocab, max_piece_len=2,
+        ).to_pandas().set_index("doc_id").sort_index()["n_tok_unigram"]
+    )
+    # 'ab'=1 piece; 'abc'=['ab','c']=2; 'aaa'=3; ''=0
+    assert list(out[[0, 1, 2]]) == [3, 3, 0]
+    # unknown char falls back to a single-char piece, no hang
+    assert out[3] == 3
+    logp = dict(zip(vocab["piece"], vocab["logprob"]))
+    assert _viterbi_pieces("azb", logp, 2) == ["a", "z", "b"]
