@@ -2575,6 +2575,17 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_gini(sf_dir: str):
+    """Per-user Gini concentration of event values (inequality audit):
+    one hash(group) exchange, lexsort + segmented rank dot product."""
+    from featherstore_ray.stages.aggregate import gini
+
+    return gini(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        "user_id", "value",
+    )
+
+
 def q_chi2_test(sf_dir: str):
     """Pearson chi-squared independence test between document language and
     source: same contingency partials as mutual_info, zero-cell-free
@@ -2789,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q_merge_upsert,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
+        "gini": q_gini,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3592,6 +3604,21 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "gini": """
+            WITH r AS (
+                SELECT user_id AS g, value AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value) AS rk,
+                       count(*) OVER (PARTITION BY user_id) AS n,
+                       sum(value) OVER (PARTITION BY user_id) AS s
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+            )
+            SELECT g AS user_id,
+                   round(2.0 * sum(rk * x) / (max(n) * nullif(max(s), 0))
+                         - (max(n) + 1.0) / max(n), 6) AS gini
+            FROM r GROUP BY g
         """,
         "chi2_test": """
             WITH j AS (

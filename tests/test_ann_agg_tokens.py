@@ -1004,3 +1004,21 @@ def test_expect_rules_count_violations():
     # k has 5 non-null rows, 3 distinct -> 2 duplicates
     assert out.loc["k:unique", ["violations", "total"]].tolist() == [2, 5]
     assert not out["passed"].any()
+
+
+def test_gini_known_values():
+    from featherstore_ray.stages.aggregate import gini
+
+    t = pa.table({
+        "g": ["eq"] * 4 + ["conc"] * 4 + ["zero"] * 2 + [None],
+        "v": [5.0, 5.0, 5.0, 5.0,      # perfect equality -> G = 0
+              0.0, 0.0, 0.0, 12.0,     # all mass on one -> G = (n-1)/n
+              0.0, 0.0,                # zero total -> null
+              9.0],                    # null group dropped
+    })
+    out = gini(ray.data.from_arrow(t).repartition(3), "g", "v",
+               num_buckets=2).to_pandas().set_index("g")["gini"]
+    assert len(out) == 3
+    assert abs(out["eq"]) < 1e-9
+    assert abs(out["conc"] - 0.75) < 1e-9
+    assert pd.isna(out["zero"])
