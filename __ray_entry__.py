@@ -2575,6 +2575,17 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_burstiness(sf_dir: str):
+    """Per-user inter-arrival burstiness (Goh-Barabási (σ−μ)/(σ+μ) over
+    event gaps): one entity exchange, sorted diff + segmented moments."""
+    from featherstore_ray.stages.window import burstiness
+
+    return burstiness(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        entity_col="user_id", ts_col="ts", tiebreak="event_id",
+    )
+
+
 def q_gini(sf_dir: str):
     """Per-user Gini concentration of event values (inequality audit):
     one hash(group) exchange, lexsort + segmented rank dot product."""
@@ -2801,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
+        "burstiness": q_burstiness,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3604,6 +3616,37 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "burstiness": """
+            WITH e AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            u AS (SELECT DISTINCT user_id FROM e),
+            d AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0 AS g
+                FROM e
+            ),
+            m AS (
+                SELECT user_id, count(g)::DOUBLE AS n,
+                       sum(g) AS s, sum(g * g) AS ss
+                FROM d WHERE g IS NOT NULL GROUP BY user_id
+            ),
+            v AS (
+                SELECT user_id, n, s / n AS mu,
+                       sqrt(greatest((ss - s * s / n) / (n - 1), 0)) AS sd
+                FROM m
+            )
+            SELECT u.user_id,
+                   round(v.mu, 6) AS gap_mean,
+                   round(CASE WHEN v.n >= 2 THEN v.sd END, 6) AS gap_std,
+                   round(CASE WHEN v.n >= 2 AND v.sd + v.mu > 0
+                         THEN (v.sd - v.mu) / (v.sd + v.mu) END, 6)
+                       AS burstiness
+            FROM u LEFT JOIN v USING (user_id)
         """,
         "gini": """
             WITH r AS (

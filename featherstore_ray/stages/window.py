@@ -929,3 +929,70 @@ def time_weighted_avg(
         batch_size=None, batch_format="pandas",
     )
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def burstiness(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity inter-arrival burstiness — Goh-Barabási
+    ``B = (σ − μ) / (σ + μ)`` over the gaps between consecutive events in
+    (ts, tiebreak) order (−1 = perfectly periodic, 0 = Poisson, →1 =
+    extremely bursty), plus the supporting ``gap_mean`` / ``gap_std``
+    seconds (sample std). Entities with < 3 events (< 2 gaps) yield null
+    B/std; all-zero-gap entities yield B = null (0/0).
+
+    One hash(entity) exchange; the kernel is a vectorized sorted diff +
+    segmented moment reduction — gaps never leave their bucket.
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col])
+        if df.empty:
+            return pd.DataFrame({
+                entity_col: df[entity_col],
+                "gap_mean": pd.Series(dtype="float64"),
+                "gap_std": pd.Series(dtype="float64"),
+                "burstiness": pd.Series(dtype="float64"),
+            })
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        sizes = np.diff(np.append(starts, n))
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(ts).astype(np.float64) / 1e6  # seconds
+        # gap i (rows i → i+1) is within-entity iff row i+1 isn't a start
+        mask = np.zeros(n, dtype=bool)
+        mask[starts] = True
+        valid = ~mask[1:]
+        ent_of_gap = np.repeat(np.arange(len(starts)), sizes)[1:]
+        d, ent_of_gap = d[valid], ent_of_gap[valid]
+        k = len(starts)
+        cnt = np.bincount(ent_of_gap, minlength=k).astype(np.float64)
+        s = np.bincount(ent_of_gap, weights=d, minlength=k)
+        ss = np.bincount(ent_of_gap, weights=d * d, minlength=k)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s / cnt
+            var = (ss - s * s / cnt) / (cnt - 1.0)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            b = np.where(sd + mu > 0, (sd - mu) / (sd + mu), np.nan)
+        mu = np.where(cnt >= 1, mu, np.nan)
+        sd = np.where(cnt >= 2, sd, np.nan)
+        b = np.where(cnt >= 2, b, np.nan)
+        out = pd.DataFrame({
+            entity_col: df[entity_col].to_numpy()[starts],
+            "gap_mean": mu, "gap_std": sd, "burstiness": b,
+        })
+        if round_digits is not None:
+            for c in ("gap_mean", "gap_std", "burstiness"):
+                out[c] = out[c].round(round_digits)
+        return out
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)

@@ -528,3 +528,34 @@ def test_expanding_zscore_strictly_prior_and_nulls():
     assert abs(out[4] - round((30 - 15) / np.sqrt(50.0), 6)) < 1e-9
     # row 5: prior = [10, 20, 30] (null skipped) -> mean 20, std 10
     assert abs(out[5] - round((15 - 20) / 10.0, 6)) < 1e-9
+
+
+def test_burstiness_known_cases():
+    import pandas as pd
+
+    from featherstore_ray.stages.window import burstiness
+
+    # periodic: gaps all 10s -> std 0 -> B = -1; bursty: gaps 1,1,28
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+         "2024-01-01 00:00:20", "2024-01-01 00:00:30",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+         "2024-01-01 00:00:02", "2024-01-01 00:00:30",
+         "2024-01-01 00:00:00"]
+    ).astype("datetime64[us]")
+    t = pa.table({
+        "e": [1, 1, 1, 1, 2, 2, 2, 2, 3],
+        "ts": pa.array(ts), "i": list(range(9)),
+    })
+    out = burstiness(
+        ray.data.from_arrow(t).repartition(3),
+        entity_col="e", ts_col="ts", tiebreak="i", num_buckets=2,
+    ).to_pandas().set_index("e").sort_index()
+    assert abs(out.loc[1, "burstiness"] + 1.0) < 1e-9  # periodic
+    assert abs(out.loc[1, "gap_mean"] - 10.0) < 1e-9
+    g = np.array([1.0, 1.0, 28.0])
+    mu, sd = g.mean(), g.std(ddof=1)
+    assert abs(out.loc[2, "burstiness"]
+               - round((sd - mu) / (sd + mu), 6)) < 1e-9
+    # single-event entity: mean/std/B all null
+    assert out.loc[[3]].isna().all().all()
