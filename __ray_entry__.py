@@ -2575,6 +2575,20 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values in time order
+    (momentum/periodicity signal): one entity exchange, sorted shift +
+    segmented Pearson moments, explicit-sum SQL mirror."""
+    from featherstore_ray.stages.window import autocorr
+
+    return autocorr(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
 def q_burstiness(sf_dir: str):
     """Per-user inter-arrival burstiness (Goh-Barabási (σ−μ)/(σ+μ) over
     event gaps): one entity exchange, sorted diff + segmented moments."""
@@ -2813,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_t": q_welch_t,
         "gini": q_gini,
         "burstiness": q_burstiness,
+        "autocorr": q_autocorr,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3616,6 +3631,31 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "autocorr": """
+            WITH d AS (
+                SELECT user_id, value AS b,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS a
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            p AS (SELECT user_id, a, b FROM d
+                  WHERE a IS NOT NULL AND b IS NOT NULL),
+            m AS (
+                SELECT user_id, count(*)::DOUBLE AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(a * a) AS saa,
+                       sum(b * b) AS sbb, sum(a * b) AS sab
+                FROM p GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN n >= 2 AND n * saa - sa * sa > 0
+                             AND n * sbb - sb * sb > 0
+                        THEN round((n * sab - sa * sb)
+                                   / sqrt((n * saa - sa * sa)
+                                          * (n * sbb - sb * sb)), 6)
+                   END AS acf1
+            FROM m
         """,
         "burstiness": """
             WITH e AS (

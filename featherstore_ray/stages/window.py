@@ -996,3 +996,66 @@ def burstiness(
         return out
 
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def autocorr(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "acf1",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity lag-1 autocorrelation of values in (ts, tiebreak) order —
+    sample Pearson over consecutive pairs (xₜ₋₁, xₜ), the standard
+    periodicity/momentum signal. Pairs with a null on either side are
+    excluded (SQL ``LAG`` + WHERE mirror); entities with zero valid pairs
+    are dropped, with < 2 pairs or zero variance on either side → null.
+
+    One hash(entity) exchange; the kernel is a sorted shift + segmented
+    bincount of the six Pearson moments — pairs never leave their bucket.
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col]
+        + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col])
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 out_col: pd.Series(dtype="float64")})
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        x = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = np.zeros(n, dtype=bool)
+        mask[starts] = True
+        a, b = x[:-1], x[1:]
+        valid = ~mask[1:] & ~np.isnan(a) & ~np.isnan(b)
+        sizes = np.diff(np.append(starts, n))
+        ent_of_pair = np.repeat(np.arange(len(starts)), sizes)[1:]
+        a, b, ent_of_pair = a[valid], b[valid], ent_of_pair[valid]
+        k = len(starts)
+        cnt = np.bincount(ent_of_pair, minlength=k).astype(np.float64)
+        sa = np.bincount(ent_of_pair, weights=a, minlength=k)
+        sb = np.bincount(ent_of_pair, weights=b, minlength=k)
+        saa = np.bincount(ent_of_pair, weights=a * a, minlength=k)
+        sbb = np.bincount(ent_of_pair, weights=b * b, minlength=k)
+        sab = np.bincount(ent_of_pair, weights=a * b, minlength=k)
+        va = cnt * saa - sa * sa
+        vb = cnt * sbb - sb * sb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((cnt >= 2) & (va > 0) & (vb > 0),
+                         (cnt * sab - sa * sb) / np.sqrt(va * vb), np.nan)
+        if round_digits is not None:
+            r = np.round(r, round_digits)
+        keep = cnt >= 1  # entities with zero valid pairs are dropped
+        return pd.DataFrame({
+            entity_col: df[entity_col].to_numpy()[starts][keep],
+            out_col: r[keep],
+        })
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)

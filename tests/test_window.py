@@ -559,3 +559,40 @@ def test_burstiness_known_cases():
                - round((sd - mu) / (sd + mu), 6)) < 1e-9
     # single-event entity: mean/std/B all null
     assert out.loc[[3]].isna().all().all()
+
+
+def test_autocorr_matches_manual():
+    import pandas as pd
+
+    from featherstore_ray.stages.window import autocorr
+
+    rng = np.random.default_rng(13)
+    n = 200
+    # AR(1)-ish series for entity 1; iid for entity 2; constant for 3
+    x1 = np.zeros(n)
+    for i in range(1, n):
+        x1[i] = 0.8 * x1[i - 1] + rng.normal()
+    x2 = rng.normal(0, 1, n)
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min").values.astype(
+        "datetime64[us]")
+    t = pa.table({
+        "e": [1] * n + [2] * n + [3] * 3,
+        "ts": pa.array(np.concatenate([ts, ts, ts[:3]])),
+        "v": np.concatenate([x1, x2, [7.0, 7.0, 7.0]]),
+        "i": list(range(2 * n + 3)),
+    })
+    out = autocorr(
+        ray.data.from_arrow(t).repartition(4),
+        entity_col="e", ts_col="ts", value_col="v", tiebreak="i",
+        num_buckets=2,
+    ).to_pandas().set_index("e")["acf1"]
+
+    def ref(x):
+        a, b = x[:-1], x[1:]
+        return np.corrcoef(a, b)[0, 1]
+
+    assert abs(out[1] - round(ref(x1), 6)) < 1e-6
+    assert abs(out[2] - round(ref(x2), 6)) < 1e-6
+    assert out[1] > 0.6 and abs(out[2]) < 0.25
+    # constant series: zero variance -> null
+    assert pd.isna(out[3])
