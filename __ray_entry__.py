@@ -2575,6 +2575,28 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_hhi(sf_dir: str):
+    """Herfindahl concentration of each user's event-type mix: contingency
+    partials, one group exchange, closed-form share-squared sum."""
+    from featherstore_ray.stages.aggregate import hhi
+
+    return hhi(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type",
+    )
+
+
+def q_wilson_ci(sf_dir: str):
+    """Per-user purchase-rate with Wilson 95% bounds (A/B-grade rate
+    summary): (n, successes) two-int partials, closed-form finish."""
+    from featherstore_ray.stages.aggregate import wilson_ci
+
+    return wilson_ci(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type", "purchase",
+    )
+
+
 def q_autocorr(sf_dir: str):
     """Per-user lag-1 autocorrelation of event values in time order
     (momentum/periodicity signal): one entity exchange, sorted shift +
@@ -2828,6 +2850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini": q_gini,
         "burstiness": q_burstiness,
         "autocorr": q_autocorr,
+        "hhi": q_hhi,
+        "wilson_ci": q_wilson_ci,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3631,6 +3655,41 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "hhi": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ),
+            n AS (SELECT user_id, sum(c)::DOUBLE AS n FROM c
+                  GROUP BY user_id)
+            SELECT c.user_id,
+                   round(sum((c.c::DOUBLE / n.n) * (c.c::DOUBLE / n.n)), 6)
+                       AS hhi
+            FROM c JOIN n USING (user_id) GROUP BY c.user_id
+        """,
+        "wilson_ci": """
+            WITH m AS (
+                SELECT user_id, count(event_type)::DOUBLE AS n,
+                       count(CASE WHEN event_type = 'purchase'
+                             THEN 1 END)::DOUBLE AS s
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            v AS (
+                SELECT user_id, n, s / n AS p,
+                       1.959964 AS z
+                FROM m WHERE n > 0
+            )
+            SELECT user_id, n::BIGINT AS n,
+                   round(p, 6) AS rate,
+                   round((p + z*z/(2*n) - z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
+                         / (1 + z*z/n), 6) AS ci_lo,
+                   round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
+                         / (1 + z*z/n), 6) AS ci_hi
+            FROM v
         """,
         "autocorr": """
             WITH d AS (

@@ -1754,3 +1754,112 @@ def gini(
         add_bucket_column(proj, group_col, num_buckets),
         kernel, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def hhi(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cat_col: str,
+    *,
+    out_col: str = "hhi",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Herfindahl-Hirschman concentration of a categorical mix per group —
+    ``HHI = Σ_c (n_c / n)²`` (1 = single category, 1/k = uniform over k):
+    the market-concentration view of :func:`group_entropy`. Null group or
+    category rows are excluded (oracle WHERE mirror).
+
+    Same two-stage shape as ``group_entropy``: per-batch
+    (group, category, count) partials, ONE group exchange of distinct
+    pairs, closed-form finish.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, cat_col]].dropna()
+        return (
+            d.groupby([group_col, cat_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.select_columns([group_col, cat_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby([group_col, cat_col], sort=True, observed=True)["_c"]
+            .sum().reset_index()
+        )
+        n = c.groupby(group_col, sort=True, observed=True)["_c"].transform(
+            "sum")
+        share = c["_c"].to_numpy(dtype=np.float64) / n.to_numpy(
+            dtype=np.float64)
+        c["_s2"] = share * share
+        out = c.groupby(group_col, sort=True, observed=True)["_s2"].sum(
+        ).rename(out_col).reset_index()
+        if round_digits is not None:
+            out[out_col] = out[out_col].round(round_digits)
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, group_col, num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+def wilson_ci(
+    ds: ray.data.Dataset,
+    group_col: str,
+    label_col: str,
+    success_value,
+    *,
+    z: float = 1.959964,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group conversion rate with the Wilson score interval — the
+    A/B-test-grade rate summary that stays sane at small n and p near
+    0/1: ``p̂ = s/n``, bounds ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) /
+    (1 + z²/n)``. Null labels don't count toward n; null group keys are
+    excluded.
+
+    Scale shape: each block collapses to (group, n, successes) —
+    two ints per group per block — merged driver-side; closed-form
+    finish mirrored literally by the oracle.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, label_col]].dropna(subset=[group_col])
+        g = d.groupby(group_col, sort=False, observed=True)[label_col]
+        return pd.DataFrame({
+            "_n": g.count(), "_s": g.apply(
+                lambda x: int((x == success_value).sum())),
+        }).reset_index()
+
+    m = (
+        ds.select_columns([group_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas().groupby(group_col, sort=True, observed=True)[
+            ["_n", "_s"]].sum()
+    )
+    n = m["_n"].to_numpy(dtype=np.float64)
+    s = m["_s"].to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = s / n
+        denom = 1.0 + z * z / n
+        center = p + z * z / (2.0 * n)
+        half = z * np.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        lo = (center - half) / denom
+        hi = (center + half) / denom
+    bad = n <= 0
+    for arr in (p, lo, hi):
+        arr[bad] = np.nan
+    if round_digits is not None:
+        p, lo, hi = (np.round(a, round_digits) for a in (p, lo, hi))
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(m.index.to_numpy()),
+        "n": pa.array(m["_n"].to_numpy(dtype=np.int64)),
+        "rate": pa.array(p), "ci_lo": pa.array(lo), "ci_hi": pa.array(hi),
+    }))

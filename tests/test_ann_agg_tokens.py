@@ -1022,3 +1022,31 @@ def test_gini_known_values():
     assert abs(out["eq"]) < 1e-9
     assert abs(out["conc"] - 0.75) < 1e-9
     assert pd.isna(out["zero"])
+
+
+def test_hhi_and_wilson_ci_known_values():
+    from featherstore_ray.stages.aggregate import hhi, wilson_ci
+
+    t = pa.table({
+        "g": ["u"] * 4 + ["m"] * 4 + [None],
+        "c": ["a", "b", "c", "d", "a", "a", "a", "b", "a"],
+    })
+    out = hhi(ray.data.from_arrow(t).repartition(3), "g", "c",
+              num_buckets=2).to_pandas().set_index("g")["hhi"]
+    assert len(out) == 2
+    assert abs(out["u"] - 0.25) < 1e-9              # uniform over 4
+    assert abs(out["m"] - (0.75**2 + 0.25**2)) < 1e-9
+
+    w = pa.table({
+        "g": ["a"] * 100 + ["b"] * 4,
+        "lab": ["yes"] * 30 + ["no"] * 70 + ["yes"] * 0 + ["no"] * 4,
+    })
+    ci = wilson_ci(ray.data.from_arrow(w).repartition(2), "g", "lab",
+                   "yes").to_pandas().set_index("g")
+    assert ci.loc["a", "n"] == 100 and abs(ci.loc["a", "rate"] - 0.3) < 1e-9
+    # Wilson 95% for 30/100: ~[0.2189, 0.3952]
+    assert abs(ci.loc["a", "ci_lo"] - 0.218938) < 1e-4
+    assert abs(ci.loc["a", "ci_hi"] - 0.395551) < 1e-3
+    # zero successes at n=4: lower bound is exactly 0 under Wilson
+    assert ci.loc["b", "rate"] == 0.0 and ci.loc["b", "ci_lo"] == 0.0
+    assert 0.3 < ci.loc["b", "ci_hi"] < 0.8
