@@ -2575,6 +2575,21 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_seq_entropy(sf_dir: str):
+    """Per-user Markov transition entropy of event-type sequences
+    (behavior predictability): sorted shift + one (entity, prev, next)
+    count per bucket, entropy finish — transitions never leave the
+    bucket."""
+    from featherstore_ray.stages.window import seq_entropy
+
+    return seq_entropy(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id",
+    )
+
+
 def q_hhi(sf_dir: str):
     """Herfindahl concentration of each user's event-type mix: contingency
     partials, one group exchange, closed-form share-squared sum."""
@@ -2852,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": q_autocorr,
         "hhi": q_hhi,
         "wilson_ci": q_wilson_ci,
+        "seq_entropy": q_seq_entropy,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3656,6 +3672,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS value_xz
             FROM b
         """,
+        "seq_entropy": """
+            WITH d AS (
+                SELECT user_id, event_type AS q,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS p
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+            ),
+            c AS (
+                SELECT user_id, p, q, count(*) AS c
+                FROM d WHERE p IS NOT NULL GROUP BY user_id, p, q
+            ),
+            np AS (SELECT user_id, p, sum(c) AS cp FROM c
+                   GROUP BY user_id, p),
+            n AS (SELECT user_id, sum(c)::DOUBLE AS n FROM c
+                  GROUP BY user_id)
+            SELECT c.user_id,
+                   round(-sum((c.c::DOUBLE / n.n)
+                              * ln(c.c::DOUBLE / np.cp::DOUBLE)), 6)
+                       AS seq_entropy
+            FROM c JOIN np USING (user_id, p) JOIN n USING (user_id)
+            GROUP BY c.user_id
+        """,
         "hhi": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS c
@@ -3779,7 +3819,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(n.n * (s.acc - 1), 6) AS chi2,
                    ((SELECT count(*) FROM px) - 1)
-                   * ((SELECT count(*) FROM py) - 1) AS dof
+                   * ((SELECT count(*) FROM py) - 1) AS dof,
+                   round(sqrt(n.n * (s.acc - 1)
+                              / (n.n * (least((SELECT count(*) FROM px),
+                                              (SELECT count(*) FROM py))
+                                        - 1))), 6) AS cramers_v
             FROM n CROSS JOIN s
         """,
         "welch_t": """

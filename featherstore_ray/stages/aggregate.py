@@ -1450,13 +1450,14 @@ def chi2_test(
     (same contingency partials, different statistic). Uses the
     zero-cell-free identity ``χ² = n·(Σ_obs o²/(rx·cy) − 1)`` so both
     engines sum over OBSERVED cells only; ``dof = (|X|−1)·(|Y|−1)`` over
-    observed marginals. One row out: (chi2, dof).
+    observed marginals; ``cramers_v = √(χ²/(n·(min(|X|,|Y|)−1)))`` — the
+    normalized effect size. One row out: (chi2, dof, cramers_v).
     """
     import pyarrow as pa
 
     j, n = _contingency(ds, x_col, y_col)
     if n == 0:
-        chi2, dof = np.nan, 0
+        chi2, dof, cramers_v = np.nan, 0, np.nan
     else:
         cx = j.groupby(x_col, sort=True, observed=True)["_c"].sum()
         cy = j.groupby(y_col, sort=True, observed=True)["_c"].sum()
@@ -1465,10 +1466,15 @@ def chi2_test(
         ry = j[y_col].map(cy).to_numpy(dtype=np.float64)
         chi2 = n * (float(np.sum(o * o / (rx * ry))) - 1.0)
         dof = (len(cx) - 1) * (len(cy) - 1)
+        kmin = min(len(cx), len(cy)) - 1
+        cramers_v = (
+            float(np.sqrt(chi2 / (n * kmin))) if kmin > 0 else np.nan
+        )
 
     return ray.data.from_arrow(pa.table({
         "chi2": [np.round(chi2, round_digits)],
         "dof": pa.array([dof], pa.int64()),
+        "cramers_v": [np.round(cramers_v, round_digits)],
     }))
 
 

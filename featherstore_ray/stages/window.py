@@ -1059,3 +1059,64 @@ def autocorr(
         })
 
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def seq_entropy(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "seq_entropy",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity Markov transition entropy — how UNPREDICTABLE the next
+    event type is given the current one: ``H = −Σ_{p,q} P(p,q)·ln P(q|p)``
+    (nats) over consecutive type pairs in (ts, tiebreak) order. 0 =
+    deterministic behavior chains, ln(k) = uniform hopping among k types.
+    Null type rows are excluded BEFORE pairing (they neither form nor
+    break a transition — mirrored by the oracle's pre-filter); entities
+    with zero transitions are dropped.
+
+    One hash(entity) exchange; the kernel is a sorted shift + one pandas
+    (entity, prev, next) count + vectorized entropy finish — transitions
+    never leave their bucket.
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, type_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 out_col: pd.Series(dtype="float64")})
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        mask = np.zeros(n, dtype=bool)
+        mask[starts] = True
+        tv = df[type_col].to_numpy()
+        ent = df[entity_col].to_numpy()
+        valid = ~mask[1:]
+        pairs = pd.DataFrame({
+            "e": ent[1:][valid], "p": tv[:-1][valid], "q": tv[1:][valid],
+        })
+        if pairs.empty:
+            return pd.DataFrame({entity_col: pairs["e"],
+                                 out_col: pd.Series(dtype="float64")})
+        c = pairs.groupby(["e", "p", "q"], sort=True,
+                          observed=True).size().rename("c").reset_index()
+        cp = c.groupby(["e", "p"], sort=False)["c"].transform("sum")
+        nn = c.groupby("e", sort=False)["c"].transform("sum")
+        term = (c["c"].to_numpy(np.float64) / nn.to_numpy(np.float64)) * \
+            np.log(c["c"].to_numpy(np.float64) / cp.to_numpy(np.float64))
+        c["_t"] = term
+        out = (-c.groupby("e", sort=True)["_t"].sum()).rename(
+            out_col).reset_index().rename(columns={"e": entity_col})
+        if round_digits is not None:
+            out[out_col] = out[out_col].round(round_digits)
+        return out
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)

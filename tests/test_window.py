@@ -596,3 +596,32 @@ def test_autocorr_matches_manual():
     assert out[1] > 0.6 and abs(out[2]) < 0.25
     # constant series: zero variance -> null
     assert pd.isna(out[3])
+
+
+def test_seq_entropy_known_cases():
+    import math
+
+    import pandas as pd
+
+    from featherstore_ray.stages.window import seq_entropy
+
+    ts = pd.date_range("2024-01-01", periods=8, freq="1min"
+                       ).values.astype("datetime64[us]")
+    t = pa.table({
+        # entity 1: deterministic a->b->a->b  -> H = 0
+        # entity 2: a->a->b->b (3 transitions: aa, ab, bb)
+        "e": [1, 1, 1, 1, 2, 2, 2, 2],
+        "ts": pa.array(np.concatenate([ts[:4], ts[:4]])),
+        "t": ["a", "b", "a", "b", "a", "a", "b", "b"],
+        "i": list(range(8)),
+    })
+    out = seq_entropy(
+        ray.data.from_arrow(t).repartition(3),
+        entity_col="e", ts_col="ts", type_col="t", tiebreak="i",
+        num_buckets=2,
+    ).to_pandas().set_index("e")["seq_entropy"]
+    assert abs(out[1]) < 1e-9
+    # entity 2: pairs aa, ab, bb -> P(aa)=P(ab)=P(bb)=1/3;
+    # P(a|a)=P(b|a)=1/2, P(b|b)=1 -> H = -(1/3 ln .5 + 1/3 ln .5 + 0)
+    want = -(2 / 3) * math.log(0.5)
+    assert abs(out[2] - round(want, 6)) < 1e-9
