@@ -2575,6 +2575,18 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_mann_whitney(sf_dir: str):
+    """Per-user Mann-Whitney U (rank-sum, tie-corrected z) between click
+    and purchase values — the nonparametric drift test next to ks_test /
+    welch_t: one narrow exchange, lexsort + run-length mid-ranks."""
+    from featherstore_ray.stages.aggregate import mann_whitney
+
+    return mann_whitney(
+        _read(sf_dir, "events", columns=["user_id", "value", "event_type"]),
+        "user_id", "value", "event_type", "click", "purchase",
+    )
+
+
 def q_seq_entropy(sf_dir: str):
     """Per-user Markov transition entropy of event-type sequences
     (behavior predictability): sorted shift + one (entity, prev, next)
@@ -2868,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi": q_hhi,
         "wilson_ci": q_wilson_ci,
         "seq_entropy": q_seq_entropy,
+        "mann_whitney": q_mann_whitney,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3671,6 +3684,48 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "mann_whitney": """
+            WITH s AS (
+                SELECT user_id AS g, value AS v,
+                       (event_type = 'click')::INT AS ia
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT g, v, ia,
+                       rank() OVER (PARTITION BY g ORDER BY v) AS rk,
+                       count(*) OVER (PARTITION BY g, v) AS t
+                FROM s
+            ),
+            m AS (
+                SELECT g, sum(ia)::DOUBLE AS n1,
+                       sum(1 - ia)::DOUBLE AS n2,
+                       count(*)::DOUBLE AS n,
+                       sum(CASE WHEN ia = 1
+                           THEN rk + (t - 1) / 2.0 ELSE 0 END) AS r1
+                FROM r GROUP BY g
+            ),
+            ties AS (
+                SELECT g, sum(t * t * t - t) AS tie
+                FROM (SELECT g, v, count(*)::DOUBLE AS t FROM s
+                      GROUP BY g, v)
+                GROUP BY g
+            )
+            SELECT m.g AS user_id,
+                   round(m.r1 - m.n1 * (m.n1 + 1) / 2.0, 6) AS u,
+                   CASE WHEN (m.n1 * m.n2 / 12.0)
+                             * ((m.n + 1) - ties.tie
+                                / (m.n * (m.n - 1))) > 0
+                        THEN round((m.r1 - m.n1 * (m.n1 + 1) / 2.0
+                                    - m.n1 * m.n2 / 2.0)
+                                   / sqrt((m.n1 * m.n2 / 12.0)
+                                          * ((m.n + 1) - ties.tie
+                                             / (m.n * (m.n - 1)))), 6)
+                   END AS z
+            FROM m JOIN ties USING (g)
+            WHERE m.n1 > 0 AND m.n2 > 0
         """,
         "seq_entropy": """
             WITH d AS (

@@ -1869,3 +1869,95 @@ def wilson_ci(
         "n": pa.array(m["_n"].to_numpy(dtype=np.int64)),
         "rate": pa.array(p), "ci_lo": pa.array(lo), "ci_hi": pa.array(hi),
     }))
+
+
+def mann_whitney(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    *,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group Mann-Whitney U (rank-sum) test between the values of two
+    labels — the nonparametric member of the drift trio next to
+    :func:`ks_test` (distribution) and :func:`welch_t` (means): ``U₁ = R₁
+    − n₁(n₁+1)/2`` with mid-ranks for ties, plus the tie-corrected normal
+    approximation ``z = (U₁ − n₁n₂/2) / σ``,
+    ``σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1)))``. Groups missing either
+    label are dropped; z is null when σ = 0 (all values tied).
+
+    Same one-exchange shape as ``ks_test``: 3 narrow columns cross the
+    hash(group) exchange; the kernel is a lexsort + run-length mid-rank +
+    segmented sums — no Python row loop.
+    """
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[label_col].isin([label_a, label_b])
+                & df[value_col].notna() & df[group_col].notna()]
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "_v": df[value_col].astype(np.float64),
+            "_ia": (df[label_col] == label_a).to_numpy(),
+        })
+
+    slim = ds.map_batches(pick, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "_v"], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df["_v"].to_numpy()
+        ia = df["_ia"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "u": pd.Series(dtype="float64"),
+                "z": pd.Series(dtype="float64"),
+            })
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        gstarts = np.flatnonzero(new_g)
+        gsizes = np.diff(np.append(gstarts, n))
+        rwg = np.arange(n) - np.repeat(gstarts, gsizes)
+        # tie runs within each group: mid-rank = first_rank + (t-1)/2
+        new_run = new_g.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        rstarts = np.flatnonzero(new_run)
+        rsizes = np.diff(np.append(rstarts, n))
+        midrank = np.repeat(rwg[rstarts] + 1.0 + (rsizes - 1) / 2.0, rsizes)
+        run_group = np.cumsum(new_g) - 1  # group id per row
+        k = len(gstarts)
+        n1 = np.bincount(run_group, weights=ia.astype(np.float64),
+                         minlength=k)
+        ntot = gsizes.astype(np.float64)
+        n2 = ntot - n1
+        r1 = np.bincount(run_group, weights=np.where(ia, midrank, 0.0),
+                         minlength=k)
+        # tie correction: sum(t^3 - t) per group over tie-run sizes
+        run_of_group = run_group[rstarts]
+        t = rsizes.astype(np.float64)
+        tie = np.bincount(run_of_group, weights=t * t * t - t, minlength=k)
+        u1 = r1 - n1 * (n1 + 1.0) / 2.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (n1 * n2 / 12.0) * (
+                (ntot + 1.0) - tie / (ntot * (ntot - 1.0)))
+            z = np.where(var > 0,
+                         (u1 - n1 * n2 / 2.0) / np.sqrt(var), np.nan)
+        keep = (n1 > 0) & (n2 > 0)
+        u1 = np.where(keep, u1, np.nan)
+        if round_digits is not None:
+            u1, z = np.round(u1, round_digits), np.round(z, round_digits)
+        out = pd.DataFrame({
+            group_col: g[gstarts], "u": u1, "z": z,
+        })
+        return out[keep]
+
+    return bucketed_map_groups(
+        add_bucket_column(slim, group_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )

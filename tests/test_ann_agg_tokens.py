@@ -1050,3 +1050,47 @@ def test_hhi_and_wilson_ci_known_values():
     # zero successes at n=4: lower bound is exactly 0 under Wilson
     assert ci.loc["b", "rate"] == 0.0 and ci.loc["b", "ci_lo"] == 0.0
     assert 0.3 < ci.loc["b", "ci_hi"] < 0.8
+
+
+def test_mann_whitney_matches_manual_with_ties():
+    from featherstore_ray.stages.aggregate import mann_whitney
+
+    rng = np.random.default_rng(17)
+    g = rng.choice(["u1", "u2"], 300)
+    lab = rng.choice(["click", "purchase", "view"], 300)
+    # discretized values -> plenty of ties
+    v = np.round(rng.normal(0, 1, 300) + (lab == "click") * 0.8, 1)
+    t = pa.table({"g": g, "lab": lab, "v": v})
+    out = mann_whitney(
+        ray.data.from_arrow(t).repartition(4),
+        "g", "v", "lab", "click", "purchase", num_buckets=2,
+    ).to_pandas().set_index("g")
+
+    def ref(a, b):
+        allv = np.concatenate([a, b])
+        order = np.argsort(allv, kind="stable")
+        ranks = np.empty(len(allv))
+        sv = allv[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        r1 = ranks[: len(a)].sum()
+        n1, n2, n = len(a), len(b), len(allv)
+        u = r1 - n1 * (n1 + 1) / 2.0
+        _, counts = np.unique(allv, return_counts=True)
+        tie = float((counts.astype(float) ** 3 - counts).sum())
+        var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+        return u, (u - n1 * n2 / 2.0) / np.sqrt(var)
+
+    for key in ("u1", "u2"):
+        a = v[(g == key) & (lab == "click")]
+        b = v[(g == key) & (lab == "purchase")]
+        want_u, want_z = ref(a, b)
+        assert abs(out.loc[key, "u"] - want_u) < 1e-6, key
+        assert abs(out.loc[key, "z"] - want_z) < 1e-5, key
+    # the click shift should separate: |z| clearly positive
+    assert (out["z"].abs() > 1.5).all()
