@@ -2575,6 +2575,20 @@ def q_expanding_zscore(sf_dir: str):
     ).select_columns(["event_id", "value_xz"])
 
 
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint screen over event values (normalized
+    range of the mean-deviation walk): one entity exchange, sorted cumsum
+    + segmented reduceat extrema."""
+    from featherstore_ray.stages.window import cusum
+
+    return cusum(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
 def q_mann_whitney(sf_dir: str):
     """Per-user Mann-Whitney U (rank-sum, tie-corrected z) between click
     and purchase values — the nonparametric drift test next to ks_test /
@@ -2881,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_ci": q_wilson_ci,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
+        "cusum": q_cusum,
         "expanding_zscore": q_expanding_zscore,
         "json_extract": q_json_extract,
         "share_of_group": q_share_of_group,
@@ -3684,6 +3699,37 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt((ss - s * s / n) / (n - 1)), 6)
                    END AS value_xz
             FROM b
+        """,
+        "cusum": """
+            WITH e AS (
+                SELECT user_id, value, ts, event_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            m AS (
+                SELECT user_id, count(*)::DOUBLE AS n, sum(value) AS s,
+                       sum(value * value) AS ss,
+                       sum(value) / count(*) AS mu
+                FROM e GROUP BY user_id
+            ),
+            w AS (
+                SELECT e.user_id,
+                       sum(e.value - m.mu) OVER (
+                           PARTITION BY e.user_id
+                           ORDER BY e.ts, e.event_id
+                           ROWS UNBOUNDED PRECEDING) AS walk
+                FROM e JOIN m USING (user_id)
+            ),
+            r AS (SELECT user_id, max(walk) AS smax, min(walk) AS smin
+                  FROM w GROUP BY user_id)
+            SELECT m.user_id,
+                   CASE WHEN m.n >= 2
+                             AND (m.ss - m.s * m.s / m.n) / (m.n - 1) > 0
+                        THEN round((r.smax - r.smin)
+                                   / (sqrt((m.ss - m.s * m.s / m.n)
+                                           / (m.n - 1)) * sqrt(m.n)), 6)
+                   END AS cusum_stat
+            FROM m JOIN r USING (user_id)
         """,
         "mann_whitney": """
             WITH s AS (

@@ -1120,3 +1120,63 @@ def seq_entropy(
         return out
 
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def cusum(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "cusum_stat",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity CUSUM changepoint screen — the normalized range of the
+    cumulative mean-deviation walk: ``Sₖ = Σᵢ≤ₖ (xᵢ − x̄)``, statistic
+    ``(max S − min S) / (σ·√n)`` over values in (ts, tiebreak) order
+    (large ⇒ a sustained level shift somewhere in the series; ≈0.5-1.5
+    under stationarity). Null values are excluded from the walk; entities
+    with < 2 values or zero variance yield null.
+
+    One hash(entity) exchange; the kernel is a sorted cumsum + segmented
+    min/max via ``np.minimum/maximum.reduceat`` — the walk never leaves
+    its bucket.
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 out_col: pd.Series(dtype="float64")})
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        sizes = np.diff(np.append(starts, n)).astype(np.float64)
+        x = df[value_col].to_numpy(dtype=np.float64)
+        s = np.bincount(np.repeat(np.arange(len(starts)), sizes.astype(int)),
+                        weights=x, minlength=len(starts))
+        mean = s / sizes
+        dev = x - np.repeat(mean, sizes.astype(int))
+        cs = np.cumsum(dev)
+        base = np.repeat(cs[starts] - dev[starts], sizes.astype(int))
+        walk = cs - base
+        smax = np.maximum.reduceat(walk, starts)
+        smin = np.minimum.reduceat(walk, starts)
+        ss = np.bincount(np.repeat(np.arange(len(starts)), sizes.astype(int)),
+                         weights=x * x, minlength=len(starts))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss - s * s / sizes) / (sizes - 1.0)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            stat = np.where((sizes >= 2) & (sd > 0),
+                            (smax - smin) / (sd * np.sqrt(sizes)), np.nan)
+        if round_digits is not None:
+            stat = np.round(stat, round_digits)
+        return pd.DataFrame({
+            entity_col: df[entity_col].to_numpy()[starts], out_col: stat,
+        })
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)

@@ -625,3 +625,40 @@ def test_seq_entropy_known_cases():
     # P(a|a)=P(b|a)=1/2, P(b|b)=1 -> H = -(1/3 ln .5 + 1/3 ln .5 + 0)
     want = -(2 / 3) * math.log(0.5)
     assert abs(out[2] - round(want, 6)) < 1e-9
+
+
+def test_cusum_detects_level_shift():
+    import pandas as pd
+
+    from featherstore_ray.stages.window import cusum
+
+    rng = np.random.default_rng(21)
+    n = 200
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min"
+                       ).values.astype("datetime64[us]")
+    stationary = rng.normal(0, 1, n)
+    shifted = np.concatenate([rng.normal(0, 1, n // 2),
+                              rng.normal(3, 1, n // 2)])
+    t = pa.table({
+        "e": [1] * n + [2] * n + [3],
+        "ts": pa.array(np.concatenate([ts, ts, ts[:1]])),
+        "v": np.concatenate([stationary, shifted, [5.0]]),
+        "i": list(range(2 * n + 1)),
+    })
+    out = cusum(
+        ray.data.from_arrow(t).repartition(4),
+        entity_col="e", ts_col="ts", value_col="v", tiebreak="i",
+        num_buckets=2,
+    ).to_pandas().set_index("e")["cusum_stat"]
+
+    def ref(x):
+        dev = x - x.mean()
+        w = np.cumsum(dev)
+        return (w.max() - w.min()) / (x.std(ddof=1) * np.sqrt(len(x)))
+
+    assert abs(out[1] - round(ref(stationary), 6)) < 1e-6
+    assert abs(out[2] - round(ref(shifted), 6)) < 1e-6
+    # a level shift blows the statistic up vs a stationary walk
+    assert out[2] > 2 * out[1]
+    # single observation: null
+    assert pd.isna(out[3])
