@@ -3368,7 +3368,8 @@ def oracle_sql() -> dict[str, str]:
         "group_entropy": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS c FROM events
-                WHERE event_type IS NOT NULL GROUP BY 1, 2
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
             ),
             t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
             SELECT c.user_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
@@ -3918,13 +3919,14 @@ def oracle_sql() -> dict[str, str]:
                            / (px.cx::DOUBLE * py.cy::DOUBLE)) AS acc
                 FROM j JOIN px ON j.x = px.x JOIN py ON j.y = py.y
             )
-            SELECT round(n.n * (s.acc - 1), 6) AS chi2,
+            SELECT round(greatest(n.n * (s.acc - 1), 0), 6) AS chi2,
                    ((SELECT count(*) FROM px) - 1)
                    * ((SELECT count(*) FROM py) - 1) AS dof,
-                   round(sqrt(n.n * (s.acc - 1)
-                              / (n.n * (least((SELECT count(*) FROM px),
-                                              (SELECT count(*) FROM py))
-                                        - 1))), 6) AS cramers_v
+                   round(sqrt(greatest(n.n * (s.acc - 1), 0)
+                              / (n.n * nullif(
+                                  least((SELECT count(*) FROM px),
+                                        (SELECT count(*) FROM py))
+                                  - 1, 0))), 6) AS cramers_v
             FROM n CROSS JOIN s
         """,
         "welch_t": """

@@ -559,6 +559,47 @@ def group_corr(
     )
 
 
+
+def _grouped_cat_counts(
+    ds: ray.data.Dataset,
+    group_keys: list,
+    cat_col: str,
+    finish,
+    *,
+    num_buckets: int,
+):
+    """Shared two-stage categorical-count shape (group_entropy / hhi):
+    per-batch (group, category, count) partials — null group keys AND
+    null categories excluded explicitly (oracle WHERE contract) — ONE
+    group exchange of distinct pairs, then ``finish(counts_df)`` per
+    bucket over exact totals."""
+    gk = list(group_keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[gk + [cat_col]].dropna(subset=gk + [cat_col])
+        return (
+            d.groupby(gk + [cat_col], sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.select_columns(gk + [cat_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby(gk + [cat_col], sort=True, observed=True)["_c"]
+            .sum().reset_index()
+        )
+        return finish(c)
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, gk[0], num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
 def group_entropy(
     ds: ray.data.Dataset,
     group_keys: Sequence[str],
@@ -569,25 +610,14 @@ def group_entropy(
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Shannon entropy (nats) of a categorical distribution per group:
-    ``-Σ p ln p`` over the category frequencies. Two-stage counts: each
-    block collapses to (group, category, count) partials, ONE bucket
-    exchange on the group key, entropy finalized per group. The exchange
-    carries distinct (group, category) partials, never rows."""
+    ``-Σ p ln p`` over the category frequencies. Two-stage counts
+    (shared ``_grouped_cat_counts`` shape with :func:`hhi`): each block
+    collapses to (group, category, count) partials — null group keys and
+    null categories excluded on both sides — ONE bucket exchange of
+    distinct pairs, entropy finalized per group."""
     gk = list(group_keys)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[gk + [cat_col]].dropna(subset=[cat_col])
-        return (
-            d.groupby(gk + [cat_col], sort=False, observed=True)
-            .size().rename("_c").reset_index()
-        )
-
-    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        c = df.groupby(gk + [cat_col], sort=True, observed=True)["_c"].sum()
-        cf = c.reset_index()
+    def finish(cf: pd.DataFrame) -> pd.DataFrame:
         n = cf.groupby(gk, sort=True, observed=True)["_c"].transform("sum")
         p = cf["_c"].to_numpy(dtype=np.float64) / n.to_numpy(dtype=np.float64)
         cf["_t"] = p * np.log(p)
@@ -597,10 +627,8 @@ def group_entropy(
             out[out_col] = out[out_col].round(round_digits)
         return out
 
-    return bucketed_map_groups(
-        add_bucket_column(parts, gk[0], num_buckets),
-        finalize, num_buckets=num_buckets, batch_format="pandas",
-    )
+    return _grouped_cat_counts(ds, gk, cat_col, finish,
+                               num_buckets=num_buckets)
 
 
 def histogram(
@@ -1464,7 +1492,10 @@ def chi2_test(
         o = j["_c"].to_numpy(dtype=np.float64)
         rx = j[x_col].map(cx).to_numpy(dtype=np.float64)
         ry = j[y_col].map(cy).to_numpy(dtype=np.float64)
-        chi2 = n * (float(np.sum(o * o / (rx * ry))) - 1.0)
+        # clamp: the identity is mathematically >= 0 but can float-round
+        # to -eps under near-independence (sqrt would warn/NaN here and
+        # ERROR in DuckDB)
+        chi2 = max(n * (float(np.sum(o * o / (rx * ry))) - 1.0), 0.0)
         dof = (len(cx) - 1) * (len(cy) - 1)
         kmin = min(len(cx), len(cy)) - 1
         cramers_v = (
@@ -1780,23 +1811,7 @@ def hhi(
     (group, category, count) partials, ONE group exchange of distinct
     pairs, closed-form finish.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[group_col, cat_col]].dropna()
-        return (
-            d.groupby([group_col, cat_col], sort=False, observed=True)
-            .size().rename("_c").reset_index()
-        )
-
-    parts = ds.select_columns([group_col, cat_col]).map_batches(
-        partial, batch_size=None, batch_format="pandas"
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        c = (
-            df.drop(columns=[BUCKET_COL])
-            .groupby([group_col, cat_col], sort=True, observed=True)["_c"]
-            .sum().reset_index()
-        )
+    def finish(c: pd.DataFrame) -> pd.DataFrame:
         n = c.groupby(group_col, sort=True, observed=True)["_c"].transform(
             "sum")
         share = c["_c"].to_numpy(dtype=np.float64) / n.to_numpy(
@@ -1808,10 +1823,8 @@ def hhi(
             out[out_col] = out[out_col].round(round_digits)
         return out
 
-    return bucketed_map_groups(
-        add_bucket_column(parts, group_col, num_buckets),
-        finalize, num_buckets=num_buckets, batch_format="pandas",
-    )
+    return _grouped_cat_counts(ds, [group_col], cat_col, finish,
+                               num_buckets=num_buckets)
 
 
 def wilson_ci(
@@ -1826,8 +1839,8 @@ def wilson_ci(
     """Per-group conversion rate with the Wilson score interval — the
     A/B-test-grade rate summary that stays sane at small n and p near
     0/1: ``p̂ = s/n``, bounds ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) /
-    (1 + z²/n)``. Null labels don't count toward n; null group keys are
-    excluded.
+    (1 + z²/n)``. Null labels don't count toward n; null group keys and
+    groups with zero labeled rows are excluded (oracle WHERE mirror).
 
     Scale shape: each block collapses to (group, n, successes) —
     two ints per group per block — merged driver-side; closed-form
@@ -1835,11 +1848,19 @@ def wilson_ci(
     """
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[group_col, label_col]].dropna(subset=[group_col])
-        g = d.groupby(group_col, sort=False, observed=True)[label_col]
-        return pd.DataFrame({
-            "_n": g.count(), "_s": g.apply(
-                lambda x: int((x == success_value).sum())),
-        }).reset_index()
+        if d.empty:  # typed empty: apply/object dtypes would poison the
+            return pd.DataFrame({  # cross-block schema union
+                group_col: d[group_col],
+                "_n": pd.Series(dtype="int64"),
+                "_s": pd.Series(dtype="int64"),
+            })
+        nn = d[label_col].notna()
+        succ = nn & (d[label_col] == success_value)
+        return (
+            d.assign(_n=nn.astype(np.int64), _s=succ.astype(np.int64))
+            .groupby(group_col, sort=False, observed=True)[["_n", "_s"]]
+            .sum().reset_index()
+        )
 
     m = (
         ds.select_columns([group_col, label_col])
@@ -1847,6 +1868,7 @@ def wilson_ci(
         .to_pandas().groupby(group_col, sort=True, observed=True)[
             ["_n", "_s"]].sum()
     )
+    m = m[m["_n"] > 0]  # all-null-label groups: mirror the oracle's n > 0
     n = m["_n"].to_numpy(dtype=np.float64)
     s = m["_s"].to_numpy(dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):

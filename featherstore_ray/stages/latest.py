@@ -141,20 +141,49 @@ def merge_upsert(
     merge a delta batch into a base snapshot keeping ONE row per key, the
     latest by (ts, tiebreak) across both sides. Keys only in the base
     survive unchanged; keys only in the delta insert; overlapping keys
-    resolve by recency (the delta wins exactly when it is newer — same
-    deterministic ordering as :func:`latest_per_entity`, so repeated
-    upserts are idempotent and order-independent for distinct
-    timestamps).
+    resolve by recency — and when ``tiebreak`` is None an EQUAL-timestamp
+    collision resolves to the DELTA (the SCD-1 "same-ts correction wins"
+    convention, enforced via an internal side tag used as the tiebreak),
+    so repeated upserts are idempotent and deterministic. With an
+    explicit ``tiebreak`` the caller's column governs equal-ts ties on
+    both sides instead.
 
     Scale shape: the union streams; each side's blocks collapse to
     per-batch winners BEFORE the one hash(key) exchange (the
     latest_per_entity two-stage reduce on the concatenated lineage) —
     the exchange carries candidate winners, never snapshots.
     """
-    return latest_per_entity(
-        base.union(delta),
-        entity_col=entity_col,
-        ts_col=ts_col,
-        tiebreak=tiebreak,
-        num_buckets=num_buckets,
+    if tiebreak is not None:
+        return latest_per_entity(
+            base.union(delta),
+            entity_col=entity_col,
+            ts_col=ts_col,
+            tiebreak=tiebreak,
+            num_buckets=num_buckets,
+        )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_fsr_src",
+                pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    tagged = base.map_batches(
+        _tag(0), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(delta.map_batches(
+        _tag(1), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    out = latest_per_entity(
+        tagged, entity_col=entity_col, ts_col=ts_col,
+        tiebreak="_fsr_src", num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_fsr_src"]),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
     )

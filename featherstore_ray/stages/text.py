@@ -1745,12 +1745,17 @@ def json_extract_scalar(
     )
 
 
+_UNK_LP = -1e6  # unknown-character penalty: below any real logprob
+
+
 def _viterbi_pieces(word: str, logp: dict, maxlen: int):
-    """Best unigram-LM segmentation of ``word`` (ties → shortest last
-    piece, deterministic). Training keeps every corpus character in
-    ``logp`` so a segmentation always exists there; at ENCODE time a
-    character unseen in training falls back to a single-char "unknown"
-    piece (¬back positions step one char) rather than looping. Returns
+    """Best unigram-LM segmentation of ``word`` (ties → LONGEST last
+    piece: candidate lengths are tried longest-first with a strict
+    improvement test). Training keeps every corpus character in ``logp``
+    so a segmentation always exists there; at ENCODE time a position no
+    known piece reaches falls back to a single-char "unknown" piece with
+    a large penalty (``_UNK_LP``) — so unknown characters can't hang the
+    backtrack AND can't out-score any legitimate spanning path. Returns
     the piece list."""
     n = len(word)
     neg = float("-inf")
@@ -1770,7 +1775,7 @@ def _viterbi_pieces(word: str, logp: dict, maxlen: int):
                 best[i], back[i] = s, i - j
         if back[i] == 0:  # position unreachable: unknown-char fallback
             back[i] = 1
-            best[i] = best[i - 1] if best[i - 1] != neg else 0.0
+            best[i] = best[i - 1] + _UNK_LP
     out, i = [], n
     while i > 0:
         l = back[i]
@@ -1797,7 +1802,7 @@ def unigram_train(
     (re-estimate piece probabilities) → (prune lowest-count pieces on a
     geometric schedule), single characters always retained so every word
     stays segmentable. Deterministic: count ties prune lexicographically,
-    Viterbi ties prefer the shorter final piece.
+    Viterbi ties prefer the longer final piece.
 
     Scale shape (the bpe_train factorization): the corpus collapses ONCE
     to the Heaps-bounded distinct-word count table (shared vocab partial +

@@ -1155,19 +1155,19 @@ def cusum(
         df, _new_ent, starts, _ = _sort_entity_ts(
             df, entity_col, ts_col, tiebreak)
         n = len(df)
-        sizes = np.diff(np.append(starts, n)).astype(np.float64)
+        isz = np.diff(np.append(starts, n))
+        sizes = isz.astype(np.float64)
         x = df[value_col].to_numpy(dtype=np.float64)
-        s = np.bincount(np.repeat(np.arange(len(starts)), sizes.astype(int)),
-                        weights=x, minlength=len(starts))
+        # build the row→group index ONCE (page-fault-bound allocs)
+        row_g = np.repeat(np.arange(len(starts)), isz)
+        s = np.bincount(row_g, weights=x, minlength=len(starts))
         mean = s / sizes
-        dev = x - np.repeat(mean, sizes.astype(int))
+        dev = x - mean[row_g]
         cs = np.cumsum(dev)
-        base = np.repeat(cs[starts] - dev[starts], sizes.astype(int))
-        walk = cs - base
+        walk = cs - (cs[starts] - dev[starts])[row_g]
         smax = np.maximum.reduceat(walk, starts)
         smin = np.minimum.reduceat(walk, starts)
-        ss = np.bincount(np.repeat(np.arange(len(starts)), sizes.astype(int)),
-                         weights=x * x, minlength=len(starts))
+        ss = np.bincount(row_g, weights=x * x, minlength=len(starts))
         with np.errstate(invalid="ignore", divide="ignore"):
             var = (ss - s * s / sizes) / (sizes - 1.0)
             sd = np.sqrt(np.maximum(var, 0.0))

@@ -996,3 +996,13 @@ def test_apply_unigram_counts_and_unknown_chars():
     assert out[3] == 3
     logp = dict(zip(vocab["piece"], vocab["logprob"]))
     assert _viterbi_pieces("azb", logp, 2) == ["a", "z", "b"]
+
+
+def test_viterbi_unknown_fallback_cannot_outscore_real_paths():
+    import math
+
+    from featherstore_ray.stages.text import _viterbi_pieces
+
+    # vocab lacks 'a' alone, but 'ab' spans it: the legit path must win
+    logp = {"ab": math.log(0.01), "b": math.log(0.9)}
+    assert _viterbi_pieces("ab", logp, 2) == ["ab"]

@@ -168,3 +168,21 @@ def test_merge_upsert_semantics_and_idempotence():
         entity_col="k", ts_col="ts", tiebreak="tb", num_buckets=2,
     ).to_pandas().set_index("k").sort_index()
     pd.testing.assert_frame_equal(out, out2[out.columns])
+
+
+def test_merge_upsert_delta_wins_equal_timestamp():
+    import pandas as pd
+
+    from featherstore_ray.stages.latest import merge_upsert
+
+    ts = pa.array(pd.to_datetime(["2024-01-01 00:00"]
+                                 ).values.astype("datetime64[us]"))
+    base = pa.table({"k": [1], "ts": ts, "v": [1.0]})
+    delta = pa.table({"k": [1], "ts": ts, "v": [2.0]})
+    for _ in range(3):  # deterministic across repeated runs
+        out = merge_upsert(
+            ray.data.from_arrow(base), ray.data.from_arrow(delta),
+            entity_col="k", ts_col="ts", num_buckets=2,
+        ).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["v"] == 2.0
+        assert "_fsr_src" not in out.columns
