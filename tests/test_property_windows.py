@@ -291,3 +291,29 @@ def test_ohlc_property(tbl):
         assert r["high"] == g["value"].max(), key
         assert r["low"] == g["value"].min(), key
         assert r["volume"] == len(g), key
+
+
+@settings(max_examples=20, deadline=None)
+@given(event_tables())
+def test_gini_property(tbl):
+    from featherstore_ray.stages.aggregate import gini
+
+    raw = gini(
+        ray.data.from_arrow(tbl).repartition(3),
+        "entity", "value", num_buckets=3, round_digits=None,
+    ).to_pandas()
+    df = tbl.to_pandas().dropna(subset=["value"])
+    if df.empty:  # all-null values: empty result, no schema to index
+        assert len(raw) == 0
+        return
+    out = raw.set_index("entity")["gini"]
+    assert len(out) == df["entity"].nunique()
+    for ent, g in df.groupby("entity"):
+        x = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n, s = len(x), x.sum()
+        if s == 0:
+            assert pd.isna(out[ent]), ent
+            continue
+        want = 2.0 * np.sum((np.arange(n) + 1) * x) / (n * s) \
+            - (n + 1.0) / n
+        assert abs(out[ent] - want) < 1e-9, ent
