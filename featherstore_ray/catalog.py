@@ -356,10 +356,13 @@ class FeatherStore:
 
         compression, rgs = self.compression, self.row_group_size
         fmt_name = fmt.name
+        # imported HERE (driver side) so the worker-shipped closure carries
+        # get_format as a by-value closure cell — a runtime featherstore_ray
+        # import inside merge_group fails on workers when the driver cwd is
+        # not the repo root (round-3 verdict item 1)
+        from featherstore_ray.storage import get_format
 
         def merge_group(paths: list[str]) -> int:
-            from featherstore_ray.storage import get_format
-
             f = get_format(fmt_name)
             merged = pa.concat_tables(
                 [f.read_table(p) for p in paths], promote_options="default"
