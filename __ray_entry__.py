@@ -3418,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, ts, value, event_id FROM events
                 WHERE value IS NOT NULL AND ts IS NOT NULL
+                  AND user_id IS NOT NULL
             ),
             d AS (
                 SELECT user_id, value, ts,
@@ -4282,7 +4283,8 @@ def oracle_sql() -> dict[str, str]:
         "group_mode": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS c FROM events
-                WHERE event_type IS NOT NULL GROUP BY 1, 2
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
             ),
             r AS (
                 SELECT user_id, event_type, c,

@@ -837,7 +837,10 @@ def group_mode(
     gk = list(group_keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[gk + [cat_col]].dropna(subset=[cat_col])
+        # null GROUP keys are dropped explicitly on BOTH sides (oracle has
+        # the matching IS NOT NULL) — the grouped-reducing-op contract:
+        # pandas groupby silently drops null keys, SQL keeps a NULL group
+        d = df[gk + [cat_col]].dropna(subset=gk + [cat_col])
         return (
             d.groupby(gk + [cat_col], sort=False, observed=True)
             .size().rename("_c").reset_index()

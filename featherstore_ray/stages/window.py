@@ -756,6 +756,11 @@ def ewma(
     fused-multiply-adds over the whole bucket (never a per-row loop), with
     cross-entity leakage masked by row-within-group position.
     """
+    if not 0.0 < float(alpha) <= 1.0:
+        # alpha=0 makes den = (1 - 1**n)/(1 - 1) = 0/0 → silent all-NaN
+        raise ValueError(f"ewma alpha must be in (0, 1], got {alpha!r}")
+    if int(max_span) < 1:
+        raise ValueError(f"ewma max_span must be >= 1, got {max_span!r}")
     a = 1.0 - float(alpha)
     K = int(max_span)
 
@@ -802,6 +807,7 @@ def resample_ffill(
     tiebreak: str | None = None,
     out_col: str = "value_ffill",
     day_col: str = "day_ts",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Daily end-of-day snapshot grid per entity with forward fill.
 
@@ -846,10 +852,22 @@ def resample_ffill(
         rel = ts - ts.min()
         gid = np.cumsum(new_ent) - 1
         span = int(rel.max()) + _DAY + 2
-        key_ts = rel + gid * span
-        grid_gid = np.repeat(gid[starts], counts)
-        key_b = ((grid_day + 1) * _DAY - ts.min()) + grid_gid * span
-        idx = np.searchsorted(key_ts, key_b, side="left") - 1
+        if gid[-1] and span > _I64_MAX // (int(gid[-1]) + 1):
+            # int64 keys would wrap (same guard as _group_offset_ts): the
+            # offset trick silently breaks monotonicity on overflow, so
+            # resolve each entity's grid against its own slice instead
+            idx = np.empty(len(grid_day), np.int64)
+            ends_excl = np.append(starts[1:], n)
+            pos = np.cumsum(counts) - counts
+            for g, (s, e) in enumerate(zip(starts, ends_excl)):
+                lo, hi = pos[g], pos[g] + counts[g]
+                idx[lo:hi] = s + np.searchsorted(
+                    ts[s:e], (grid_day[lo:hi] + 1) * _DAY, side="left") - 1
+        else:
+            key_ts = rel + gid * span
+            grid_gid = np.repeat(gid[starts], counts)
+            key_b = ((grid_day + 1) * _DAY - ts.min()) + grid_gid * span
+            idx = np.searchsorted(key_ts, key_b, side="left") - 1
         vals = df[value_col].to_numpy()
         return pd.DataFrame({
             entity_col: np.repeat(ent[starts], counts),
@@ -864,7 +882,7 @@ def resample_ffill(
         lambda df: df[df[ts_col].notna()],
         batch_size=None, batch_format="pandas",
     )
-    return _bucketed(proj, entity_col, 64, kernel)
+    return _bucketed(proj, entity_col, num_buckets, kernel)
 
 
 # -- time-weighted average ---------------------------------------------------
@@ -925,7 +943,12 @@ def time_weighted_avg(
     proj = ds.select_columns(
         [entity_col, ts_col, value_col] + ([tiebreak] if tiebreak else [])
     ).map_batches(
-        lambda df: df[df[value_col].notna() & df[ts_col].notna()],
+        # entity_col too (grouped-reducing-op contract): null entities would
+        # otherwise reach the kernel where NaN != NaN makes each its own
+        # 1-row group, while SQL's GROUP BY pools ALL null users into one —
+        # the oracle carries the matching user_id IS NOT NULL
+        lambda df: df[df[value_col].notna() & df[ts_col].notna()
+                      & df[entity_col].notna()],
         batch_size=None, batch_format="pandas",
     )
     return _bucketed(proj, entity_col, num_buckets, kernel)

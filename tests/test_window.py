@@ -662,3 +662,79 @@ def test_cusum_detects_level_shift():
     assert out[2] > 2 * out[1]
     # single observation: null
     assert pd.isna(out[3])
+
+
+def test_ewma_rejects_bad_alpha():
+    from featherstore_ray.stages.window import ewma
+
+    t = pa.table({"e": [1], "ts": pa.array([0], pa.timestamp("us")),
+                  "v": [1.0]})
+    ds = ray.data.from_arrow(t)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            ewma(ds, entity_col="e", ts_col="ts", value_col="v", alpha=bad)
+    with pytest.raises(ValueError):
+        ewma(ds, entity_col="e", ts_col="ts", value_col="v", max_span=0)
+
+
+def test_resample_ffill_overflow_fallback_parity():
+    """When the group-offset int64 key would wrap (huge ts span × many
+    entities), the kernel must fall back to per-entity searchsorted and
+    produce the IDENTICAL grid (ADVICE r3: the inline trick had no guard)."""
+    from featherstore_ray.stages.window import resample_ffill
+
+    day = 86_400_000_000
+    # entity 2 lives ~250k years after entity 1: rel span ≈ 7.9e18 µs, so
+    # span * (gid+1) > int64 max → fallback path; each entity's OWN day
+    # span stays tiny so the output grid is small
+    far = 7_900_000_000_000_000_000  # µs, within datetime64[us] range
+    t = pa.table({
+        "e": [1, 1, 2, 2],
+        "ts": pa.array([day // 2, 2 * day + 5, far, far + day],
+                       pa.timestamp("us")),
+        "id": [0, 1, 2, 3],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = (
+        resample_ffill(ray.data.from_arrow(t), entity_col="e", ts_col="ts",
+                       value_col="v", tiebreak="id")
+        .to_pandas().sort_values(["e", "day_ts"]).reset_index(drop=True)
+    )
+    got = list(zip(out["e"], out["day_ts"].astype("int64") // day,
+                   out["value_ffill"]))
+    f0 = far // day
+    assert got == [(1, 0, 1.0), (1, 1, 1.0), (1, 2, 2.0),
+                   (2, f0, 3.0), (2, f0 + 1, 4.0)]
+
+
+def test_time_weighted_avg_null_entity_dropped():
+    """Null entity keys are excluded on BOTH sides (grouped-reducing-op
+    contract): NaN != NaN would make every null-entity row its own group."""
+    from featherstore_ray.stages.window import time_weighted_avg
+
+    t = pa.table({
+        "e": pa.array([1, 1, None, None], pa.int64()),
+        "ts": pa.array([0, 10, 0, 10], pa.timestamp("us")),
+        "id": [0, 1, 2, 3],
+        "v": [2.0, 4.0, 8.0, 16.0],
+    })
+    out = time_weighted_avg(
+        ray.data.from_arrow(t), entity_col="e", ts_col="ts",
+        value_col="v", tiebreak="id",
+    ).to_pandas()
+    assert list(out["e"]) == [1]
+    assert out["twa"].iloc[0] == 2.0
+
+
+def test_group_mode_null_key_dropped():
+    from featherstore_ray.stages.aggregate import group_mode
+
+    t = pa.table({
+        "e": pa.array([1, 1, None, None, None], pa.int64()),
+        "c": ["a", "b", "z", "z", "z"],
+    })
+    out = group_mode(
+        ray.data.from_arrow(t), ["e"], "c",
+    ).to_pandas()
+    assert list(out["e"]) == [1]       # the null group never appears
+    assert out["mode"].iloc[0] == "a"  # lexicographic tie-break
