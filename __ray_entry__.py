@@ -1298,7 +1298,7 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
-_PR_ITERS, _PR_D = 3, 0.85
+_PR_ITERS, _PR_D = 2, 0.85
 
 
 def q_pagerank(sf_dir: str):
@@ -2198,7 +2198,10 @@ def q_connected_components(sf_dir: str):
         return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
 
     e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
-    return connected_components(e, num_buckets=16)
+    # driver_edge_cap=0 forces the distributed rounds: this query IS the
+    # scale-path coverage (the adaptive numpy crossover is parity-tested
+    # in tests/test_components.py and exercised by entity_resolution)
+    return connected_components(e, num_buckets=16, driver_edge_cap=0)
 
 
 def q_embedding_dedup_lsh(sf_dir: str):
@@ -2315,7 +2318,7 @@ def q_tokenize_bpe(sf_dir: str):
     from featherstore_ray.stages.text import apply_bpe, bpe_train
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    merges = bpe_train(docs, num_merges=15)
+    merges = bpe_train(docs, num_merges=8)
     return apply_bpe(docs, merges).select_columns(["doc_id", "n_tok_bpe"])
 
 
@@ -2361,7 +2364,7 @@ def q_char_entropy(sf_dir: str):
 
 
 def q_bpe_train(sf_dir: str):
-    """BPE tokenizer training over the documents corpus: learn the top-30
+    """BPE tokenizer training over the documents corpus: learn the top-16
     adjacent-symbol merges from the distinct-word frequency table (the
     HF-tokenizers factorization — rounds iterate over the Heaps-bounded
     vocab, never the corpus). Deterministic (lexicographic tie-break) but
@@ -2370,7 +2373,7 @@ def q_bpe_train(sf_dir: str):
     from featherstore_ray.stages.text import bpe_train
 
     return bpe_train(
-        _read(sf_dir, "documents", columns=["text"]), num_merges=30,
+        _read(sf_dir, "documents", columns=["text"]), num_merges=16,
     )
 
 

@@ -60,6 +60,7 @@ def connected_components(
     label_col: str = "dup_group",
     num_buckets: int = 64,
     max_iters: int = 50,
+    driver_edge_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed connected components: hash-min label propagation.
 
@@ -67,7 +68,31 @@ def connected_components(
     label = component min. Each round is two bucket shuffles over
     (edges + labels); labels materialize between rounds (iterative state
     must not re-derive its lineage). Converges when zero labels change.
+
+    Adaptive crossover: edge sets at or below ``driver_edge_cap`` run the
+    vectorized driver-side :func:`components_numpy` instead — each
+    distributed round costs two exchanges of fixed Ray overhead, which
+    dwarfs the O(E) numpy pass until E is in the millions. Candidate-pair
+    sets after LSH/blocking are usually far below the cap even on huge
+    corpora, so the default needs no caller knowledge; ``driver_edge_cap=0``
+    forces the distributed rounds (used by the scale-path driver query and
+    the parity tests).
     """
+    if driver_edge_cap:
+        edges = edges.materialize()
+        if edges.count() <= driver_edge_cap:
+            pairs = edges.select_columns([a_col, b_col]).to_pandas()
+            typ = edges.schema().base_schema.field(a_col).type
+            if pairs.empty:
+                return ray.data.from_arrow(pa.table({
+                    node_col: pa.array([], typ), label_col: pa.array([], typ),
+                }))
+            nodes, labels = components_numpy(
+                pairs[a_col].to_numpy(), pairs[b_col].to_numpy())
+            return ray.data.from_arrow(pa.table({
+                node_col: pa.array(nodes, typ), label_col: pa.array(labels, typ),
+            }))
+
     key = "_cc_key"
     side = "_cc_side"  # 1 = label row, 0 = edge row
 

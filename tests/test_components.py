@@ -47,7 +47,7 @@ def test_distributed_matches_numpy(ray_session):
         pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     )
     got = (
-        connected_components(edges, num_buckets=8)
+        connected_components(edges, num_buckets=8, driver_edge_cap=0)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -67,7 +67,7 @@ def test_long_chain_converges(ray_session):
             }
         )
     )
-    out = connected_components(edges, num_buckets=4).to_pandas()
+    out = connected_components(edges, num_buckets=4, driver_edge_cap=0).to_pandas()
     assert (out["dup_group"] == 0).all()
     assert len(out) == n
 
@@ -167,3 +167,30 @@ def test_triangle_count_no_triangles(ray_session):
         ray.data.from_arrow(t), num_buckets=4
     ).to_pandas()["triangles"][0]
     assert got == 0
+
+
+def test_adaptive_driver_path_matches_distributed(ray_session):
+    """Default driver_edge_cap routes small edge sets through the numpy
+    crossover; output must be identical to the distributed rounds."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 120, size=200)
+    b = rng.integers(0, 120, size=200)
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    fast = (connected_components(edges, num_buckets=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    slow = (connected_components(edges, num_buckets=4, driver_edge_cap=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert fast["node"].dtype == np.int64
+
+
+def test_adaptive_driver_path_strings(ray_session):
+    edges = ray.data.from_arrow(
+        pa.table({"a": ["x", "y", "q"], "b": ["y", "x", "q"]})
+    )
+    out = (connected_components(edges)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(out["node"]) == ["q", "x", "y"]
+    assert list(out["dup_group"]) == ["q", "x", "x"]
