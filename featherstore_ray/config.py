@@ -35,3 +35,51 @@ class EngineConfig:
                 continue
             kwargs[f.name] = int(raw) if f.type in ("int", int) else raw
         return cls(**kwargs)
+
+    @classmethod
+    def load(cls, path: str | None = None, prefix: str = "FSR_") -> "EngineConfig":
+        """Load with the reference's precedence (pkg/config/config.go:71-96):
+        defaults < config file < environment. ``path=None`` checks
+        ``$FSR_CONFIG`` then skips the file layer. The file is YAML; when
+        PyYAML is absent a flat ``key: value`` subset is parsed instead
+        (nested YAML then raises so a half-read config can't ship)."""
+        path = path or os.environ.get(prefix + "CONFIG")
+        kwargs: dict = {}
+        if path:
+            data = _read_config_file(path)
+            known = {f.name: f for f in fields(cls)}
+            for k, v in data.items():
+                f = known.get(str(k))
+                if f is None:
+                    raise ValueError(f"unknown config key {k!r} in {path}")
+                kwargs[f.name] = int(v) if f.type in ("int", int) else str(v)
+        for f in fields(cls):
+            raw = os.environ.get(prefix + f.name.upper())
+            if raw is not None:
+                kwargs[f.name] = int(raw) if f.type in ("int", int) else raw
+        return cls(**kwargs)
+
+
+def _read_config_file(path: str) -> dict:
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml  # ray[data] ships pyyaml; guarded anyway
+
+        data = yaml.safe_load(text) or {}
+        if not isinstance(data, dict):
+            raise ValueError(f"config file {path} must be a mapping")
+        return data
+    except ImportError:
+        data = {}
+        for ln in text.splitlines():
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            if ":" not in ln or ln.endswith(":"):
+                raise ValueError(
+                    f"config line {ln!r} needs PyYAML (flat 'key: value' "
+                    "fallback parser only)")
+            k, v = ln.split(":", 1)
+            data[k.strip()] = v.strip()
+        return data

@@ -104,3 +104,38 @@ def report() -> dict:
 
 def reset() -> None:
     ray.get(_actor().reset.remote())
+
+
+def dump_prometheus() -> str:
+    """Render the registry in Prometheus text exposition format — the dump
+    parity for the reference's scrape endpoint (pkg/metrics/metrics.go:
+    232-249 ObserveFeature* count/bytes/latency observations). One counter
+    family per observation field, labeled by op; suitable for a textfile
+    collector or a debug endpoint."""
+    snap = report()
+    fams = [
+        ("featherstore_rows_total", "counter",
+         "Rows processed per instrumented op", "rows"),
+        ("featherstore_bytes_total", "counter",
+         "Arrow bytes processed per instrumented op", "bytes"),
+        ("featherstore_latency_seconds_total", "counter",
+         "Accumulated op latency in seconds", "seconds"),
+        ("featherstore_batches_total", "counter",
+         "Blocks/observations per instrumented op", "batches"),
+    ]
+    lines: list[str] = []
+    for name, typ, help_, field_ in fams:
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {typ}")
+        for op in sorted(snap):
+            label = op.replace("\\", "\\\\").replace('"', '\\"')
+            lines.append(f'{name}{{op="{label}"}} {snap[op][field_]}')
+    return "\n".join(lines) + "\n"
+
+
+def dump_json() -> str:
+    """JSON dump of the registry snapshot (machine-readable sibling of
+    :func:`dump_prometheus`)."""
+    import json
+
+    return json.dumps(report(), sort_keys=True)
