@@ -75,6 +75,7 @@ _HIST_END = "2024-01-20 00:00:00"
 _ROLL_HOURS = 24
 _GAP_MIN = 30
 _ANN_QIDS = [0, 1, 2]
+_SUBSTR_L = 25  # substring_dedup window length (shared with the oracle)
 
 
 # ---------------------------------------------------------------- queries --
@@ -1702,6 +1703,19 @@ def q_dup_spans(sf_dir: str):
                      k=3)
 
 
+def q_substring_dedup(sf_dir: str):
+    """EXACT Lee-et-al substring dedup (the suffix-array family, truncated
+    at depth L): maximal byte spans covered by a duplicated substring of
+    length >= 25. Rolling-hash window partials -> one hash exchange ->
+    byte-verified candidate windows (per-bucket truncated suffix sort) ->
+    per-doc anchor merge. Text ships only for verified candidates."""
+    from featherstore_ray.stages.substr import substring_dedup
+
+    return substring_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_len=_SUBSTR_L)
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE over (returnflag, linestatus): finest grouped
     aggregate once at full scale, every key subset re-reduced from the
@@ -2947,6 +2961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": q_chunk_text,
         "token_match": q_token_match,
         "dup_spans": q_dup_spans,
+        "substring_dedup": q_substring_dedup,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -4135,6 +4150,37 @@ def oracle_sql() -> dict[str, str]:
                               i -> struct_pack(o := i, m := ms[i]))) AS s
                 FROM m
             )
+        """,
+        "substring_dedup": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
+                           i -> i - 1)) AS pos,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
+                           i -> substr(text, i, {_SUBSTR_L}))) AS w
+                FROM documents WHERE doc_id IS NOT NULL
+            ),
+            d AS (SELECT w FROM p GROUP BY w HAVING count(*) >= 2),
+            a AS (SELECT doc_id, pos FROM p WHERE w IN (SELECT w FROM d)),
+            m AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos)
+                                <= {_SUBSTR_L} THEN 0 ELSE 1 END AS brk
+                FROM a
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM m
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + {_SUBSTR_L} AS span_end,
+                   count(*) AS n_windows
+            FROM g GROUP BY doc_id, grp
         """,
         "dup_spans": """
             WITH t AS (
