@@ -2490,6 +2490,56 @@ def q_merge_upsert(sf_dir: str):
         base, delta, entity_col="user_id", ts_col="ts", tiebreak="event_id")
 
 
+def _incmat_kernel(df):
+    """Per-bucket latest-per-user (module-level: ships by value)."""
+    return (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            .groupby("user_id", sort=False).tail(1))
+
+
+def q_incremental_materialize(sf_dir: str):
+    """End-to-end incremental materialization: materialize the latest-per-
+    user snapshot from events WITHOUT the event_id%16==0 slice, then apply
+    that slice as a delta via materialize_incremental — only buckets whose
+    users the delta touches are re-derived (lineage-invalidated + replayed),
+    the rest skip at the first map stage. The final table must equal a
+    latest-per-user over the WHOLE events table (the oracle)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from featherstore_ray.pipelines.materialize import (
+        materialize, materialize_incremental, read_materialized)
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    ev = _read(sf_dir, "events", columns=cols)
+
+    def _side(is_delta: bool):
+        def f(t):
+            m = pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(15)),
+                         pa.scalar(0))
+            return t.filter(m if is_delta else pc.invert(m))
+        return f
+
+    base = ev.map_batches(_side(False), batch_size=None,
+                          batch_format="pyarrow", zero_copy_batch=True)
+    delta = ev.map_batches(_side(True), batch_size=None,
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out_dir = tempfile.mkdtemp(prefix="fsr_incmat_")
+    try:
+        materialize(base, out_dir, entity_col="user_id",
+                    kernel=_incmat_kernel, sort_cols=["user_id", "event_id"],
+                    num_buckets=16)
+        materialize_incremental(
+            ev, delta, out_dir, entity_col="user_id", delta_id="mod16-slice",
+            kernel=_incmat_kernel, sort_cols=["user_id", "event_id"],
+            num_buckets=16)
+        result = read_materialized(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result[cols]
+
+
 def q_expect(sf_dir: str):
     """Declarative data-quality gate over events (great-expectations-style
     rules): per-rule violation counts from two-int block partials; the
@@ -2941,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_features": q_time_features,
         "expect": q_expect,
         "merge_upsert": q_merge_upsert,
+        "incremental_materialize": q_incremental_materialize,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
@@ -3577,6 +3628,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type, value
             FROM (
                 SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "incremental_materialize": """
+            SELECT event_id, user_id, ts, value
+            FROM (
+                SELECT event_id, user_id, ts, value, row_number() OVER (
                     PARTITION BY user_id
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events

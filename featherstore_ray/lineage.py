@@ -22,10 +22,17 @@ class PartitionRecord:
     content_hash: str
     duration_sec: float
     path: str
+    status: str = "done"  # "done" | "invalidated" | "delta" (epoch marker)
 
 
 class LineageLog:
-    """Append-only JSONL manifest next to the output dir."""
+    """Append-only JSONL manifest next to the output dir.
+
+    Replay semantics: a partition is complete iff its LAST record is a
+    validated completion — an ``invalidated`` record written later (an
+    incremental delta superseding the bucket) re-opens it for recompute.
+    ``delta`` records are epoch markers (partition_id=-1) making delta
+    application idempotent; they never mark a partition."""
 
     def __init__(self, out_dir: str | Path):
         self.path = Path(out_dir) / "_lineage.jsonl"
@@ -38,10 +45,38 @@ class LineageLog:
             if not line.strip():
                 continue
             rec = PartitionRecord(**json.loads(line))
-            # validate: the output file must still exist
-            if Path(rec.path).exists():
+            if rec.status == "invalidated":
+                done.pop(rec.partition_id, None)
+            elif rec.status == "done" and Path(rec.path).exists():
+                # validate: the output file must still exist
                 done[rec.partition_id] = rec
         return done
+
+    def invalidate(self, partition_ids, delta_id: str = "") -> None:
+        """Re-open partitions for recompute (incremental maintenance)."""
+        self.append_many(
+            PartitionRecord(partition_id=int(p), rows=0, num_bytes=0,
+                            content_hash=delta_id, duration_sec=0.0,
+                            path="", status="invalidated")
+            for p in partition_ids
+        )
+
+    def mark_delta(self, delta_id: str) -> None:
+        """Durable epoch marker: ``delta_id``'s invalidations are on disk."""
+        self.append(PartitionRecord(
+            partition_id=-1, rows=0, num_bytes=0, content_hash=delta_id,
+            duration_sec=0.0, path="", status="delta"))
+
+    def applied_deltas(self) -> set[str]:
+        if not self.path.exists():
+            return set()
+        return {
+            rec["content_hash"]
+            for line in self.path.read_text().splitlines()
+            if line.strip()
+            for rec in [json.loads(line)]
+            if rec.get("status") == "delta"
+        }
 
     def append(self, rec: PartitionRecord) -> None:
         with self.path.open("a") as f:

@@ -215,3 +215,147 @@ def test_multimodal_pillow_gate():
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
         ImageDecodeStage(decoder="pillow")
+
+
+# -- incremental maintenance -------------------------------------------------
+
+
+def _file_bytes(d):
+    from pathlib import Path
+
+    return {p.name: p.read_bytes() for p in Path(d).glob("part-*.parquet")}
+
+
+def test_incremental_rederives_only_affected_buckets(tmp_path):
+    from featherstore_ray.pipelines.materialize import materialize_incremental
+    from featherstore_ray.partition import bucket_of
+
+    _kernel = _make_kernel()
+    base = _events()
+    base_dir = tmp_path / "inc"
+    materialize(ray.data.from_arrow(base), base_dir, entity_col="user_id",
+                kernel=_kernel, sort_cols=["event_id"], num_buckets=8)
+    before = _file_bytes(base_dir)
+
+    # delta touches 3 users -> a strict subset of the 8 buckets
+    delta = pa.table({
+        "event_id": pa.array([10_000, 10_001, 10_002], pa.int64()),
+        "user_id": pa.array([0, 7, 21], pa.int64()),
+        "ts": pa.array([2 * 10**12] * 3, pa.timestamp("us")),
+        "value": pa.array([1.5, -0.5, 3.0], pa.float64()),
+    })
+    affected = set(
+        bucket_of(delta["user_id"], 8).tolist())
+    assert 0 < len(affected) < 8
+    full = pa.concat_tables([base, delta])
+
+    recs = materialize_incremental(
+        ray.data.from_arrow(full), ray.data.from_arrow(delta), base_dir,
+        entity_col="user_id", delta_id="delta-1", kernel=_kernel,
+        sort_cols=["event_id"], num_buckets=8)
+    assert {r.partition_id for r in recs} == affected
+
+    # byte-identical to a from-scratch run over base + delta
+    scratch_dir = tmp_path / "scratch"
+    materialize(ray.data.from_arrow(full), scratch_dir,
+                entity_col="user_id", kernel=_kernel,
+                sort_cols=["event_id"], num_buckets=8)
+    after = _file_bytes(base_dir)
+    assert after == _file_bytes(scratch_dir)
+    # unaffected partitions were never rewritten
+    for name, blob in before.items():
+        pid = int(name.split("-")[1].split(".")[0])
+        if pid not in affected:
+            assert after[name] == blob
+
+    # re-applying the same delta_id is a no-op (idempotent)
+    recs2 = materialize_incremental(
+        ray.data.from_arrow(full), ray.data.from_arrow(delta), base_dir,
+        entity_col="user_id", delta_id="delta-1", kernel=_kernel,
+        sort_cols=["event_id"], num_buckets=8)
+    assert recs2 == []
+    assert _file_bytes(base_dir) == after
+
+
+def test_incremental_changes_only_affected_entities(tmp_path):
+    """snapshot_diff between the old and new materialized outputs shows
+    changes confined to the delta's entities."""
+    from featherstore_ray.pipelines.materialize import (
+        materialize_incremental, read_materialized)
+    from featherstore_ray.stages.join import snapshot_diff
+
+    _kernel = _make_kernel()
+    base = _events(n=800, seed=9)
+    out_old = tmp_path / "old"
+    out_new = tmp_path / "new"
+    materialize(ray.data.from_arrow(base), out_old, entity_col="user_id",
+                kernel=_kernel, sort_cols=["event_id"], num_buckets=4)
+    # second copy to evolve incrementally
+    materialize(ray.data.from_arrow(base), out_new, entity_col="user_id",
+                kernel=_kernel, sort_cols=["event_id"], num_buckets=4)
+
+    delta = pa.table({
+        "event_id": pa.array([20_000], pa.int64()),
+        "user_id": pa.array([13], pa.int64()),
+        "ts": pa.array([2 * 10**12], pa.timestamp("us")),
+        "value": pa.array([9.0], pa.float64()),
+    })
+    full = pa.concat_tables([base, delta])
+    materialize_incremental(
+        ray.data.from_arrow(full), ray.data.from_arrow(delta), out_new,
+        entity_col="user_id", kernel=_kernel, sort_cols=["event_id"],
+        num_buckets=4)
+
+    diff = snapshot_diff(
+        read_materialized(out_old), read_materialized(out_new),
+        ["event_id"], ["user_id", "value", "value_cumsum"],
+        num_buckets=4).to_pandas()
+    assert len(diff) > 0
+    touched = set(
+        diff.loc[diff["status"] == "added", "user_id_new"].tolist()
+        + diff.loc[diff["status"] == "changed", "user_id_new"].tolist()
+        + diff.loc[diff["status"] == "removed", "user_id_old"].tolist())
+    assert touched == {13}
+
+
+def test_incremental_resume_after_partial_failure(tmp_path):
+    """A crash mid-incremental (one affected bucket written, one not)
+    resumes to the exact full result without rewriting finished buckets."""
+    from featherstore_ray.lineage import LineageLog
+    from featherstore_ray.pipelines.materialize import materialize_incremental
+    from featherstore_ray.partition import bucket_of
+
+    _kernel = _make_kernel()
+    base = _events()
+    d = tmp_path / "inc"
+    materialize(ray.data.from_arrow(base), d, entity_col="user_id",
+                kernel=_kernel, sort_cols=["event_id"], num_buckets=8)
+
+    delta = pa.table({
+        "event_id": pa.array([10_000, 10_001], pa.int64()),
+        "user_id": pa.array([0, 7], pa.int64()),
+        "ts": pa.array([2 * 10**12] * 2, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    full = pa.concat_tables([base, delta])
+    affected = sorted(set(bucket_of(delta["user_id"], 8).tolist()))
+    assert len(affected) == 2
+
+    # simulate the crash: invalidations + delta marker are durable but no
+    # bucket was recomputed yet
+    log = LineageLog(d)
+    log.invalidate(affected, "delta-x")
+    log.mark_delta("delta-x")
+    assert set(log.completed()) == set(range(8)) - set(affected)
+
+    # resume with the same delta_id: completes ONLY the open buckets
+    recs = materialize_incremental(
+        ray.data.from_arrow(full), ray.data.from_arrow(delta), d,
+        entity_col="user_id", delta_id="delta-x", kernel=_kernel,
+        sort_cols=["event_id"], num_buckets=8)
+    assert sorted(r.partition_id for r in recs) == affected
+
+    scratch = tmp_path / "scratch"
+    materialize(ray.data.from_arrow(full), scratch, entity_col="user_id",
+                kernel=_kernel, sort_cols=["event_id"], num_buckets=8)
+    assert _file_bytes(d) == _file_bytes(scratch)
