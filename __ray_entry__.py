@@ -76,6 +76,8 @@ _ROLL_HOURS = 24
 _GAP_MIN = 30
 _ANN_QIDS = [0, 1, 2]
 _SUBSTR_L = 25  # substring_dedup window length (shared with the oracle)
+_DECAY_HL_S = 604_800.0  # decayed_topk half-life (7 days, seconds)
+_DECAY_TREF_S = 1_706_745_600.0  # 2024-02-01T00:00:00Z epoch seconds
 
 
 # ---------------------------------------------------------------- queries --
@@ -2540,6 +2542,21 @@ def q_incremental_materialize(sf_dir: str):
     return result[cols]
 
 
+def q_decayed_topk(sf_dir: str):
+    """Streaming trending-keys primitive: top users by exponentially
+    time-decayed event count (half-life 7 d, scores decayed to Feb 1).
+    Shuffle-free: each batch collapses to <= capacity anchored decayed
+    counters (Misra-Gries under decay), merged driver-side by rescaling
+    to the newest anchor; a bounded second pass restores exact scores for
+    the surviving candidates."""
+    from featherstore_ray.stages.sketch import decayed_topk
+
+    return decayed_topk(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        "user_id", "ts", k=20, half_life_s=_DECAY_HL_S,
+        t_ref=_DECAY_TREF_S, capacity=4096)
+
+
 def q_expect(sf_dir: str):
     """Declarative data-quality gate over events (great-expectations-style
     rules): per-rule violation counts from two-int block partials; the
@@ -2992,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expect": q_expect,
         "merge_upsert": q_merge_upsert,
         "incremental_materialize": q_incremental_materialize,
+        "decayed_topk": q_decayed_topk,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
@@ -3632,6 +3650,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "decayed_topk": f"""
+            SELECT user_id,
+                   round(sum(pow(2.0, (epoch(ts) - {_DECAY_TREF_S!r})
+                                      / {_DECAY_HL_S!r})), 6) AS score
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id
+            ORDER BY score DESC, user_id
+            LIMIT 20
         """,
         "incremental_materialize": """
             SELECT event_id, user_id, ts, value

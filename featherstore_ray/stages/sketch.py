@@ -183,7 +183,7 @@ def _mg_truncate(df: pd.DataFrame, key_col: str, capacity: int) -> pd.DataFrame:
     df = df.sort_values(
         ["n", key_col], ascending=[False, True], kind="stable"
     )
-    thr = int(df["n"].iloc[capacity])
+    thr = df["n"].iloc[capacity]  # dtype-preserving (decayed weights are float)
     out = df.head(capacity).copy()
     out["n"] = out["n"] - thr
     return out[out["n"] > 0]
@@ -522,3 +522,173 @@ def cms_frequencies(
     est = merged[np.arange(depth)[:, None], qrows].min(axis=0)
     return pd.DataFrame({key_col: list(query_keys),
                          "est": est.astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# decayed top-k: streaming heavy hitters under exponential time decay
+
+
+def _decay_partial(
+    t: pa.Table, key_col: str, ts_col: str, half_life_s: float,
+    capacity: int,
+) -> pd.DataFrame:
+    """One batch -> anchored decayed-count counters (key, w, anchor).
+
+    ``w`` is the key's decayed mass AT the partial's own anchor (its max
+    event time): w = sum 2^((ts_i - anchor)/half_life). Anchoring every
+    partial at its local max keeps each term in (0, 1] — no overflow no
+    matter how far epoch time drifts — and makes merging associative:
+    rescale every partial to the global max anchor and sum."""
+    df = pd.DataFrame({
+        "k": t[key_col].to_pandas(),
+        "ts": t[ts_col].to_pandas(),
+    }).dropna()
+    if df.empty:
+        return pd.DataFrame({
+            "k": df["k"], "w": pd.Series([], dtype="float64"),
+            "anchor": pd.Series([], dtype="float64"),
+        })
+    sec = df["ts"].to_numpy()
+    if sec.dtype.kind == "M":
+        sec = sec.astype("datetime64[us]").astype(np.int64) / 1e6
+    else:
+        sec = sec.astype(np.float64)
+    anchor = float(sec.max())
+    df["w"] = np.exp2((sec - anchor) / half_life_s)
+    out = df.groupby("k", as_index=False, sort=False)["w"].sum()
+    out = _mg_truncate(out.rename(columns={"w": "n"}), "k", capacity)
+    out = out.rename(columns={"n": "w"})
+    out["anchor"] = anchor
+    return out
+
+
+def _merge_decayed(
+    parts: pd.DataFrame, half_life_s: float, capacity: int
+) -> tuple[pd.DataFrame, float]:
+    """Associative merge of anchored partials: rescale to the newest
+    anchor, sum per key, re-truncate. Returns (counters, anchor)."""
+    if parts.empty:
+        return parts.assign(w=parts.get("w", pd.Series(dtype="float64"))), 0.0
+    anchor = float(parts["anchor"].max())
+    scaled = parts["w"].to_numpy() * np.exp2(
+        (parts["anchor"].to_numpy() - anchor) / half_life_s)
+    merged = (pd.DataFrame({"k": parts["k"], "n": scaled})
+              .groupby("k", as_index=False, sort=False)["n"].sum())
+    merged = _mg_truncate(merged, "k", capacity).rename(columns={"n": "w"})
+    return merged, anchor
+
+
+class DecayedTopKState:
+    """Streaming decayed top-k: fold micro-batches with ``update`` and read
+    the current ranking with ``topk(t_now)`` at any point. State is <=
+    ``capacity`` (key, weight) counters + one anchor — fixed memory for an
+    unbounded stream. Folding batch-by-batch equals one bulk merge
+    (associativity is pinned by tests), so a long-lived consumer actor and
+    the batch pipeline produce the same ranking."""
+
+    def __init__(self, key_col: str, ts_col: str, *,
+                 half_life_s: float, capacity: int = 4096):
+        if half_life_s <= 0:
+            raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+        self.key_col, self.ts_col = key_col, ts_col
+        self.half_life_s, self.capacity = float(half_life_s), int(capacity)
+        self.counters = pd.DataFrame(
+            {"k": pd.Series([], dtype="object"),
+             "w": pd.Series([], dtype="float64")})
+        self.anchor = -np.inf
+
+    def update(self, t: pa.Table) -> None:
+        part = _decay_partial(t, self.key_col, self.ts_col,
+                              self.half_life_s, self.capacity)
+        if part.empty:
+            return
+        cur = self.counters.assign(anchor=self.anchor) \
+            if len(self.counters) else part.iloc[:0]
+        self.counters, self.anchor = _merge_decayed(
+            pd.concat([cur, part], ignore_index=True),
+            self.half_life_s, self.capacity)
+
+    def topk(self, k: int, t_now: float | None = None) -> pd.DataFrame:
+        """Current ranking; scores are decayed to ``t_now`` (default: the
+        anchor, i.e. the newest event seen)."""
+        out = self.counters.copy()
+        if t_now is not None and len(out):
+            out["w"] *= np.exp2((self.anchor - float(t_now))
+                                / self.half_life_s)
+        return (out.sort_values(["w", "k"], ascending=[False, True],
+                                kind="stable")
+                .head(k).reset_index(drop=True))
+
+
+def decayed_topk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    *,
+    k: int = 10,
+    half_life_s: float = 86_400.0,
+    t_ref: float | None = None,
+    capacity: int = 4096,
+    recount: bool = True,
+    round_digits: int = 6,
+) -> pd.DataFrame:
+    """Top-``k`` keys by exponentially time-decayed count — the streaming
+    trending-items primitive: score(key) = sum over its events of
+    2^((ts_i - t_ref) / half_life_s), so an event loses half its weight
+    per half-life and the ranking favors RECENT mass over raw counts.
+
+    Same scale shape as :func:`heavy_hitters` (its undecayed special
+    case): each batch collapses to <= ``capacity`` anchored counters —
+    fixed memory regardless of key cardinality, nothing shuffles — and
+    the driver merge rescales to the newest anchor before summing
+    (order-independent; exact up to Misra-Gries truncation, whose error
+    is <= total decayed mass / (capacity+1) in decayed units, pinned by
+    tests). ``recount=True`` adds a second pass restoring EXACT decayed
+    scores for the <= capacity surviving candidates, so the result
+    matches the exact ranking whenever the true k-th score clears the
+    truncation bound.
+
+    ``t_ref`` fixes the reference time scores decay to (default: the max
+    event time seen); pass it explicitly for reproducible scores.
+    Returns a driver-side DataFrame (key_col, score:float64 rounded to
+    ``round_digits``).
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+
+    sel = ds.select_columns([key_col, ts_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = _decay_partial(t, key_col, ts_col, half_life_s, capacity)
+        return pa.Table.from_pandas(part, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = sel.map_batches(
+        partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    merged, anchor = _merge_decayed(parts, half_life_s, capacity)
+    if merged.empty:
+        return pd.DataFrame({key_col: merged.get("k"),
+                             "score": pd.Series([], dtype="float64")})
+
+    if recount:
+        cand = pa.Array.from_pandas(merged["k"])
+
+        def recount_partial(t: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.is_in(t[key_col], value_set=cand), False)
+            return partial(t.filter(m))
+
+        parts = sel.map_batches(
+            recount_partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
+        # no truncation on the recount: <= capacity candidate keys total
+        merged, anchor = _merge_decayed(parts, half_life_s,
+                                        capacity=len(parts) + 1)
+
+    ref = anchor if t_ref is None else float(t_ref)
+    merged["w"] *= np.exp2((anchor - ref) / half_life_s)
+    merged["w"] = merged["w"].round(round_digits)
+    out = (merged.sort_values(["w", "k"], ascending=[False, True],
+                              kind="stable")
+           .head(k).reset_index(drop=True))
+    return out.rename(columns={"k": key_col, "w": "score"})

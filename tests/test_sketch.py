@@ -246,3 +246,96 @@ def test_cms_frequencies_bounds_and_merge_invariance(ray_session):
         depth=4, width=4096,
     ).set_index("k")["est"]
     pd.testing.assert_series_equal(est, est2)
+
+
+# -- decayed top-k -----------------------------------------------------------
+
+
+def _exact_decayed(t, key_col, ts_col, half_life_s, t_ref):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({"k": t[key_col].to_pandas(),
+                       "ts": t[ts_col].to_pandas()}).dropna()
+    sec = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
+    df["w"] = np.exp2((sec - t_ref) / half_life_s)
+    return df.groupby("k")["w"].sum().sort_values(ascending=False)
+
+
+def test_decayed_topk_exact_with_recount(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from featherstore_ray.stages.sketch import decayed_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "ts"])
+    t_ref = float(np.datetime64("2024-02-01", "us").astype(np.int64)) / 1e6
+    hl = 86_400.0
+    exact = _exact_decayed(t, "user_id", "ts", hl, t_ref)
+    out = decayed_topk(ray.data.from_arrow(t), "user_id", "ts", k=10,
+                       half_life_s=hl, t_ref=t_ref, capacity=4096)
+    ref = exact.round(6).reset_index()
+    ref.columns = ["user_id", "score"]
+    ref = (ref.sort_values(["score", "user_id"], ascending=[False, True],
+                           kind="stable").head(10).reset_index(drop=True))
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert np.allclose(out["score"], ref["score"], atol=2e-6)
+
+
+def test_decayed_topk_error_bound_small_capacity(ray_session):
+    """Misra-Gries under decay: every surviving counter under-counts by at
+    most (total decayed mass)/(capacity+1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from featherstore_ray.stages.sketch import decayed_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "ts"])
+    t_ref = float(np.datetime64("2024-02-01", "us").astype(np.int64)) / 1e6
+    hl = 7 * 86_400.0
+    cap = 8
+    exact = _exact_decayed(t, "user_id", "ts", hl, t_ref)
+    bound = exact.sum() / (cap + 1)
+    out = decayed_topk(ray.data.from_arrow(t).repartition(4), "user_id",
+                       "ts", k=cap, half_life_s=hl, t_ref=t_ref,
+                       capacity=cap, recount=False)
+    for _, row in out.iterrows():
+        err = exact[row["user_id"]] - row["score"]
+        assert -1e-6 <= err <= bound + 1e-6
+
+
+def test_decayed_state_fold_equals_batch(ray_session):
+    """Folding micro-batches through DecayedTopKState == one-shot
+    decayed_topk (merge associativity)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from featherstore_ray.stages.sketch import DecayedTopKState, decayed_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "ts"])
+    hl = 86_400.0
+    st = DecayedTopKState("user_id", "ts", half_life_s=hl, capacity=4096)
+    for lo in range(0, t.num_rows, 97):
+        st.update(t.slice(lo, 97))
+    top = st.topk(10)
+    top["w"] = top["w"].round(6)
+    batch = decayed_topk(ray.data.from_arrow(t), "user_id", "ts", k=10,
+                         half_life_s=hl, capacity=4096)
+    assert top["k"].tolist() == batch["user_id"].tolist()
+    assert np.allclose(top["w"], batch["score"], atol=2e-6)
+
+
+def test_decayed_topk_validates_half_life(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from featherstore_ray.stages.sketch import DecayedTopKState, decayed_topk
+
+    t = pa.table({"k": [1], "ts": pa.array([0], pa.timestamp("us"))})
+    with _pytest.raises(ValueError, match="half_life"):
+        decayed_topk(ray.data.from_arrow(t), "k", "ts", half_life_s=0)
+    with _pytest.raises(ValueError, match="half_life"):
+        DecayedTopKState("k", "ts", half_life_s=-1.0)
