@@ -162,8 +162,15 @@ class _WindowVerify:
         hit = (np.take(self.cands, idx) == h) if len(self.cands) else \
             np.zeros(len(h), bool)
         starts = starts[hit]
-        take = starts[:, None] + np.arange(L, dtype=np.int64)
-        wb = np.ascontiguousarray(buf[take]).view(f"S{L}").ravel()
+        # chunked gather: dup-heavy corpora can flag nearly every window,
+        # and materializing hits x L bytes at once would cost ~L x the
+        # block's text size — bound the temp at ~64 MB
+        step = max(1, (64 << 20) // max(L, 1))
+        arange_l = np.arange(L, dtype=np.int64)
+        wb = np.concatenate([
+            buf[starts[i:i + step, None] + arange_l].view(f"S{L}").ravel()
+            for i in range(0, len(starts), step)
+        ]) if len(starts) else np.empty(0, f"S{L}")
         idcol = t[self.id_col]
         ids = pc.take(
             idcol.combine_chunks() if isinstance(idcol, pa.ChunkedArray)
