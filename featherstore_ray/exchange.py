@@ -43,6 +43,11 @@ DIRECT_MAX_OBJECTS = 200_000
 @ray.remote
 def _split_block(t, num_reducers: int, num_buckets: int, bucket_col: str):
     """Wave 1: order a block by reducer id, return R zero-copy slices."""
+    return _split_table(t, num_reducers, bucket_col)
+
+
+def _split_table(t, num_reducers: int, bucket_col: str):
+    """Shared split body (also fused with assignment in stages/chunked)."""
     if isinstance(t, pd.DataFrame):
         t = pa.Table.from_pandas(t, preserve_index=False)
     if num_reducers == 1:

@@ -45,7 +45,6 @@ import ray.data
 
 from featherstore_ray.exchange import (
     DIRECT_MAX_OBJECTS,
-    _split_block,
     bucketed_map_groups,
     repartition_by_bucket,
 )
@@ -267,7 +266,21 @@ def assign_partitions(
     window_us: int,
 ) -> ray.data.Dataset:
     """Add BUCKET_COL (+halo flag; halo rows are duplicated forward)."""
-    spec_ref = ray.put(spec)
+    assign = _make_assign(
+        ray.put(spec), entity_col=entity_col, ts_col=ts_col,
+        num_buckets=num_buckets, window_us=window_us,
+    )
+    return ds.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _make_assign(
+    spec_ref, *, entity_col: str, ts_col: str, num_buckets: int,
+    window_us: int,
+):
+    """Per-table partition assignment (shared by the map stage and the
+    fused assign+split wave)."""
 
     def assign(t: pa.Table) -> pa.Table:
         sp: _HotSpec | None = ray.get(spec_ref)
@@ -313,9 +326,17 @@ def assign_partitions(
         out_tables.insert(0, base_t)
         return pa.concat_tables(out_tables)
 
-    return ds.map_batches(
-        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return assign
+
+
+@ray.remote
+def _assign_split(t, assign, num_reducers: int, bucket_col: str):
+    """Fused wave 1: assign partitions AND split by reducer in one task —
+    the repartition input never round-trips the object store between the
+    assign map and the split."""
+    from featherstore_ray.exchange import _split_table
+
+    return _split_table(assign(t), num_reducers, bucket_col)
 
 
 def feature_suite_chunked(
@@ -351,6 +372,17 @@ def feature_suite_chunked(
             "chunked suite requires rolling_window >= session_gap "
             "(empty halo must imply a session break)"
         )
+
+    import os
+
+    mode = os.environ.get("FSR_EXCHANGE", "direct")
+    fused = os.environ.get("FSR_CHUNKED_FUSED", "1") == "1"
+    if fused and mode == "direct":
+        # single-read plan: one materialization of the SOURCE blocks feeds
+        # the sample scan, the fused assign+split wave, and (on decline)
+        # the fallback exchange — the assigned table never round-trips the
+        # object store as its own dataset
+        events = events.materialize()
 
     if total_rows is None:
         # count() is metadata-free only for pure reads; callers with lazy
@@ -398,9 +430,8 @@ def feature_suite_chunked(
             rolling_window=rolling_window, session_gap=session_gap,
         )
 
-    assigned = assign_partitions(
-        events, spec,
-        entity_col=entity_col, ts_col=ts_col,
+    assign = _make_assign(
+        ray.put(spec), entity_col=entity_col, ts_col=ts_col,
         num_buckets=num_buckets, window_us=w_us,
     )
     total_parts = spec.total_partitions if spec else num_buckets
@@ -413,31 +444,29 @@ def feature_suite_chunked(
         if spec is not None
         else None
     )
-    import os
-
-    # fully-fused single-materialization plan: split each block by reducer
-    # once; a SUMMARY wave reads the slices (tiny filtered concat), the
-    # driver scans carries, then a FINALIZE wave concats the same slices in
-    # task heap and emits the suite output directly — the repartitioned
-    # intermediate table is never written to the object store (one full
-    # store write + read removed vs repartition+map). Slices are task
-    # outputs, so lineage reconstruction stays intact.
-    mode = os.environ.get("FSR_EXCHANGE", "direct")
-    fused = os.environ.get("FSR_CHUNKED_FUSED", "1") == "1"
+    # fully-fused single-materialization plan: each SOURCE block is
+    # assigned AND split by reducer in one task; a SUMMARY wave reads the
+    # slices (tiny filtered concat), the driver scans carries, then a
+    # FINALIZE wave concats the same slices in task heap and emits the
+    # suite output directly — neither the assigned nor the repartitioned
+    # intermediate table is ever written to the object store as a dataset
+    # (two full store round-trips removed vs assign-map + repartition +
+    # map). Slices are task outputs, so lineage reconstruction stays
+    # intact.
     if fused and mode == "direct":
-        mat = assigned.materialize()
         block_refs = [
             ref
-            for rb in mat.iter_internal_ref_bundles()
+            for rb in events.iter_internal_ref_bundles()
             for ref in rb.block_refs
         ]
         m = len(block_refs)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         r = max(2, min(min(total_parts, max(2 * cpus, 8)), total_parts))
         if m and m * r <= DIRECT_MAX_OBJECTS:
+            assign_ref = ray.put(assign)
             splits = [
-                _split_block.options(num_returns=r).remote(
-                    b, r, total_parts, BUCKET_COL
+                _assign_split.options(num_returns=r).remote(
+                    b, assign_ref, r, BUCKET_COL
                 )
                 for b in block_refs
             ]
@@ -478,10 +507,12 @@ def feature_suite_chunked(
             if keep:
                 return ray.data.from_arrow_refs(keep)
             # all-empty: fall through to the materializing path below
-        assigned = mat  # reuse the blocks on the fallback
 
     # fallback (sort exchange / object-count cap): materializing
     # repartition with the summaries fused into the reduce wave
+    assigned = events.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
     part, summ = repartition_by_bucket(
         assigned, num_buckets=total_parts, summary_kernel=summary_kernel
     )

@@ -668,7 +668,9 @@ def decayed_topk(
         zero_copy_batch=True).to_pandas()
     merged, anchor = _merge_decayed(parts, half_life_s, capacity)
     if merged.empty:
-        return pd.DataFrame({key_col: merged.get("k"),
+        # all-empty input: Ray's to_pandas drops columns on zero-row
+        # datasets, so build the typed empty result explicitly
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
                              "score": pd.Series([], dtype="float64")})
 
     if recount:

@@ -141,3 +141,17 @@ def test_rolling_window_chunked_matches_plain(ray_session):
     p, c = _canon(plain), _canon(chunked)
     assert len(p) == len(c), (len(p), len(c))
     pd.testing.assert_frame_equal(p, c, check_dtype=False)
+
+
+def test_fused_vs_unfused_parity(ray_session, monkeypatch):
+    """FSR_CHUNKED_FUSED=0 (materializing repartition) and =1 (single-read
+    assign+split waves) produce identical suite output."""
+    kw = dict(num_buckets=8, hot_row_threshold=20, target_chunk_rows=25)
+    monkeypatch.setenv("FSR_CHUNKED_FUSED", "1")
+    fused = feature_suite_chunked(
+        ray.data.read_parquet(EVENTS), **kw).to_pandas()
+    monkeypatch.setenv("FSR_CHUNKED_FUSED", "0")
+    unfused = feature_suite_chunked(
+        ray.data.read_parquet(EVENTS), **kw).to_pandas()
+    pd.testing.assert_frame_equal(_canon(fused), _canon(unfused),
+                                  check_dtype=False)
