@@ -77,6 +77,7 @@ _GAP_MIN = 30
 _ANN_QIDS = [0, 1, 2]
 _SUBSTR_L = 25  # substring_dedup window length (shared with the oracle)
 _DECAY_HL_S = 604_800.0  # decayed_topk half-life (7 days, seconds)
+_PSI_CUTOFF = "2024-01-15 00:00:00"  # psi_drift ref/current split
 _DECAY_TREF_S = 1_706_745_600.0  # 2024-02-01T00:00:00Z epoch seconds
 
 
@@ -2542,6 +2543,18 @@ def q_incremental_materialize(sf_dir: str):
     return result[cols]
 
 
+def q_psi_drift(sf_dir: str):
+    """Feature-drift monitor: PSI of the value distribution between the
+    pre- and post-Jan-15 windows over fixed [0, 1000) deciles. No shuffle
+    — every block collapses to two 10-int bincount vectors merged
+    driver-side."""
+    from featherstore_ray.stages.aggregate import psi_drift
+
+    return psi_drift(
+        _read(sf_dir, "events", columns=["value", "ts"]),
+        "value", "ts", cutoff=_PSI_CUTOFF, lo=0.0, hi=1000.0, num_bins=10)
+
+
 def q_decayed_topk(sf_dir: str):
     """Streaming trending-keys primitive: top users by exponentially
     time-decayed event count (half-life 7 d, scores decayed to Feb 1).
@@ -3010,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q_merge_upsert,
         "incremental_materialize": q_incremental_materialize,
         "decayed_topk": q_decayed_topk,
+        "psi_drift": q_psi_drift,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
@@ -3650,6 +3664,43 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "psi_drift": f"""
+            WITH b AS (
+                SELECT CAST(least(greatest(
+                           floor((value - 0.0::DOUBLE) / 100.0::DOUBLE),
+                           0.0::DOUBLE), 9.0::DOUBLE) AS BIGINT) AS bin,
+                       (ts < TIMESTAMP '{_PSI_CUTOFF}') AS is_ref
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            c AS (
+                SELECT bin,
+                       count(*) FILTER (WHERE is_ref) AS n_ref,
+                       count(*) FILTER (WHERE NOT is_ref) AS n_cur
+                FROM b GROUP BY bin
+            ),
+            spine AS (SELECT unnest(range(0, 10)) AS bin),
+            f AS (
+                SELECT spine.bin, coalesce(c.n_ref, 0) AS n_ref,
+                       coalesce(c.n_cur, 0) AS n_cur
+                FROM spine LEFT JOIN c USING (bin)
+            ),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM f),
+            s AS (
+                SELECT f.bin, f.n_ref, f.n_cur,
+                       (f.n_ref + 1.0::DOUBLE) / (t.tr + 10.0::DOUBLE) AS sr,
+                       (f.n_cur + 1.0::DOUBLE) / (t.tc + 10.0::DOUBLE) AS sc
+                FROM f, t
+            )
+            SELECT bin,
+                   round(0.0::DOUBLE + bin * 100.0::DOUBLE, 6) AS bin_lo,
+                   round(0.0::DOUBLE + (bin + 1) * 100.0::DOUBLE, 6)
+                       AS bin_hi,
+                   n_ref, n_cur,
+                   round(sr, 6) AS share_ref,
+                   round(sc, 6) AS share_cur,
+                   round((sr - sc) * ln(sr / sc), 6) AS psi_term
+            FROM s
         """,
         "decayed_topk": f"""
             SELECT user_id,

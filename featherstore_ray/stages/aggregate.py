@@ -1986,3 +1986,85 @@ def mann_whitney(
         lambda df: kernel(df.drop(columns=[BUCKET_COL])),
         num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def psi_drift(
+    ds: ray.data.Dataset,
+    value_col: str,
+    ts_col: str,
+    *,
+    cutoff,
+    lo: float,
+    hi: float,
+    num_bins: int = 10,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Population Stability Index between the reference window (``ts <
+    cutoff``) and the current window (``ts >= cutoff``) of ``value_col`` —
+    the standard ML feature-drift monitor. Output: one row per fixed-width
+    bin over [lo, hi) (out-of-range values clip into the edge bins, the
+    conventional open-ended first/last buckets) with counts, add-one-
+    smoothed shares, and ``psi_term = (share_ref - share_cur) *
+    ln(share_ref / share_cur)``; PSI = sum of psi_term (>0.2 = major
+    shift by the usual rule of thumb).
+
+    Scale shape: NO shuffle — each block collapses to two ``num_bins``-int
+    count vectors (bincount per side) merged driver-side, the same bounded
+    partial as :func:`histogram`. Fixed ``[lo, hi)`` breaks (vs
+    histogram's data-derived range) keep bins comparable across runs —
+    the property a drift monitor needs. Rows with null value or ts are
+    out of contract on both sides. The bin expression
+    ``least(greatest(floor((v - lo) / w), 0), B - 1)`` and the smoothed
+    shares ``(n + 1) / (N + B)`` are evaluated in the same IEEE order as
+    the SQL oracle.
+    """
+    import pyarrow as pa
+
+    B = int(num_bins)
+    if B < 2 or not (hi > lo):
+        raise ValueError(f"need hi > lo and num_bins >= 2, got "
+                         f"[{lo}, {hi}) x {num_bins}")
+    w = (hi - lo) / float(B)
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def counts(t):
+        import pyarrow as pa
+
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = t[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ok = ~np.isnan(v)
+        ok &= ~pd.isna(t[ts_col].to_pandas()).to_numpy()
+        v, ts = v[ok], ts[ok]
+        b = np.minimum(np.maximum(np.floor((v - lo) / w), 0.0),
+                       float(B - 1)).astype(np.int64)
+        is_ref = ts < cut
+        return pa.table({
+            "n_ref": pa.array(np.bincount(b[is_ref], minlength=B),
+                              pa.int64()),
+            "n_cur": pa.array(np.bincount(b[~is_ref], minlength=B),
+                              pa.int64()),
+        })
+
+    c = ds.select_columns([value_col, ts_col]).map_batches(
+        counts, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # 2 x num_bins ints per block — bounded
+    n_ref = c["n_ref"].to_numpy().reshape(-1, B).sum(axis=0) \
+        if len(c) else np.zeros(B, np.int64)
+    n_cur = c["n_cur"].to_numpy().reshape(-1, B).sum(axis=0) \
+        if len(c) else np.zeros(B, np.int64)
+    bins = np.arange(B, dtype=np.int64)
+    sr = (n_ref + 1.0) / (n_ref.sum() + float(B))
+    sc = (n_cur + 1.0) / (n_cur.sum() + float(B))
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(bins),
+        "bin_lo": pa.array(np.round(lo + bins * w, round_digits)),
+        "bin_hi": pa.array(np.round(lo + (bins + 1) * w, round_digits)),
+        "n_ref": pa.array(n_ref.astype(np.int64)),
+        "n_cur": pa.array(n_cur.astype(np.int64)),
+        "share_ref": pa.array(np.round(sr, round_digits)),
+        "share_cur": pa.array(np.round(sc, round_digits)),
+        "psi_term": pa.array(np.round((sr - sc) * np.log(sr / sc),
+                                      round_digits)),
+    }))

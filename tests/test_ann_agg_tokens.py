@@ -1094,3 +1094,56 @@ def test_mann_whitney_matches_manual_with_ties():
         assert abs(out.loc[key, "z"] - want_z) < 1e-5, key
     # the click shift should separate: |z| clearly positive
     assert (out["z"].abs() > 1.5).all()
+
+
+def test_psi_drift_matches_brute_force(ray_session):
+    """PSI bins/shares/terms vs a direct numpy computation, incl. clipped
+    out-of-range values, nulls out of contract, and identical-window
+    (psi ~ 0) sanity."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from featherstore_ray.stages.aggregate import psi_drift
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    v = np.concatenate([rng.normal(300, 120, n), rng.normal(520, 160, n)])
+    v[::97] = -50.0   # clips into bin 0
+    v[1::97] = 2000.0  # clips into bin 9
+    ts = np.concatenate([
+        np.full(n, np.datetime64("2024-01-05", "us")),
+        np.full(n, np.datetime64("2024-01-25", "us")),
+    ])
+    t = pa.table({
+        "value": pa.array(np.append(v, [np.nan]), pa.float64()),
+        "ts": pa.array(np.append(ts, [np.datetime64("2024-01-05", "us")])),
+    })
+    out = psi_drift(
+        ray.data.from_arrow(t).repartition(5), "value", "ts",
+        cutoff="2024-01-15 00:00:00", lo=0.0, hi=1000.0, num_bins=10,
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    b = np.minimum(np.maximum(np.floor(v / 100.0), 0.0), 9.0).astype(int)
+    ref = np.bincount(b[:n], minlength=10)
+    cur = np.bincount(b[n:], minlength=10)
+    sr = (ref + 1.0) / (ref.sum() + 10.0)
+    sc = (cur + 1.0) / (cur.sum() + 10.0)
+    assert (out["n_ref"].to_numpy() == ref).all()
+    assert (out["n_cur"].to_numpy() == cur).all()
+    assert np.allclose(out["psi_term"], np.round((sr - sc) * np.log(sr / sc), 6))
+    assert out["psi_term"].sum() > 0.1  # the shifted mean is visible
+
+    same = psi_drift(
+        ray.data.from_arrow(pa.table({
+            "value": pa.array(np.tile(v[:n], 2)),
+            "ts": pa.array(ts),
+        })), "value", "ts",
+        cutoff="2024-01-15 00:00:00", lo=0.0, hi=1000.0, num_bins=10,
+    ).to_pandas()
+    assert abs(same["psi_term"].sum()) < 1e-9  # identical windows
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="num_bins"):
+        psi_drift(ray.data.from_arrow(t), "value", "ts",
+                  cutoff="2024-01-15", lo=0.0, hi=0.0)
