@@ -76,6 +76,42 @@ _ROLL_HOURS = 24
 _GAP_MIN = 30
 _ANN_QIDS = [0, 1, 2]
 _SUBSTR_L = 25  # substring_dedup window length (shared with the oracle)
+
+# duplicated-substring maximal spans (Lee et al.), shared by the
+# substring_dedup and substring_clean oracles: all length-L windows ->
+# HAVING count >= 2 -> anchor positions -> gaps-and-islands merge
+_SUBSTR_SPANS_CTE = f"""
+            p AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
+                           i -> i - 1)) AS pos,
+                       unnest(list_transform(
+                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
+                           i -> substr(text, i, {_SUBSTR_L}))) AS w
+                FROM documents WHERE doc_id IS NOT NULL
+            ),
+            d AS (SELECT w FROM p GROUP BY w HAVING count(*) >= 2),
+            a AS (SELECT doc_id, pos FROM p WHERE w IN (SELECT w FROM d)),
+            m AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos)
+                                <= {_SUBSTR_L} THEN 0 ELSE 1 END AS brk
+                FROM a
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM m
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS span_start,
+                       max(pos) + {_SUBSTR_L} AS span_end,
+                       count(*) AS n_windows
+                FROM g GROUP BY doc_id, grp
+            )"""
 _DECAY_HL_S = 604_800.0  # decayed_topk half-life (7 days, seconds)
 _PSI_CUTOFF = "2024-01-15 00:00:00"  # psi_drift ref/current split
 _DECAY_TREF_S = 1_706_745_600.0  # 2024-02-01T00:00:00Z epoch seconds
@@ -1719,6 +1755,19 @@ def q_substring_dedup(sf_dir: str):
         min_len=_SUBSTR_L)
 
 
+def q_substring_clean(sf_dir: str):
+    """The span pipeline APPLIED: every doc re-emitted with its duplicated
+    substrings cut out — one further doc-bucket exchange carrying a typed
+    Arrow union of texts and spans; the per-bucket splice is byte-level
+    vectorized (coverage diff -> cumsum -> one boolean compress per
+    bucket, StringArray rebuilt from the kept buffer)."""
+    from featherstore_ray.stages.substr import substring_clean
+
+    return substring_clean(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_len=_SUBSTR_L)
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE over (returnflag, linestatus): finest grouped
     aggregate once at full scale, every key subset re-reduced from the
@@ -3045,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_match": q_token_match,
         "dup_spans": q_dup_spans,
         "substring_dedup": q_substring_dedup,
+        "substring_clean": q_substring_clean,
         "ewma": q_ewma,
         "resample_ffill": q_resample_ffill,
         "group_mode": q_group_mode,
@@ -4291,35 +4341,42 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "substring_dedup": f"""
-            WITH p AS (
+            WITH {_SUBSTR_SPANS_CTE}
+            SELECT doc_id, span_start, span_end, n_windows FROM spans
+        """,
+        "substring_clean": f"""
+            WITH {_SUBSTR_SPANS_CTE},
+            mids AS (
                 SELECT doc_id,
-                       unnest(list_transform(
-                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
-                           i -> i - 1)) AS pos,
-                       unnest(list_transform(
-                           range(1, greatest(length(text) - {_SUBSTR_L} + 2, 1)),
-                           i -> substr(text, i, {_SUBSTR_L}))) AS w
-                FROM documents WHERE doc_id IS NOT NULL
+                       lag(span_end, 1, 0) OVER (
+                           PARTITION BY doc_id ORDER BY span_start)
+                           AS seg_start,
+                       span_start AS seg_end
+                FROM spans
             ),
-            d AS (SELECT w FROM p GROUP BY w HAVING count(*) >= 2),
-            a AS (SELECT doc_id, pos FROM p WHERE w IN (SELECT w FROM d)),
-            m AS (
-                SELECT doc_id, pos,
-                       CASE WHEN pos - lag(pos) OVER (
-                                PARTITION BY doc_id ORDER BY pos)
-                                <= {_SUBSTR_L} THEN 0 ELSE 1 END AS brk
-                FROM a
+            tail AS (
+                SELECT dd.doc_id, coalesce(mx.e, 0) AS seg_start,
+                       length(dd.text) AS seg_end
+                FROM documents dd LEFT JOIN (
+                    SELECT doc_id, max(span_end) AS e FROM spans GROUP BY 1
+                ) mx USING (doc_id)
+                WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
             ),
-            g AS (
-                SELECT doc_id, pos,
-                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS UNBOUNDED PRECEDING) AS grp
-                FROM m
+            segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tail),
+            clean AS (
+                SELECT s.doc_id,
+                       string_agg(substr(dd.text, s.seg_start + 1,
+                                         s.seg_end - s.seg_start),
+                                  '' ORDER BY s.seg_start) AS text_clean
+                FROM segs s JOIN documents dd USING (doc_id)
+                WHERE s.seg_end > s.seg_start
+                GROUP BY s.doc_id
             )
-            SELECT doc_id, min(pos) AS span_start,
-                   max(pos) + {_SUBSTR_L} AS span_end,
-                   count(*) AS n_windows
-            FROM g GROUP BY doc_id, grp
+            SELECT dd.doc_id, coalesce(c.text_clean, '') AS text_clean,
+                   length(dd.text) - length(coalesce(c.text_clean, ''))
+                       AS n_removed
+            FROM documents dd LEFT JOIN clean c USING (doc_id)
+            WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL
         """,
         "dup_spans": """
             WITH t AS (

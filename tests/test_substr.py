@@ -123,3 +123,60 @@ def test_min_len_validation(ray_session):
     t = pa.table({"doc_id": [1], "text": ["abc"]})
     with pytest.raises(ValueError, match="min_len"):
         substring_dedup(ray.data.from_arrow(t), min_len=0)
+
+
+def _brute_clean(texts: dict, L: int) -> pd.DataFrame:
+    from collections import Counter
+
+    c = Counter()
+    for s in texts.values():
+        for i in range(len(s) - L + 1):
+            c[s[i:i + L]] += 1
+    rows = []
+    for d, s in texts.items():
+        covered = [False] * len(s)
+        for i in range(len(s) - L + 1):
+            if c[s[i:i + L]] >= 2:
+                for j in range(i, i + L):
+                    covered[j] = True
+        rows.append((d, "".join(ch for ch, cv in zip(s, covered) if not cv),
+                     sum(covered)))
+    return (pd.DataFrame(rows, columns=["doc_id", "text_clean", "n_removed"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_substring_clean_matches_brute_force(ray_session):
+    from featherstore_ray.stages.substr import substring_clean
+
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ref = _brute_clean(texts, 25)
+    out = (substring_clean(ray.data.from_arrow(t), min_len=25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"n_removed": "int64"}), ref.astype({"n_removed": "int64"}))
+
+
+def test_substring_clean_edge_cases(ray_session):
+    from featherstore_ray.stages.substr import substring_clean
+
+    texts = {
+        1: "QQidenticalQQ",       # fully covered (doc 2 is its twin)
+        2: "QQidenticalQQ",
+        3: "half-XXXXXXXXXX-unique-tail-here",  # partial span
+        4: "XXXXXXXXXXextra",
+        5: "all unique text nothing shared",
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(texts) + [None, 6], pa.int64()),
+        "text": list(texts.values()) + ["QQidenticalQQ", None],
+    })
+    out = (substring_clean(ray.data.from_arrow(t).repartition(3),
+                           min_len=8, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # null id / null text rows are out of contract entirely
+    ref = _brute_clean(texts, 8)
+    pd.testing.assert_frame_equal(
+        out.astype({"n_removed": "int64"}), ref.astype({"n_removed": "int64"}))
+    assert out.loc[out["doc_id"] == 1, "text_clean"].iloc[0] == ""
+    assert (out.loc[out["doc_id"] == 5, "n_removed"] == 0).all()
