@@ -45,6 +45,7 @@ import ray.data
 
 from featherstore_ray.exchange import (
     DIRECT_MAX_OBJECTS,
+    _split_table,
     bucketed_map_groups,
     repartition_by_bucket,
 )
@@ -333,9 +334,9 @@ def _make_assign(
 def _assign_split(t, assign, num_reducers: int, bucket_col: str):
     """Fused wave 1: assign partitions AND split by reducer in one task —
     the repartition input never round-trips the object store between the
-    assign map and the split."""
-    from featherstore_ray.exchange import _split_table
-
+    assign map and the split. ``_split_table`` is imported at MODULE level:
+    a runtime import inside this task fails on workers whenever the
+    driver's cwd is not the repo root (the foreign-cwd contract)."""
     return _split_table(assign(t), num_reducers, bucket_col)
 
 

@@ -39,12 +39,12 @@ spec.loader.exec_module(mod)
 
 qs = mod.queries()
 sf = "/root/testdata/sf0.001"
-for name in ["latest_per_entity", "tokens_dedup", "feature_suite_chunked"]:
+for name in ["latest_per_entity", "tokens_dedup", "feature_suite_chunked",
+             "substring_dedup", "incremental_materialize", "decayed_topk"]:
     res = qs[name](sf)
-    try:
-        n = res.count()
-    except AttributeError:
-        n = len(res)
+    # Dataset -> count(); DataFrame/Table -> len (DataFrame.count() is
+    # per-column and its Series truth value is ambiguous)
+    n = res.count() if hasattr(res, "iter_batches") else len(res)
     assert n > 0, (name, n)
     print("OK", name, n, flush=True)
 ray.shutdown()
