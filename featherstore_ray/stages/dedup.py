@@ -62,7 +62,52 @@ def exact_dedup(
             .reset_index(drop=True)
         )
 
-    ds = ds.map_batches(winner, batch_size=None, batch_format="pandas")
+    def _sort_view(col):
+        """Zero-copy numeric view for the lexsort fast path, or None."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            return None
+        t_ = arr.type
+        if pa.types.is_timestamp(t_) or pa.types.is_date(t_):
+            return arr.cast(pa.int64()).to_numpy()
+        if pa.types.is_integer(t_) or pa.types.is_floating(t_):
+            return arr.to_numpy()
+        return None
+
+    def winner_table(t: pa.Table) -> pa.Table:
+        """Arrow-in/Arrow-out winner: null-free numeric/temporal keys take
+        a numpy lexsort + run-boundary take (no Table<->DataFrame copies —
+        this is the per-batch HOT path); anything else falls back to the
+        pandas kernel with identical semantics (np.lexsort is stable, and
+        descending keep is realized via bitwise NOT — an overflow-free
+        order inversion — so equal-keep ties resolve to the same row)."""
+        if t.num_rows == 0:
+            return t
+        views = [_sort_view(t[c]) for c in key_cols + [keep_col]]
+        if any(v is None or v.dtype.kind not in "iufM" for v in views):
+            return pa.Table.from_pandas(
+                winner(t.to_pandas()), preserve_index=False,
+            ).cast(t.schema)
+        keys = [v.view(np.int64) if v.dtype.kind == "M" else v
+                for v in views]
+        keep_v = keys[-1]
+        if not ascending:
+            keep_v = ~keep_v if keep_v.dtype.kind in "iu" else -keep_v
+            keys = [~k if k.dtype.kind in "iu" else -k for k in keys[:-1]] \
+                + [keep_v]
+        order = np.lexsort(keys[::-1])  # primary = key_cols[0], last = keep
+        # run boundaries: a row starts a new key group iff ANY key changes
+        first = np.empty(len(order), bool)
+        first[0] = True
+        change = np.zeros(len(order) - 1, bool)
+        for v in keys[:-1]:
+            s = v[order]
+            change |= s[1:] != s[:-1]
+        first[1:] = change
+        return t.take(pa.array(order[first]))
+
+    ds = ds.map_batches(winner_table, batch_size=None,
+                        batch_format="pyarrow", zero_copy_batch=True)
 
     def add_key_hash(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
@@ -74,10 +119,11 @@ def exact_dedup(
 
     ds = ds.map_batches(add_key_hash, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return winner(df.drop(columns=[BUCKET_COL]))
+    def final(t: pa.Table) -> pa.Table:
+        return winner_table(t.drop_columns([BUCKET_COL]))
 
-    return bucketed_map_groups(ds, final, num_buckets=num_buckets, batch_format="pandas")
+    return bucketed_map_groups(ds, final, num_buckets=num_buckets,
+                               batch_format="pyarrow")
 
 
 # -- MinHash + LSH ---------------------------------------------------------

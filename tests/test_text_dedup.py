@@ -483,3 +483,43 @@ def test_association_rules_manual():
     assert r["lift"] == round((2 / 3) / (3 / 4), 6)
     # both directions emitted; (y,z) below min_count → absent
     assert ("y", "x") in out.index and ("y", "z") not in out.index
+
+
+def test_exact_dedup_arrow_fast_path_matches_pandas_fallback(ray_session):
+    """Numeric-key batches take the numpy lexsort path; string keys and
+    null keep values fall back to pandas — both must pick identical
+    winners for keep=min AND keep=max."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    num = pa.table({
+        "k1": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "k2": pa.array(rng.integers(0, 3, n), pa.uint64()),
+        "keep": pa.array(rng.permutation(n), pa.int64()),
+        "payload": pa.array(rng.normal(size=n)),
+    })
+    for keep in ("min", "max"):
+        out = exact_dedup(
+            ray.data.from_arrow(num).repartition(4), ["k1", "k2"],
+            keep_col="keep", keep=keep, num_buckets=8,
+        ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        df = num.to_pandas()
+        ref = (df.sort_values(["k1", "k2", "keep"], ascending=keep == "min",
+                              kind="stable")
+               .drop_duplicates(["k1", "k2"]).sort_values(["k1", "k2"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    # string key -> pandas fallback, same semantics
+    s = pa.table({
+        "k": pa.array([f"key{i % 37}" for i in range(1000)]),
+        "keep": pa.array(np.arange(1000)[::-1].copy(), pa.int64()),
+    })
+    out = exact_dedup(ray.data.from_arrow(s).repartition(3), ["k"],
+                      keep_col="keep", keep="max", num_buckets=4
+                      ).to_pandas().sort_values("k").reset_index(drop=True)
+    ref = (s.to_pandas().sort_values(["k", "keep"], ascending=False,
+                                     kind="stable")
+           .drop_duplicates(["k"]).sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
