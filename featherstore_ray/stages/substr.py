@@ -311,6 +311,7 @@ def substring_clean(
     min_len: int = 25,
     num_buckets: int = 64,
     candidate_cap: int = 50_000_000,
+    spans: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Lee-et-al substring dedup applied: every doc re-emitted with its
     duplicated spans (:func:`substring_dedup` semantics) CUT OUT.
@@ -325,6 +326,12 @@ def substring_clean(
     compress builds every cleaned doc of the bucket at once, and the
     output StringArray is assembled directly from the kept buffer +
     recomputed offsets (no per-doc Python string surgery).
+
+    ``spans``: precomputed :func:`substring_dedup` output for the SAME
+    (corpus, min_len) — callers that already ran the span pipeline pass it
+    here to skip recomputing it (the driver contract shares one spans
+    table between the ``substring_dedup`` and ``substring_clean`` queries,
+    both of which are independently SQL-oracled).
     """
 
     def drop_nulls(t: pa.Table) -> pa.Table:
@@ -334,10 +341,11 @@ def substring_clean(
     docs = ds.select_columns([id_col, text_col]).map_batches(
         drop_nulls, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True).materialize()
-    spans = substring_dedup(
-        docs, id_col=id_col, text_col=text_col, min_len=min_len,
-        num_buckets=num_buckets, candidate_cap=candidate_cap,
-        materialize_input=False)  # docs is already materialized
+    if spans is None:
+        spans = substring_dedup(
+            docs, id_col=id_col, text_col=text_col, min_len=min_len,
+            num_buckets=num_buckets, candidate_cap=candidate_cap,
+            materialize_input=False)  # docs is already materialized
 
     id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
 
