@@ -2562,10 +2562,17 @@ def q_merge_upsert(sf_dir: str):
         base, delta, entity_col="user_id", ts_col="ts", tiebreak="event_id")
 
 
-def _incmat_kernel(df):
-    """Per-bucket latest-per-user (module-level: ships by value)."""
-    return (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-            .groupby("user_id", sort=False).tail(1))
+def _make_incmat_kernel():
+    """Per-bucket latest-per-user kernel, built as a closure so cloudpickle
+    ships it BY VALUE — a module-level function here pickles by reference
+    and workers would have to `import __ray_entry__` (fails whenever the
+    driver's cwd isn't the repo root)."""
+
+    def kernel(df):
+        return (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+                .groupby("user_id", sort=False).tail(1))
+
+    return kernel
 
 
 def q_incremental_materialize(sf_dir: str):
@@ -2597,14 +2604,15 @@ def q_incremental_materialize(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
     delta = ev.map_batches(_side(True), batch_size=None,
                            batch_format="pyarrow", zero_copy_batch=True)
+    kernel = _make_incmat_kernel()
     out_dir = tempfile.mkdtemp(prefix="fsr_incmat_")
     try:
         materialize(base, out_dir, entity_col="user_id",
-                    kernel=_incmat_kernel, sort_cols=["user_id", "event_id"],
+                    kernel=kernel, sort_cols=["user_id", "event_id"],
                     num_buckets=16)
         materialize_incremental(
             ev, delta, out_dir, entity_col="user_id", delta_id="mod16-slice",
-            kernel=_incmat_kernel, sort_cols=["user_id", "event_id"],
+            kernel=kernel, sort_cols=["user_id", "event_id"],
             num_buckets=16)
         result = read_materialized(out_dir).to_pandas()
     finally:
