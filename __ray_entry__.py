@@ -1344,6 +1344,19 @@ def q_lm_score(sf_dir: str):
     return lm_score(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): Gumbel-top-50 docs by
+    byte-bigram importance log-weight toward the lang='en' target slice.
+    Count partials + one broadcast log-ratio table + block-local top-k —
+    no shuffle; fully deterministic (multiplicative-hash Gumbel noise,
+    rounded resampling key, doc_id tie-break)."""
+    from featherstore_ray.stages.text import dsir_select
+
+    return dsir_select(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        target_col="lang", target_val="en", k=50)
+
+
 def q_quality_score(sf_dir: str):
     """Quality features: char/word counts, stopword hits (RE2 both sides)."""
     from featherstore_ray.stages.text import quality_score
@@ -3051,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
         "lm_score": q_lm_score,
+        "dsir_select": q_dsir_select,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4680,6 +4694,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(sc.nll, 6) AS lm_nll
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # DSIR mirror: byte == char on the ASCII-only corpus (same premise
+        # as the lm_score oracle above); HUGEINT cast before the
+        # multiplicative hash (BIGINT overflows on large ids); the
+        # resampling cut uses the ROUNDED key on both sides so float ulps
+        # can't flip rank (weighted_sample lesson).
+        "dsir_select": """
+            WITH bg AS (
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                           range(1, length(text)),
+                           i -> substr(text, i, 2))) AS b
+                FROM documents
+            ),
+            cr AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+            ct AS (SELECT b, count(*) AS n FROM bg
+                   WHERE lang = 'en' GROUP BY b),
+            tot AS (SELECT (SELECT sum(n) FROM cr) AS nr,
+                           (SELECT coalesce(sum(n), 0) FROM ct) AS nt),
+            lr AS (
+                SELECT cr.b,
+                       ln((coalesce(ct.n, 0) + 1.0) / (tot.nt + 65536.0))
+                     - ln((cr.n + 1.0) / (tot.nr + 65536.0)) AS lam
+                FROM cr LEFT JOIN ct USING (b), tot
+            ),
+            w AS (SELECT bg.doc_id, sum(lr.lam) AS logw
+                  FROM bg JOIN lr ON bg.b = lr.b GROUP BY bg.doc_id),
+            s AS (
+                SELECT d.doc_id, coalesce(w.logw, 0.0) AS logw,
+                       -ln(-ln(((CAST(d.doc_id AS HUGEINT) * 2654435761)
+                                % 4294967296 + 0.5) / 4294967296.0)) AS gum
+                FROM documents d LEFT JOIN w USING (doc_id)
+            )
+            SELECT doc_id, round(logw, 6) AS dsir_logw,
+                   round(logw + gum, 6) AS dsir_key
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY round(logw + gum, 6) DESC, doc_id) AS rn
+                  FROM s)
+            WHERE rn <= 50
         """,
         "quality_score": r"""
             SELECT doc_id,

@@ -39,6 +39,31 @@ from featherstore_ray.partition import BUCKET_COL
 
 DIRECT_MAX_OBJECTS = 200_000
 
+# Reducer sizing for the direct exchange: small inputs don't need (and are
+# actively hurt by) one reduce task per bucket — at 32 cpus the old fixed
+# r = max(2*cpus, 8) launched 64 reduce tasks for a 0.5 MB table, and task
+# launch + the count ray.get dominated the exchange (~1s floor per wide op).
+# Pick r so each reducer sees ~TARGET bytes, floored at 8 so compute-heavy
+# kernels over byte-small inputs (pair expansion, iterative kernels) still
+# parallelize. At real scale r_data >> the cpu cap, so behavior is unchanged.
+TARGET_REDUCER_BYTES = int(
+    os.environ.get("FSR_REDUCER_TARGET_BYTES", str(4 << 20))
+)
+MIN_DIRECT_REDUCERS = 8
+
+
+def _pick_reducers(
+    num_buckets: int, cpus: int, size_bytes: int | None
+) -> int:
+    r = min(num_buckets, max(2 * cpus, 8))
+    if size_bytes is not None and size_bytes >= 0:
+        r_data = max(
+            MIN_DIRECT_REDUCERS,
+            -(-size_bytes // TARGET_REDUCER_BYTES),
+        )
+        r = min(r, r_data)
+    return r
+
 
 @ray.remote
 def _split_block(t, num_reducers: int, num_buckets: int, bucket_col: str):
@@ -153,13 +178,14 @@ def repartition_by_bucket(
         # if the direct path declines below, the sort fallback consumes the
         # already-materialized blocks instead of re-executing the lineage
         src = mat
-        block_refs = [
-            ref for rb in mat.iter_internal_ref_bundles() for ref in rb.block_refs
-        ]
+        block_refs, size_bytes = [], 0
+        for rb in mat.iter_internal_ref_bundles():
+            block_refs.extend(rb.block_refs)
+            size_bytes += rb.size_bytes()
         m = len(block_refs)
         if m:
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            r = num_reducers or min(num_buckets, max(2 * cpus, 8))
+            r = num_reducers or _pick_reducers(num_buckets, cpus, size_bytes)
             r = max(2, min(r, num_buckets))
             if m * r <= DIRECT_MAX_OBJECTS:
                 sk_ref = ray.put(summary_kernel)
@@ -325,14 +351,15 @@ def _direct(
     """Two-wave exchange; returns None to signal sort-path fallback.
 
     ``ds`` arrives already materialized (bucketed_map_groups does it)."""
-    block_refs = [
-        ref for rb in ds.iter_internal_ref_bundles() for ref in rb.block_refs
-    ]
+    block_refs, size_bytes = [], 0
+    for rb in ds.iter_internal_ref_bundles():
+        block_refs.extend(rb.block_refs)
+        size_bytes += rb.size_bytes()
     m = len(block_refs)
     if m == 0:
         return None
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    r = num_reducers or min(num_buckets, max(2 * cpus, 8))
+    r = num_reducers or _pick_reducers(num_buckets, cpus, size_bytes)
     r = max(1, min(r, num_buckets))
     if m * r > DIRECT_MAX_OBJECTS:
         return None

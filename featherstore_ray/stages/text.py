@@ -863,6 +863,149 @@ def lm_score(
     )
 
 
+def _bigram_codes(data: np.ndarray, off: np.ndarray):
+    """Byte-bigram codes of every doc in a block, doc-boundary aware.
+
+    Returns ``(codes, m)``: ``codes`` are the int32 bigram codes
+    (``256*c1 + c2``) of all docs concatenated in doc order, ``m`` the
+    per-doc bigram counts (``len - 1``, floored at 0) — so
+    ``np.repeat(doc_mask, m)`` aligns any per-doc mask with ``codes``."""
+    lens = off[1:] - off[:-1]
+    m = np.maximum(lens - 1, 0)
+    if len(data) < 2 or off[-1] - off[0] < 2:
+        return np.empty(0, np.int32), m
+    codes = data[:-1].astype(np.int32) * 256 + data[1:]
+    valid = np.zeros(len(data) - 1, dtype=bool)
+    valid[off[0]:max(off[-1] - 1, off[0])] = True
+    b = off[1:-1]
+    b = b[(b > 0) & (b < len(data))]
+    valid[b - 1] = False  # bigram would cross a doc boundary
+    return codes[valid], m
+
+
+def dsir_select(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_val: str = "en",
+    k: int = 50,
+    round_digits: int = 6,
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): pick the ``k`` raw documents whose
+    hashed-feature distribution looks most like a target corpus, via
+    Gumbel-top-k over importance log-weights.
+
+    Features are byte bigrams (the paper's hashed n-grams with a perfect
+    64Ki hash). Both feature LMs use add-one smoothing over the full 64Ki
+    vocabulary; the target corpus is the subset ``target_col == target_val``
+    of the input itself (select-more-like-these). Per doc,
+    ``logw = sum over bigram occurrences of ln p_target(b) - ln p_raw(b)``
+    and the resampling key is ``round(logw + Gumbel(doc_id), 6)`` where the
+    Gumbel noise derives from the multiplicative hash
+    ``(doc_id * 2654435761) mod 2^32`` — fully deterministic and
+    SQL-mirrorable. Ties break by ``id_col`` ascending. Output: the
+    selected rows' ``(id_col, dsir_logw, dsir_key)``, key-descending.
+
+    Scale shape (100 TB): pass 1 collapses each block to <= 64Ki
+    (code, n_raw, n_target) rows merged driver-side; the 512 KB log-ratio
+    table broadcasts once via ``ray.put``; pass 2 is row-local scoring that
+    emits only its block-top-k — the driver merges ``k x num_blocks`` tiny
+    partials. No shuffle anywhere.
+    """
+    import ray
+
+    proj = ds.select_columns([id_col, text_col, target_col])
+    if materialize_input:
+        proj = proj.materialize()  # two passes share one read
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"code": pa.array([], pa.int32()),
+             "n_raw": pa.array([], pa.int64()),
+             "n_tgt": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        data, off = _byte_view(t[text_col])
+        codes, m = _bigram_codes(data, off)
+        if len(codes) == 0:
+            return empty
+        tgt_doc = pc.equal(
+            t[target_col], pa.scalar(target_val)
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        tgt_doc = np.asarray(tgt_doc, dtype=bool)
+        tgt = np.repeat(tgt_doc, m)
+        n_raw = np.bincount(codes, minlength=65536)
+        n_tgt = np.bincount(codes[tgt], minlength=65536)
+        nz = np.nonzero(n_raw)[0]
+        return pa.table(
+            {"code": pa.array(nz.astype(np.int32)),
+             "n_raw": pa.array(n_raw[nz].astype(np.int64)),
+             "n_tgt": pa.array(n_tgt[nz].astype(np.int64))}
+        )
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n_raw = np.zeros(65536, dtype=np.int64)
+    n_tgt = np.zeros(65536, dtype=np.int64)
+    if len(parts):
+        codes = parts["code"].to_numpy().astype(np.int64)
+        np.add.at(n_raw, codes, parts["n_raw"].to_numpy())
+        np.add.at(n_tgt, codes, parts["n_tgt"].to_numpy())
+    tot_raw, tot_tgt = n_raw.sum(), n_tgt.sum()
+    lam = (
+        np.log((n_tgt + 1.0) / (tot_tgt + 65536.0))
+        - np.log((n_raw + 1.0) / (tot_raw + 65536.0))
+    )
+    lam_ref = ray.put(lam)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "dsir_logw": pa.array([], pa.float64()),
+             "dsir_key": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        lr = ray.get(lam_ref)
+        data, off = _byte_view(t[text_col])
+        codes, m = _bigram_codes(data, off)
+        s = lr[codes] if len(codes) else np.empty(0, np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(s)))
+        doc_off = np.concatenate(([0], np.cumsum(m)))
+        logw = csum[doc_off[1:]] - csum[doc_off[:-1]]
+        ids = np.asarray(
+            t[id_col].combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        h = (ids * np.int64(2654435761)) & np.int64(0xFFFFFFFF)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        gum = -np.log(-np.log(u))
+        key = np.round(logw + gum, round_digits)
+        # block-local top-k: key desc, id asc (matches the oracle's
+        # ORDER BY dsir_key DESC, doc_id)
+        order = np.lexsort((ids, -key))[: min(k, len(ids))]
+        return pa.table(
+            {id_col: pa.array(ids[order]),
+             "dsir_logw": pa.array(np.round(logw[order], round_digits)),
+             "dsir_key": pa.array(key[order])}
+        )
+
+    cand = proj.map_batches(
+        block_topk, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # k rows per block, tiny
+    cand = cand.sort_values(
+        ["dsir_key", id_col], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    return ray.data.from_arrow(pa.Table.from_pandas(cand, preserve_index=False))
+
+
 # Default PII masking rules, applied IN ORDER (most specific first so the
 # generic digit-run rule can't eat a phone number's structure). RE2-only
 # syntax — pyarrow and DuckDB both run RE2, so oracle SQL

@@ -523,3 +523,62 @@ def test_exact_dedup_arrow_fast_path_matches_pandas_fallback(ray_session):
                                      kind="stable")
            .drop_duplicates(["k"]).sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_dsir_select_parity_and_invariance(ray_session):
+    from featherstore_ray.stages.text import dsir_select
+
+    rng = np.random.default_rng(7)
+    en_words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast"]
+    xx_words = ["zq", "xj", "kw", "vb", "qq", "jx"]
+    texts, langs = [], []
+    for i in range(60):
+        lang = "en" if i % 3 else "xx"
+        words = en_words if lang == "en" else xx_words
+        texts.append(" ".join(rng.choice(words, size=12)))
+        langs.append(lang)
+    texts += ["", "a"]          # <2 bytes: logw = 0 but still selectable
+    langs += ["en", "xx"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts),
+                  "lang": pa.array(langs)})
+    k = 15
+    one = (dsir_select(ray.data.from_arrow(t), k=k)
+           .to_pandas().reset_index(drop=True))
+    many = (dsir_select(ray.data.from_arrow(t).repartition(7), k=k)
+            .to_pandas().reset_index(drop=True))
+    # corpus-global LMs + block-local top-k: block boundaries change nothing
+    pd.testing.assert_frame_equal(one, many)
+    assert len(one) == k
+
+    # pure-python reference
+    import math
+    from collections import Counter
+    cr, ct = Counter(), Counter()
+    for x, lg in zip(texts, langs):
+        bs = x.encode()
+        grams = [bs[i:i + 2] for i in range(len(bs) - 1)]
+        cr.update(grams)
+        if lg == "en":
+            ct.update(grams)
+    tr, tt = sum(cr.values()), sum(ct.values())
+    rows = []
+    for i, x in zip(ids, texts):
+        bs = x.encode()
+        lw = sum(
+            math.log((ct.get(bs[j:j + 2], 0) + 1) / (tt + 65536))
+            - math.log((cr[bs[j:j + 2]] + 1) / (tr + 65536))
+            for j in range(len(bs) - 1)
+        )
+        h = (int(i) * 2654435761) % 2 ** 32
+        g = -math.log(-math.log((h + 0.5) / 2 ** 32))
+        rows.append((int(i), round(lw, 6), round(lw + g, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    for (rid, rlw, rkey), got in zip(rows[:k], one.itertuples(index=False)):
+        assert rid == got.doc_id
+        assert abs(rlw - got.dsir_logw) < 1e-6
+        assert abs(rkey - got.dsir_key) < 1e-6
+    # en docs must dominate the selection (importance weights favor target)
+    sel_lang = {int(i): lg for i, lg in zip(ids, langs)}
+    frac_en = np.mean([sel_lang[d] == "en" for d in one["doc_id"]])
+    assert frac_en >= 0.8
