@@ -1062,6 +1062,24 @@ def q_kmeans(sf_dir: str):
     )
 
 
+_LOGREG_ITERS = 5
+_LOGREG_LR = 1.0
+
+
+def q_logreg_train(sf_dir: str):
+    """Distributed binary logistic-regression training (full-batch GD,
+    label==0 vs rest over the embeddings table): each iteration is one
+    streaming pass collapsing every block to a (d-vector gradient partial,
+    count) row; the 64-float weight vector rides in the next pass's
+    closure. No shuffle. Oracled via unrolled per-iteration CTEs
+    (_logreg_sql)."""
+    from featherstore_ray.stages.ann import logreg_train
+
+    return logreg_train(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]),
+        positive_label=0, iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+
+
 _SEMDEDUP_T = 0.7
 
 
@@ -1123,6 +1141,45 @@ def _fuzzy_ctes(d: int) -> str:
                 FROM bandkeys a JOIN bandkeys b USING (k)
                 WHERE a.name < b.name
             )"""
+
+
+def _logreg_sql(iters: int, lr: float, dim: int = 64) -> str:
+    """SQL mirror of ``logreg_train`` (stages/ann.py): one CTE pair per
+    full-batch GD step — per-row dot against the previous weight table,
+    then per-dimension gradient mean. float32 embeddings cast to DOUBLE
+    once up front (same widening as the Ray kernel); w0 = 0 makes the
+    first sigmoid exactly 0.5 on both sides."""
+    sql = f"""
+        WITH e AS (
+          SELECT vec_id,
+                 CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        dims AS (SELECT unnest(range(1, {dim + 1})) AS j),
+        w0 AS (SELECT j, CAST(0.0 AS DOUBLE) AS wj FROM dims)"""
+    cur = "w0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        m{t} AS (
+          SELECT e.vec_id, e.y, sum(e.v[w.j] * w.wj) AS dot
+          FROM e CROSS JOIN {cur} w GROUP BY e.vec_id, e.y
+        ),
+        g{t} AS (
+          SELECT d.j,
+                 sum((1.0 / (1.0 + exp(-m.dot)) - m.y) * e.v[d.j])
+                   / (SELECT n FROM nn) AS gj
+          FROM m{t} m JOIN e ON m.vec_id = e.vec_id CROSS JOIN dims d
+          GROUP BY d.j
+        ),
+        w{t} AS (
+          SELECT w.j, w.wj - CAST({lr!r} AS DOUBLE) * g.gj AS wj
+          FROM {cur} w JOIN g{t} g USING (j)
+        )"""
+        cur = f"w{t}"
+    return sql + f"""
+        SELECT j, round(wj, 6) AS weight FROM {cur}"""
 
 
 def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
@@ -3057,6 +3114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "kmeans": q_kmeans,
+        "logreg_train": q_logreg_train,
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
         "event_sequence": q_event_sequence,
@@ -5072,6 +5130,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+        "logreg_train": _logreg_sql(_LOGREG_ITERS, _LOGREG_LR),
         "semantic_dedup": _semantic_dedup_oracle_sql(
             _KMEANS_K, _KMEANS_ITERS, _SEMDEDUP_T
         ),

@@ -580,6 +580,82 @@ def kmeans_fit(
     return C
 
 
+def logreg_train(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    positive_label: int = 0,
+    iters: int = 5,
+    lr: float = 0.1,
+    round_digits: int = 6,
+    materialize_input: bool = True,
+) -> ray.data.Dataset:
+    """Distributed binary logistic-regression training (full-batch gradient
+    descent, the classic data-parallel pattern): ``y = 1`` iff
+    ``label == positive_label``, ``w_0 = 0`` (no intercept),
+    ``w_{t+1} = w_t - lr * mean_i (sigmoid(x_i . w_t) - y_i) x_i``.
+
+    Each iteration is ONE streaming pass: every block collapses to a
+    single (d-vector gradient partial, count) row — moments merge
+    driver-side exactly like :func:`kmeans_fit`; the d-float weight vector
+    ships to the next pass inside the closure. No shuffle anywhere; at
+    100 TB each pass moves only ``blocks x (d+1)`` floats to the driver.
+
+    Deterministic and SQL-mirrorable (unrolled per-iteration CTEs — the
+    ``_kmeans_ctes`` precedent): embeddings cast float32 -> float64 before
+    every multiply on both sides. Output: ``(j, weight)``, ``j`` 1-based
+    to match SQL ``embedding[j]`` indexing, weights rounded.
+    """
+    proj = ds.select_columns([emb_col, label_col])
+    if materialize_input:
+        proj = proj.materialize()
+
+    dim = None
+    w = None
+    n_total = None
+    for _ in range(iters):
+        def grad_partial(t: pa.Table, w_t=w) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"g": pa.array([], pa.list_(pa.float64())),
+                     "n": pa.array([], pa.int64())}
+                )
+            X = _stack_embeddings(t[emb_col])
+            labels = t[label_col].to_numpy(zero_copy_only=False)
+            y = (labels == positive_label).astype(np.float64)
+            d = X.shape[1]
+            wt = np.zeros(d) if w_t is None else w_t
+            p = 1.0 / (1.0 + np.exp(-(X @ wt)))
+            g = (p - y) @ X  # d-vector partial (unnormalized sum)
+            off = np.array([0, d], dtype=np.int32)
+            return pa.table(
+                {"g": pa.ListArray.from_arrays(off, g),
+                 "n": pa.array([t.num_rows], pa.int64())}
+            )
+
+        part = proj.map_batches(
+            grad_partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # one row per block
+        if not len(part):
+            break
+        gs = np.stack(part["g"].to_numpy())
+        n_total = int(part["n"].sum())
+        grad = gs.sum(axis=0) / max(n_total, 1)
+        if dim is None:
+            dim = grad.shape[0]
+            w = np.zeros(dim)
+        w = w - lr * grad
+
+    if w is None:
+        w = np.zeros(0)
+    return ray.data.from_arrow(pa.table(
+        {"j": pa.array(np.arange(1, len(w) + 1, dtype=np.int64)),
+         "weight": pa.array(np.round(w, round_digits))}
+    ))
+
+
 def kmeans_assign(
     ds: ray.data.Dataset,
     *,

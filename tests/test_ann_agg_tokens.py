@@ -1147,3 +1147,44 @@ def test_psi_drift_matches_brute_force(ray_session):
     with _pytest.raises(ValueError, match="num_bins"):
         psi_drift(ray.data.from_arrow(t), "value", "ts",
                   cutoff="2024-01-15", lo=0.0, hi=0.0)
+
+
+def test_logreg_train_parity_and_invariance(ray_session):
+    from featherstore_ray.stages.ann import logreg_train
+
+    rng = np.random.default_rng(11)
+    n, d = 200, 8
+    X32 = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = rng.normal(size=d)
+    y = (X32.astype(np.float64) @ w_true + rng.normal(size=n) > 0)
+    labels = np.where(y, 0, rng.integers(1, 5, size=n)).astype(np.int32)
+    off = (np.arange(n + 1) * d).astype(np.int32)
+    t = pa.table({
+        "embedding": pa.ListArray.from_arrays(
+            off, pa.array(X32.ravel(), pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    iters, lr = 4, 0.5
+    one = (logreg_train(ray.data.from_arrow(t), iters=iters, lr=lr)
+           .to_pandas().sort_values("j").reset_index(drop=True))
+    many = (logreg_train(ray.data.from_arrow(t).repartition(7),
+                         iters=iters, lr=lr)
+            .to_pandas().sort_values("j").reset_index(drop=True))
+    # gradient partials are associative sums: block layout changes nothing
+    # beyond float summation order, absorbed by the 6dp rounding
+    pd.testing.assert_frame_equal(one, many)
+
+    X = X32.astype(np.float64)
+    yy = (labels == 0).astype(np.float64)
+    w = np.zeros(d)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * ((p - yy) @ X) / n
+    assert np.abs(np.round(w, 6) - one["weight"].to_numpy()).max() <= 1e-6
+
+    def loss(wv):
+        z = X @ wv
+        return np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0)
+                       - yy * z)
+
+    assert loss(w) < loss(np.zeros(d)) - 1e-3  # it actually learns
