@@ -2188,6 +2188,45 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_image_dedup(sf_dir: str):
+    """Perceptual image near-dedup: deterministic synthetic PNGs (40 base
+    pseudo-random patterns, variants = base with one 3x3 region perturbed)
+    -> actor-pool dHash -> EXACT Hamming<=4 pair join by pigeonhole
+    banding (5 bit-bands: close pairs must agree on a whole band, so the
+    candidate cover has no false negatives — unlike MinHash-LSH).
+    Rows-only (stdlib PNG decode isn't SQL-expressible); completeness is
+    pytest-gated vs all-pairs brute force (tests/test_png.py)."""
+    from featherstore_ray.stages.multimodal import dhash_near_dups
+    from featherstore_ray.stages.png import encode_png
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_png(t: pa.Table, encode_png=encode_png) -> pa.Table:
+        # encode_png bound driver-side: a runtime featherstore_ray import
+        # inside the task fails whenever the driver cwd isn't the repo root
+        import numpy as np
+
+        payloads = []
+        for doc_id in t["doc_id"].to_pylist():
+            base, variant = doc_id % 40, doc_id // 40
+            rng = np.random.default_rng(base)
+            px = rng.integers(0, 251, size=(20, 20), dtype=np.int64)
+            if variant:
+                r0, c0 = (variant * 3) % 17, (variant * 5) % 17
+                px = px.copy()
+                px[r0:r0 + 3, c0:c0 + 3] = (px[r0:r0 + 3, c0:c0 + 3]
+                                            + 120) % 251
+            img = np.stack([px, px, px], axis=2).astype(np.uint8)
+            payloads.append(encode_png(img))
+        return pa.table({"doc_id": t["doc_id"],
+                         "image": pa.array(payloads, pa.binary())})
+
+    ds = docs.map_batches(
+        to_png, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dhash_near_dups(ds, max_hamming=4, num_buckets=32)
+
+
 def q_jaccard_verify(sf_dir: str):
     """MinHash-LSH candidates verified by EXACT n-gram Jaccard (ground
     truth, not the signature estimate); deterministic rows-only check —
@@ -3205,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_sampling": q_negative_sampling,
         "pagerank": q_pagerank,
         "multimodal_decode": q_multimodal_decode,
+        "image_dedup": q_image_dedup,
         "audio_decode": q_audio_decode,
         "tokens_validate": q_tokens_validate,
         "tokens_stats": q_tokens_stats,

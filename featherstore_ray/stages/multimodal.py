@@ -418,3 +418,229 @@ def resize_images(
             payload_col=payload_col, out_hw=out_hw, decoder=decoder
         ),
     )
+
+
+def _popcount16_table() -> np.ndarray:
+    v = np.arange(65536, dtype=np.uint16)
+    pop = np.zeros(65536, dtype=np.uint8)
+    for _ in range(16):
+        pop += (v & 1).astype(np.uint8)
+        v >>= 1
+    return pop
+
+
+_POP16 = _popcount16_table()
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array via the 16-bit LUT."""
+    x = x.astype(np.uint64, copy=False)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+def _dhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) of the ``max_hamming + 1`` bit-bands of a 64-bit
+    hash. Pigeonhole: two hashes within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` bands, so at least one of the
+    ``max_hamming + 1`` bands is IDENTICAL — banded candidates are a
+    COMPLETE cover, making the near-dup join exact, not approximate."""
+    nb = max_hamming + 1
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, nb)
+    bands, shift = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        bands.append((shift, w))
+        shift += w
+    return bands
+
+
+class ImageDHashStage:
+    """Actor-pool dHash (difference hash, the classic perceptual image
+    fingerprint): payload → grayscale → nearest resize to
+    ``(hash_size + 1) × hash_size`` → horizontal-gradient bits → one
+    uint64. Near-identical images (recompression, slight crops/noise)
+    land within a few bits of each other. Same decoder contract as
+    :class:`ImageResizeStage`. Null / sub-2px payloads → null hash."""
+
+    def __init__(self, *, payload_col: str = "image", hash_size: int = 8,
+                 decoder: str = "png"):
+        if hash_size * hash_size != 64:
+            raise ValueError("hash_size must be 8 (64-bit dHash)")
+        self.payload_col = payload_col
+        self.hash_size = hash_size
+        if decoder not in ("png", "fake"):
+            raise NotImplementedError(
+                f"decoder {decoder!r}: only the stdlib 'png' codec and the "
+                "deterministic 'fake' codec exist in this container"
+            )
+        self.decoder = decoder
+
+    def _one(self, payload: bytes) -> int:
+        hs = self.hash_size
+        if self.decoder == "fake":
+            seed = np.frombuffer(
+                hashlib.sha256(payload).digest()[: 8], dtype=np.uint64)[0]
+            rng = np.random.default_rng(seed)
+            px = rng.random((hs, hs + 1), dtype=np.float32)
+        else:
+            # resize_nearest takes (out_w, out_h) and returns (out_h, out_w)
+            px = resize_nearest(
+                to_grayscale(decode_png(payload)), (hs + 1, hs))
+        bits = (px[:, 1:] > px[:, :-1]).reshape(-1)
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        hashes = [None if p is None else self._one(p) for p in payloads]
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("dhash", pa.array(hashes, pa.uint64()))
+        return out.append_column(
+            "dhash_ok", pa.array([h is not None for h in hashes]))
+
+
+def dhash_images(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "image",
+    hash_size: int = 8,
+    decoder: str = "png",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """Per-image 64-bit dHash; see :class:`ImageDHashStage`."""
+    return ds.map_batches(
+        ImageDHashStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col, hash_size=hash_size, decoder=decoder
+        ),
+    )
+
+
+def dhash_near_dups(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "image",
+    max_hamming: int = 3,
+    decoder: str = "png",
+    num_buckets: int = 64,
+    hashes_precomputed: bool = False,
+) -> ray.data.Dataset:
+    """EXACT image near-dup join: every unordered pair within Hamming
+    distance ``max_hamming`` of 64-bit dHashes, found by pigeonhole
+    banding (``max_hamming + 1`` bit-bands: close pairs MUST agree on a
+    whole band — see :func:`_dhash_bands`), so unlike MinHash-LSH the
+    candidate cover has no false negatives. Output:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair exactly once.
+
+    Scale shape: hashes are 8 bytes/image; band expansion is
+    ``max_hamming + 1`` rows each; ONE hash exchange on (band, band
+    value); per-bucket triangular expansion only within equal band values
+    (the LSH bucket caveat: a degenerate band value shared by b images
+    costs b² candidate checks — skew-salt upstream if a constant-color
+    corpus makes one band value hot). A pair that agrees on several bands
+    is emitted only by its FIRST equal band — global dedup with no second
+    exchange.
+
+    ``hashes_precomputed``: pass ``ds`` already shaped as
+    ``(id_col, dhash uint64)`` to skip the decode stage (e.g. reuse a
+    :func:`dhash_images` output).
+    """
+    import pandas as pd
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.dedup import pair_indices
+
+    bands = _dhash_bands(max_hamming)
+    nb = len(bands)
+
+    if hashes_precomputed:
+        hs = ds.select_columns([id_col, "dhash"])
+    else:
+        def keep_ok(t: pa.Table) -> pa.Table:
+            # Arrow-native filter: a row-UDF filter would round-trip the
+            # uint64 hashes through Python ints and overflow Ray's int64
+            # re-inference for hashes with the top bit set
+            return t.filter(t["dhash_ok"]).select([id_col, "dhash"])
+
+        hs = dhash_images(
+            ds.select_columns([id_col, payload_col]),
+            payload_col=payload_col, decoder=decoder,
+        ).map_batches(
+            keep_ok, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = np.asarray(t["dhash"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        n = len(ids)
+        out_ids = np.tile(ids, nb)
+        out_h = np.tile(h, nb)
+        band_idx = np.repeat(np.arange(nb, dtype=np.int8), n)
+        bval = np.empty(n * nb, dtype=np.uint64)
+        for i, (shift, width) in enumerate(bands):
+            mask = np.uint64((1 << width) - 1)
+            bval[i * n:(i + 1) * n] = (h >> np.uint64(shift)) & mask
+        # single bucket key: band value dominates, band index in low bits
+        key = (bval << np.uint64(3)) | band_idx.astype(np.uint64)
+        return pa.table(
+            {id_col: pa.array(out_ids),
+             "dhash": pa.array(out_h, pa.uint64()),
+             "band": pa.array(band_idx, pa.int8()),
+             "bkey": pa.array(key.astype(np.int64))}
+        )
+
+    expanded = hs.map_batches(
+        expand, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bucketed = add_bucket_column(expanded, "bkey", num_buckets)
+
+    shifts = np.array([s for s, _ in bands], dtype=np.uint64)
+    masks = np.array([(1 << w) - 1 for _, w in bands], dtype=np.uint64)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["bkey", id_col], kind="stable")
+        a_idx, b_idx = pair_indices(df["bkey"].to_numpy())
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        })
+        if len(a_idx) == 0:
+            return empty
+        ids = df[id_col].to_numpy()
+        h = df["dhash"].to_numpy().astype(np.uint64)
+        band = df["band"].to_numpy()
+        ha, hb = h[a_idx], h[b_idx]
+        ham = _popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        # drop identical ids (an id can appear once per band only within
+        # DIFFERENT bkeys, so a==b can't happen here, but guard anyway)
+        keep &= ids[a_idx] != ids[b_idx]
+        # first-equal-band dedup: emit the pair only in its lowest equal band
+        cur = band[a_idx].astype(np.int64)
+        first_eq = np.full(len(a_idx), nb, dtype=np.int64)
+        for i in range(nb - 1, -1, -1):
+            eq = ((ha >> shifts[i]) & masks[i]) == ((hb >> shifts[i]) & masks[i])
+            first_eq = np.where(eq, i, first_eq)
+        keep &= first_eq == cur
+        if not keep.any():
+            return empty
+        ia, ib = ids[a_idx[keep]], ids[b_idx[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({
+            "id_a": lo.astype(np.int64),
+            "id_b": hi.astype(np.int64),
+            "hamming": ham[keep].astype(np.int64),
+        })
+
+    return bucketed_map_groups(bucketed, kernel, num_buckets=num_buckets)

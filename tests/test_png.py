@@ -260,3 +260,71 @@ def test_image_resize_stage_real_png(ray_session):
         np.testing.assert_allclose(
             np.asarray(by_id[i], dtype=np.float32), want.reshape(-1), atol=0)
     assert by_id[6] is None
+
+
+def test_dhash_near_dups_exact_vs_brute_force(ray_session):
+    """Pigeonhole banding is a COMPLETE candidate cover: the banded +
+    first-equal-band-deduped pair set must equal all-pairs Hamming <= t."""
+    import itertools
+
+    from featherstore_ray.stages.multimodal import (
+        _popcount64, dhash_images, dhash_near_dups)
+
+    def synth(i):
+        base = i % 12
+        r, c = np.meshgrid(np.arange(20), np.arange(20), indexing="ij")
+        px = ((r * 7 + c * 13 + base * 31) % 251).astype(np.uint8)
+        v = i // 12
+        if v:  # perturb one pixel -> near dup of its base image
+            px = px.copy()
+            px[(v * 3) % 20, (v * 5) % 20] = (
+                int(px[(v * 3) % 20, (v * 5) % 20]) + 120) % 251
+        return np.stack([px, px, px], axis=2)
+
+    n = 72
+    payloads = [encode_png(synth(i)) for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "image": pa.array(payloads, pa.binary())})
+    out = (
+        dhash_near_dups(ray.data.from_arrow(t).repartition(5),
+                        max_hamming=3, num_buckets=16)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    hd = dhash_images(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert hd["dhash_ok"].all()
+    hs = hd["dhash"].to_numpy().astype(np.uint64)
+    ref = sorted(
+        (a, b, int(_popcount64(np.array([hs[a] ^ hs[b]], np.uint64))[0]))
+        for a, b in itertools.combinations(range(n), 2)
+        if int(_popcount64(np.array([hs[a] ^ hs[b]], np.uint64))[0]) <= 3
+    )
+    got = sorted(out.itertuples(index=False, name=None))
+    assert got == ref
+    assert len(ref) > 0  # the corpus actually contains near dups
+
+
+def test_dhash_null_payloads_and_precomputed(ray_session):
+    from featherstore_ray.stages.multimodal import dhash_images, dhash_near_dups
+
+    img = np.full((12, 12, 3), 128, dtype=np.uint8)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "image": pa.array([encode_png(img), None, encode_png(img)],
+                          pa.binary()),
+    })
+    hd = dhash_images(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(hd["dhash_ok"]) == [True, False, True]
+    # identical images -> hamming 0 pair; null payload dropped
+    pairs = dhash_near_dups(
+        ray.data.from_arrow(t), max_hamming=0, num_buckets=4
+    ).to_pandas()
+    assert list(pairs.itertuples(index=False, name=None)) == [(0, 2, 0)]
+    # precomputed-hash path gives the same answer
+    hs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2], pa.int64()),
+        "dhash": pa.array(hd["dhash"].dropna().astype("uint64").to_numpy(),
+                          pa.uint64()),
+    }))
+    pairs2 = dhash_near_dups(hs, hashes_precomputed=True, max_hamming=0,
+                             num_buckets=4).to_pandas()
+    assert list(pairs2.itertuples(index=False, name=None)) == [(0, 2, 0)]
