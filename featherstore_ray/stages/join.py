@@ -5,9 +5,10 @@ enrichment joins a feature pipeline needs (attach dimension attributes to an
 event/fact stream).
 
 - ``broadcast_join``: dimension side is ``ray.put`` ONCE and merged per batch
-  with a pandas hash merge — no shuffle, the fact side streams.
-- ``hash_join``: both sides large → Ray Data's native hash-partitioned
-  ``Dataset.join``.
+  with a pandas hash merge — no shuffle, the fact side streams (task pool +
+  per-worker dim cache; no actor-pool spin-up).
+- ``hash_join``: both sides large → tagged union with typed-null padding,
+  ONE bucketed exchange on the leading key, per-bucket Acero hash join.
 """
 
 from __future__ import annotations
@@ -19,6 +20,9 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+
+_BCAST_DIM_CACHE: dict = {}
 
 
 def broadcast_join(
@@ -36,18 +40,22 @@ def broadcast_join(
     """
     on = list(on)
     dim_ref = ray.put(dim)
+    ref_key = dim_ref.hex()
 
-    class Joiner:
-        def __init__(self):
-            self.dim = ray.get(dim_ref).to_pandas()
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        # task pool, not an actor pool: long-lived Ray workers make the
+        # per-process cache equivalent to actor __init__ state without the
+        # ~2s pool spin-up per pipeline; the ray.get is a zero-copy plasma
+        # map either way, only the to_pandas conversion is cached
+        d = _BCAST_DIM_CACHE.get(ref_key)
+        if d is None:
+            d = ray.get(dim_ref).to_pandas()
+            _BCAST_DIM_CACHE.clear()  # one live dim per worker is plenty
+            _BCAST_DIM_CACHE[ref_key] = d
+        return batch.merge(d, on=on, how=how, suffixes=("", suffix))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.dim, on=on, how=how, suffixes=("", suffix)
-            )
-
-    return facts.map_batches(Joiner, batch_size=None, batch_format="pandas",
-                             concurrency=(1, 8))
+    return facts.map_batches(join_batch, batch_size=None,
+                             batch_format="pandas")
 
 
 def interval_join(
