@@ -2747,6 +2747,21 @@ def q_incremental_materialize(sf_dir: str):
     return result[cols]
 
 
+_DP_EPS = 0.5
+
+
+def q_dp_group_counts(sf_dir: str):
+    """Laplace-mechanism noised per-user event counts (sensitivity-1
+    COUNT release, b = 1/epsilon): per-batch count partials, one key
+    exchange, deterministic hash-seeded noise stream (inverse-CDF
+    Laplace) so the release is reproducible and SQL-mirrorable."""
+    from featherstore_ray.stages.aggregate import dp_group_counts
+
+    return dp_group_counts(
+        _read(sf_dir, "events", columns=["user_id"]),
+        "user_id", epsilon=_DP_EPS, num_buckets=16)
+
+
 def q_psi_drift(sf_dir: str):
     """Feature-drift monitor: PSI of the value distribution between the
     pre- and post-Jan-15 windows over fixed [0, 1000) deciles. No shuffle
@@ -3230,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_materialize": q_incremental_materialize,
         "decayed_topk": q_decayed_topk,
         "psi_drift": q_psi_drift,
+        "dp_group_counts": q_dp_group_counts,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
@@ -3872,6 +3888,26 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        # deterministic Laplace mechanism mirror: HUGEINT-cast hash
+        # (BIGINT overflows on the full 32-bit key range), every literal
+        # ::DOUBLE, b = 1/epsilon injected via repr
+        "dp_group_counts": f"""
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ),
+            u AS (
+                SELECT user_id, n,
+                       ((CAST(user_id AS HUGEINT) * 2654435761)
+                        % 4294967296 + 0.5) / 4294967296.0 AS uu
+                FROM c
+            )
+            SELECT user_id,
+                   round(n + (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+                         * CAST({1.0 / _DP_EPS!r} AS DOUBLE)
+                         * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS dp_count
+            FROM u
         """,
         "psi_drift": f"""
             WITH b AS (

@@ -2068,3 +2068,65 @@ def psi_drift(
         "psi_term": pa.array(np.round((sr - sc) * np.log(sr / sc),
                                       round_digits)),
     }))
+
+
+def dp_group_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    epsilon: float = 1.0,
+    num_buckets: int = 64,
+    round_digits: int = 6,
+    out_col: str = "dp_count",
+) -> ray.data.Dataset:
+    """Laplace-mechanism noised per-group counts (the standard
+    differential-privacy release for COUNT queries; sensitivity 1, so
+    noise scale b = 1/epsilon). The noise stream here is DETERMINISTIC —
+    u = multiplicative-hash(group key) mapped to (0,1), then the inverse-
+    CDF Laplace transform ``-b * sign(u - 0.5) * ln(1 - 2|u - 0.5|)`` —
+    which makes pipelines reproducible and the op SQL-mirrorable. For an
+    actual privacy guarantee the noise must be secret: swap the hash for
+    a real RNG at deployment; the mechanism and calibration are
+    unchanged. Integer group keys only (the hash contract).
+
+    Scale shape: per-batch (key, count) partials, ONE key exchange of
+    distinct keys, noise applied per bucket. Null group keys are excluded
+    on both sides (the grouped-op contract).
+    """
+
+    def partial(t) -> pd.DataFrame:
+        # null keys dropped in ARROW: a pandas conversion of a nulled
+        # int column silently coerces int64 -> float64 (defect class 3)
+        d = t.drop_null().to_pandas()
+        return (
+            d.groupby(group_col, sort=False, observed=True)
+            .size().rename("_c").reset_index()
+        )
+
+    parts = ds.select_columns([group_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    b = 1.0 / float(epsilon)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby(group_col, sort=True, observed=True)["_c"]
+            .sum().reset_index()
+        )
+        keys = c[group_col].to_numpy()
+        h = (keys.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        lap = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+        return pd.DataFrame({
+            group_col: keys,
+            out_col: np.round(c["_c"].to_numpy().astype(np.float64) + lap,
+                              round_digits),
+        })
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, group_col, num_buckets),
+        finalize, num_buckets=num_buckets, batch_format="pandas",
+    )

@@ -1188,3 +1188,32 @@ def test_logreg_train_parity_and_invariance(ray_session):
                        - yy * z)
 
     assert loss(w) < loss(np.zeros(d)) - 1e-3  # it actually learns
+
+
+def test_dp_group_counts_mechanism(ray_session):
+    from featherstore_ray.stages.aggregate import dp_group_counts
+
+    keys = np.repeat(np.arange(10, dtype=np.int64), [5, 3, 8, 1, 9, 2, 7,
+                                                      4, 6, 10])
+    t = pa.table({"user_id": pa.array(
+        list(keys) + [None, None], pa.int64())})
+    eps = 0.5
+    one = (dp_group_counts(ray.data.from_arrow(t), "user_id", epsilon=eps,
+                           num_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    many = (dp_group_counts(ray.data.from_arrow(t).repartition(6),
+                            "user_id", epsilon=eps, num_buckets=4)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)  # partials are associative
+    assert len(one) == 10  # null keys excluded
+
+    # closed-form mirror of the deterministic noise stream
+    true_n = pd.Series(keys).value_counts().sort_index().to_numpy()
+    h = (np.arange(10, dtype=np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(4294967296)
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    lap = -(1.0 / eps) * np.sign(u - 0.5) * np.log(1 - 2 * np.abs(u - 0.5))
+    np.testing.assert_allclose(one["dp_count"].to_numpy(),
+                               np.round(true_n + lap, 6), atol=1e-9)
+    # the mechanism actually perturbs (some group's noise is non-trivial)
+    assert np.abs(lap).max() > 0.1
