@@ -2747,6 +2747,20 @@ def q_incremental_materialize(sf_dir: str):
     return result[cols]
 
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout over (value, user_id) — the
+    OPTIMIZE ZORDER step: global min/max partials, fixed-point
+    quantization to 16 bits, vectorized bit interleave; zpart = top 4 key
+    bits. Fully oracled (DuckDB mirrors the interleave with >>/&/<< bit
+    arithmetic)."""
+    from featherstore_ray.stages.misc import zorder_layout
+
+    return zorder_layout(
+        _read(sf_dir, "events", columns=["event_id", "value", "user_id"]),
+        "value", "user_id", id_cols=["event_id"],
+        bits=16, num_partitions=16)
+
+
 _DP_EPS = 0.5
 
 
@@ -3246,6 +3260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_topk": q_decayed_topk,
         "psi_drift": q_psi_drift,
         "dp_group_counts": q_dp_group_counts,
+        "zorder_layout": q_zorder_layout,
         "chi2_test": q_chi2_test,
         "welch_t": q_welch_t,
         "gini": q_gini,
@@ -3888,6 +3903,36 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        # Morton interleave mirrored with integer bit arithmetic; the
+        # fixed-point quantization is the same IEEE expression order as
+        # the Ray kernel ((x-mn)/(mx-mn)*65536, floor, clamp)
+        "zorder_layout": """
+            WITH src AS (
+                SELECT event_id, CAST(value AS DOUBLE) AS a,
+                       CAST(user_id AS DOUBLE) AS b
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            mm AS (SELECT min(a) amn, max(a) amx,
+                          min(b) bmn, max(b) bmx FROM src),
+            q AS (
+                SELECT event_id,
+                       CAST(least(floor((a - amn) / (amx - amn) * 65536.0),
+                                  65535.0) AS BIGINT) AS qa,
+                       CAST(least(floor((b - bmn) / (bmx - bmn) * 65536.0),
+                                  65535.0) AS BIGINT) AS qb
+                FROM src, mm
+            ),
+            bits AS (SELECT unnest(range(0, 16)) AS i),
+            z AS (
+                SELECT q.event_id,
+                       CAST(sum((((q.qa >> b.i) & 1) << (2 * b.i))
+                                + (((q.qb >> b.i) & 1) << (2 * b.i + 1)))
+                            AS BIGINT) AS zkey
+                FROM q CROSS JOIN bits b GROUP BY q.event_id
+            )
+            SELECT event_id, zkey, zkey >> 28 AS zpart FROM z
         """,
         # deterministic Laplace mechanism mirror: HUGEINT-cast hash
         # (BIGINT overflows on the full 32-bit key range), every literal

@@ -1366,3 +1366,99 @@ def expect(
         "total": pa.array(t_, pa.int64()),
         "passed": pa.array([x == 0 for x in v], pa.bool_()),
     }))
+
+
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each element to the even bit positions
+    (Morton-code helper): b15..b0 -> ..b1 0 b0."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_layout(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    id_cols: Sequence[str] = ("event_id",),
+    bits: int = 16,
+    num_partitions: int = 16,
+    out_key: str = "zkey",
+    out_part: str = "zpart",
+) -> ray.data.Dataset:
+    """Z-order (Morton) clustering key over two columns — the layout step
+    behind Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)``: rows close in the
+    interleaved key are close in BOTH dimensions, so per-partition min/max
+    zone maps prune selective predicates on either column after a
+    repartition by ``zpart``.
+
+    Pass 1 collapses each block to (min, max) of both columns (driver-
+    merged, no shuffle); pass 2 quantizes each value to ``bits`` fixed-
+    point levels over the global range — ``q = clamp(floor((x - mn) /
+    (mx - mn) * 2^bits), 0, 2^bits - 1)``, pure IEEE ops so SQL mirrors
+    bit-for-bit — and interleaves a-bits into even, b-bits into odd
+    positions (vectorized magic-number spread). ``zpart`` is the top
+    ``log2(num_partitions)`` bits of the key. Emits the id columns +
+    ``zkey``/``zpart``; feed ``zpart`` to ``repartition_by_bucket`` (or a
+    parquet partition column) to materialize the layout. Null rows in
+    either column are excluded (no defined position on the curve).
+    """
+    if bits > 16:
+        raise ValueError("bits must be <= 16 (two coords in an int64 key)")
+    if num_partitions & (num_partitions - 1):
+        raise ValueError("num_partitions must be a power of two")
+    ids = list(id_cols)
+    cols = [col_a, col_b]
+    proj = ds.select_columns(ids + cols).map_batches(
+        lambda t: t.drop_null(), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def mm_partial(t) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"c": pd.Series([], dtype="object"),
+                                 "mn": pd.Series([], dtype="float64"),
+                                 "mx": pd.Series([], dtype="float64")})
+        rows = []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            rows.append((c, float(v.min()), float(v.max())))
+        return pd.DataFrame(rows, columns=["c", "mn", "mx"])
+
+    mm = proj.map_batches(
+        mm_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    rng = {
+        c: (g["mn"].min(), g["mx"].max()) for c, g in mm.groupby("c")
+    }
+    levels = float(1 << bits)
+    cap = np.uint64((1 << bits) - 1)
+    shift = np.uint64(2 * bits - int(np.log2(num_partitions)))
+
+    def quant(v: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        if mx <= mn:
+            return np.zeros(len(v), dtype=np.uint64)
+        q = np.floor((v - mn) / (mx - mn) * levels)
+        return np.minimum(q, float(cap)).astype(np.uint64)
+
+    def assign(t) -> "pa.Table":
+        import pyarrow as pa
+
+        qa = quant(t[col_a].to_numpy(zero_copy_only=False)
+                   .astype(np.float64), *rng[col_a])
+        qb = quant(t[col_b].to_numpy(zero_copy_only=False)
+                   .astype(np.float64), *rng[col_b])
+        z = _spread_bits16(qa) | (_spread_bits16(qb) << np.uint64(1))
+        out = {c: t[c] for c in ids}
+        out[out_key] = pa.array(z.astype(np.int64))
+        out[out_part] = pa.array((z >> shift).astype(np.int64))
+        return pa.table(out)
+
+    return proj.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -187,3 +187,50 @@ def test_negative_sampling_properties():
     assert len(one[one["u"] == 7]) <= 1
     per_user = one.groupby("u")["rn"].agg(["size", "max"])
     assert (per_user["size"] == per_user["max"]).all()  # rn is 1..size
+
+
+def test_zorder_layout_roundtrip_and_locality(ray_session):
+    from featherstore_ray.stages.misc import _spread_bits16, zorder_layout
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    a = rng.uniform(0, 100, n)
+    b = rng.integers(0, 64, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(a),
+        "user_id": pa.array(b),
+    })
+    one = (zorder_layout(ray.data.from_arrow(t), "value", "user_id",
+                         bits=16, num_partitions=16)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    many = (zorder_layout(ray.data.from_arrow(t).repartition(7), "value",
+                          "user_id", bits=16, num_partitions=16)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)  # global min/max: layout-stable
+
+    # round trip: de-interleave the key back to the quantized coords
+    z = one["zkey"].to_numpy().astype(np.uint64)
+    qa = np.floor((a - a.min()) / (a.max() - a.min()) * 65536.0)
+    qa = np.minimum(qa, 65535.0).astype(np.uint64)
+    qb = np.floor((b - b.min()) / (b.max() - b.min()) * 65536.0)
+    qb = np.minimum(qb, 65535.0).astype(np.uint64)
+    assert (z == (_spread_bits16(qa) | (_spread_bits16(qb) << np.uint64(1)))).all()
+
+    # locality: a z-partition spans at most 1/sqrt(P) of EACH dimension's
+    # quantized range (top 4 bits = 2 from each coordinate)
+    df = one.copy()
+    df["qa"], df["qb"] = qa, qb
+    for _, g in df.groupby("zpart"):
+        assert g["qa"].max() - g["qa"].min() <= 65536 // 4
+        assert g["qb"].max() - g["qb"].min() <= 65536 // 4
+
+    # null rows carry no curve position
+    t2 = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "value": pa.array([1.0, None, 3.0]),
+        "user_id": pa.array([5, 6, None], pa.int64()),
+    })
+    out = zorder_layout(ray.data.from_arrow(t2), "value", "user_id",
+                        num_partitions=4).to_pandas()
+    assert sorted(out["event_id"]) == [0]
