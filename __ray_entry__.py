@@ -1401,6 +1401,19 @@ def q_lm_score(sf_dir: str):
     return lm_score(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_lm_score_kn(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM perplexity (Chen & Goodman
+    1999; absolute discount 0.75 + continuation-count backoff) — the
+    production n-gram smoother next to lm_score's add-one baseline.
+    Same two-pass shape: count partials -> driver KN table -> broadcast
+    scoring, no shuffle."""
+    from featherstore_ray.stages.text import lm_score
+
+    return lm_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        smoothing="kneser_ney", discount=0.75, out_col="lm_nll_kn")
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): Gumbel-top-50 docs by
     byte-bigram importance log-weight toward the lang='en' target slice.
@@ -3208,6 +3221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "quality_score": q_quality_score,
         "lm_score": q_lm_score,
+        "lm_score_kn": q_lm_score_kn,
         "dsir_select": q_dsir_select,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -4890,6 +4904,43 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY bg.doc_id
             )
             SELECT d.doc_id, round(sc.nll, 6) AS lm_nll
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # interpolated Kneser-Ney mirror: every doc bigram exists in cnt
+        # (the model trains on the scored corpus itself), so no backoff
+        # branch is needed here; greatest() keeps the discount clamp
+        "lm_score_kn": """
+            WITH bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text)),
+                           i -> substr(text, i, 2))) AS b
+                FROM documents
+            ),
+            cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+            n1 AS (
+                SELECT substr(b, 1, 1) AS c1, sum(n) AS tn,
+                       CAST(count(*) AS DOUBLE) AS nf
+                FROM cnt GROUP BY c1
+            ),
+            ncont AS (
+                SELECT substr(b, 2, 1) AS c2,
+                       CAST(count(*) AS DOUBLE) AS nr
+                FROM cnt GROUP BY c2
+            ),
+            tt AS (SELECT CAST(count(*) AS DOUBLE) AS types FROM cnt),
+            sc AS (
+                SELECT bg.doc_id,
+                       avg(-ln((greatest(c.n - 0.75, 0.0)
+                                + 0.75 * f.nf * (r.nr / tt.types))
+                               / f.tn)) AS nll
+                FROM bg
+                JOIN cnt c ON bg.b = c.b
+                JOIN n1 f ON substr(bg.b, 1, 1) = f.c1
+                JOIN ncont r ON substr(bg.b, 2, 1) = r.c2, tt
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id, round(sc.nll, 6) AS lm_nll_kn
             FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         # DSIR mirror: byte == char on the ASCII-only corpus (same premise

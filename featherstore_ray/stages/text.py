@@ -767,12 +767,23 @@ def lm_score(
     out_col: str = "lm_nll",
     round_digits: int = 6,
     materialize_input: bool = True,
+    smoothing: str = "addone",
+    discount: float = 0.75,
 ) -> ray.data.Dataset:
     """Char-bigram language-model perplexity scoring (the CCNet-style
     quality signal: docs unlike the corpus score high): train a byte-level
     bigram LM with add-one smoothing on the corpus itself, then score each
     doc with its average negative log-likelihood ``avg(-ln P(c2|c1))``
     over its bigrams. Docs with < 2 bytes score null.
+
+    ``smoothing="kneser_ney"`` swaps the table for interpolated
+    Kneser-Ney with absolute ``discount`` D (the standard n-gram LM
+    smoother — Chen & Goodman 1999): ``P(c2|c1) = (max(n12 - D, 0)
+    + D * N1+(c1 .) * Pcont(c2)) / n(c1 .)`` with the continuation
+    distribution ``Pcont(c2) = N1+(. c2) / |{(c1, c2): n12 > 0}|``;
+    contexts unseen in training back off to ``Pcont`` alone. Only the
+    driver-side table construction differs — the count partials and the
+    broadcast scoring pass are shared with the add-one path.
 
     Scale shape (100 TB): pass 1 collapses each block to its nonzero
     (bigram-code, count) pairs — <= 64Ki rows per block no matter the
@@ -819,9 +830,28 @@ def lm_score(
             parts["n"].to_numpy(),
         )
     row_tot = counts.reshape(256, 256).sum(axis=1)
-    logp = np.log(
-        (counts + 1.0) / (np.repeat(row_tot, 256) + 256.0)
-    )
+    if smoothing == "addone":
+        logp = np.log(
+            (counts + 1.0) / (np.repeat(row_tot, 256) + 256.0)
+        )
+    elif smoothing == "kneser_ney":
+        m = counts.reshape(256, 256)
+        seen = m > 0
+        n1f = seen.sum(axis=1).astype(np.float64)    # N1+(c1 .)
+        n1r = seen.sum(axis=0).astype(np.float64)    # N1+(. c2)
+        types = max(float(seen.sum()), 1.0)
+        pcont = n1r / types                          # continuation dist
+        d = float(discount)
+        num = (np.maximum(m - d, 0.0)
+               + d * n1f[:, None] * pcont[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = num / row_tot.astype(np.float64)[:, None]
+        # unseen context: back off to the continuation distribution
+        p = np.where(row_tot[:, None] > 0, p,
+                     np.broadcast_to(pcont, (256, 256)))
+        logp = np.log(p).ravel()
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r}")
     logp_ref = ray.put(logp)
 
     def score(t: pa.Table) -> pa.Table:

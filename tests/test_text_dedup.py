@@ -582,3 +582,50 @@ def test_dsir_select_parity_and_invariance(ray_session):
     sel_lang = {int(i): lg for i, lg in zip(ids, langs)}
     frac_en = np.mean([sel_lang[d] == "en" for d in one["doc_id"]])
     assert frac_en >= 0.8
+
+
+def test_lm_score_kneser_ney(ray_session):
+    from featherstore_ray.stages.text import lm_score
+
+    texts = (
+        ["the cat sat on the mat and the dog sat too"] * 5
+        + ["the mat and the cat and the dog sat on it"] * 5
+        + ["zqxjkwv bzzkq xqzzv jjqx"]
+        + ["", None, "a"]
+    )
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    one = (lm_score(ray.data.from_arrow(t), smoothing="kneser_ney",
+                    out_col="nll")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (lm_score(ray.data.from_arrow(t).repartition(7),
+                     smoothing="kneser_ney", out_col="nll")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    assert one["nll"].iloc[-3:].isna().all()
+    # garbage doc scores strictly worse than every corpus-like doc
+    assert one["nll"].iloc[10] > one["nll"].iloc[:10].max() + 0.5
+
+    # pure-python interpolated-KN reference on one doc
+    from collections import Counter
+    corpus = [x for x in texts if x]
+    cnt = Counter()
+    for x in corpus:
+        bs = x.encode()
+        for i in range(len(bs) - 1):
+            cnt[(bs[i], bs[i + 1])] += 1
+    tn = Counter(); nf = Counter(); nr = Counter()
+    for (c1, c2), n in cnt.items():
+        tn[c1] += n; nf[c1] += 1; nr[c2] += 1
+    types = len(cnt)
+    import math
+    bs = texts[0].encode()
+    D = 0.75
+    ref = np.mean([
+        -math.log((max(cnt[(bs[i], bs[i+1])] - D, 0.0)
+                   + D * nf[bs[i]] * (nr[bs[i+1]] / types)) / tn[bs[i]])
+        for i in range(len(bs) - 1)
+    ])
+    assert abs(one["nll"].iloc[0] - round(ref, 6)) < 2e-6
