@@ -3136,6 +3136,29 @@ def q_source_mix(sf_dir: str):
     )
 
 
+_BAND_EPS = 25.0  # band_join tolerance (shared with the oracle)
+
+
+def q_band_join(sf_dir: str):
+    """ε-band similarity join: customer × supplier pairs whose account
+    balances lie within ±25 of each other — the non-equi numeric join
+    (band join) pattern. Exact via banded replication of the SMALL side
+    (floor(v/eps) buckets, ±2 halo) + per-bucket sorted range probe; the
+    oracle states the predicate in the identical BETWEEN form so both
+    engines compute the same IEEE bounds."""
+    from featherstore_ray.stages.join import band_join
+
+    return band_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]),
+        left_val="c_acctbal",
+        right_val="s_acctbal",
+        eps=_BAND_EPS,
+        left_cols=["c_custkey", "c_acctbal"],
+        right_cols=["s_suppkey", "s_acctbal"],
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3318,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "interval_join": q_interval_join,
         "hopping_window": q_hopping_window,
+        "band_join": q_band_join,
     }
 
 
@@ -5382,6 +5406,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
                       FROM documents)
             ) WHERE rn <= 200
+        """,
+        "band_join": f"""
+            SELECT c.c_custkey, c.c_acctbal, s.s_suppkey, s.s_acctbal
+            FROM customer c, supplier s
+            WHERE s.s_acctbal BETWEEN c.c_acctbal - {_BAND_EPS!r}
+                                  AND c.c_acctbal + {_BAND_EPS!r}
         """,
         "bloom_semi_join": """
             SELECT o_orderkey, o_custkey, o_totalprice

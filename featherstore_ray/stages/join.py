@@ -309,6 +309,132 @@ def hash_join(
     )
 
 
+def band_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_val: str,
+    right_val: str,
+    eps: float,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Numeric ε-band similarity join: every (left, right) pair with
+    ``right_val BETWEEN left_val - eps AND left_val + eps`` (inclusive —
+    stated in the BETWEEN form so the oracle computes the identical IEEE
+    bounds; ``abs(a-b) <= eps`` is NOT float-equivalent). NULL values on
+    either side match nothing, like the SQL predicate.
+
+    Physical plan (exact, one shuffle): band id ``floor(v / eps)`` — any
+    in-band pair spans at most one band boundary. Left rows land in their
+    own band's hash bucket ONCE; right rows replicate to bands b±2 (the
+    ±2 halo absorbs worst-case float jitter in the two ``floor`` calls, so
+    no boundary pair can be lost) tagged with the band they claim. The
+    per-bucket kernel sorts right values once, range-probes each left value
+    with two ``searchsorted`` calls, expands candidates vectorized, and
+    keeps a pair iff the claimed band equals the left band — each true pair
+    claims exactly one of the right row's five copies, so output is exact
+    with no dedup pass. Replication is a constant ≤5× of the RIGHT side
+    only; output never exceeds the true result ×1 (candidates over-fetch at
+    most 5× before the band filter). Shuffle volume: |L| + 5|R| rows of
+    projected columns — no all-pairs anywhere.
+    """
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    left_cols, right_cols = list(left_cols), list(right_cols)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output columns on both sides: {sorted(overlap)}")
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    band = "_fsr_band"
+    side = "_fsr_side"
+    eps = float(eps)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(left_cols)
+        v = t[left_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        t = t.take(np.flatnonzero(keep))
+        b = np.floor(v[keep] / eps).astype(np.int64)
+        cols = {c: t[c] for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, rtypes[c])
+        cols[band] = pa.array(b)
+        cols[side] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.select(right_cols)
+        v = t[right_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.flatnonzero(~np.isnan(v))
+        t = t.take(keep)
+        b = np.floor(
+            v[keep] / eps
+        ).astype(np.int64)
+        n = t.num_rows
+        idx = np.repeat(np.arange(n), 5)
+        claimed = (b[:, None] + np.arange(-2, 3)[None, :]).ravel()
+        t = t.take(idx)
+        cols = {c: pa.nulls(t.num_rows, ltypes[c]) for c in left_cols}
+        for c in right_cols:
+            cols[c] = t[c]
+        cols[band] = pa.array(claimed)
+        cols[side] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        tag_left, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(right.map_batches(
+        tag_right, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    tagged = add_bucket_column(tagged, band, num_buckets)
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in left_cols]
+        + [pa.field(c, rtypes[c]) for c in right_cols]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_r = pc.equal(t[side], pa.scalar(1, pa.int8()))
+        lt = t.filter(pc.invert(is_r))
+        rt = t.filter(is_r)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lv = lt[left_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        lb = lt[band].to_numpy(zero_copy_only=False)
+        rv = rt[right_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        rb = rt[band].to_numpy(zero_copy_only=False)
+        order = np.argsort(rv, kind="stable")
+        rv_s = rv[order]
+        lo = np.searchsorted(rv_s, lv - eps, side="left")
+        hi = np.searchsorted(rv_s, lv + eps, side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(lv)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ri_sorted = np.arange(int(counts.sum())) - np.repeat(starts, counts) \
+            + np.repeat(lo, counts)
+        ri = order[ri_sorted]
+        ok = rb[ri] == lb[li]  # the claimed copy for this left band
+        li, ri = li[ok], ri[ok]
+        cols = {c: lt[c].take(li) for c in left_cols}
+        for c in right_cols:
+            cols[c] = rt[c].take(ri)
+        return pa.table(cols).cast(out_schema)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+
 def snapshot_diff(
     old: ray.data.Dataset,
     new: ray.data.Dataset,
