@@ -3159,6 +3159,22 @@ def q_band_join(sf_dir: str):
     )
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD-2 dimension build: each user's event_type change log compacted
+    to validity intervals [valid_from, valid_to) with an open current
+    version — one entity exchange, lexsort + shifted-compare kernel."""
+    from featherstore_ray.stages.latest import scd2_history
+
+    return scd2_history(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]),
+        entity_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3342,6 +3358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "hopping_window": q_hopping_window,
         "band_join": q_band_join,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -5406,6 +5423,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
                       FROM documents)
             ) WHERE rn <= 200
+        """,
+        "scd2_history": """
+            WITH c AS (
+                SELECT user_id, ts, event_id, event_type FROM (
+                    SELECT user_id, ts, event_id, event_type,
+                           lag(event_type) OVER w AS prev,
+                           row_number() OVER w AS rn
+                    FROM events WHERE user_id IS NOT NULL
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                ) WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "band_join": f"""
             SELECT c.c_custkey, c.c_acctbal, s.s_suppkey, s.s_acctbal

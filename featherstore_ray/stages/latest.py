@@ -187,3 +187,80 @@ def merge_upsert(
         lambda t: t.drop_columns(["_fsr_src"]),
         batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SCD-2 dimension build — merge_upsert's history-keeping sibling: turn
+    a change log into one validity interval per attribute change. Per
+    entity, ordered by ``(ts, tiebreak)``, a row is kept iff it is the
+    entity's first or any attribute column differs from the previous row
+    (NULL-safe, SQL ``IS DISTINCT FROM``); each kept row gets
+    ``valid_from = ts``, ``valid_to`` = the next kept row's ts (NULL for
+    the open current version) and ``is_current``. Rows with a NULL entity
+    key are dropped on both sides (the grouped-reducing-op contract).
+    ``(ts, tiebreak)`` must be unique per entity for the compaction to be
+    deterministic.
+
+    Scale shape: ONE hash(entity) exchange of the projected change-log
+    columns; the per-bucket kernel is a lexsort + vectorized
+    shifted-compare — unchanged rows (the bulk of a change log) never
+    leave their bucket.
+    """
+    import numpy as np
+
+    attr_cols = list(attr_cols)
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    cols = [entity_col] + order + attr_cols
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].dropna(subset=[entity_col])
+
+    ds = ds.map_batches(pre, batch_size=None, batch_format="pandas")
+    ds = add_bucket_column(ds, entity_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            out = df[[entity_col] + attr_cols].copy()
+            out["valid_from"] = pd.Series([], dtype="datetime64[us]")
+            out["valid_to"] = pd.Series([], dtype="datetime64[us]")
+            out["is_current"] = pd.Series([], dtype=bool)
+            return out
+        d = df.sort_values([entity_col] + order, kind="stable")
+        ent = d[entity_col].to_numpy()
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = ent[1:] != ent[:-1]
+        changed = first.copy()
+        for c in attr_cols:
+            a = d[c]
+            prev = a.shift(1)
+            same = (a == prev) | (a.isna() & prev.isna())
+            changed |= ~same.to_numpy()
+        k = d.loc[changed]
+        ts = k[ts_col].to_numpy()
+        ent_k = k[entity_col].to_numpy()
+        nxt_same = np.empty(len(k), dtype=bool)
+        if len(k):
+            nxt_same[:-1] = ent_k[1:] == ent_k[:-1]
+            nxt_same[-1] = False
+        valid_to = np.roll(ts, -1)
+        out = pd.DataFrame({entity_col: ent_k})
+        for c in attr_cols:
+            out[c] = k[c].to_numpy()
+        out["valid_from"] = ts
+        out["valid_to"] = pd.Series(valid_to).where(nxt_same)
+        out["is_current"] = ~nxt_same
+        return out
+
+    return bucketed_map_groups(
+        ds, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
