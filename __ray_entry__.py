@@ -3175,6 +3175,18 @@ def q_scd2_history(sf_dir: str):
     )
 
 
+def q_anova_f(sf_dir: str):
+    """Per-user one-way ANOVA of value across event_type categories:
+    (group, cat, n, Σx, Σx²) moment partials, explicit-sum closed form
+    mirrored by the oracle (never variance built-ins)."""
+    from featherstore_ray.stages.aggregate import anova_f
+
+    return anova_f(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "event_type", "value",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3359,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "band_join": q_band_join,
         "scd2_history": q_scd2_history,
+        "anova_f": q_anova_f,
     }
 
 
@@ -5423,6 +5436,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
                       FROM documents)
             ) WHERE rn <= 200
+        """,
+        "anova_f": """
+            WITH p AS (
+                SELECT user_id, event_type,
+                       count(*)::DOUBLE AS n, sum(value) AS s,
+                       sum(value * value) AS ss
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT user_id, count(*)::DOUBLE AS k, sum(n) AS nn,
+                       sum(s) AS stot, sum(ss) AS sstot,
+                       sum(s * s / n) AS sb
+                FROM p GROUP BY user_id
+            )
+            SELECT user_id, CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+                   round(CASE WHEN (sstot - stot * stot / nn)
+                                   - (sb - stot * stot / nn) > 0
+                         THEN ((sb - stot * stot / nn) / (k - 1))
+                            / (((sstot - stot * stot / nn)
+                                - (sb - stot * stot / nn)) / (nn - k))
+                         END, 6) AS f_stat,
+                   round(CASE WHEN sstot - stot * stot / nn > 0
+                         THEN (sb - stot * stot / nn)
+                            / (sstot - stot * stot / nn) END, 6) AS eta_sq
+            FROM a WHERE k >= 2 AND nn > k
         """,
         "scd2_history": """
             WITH c AS (

@@ -2130,3 +2130,79 @@ def dp_group_counts(
         add_bucket_column(parts, group_col, num_buckets),
         finalize, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def anova_f(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cat_col: str,
+    value_col: str,
+    *,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group one-way ANOVA across the categories of ``cat_col``:
+    F statistic and eta² (variance explained by the factor) — the
+    k-sample mean-shift test completing the welch_t (2-sample t) /
+    ks_test / mann_whitney drift family, and the seasonality-strength /
+    feature-relevance screen (how much of a value's variance a
+    categorical factor explains). Rows with a NULL group, category or
+    value are excluded on both sides; groups need ≥ 2 categories and
+    N > k. F is NULL when the within-group sum of squares is 0, eta²
+    NULL when the total sum of squares is 0.
+
+    Scale shape: each block collapses to (group, category, n, Σx, Σx²)
+    moment partials merged driver-side (groups × categories × blocks
+    rows; route through the bucket exchange for ID-grade group
+    cardinalities). The closed form — ``ssb = Σ_c s_c²/n_c − S²/N``,
+    ``sst = ΣΣx² − S²/N`` — mirrors the oracle's explicit sums term for
+    term (never variance built-ins).
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[cat_col].notna()
+               & df[value_col].notna()]
+        x = d[value_col].astype(np.float64)
+        out = pd.DataFrame({
+            group_col: d[group_col], cat_col: d[cat_col],
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x,
+        })
+        return out.groupby([group_col, cat_col], sort=False, observed=True)[
+            ["_n", "_sx", "_sxx"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([group_col, cat_col, value_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, cat_col], sort=True, observed=True)[
+            ["_n", "_sx", "_sxx"]].sum().reset_index()
+    )
+    n_c = m["_n"].to_numpy(dtype=np.float64)
+    s_c = m["_sx"].to_numpy(dtype=np.float64)
+    m["_sb"] = s_c * s_c / n_c
+    g = m.groupby(group_col, sort=True, observed=True).agg(
+        k=("_n", "size"), nn=("_n", "sum"), stot=("_sx", "sum"),
+        sstot=("_sxx", "sum"), sb=("_sb", "sum"),
+    )
+    g = g[(g["k"] >= 2) & (g["nn"] > g["k"])]
+    k = g["k"].to_numpy(dtype=np.float64)
+    nn = g["nn"].to_numpy(dtype=np.float64)
+    stot = g["stot"].to_numpy(dtype=np.float64)
+    sstot = g["sstot"].to_numpy(dtype=np.float64)
+    sb = g["sb"].to_numpy(dtype=np.float64)
+    corr = stot * stot / nn
+    ssb = sb - corr
+    sst = sstot - corr
+    ssw = sst - ssb
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = np.where(ssw > 0, (ssb / (k - 1.0)) / (ssw / (nn - k)), np.nan)
+        eta = np.where(sst > 0, ssb / sst, np.nan)
+    if round_digits is not None:
+        f, eta = np.round(f, round_digits), np.round(eta, round_digits)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(g.index.to_numpy()),
+        "k": pa.array(g["k"].to_numpy().astype(np.int64)),
+        "n": pa.array(g["nn"].to_numpy().astype(np.int64)),
+        "f_stat": pa.array(f, pa.float64()),
+        "eta_sq": pa.array(eta, pa.float64()),
+    }))

@@ -1217,3 +1217,43 @@ def test_dp_group_counts_mechanism(ray_session):
                                np.round(true_n + lap, 6), atol=1e-9)
     # the mechanism actually perturbs (some group's noise is non-trivial)
     assert np.abs(lap).max() > 0.1
+
+def test_anova_f_matches_manual():
+    from featherstore_ray.stages.aggregate import anova_f
+
+    rng = np.random.default_rng(23)
+    g = rng.choice(["u1", "u2"], 600)
+    cat = rng.choice(["a", "b", "c"], 600)
+    v = rng.normal(0, 1, 600) + (cat == "a") * 0.8
+    t = pa.table({"g": g, "cat": cat, "v": v})
+    out = anova_f(
+        ray.data.from_arrow(t).repartition(4), "g", "cat", "v",
+        round_digits=None,
+    ).to_pandas().set_index("g")
+    for key in ("u1", "u2"):
+        vals = [v[(g == key) & (cat == c)] for c in ("a", "b", "c")]
+        nn = sum(len(x) for x in vals)
+        mean = np.concatenate(vals).mean()
+        ssb = sum(len(x) * (x.mean() - mean) ** 2 for x in vals)
+        ssw = sum(((x - x.mean()) ** 2).sum() for x in vals)
+        want_f = (ssb / 2) / (ssw / (nn - 3))
+        want_eta = ssb / (ssb + ssw)
+        assert abs(out.loc[key, "f_stat"] - want_f) < 1e-6, key
+        assert abs(out.loc[key, "eta_sq"] - want_eta) < 1e-9, key
+        assert out.loc[key, "k"] == 3 and out.loc[key, "n"] == nn
+
+
+def test_anova_f_degenerate_groups():
+    from featherstore_ray.stages.aggregate import anova_f
+
+    t = pa.table({
+        "g": ["one_cat"] * 4 + ["zero_ssw"] * 4 + ["tiny"] * 2,
+        "cat": ["a"] * 4 + ["a", "a", "b", "b"] + ["a", "b"],
+        "v": [1.0, 2.0, 3.0, 4.0] + [5.0, 5.0, 7.0, 7.0] + [1.0, 2.0],
+    })
+    out = anova_f(ray.data.from_arrow(t), "g", "cat", "v").to_pandas()
+    got = out.set_index("g")
+    assert "one_cat" not in got.index          # k < 2 dropped
+    assert "tiny" not in got.index             # n == k dropped
+    assert np.isnan(got.loc["zero_ssw", "f_stat"])  # ssw == 0 -> NULL F
+    assert got.loc["zero_ssw", "eta_sq"] == 1.0
