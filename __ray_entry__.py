@@ -3187,6 +3187,34 @@ def q_anova_f(sf_dir: str):
     )
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Censoring-aware time-to-first-purchase survival curves per user
+    cohort (user_id % 3): time_to_event derives one (entity, duration,
+    observed) row per user (min/max/min-target partials, one exchange),
+    kaplan_meier reduces counts to the product-limit curve."""
+    import numpy as np
+
+    from featherstore_ray.stages.survival import kaplan_meier, time_to_event
+
+    subj = time_to_event(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        target="purchase",
+    )
+
+    def cohort(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("cohort", pa.array(u % 3))
+
+    subj = subj.map_batches(
+        cohort, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return kaplan_meier(
+        subj, group_col="cohort", duration_col="duration",
+        observed_col="observed",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3372,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join": q_band_join,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
+        "kaplan_meier": q_kaplan_meier,
     }
 
 
@@ -5436,6 +5465,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok_ws
                       FROM documents)
             ) WHERE rn <= 200
+        """,
+        "kaplan_meier": """
+            WITH u AS (
+                SELECT user_id, min(ts) AS s,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                       max(ts) AS e
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            subj AS (
+                SELECT user_id % 3 AS cohort,
+                       date_diff('microsecond', s, coalesce(p, e)) AS t,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+                FROM u
+            ),
+            g AS (SELECT cohort, t, sum(obs) AS d, count(*) AS c
+                  FROM subj GROUP BY cohort, t),
+            k AS (SELECT *, sum(c) OVER (PARTITION BY cohort ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_risk FROM g),
+            s AS (
+                SELECT cohort, t, n_risk, d,
+                       sum(CASE WHEN d < n_risk
+                           THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                           ELSE 0 END) OVER w AS lnsum,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                           OVER w AS dead
+                FROM k
+                WINDOW w AS (PARTITION BY cohort ORDER BY t
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS d_events,
+                   round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+                     AS survival
+            FROM s WHERE d > 0
         """,
         "anova_f": """
             WITH p AS (

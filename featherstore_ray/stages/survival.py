@@ -1,0 +1,177 @@
+"""Survival analysis: time-to-event derivation + Kaplan-Meier curves.
+
+The product-limit (Kaplan-Meier) estimator is the standard censoring-aware
+"time until conversion / churn / failure" feature — none of the existing
+stats family (welch_t / ks_test / anova_f) handles right-censored
+durations. The reference has no survival ops (SURVEY §2.5); this extends
+the training-data/stats surface.
+
+Semantics (mirrored exactly by the SQL oracle):
+  - subjects censored at time t are still AT RISK at t (events at t
+    happen before same-time censoring — the textbook convention);
+  - ``S(t_i) = Π_{j≤i} (1 − d_j / n_j)`` over event times in ascending
+    order, computed as ``exp(Σ ln(1 − d/n))`` on BOTH sides (same IEEE op
+    sequence) with the all-remaining-die step (``d == n``, only possible
+    at a group's last time) special-cased to exactly 0 because SQL ``ln(0)``
+    errors;
+  - output rows only at times with ≥ 1 observed event (d > 0).
+
+Scale shape: every stage is a mergeable reduction. Each block collapses
+to (group, duration, d, c) count partials; ONE hash(group) exchange; the
+per-bucket kernel is a lexsort + segmented reverse-cumsum — rows never
+fan out and the curve is |distinct durations| per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from featherstore_ray.exchange import bucketed_map_groups
+from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+
+def time_to_event(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    target: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Derive one (entity, duration, observed) row per entity from an
+    event stream: the clock starts at the entity's first event; the event
+    of interest is its first ``type_col == target`` row at/after that;
+    entities without one are right-censored at their last event.
+    ``duration`` is in integer microseconds. Null entity keys drop.
+
+    One pass of (entity, min ts, max ts, min target ts) partials per
+    block, then one hash(entity) exchange merging them — never rows.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[entity_col].notna() & df[ts_col].notna()]
+        tgt = d[d[type_col] == target]
+        g = d.groupby(entity_col, sort=False, observed=True)[ts_col]
+        out = g.agg(_s="min", _e="max").reset_index()
+        p = (
+            tgt.groupby(entity_col, sort=False, observed=True)[ts_col]
+            .min().rename("_p").reset_index()
+        )
+        return out.merge(p, on=entity_col, how="left")
+
+    parts = (
+        ds.select_columns([entity_col, ts_col, type_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+    )
+    parts = add_bucket_column(parts, entity_col, num_buckets)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(entity_col, sort=False, observed=True).agg(
+            _s=("_s", "min"), _e=("_e", "max"), _p=("_p", "min")
+        )
+        end = g["_p"].fillna(g["_e"])
+        dur = (
+            end.to_numpy().astype("datetime64[us]").astype(np.int64)
+            - g["_s"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pd.DataFrame({
+            entity_col: g.index.to_numpy(),
+            "duration": dur,
+            "observed": g["_p"].notna().to_numpy(),
+        })
+
+    return bucketed_map_groups(
+        parts, merge, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
+def _seg_lengths(first: np.ndarray, n: int) -> np.ndarray:
+    return np.diff(np.append(first, n))
+
+
+def kaplan_meier(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    round_digits: int | None = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Kaplan-Meier survival curve per group over (duration, observed)
+    subject rows. Output: one row per (group, event time) with ``n_risk``,
+    ``d_events`` and ``survival`` (module-doc semantics). Rows with a NULL
+    group, duration or observed flag are excluded on both sides.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[duration_col].notna()
+               & df[observed_col].notna()]
+        out = pd.DataFrame({
+            group_col: d[group_col],
+            "_t": d[duration_col].to_numpy().astype(np.int64),
+            "_d": d[observed_col].to_numpy().astype(np.int64),
+            "_c": np.int64(1),
+        })
+        return out.groupby([group_col, "_t"], sort=False, observed=True)[
+            ["_d", "_c"]].sum().reset_index()
+
+    parts = (
+        ds.select_columns([group_col, duration_col, observed_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+    )
+    parts = add_bucket_column(parts, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        m = df.groupby([group_col, "_t"], sort=True, observed=True)[
+            ["_d", "_c"]].sum().reset_index()
+        if m.empty:
+            return pd.DataFrame({
+                group_col: m[group_col], "t": m["_t"],
+                "n_risk": pd.Series([], dtype=np.int64),
+                "d_events": pd.Series([], dtype=np.int64),
+                "survival": pd.Series([], dtype=np.float64),
+            })
+        codes, _ = pd.factorize(m[group_col], sort=True)
+        n = len(codes)
+        at_t = m["_c"].to_numpy().astype(np.int64)  # observed + censored
+        d = m["_d"].to_numpy().astype(np.int64)
+        first = np.flatnonzero(np.diff(codes, prepend=-1))  # segment starts
+        lens = _seg_lengths(first, n)
+        # n_risk = group total − count at strictly earlier times (rows are
+        # (group, t)-sorted, so both are one segmented cumsum)
+        total = np.bincount(codes, weights=at_t).astype(np.int64)
+        before = np.cumsum(at_t) - at_t
+        before -= np.repeat(before[first], lens)
+        n_risk = np.repeat(total[codes[first]], lens) - before
+        # survival = exp(segmented cumsum of ln(1 − d/n)); the d == n step
+        # (only possible at a group's last time) forces exactly 0 from
+        # there on — ln(0) is an error in SQL and −inf here
+        frac = d.astype(np.float64) / n_risk.astype(np.float64)
+        safe = d < n_risk
+        terms = np.where(safe, np.log(np.where(safe, 1.0 - frac, 1.0)), 0.0)
+        cml = np.cumsum(terms)
+        cml -= np.repeat((cml - terms)[first], lens)
+        hits = np.cumsum(~safe)
+        dead = (hits - np.repeat((hits - (~safe))[first], lens)) > 0
+        surv = np.where(dead, 0.0, np.exp(cml))
+        if round_digits is not None:
+            surv = np.round(surv, round_digits)
+        out = pd.DataFrame({
+            group_col: m[group_col].to_numpy(),
+            "t": m["_t"].to_numpy(),
+            "n_risk": n_risk,
+            "d_events": d,
+            "survival": surv,
+        })
+        return out[d > 0].reset_index(drop=True)
+
+    return bucketed_map_groups(
+        parts, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

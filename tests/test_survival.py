@@ -1,0 +1,91 @@
+"""Kaplan-Meier + time_to_event vs a textbook reference and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from featherstore_ray.stages.survival import kaplan_meier, time_to_event
+
+
+def _km_reference(durations, observed):
+    """Plain-Python product-limit estimator (textbook)."""
+    rows = []
+    s = 1.0
+    for t in sorted(set(durations)):
+        n = sum(1 for x in durations if x >= t)
+        d = sum(1 for x, o in zip(durations, observed) if x == t and o)
+        if d > 0:
+            s *= 1.0 - d / n
+            rows.append((t, n, d, s))
+    return rows
+
+
+def test_kaplan_meier_matches_reference(ray_session):
+    rng = np.random.default_rng(3)
+    n = 500
+    grp = rng.integers(0, 3, n)
+    dur = rng.integers(1, 60, n).astype(np.int64)
+    obs = rng.random(n) < 0.7
+    t = pa.table({"g": pa.array(grp, pa.int64()),
+                  "duration": pa.array(dur),
+                  "observed": pa.array(obs)})
+    out = kaplan_meier(
+        ray.data.from_arrow(t).repartition(4),
+        group_col="g", duration_col="duration", observed_col="observed",
+        num_buckets=4,
+    ).to_pandas()
+    for g in range(3):
+        mask = grp == g
+        ref = _km_reference(dur[mask].tolist(), obs[mask].tolist())
+        got = out[out["g"] == g].sort_values("t").reset_index(drop=True)
+        assert len(got) == len(ref)
+        for i, (rt, rn, rd, rs) in enumerate(ref):
+            assert got.loc[i, "t"] == rt
+            assert got.loc[i, "n_risk"] == rn
+            assert got.loc[i, "d_events"] == rd
+            assert abs(got.loc[i, "survival"] - rs) < 1e-6
+
+
+def test_kaplan_meier_all_die_hits_zero(ray_session):
+    """d == n at the last event time → survival exactly 0 (the ln(0)
+    special case), and only for that group."""
+    t = pa.table({
+        "g": pa.array([0, 0, 0, 1, 1], pa.int64()),
+        "duration": pa.array([5, 5, 5, 3, 9], pa.int64()),
+        "observed": pa.array([True, True, True, True, False]),
+    })
+    out = kaplan_meier(
+        ray.data.from_arrow(t), group_col="g", duration_col="duration",
+        observed_col="observed", num_buckets=2,
+    ).to_pandas().set_index(["g", "t"])
+    assert out.loc[(0, 5), "survival"] == 0.0
+    assert abs(out.loc[(1, 3), "survival"] - 0.5) < 1e-9
+
+
+def test_time_to_event_derivation(ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    # user 1: click@0h, purchase@2h, click@5h  -> duration 2h, observed
+    # user 2: click@0h, click@4h               -> duration 4h, censored
+    # user 3: purchase@1h                      -> duration 0,  observed
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([base, base + 2 * h, base + 5 * h,
+                        base, base + 4 * h, base + h]),
+        "et": pa.array(["click", "purchase", "click", "click", "click",
+                        "purchase"]),
+    })
+    out = (
+        time_to_event(
+            ray.data.from_arrow(t).repartition(3),
+            entity_col="u", ts_col="ts", type_col="et", target="purchase",
+            num_buckets=2,
+        )
+        .to_pandas().set_index("u").sort_index()
+    )
+    hours = 3600 * 1_000_000
+    assert out.loc[1, "duration"] == 2 * hours and bool(out.loc[1, "observed"])
+    assert out.loc[2, "duration"] == 4 * hours and not bool(out.loc[2, "observed"])
+    assert out.loc[3, "duration"] == 0 and bool(out.loc[3, "observed"])
