@@ -3215,6 +3215,53 @@ def q_kaplan_meier(sf_dir: str):
     )
 
 
+_LPA_ITERS = 3
+
+
+def q_label_propagation(sf_dir: str):
+    """LPA community detection over the same synthetic orders graph as
+    connected_components (a = o_custkey, b = a % 97): 3 synchronous
+    rounds, modal neighbor label, min-label tie-break; per-round state
+    stays a Dataset (pagerank's two-exchange pattern)."""
+    import numpy as np
+
+    from featherstore_ray.stages.graph import label_propagation
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        a = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
+
+    e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    return label_propagation(e, iters=_LPA_ITERS, num_buckets=16)
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled-CTE mirror of label_propagation (same fixed schedule)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT o_custkey AS a, o_custkey % 97 AS b"
+        " FROM orders)",
+        "sym AS (SELECT a AS src, b AS dst FROM edges"
+        " UNION SELECT b, a FROM edges)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"v{i} AS (SELECT s.dst AS node, l.label, count(*) AS c "
+            f"FROM sym s JOIN l{i-1} l ON l.node = s.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM (SELECT node, label, "
+            f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label)"
+            f" AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{iters}"
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3401,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -5466,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
             ) WHERE rn <= 200
         """,
+        "label_propagation": _lpa_sql(_LPA_ITERS),
         "kaplan_meier": """
             WITH u AS (
                 SELECT user_id, min(ts) AS s,

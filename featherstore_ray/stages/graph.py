@@ -395,3 +395,135 @@ def triangle_count(
     ).to_pandas()  # one int per bucket
     return ray.data.from_arrow(pa.table(
         {"triangles": pa.array([int(parts["n"].sum())], pa.int64())}))
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    iters: int = 3,
+    num_buckets: int = 64,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected edge list — the third iterative graph op next to
+    connected_components (reachability) and pagerank (centrality):
+    labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label (deterministic, SQL-expressible). Duplicate input edges
+    (either direction) vote once; self-loops vote the node's own label
+    once. ``iters`` synchronous rounds, no convergence check — both
+    sides run the identical fixed schedule.
+
+    Scale shape: per-node state (the label vector) stays a Dataset;
+    each round is the pagerank two-exchange pattern — (sym edges +
+    labels) tagged-union keyed by src to emit one (dst, label) vote per
+    neighbor, votes keyed by dst to reduce to the modal label. The
+    symmetric edge set is deduped once up front and reused every round.
+    """
+    key = "_lp_key"
+    side = "_lp_side"  # 1 = label row, 0 = edge row
+
+    def sym_of(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "dst"]].drop_duplicates()
+
+    sym = bucketed_map_groups(
+        _with_bucket(
+            edges.select_columns([a_col, b_col]).map_batches(
+                sym_of, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "src", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        vals = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        return pa.table({node_col: pa.array(vals, pa.int64())})
+
+    def node_uniq(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[node_col]].drop_duplicates()
+        out[label_col] = out[node_col].to_numpy()
+        return out
+
+    labels = bucketed_map_groups(
+        _with_bucket(
+            sym.map_batches(node_partial, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True),
+            node_col, num_buckets),
+        node_uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t["src"].combine_chunks(),
+            "_lp_dst": t["dst"].combine_chunks(),
+            label_col: pa.nulls(t.num_rows, pa.int64()),
+            side: pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    sym_tagged = sym.map_batches(
+        tag_edges, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iters):
+
+        def tag_labels(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                key: t[node_col].combine_chunks().cast(pa.int64()),
+                "_lp_dst": t[node_col].combine_chunks().cast(pa.int64()),
+                label_col: t[label_col].combine_chunks().cast(pa.int64()),
+                side: pa.array(np.ones(n, dtype=np.int8)),
+            })
+
+        tagged = _with_bucket(
+            sym_tagged.union(labels.map_batches(
+                tag_labels, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True,
+            )),
+            key, num_buckets,
+        )
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            is_lab = df[side].to_numpy() == 1
+            lut = df.loc[is_lab].set_index(key)[label_col]
+            e = df.loc[~is_lab]
+            return pd.DataFrame({
+                node_col: e["_lp_dst"].to_numpy().astype(np.int64),
+                label_col: e[key].map(lut).to_numpy().astype(np.int64),
+            })
+
+        votes = _with_bucket(
+            bucketed_map_groups(
+                tagged, scatter, num_buckets=num_buckets,
+                batch_format="pandas",
+            ),
+            node_col, num_buckets,
+        )
+
+        def modal(df: pd.DataFrame) -> pd.DataFrame:
+            c = (
+                df.groupby([node_col, label_col], sort=False)
+                .size().rename("_c").reset_index()
+            )
+            c = c.sort_values([node_col, "_c", label_col],
+                              ascending=[True, False, True], kind="stable")
+            return c.drop_duplicates(node_col)[[node_col, label_col]]
+
+        labels = bucketed_map_groups(
+            votes, modal, num_buckets=num_buckets, batch_format="pandas",
+        ).materialize()
+
+    return labels

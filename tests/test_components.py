@@ -194,3 +194,65 @@ def test_adaptive_driver_path_strings(ray_session):
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert list(out["node"]) == ["q", "x", "y"]
     assert list(out["dup_group"]) == ["q", "x", "x"]
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two 4-cliques joined by one bridge edge: after 3 rounds each clique
+    converges to its min node id; the bridge does not merge them."""
+    import pandas as pd
+
+    from featherstore_ray.stages.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    t = pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    out = (
+        label_propagation(ray.data.from_arrow(t), iters=3, num_buckets=4)
+        .to_pandas().set_index("node")["community"]
+    )
+    assert set(out.loc[[0, 1, 2]].unique()) == {0}
+    assert set(out.loc[[11, 12, 13]].unique()) == {10}
+
+
+def test_label_propagation_matches_unrolled_sql(ray_session):
+    """Randomized graph vs the identical unrolled-CTE schedule in DuckDB
+    (modal neighbor label, min-label ties, fixed 3 rounds)."""
+    import duckdb
+    import pandas as pd
+
+    from featherstore_ray.stages.graph import label_propagation
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300)
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    out = (
+        label_propagation(ray.data.from_arrow(t).repartition(4),
+                          iters=3, num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", t)
+    ctes = [
+        "edges AS (SELECT DISTINCT a, b FROM e)",
+        "sym AS (SELECT a AS src, b AS dst FROM edges"
+        " UNION SELECT b, a FROM edges)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(1, 4):
+        ctes.append(
+            f"v{i} AS (SELECT s.dst AS node, l.label, count(*) AS c "
+            f"FROM sym s JOIN l{i-1} l ON l.node = s.src GROUP BY 1, 2)")
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM (SELECT node, label, "
+            f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label)"
+            f" AS rn FROM v{i}) WHERE rn = 1)")
+    exp = con.execute(
+        "WITH " + ",".join(ctes)
+        + " SELECT node, label AS community FROM l3 ORDER BY node"
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
