@@ -3262,6 +3262,18 @@ def _lpa_sql(iters: int) -> str:
     )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: exact cosine top-5 per anchor
+    over corpus rows with a DIFFERENT label (same-label rows are
+    positives). Anchor matrix ships by value once; per-batch masked
+    matmul partials, tiny driver merge."""
+    from featherstore_ray.stages.ann import hard_negative_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    return hard_negative_topk(_read(sf_dir, "embeddings"), queries, k=5)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3449,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
         "label_propagation": q_label_propagation,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -5127,6 +5140,20 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT qid, vec_id,
                          round(list_cosine_similarity(qe, embedding), 4) AS score
                   FROM q, embeddings WHERE vec_id != qid)
+            SELECT qid AS query_id, vec_id, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, vec_id) rn FROM s)
+            WHERE rn <= 5
+        """,
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id qid, embedding qe, label ql
+                       FROM embeddings
+                       WHERE vec_id IN ({", ".join(map(str, _ANN_QIDS))})),
+            s AS (SELECT qid, vec_id,
+                         round(list_cosine_similarity(qe, embedding), 4)
+                           AS score
+                  FROM q, embeddings
+                  WHERE vec_id != qid AND label != ql)
             SELECT qid AS query_id, vec_id, score FROM (
               SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY score DESC, vec_id) rn FROM s)

@@ -995,3 +995,75 @@ def pca_project(
     return ds.select_columns([id_col, emb_col]).map_batches(
         project, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+class _HardNegScorer(_TopKScorer):
+    """_TopKScorer that additionally masks same-label corpus rows."""
+
+    def __init__(self, q, id_col, emb_col, label_col, k, round_digits):
+        super().__init__(q, id_col, emb_col, k, round_digits)
+        self.qlabels = q["labels"]
+        self.label_col = label_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return super().__call__(t)
+        import pyarrow.compute as pc
+
+        # same-label rows are positives, not negatives; label-null rows
+        # are excluded too (SQL ``e.label != q.label`` is NULL → false)
+        col = t[self.label_col]
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        labels = col.to_numpy(zero_copy_only=False)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_stack_embeddings(t[self.emb_col]))
+        scores = emb @ self.qm.T
+        bad = labels[:, None] == np.asarray(self.qlabels)[None, :]
+        bad |= nulls[:, None]
+        bad |= ids[:, None] == self.qids[None, :]
+        scores = np.where(bad, -np.inf, scores)
+        if self.round_digits is not None:
+            scores = np.round(scores, self.round_digits)
+        k = min(self.k, n)
+        kth = -np.partition(-scores, k - 1, axis=0)[k - 1]
+        keep_mask = scores >= kth[None, :]
+        ri, ci = np.nonzero(keep_mask)
+        scol = scores[ri, ci]
+        fin = np.isfinite(scol)
+        return pa.table({
+            "query_id": pa.array(self.qids[ci[fin]].astype(np.int64)),
+            self.id_col: pa.array(ids[ri[fin]].astype(np.int64)),
+            "score": pa.array(scol[fin]),
+        })
+
+
+def hard_negative_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> ray.data.Dataset:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query row), the exact cosine top-k over the corpus restricted to
+    rows with a DIFFERENT label (same-label rows are positives, not
+    negatives; label-null rows are excluded — SQL ``e.label != q.label``
+    semantics). Same physical plan as :func:`cosine_topk`: anchors ship
+    by value once, per-batch matmul + masked partial top-k, tiny driver
+    merge. Ties on rounded score break by ascending id.
+    """
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    qlabels = queries[label_col].to_pylist()
+    qval = {"ids": qids, "matrix": qm, "labels": qlabels}
+    scorer = _HardNegScorer(qval, id_col, emb_col, label_col, k,
+                            round_digits)
+    partials = ds.map_batches(
+        scorer.__call__, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))

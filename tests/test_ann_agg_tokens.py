@@ -1257,3 +1257,33 @@ def test_anova_f_degenerate_groups():
     assert "tiny" not in got.index             # n == k dropped
     assert np.isnan(got.loc["zero_ssw", "f_stat"])  # ssw == 0 -> NULL F
     assert got.loc["zero_ssw", "eta_sq"] == 1.0
+
+
+def test_hard_negative_topk_excludes_same_label(ray_session):
+    from featherstore_ray.stages.ann import hard_negative_topk
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    emb = rng.normal(size=(n, d))
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in emb]),
+        "label": pa.array(labels, pa.int32()),
+    })
+    q = t.slice(0, 2)
+    out = hard_negative_topk(
+        ray.data.from_arrow(t).repartition(4), q, k=5,
+    ).to_pandas()
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi in (0, 1):
+        got = out[out["query_id"] == qi]
+        assert len(got) == 5
+        # no same-label or self rows
+        assert (labels[got["vec_id"].to_numpy()] != labels[qi]).all()
+        # matches brute force with rounded-score ordering + id tie-break
+        scores = np.round(norm @ norm[qi], 4)
+        mask = (labels != labels[qi])
+        order = sorted(np.flatnonzero(mask),
+                       key=lambda i: (-scores[i], i))[:5]
+        assert got["vec_id"].tolist() == list(order)
