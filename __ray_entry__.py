@@ -3274,6 +3274,27 @@ def q_hard_negatives(sf_dir: str):
     return hard_negative_topk(_read(sf_dir, "embeddings"), queries, k=5)
 
 
+def q_mmr_select(sf_dir: str):
+    """Diverse top-20 exemplar selection (Maximal Marginal Relevance)
+    against the mean anchor vector: distributed relevance top-256, then
+    the bounded O(C·m) greedy on the driver. The greedy's sequential
+    argmax has no ANSI-SQL equivalent → rows-only; exact brute-force
+    parity is pytest-gated (tests/test_ann_agg_tokens.py)."""
+    import numpy as np
+
+    from featherstore_ray.stages.ann import mmr_select
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(
+        pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in anchors["embedding"].to_pylist()])
+    return mmr_select(
+        _read(sf_dir, "embeddings"), mat.mean(axis=0), m=20, lam=0.7,
+        candidates=256,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3462,6 +3483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": q_kaplan_meier,
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
+        "mmr_select": q_mmr_select,
     }
 
 

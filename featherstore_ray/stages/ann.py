@@ -1067,3 +1067,89 @@ def hard_negative_topk(
         zero_copy_batch=True,
     )
     return ray.data.from_pandas(_merge_topk(partials.to_pandas(), id_col, k))
+
+
+def mmr_select(
+    ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 20,
+    lam: float = 0.7,
+    candidates: int = 256,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Diversity-aware top-m selection via Maximal Marginal Relevance:
+    greedily pick the item maximizing ``lam * rel − (1−lam) * max_sim``
+    where ``rel`` is cosine relevance to ``query_vec`` and ``max_sim`` the
+    max cosine to anything already selected — the standard redundancy-free
+    retrieval / diverse-exemplar-sampling primitive. Ties break by
+    ascending id on scores rounded to ``round_digits`` (deterministic).
+
+    Scale shape (the greedy loop is inherently sequential, so it must
+    never see the corpus): pass 1 is the distributed cosine_topk plan
+    collecting the top-``candidates`` ids by relevance (per-batch matmul
+    partials — only ids/scores move); pass 2 gathers just those C
+    embedding rows and runs the O(C·m) greedy on the driver. With
+    ``candidates ≥ corpus`` the result is exact brute-force MMR
+    (pytest-gated); otherwise it is the standard candidate-restricted
+    approximation — rel is monotone in the greedy objective's first term,
+    so the exact answer's support is in the candidate set whenever
+    ``lam ≥ 0.5`` and similarities are nonnegative.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qtab = pa.table({
+        id_col: pa.array([np.int64(-1)]),
+        emb_col: pa.array([q.astype(np.float32)]),
+    })
+    top = cosine_topk(
+        ds, qtab, id_col=id_col, emb_col=emb_col, k=candidates,
+        round_digits=None,
+    ).to_pandas()
+    cand_ids = top[id_col].to_numpy().astype(np.int64)
+    id_set = ray.put(pa.array(cand_ids))
+
+    def gather(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_set)))
+
+    rows = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(gather, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    ids = rows[id_col].to_numpy().astype(np.int64)
+    mat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in rows[emb_col]]))
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    rel = np.round(mat @ q, round_digits)
+    n = len(ids)
+    m = min(m, n)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    picked = np.zeros(n, dtype=bool)
+    out_rows = []
+    for rank in range(1, m + 1):
+        if rank == 1:
+            score = rel.copy()
+        else:
+            score = np.round(lam * rel - (1.0 - lam) * max_sim,
+                             round_digits)
+        score_masked = np.where(picked, -np.inf, score)
+        i = int(np.argmax(score_masked))  # argmax takes the FIRST max:
+        # ids are ascending, so equal scores break to the smallest id
+        out_rows.append((rank, int(ids[i]), float(rel[i]),
+                         float(score_masked[i])))
+        picked[i] = True
+        max_sim = np.maximum(max_sim, np.round(mat @ mat[i], round_digits))
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array([r[0] for r in out_rows], pa.int64()),
+        id_col: pa.array([r[1] for r in out_rows], pa.int64()),
+        "relevance": pa.array([r[2] for r in out_rows], pa.float64()),
+        "mmr_score": pa.array([r[3] for r in out_rows], pa.float64()),
+    }))

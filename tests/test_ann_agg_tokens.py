@@ -1287,3 +1287,58 @@ def test_hard_negative_topk_excludes_same_label(ray_session):
         order = sorted(np.flatnonzero(mask),
                        key=lambda i: (-scores[i], i))[:5]
         assert got["vec_id"].tolist() == list(order)
+
+
+def test_mmr_select_exact_parity_when_candidates_cover_corpus(ray_session):
+    """candidates >= corpus -> the candidate-restricted MMR equals exact
+    brute-force greedy MMR (rounded scores, min-id ties)."""
+    from featherstore_ray.stages.ann import mmr_select
+
+    rng = np.random.default_rng(31)
+    n, d, m, lam = 120, 8, 10, 0.7
+    emb = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in emb]),
+    })
+    q = rng.normal(size=d)
+    out = mmr_select(
+        ray.data.from_arrow(t).repartition(4), q, m=m, lam=lam,
+        candidates=n + 50,
+    ).to_pandas()
+
+    # brute-force reference (float32 storage round-trip like the engine)
+    mat = emb.astype(np.float32).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    rel = np.round(mat @ qn, 6)
+    picked, max_sim = [], np.full(n, -np.inf)
+    for rank in range(m):
+        score = rel if rank == 0 else np.round(
+            lam * rel - (1 - lam) * max_sim, 6)
+        score = np.where(np.isin(np.arange(n), picked), -np.inf, score)
+        i = int(np.argmax(score))
+        picked.append(i)
+        max_sim = np.maximum(max_sim, np.round(mat @ mat[i], 6))
+    assert out["vec_id"].tolist() == picked
+    assert (np.diff(out["rank"].to_numpy()) == 1).all()
+
+
+def test_mmr_select_diversifies(ray_session):
+    """Two tight clusters equally relevant: plain top-2-by-relevance stays
+    inside one cluster; MMR's second pick crosses to the other."""
+    from featherstore_ray.stages.ann import mmr_select
+
+    a = np.array([1.0, 0.02, 0.0])
+    b = np.array([1.0, -0.02, 0.0])
+    cluster = np.stack([a, a + [0, 0.001, 0], b, b + [0, 0.001, 0]])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in cluster]),
+    })
+    out = mmr_select(
+        ray.data.from_arrow(t), np.array([1.0, 0.0, 0.0]), m=2, lam=0.5,
+        candidates=10,
+    ).to_pandas()
+    first, second = out["vec_id"].tolist()
+    assert {first < 2, second < 2} == {True, False}  # one from each cluster
