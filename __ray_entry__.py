@@ -3295,6 +3295,28 @@ def q_mmr_select(sf_dir: str):
     )
 
 
+_LEAK_VAL_FRAC = 0.2
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/test contamination audit: hash-split the documents 80/20,
+    then count each val doc's distinct word trigrams that also occur in
+    ANY train doc. Both sides are corpus-scale → partition on the gram
+    itself (one gram exchange + one tiny key exchange), never a
+    broadcast."""
+    from featherstore_ray.stages.misc import hash_split
+    from featherstore_ray.stages.text import cross_split_leakage
+
+    docs = hash_split(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", val_fraction=_LEAK_VAL_FRAC,
+    )
+    return cross_split_leakage(
+        docs, key_col="doc_id", text_col="text", split_col="split",
+        test_label="val", n=3, num_buckets=16,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3484,6 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -5441,6 +5464,30 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "split_leakage": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     (CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761
+                       % 4294967296 < {int(_LEAK_VAL_FRAC * (1 << 32))}
+                       AS is_test
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, is_test, gram FROM (
+                SELECT doc_id, is_test,
+                       unnest(list_transform(range(1, len(w) - 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gram
+                FROM (SELECT doc_id, is_test,
+                             string_split(text, ' ') AS w FROM s)
+              )
+            )
+            SELECT doc_id, count(DISTINCT gram) AS leak_ngrams
+            FROM g
+            WHERE is_test AND gram IN (
+                SELECT DISTINCT gram FROM g WHERE NOT is_test)
+            GROUP BY doc_id
         """,
         "decontaminate": f"""
             WITH words AS (

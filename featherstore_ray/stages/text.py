@@ -2120,3 +2120,77 @@ def apply_unigram(
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def cross_split_leakage(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    test_label: str = "val",
+    n: int = 3,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Train/test contamination audit: for every TEST document, the number
+    of its DISTINCT word n-grams that also occur in ANY train document —
+    the split-leakage check run before training on a freshly split corpus.
+    Unlike :func:`decontaminate` (benchmark side broadcast), BOTH sides
+    here are corpus-scale, so the overlap is computed by partitioning on
+    the gram itself. Output: ``(key, leak_ngrams)`` for leaked test docs
+    only (``leak_ngrams ≥ 1``). Null keys/texts drop.
+
+    Scale shape: per batch, distinct ``(gram, key, is_test)`` triples
+    (the tf_idf posting volume); ONE hash(gram) exchange — a gram's train
+    presence and its test owners co-locate, so each bucket emits disjoint
+    per-key distinct-gram counts; a second tiny hash(key) exchange sums
+    the partials. No side is ever broadcast or materialized whole.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def emit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        keep = pc_.and_(pc_.is_valid(t[key_col]), pc_.is_valid(t[text_col]))
+        t = t.filter(keep)
+        grams, didx = ngram_strings(t[text_col], n)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        is_test = pc_.equal(
+            t[split_col], test_label).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "_gram": grams,
+            key_col: keys[didx],
+            "_is_test": is_test[didx],
+        }).drop_duplicates(["_gram", key_col])
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    posts = ds.select_columns([key_col, text_col, split_col]).map_batches(
+        emit, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    posts = add_bucket_column(posts, "_gram", num_buckets)
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates(
+            ["_gram", key_col])
+        train_grams = df.loc[~df["_is_test"], "_gram"].unique()
+        hits = df[df["_is_test"]
+                  & df["_gram"].isin(pd.Index(train_grams))]
+        out = hits.groupby(key_col, sort=False).size().rename("_c")
+        return out.reset_index()
+
+    partials = bucketed_map_groups(
+        posts, per_gram, num_buckets=num_buckets, batch_format="pandas"
+    )
+    partials = add_bucket_column(partials, key_col, num_buckets)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False)["_c"].sum()
+        return pd.DataFrame({
+            key_col: g.index.to_numpy(),
+            "leak_ngrams": g.to_numpy().astype(np.int64),
+        })
+
+    return bucketed_map_groups(
+        partials, per_key, num_buckets=num_buckets, batch_format="pandas"
+    )

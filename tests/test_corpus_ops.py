@@ -1006,3 +1006,47 @@ def test_viterbi_unknown_fallback_cannot_outscore_real_paths():
     # vocab lacks 'a' alone, but 'ab' spans it: the legit path must win
     logp = {"ab": math.log(0.01), "b": math.log(0.9)}
     assert _viterbi_pieces("ab", logp, 2) == ["ab"]
+
+
+def test_cross_split_leakage_matches_brute_force(ray_session):
+    """Randomized corpus with planted shared trigrams: distributed
+    gram-partitioned overlap == per-doc set-intersection reference."""
+    from featherstore_ray.stages.text import cross_split_leakage
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, splits = [], []
+    for i in range(120):
+        words = rng.choice(vocab, size=rng.integers(2, 20)).tolist()
+        texts.append(" ".join(words))
+        splits.append("val" if i % 5 == 0 else "train")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "text": pa.array(texts),
+        "split": pa.array(splits),
+    })
+    out = (
+        cross_split_leakage(
+            ray.data.from_arrow(t).repartition(4),
+            key_col="doc_id", text_col="text", split_col="split",
+            test_label="val", n=3, num_buckets=8,
+        ).to_pandas().set_index("doc_id")["leak_ngrams"]
+    )
+
+    def grams(s):
+        w = s.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    train_grams = set()
+    for txt, sp in zip(texts, splits):
+        if sp == "train":
+            train_grams |= grams(txt)
+    for i, (txt, sp) in enumerate(zip(texts, splits)):
+        if sp != "val":
+            assert i not in out.index
+            continue
+        want = len(grams(txt) & train_grams)
+        if want == 0:
+            assert i not in out.index
+        else:
+            assert out.loc[i] == want, i
