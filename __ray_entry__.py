@@ -3317,6 +3317,15 @@ def q_split_leakage(sf_dir: str):
     )
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading ease + FK grade per document: three Arrow regex
+    count kernels per batch, zero shuffle; the heuristic counts are
+    mirrored literally by the oracle."""
+    from featherstore_ray.stages.text import readability
+
+    return readability(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3507,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
+        "readability": q_readability,
     }
 
 
@@ -5464,6 +5474,26 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words::DOUBLE / n_sentences)
+                         - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+                     AS flesch,
+                   round(0.39 * (n_words::DOUBLE / n_sentences)
+                         + 11.8 * (n_syllables::DOUBLE / n_words)
+                         - 15.59, 6) AS fk_grade
+            FROM c
         """,
         "split_leakage": f"""
             WITH s AS (

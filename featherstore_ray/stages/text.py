@@ -2194,3 +2194,51 @@ def cross_split_leakage(
     return bucketed_map_groups(
         partials, per_key, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def readability(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability pair next to the length/stopword quality_score
+    family. Heuristic counts, mirrored literally by the oracle:
+    words = space-split tokens (empty tokens count, like SQL
+    ``string_split``), sentences = ``[.!?]+`` runs clamped to ≥ 1,
+    syllables = ``[aeiouy]+`` vowel runs of the lowercased text.
+    Null-text rows drop on both sides.
+
+    Narrow map, zero shuffle: three Arrow regex/count kernels per batch
+    (compiled in C, no Python row loop).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        txt = t[text_col]
+        n_words = pc.add(pc.count_substring(txt, " "), 1)
+        n_sent = pc.max_element_wise(
+            pc.count_substring_regex(txt, "[.!?]+"), 1)
+        n_syll = pc.count_substring_regex(
+            pc.utf8_lower(txt), "[aeiouy]+")
+        w = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+        s = n_sent.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = n_syll.to_numpy(zero_copy_only=False).astype(np.float64)
+        a = w / s
+        b = y / w
+        flesch = np.round(206.835 - 1.015 * a - 84.6 * b, round_digits)
+        grade = np.round(0.39 * a + 11.8 * b - 15.59, round_digits)
+        return pa.table({
+            key_col: t[key_col],
+            "n_words": pc.cast(n_words, pa.int64()),
+            "n_sentences": pc.cast(n_sent, pa.int64()),
+            "n_syllables": pc.cast(n_syll, pa.int64()),
+            "flesch": pa.array(flesch),
+            "fk_grade": pa.array(grade),
+        })
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

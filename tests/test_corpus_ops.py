@@ -1050,3 +1050,28 @@ def test_cross_split_leakage_matches_brute_force(ray_session):
             assert i not in out.index
         else:
             assert out.loc[i] == want, i
+
+
+def test_readability_known_values(ray_session):
+    from featherstore_ray.stages.text import readability
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["The cat sat. The dog ran!", "bcdfg", None]),
+    })
+    out = (
+        readability(ray.data.from_arrow(t))
+        .to_pandas().set_index("doc_id")
+    )
+    assert list(out.index) == [0, 1]  # null text dropped
+    r = out.loc[0]
+    # "The cat sat. The dog ran!": 6 space-tokens, 2 sentences,
+    # vowel runs: e,a,a,e,o,a = 6
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 6
+    want = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert abs(r["flesch"] - want) < 1e-9
+    # vowel-less single word: 1 word, clamped 1 sentence, 0 syllables
+    r1 = out.loc[1]
+    assert r1["n_words"] == 1 and r1["n_sentences"] == 1
+    assert r1["n_syllables"] == 0
