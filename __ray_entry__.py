@@ -3326,6 +3326,19 @@ def q_readability(sf_dir: str):
     return readability(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+_ZIPF_TOP = 500
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law corpus audit: ln(freq)~ln(rank) OLS over the exact
+    bucketed top-500 vocabulary; the regression runs on <=500 points
+    driver-side and tied counts make it order-independent."""
+    from featherstore_ray.stages.text import zipf_fit
+
+    return zipf_fit(_read(sf_dir, "documents", columns=["text"]),
+                    top_n=_ZIPF_TOP)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3517,6 +3530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
         "readability": q_readability,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -5474,6 +5488,31 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "zipf_fit": f"""
+            WITH c AS (
+              SELECT count(*) AS f FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+              ) GROUP BY token
+            ),
+            r AS (SELECT f, row_number() OVER (ORDER BY f DESC) AS rank
+                  FROM c),
+            k AS (SELECT ln(rank::DOUBLE) AS x, ln(f::DOUBLE) AS y
+                  FROM r WHERE rank <= {_ZIPF_TOP}),
+            a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy,
+                         sum(y * y) AS syy
+                  FROM k)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 6) AS intercept,
+                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS r2
+            FROM a
         """,
         "readability": """
             WITH c AS (

@@ -2242,3 +2242,46 @@ def readability(
     return ds.select_columns([key_col, text_col]).map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def zipf_fit(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    top_n: int = 500,
+    num_buckets: int = 32,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Zipf-law audit of the corpus vocabulary: OLS fit of ``ln(freq)``
+    on ``ln(rank)`` over the top ``top_n`` tokens — slope ≈ −1 is the
+    healthy-natural-text signature; a flat slope flags boilerplate /
+    template floods, a cliff flags truncated vocab. Output one row:
+    ``(n_terms, slope, intercept, r2)``.
+
+    Scale shape: the frequency table comes from :func:`vocab_count`'s
+    exact bucketed top-N (per-batch partials, one token exchange); the
+    regression runs on K ≤ top_n points driver-side. Tied counts make the
+    fit order-independent (y depends only on the count; x is the rank
+    index), so no tie contract is needed beyond K itself.
+    """
+    top = vocab_count(
+        ds, text_col, top_n=top_n, num_buckets=num_buckets
+    ).to_pandas()
+    top = top.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable")
+    k = len(top)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    n = float(k)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    return ray.data.from_arrow(pa.table({
+        "n_terms": pa.array([np.int64(k)]),
+        "slope": pa.array([round(float(slope), round_digits)]),
+        "intercept": pa.array([round(float(intercept), round_digits)]),
+        "r2": pa.array([round(float(r2), round_digits)]),
+    }))

@@ -1075,3 +1075,25 @@ def test_readability_known_values(ray_session):
     r1 = out.loc[1]
     assert r1["n_words"] == 1 and r1["n_sentences"] == 1
     assert r1["n_syllables"] == 0
+
+
+def test_zipf_fit_recovers_planted_slope(ray_session):
+    """Corpus with token i repeated round(1000 * (i+1)^-1.2) times: the
+    fitted slope recovers -1.2 and r2 ~ 1 (rank-rounding noise only)."""
+    from featherstore_ray.stages.text import zipf_fit
+
+    words = []
+    for i in range(80):
+        reps = int(round(1000.0 * (i + 1) ** -1.2))
+        words.extend([f"tok{i:03d}"] * max(reps, 1))
+    rng = np.random.default_rng(2)
+    order = rng.permutation(len(words))
+    texts = [" ".join(np.asarray(words, dtype=object)[order[i::10]])
+             for i in range(10)]
+    t = pa.table({"text": pa.array(texts)})
+    out = zipf_fit(
+        ray.data.from_arrow(t).repartition(3), top_n=80, num_buckets=4
+    ).to_pandas().iloc[0]
+    assert out["n_terms"] == 80
+    assert abs(out["slope"] + 1.2) < 0.05
+    assert out["r2"] > 0.99
