@@ -3339,6 +3339,16 @@ def q_zipf_fit(sf_dir: str):
                     top_n=_ZIPF_TOP)
 
 
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center coreset (8 exemplars) over the embeddings table:
+    Dataset-resident min-distance state, one narrow map + argmax partial
+    per round. Sequential greedy → rows-only; brute-force parity is
+    pytest-gated."""
+    from featherstore_ray.stages.ann import kcenter_select
+
+    return kcenter_select(_read(sf_dir, "embeddings"), m=8)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3531,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,
         "readability": q_readability,
         "zipf_fit": q_zipf_fit,
+        "kcenter_select": q_kcenter_select,
     }
 
 

@@ -1153,3 +1153,116 @@ def mmr_select(
         "relevance": pa.array([r[2] for r in out_rows], pa.float64()),
         "mmr_score": pa.array([r[3] for r in out_rows], pa.float64()),
     }))
+
+
+def kcenter_select(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 8,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Greedy k-center (farthest-point) coreset selection over cosine
+    distance — the coverage-driven sibling of :func:`mmr_select` (MMR
+    optimizes relevance-vs-redundancy; k-center minimizes the max
+    distance of any point to its nearest exemplar — the classic active
+    learning / dataset-distillation pick, a 2-approximation of optimal
+    k-center). Seed = the smallest id; ties on rounded distance break by
+    ascending id. Output: (rank, id, dist) where dist is the point's
+    distance to the previously selected set when it was picked (NULL for
+    the seed).
+
+    Scale shape: the min-distance vector is Dataset-resident state, like
+    pagerank's ranks — never on the driver. Each of the m−1 rounds is one
+    narrow map (update dist vs the newest center, shipped by value — no
+    shuffle) plus a per-batch argmax partial; only (1 row × batches)
+    partials reach the driver per round. Greedy k-center is inherently m
+    sequential passes — keep m small or switch to Gonzalez-on-a-sample
+    for very large m.
+    """
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: t[emb_col].slice(0, 0)})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return t.select([id_col, emb_col]).slice(i, 1)
+
+    seeds = pa.concat_tables(
+        [pa.table(b) for b in proj.map_batches(
+            seed_partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    sids = seeds[id_col].to_numpy(zero_copy_only=False)
+    j = int(np.argmin(sids))
+    center = _normalize(np.asarray(
+        seeds[emb_col][j].as_py(), dtype=np.float64)[None, :])[0]
+    selected = [int(sids[j])]
+    out_rows = [(1, selected[0], None)]
+    dist_col = "_kc_dist"
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            dist_col, pa.array(np.full(t.num_rows, np.inf)))
+
+    state = proj.map_batches(
+        init, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    n_total = state.count()
+    for _ in range(1, min(m, n_total)):
+        cvec = center  # ships by value in the closure (d floats)
+
+        def update(t: pa.Table, c=cvec) -> pa.Table:
+            emb = _normalize(_stack_embeddings(t[emb_col]))
+            d = np.round(1.0 - emb @ c, round_digits)
+            nd = np.minimum(
+                t[dist_col].to_numpy(zero_copy_only=False), d)
+            return t.drop_columns([dist_col]).append_column(
+                dist_col, pa.array(nd))
+
+        state = state.map_batches(
+            update, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        sel = np.asarray(selected, dtype=np.int64)
+
+        def best(t: pa.Table, sel=sel) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            d = t[dist_col].to_numpy(zero_copy_only=False)
+            ok = ~np.isin(ids, sel)
+            if not ok.any():
+                return t.slice(0, 0)
+            # per-batch argmax with min-id ties: ids ascend within a
+            # block only by accident, so order explicitly
+            cand = np.flatnonzero(ok)
+            order = np.lexsort((ids[cand], -d[cand]))
+            return t.take(cand[order[:1]])
+
+        parts = pa.concat_tables(
+            [pa.table(b) for b in state.map_batches(
+                best, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(batch_format="pyarrow")],
+            promote_options="default",
+        )
+        if parts.num_rows == 0:
+            break
+        pids = parts[id_col].to_numpy(zero_copy_only=False)
+        pd_ = parts[dist_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pids, -pd_))
+        w = int(order[0])
+        selected.append(int(pids[w]))
+        out_rows.append((len(selected), int(pids[w]), float(pd_[w])))
+        center = _normalize(np.asarray(
+            parts[emb_col][w].as_py(), dtype=np.float64)[None, :])[0]
+
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array([r[0] for r in out_rows], pa.int64()),
+        id_col: pa.array([r[1] for r in out_rows], pa.int64()),
+        "dist": pa.array([r[2] for r in out_rows], pa.float64()),
+    }))

@@ -1342,3 +1342,49 @@ def test_mmr_select_diversifies(ray_session):
     ).to_pandas()
     first, second = out["vec_id"].tolist()
     assert {first < 2, second < 2} == {True, False}  # one from each cluster
+
+
+def test_kcenter_select_matches_brute_force(ray_session):
+    from featherstore_ray.stages.ann import kcenter_select
+
+    rng = np.random.default_rng(7)
+    n, d, m = 150, 8, 6
+    emb = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n) + 10, pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in emb]),
+    })
+    out = kcenter_select(
+        ray.data.from_arrow(t).repartition(4), m=m,
+    ).to_pandas()
+
+    mat = emb.astype(np.float32).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sel = [0]  # min id = 10 = row 0
+    dist = np.full(n, np.inf)
+    picks = [(1, 10, None)]
+    for r in range(1, m):
+        dist = np.minimum(dist, np.round(1.0 - mat @ mat[sel[-1]], 6))
+        masked = dist.copy()
+        masked[sel] = -np.inf
+        order = np.lexsort((np.arange(n) + 10, -masked))
+        i = int(order[0])
+        sel.append(i)
+        picks.append((r + 1, i + 10, masked[i]))
+    assert out["vec_id"].tolist() == [p[1] for p in picks]
+    got_d = out["dist"].to_numpy()
+    assert np.isnan(got_d[0])
+    np.testing.assert_allclose(
+        got_d[1:], [p[2] for p in picks[1:]], atol=1e-9)
+
+
+def test_kcenter_select_m_exceeds_corpus(ray_session):
+    from featherstore_ray.stages.ann import kcenter_select
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]),
+    })
+    out = kcenter_select(ray.data.from_arrow(t), m=10).to_pandas()
+    assert len(out) == 3
+    assert sorted(out["vec_id"]) == [1, 2, 3]
