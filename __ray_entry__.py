@@ -3349,6 +3349,16 @@ def q_kcenter_select(sf_dir: str):
     return kcenter_select(_read(sf_dir, "embeddings"), m=8)
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Mahalanobis outlier screen over the embeddings table: shared
+    dim-bounded moment reduce -> driver d*d inverse -> broadcast scoring
+    pass with per-batch top-k partials. Rows-only (matrix inverse has no
+    SQL mirror); numpy parity pytest-gated."""
+    from featherstore_ray.stages.ann import embedding_outliers
+
+    return embedding_outliers(_read(sf_dir, "embeddings"), top_k=50)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3542,6 +3552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "zipf_fit": q_zipf_fit,
         "kcenter_select": q_kcenter_select,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 

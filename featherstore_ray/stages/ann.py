@@ -920,6 +920,48 @@ def quantize_embeddings(
     )
 
 
+def _gaussian_moments(
+    ds: ray.data.Dataset, emb_col: str, *, min_rows: int, caller: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Shared (n, mean, sample covariance) over an embedding column — the
+    dim-bounded moment shape: each block collapses to (n, Σx, ΣxᵀX), a
+    d-vector + d×d matrix regardless of row count; partials merge by
+    addition on the driver. Used by pca_project and embedding_outliers."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.float64())),
+            "ss": pa.array([], pa.list_(pa.float64())),
+        })
+        if t.num_rows == 0:
+            return empty
+        m = _stack_embeddings(t[emb_col])
+        s = m.sum(axis=0)
+        ss = m.T @ m
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = ds.select_columns([emb_col]).map_batches(
+        moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n < min_rows:
+        raise ValueError(
+            f"{caller} needs >= {min_rows} rows to estimate a covariance; "
+            f"got {n}"
+        )
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = len(s)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
 def pca_project(
     ds: ray.data.Dataset,
     *,
@@ -943,36 +985,8 @@ def pca_project(
     Rows-only contract (eigendecomposition has no SQL mirror); exactness
     vs full-matrix numpy PCA is pytest-gated. Output: (id, pc0..pc{k-1}).
     """
-    def moments(t: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "n": pa.array([], pa.int64()),
-            "s": pa.array([], pa.list_(pa.float64())),
-            "ss": pa.array([], pa.list_(pa.float64())),
-        })
-        if t.num_rows == 0:
-            return empty
-        m = _stack_embeddings(t[emb_col])
-        s = m.sum(axis=0)
-        ss = m.T @ m
-        return pa.table({
-            "n": pa.array([m.shape[0]], pa.int64()),
-            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
-            "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
-        })
-
-    parts = ds.select_columns([emb_col]).map_batches(
-        moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    n = int(parts["n"].sum()) if len(parts) else 0
-    if n < 2:
-        raise ValueError(
-            f"pca_project needs >= 2 rows to estimate a covariance; got {n}"
-        )
-    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
-    d = len(s)
-    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    n, mean, cov = _gaussian_moments(ds, emb_col, min_rows=2,
+                                     caller="pca_project")
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:n_components]
     comp = evecs[:, order]  # d × k
@@ -1266,3 +1280,59 @@ def kcenter_select(
         id_col: pa.array([r[1] for r in out_rows], pa.int64()),
         "dist": pa.array([r[2] for r in out_rows], pa.float64()),
     }))
+
+
+def embedding_outliers(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_k: int = 50,
+    ridge: float = 1e-6,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Mahalanobis-distance outlier screen over an embedding column — the
+    multivariate data-cleaning pass (corrupt encodes, off-distribution
+    junk) that per-coordinate z-scores miss. Output: the ``top_k`` rows by
+    squared Mahalanobis distance ``(x−μ)ᵀ Σ⁻¹ (x−μ)`` (ties on the
+    rounded distance break by ascending id).
+
+    Scale shape: pass 1 is the shared dim-bounded moment reduce
+    (:func:`_gaussian_moments` — a d-vector + d×d matrix per block); the
+    driver inverts the ridge-regularized d×d covariance once; pass 2
+    broadcasts Σ⁻¹/μ in the closure and emits per-batch top-k partials —
+    only ids/distances move. Rows-only contract (the matrix inverse has
+    no SQL mirror); numpy parity is pytest-gated.
+    """
+    n, mean, cov = _gaussian_moments(ds, emb_col, min_rows=2,
+                                     caller="embedding_outliers")
+    d = len(mean)
+    prec = np.linalg.inv(cov + ridge * np.eye(d))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "maha_sq": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        x = _stack_embeddings(t[emb_col]) - mean
+        # row-wise quadratic form, one matmul + one elementwise reduce
+        q = np.einsum("ij,ij->i", x @ prec, x)
+        q = np.round(q, round_digits)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = min(top_k, len(q))
+        order = np.lexsort((ids, -q))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "maha_sq": pa.array(q[order]),
+        })
+
+    parts = ds.select_columns([id_col, emb_col]).map_batches(
+        score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    parts = parts.sort_values(["maha_sq", id_col], ascending=[False, True],
+                              kind="stable").head(top_k)
+    out = parts.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return ray.data.from_pandas(out[["rank", id_col, "maha_sq"]])

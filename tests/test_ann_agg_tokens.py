@@ -1388,3 +1388,31 @@ def test_kcenter_select_m_exceeds_corpus(ray_session):
     out = kcenter_select(ray.data.from_arrow(t), m=10).to_pandas()
     assert len(out) == 3
     assert sorted(out["vec_id"]) == [1, 2, 3]
+
+
+def test_embedding_outliers_matches_numpy(ray_session):
+    from featherstore_ray.stages.ann import embedding_outliers
+
+    rng = np.random.default_rng(12)
+    n, d = 400, 6
+    emb = rng.normal(size=(n, d))
+    emb[7] += 10.0   # planted gross outlier
+    emb[123] -= 8.0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in emb]),
+    })
+    out = embedding_outliers(
+        ray.data.from_arrow(t).repartition(4), top_k=10,
+    ).to_pandas()
+
+    x = emb.astype(np.float32).astype(np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    prec = np.linalg.inv(cov + 1e-6 * np.eye(d))
+    q = np.round(np.einsum("ij,ij->i", (x - mean) @ prec, x - mean), 6)
+    order = np.lexsort((np.arange(n), -q))[:10]
+    assert out["vec_id"].tolist() == list(order)
+    np.testing.assert_allclose(out["maha_sq"].to_numpy(), q[order],
+                               rtol=1e-6)
+    assert {7, 123} <= set(out["vec_id"].head(2))
