@@ -3359,6 +3359,34 @@ def q_embedding_outliers(sf_dir: str):
     return embedding_outliers(_read(sf_dir, "embeddings"), top_k=50)
 
 
+_ATTR_HOURS = 6
+
+
+def q_attribution(sf_dir: str):
+    """Multi-touch linear attribution: every purchase splits credit
+    equally over the user's clicks in the trailing 6h RANGE window
+    (closed both ends) — the as-of join's one-to-many generalization.
+    One entity exchange; composite-key searchsorted kernel."""
+    from featherstore_ray.stages.asof import linear_attribution
+
+    ev = ["event_id", "user_id", "ts", "event_type"]
+    conv = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'purchase'").map_batches(
+        lambda t: t.rename_columns(
+            ["purchase_id", "user_id", "ts", "event_type"]),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    touch = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'click'").map_batches(
+        lambda t: t.rename_columns(
+            ["click_id", "user_id", "ts", "event_type"]),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return linear_attribution(
+        conv, touch, entity_col="user_id", ts_col="ts",
+        conv_id="purchase_id", touch_id="click_id",
+        window=timedelta(hours=_ATTR_HOURS),
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3553,6 +3581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "kcenter_select": q_kcenter_select,
         "embedding_outliers": q_embedding_outliers,
+        "attribution": q_attribution,
     }
 
 
@@ -5510,6 +5539,20 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "attribution": f"""
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id, ts AS ct
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.purchase_id, c.click_id, p.user_id
+                  FROM p JOIN c ON p.user_id = c.user_id
+                  AND c.ct <= p.ts
+                  AND c.ct >= p.ts - INTERVAL {_ATTR_HOURS} HOURS)
+            SELECT purchase_id, click_id, user_id,
+                   round(1.0 / count(*) OVER (PARTITION BY purchase_id), 6)
+                     AS weight
+            FROM j
         """,
         "zipf_fit": f"""
             WITH c AS (

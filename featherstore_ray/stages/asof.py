@@ -379,3 +379,129 @@ def asof_join_broadcast(
             payload_map=payload_map,
         ),
     )
+
+
+def linear_attribution(
+    conversions: ray.data.Dataset,
+    touches: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    conv_id: str,
+    touch_id: str,
+    window,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Multi-touch linear attribution — the as-of join's one-to-many
+    generalization: every conversion splits credit equally over the
+    entity's touch events in the trailing RANGE window
+    ``[conv_ts − window, conv_ts]`` (closed both ends, including equal-ts
+    touches — the engine's rolling-window convention; last-touch
+    attribution is exactly :func:`asof_join`). Conversions with no touch
+    in window emit nothing (inner semantics). Output: one row per
+    (conversion, touch) with ``weight = 1/n`` rounded.
+
+    Scale shape: tagged union co-partitioned on ``hash(entity)`` — ONE
+    exchange; the per-bucket kernel sorts touches once and range-probes
+    each conversion with two ``searchsorted`` calls (the band_join
+    expansion), so cost is O((n+m) log(n+m)) + output. Sides split in
+    Arrow BEFORE pandas (typed-null padding contract).
+    """
+    import datetime
+
+    if isinstance(window, datetime.timedelta):
+        window_us = int(window.total_seconds() * 1_000_000)
+    else:
+        window_us = int(window)
+
+    c_schema = pa.schema(conversions.schema().base_schema)
+    t_schema = pa.schema(touches.schema().base_schema)
+    side = _SIDE_COL
+
+    def tag(is_conv: bool, id_field: str, other_field: str, other_type):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {
+                entity_col: t[entity_col],
+                ts_col: t[ts_col],
+                conv_id if is_conv else touch_id: t[id_field],
+                other_field: pa.nulls(t.num_rows, other_type),
+                side: pa.array(
+                    np.full(t.num_rows, int(is_conv), dtype=np.int8)),
+            }
+            return pa.table(cols)
+
+        return f
+
+    tagged = conversions.map_batches(
+        tag(True, conv_id, touch_id, t_schema.field(touch_id).type),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ).union(touches.map_batches(
+        tag(False, touch_id, conv_id, c_schema.field(conv_id).type),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    tagged = add_bucket_column(tagged, entity_col, num_buckets=64)
+
+    out_schema = pa.schema([
+        c_schema.field(conv_id),
+        t_schema.field(touch_id),
+        c_schema.field(entity_col),
+        pa.field("weight", pa.float64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_c = pc.equal(t[side], pa.scalar(1, pa.int8()))
+        ct = t.filter(is_c)
+        tt = t.filter(pc.invert(is_c))
+        if ct.num_rows == 0 or tt.num_rows == 0:
+            return out_schema.empty_table()
+
+        def key(tab):
+            ent = tab[entity_col].to_numpy(zero_copy_only=False)
+            ts = tab[ts_col].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            return ent, ts
+
+        c_ent, c_ts = key(ct)
+        t_ent, t_ts = key(tt)
+        # entity-offset composite keys (the _group_offset_ts trick): ONE
+        # global searchsorted over code*span + (ts − t0) replaces per-
+        # entity slicing; t0/span are chosen so every probe stays inside
+        # its own entity's key segment with no clamping
+        _, codes = np.unique(np.concatenate([c_ent, t_ent]),
+                             return_inverse=True)
+        c_code, t_code = codes[: len(c_ent)], codes[len(c_ent):]
+        t0 = min(int(t_ts.min()), int(c_ts.min()) - window_us)
+        span = max(int(t_ts.max()), int(c_ts.max())) - t0 + 2
+        max_code = int(codes.max())
+        if (max_code + 1) * span > np.iinfo(np.int64).max:
+            raise ValueError(
+                "linear_attribution: entity-offset key overflow "
+                f"(codes={max_code + 1}, span={span}); shrink the bucket"
+            )
+        t_key = t_code * span + (t_ts - t0)
+        order = np.argsort(t_key, kind="stable")
+        tk_s = t_key[order]
+        base = c_code * span
+        lo = np.searchsorted(tk_s, base + (c_ts - window_us - t0),
+                             side="left")
+        hi = np.searchsorted(tk_s, base + (c_ts - t0), side="right")
+        counts = hi - lo
+        ci = np.repeat(np.arange(len(c_ts)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ti_sorted = (np.arange(int(counts.sum()))
+                     - np.repeat(starts, counts) + np.repeat(lo, counts))
+        ti = order[ti_sorted]
+        w = np.round(1.0 / np.repeat(counts, counts), round_digits)
+        cols = {
+            conv_id: ct[conv_id].take(ci),
+            touch_id: tt[touch_id].take(ti),
+            entity_col: ct[entity_col].take(ci),
+            "weight": pa.array(w),
+        }
+        return pa.table(cols).cast(out_schema)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=64, batch_format="pyarrow"
+    )

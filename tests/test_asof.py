@@ -320,3 +320,66 @@ def test_asof_tolerance_drops_stale_matches():
     assert pd.isna(out.loc[11, "v_asof"]) and pd.isna(out.loc[11, "ts_asof"])
     # sid 12: 1.5h stale -> inside
     assert out.loc[12, "v_asof"] == 3.0
+
+
+def test_linear_attribution_matches_duckdb(ray_session):
+    """Randomized purchase/click streams vs the inequality-join +
+    window-count oracle (closed RANGE window, equal-ts touches in)."""
+    import duckdb
+    from datetime import timedelta
+
+    from featherstore_ray.stages.asof import linear_attribution
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 10**10, n).astype("timedelta64[us]")
+    users = rng.integers(0, 25, n)
+    kinds = rng.choice(["purchase", "click", "view"], n)
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(kinds),
+    })
+    conv = ray.data.from_arrow(ev).filter(
+        expr="event_type == 'purchase'").map_batches(
+        lambda t: t.rename_columns(
+            ["purchase_id", "user_id", "ts", "event_type"]),
+        batch_size=None, batch_format="pyarrow")
+    touch = ray.data.from_arrow(ev).filter(
+        expr="event_type == 'click'").map_batches(
+        lambda t: t.rename_columns(
+            ["click_id", "user_id", "ts", "event_type"]),
+        batch_size=None, batch_format="pyarrow")
+    out = linear_attribution(
+        conv, touch, entity_col="user_id", ts_col="ts",
+        conv_id="purchase_id", touch_id="click_id",
+        window=timedelta(hours=1),
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.execute(
+        """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id, ts AS ct
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.purchase_id, c.click_id, p.user_id
+              FROM p JOIN c ON p.user_id = c.user_id
+              AND c.ct <= p.ts AND c.ct >= p.ts - INTERVAL 1 HOURS)
+        SELECT purchase_id, click_id, user_id,
+               round(1.0 / count(*) OVER (PARTITION BY purchase_id), 6)
+                 AS weight
+        FROM j
+        """
+    ).df()
+    cols = ["purchase_id", "click_id", "user_id", "weight"]
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
+    # per-purchase weights sum to 1
+    s = out.groupby("purchase_id")["weight"].sum()
+    assert (np.abs(s - 1.0) < 1e-4).all()
