@@ -3387,6 +3387,31 @@ def q_attribution(sf_dir: str):
     )
 
 
+_KANON = 8
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, segment) quasi-identifier:
+    equivalence classes smaller than k — count partials only, one
+    first-column hash exchange."""
+    from featherstore_ray.stages.aggregate import k_anonymity
+
+    return k_anonymity(
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"]),
+        ["c_nationkey", "c_mktsegment"], k=_KANON,
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals: 9-bin bincount partials,
+    driver sums 9 ints; digit = floor(v / 10^floor(log10(v))) evaluated by
+    the same libm expression in the oracle."""
+    from featherstore_ray.stages.aggregate import benford
+
+    return benford(_read(sf_dir, "orders", columns=["o_totalprice"]),
+                   "o_totalprice")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3582,6 +3607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": q_kcenter_select,
         "embedding_outliers": q_embedding_outliers,
         "attribution": q_attribution,
+        "k_anonymity": q_k_anonymity,
+        "benford": q_benford,
     }
 
 
@@ -5539,6 +5566,32 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "k_anonymity": f"""
+            SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer
+            WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < {_KANON}
+        """,
+        "benford": """
+            WITH v AS (
+              SELECT CAST(floor(o_totalprice
+                         / pow(10, floor(log10(o_totalprice)))) AS BIGINT)
+                       AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+            ),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM v),
+            d AS (SELECT unnest(range(1, 10)) AS digit),
+            o AS (SELECT digit, count(*) AS n_obs FROM v GROUP BY digit)
+            SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs,
+                   round(tot.n * log10(1 + 1.0 / d.digit), 6) AS expected,
+                   round(pow(coalesce(o.n_obs, 0)
+                             - tot.n * log10(1 + 1.0 / d.digit), 2)
+                         / (tot.n * log10(1 + 1.0 / d.digit)), 6)
+                     AS chi2_term
+            FROM d LEFT JOIN o USING (digit), tot
         """,
         "attribution": f"""
             WITH p AS (SELECT event_id AS purchase_id, user_id, ts

@@ -2206,3 +2206,106 @@ def anova_f(
         "f_stat": pa.array(f, pa.float64()),
         "eta_sq": pa.array(eta, pa.float64()),
     }))
+
+
+def k_anonymity(
+    ds: ray.data.Dataset,
+    quasi_cols: Sequence[str],
+    *,
+    k: int = 5,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """k-anonymity audit — dp_group_counts' re-identification sibling:
+    every quasi-identifier equivalence class with fewer than ``k``
+    members, i.e. the rows a release at this granularity would expose.
+    Output: (quasi columns..., n) for risky classes only. Rows with any
+    NULL quasi value are excluded on both sides (the grouped-op null-key
+    contract).
+
+    Scale shape: per-batch (combo, count) partials — the exchange moves
+    class cardinalities, never rows; ONE hash on the first quasi column
+    (equal combos share it) co-locates each class exactly.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    quasi_cols = list(quasi_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=quasi_cols)
+        g = d.groupby(quasi_cols, sort=False, observed=True).size()
+        out = g.rename("_n").reset_index()
+        return out
+
+    parts = ds.select_columns(quasi_cols).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, quasi_cols[0], num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(quasi_cols, sort=False, observed=True)["_n"].sum()
+        out = g[g < k].rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(
+        parts, final, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
+def benford(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Benford's-law first-digit audit — the classic fabricated-numbers /
+    pipeline-corruption screen for positive magnitude columns. Output:
+    one row per leading digit 1-9 with the observed count, the Benford
+    expectation ``n·log10(1 + 1/d)`` and the χ² contribution.
+
+    First digit = ``floor(v / 10^floor(log10(v)))`` over rows with
+    ``v > 0`` — the same libm expression the oracle evaluates, so both
+    engines agree bit-for-bit on digit assignment. Per-batch 9-bin
+    bincount partials; the driver sums 9 integers. Zero shuffle.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        if len(v) == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        mag = np.floor(np.log10(v))
+        d = np.floor(v / np.power(10.0, mag)).astype(np.int64)
+        # pathological float rounding can yield digit 0 or 10; the oracle
+        # keeps such rows in the total but outside digits 1-9 — mirror
+        # that exactly (emit the full 0..10 histogram, never clip)
+        counts = np.bincount(np.clip(d, 0, 10), minlength=11)
+        return pa.table({
+            "digit": pa.array(np.arange(0, 11, dtype=np.int64)),
+            "c": pa.array(counts.astype(np.int64)),
+        })
+
+    parts = ds.select_columns([value_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    c = parts.groupby("digit", sort=True)["c"].sum()
+    n = float(c.sum())  # ALL v > 0 rows, incl. any 0/10-digit pathologies
+    c = c[(c.index >= 1) & (c.index <= 9)]
+    obs = np.zeros(9, dtype=np.int64)
+    obs[c.index.to_numpy() - 1] = c.to_numpy()
+    digits = np.arange(1, 10, dtype=np.float64)
+    exp = n * np.log10(1.0 + 1.0 / digits)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        contrib = np.where(exp > 0, (obs - exp) ** 2 / exp, np.nan)
+    return ray.data.from_arrow(pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "n_obs": pa.array(obs),
+        "expected": pa.array(np.round(exp, round_digits)),
+        "chi2_term": pa.array(np.round(contrib, round_digits)),
+    }))

@@ -1416,3 +1416,43 @@ def test_embedding_outliers_matches_numpy(ray_session):
     np.testing.assert_allclose(out["maha_sq"].to_numpy(), q[order],
                                rtol=1e-6)
     assert {7, 123} <= set(out["vec_id"].head(2))
+
+
+def test_k_anonymity_finds_small_classes(ray_session):
+    from featherstore_ray.stages.aggregate import k_anonymity
+
+    t = pa.table({
+        "qa": ["x"] * 7 + ["x"] * 2 + ["y"] * 3 + [None],
+        "qb": ["a"] * 7 + ["b"] * 2 + ["a"] * 3 + ["a"],
+    })
+    out = k_anonymity(
+        ray.data.from_arrow(t).repartition(3), ["qa", "qb"], k=5,
+        num_buckets=4,
+    ).to_pandas().sort_values(["qa", "qb"]).reset_index(drop=True)
+    # (x,a)=7 safe; (x,b)=2 and (y,a)=3 risky; null row excluded
+    assert out[["qa", "qb"]].values.tolist() == [["x", "b"], ["y", "a"]]
+    assert out["n"].tolist() == [2, 3]
+
+
+def test_benford_uniform_vs_benford_data(ray_session):
+    from featherstore_ray.stages.aggregate import benford
+
+    rng = np.random.default_rng(3)
+    # log-uniform magnitudes follow Benford closely
+    v = 10 ** rng.uniform(0, 4, 20000)
+    t = pa.table({"v": pa.array(v)})
+    out = benford(
+        ray.data.from_arrow(t).repartition(4), "v",
+    ).to_pandas()
+    assert out["n_obs"].sum() == 20000
+    chi2 = out["chi2_term"].sum()
+    assert chi2 < 30  # 8 dof; Benford-conforming data stays small
+    # digit-1 share near log10(2) = 0.301
+    assert abs(out.loc[out["digit"] == 1, "n_obs"].iloc[0] / 20000
+               - 0.301) < 0.02
+    # zeros / negatives / nulls excluded from the audit entirely
+    t2 = pa.table({"v": pa.array([0.0, -5.0, None, 19.0, 2.0])})
+    out2 = benford(ray.data.from_arrow(t2), "v").to_pandas()
+    assert out2["n_obs"].sum() == 2
+    assert out2.set_index("digit").loc[1, "n_obs"] == 1
+    assert out2.set_index("digit").loc[2, "n_obs"] == 1
