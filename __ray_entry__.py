@@ -3412,6 +3412,30 @@ def q_benford(sf_dir: str):
                    "o_totalprice")
 
 
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust value trend for the fixed entity subset: median
+    pairwise slope per user over (days, value) — the exact n² estimator,
+    bounded by the entity filter; shared triangular pair expansion."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import theil_sen
+    from featherstore_ray.stages.filters import semi_join_filter
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64).astype(np.float64)
+        x = us / 1000000.0 / 86400.0 - _FIT_REF_DAYS
+        x[np.asarray(pc.is_null(t["ts"]))] = np.nan
+        return t.append_column("x_days", pa.array(x, pa.float64()))
+
+    ds = semi_join_filter(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        "user_id", _IDS,
+    ).map_batches(derive, batch_size=None, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return theil_sen(ds, "user_id", "x_days", "value")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3609,6 +3633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "k_anonymity": q_k_anonymity,
         "benford": q_benford,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -5566,6 +5591,26 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "theil_sen": f"""
+            WITH b AS (
+                SELECT user_id,
+                       epoch_us(ts)::DOUBLE / 1000000.0 / 86400.0
+                           - {_FIT_REF_DAYS!r} AS x,
+                       value AS y
+                FROM events
+                WHERE user_id IN ({", ".join(map(str, _IDS))})
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            p AS (
+                SELECT a.user_id, (b2.y - a.y) / (b2.x - a.x) AS s
+                FROM b a JOIN b b2
+                  ON a.user_id = b2.user_id AND a.x < b2.x
+            )
+            SELECT user_id, count(*) AS n_pairs,
+                   round(quantile_cont(s, 0.5), 6) AS ts_slope
+            FROM p GROUP BY user_id
         """,
         "k_anonymity": f"""
             SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -2309,3 +2309,72 @@ def benford(
         "expected": pa.array(np.round(exp, round_digits)),
         "chi2_term": pa.array(np.round(contrib, round_digits)),
     }))
+
+
+def theil_sen(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group Theil-Sen robust trend: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)`` over pairs with ``x_i < x_j`` — the
+    outlier-resistant companion to :func:`group_linear_fit`'s OLS (a
+    single corrupted point can swing OLS arbitrarily; Theil-Sen has a
+    29% breakdown point). Rows with NULL group/x/y drop on both sides.
+    Output: (group, n_pairs, ts_slope).
+
+    Scale note: pairwise slopes are Θ(n²) per group BY DEFINITION — this
+    is the exact estimator, intended for bounded per-group row counts
+    (filter to the entities of interest first, as the contract query
+    does); use group_linear_fit for the unbounded-n screen. One group
+    exchange; the kernel is a lexsort + the shared triangular
+    ``pair_indices`` expansion, and medians use the same linear
+    interpolation as SQL ``quantile_cont``.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.dedup import pair_indices
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=[group_col, x_col, y_col])
+
+    parts = ds.select_columns([group_col, x_col, y_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "ts_slope": pd.Series([], dtype=np.float64),
+            })
+        codes, uniques = pd.factorize(df[group_col], sort=True)
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((x, codes))
+        codes, x, y = codes[order], x[order], y[order]
+        ai, bi = pair_indices(codes)
+        dx = x[bi] - x[ai]
+        ok = dx > 0  # equal-x pairs are excluded (same contract as SQL)
+        ai, bi, dx = ai[ok], bi[ok], dx[ok]
+        slopes = (y[bi] - y[ai]) / dx
+        g = pd.DataFrame({"_g": codes[ai], "_s": slopes})
+        agg = g.groupby("_g", sort=True)["_s"].agg(["size", "median"])
+        return pd.DataFrame({
+            group_col: uniques[agg.index.to_numpy()],
+            "n_pairs": agg["size"].to_numpy().astype(np.int64),
+            "ts_slope": np.round(agg["median"].to_numpy(), round_digits),
+        })
+
+    return bucketed_map_groups(
+        parts, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1456,3 +1456,37 @@ def test_benford_uniform_vs_benford_data(ray_session):
     assert out2["n_obs"].sum() == 2
     assert out2.set_index("digit").loc[1, "n_obs"] == 1
     assert out2.set_index("digit").loc[2, "n_obs"] == 1
+
+
+def test_theil_sen_robust_to_outlier(ray_session):
+    from featherstore_ray.stages.aggregate import theil_sen
+
+    x = np.arange(30, dtype=np.float64)
+    y = 2.0 * x + 1.0
+    y_out = y.copy()
+    y_out[17] += 500.0  # one gross outlier
+    t = pa.table({
+        "g": pa.array(["clean"] * 30 + ["dirty"] * 30),
+        "x": pa.array(np.concatenate([x, x])),
+        "y": pa.array(np.concatenate([y, y_out])),
+    })
+    out = theil_sen(
+        ray.data.from_arrow(t).repartition(3), "g", "x", "y",
+        num_buckets=4,
+    ).to_pandas().set_index("g")
+    assert out.loc["clean", "ts_slope"] == 2.0
+    assert abs(out.loc["dirty", "ts_slope"] - 2.0) < 0.2  # OLS would be ~3
+    assert out.loc["clean", "n_pairs"] == 30 * 29 // 2
+
+
+def test_theil_sen_equal_x_pairs_excluded(ray_session):
+    from featherstore_ray.stages.aggregate import theil_sen
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4),
+        "x": pa.array([1.0, 1.0, 2.0, 3.0]),
+        "y": pa.array([0.0, 10.0, 2.0, 3.0]),
+    })
+    out = theil_sen(ray.data.from_arrow(t), "g", "x", "y").to_pandas()
+    # pairs: (1,2):both x=1 excluded once -> 5 valid of 6
+    assert out.loc[0, "n_pairs"] == 5
