@@ -3436,6 +3436,42 @@ def q_theil_sen(sf_dir: str):
     return theil_sen(ds, "user_id", "x_days", "value")
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding of the embeddings table (8 subspaces
+    x 16 centroids): codebooks train once on a deterministic prefix, each
+    batch snaps subvectors with one matmul per subspace. Deterministic →
+    rows-only; reconstruction/monotonicity gates in pytest."""
+    from featherstore_ray.stages.ann import pq_encode
+
+    return pq_encode(_read(sf_dir, "embeddings"), m_subspaces=8, n_codes=16)
+
+
+def q_ann_pq(sf_dir: str):
+    """PQ asymmetric-distance top-k (memory-bound ANN scan over codes,
+    never raw vectors), with the driver-visible recall column vs the
+    exact oracled path — the ann_lsh reporting convention."""
+    from featherstore_ray.stages.ann import cosine_topk, pq_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
+    approx = pq_topk(
+        _read(sf_dir, "embeddings"), queries, k=5, m_subspaces=32,
+        n_codes=16,
+    ).to_pandas()
+    exact = cosine_topk(
+        _read(sf_dir, "embeddings"), queries, k=5
+    ).to_pandas()
+    recall = {
+        qid: len(
+            set(approx.loc[approx["query_id"] == qid, "vec_id"])
+            & set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        ) / max((exact["query_id"] == qid).sum(), 1)
+        for qid in exact["query_id"].unique()
+    }
+    approx["recall"] = approx["query_id"].map(recall).round(6)
+    return approx
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3634,6 +3670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": q_k_anonymity,
         "benford": q_benford,
         "theil_sen": q_theil_sen,
+        "pq_codes": q_pq_codes,
+        "ann_pq": q_ann_pq,
     }
 
 

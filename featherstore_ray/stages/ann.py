@@ -1336,3 +1336,200 @@ def embedding_outliers(
     out = parts.reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return ray.data.from_pandas(out[["rank", id_col, "maha_sq"]])
+
+
+def _kmeans_l2(
+    sample: np.ndarray, k: int, *, iters: int = 15, seed: int = 13
+) -> np.ndarray:
+    """Deterministic L2 k-means (kmeans++ init, Lloyd) on a driver-side
+    sample matrix — the Euclidean sibling of :func:`_kmeans_lite` (which
+    is spherical/cosine). Empty clusters re-seed from the farthest point."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    first = int(rng.integers(0, n))
+    cent = [sample[first]]
+    d2 = ((sample - sample[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = np.maximum(d2, 1e-12)
+        probs = probs / probs.sum()
+        nxt = int(rng.choice(n, p=probs))
+        cent.append(sample[nxt])
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    c = np.stack(cent)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members) == 0:
+                c[j] = sample[int(np.argmax(d.min(axis=1)))]
+            else:
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def _pq_codebooks(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    *,
+    m_subspaces: int,
+    n_codes: int,
+    train_sample: int,
+    seed: int,
+) -> np.ndarray:
+    """Train PQ codebooks on a deterministic corpus prefix (the ivf_topk
+    sampling convention): returns (M, n_codes, sub_dim) float64. Vectors
+    are L2-normalized first so PQ distance ranks match cosine ranks."""
+    sample_tab = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    mat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_tab[emb_col]]))
+    d = mat.shape[1]
+    if d % m_subspaces != 0:
+        raise ValueError(
+            f"dim {d} not divisible into {m_subspaces} subspaces")
+    sub = d // m_subspaces
+    books = []
+    for s in range(m_subspaces):
+        seg = mat[:, s * sub:(s + 1) * sub]
+        books.append(_kmeans_l2(seg, n_codes, seed=seed + s))
+    return np.stack(books)
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 13,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Product-quantization encoding — the sub-byte embedding compression
+    path next to :func:`quantize_embeddings` (scalar int8): split the
+    normalized vector into M subspaces, snap each to its nearest of
+    ``n_codes`` codebook centroids, store M small ints (here M columns
+    ``code0..code{M-1}``, never a uniform-length list column — the Ray
+    to_pandas tensor-cast gotcha) plus the reconstruction error.
+
+    Codebooks train ONCE driver-side on a deterministic corpus prefix and
+    ship by value in the scoring closure; pass 2 is one (n × K) matmul
+    per subspace per batch — no shuffle anywhere.
+    """
+    books = _pq_codebooks(
+        ds, emb_col, m_subspaces=m_subspaces, n_codes=n_codes,
+        train_sample=train_sample, seed=seed,
+    )
+    sub = books.shape[2]
+    norms = (books ** 2).sum(axis=2)  # (M, K)
+
+    def encode(t: pa.Table) -> pa.Table:
+        out = {id_col: t[id_col]}
+        if t.num_rows == 0:
+            for s in range(m_subspaces):
+                out[f"code{s}"] = pa.array([], pa.int64())
+            out["recon_err"] = pa.array([], pa.float64())
+            return pa.table(out)
+        mat = _normalize(_stack_embeddings(t[emb_col]))
+        err = np.zeros(len(mat))
+        for s in range(m_subspaces):
+            seg = mat[:, s * sub:(s + 1) * sub]
+            # ||x−c||² = ||x||² − 2x·c + ||c||²; argmin drops ||x||²
+            d = norms[s][None, :] - 2.0 * (seg @ books[s].T)
+            code = np.argmin(d, axis=1)
+            err += d[np.arange(len(mat)), code] + (seg * seg).sum(axis=1)
+            out[f"code{s}"] = pa.array(code.astype(np.int64))
+        out["recon_err"] = pa.array(np.round(np.maximum(err, 0.0),
+                                             round_digits))
+        return pa.table(out)
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 13,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Approximate top-k via PQ asymmetric distance (ADC): each query
+    precomputes an (M × n_codes) lookup table of exact subspace distances
+    to every centroid; scanning a corpus row is M table lookups + a sum —
+    the classic memory-bound ANN scan that never touches the original
+    vectors. Normalized inputs make the L2 ranking cosine-equivalent.
+    Deterministic (fixed seed/sample); approximate → rows-only with a
+    recall column in the contract query, recall gate in pytest.
+    """
+    books = _pq_codebooks(
+        ds, emb_col, m_subspaces=m_subspaces, n_codes=n_codes,
+        train_sample=train_sample, seed=seed,
+    )
+    sub = books.shape[2]
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # (nq, M, K) exact query-to-centroid subspace distances
+    luts = np.stack([
+        ((qm[:, s * sub:(s + 1) * sub][:, None, :]
+          - books[s][None, :, :]) ** 2).sum(axis=2)
+        for s in range(m_subspaces)
+    ], axis=1)
+
+    encoded = pq_encode(
+        ds, id_col=id_col, emb_col=emb_col, m_subspaces=m_subspaces,
+        n_codes=n_codes, train_sample=train_sample, seed=seed,
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            })
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack([
+            t[f"code{s}"].to_numpy(zero_copy_only=False)
+            for s in range(m_subspaces)
+        ])  # (M, n)
+        nq = luts.shape[0]
+        dist = np.zeros((len(ids), nq))
+        for s in range(m_subspaces):
+            dist += luts[:, s, :][:, codes[s]].T  # (n, nq)
+        dist = np.where(ids[:, None] == qids[None, :], np.inf, dist)
+        if round_digits is not None:
+            dist = np.round(dist, round_digits)
+        kk = min(k, len(ids))
+        kth = np.partition(dist, kk - 1, axis=0)[kk - 1]
+        keep = dist <= kth[None, :]
+        ri, ci = np.nonzero(keep)
+        dcol = dist[ri, ci]
+        fin = np.isfinite(dcol)
+        return pa.table({
+            "query_id": pa.array(qids[ci[fin]]),
+            id_col: pa.array(ids[ri[fin]]),
+            "dist": pa.array(dcol[fin]),
+        })
+
+    parts = encoded.map_batches(
+        scan, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.sort_values(["dist", id_col], ascending=[True, True],
+                          kind="stable")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .sort_values(["query_id", "dist", id_col], kind="stable")
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
