@@ -1123,6 +1123,13 @@ def mmr_select(
         round_digits=None,
     ).to_pandas()
     cand_ids = top[id_col].to_numpy().astype(np.int64)
+    if len(cand_ids) == 0:  # empty corpus → typed empty result
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "relevance": pa.array([], pa.float64()),
+            "mmr_score": pa.array([], pa.float64()),
+        }))
     id_set = ray.put(pa.array(cand_ids))
 
     def gather(t: pa.Table) -> pa.Table:
@@ -1212,6 +1219,12 @@ def kcenter_select(
         promote_options="default",
     )
     sids = seeds[id_col].to_numpy(zero_copy_only=False)
+    if len(sids) == 0:  # empty corpus → typed empty result, not a crash
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        }))
     j = int(np.argmin(sids))
     center = _normalize(np.asarray(
         seeds[emb_col][j].as_py(), dtype=np.float64)[None, :])[0]
