@@ -3472,6 +3472,23 @@ def q_ann_pq(sf_dir: str):
     return approx
 
 
+_PATHS_TOP, _PATHS_LEN = 20, 20
+
+
+def q_common_paths(sf_dir: str):
+    """Top-20 most frequent session journeys (30-min gap sessions,
+    paths capped at 20 events): per-bucket sessionize + path build +
+    (path, count) partials, then the shared exact bucketed top-N."""
+    from featherstore_ray.stages.aggregate import common_paths
+
+    return common_paths(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]),
+        gap=timedelta(minutes=_GAP_MIN),
+        top_n=_PATHS_TOP, max_len=_PATHS_LEN, num_buckets=16,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3672,6 +3689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": q_theil_sen,
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
+        "common_paths": q_common_paths,
     }
 
 
@@ -5629,6 +5647,39 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS text_norm
             FROM documents
+        """,
+        "common_paths": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER w AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(CASE WHEN prev IS NULL
+                              OR date_diff('microsecond', prev, ts)
+                                 > {_GAP_MIN * 60 * 1000000}
+                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            r AS (
+                SELECT user_id, sid, event_type, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id, sid
+                                          ORDER BY ts, event_id) AS rn
+                FROM s
+            ),
+            p AS (
+                SELECT user_id, sid,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= {_PATHS_LEN} GROUP BY user_id, sid
+            ),
+            c AS (SELECT path, count(*) AS n FROM p GROUP BY path)
+            SELECT path, n FROM c
+            ORDER BY n DESC, path LIMIT {_PATHS_TOP}
         """,
         "theil_sen": f"""
             WITH b AS (

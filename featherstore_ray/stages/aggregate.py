@@ -2378,3 +2378,85 @@ def theil_sen(
     return bucketed_map_groups(
         parts, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def common_paths(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap=None,
+    top_n: int = 20,
+    max_len: int = 20,
+    sep: str = ">",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Top-N most frequent session journeys — the product-analytics "top
+    user paths" report: sessionize each entity's stream (new session
+    strictly ``> gap``, the engine's sessionize contract), render each
+    session's event types in ``(ts, tiebreak)`` order as a ``sep``-joined
+    path capped at the FIRST ``max_len`` events (mandatory at scale, like
+    :func:`event_sequence`), count identical paths corpus-wide, keep the
+    global top-N (ties break by path ascending). Rows with a NULL
+    entity/ts/type drop BEFORE sessionization on both sides (SQL
+    ``string_agg`` silently skips NULLs — pandas ``str.join`` raises, so
+    the filter is part of the contract).
+
+    Scale shape: one entity exchange builds per-session paths and
+    collapses them to (path, count) partials inside the bucket; the
+    exchange that follows moves path cardinalities through the shared
+    exact bucketed top-N (a path's total lives entirely in its hash
+    bucket).
+    """
+    import datetime
+
+    import pyarrow as pa
+
+    from featherstore_ray.stages.text import _bucketed_topn
+
+    if isinstance(gap, datetime.timedelta):
+        gap_us = int(gap.total_seconds() * 1_000_000)
+    else:
+        gap_us = int(gap)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return pd.DataFrame({
+                "path": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        df = df.sort_values([entity_col, ts_col, tiebreak_col],
+                            kind="stable")
+        ent = df[entity_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_ent = np.empty(len(df), dtype=bool)
+        new_ent[0] = True
+        new_ent[1:] = ent[1:] != ent[:-1]
+        brk = new_ent | (np.diff(ts, prepend=ts[0]) > gap_us)
+        sess = np.cumsum(brk)  # globally unique within the bucket
+        d = pd.DataFrame({
+            "_s": sess, "_t": df[type_col].to_numpy(),
+        })
+        head = d.groupby("_s", sort=False).head(max_len)
+        paths = head.groupby("_s", sort=False)["_t"].agg(sep.join)
+        counts = paths.value_counts()
+        return pd.DataFrame({
+            "path": counts.index.to_numpy(),
+            "n": counts.to_numpy().astype(np.int64),
+        })
+
+    bucketed = add_bucket_column(
+        ds.select_columns([entity_col, ts_col, type_col, tiebreak_col]),
+        entity_col, num_buckets,
+    )
+    partials = bucketed_map_groups(
+        bucketed,
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+    return _bucketed_topn(
+        partials, top_n=top_n, num_buckets=num_buckets, key_col="path"
+    )

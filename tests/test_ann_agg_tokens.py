@@ -1559,3 +1559,55 @@ def test_pq_topk_recall_against_exact(ray_session):
         recs.append(len(a & e) / len(e))
     # 2-dim subspaces x 16 codes: measured 0.7-0.8 here; chance ~0.02
     assert np.mean(recs) >= 0.6, recs
+
+
+def test_common_paths_matches_duckdb(ray_session):
+    import duckdb
+    from datetime import timedelta
+
+    from featherstore_ray.stages.aggregate import common_paths
+
+    rng = np.random.default_rng(27)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 10**10, n)
+                       .astype("timedelta64[us]")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    out = common_paths(
+        ray.data.from_arrow(ev).repartition(4),
+        gap=timedelta(minutes=30), top_n=15, max_len=5, num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.execute(
+        """
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type, lag(ts) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(CASE WHEN prev IS NULL
+                          OR date_diff('microsecond', prev, ts) > 1800000000
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ),
+        r AS (SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id) AS rn
+              FROM s),
+        p AS (SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY user_id, sid),
+        c AS (SELECT path, count(*) AS n FROM p GROUP BY path)
+        SELECT path, n FROM c ORDER BY n DESC, path LIMIT 15
+        """
+    ).df()
+    assert out["path"].tolist() == exp["path"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
