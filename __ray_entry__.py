@@ -3489,6 +3489,18 @@ def q_common_paths(sf_dir: str):
     )
 
 
+def q_wasserstein(sf_dir: str):
+    """Per-user Wasserstein-1 distance between click and purchase value
+    distributions — the magnitude-sensitive drift metric next to
+    ks_test; identical filters/exchange/kernel shape."""
+    from featherstore_ray.stages.aggregate import wasserstein
+
+    return wasserstein(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "value", "event_type", "click", "purchase",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3690,6 +3702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
         "common_paths": q_common_paths,
+        "wasserstein": q_wasserstein,
     }
 
 
@@ -4853,6 +4866,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "wasserstein": """
+            WITH s AS (
+                SELECT user_id, value, (event_type = 'click')::INT AS ia
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            n AS (
+                SELECT user_id, sum(ia)::DOUBLE AS na,
+                       sum(1 - ia)::DOUBLE AS nb
+                FROM s GROUP BY 1
+            ),
+            e AS (
+                SELECT user_id, value, sum(ia) OVER w AS ca,
+                       sum(1 - ia) OVER w AS cb
+                FROM s WINDOW w AS (PARTITION BY user_id ORDER BY value
+                                    RANGE UNBOUNDED PRECEDING)
+            ),
+            d AS (SELECT DISTINCT user_id, value, ca, cb FROM e),
+            l AS (
+                SELECT user_id, value, ca, cb,
+                       lead(value) OVER (PARTITION BY user_id
+                                         ORDER BY value) AS nxt
+                FROM d
+            )
+            SELECT l.user_id,
+                   round(sum(abs(ca / na - cb / nb) * (nxt - value)), 6)
+                     AS w1
+            FROM l JOIN n USING (user_id)
+            WHERE na > 0 AND nb > 0 AND nxt IS NOT NULL
+            GROUP BY l.user_id
         """,
         "rolling_quantile": f"""
             SELECT event_id,

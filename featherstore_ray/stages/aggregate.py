@@ -2460,3 +2460,88 @@ def common_paths(
     return _bucketed_topn(
         partials, top_n=top_n, num_buckets=num_buckets, key_col="path"
     )
+
+
+def wasserstein(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    *,
+    out_col: str = "w1",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group 1-D Wasserstein-1 (earth mover's) distance between the
+    value distributions of two labels — the magnitude-sensitive drift
+    metric next to :func:`ks_test`'s sup-norm: ``W1 = Σ_i |F_a(x_i) −
+    F_b(x_i)|·(x_{i+1} − x_i)`` over the pooled distinct sample points
+    (exact for empirical distributions). KS answers "did it shift?";
+    W1 answers "by how much, in value units". Groups missing either
+    label drop; filters and ECDF tie-pooling match ks_test exactly.
+
+    Same scale shape as ks_test: streaming 3-column filter, ONE group
+    exchange, lexsort + cumsum + boundary-gather kernel, no row loop.
+    """
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[label_col].isin([label_a, label_b])
+                & df[value_col].notna() & df[group_col].notna()]
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "_v": df[value_col].astype(np.float64),
+            "_ia": (df[label_col] == label_a).to_numpy(),
+        })
+
+    slim = ds.map_batches(pick, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "_v"], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df["_v"].to_numpy()
+        ia = df["_ia"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({group_col: df[group_col],
+                                 out_col: pd.Series(dtype="float64")})
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        cum_a = np.cumsum(ia.astype(np.int64))
+        cum_b = np.cumsum((~ia).astype(np.int64))
+        base_a = np.repeat(cum_a[starts] - ia[starts], sizes)
+        base_b = np.repeat(cum_b[starts] - (~ia[starts]), sizes)
+        ca = (cum_a - base_a).astype(np.float64)
+        cb = (cum_b - base_b).astype(np.float64)
+        gid = np.cumsum(new_g) - 1
+        na = np.bincount(gid, weights=ia)[gid]
+        nb = sizes[gid] - na
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = (g[1:] != g[:-1]) | (v[1:] != v[:-1])
+        ok = last & (na > 0) & (nb > 0)
+        g_ok, v_ok = g[ok], v[ok]
+        diff = np.abs(ca[ok] / na[ok] - cb[ok] / nb[ok])
+        if len(g_ok) == 0:
+            return pd.DataFrame({group_col: g_ok,
+                                 out_col: pd.Series(dtype="float64")})
+        same_next = g_ok[1:] == g_ok[:-1]  # each group's last point has
+        # no gap (F_a = F_b = 1 there anyway)
+        contrib = diff[:-1][same_next] * (v_ok[1:] - v_ok[:-1])[same_next]
+        out = (pd.DataFrame({group_col: g_ok[:-1][same_next],
+                             out_col: contrib})
+               .groupby(group_col, sort=True, observed=True)[out_col]
+               .sum().reset_index())
+        if round_digits is not None:
+            out[out_col] = np.round(out[out_col], round_digits)
+        return out
+
+    return bucketed_map_groups(
+        add_bucket_column(slim, group_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )

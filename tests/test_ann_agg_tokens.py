@@ -1611,3 +1611,41 @@ def test_common_paths_matches_duckdb(ray_session):
     ).df()
     assert out["path"].tolist() == exp["path"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_wasserstein_matches_scipy_style_reference(ray_session):
+    from featherstore_ray.stages.aggregate import wasserstein
+
+    rng = np.random.default_rng(33)
+    rows = []
+    for g, shift in (("u1", 0.0), ("u2", 2.5)):
+        for v in rng.normal(0, 1, 250):
+            rows.append((g, "click", v))
+        for v in rng.normal(shift, 1, 200):
+            rows.append((g, "purchase", v))
+    rows.append(("only_click", "click", 1.0))
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "lab": pa.array([r[1] for r in rows]),
+        "v": pa.array([r[2] for r in rows]),
+    })
+    out = wasserstein(
+        ray.data.from_arrow(t).repartition(4), "g", "v", "lab",
+        "click", "purchase", num_buckets=4,
+    ).to_pandas().set_index("g")
+
+    def w1_ref(a, b):
+        # exact empirical W1 via pooled-grid ECDF integral
+        xs = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(xs)))
+
+    for g, shift in (("u1", 0.0), ("u2", 2.5)):
+        a = np.array([r[2] for r in rows if r[0] == g and r[1] == "click"])
+        b = np.array([r[2] for r in rows
+                      if r[0] == g and r[1] == "purchase"])
+        assert abs(out.loc[g, "w1"] - w1_ref(a, b)) < 1e-6
+    # mean shift dominates W1 (unlike KS, which saturates)
+    assert out.loc["u2", "w1"] > out.loc["u1", "w1"] + 1.5
+    assert "only_click" not in out.index  # missing label -> dropped
