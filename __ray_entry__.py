@@ -3501,6 +3501,20 @@ def q_wasserstein(sf_dir: str):
     )
 
 
+_MLM_RATE = 0.15
+
+
+def q_mlm_mask(sf_dir: str):
+    """Deterministic MLM corpus masking: token masked iff the
+    multiplicative hash of (doc_id, 1-based position) falls under the
+    rate — reproducible and SQL-expressible; zero shuffle, one explode +
+    one binary_join per batch."""
+    from featherstore_ray.stages.text import mlm_mask
+
+    return mlm_mask(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                    rate=_MLM_RATE)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3703,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q_ann_pq,
         "common_paths": q_common_paths,
         "wasserstein": q_wasserstein,
+        "mlm_mask": q_mlm_mask,
     }
 
 
@@ -4866,6 +4881,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "mlm_mask": f"""
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       string_split(text, ' '),
+                       (w, i) -> CASE WHEN
+                           (CAST(doc_id AS HUGEINT) * 1000003 + i)
+                             % 4294967296 * 2654435761 % 4294967296
+                           < {int(_MLM_RATE * (1 << 32))}
+                           THEN '[MASK]' ELSE w END), ' ') AS masked_text,
+                   len(list_filter(string_split(text, ' '),
+                       (w, i) -> (CAST(doc_id AS HUGEINT) * 1000003 + i)
+                             % 4294967296 * 2654435761 % 4294967296
+                           < {int(_MLM_RATE * (1 << 32))})) AS n_masked
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
         """,
         "wasserstein": """
             WITH s AS (

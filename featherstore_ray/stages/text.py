@@ -2285,3 +2285,64 @@ def zipf_fit(
         "intercept": pa.array([round(float(intercept), round_digits)]),
         "r2": pa.array([round(float(r2), round_digits)]),
     }))
+
+
+def mlm_mask(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.15,
+    mask_token: str = "[MASK]",
+) -> ray.data.Dataset:
+    """Deterministic MLM-style corpus masking — the masked-language-model
+    data-prep pass: each whitespace token is replaced by ``mask_token``
+    iff a multiplicative hash of ``(doc_id, 1-based position)`` falls
+    under ``rate`` — reproducible across engines, runs and partitionings
+    (the hash_split convention), and SQL-expressible so the op is fully
+    oracled. Output: (key, masked_text, n_masked). Null key/text rows
+    drop.
+
+    Zero shuffle, fully vectorized: one ``split_pattern`` explode, one
+    uint64 hash over the flat token index, one ``binary_join`` rebuild —
+    no Python loop touches tokens (int64 list offsets, so an amplifying
+    batch cannot overflow int32).
+    """
+    cut = np.uint64(int(rate * (1 << 32)))
+    m32 = np.uint64(1 << 32)
+    mult = np.uint64(2654435761)
+    pmix = np.uint64(1000003)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[text_col]))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: t[key_col],
+                "masked_text": pa.array([], pa.string()),
+                "n_masked": pa.array([], pa.int64()),
+            })
+        flat, offsets = _explode_words(t[text_col])
+        counts = offsets[1:] - offsets[:-1]
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_idx = np.repeat(np.arange(t.num_rows), counts)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(offsets[:-1], counts) + 1).astype(np.uint64)
+        h = ((keys[doc_idx] * pmix + pos) % m32) * mult % m32
+        mask = h < cut
+        words = flat.to_numpy(zero_copy_only=False)
+        masked = np.where(mask, mask_token, words)
+        lists = pa.LargeListArray.from_arrays(
+            offsets, pa.array(masked, pa.string()))
+        joined = pc.binary_join(lists, " ")
+        n_masked = np.bincount(doc_idx, weights=mask,
+                               minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "masked_text": joined,
+            "n_masked": pa.array(n_masked),
+        })
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

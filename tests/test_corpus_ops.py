@@ -1097,3 +1097,33 @@ def test_zipf_fit_recovers_planted_slope(ray_session):
     assert out["n_terms"] == 80
     assert abs(out["slope"] + 1.2) < 0.05
     assert out["r2"] > 0.99
+
+
+def test_mlm_mask_deterministic_and_rate(ray_session):
+    from featherstore_ray.stages.text import mlm_mask
+
+    rng = np.random.default_rng(44)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 60)))
+             for _ in range(200)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = mlm_mask(
+        ray.data.from_arrow(t).repartition(4), rate=0.15,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = mlm_mask(
+        ray.data.from_arrow(t).repartition(7), rate=0.15,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # partitioning-invariant (the hash depends only on (doc, position))
+    pd.testing.assert_frame_equal(out, out2)
+    # masked count consistent with the rendered text
+    for _, r in out.head(20).iterrows():
+        assert r["masked_text"].split(" ").count("[MASK]") == r["n_masked"]
+    # aggregate rate near 15%
+    total = sum(len(s.split(" ")) for s in texts)
+    assert abs(out["n_masked"].sum() / total - 0.15) < 0.02
+    # token count preserved
+    for i in (0, 5, 99):
+        assert len(out.loc[i, "masked_text"].split(" ")) == len(
+            texts[i].split(" "))
