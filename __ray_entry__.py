@@ -3515,6 +3515,21 @@ def q_mlm_mask(sf_dir: str):
                     rate=_MLM_RATE)
 
 
+_FHASH_D = 64
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurizer: tokens fold into 64 signed buckets via a
+    multiplicative hash of the frequency-ranked vocab id; one
+    vocabulary exchange + a streaming bincount featurize pass."""
+    from featherstore_ray.stages.text import feature_hashing
+
+    return feature_hashing(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_features=_FHASH_D,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3718,6 +3733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_paths": q_common_paths,
         "wasserstein": q_wasserstein,
         "mlm_mask": q_mlm_mask,
+        "feature_hashing": q_feature_hashing,
     }
 
 
@@ -4881,6 +4897,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "feature_hashing": f"""
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            f AS (
+                SELECT doc_id, unnest(w) AS tk FROM t
+            ),
+            vc AS (SELECT tk, count(*) AS c FROM f GROUP BY 1),
+            vid AS (
+                SELECT tk,
+                       row_number() OVER (ORDER BY c DESC, tk) - 1
+                         AS token_id
+                FROM vc
+            ),
+            m AS (
+                SELECT f.doc_id,
+                       (CAST(vid.token_id AS HUGEINT) % 4294967296)
+                         * 2654435761 % 4294967296 AS h
+                FROM f JOIN vid USING (tk)
+            )
+            SELECT doc_id, CAST(h % {_FHASH_D} AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN h < 2147483648 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM m GROUP BY doc_id, bucket
         """,
         "mlm_mask": f"""
             SELECT doc_id,

@@ -2346,3 +2346,81 @@ def mlm_mask(
     return ds.select_columns([key_col, text_col]).map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def feature_hashing(
+    ds: ray.data.Dataset,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 64,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hashing-trick bag-of-words featurizer: each token folds into one of
+    ``num_features`` signed buckets and a document becomes sparse
+    ``(doc_id, bucket, val)`` rows — the fixed-width, vocabulary-free*
+    text vectorizer (Weinberger et al.). Bucket and sign derive from a
+    multiplicative hash of the token's frequency-ranked vocabulary id
+    (the :func:`vocab_encode` assignment), which keeps the map
+    deterministic AND SQL-expressible; (*) at 100 TB swap the id hash for
+    ``stable_hash(token)`` to drop the vocabulary pass — same plan, same
+    output shape, no exchange. A (doc, bucket) pair with ≥ 1 token
+    emits a row even when signs cancel to 0, matching SQL GROUP BY.
+
+    Scale shape: vocabulary totals via the shared token-count partials
+    (one token exchange, vocabulary-bounded); the id map broadcasts in
+    the encode closure; the featurize pass is a streaming per-batch
+    flat-token bincount — output rows ≤ docs × num_features.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        return _token_count_partial(t, text_col)
+
+    sel = ds.select_columns([doc_id_col, text_col])
+    parts = sel.select_columns([text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    totals = parts.groupby("token")["n"].sum().reset_index()
+    totals = totals.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    id_map = pd.Series(
+        np.arange(len(totals), dtype=np.int64), index=totals["token"]
+    )
+    m32 = np.uint64(1 << 32)
+    mult = np.uint64(2654435761)
+    half = np.uint64(1 << 31)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            doc_id_col: pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "val": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        flat, offsets = _explode_words(t[text_col])
+        if len(flat) == 0:
+            return empty
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        tid = id_map.reindex(
+            flat.to_pandas()).to_numpy(dtype=np.int64).astype(np.uint64)
+        h = (tid % m32) * mult % m32
+        bucket = (h % np.uint64(num_features)).astype(np.int64)
+        sign = np.where(h < half, 1, -1).astype(np.int64)
+        key = doc_idx * num_features + bucket
+        size = t.num_rows * num_features
+        vals = np.bincount(key, weights=sign, minlength=size)
+        present = np.bincount(key, minlength=size) > 0
+        idx = np.flatnonzero(present)
+        docs = t[doc_id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            doc_id_col: pa.array(docs[idx // num_features]),
+            "bucket": pa.array((idx % num_features).astype(np.int64)),
+            "val": pa.array(vals[idx].astype(np.int64)),
+        })
+
+    return sel.map_batches(
+        featurize, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

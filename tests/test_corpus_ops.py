@@ -1127,3 +1127,34 @@ def test_mlm_mask_deterministic_and_rate(ray_session):
     for i in (0, 5, 99):
         assert len(out.loc[i, "masked_text"].split(" ")) == len(
             texts[i].split(" "))
+
+
+def test_feature_hashing_reference_and_presence_rows(ray_session):
+    from featherstore_ray.stages.text import feature_hashing
+
+    texts = ["a b a c", "c c", "a"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+    })
+    D = 8
+    out = feature_hashing(
+        ray.data.from_arrow(t).repartition(2), num_features=D,
+    ).to_pandas()
+
+    # reference: vocab ids by (count desc, token asc): a=0, c=1, b=2
+    ids = {"a": 0, "c": 1, "b": 2}
+    import collections
+    ref = collections.defaultdict(int)
+    present = set()
+    for doc, s in enumerate(texts):
+        for w in s.split(" "):
+            h = (ids[w] * 2654435761) % (1 << 32)
+            b = h % D
+            present.add((doc, b))
+            ref[(doc, b)] += 1 if h < (1 << 31) else -1
+    got = {(r["doc_id"], r["bucket"]): r["val"]
+           for _, r in out.iterrows()}
+    assert set(got) == present  # presence rows even when val == 0
+    for k in present:
+        assert got[k] == ref[k], k
