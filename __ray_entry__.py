@@ -3530,6 +3530,55 @@ def q_feature_hashing(sf_dir: str):
     )
 
 
+_OVERLAP_PAD_H = 6
+
+
+def q_overlap_join(sf_dir: str):
+    """Interval-overlap join: each user's click-session engagement
+    windows ([start, end + 6h] — padding the LEFT side only keeps the
+    right side disjoint for the fast path) matched to the purchase
+    sessions they intersect (closed ends) — interval_join's
+    interval×interval sibling; one entity exchange, contiguous-run
+    searchsorted kernel on the disjoint side."""
+    import numpy as np
+
+    from featherstore_ray.stages.join import overlap_join
+    from featherstore_ray.stages.window import session_stats
+
+    pad_us = _OVERLAP_PAD_H * 3600 * 1_000_000
+
+    def sess(event_type: str, names: list[str], pad: int):
+        s = session_stats(
+            _read(sf_dir, "events",
+                  columns=["user_id", "ts", "value", "event_id",
+                           "event_type"]).filter(
+                expr=f"event_type == '{event_type}'"),
+            entity_col="user_id", ts_col="ts",
+            gap=timedelta(minutes=_GAP_MIN), value_col="value",
+            tiebreak="event_id",
+        ).select_columns(["user_id", "session_id", "start_ts", "end_ts"])
+
+        def finish(t: pa.Table, n=names, p=pad) -> pa.Table:
+            t = t.rename_columns(["user_id"] + n)
+            if p:
+                end = t[n[2]].to_numpy(zero_copy_only=False).astype(
+                    "datetime64[us]") + np.timedelta64(p, "us")
+                t = t.drop_columns([n[2]]).append_column(
+                    n[2], pa.array(end))
+            return t
+
+        return s.map_batches(finish, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+    clicks = sess("click", ["c_session", "c_start", "c_end"], pad_us)
+    purch = sess("purchase", ["p_session", "p_start", "p_end"], 0)
+    return overlap_join(
+        clicks, purch, entity_col="user_id",
+        left_start="c_start", left_end="c_end",
+        right_start="p_start", right_end="p_end",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3734,6 +3783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein": q_wasserstein,
         "mlm_mask": q_mlm_mask,
         "feature_hashing": q_feature_hashing,
+        "overlap_join": q_overlap_join,
     }
 
 
@@ -4897,6 +4947,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "overlap_join": f"""
+            WITH cs AS (
+              SELECT user_id, session_id AS c_session,
+                     min(ts) AS c_start,
+                     max(ts) + INTERVAL {_OVERLAP_PAD_H} HOURS AS c_end
+              FROM (
+                SELECT *, CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                        AND date_diff('microsecond', prev_ts, ts)
+                            > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM (SELECT *, lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_ts
+                      FROM events WHERE event_type = 'click')
+              ) GROUP BY 1, 2
+            ),
+            ps AS (
+              SELECT user_id, session_id AS p_session,
+                     min(ts) AS p_start, max(ts) AS p_end FROM (
+                SELECT *, CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                        AND date_diff('microsecond', prev_ts, ts)
+                            > {_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM (SELECT *, lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_ts
+                      FROM events WHERE event_type = 'purchase')
+              ) GROUP BY 1, 2
+            )
+            SELECT cs.user_id, c_session, c_start, c_end,
+                   p_session, p_start, p_end
+            FROM cs JOIN ps ON cs.user_id = ps.user_id
+              AND p_start <= c_end AND p_end >= c_start
         """,
         "feature_hashing": f"""
             WITH t AS (

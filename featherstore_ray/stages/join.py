@@ -507,3 +507,140 @@ def snapshot_diff(
     return bucketed_map_groups(
         bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    entity_col: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Interval-overlap join — :func:`interval_join`'s interval×interval
+    sibling: every same-entity pair whose CLOSED intervals intersect
+    (``right_start <= left_end AND right_end >= left_start``, the
+    engine's inclusive time-range convention). Output: entity + both
+    sides' payload columns.
+
+    Physical plan: ONE tagged-union entity exchange. When the RIGHT
+    side's intervals are pairwise disjoint per entity (sessions, shifts —
+    the dominant case), each left interval overlaps a CONTIGUOUS run of
+    start-sorted right intervals, found by two entity-offset composite
+    ``searchsorted`` probes (earlier entities cancel between the bounds,
+    the attribution trick) and expanded vectorized — O((n+m) log(n+m)) +
+    output, never a per-entity product. Buckets whose right side
+    actually overlaps itself fall back to the pandas merge + range
+    filter (a left row may match many arbitrary rights — the product is
+    the answer there).
+    """
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import add_bucket_column
+
+    side = "_fsr_side"
+    l_schema = pa.schema(left.schema().base_schema)
+    r_schema = pa.schema(right.schema().base_schema)
+    l_payload = [c for c in l_schema.names if c != entity_col]
+    r_payload = [c for c in r_schema.names if c != entity_col]
+    overlap_names = set(l_payload) & set(r_payload)
+    if overlap_names:
+        raise ValueError(
+            f"payload columns on both sides: {sorted(overlap_names)}; "
+            "rename before joining"
+        )
+    out_schema = pa.schema(
+        [l_schema.field(entity_col)]
+        + [l_schema.field(c) for c in l_payload]
+        + [r_schema.field(c) for c in r_payload]
+    )
+
+    def tag(is_left: bool, payload, other_payload, other_schema):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {entity_col: t[entity_col]}
+            for c in payload:
+                cols[c] = t[c]
+            for c in other_payload:
+                cols[c] = pa.nulls(t.num_rows, other_schema.field(c).type)
+            cols[side] = pa.array(
+                np.full(t.num_rows, int(is_left), dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(
+        tag(True, l_payload, r_payload, r_schema),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ).union(right.map_batches(
+        tag(False, r_payload, l_payload, l_schema),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    tagged = add_bucket_column(tagged, entity_col, num_buckets)
+
+    def _key(tab, col):
+        arr = tab[col].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "M":
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_l = pc.equal(t[side], pa.scalar(1, pa.int8()))
+        lt = t.filter(is_l)
+        rt = t.filter(pc.invert(is_l))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        l_ent = lt[entity_col].to_numpy(zero_copy_only=False)
+        r_ent = rt[entity_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(
+            np.concatenate([l_ent, r_ent]), return_inverse=True)
+        lc, rc = codes[: len(l_ent)], codes[len(l_ent):]
+        ls, le = _key(lt, left_start), _key(lt, left_end)
+        rs, re_ = _key(rt, right_start), _key(rt, right_end)
+        order = np.lexsort((rs, rc))
+        rc_s, rs_s, re_s = rc[order], rs[order], re_[order]
+        seg = rc_s[1:] == rc_s[:-1]
+        disjoint = not np.any(seg & (rs_s[1:] <= re_s[:-1]))
+        if disjoint:
+            t0 = int(min(rs_s.min(), ls.min()))
+            span = int(max(re_s.max(), le.max())) - t0 + 2
+            if (int(codes.max()) + 1) * span > np.iinfo(np.int64).max:
+                disjoint = False  # composite key would overflow
+        if disjoint:
+            # disjoint rights sort identically by start and by end
+            start_keys = rc_s * span + (rs_s - t0)
+            end_keys = rc_s * span + (re_s - t0)
+            base = lc * span
+            hi = np.searchsorted(start_keys, base + (le - t0),
+                                 side="right")
+            lo = np.searchsorted(end_keys, base + (ls - t0), side="left")
+            counts = hi - lo
+            li = np.repeat(np.arange(len(ls)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ri_sorted = (np.arange(int(counts.sum()))
+                         - np.repeat(starts, counts)
+                         + np.repeat(lo, counts))
+            ri = order[ri_sorted]
+            cols = {entity_col: lt[entity_col].take(li)}
+            for c in l_payload:
+                cols[c] = lt[c].take(li)
+            for c in r_payload:
+                cols[c] = rt[c].take(ri)
+            return pa.table(cols).cast(out_schema)
+        lp = lt.select([entity_col] + l_payload).to_pandas()
+        rp = rt.select([entity_col] + r_payload).to_pandas()
+        m = lp.merge(rp, on=entity_col, how="inner")
+        keep = (m[right_start].to_numpy() <= m[left_end].to_numpy()) & (
+            m[right_end].to_numpy() >= m[left_start].to_numpy())
+        res = pa.Table.from_pandas(m.loc[keep], schema=out_schema,
+                                   preserve_index=False)
+        return res.replace_schema_metadata(None)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )

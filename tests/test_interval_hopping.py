@@ -186,3 +186,73 @@ def test_interval_join_overlapping_random(ray_session):
     x = exp[cols].sort_values(cols).reset_index(drop=True)
     assert len(o) == len(x) and len(o) > 0
     pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+
+def test_overlap_join_matches_duckdb_random(ray_session):
+    """Random intervals (right side disjoint per entity) vs the
+    inequality-join oracle; also exercises the overlapping-right
+    fallback in a second call."""
+    import duckdb
+
+    from featherstore_ray.stages.join import overlap_join
+
+    rng = np.random.default_rng(29)
+    nl, ent = 400, 12
+    ls = rng.integers(0, 10**6, nl)
+    lt = pa.table({
+        "ent": pa.array(rng.integers(0, ent, nl), pa.int64()),
+        "lid": pa.array(np.arange(nl), pa.int64()),
+        "ls": pa.array(ls),
+        "le": pa.array(ls + rng.integers(1, 20_000, nl)),
+    })
+    # disjoint right side: fixed grid slots per entity
+    rows = []
+    rid = 0
+    for e in range(ent):
+        for slot in range(0, 10**6, 50_000):
+            if rng.random() < 0.6:
+                rows.append((e, rid, slot, slot + 30_000))
+                rid += 1
+    rt = pa.table({
+        "ent": pa.array([r[0] for r in rows], pa.int64()),
+        "rid": pa.array([r[1] for r in rows], pa.int64()),
+        "rs": pa.array([r[2] for r in rows], pa.int64()),
+        "re": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+    def run(right):
+        return overlap_join(
+            ray.data.from_arrow(lt).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            entity_col="ent", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", num_buckets=4,
+        ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", lt)
+
+    def check(right, out):
+        con.register("r", right)
+        exp = con.execute(
+            """
+            SELECT l.ent, l.lid, l.ls, l.le, r.rid, r.rs, r.re
+            FROM l JOIN r ON l.ent = r.ent
+              AND r.rs <= l.le AND r.re >= l.ls
+            """
+        ).df()
+        cols = ["ent", "lid", "rid", "ls", "le", "rs", "re"]
+        o = out[cols].sort_values(cols).reset_index(drop=True)
+        x = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(o) == len(x) and len(o) > 0
+        pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+    check(rt, run(rt))
+    # overlapping right side -> pandas fallback path, same answer
+    rs2 = rng.integers(0, 10**6, 300)
+    rt2 = pa.table({
+        "ent": pa.array(rng.integers(0, ent, 300), pa.int64()),
+        "rid": pa.array(np.arange(300), pa.int64()),
+        "rs": pa.array(rs2),
+        "re": pa.array(rs2 + rng.integers(1, 200_000, 300)),
+    })
+    check(rt2, run(rt2))
