@@ -3579,6 +3579,35 @@ def q_overlap_join(sf_dir: str):
     )
 
 
+_COVER_H = 2
+
+
+def q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands coverage: every event opens a 2h activity window
+    [ts, ts+2h]; overlapping windows per user coalesce into merged
+    activity spans — one entity exchange, lexsort + segmented-cummax
+    kernel."""
+    import numpy as np
+
+    from featherstore_ray.stages.join import merge_intervals
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        end = ts + np.timedelta64(_COVER_H * 3600 * 1_000_000, "us")
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": t["ts"],
+            "e": pa.array(end),
+        })
+
+    iv = ev.map_batches(widen, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return merge_intervals(iv, entity_col="user_id", start_col="s",
+                           end_col="e")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3784,6 +3813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_mask": q_mlm_mask,
         "feature_hashing": q_feature_hashing,
         "overlap_join": q_overlap_join,
+        "merge_intervals": q_merge_intervals,
     }
 
 
@@ -4947,6 +4977,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "merge_intervals": f"""
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + INTERVAL {_COVER_H} HOURS AS e
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            o AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_run
+              FROM iv
+            ),
+            i AS (
+              SELECT *, sum(CASE WHEN prev_run IS NULL OR s > prev_run
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+              FROM o
+            )
+            SELECT user_id, min(s) AS start, max(e) AS "end",
+                   count(*) AS n_merged
+            FROM i GROUP BY user_id, isl
         """,
         "overlap_join": f"""
             WITH cs AS (

@@ -644,3 +644,75 @@ def overlap_join(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+def merge_intervals(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Gaps-and-islands interval union: per entity, coalesce every run of
+    overlapping-or-touching CLOSED intervals (next start <= running max
+    end) into one merged span — the coverage/uptime/availability
+    consolidation op (and the span-merge inside substring_dedup, exposed
+    as a public API). Output: (entity, start, end, n_merged) per island.
+    Rows with a NULL entity/start/end drop on both sides.
+
+    One hash(entity) exchange; the per-bucket kernel is a lexsort +
+    running-max (cummax) + boundary cumsum — no row loop, intervals never
+    leave their bucket.
+    """
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=[entity_col, start_col, end_col])
+
+    slim = ds.select_columns([entity_col, start_col, end_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, entity_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        out_cols = [entity_col, "start", "end", "n_merged"]
+        if df.empty:
+            out = pd.DataFrame({
+                entity_col: df[entity_col],
+                "start": df[start_col],
+                "end": df[end_col],
+                "n_merged": pd.Series([], dtype=np.int64),
+            })
+            return out[out_cols]
+        d = df.sort_values([entity_col, start_col, end_col],
+                           kind="stable").reset_index(drop=True)
+        ent = d[entity_col].to_numpy()
+        s = d[start_col].to_numpy()
+        new_ent = np.empty(len(d), dtype=bool)
+        new_ent[0] = True
+        new_ent[1:] = ent[1:] != ent[:-1]
+        # segmented running max end (pandas C-level cummax per entity)
+        run = d.groupby(entity_col, sort=False)[end_col].cummax().to_numpy()
+        prev_run = np.empty_like(run)
+        prev_run[0] = run[0]
+        prev_run[1:] = run[:-1]
+        new_island = new_ent | (s > prev_run)
+        island = np.cumsum(new_island) - 1
+        first = np.flatnonzero(new_island)
+        last = np.append(first[1:], len(d)) - 1
+        out = pd.DataFrame({
+            entity_col: ent[first],
+            "start": s[first],
+            "end": run[last],  # island end = cummax at its last row
+            "n_merged": np.bincount(island).astype(np.int64),
+        })
+        return out[out_cols]
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

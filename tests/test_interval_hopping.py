@@ -256,3 +256,69 @@ def test_overlap_join_matches_duckdb_random(ray_session):
         "re": pa.array(rs2 + rng.integers(1, 200_000, 300)),
     })
     check(rt2, run(rt2))
+
+
+def test_merge_intervals_matches_duckdb(ray_session):
+    import duckdb
+
+    from featherstore_ray.stages.join import merge_intervals
+
+    rng = np.random.default_rng(55)
+    n = 2000
+    s = rng.integers(0, 10**6, n)
+    t = pa.table({
+        "ent": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "s": pa.array(s),
+        "e": pa.array(s + rng.integers(1, 40_000, n)),
+    })
+    out = merge_intervals(
+        ray.data.from_arrow(t).repartition(4),
+        entity_col="ent", start_col="s", end_col="e", num_buckets=4,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    exp = con.execute(
+        """
+        WITH o AS (
+          SELECT ent, s, e,
+                 max(e) OVER (PARTITION BY ent ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_run
+          FROM iv
+        ),
+        i AS (SELECT *, sum(CASE WHEN prev_run IS NULL OR s > prev_run
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY ent ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+              FROM o)
+        SELECT ent, min(s) AS start, max(e) AS "end", count(*) AS n_merged
+        FROM i GROUP BY ent, isl
+        """
+    ).df()
+    cols = ["ent", "start", "end", "n_merged"]
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
+    # coverage invariant: islands are disjoint and strictly ordered
+    for ent, grp in o.groupby("ent"):
+        gg = grp.sort_values("start")
+        assert (gg["start"].to_numpy()[1:]
+                > gg["end"].to_numpy()[:-1]).all()
+
+
+def test_merge_intervals_touching_intervals_coalesce(ray_session):
+    from featherstore_ray.stages.join import merge_intervals
+
+    t = pa.table({
+        "ent": pa.array([1, 1, 1], pa.int64()),
+        "s": pa.array([0, 10, 25], pa.int64()),
+        "e": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = merge_intervals(
+        ray.data.from_arrow(t), entity_col="ent", start_col="s",
+        end_col="e",
+    ).to_pandas().sort_values("start").reset_index(drop=True)
+    # [0,10] and [10,20] touch (closed ends) -> merge; [25,30] separate
+    assert out[["start", "end", "n_merged"]].values.tolist() == [
+        [0, 20, 2], [25, 30, 1]]
