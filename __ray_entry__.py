@@ -3608,6 +3608,23 @@ def q_merge_intervals(sf_dir: str):
                            end_col="e")
 
 
+_ITEMSIM_K = 5
+
+
+def q_item_similarity(sf_dir: str):
+    """Also-bought item neighbors: cosine over basket incidence from the
+    co_occurrence pair counts (orders as baskets, parts as items),
+    exact incidence via a group exchange, one item exchange for the
+    per-item top-5."""
+    from featherstore_ray.stages.aggregate import item_similarity
+
+    return item_similarity(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey", k=_ITEMSIM_K,
+        min_count=2,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3814,6 +3831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing": q_feature_hashing,
         "overlap_join": q_overlap_join,
         "merge_intervals": q_merge_intervals,
+        "item_similarity": q_item_similarity,
     }
 
 
@@ -4977,6 +4995,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "item_similarity": f"""
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            ic AS (SELECT l_partkey, count(*) AS ci FROM d GROUP BY 1),
+            pc AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+                          count(*) AS n
+                   FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (SELECT a, b, n FROM pc
+                    UNION ALL SELECT b, a, n FROM pc),
+            s AS (SELECT sym.a AS item, sym.b AS neighbor, n AS n_co,
+                         round(n / sqrt(ia.ci * ib.ci), 6) AS cosine
+                  FROM sym
+                  JOIN ic ia ON ia.l_partkey = sym.a
+                  JOIN ic ib ON ib.l_partkey = sym.b)
+            SELECT item, neighbor, n_co, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY item
+                        ORDER BY cosine DESC, neighbor) AS rn FROM s)
+            WHERE rn <= {_ITEMSIM_K}
         """,
         "merge_intervals": f"""
             WITH iv AS (

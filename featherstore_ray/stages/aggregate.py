@@ -2545,3 +2545,105 @@ def wasserstein(
         lambda df: kernel(df.drop(columns=[BUCKET_COL])),
         num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def item_similarity(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    k: int = 5,
+    min_count: int = 1,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Item-item collaborative-filtering neighbors ("also-bought"): for
+    every item, the top-k co-occurring items by cosine over basket
+    incidence — ``cos(a,b) = n_ab / sqrt(n_a · n_b)`` with ``n_x`` =
+    baskets containing x and ``n_ab`` = baskets containing both (set
+    semantics, like :func:`co_occurrence`, which supplies the pair
+    counts). Ties on the rounded score break by ascending neighbor id.
+    Output: (item, neighbor, n_co, cosine) — each pair serves BOTH
+    items' neighbor lists.
+
+    Scale shape: pair counts ride co_occurrence's two exchanges; item
+    incidence counts are (item, partial) rows merged driver-side and
+    broadcast into the scoring closure (item-catalog-bounded — route
+    them through the bucket exchange instead for 1e8-item catalogs);
+    the final top-k is one hash(item) exchange over symmetrized pair
+    rows, never baskets.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    pairs = co_occurrence(
+        ds, group_col=group_col, item_col=item_col, min_count=min_count,
+        num_buckets=num_buckets,
+    )
+
+    # incidence counts must dedupe (group, item) across BATCH boundaries
+    # (a basket split over two blocks would double count): co-locate each
+    # group with one hash(group) exchange, distinct inside the bucket,
+    # then sum the per-bucket item partials driver-side (each group lives
+    # in exactly one bucket, so partials are exact and disjoint per group)
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, item_col]].drop_duplicates()
+        g = d.groupby(item_col, sort=False).size()
+        return pd.DataFrame({"_i": g.index.to_numpy(),
+                             "_c": g.to_numpy().astype(np.int64)})
+
+    proj = ds.select_columns([group_col, item_col]).map_batches(
+        lambda t: t.drop_null(), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    inc = (
+        bucketed_map_groups(
+            add_bucket_column(proj, group_col, num_buckets),
+            lambda df: bucket_counts(df.drop(columns=[BUCKET_COL])),
+            num_buckets=num_buckets, batch_format="pandas",
+        ).to_pandas()
+        .groupby("_i")["_c"].sum()
+    )
+    inc_map = {k_: int(v) for k_, v in inc.items()}
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "item": t["a"].slice(0, 0), "neighbor": t["b"].slice(0, 0),
+            "n_co": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        n_int = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = n_int.astype(np.float64)
+        ca = np.array([inc_map[x] for x in a], dtype=np.float64)
+        cb = np.array([inc_map[x] for x in b], dtype=np.float64)
+        cos = np.round(n / np.sqrt(ca * cb), round_digits)
+        it_type = t.schema.field("a").type
+        return pa.table({
+            "item": pa.array(np.concatenate([a, b]), it_type),
+            "neighbor": pa.array(np.concatenate([b, a]), it_type),
+            "n_co": pa.array(np.concatenate([n_int, n_int])),
+            "cosine": pa.array(np.concatenate([cos, cos])),
+        })
+
+    sym = pairs.map_batches(
+        score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sym = add_bucket_column(sym, "item", num_buckets)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        return (
+            df.sort_values(["item", "cosine", "neighbor"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("item", sort=False).head(k).reset_index(drop=True)
+        )
+
+    return bucketed_map_groups(
+        sym, topk, num_buckets=num_buckets, batch_format="pandas"
+    )

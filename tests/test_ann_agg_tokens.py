@@ -1649,3 +1649,46 @@ def test_wasserstein_matches_scipy_style_reference(ray_session):
     # mean shift dominates W1 (unlike KS, which saturates)
     assert out.loc["u2", "w1"] > out.loc["u1", "w1"] + 1.5
     assert "only_click" not in out.index  # missing label -> dropped
+
+
+def test_item_similarity_matches_duckdb(ray_session):
+    import duckdb
+
+    from featherstore_ray.stages.aggregate import item_similarity
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    t = pa.table({
+        "basket": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "item": pa.array(rng.integers(0, 30, n), pa.int64()),
+    })
+    out = item_similarity(
+        ray.data.from_arrow(t).repartition(5),
+        group_col="basket", item_col="item", k=3, min_count=2,
+        num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("li", t)
+    exp = con.execute(
+        """
+        WITH d AS (SELECT DISTINCT basket, item FROM li),
+        ic AS (SELECT item, count(*) AS ci FROM d GROUP BY 1),
+        pc AS (SELECT x.item AS a, y.item AS b, count(*) AS n
+               FROM d x JOIN d y ON x.basket = y.basket AND x.item < y.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (SELECT a, b, n FROM pc UNION ALL SELECT b, a, n FROM pc),
+        s AS (SELECT sym.a AS item, sym.b AS neighbor, n AS n_co,
+                     round(n / sqrt(ia.ci * ib.ci), 6) AS cosine
+              FROM sym JOIN ic ia ON ia.item = sym.a
+              JOIN ic ib ON ib.item = sym.b)
+        SELECT item, neighbor, n_co, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY item
+                    ORDER BY cosine DESC, neighbor) AS rn FROM s)
+        WHERE rn <= 3
+        """
+    ).df()
+    cols = ["item", "neighbor", "n_co", "cosine"]
+    o = out[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(o) == len(x) and len(o) > 0
+    pd.testing.assert_frame_equal(o, x, check_dtype=False)
