@@ -3625,6 +3625,17 @@ def q_item_similarity(sf_dir: str):
     )
 
 
+def q_transition_times(sf_dir: str):
+    """Per event-type transition: count, exact median and mean gap in
+    seconds — journey timing over the entity exchange, gaps pooled per
+    transition for the quantile_cont-interpolated median."""
+    from featherstore_ray.stages.aggregate import transition_times
+
+    return transition_times(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]))
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3832,6 +3843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_join": q_overlap_join,
         "merge_intervals": q_merge_intervals,
         "item_similarity": q_item_similarity,
+        "transition_times": q_transition_times,
     }
 
 
@@ -4995,6 +5007,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "transition_times": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER w AS prev_t,
+                       lag(ts) OVER w AS prev_ts
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            p AS (
+                SELECT prev_t AS from_type, event_type AS to_type,
+                       date_diff('microsecond', prev_ts, ts) AS gap
+                FROM o WHERE prev_t IS NOT NULL
+            )
+            SELECT from_type, to_type, count(*) AS n,
+                   round(quantile_cont(gap, 0.5) / 1000000.0, 6)
+                     AS median_gap_sec,
+                   round(avg(gap) / 1000000.0, 6) AS mean_gap_sec
+            FROM p GROUP BY 1, 2
         """,
         "item_similarity": f"""
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

@@ -2647,3 +2647,88 @@ def item_similarity(
     return bucketed_map_groups(
         sym, topk, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def transition_times(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Journey timing: for every consecutive event-type transition
+    (from → to) within an entity's (ts, tiebreak)-ordered stream, the
+    count, median and mean gap in seconds — the "how long between cart
+    and purchase" report that :func:`transitions` (counts only) and
+    :func:`funnel` don't answer. Rows with a NULL entity/ts/type are
+    filtered BEFORE pairing (the seq_entropy contract: they neither form
+    nor break a transition).
+
+    Scale shape: exchange 1 on hash(entity) pairs each stream with a
+    shifted compare and emits (from, to, gap) rows; exchange 2 on
+    hash(from) pools each transition's gaps for the exact
+    quantile_cont-interpolated median (medians don't partial-merge;
+    type-pair cardinality is tiny, gap rows ≤ event rows).
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=[entity_col, ts_col, type_col])
+
+    slim = ds.select_columns(
+        [entity_col, ts_col, type_col, tiebreak_col]
+    ).map_batches(pre, batch_size=None, batch_format="pandas")
+    slim = add_bucket_column(slim, entity_col, num_buckets)
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "_gap": pd.Series([], dtype=np.int64),
+            })
+        d = df.sort_values([entity_col, ts_col, tiebreak_col],
+                           kind="stable")
+        ent = d[entity_col].to_numpy()
+        ts = d[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = d[type_col].to_numpy()
+        same = ent[1:] == ent[:-1]
+        return pd.DataFrame({
+            "from_type": typ[:-1][same],
+            "to_type": typ[1:][same],
+            "_gap": (ts[1:] - ts[:-1])[same],
+        })
+
+    gaps = bucketed_map_groups(
+        slim, pair, num_buckets=num_buckets, batch_format="pandas"
+    )
+    gaps = add_bucket_column(gaps, "from_type", num_buckets)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(["from_type", "to_type"], sort=True)["_gap"]
+        med = g.quantile(0.5, interpolation="linear")
+        cnt = g.size()
+        tot = g.sum()
+        out = pd.DataFrame({
+            "from_type": [i[0] for i in cnt.index],
+            "to_type": [i[1] for i in cnt.index],
+            "n": cnt.to_numpy().astype(np.int64),
+            "median_gap_sec": np.round(
+                med.to_numpy() / 1000000.0, round_digits),
+            "mean_gap_sec": np.round(
+                (tot.to_numpy() / cnt.to_numpy()) / 1000000.0,
+                round_digits),
+        })
+        return out
+
+    return bucketed_map_groups(
+        gaps, agg, num_buckets=num_buckets, batch_format="pandas"
+    )

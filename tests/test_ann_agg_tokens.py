@@ -1692,3 +1692,28 @@ def test_item_similarity_matches_duckdb(ray_session):
     x = exp[cols].sort_values(cols).reset_index(drop=True)
     assert len(o) == len(x) and len(o) > 0
     pd.testing.assert_frame_equal(o, x, check_dtype=False)
+
+
+def test_transition_times_known_values(ray_session):
+    from featherstore_ray.stages.aggregate import transition_times
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")  # 1 second
+    # user 1: a@0 b@10 a@30 ; user 2: a@0 b@40 ; null-type row ignored
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + 10 * s, base + 30 * s,
+                        base, base + 20 * s, base + 40 * s]),
+        "event_type": pa.array(["a", "b", "a", "a", None, "b"]),
+        "event_id": pa.array(list(range(6)), pa.int64()),
+    })
+    out = transition_times(
+        ray.data.from_arrow(t).repartition(3), num_buckets=4,
+    ).to_pandas().set_index(["from_type", "to_type"])
+    # a->b gaps: 10 (u1), 40 (u2: null row neither forms nor breaks)
+    assert out.loc[("a", "b"), "n"] == 2
+    assert out.loc[("a", "b"), "median_gap_sec"] == 25.0
+    assert out.loc[("a", "b"), "mean_gap_sec"] == 25.0
+    # b->a gap: 20 (u1)
+    assert out.loc[("b", "a"), "n"] == 1
+    assert out.loc[("b", "a"), "median_gap_sec"] == 20.0
