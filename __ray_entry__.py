@@ -3636,6 +3636,19 @@ def q_transition_times(sf_dir: str):
               columns=["user_id", "ts", "event_type", "event_id"]))
 
 
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation of quantity vs extendedprice per
+    returnflag: mid-rank (ties averaged) Pearson — exact in float64
+    (quarter-integer ranks), one group exchange."""
+    from featherstore_ray.stages.aggregate import spearman
+
+    return spearman(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3844,6 +3857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": q_merge_intervals,
         "item_similarity": q_item_similarity,
         "transition_times": q_transition_times,
+        "spearman": q_spearman,
     }
 
 
@@ -5007,6 +5021,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "spearman": """
+            WITH b AS (
+                SELECT l_returnflag AS g, l_quantity AS x,
+                       l_extendedprice AS y
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            r AS (
+                SELECT g,
+                       rank() OVER (PARTITION BY g ORDER BY x)
+                         + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0
+                         AS rx,
+                       rank() OVER (PARTITION BY g ORDER BY y)
+                         + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0
+                         AS ry
+                FROM b
+            ),
+            m AS (
+                SELECT g, count(*)::DOUBLE AS n, sum(rx) AS sx,
+                       sum(ry) AS sy, sum(rx * rx) AS sxx,
+                       sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+                FROM r GROUP BY g
+            )
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6) AS spearman
+            FROM m
+            WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+              AND (n * syy - sy * sy) > 0
         """,
         "transition_times": """
             WITH o AS (

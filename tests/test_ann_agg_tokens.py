@@ -1717,3 +1717,52 @@ def test_transition_times_known_values(ray_session):
     # b->a gap: 20 (u1)
     assert out.loc[("b", "a"), "n"] == 1
     assert out.loc[("b", "a"), "median_gap_sec"] == 20.0
+
+
+def test_spearman_monotone_and_ties(ray_session):
+    from featherstore_ray.stages.aggregate import spearman
+
+    rng = np.random.default_rng(71)
+    x = rng.normal(size=300)
+    rows = {
+        "mono": (x, np.exp(x)),                    # monotone -> rho = 1
+        "anti": (x, -x ** 3),                      # anti-monotone -> -1
+        "noisy": (x, x + rng.normal(0, 5, 300)),   # weak positive
+    }
+    t = pa.table({
+        "g": pa.array(sum([[k] * 300 for k in rows], [])),
+        "x": pa.array(np.concatenate([v[0] for v in rows.values()])),
+        "y": pa.array(np.concatenate([v[1] for v in rows.values()])),
+    })
+    out = spearman(
+        ray.data.from_arrow(t).repartition(4), "g", "x", "y",
+        num_buckets=4,
+    ).to_pandas().set_index("g")
+    assert out.loc["mono", "spearman"] == 1.0
+    assert out.loc["anti", "spearman"] == -1.0
+    assert 0.0 < out.loc["noisy", "spearman"] < 0.6
+
+    # tie handling: mid-ranks vs scipy-style reference on small data
+    xs = np.array([1.0, 1.0, 2.0, 3.0, 3.0, 3.0])
+    ys = np.array([2.0, 1.0, 3.0, 5.0, 5.0, 4.0])
+    t2 = pa.table({"g": pa.array(["t"] * 6), "x": pa.array(xs),
+                   "y": pa.array(ys)})
+    got = spearman(ray.data.from_arrow(t2), "g", "x", "y",
+                   round_digits=9).to_pandas()["spearman"].iloc[0]
+
+    def midrank(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    rx, ry = midrank(xs), midrank(ys)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got - want) < 1e-9
