@@ -2736,9 +2736,10 @@ def transition_times(
 
 def _midranks(g: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Mid-ranks (1-based, ties averaged) of ``v`` within contiguous
-    groups ``g`` for (g, v)-sorted input rows — the mann_whitney run-
-    length kernel, shared with spearman. Returns ranks in ROW order of
-    the sorted input."""
+    groups ``g`` for (g, v)-sorted input rows — the mann_whitney
+    run-length pattern (that kernel keeps its own inline copy because it
+    also consumes the tie-run sizes for the t³−t correction). Returns
+    ranks in row order of the sorted input."""
     n = len(g)
     new_g = np.empty(n, dtype=bool)
     new_g[0] = True
