@@ -3340,13 +3340,13 @@ def q_zipf_fit(sf_dir: str):
 
 
 def q_kcenter_select(sf_dir: str):
-    """Greedy k-center coreset (8 exemplars) over the embeddings table:
+    """Greedy k-center coreset (6 exemplars) over the embeddings table:
     Dataset-resident min-distance state, one narrow map + argmax partial
     per round. Sequential greedy → rows-only; brute-force parity is
     pytest-gated."""
     from featherstore_ray.stages.ann import kcenter_select
 
-    return kcenter_select(_read(sf_dir, "embeddings"), m=8)
+    return kcenter_select(_read(sf_dir, "embeddings"), m=6)
 
 
 def q_embedding_outliers(sf_dir: str):

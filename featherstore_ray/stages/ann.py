@@ -1419,6 +1419,7 @@ def pq_encode(
     train_sample: int = 10_000,
     seed: int = 13,
     round_digits: int = 6,
+    books: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Product-quantization encoding — the sub-byte embedding compression
     path next to :func:`quantize_embeddings` (scalar int8): split the
@@ -1429,12 +1430,15 @@ def pq_encode(
 
     Codebooks train ONCE driver-side on a deterministic corpus prefix and
     ship by value in the scoring closure; pass 2 is one (n × K) matmul
-    per subspace per batch — no shuffle anywhere.
+    per subspace per batch — no shuffle anywhere. Pass ``books`` to
+    reuse an already-trained codebook (pq_topk does — it must score with
+    the SAME codebook it built its lookup tables from).
     """
-    books = _pq_codebooks(
-        ds, emb_col, m_subspaces=m_subspaces, n_codes=n_codes,
-        train_sample=train_sample, seed=seed,
-    )
+    if books is None:
+        books = _pq_codebooks(
+            ds, emb_col, m_subspaces=m_subspaces, n_codes=n_codes,
+            train_sample=train_sample, seed=seed,
+        )
     sub = books.shape[2]
     norms = (books ** 2).sum(axis=2)  # (M, K)
 
@@ -1501,6 +1505,7 @@ def pq_topk(
     encoded = pq_encode(
         ds, id_col=id_col, emb_col=emb_col, m_subspaces=m_subspaces,
         n_codes=n_codes, train_sample=train_sample, seed=seed,
+        books=books,  # one training pass, not two
     )
 
     def scan(t: pa.Table) -> pa.Table:
