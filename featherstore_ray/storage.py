@@ -163,3 +163,54 @@ register_format(
         ),
     )
 )
+
+
+# -- jsonl (training-data interchange; no nested/binary, no pushdown) -------
+
+
+def _jsonl_write(table: pa.Table, path: Path, *, compression, row_group_size):
+    # pandas writer: ISO-microsecond timestamps so pyarrow's JSON reader
+    # round-trips timestamp[us] exactly; binary columns are out of scope
+    # (like csv — interchange formats carry scalars)
+    table.to_pandas().to_json(
+        str(path), orient="records", lines=True,
+        date_format="iso", date_unit="us",
+    )
+
+
+@ray.remote
+def _read_jsonl_file(path: str, schema) -> pa.Table:
+    import pyarrow.json as pajson
+
+    opts = None
+    if schema is not None:
+        opts = pajson.ParseOptions(explicit_schema=schema)
+    return pajson.read_json(path, parse_options=opts)
+
+
+def _jsonl_read(files, *, columns=None, filter_expr=None, schema=None):
+    # explicit-schema arrow JSON reader per file: Ray's read_json would
+    # re-infer types per block (ints with nulls drift to double)
+    refs = [_read_jsonl_file.remote(f, schema) for f in files]
+    ds = ray.data.from_arrow_refs(refs)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+def _jsonl_read_table(path, columns=None) -> pa.Table:
+    import pyarrow.json as pajson
+
+    t = pajson.read_json(path)
+    return t if columns is None else t.select(list(columns))
+
+
+register_format(
+    StorageFormat(
+        name="jsonl",
+        extension="jsonl",
+        write_table=_jsonl_write,
+        read_dataset=_jsonl_read,
+        read_table=_jsonl_read_table,
+    )
+)

@@ -128,3 +128,18 @@ def test_layout_persisted_in_metadata(tmp_path, ray_session):
     store2.ingest("fs", _batch(["b"], [T0 + DAY], [2.0]))
     assert len(list((tmp_path / "s" / "fs" / "data").glob("ts_bucket=*"))) == 2
     assert store2.dataset("fs").count() == 2
+
+
+def test_jsonl_format_roundtrip(tmp_path, ray_session):
+    store = FeatherStore(tmp_path / "s", format="jsonl")
+    store.create_feature_set("fs", SCHEMA)
+    store.ingest("fs", _batch(["a", "b"], [T0, T0 + 1], [1.0, 2.0]))
+    files = list((tmp_path / "s" / "fs" / "data").glob("*.jsonl"))
+    assert len(files) == 1
+    out = store.dataset("fs").to_pandas().sort_values("entity_id")
+    assert list(out["feature1"]) == [1.0, 2.0]
+    # explicit-schema reads keep timestamp[us] EXACT through JSON
+    assert list(out["timestamp"].astype("datetime64[us]").astype("int64")) \
+        == [T0, T0 + 1]
+    got = store.get_features("fs", ["a"]).to_pandas()
+    assert len(got) == 1 and got["feature1"].iloc[0] == 1.0
