@@ -3649,6 +3649,20 @@ def q_spearman(sf_dir: str):
     )
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Exact streaming dedup replayed distributed per key-hash bucket:
+    first event per user in (ts, event_id) order survives — equals the
+    batch ROW_NUMBER()=1 oracle on in-order replay; arbitrary-arrival
+    suppression is pytest-gated."""
+    from featherstore_ray.stages.streaming import streaming_dedup
+
+    return streaming_dedup(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        micro_batch_rows=512, num_buckets=16,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3858,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_similarity": q_item_similarity,
         "transition_times": q_transition_times,
         "spearman": q_spearman,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -5021,6 +5036,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "streaming_dedup": """
+            SELECT event_id, user_id, ts FROM (
+                SELECT event_id, user_id, ts, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1
         """,
         "spearman": """
             WITH b AS (

@@ -382,3 +382,69 @@ def streaming_tumbling(
     return bucketed_map_groups(
         bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+class StreamingDedupState:
+    """Exact streaming dedup: fold micro-batches with ``update`` — each
+    call returns ONLY the rows whose key has never been seen (first
+    occurrence in arrival order wins, within and across batches). Exact
+    for an unbounded stream at O(distinct keys) state; shard the stream
+    by hash(key) so each consumer actor holds only its own keys (the
+    engine's replay wrapper below does exactly that), and reach for the
+    bloom/decayed variants when memory must be bounded instead.
+    """
+
+    def __init__(self, key_col: str):
+        self.key_col = key_col
+        self.seen: set = set()
+
+    def update(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = pd.Series(t[self.key_col].to_numpy(zero_copy_only=False))
+        first_in_batch = ~keys.duplicated(keep="first")
+        unseen = ~keys.isin(self.seen)
+        emit = (first_in_batch & unseen).to_numpy()
+        self.seen.update(keys[emit].tolist())
+        return t.take(np.flatnonzero(emit))
+
+
+def streaming_dedup(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    micro_batch_rows: int = 512,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed replay of :class:`StreamingDedupState`: partition the
+    stream by hash(key) (a key's duplicates all reach the same state),
+    replay each bucket in ``order_cols`` order through the fold in
+    ``micro_batch_rows`` chunks, and emit the first-seen rows. On
+    in-order replay the result equals the batch "first row per key by
+    (order_cols)" — which is the SQL oracle; the state itself handles
+    arbitrary arrival orders (late duplicates are suppressed either way,
+    pytest-gated).
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    bucketed = add_bucket_column(ds, key_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            order_cols, kind="stable")
+        state = StreamingDedupState(key_col)
+        out = []
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        for lo in range(0, t.num_rows, micro_batch_rows):
+            emitted = state.update(t.slice(lo, micro_batch_rows))
+            if emitted.num_rows:
+                out.append(emitted)
+        if not out:
+            return df.iloc[:0]
+        return pa.concat_tables(out).to_pandas()
+
+    return bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

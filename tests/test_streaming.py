@@ -189,3 +189,50 @@ def test_streaming_sessions_match_batch(ray_session):
     g = got[sorted(got.columns)].sort_values(key).reset_index(drop=True)
     x = exp[sorted(exp.columns)].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, x, check_dtype=False)
+
+
+def test_streaming_dedup_state_suppresses_late_duplicates(ray_session):
+    from featherstore_ray.stages.streaming import StreamingDedupState
+
+    s = StreamingDedupState("k")
+    b1 = pa.table({"k": pa.array([1, 2, 1], pa.int64()),
+                   "v": pa.array([10, 20, 11], pa.int64())})
+    out1 = s.update(b1)
+    assert out1["k"].to_pylist() == [1, 2]   # in-batch dup dropped
+    assert out1["v"].to_pylist() == [10, 20]  # first occurrence wins
+    b2 = pa.table({"k": pa.array([2, 3, 1], pa.int64()),
+                   "v": pa.array([21, 30, 12], pa.int64())})
+    out2 = s.update(b2)
+    assert out2["k"].to_pylist() == [3]       # late dups suppressed
+    assert s.update(b1).num_rows == 0          # full replay: nothing new
+
+
+def test_streaming_dedup_equals_batch_first_per_key(ray_session):
+    import duckdb
+
+    from featherstore_ray.stages.streaming import streaming_dedup
+
+    rng = np.random.default_rng(77)
+    n = 5000
+    t = pa.table({
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+    })
+    for mb in (64, 4096):  # micro-batch size must not change the result
+        out = streaming_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            key_col="k", order_cols=["ts", "eid"],
+            micro_batch_rows=mb, num_buckets=8,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("e", t)
+        exp = con.execute(
+            """
+            SELECT eid, k, ts FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY ts, eid) rn FROM e)
+            WHERE rn = 1 ORDER BY k
+            """
+        ).df()
+        assert out["eid"].tolist() == exp["eid"].tolist()
