@@ -392,6 +392,45 @@ class FeatherStore:
             "files_after": files_after,
         }
 
+    def expire(self, name: str, *, older_than) -> dict:
+        """TTL retention: drop every ``ts_bucket=`` directory strictly
+        older than ``older_than`` — whole buckets only, so retention
+        granularity equals the set's partition granularity (the boundary
+        bucket is kept in full; rows inside it never partially expire).
+        Zero data reads: bucket stamps are zero-padded, so the cutoff is
+        one lexicographic compare per directory — O(buckets) at any data
+        size.
+
+        Maintenance op, SINGLE-WRITER like :meth:`compact` (a reader
+        listing files mid-delete could see a half-removed bucket).
+        Requires a time-partitioned set. Returns
+        ``{"buckets_removed", "files_removed"}``.
+        """
+        import shutil
+
+        import pandas as pd
+
+        fmt, granularity = self._set_conf(name)
+        if granularity is None:
+            raise ValueError(
+                f"feature set {name!r} is not time-partitioned; expire() "
+                "needs a ts_bucket layout to prune"
+            )
+        data_dir = self._set_dir(name) / _DATA_DIR
+        if not data_dir.exists():
+            raise FeatureSetNotFound(name)
+        cutoff = pd.Timestamp(older_than).strftime(
+            _GRANULARITY_FMT[granularity])
+        pattern = f"part-*.{fmt.extension}"
+        buckets_removed = files_removed = 0
+        for d in sorted(data_dir.glob(f"{_TS_BUCKET_PREFIX}*")):
+            if d.name[len(_TS_BUCKET_PREFIX):] < cutoff:
+                files_removed += len(list(d.glob(pattern)))
+                shutil.rmtree(d)
+                buckets_removed += 1
+        return {"buckets_removed": buckets_removed,
+                "files_removed": files_removed}
+
     # -- retrieval --------------------------------------------------------
 
     def _files(

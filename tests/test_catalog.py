@@ -221,3 +221,40 @@ def test_compact_respects_target_bytes_and_buckets(tmp_path):
     assert res["files_after"] == 2
     after = store.dataset("cmpb").to_pandas().shape[0]
     assert after == before == 80
+
+
+def test_expire_drops_old_buckets_only(tmp_path, ray_session):
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from featherstore_ray.catalog import FeatherStore
+
+    store = FeatherStore(tmp_path / "s", partition_granularity="day")
+    store.create_feature_set("fs", SCHEMA)
+    t0 = 1_704_067_200_000_000  # 2024-01-01 UTC us
+    day = 86_400_000_000
+    ents, ts, f1 = [], [], []
+    for d in range(5):
+        ents.append("e1")
+        ts.append(t0 + d * day)
+        f1.append(float(d))
+    store.ingest("fs", _batch(ents, ts, f1, f1))
+    data_dir = tmp_path / "s" / "fs" / "data"
+    assert len(list(data_dir.glob("ts_bucket=*"))) == 5
+
+    cutoff = datetime.fromtimestamp((t0 + 2 * day) / 1e6,
+                                    tz=timezone.utc).replace(tzinfo=None)
+    res = store.expire("fs", older_than=cutoff)
+    assert res["buckets_removed"] == 2 and res["files_removed"] == 2
+    # boundary bucket retained in full; newer data untouched
+    left = store.dataset("fs").to_pandas()["feature1"].sort_values()
+    assert list(left) == [2.0, 3.0, 4.0]
+    # idempotent
+    assert store.expire("fs", older_than=cutoff)["buckets_removed"] == 0
+
+    # unpartitioned sets refuse
+    store2 = FeatherStore(tmp_path / "s2")
+    store2.create_feature_set("fs", SCHEMA)
+    with pytest.raises(ValueError):
+        store2.expire("fs", older_than=cutoff)
