@@ -3663,6 +3663,30 @@ def q_streaming_dedup(sf_dir: str):
     )
 
 
+_TRIM_ALPHA = 0.1
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Per-user 10%-trimmed mean of value: count-based trim (rank cuts
+    can't change the average on ties), lexsort + prefix-sum kernel, one
+    group exchange."""
+    from featherstore_ray.stages.aggregate import trimmed_mean
+
+    return trimmed_mean(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        "user_id", "value", alpha=_TRIM_ALPHA,
+    )
+
+
+def q_geometric_median(sf_dir: str):
+    """Robust corpus centroid of the embeddings (Weiszfeld, 5 fixed
+    iterations of dim-bounded partial passes). Rows-only (iterative);
+    numpy parity pytest-gated."""
+    from featherstore_ray.stages.ann import geometric_median
+
+    return geometric_median(_read(sf_dir, "embeddings"), iters=5)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3873,6 +3897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_times": q_transition_times,
         "spearman": q_spearman,
         "streaming_dedup": q_streaming_dedup,
+        "trimmed_mean": q_trimmed_mean,
+        "geometric_median": q_geometric_median,
     }
 
 
@@ -5036,6 +5062,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, round(max(abs(ca / na - cb / nb)), 6) AS ks
             FROM e JOIN n USING (user_id) WHERE na > 0 AND nb > 0
             GROUP BY e.user_id
+        """,
+        "trimmed_mean": f"""
+            WITH b AS (
+                SELECT user_id AS g, value AS v FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ),
+            r AS (
+                SELECT g, v,
+                       row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM b
+            )
+            SELECT g AS user_id, CAST(max(n) AS BIGINT) AS n,
+                   round(sum(v) / count(*), 6) AS trimmed_mean
+            FROM r
+            WHERE rn > floor({_TRIM_ALPHA!r} * n)
+              AND rn <= n - floor({_TRIM_ALPHA!r} * n)
+            GROUP BY g
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, ts FROM (

@@ -2831,3 +2831,76 @@ def spearman(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def trimmed_mean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.1,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group α-trimmed mean: drop the ``floor(α·n)`` smallest and
+    largest values, average the middle — the robust location between the
+    mean (α=0) and the median (α→0.5), with an exact count-based trim
+    that SQL mirrors via ROW_NUMBER bounds (tied values at the cut are
+    trimmed by rank, which cannot change the average — equals trim by
+    value). NULL group/value rows drop; groups where the trim empties
+    the middle are dropped (n − 2·floor(α·n) < 1).
+
+    One group exchange; lexsort + segmented prefix-sum kernel (the
+    trimmed sum is two cumsum gathers), no row loop.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, value_col])
+        return pd.DataFrame({group_col: d[group_col],
+                             "_v": d[value_col].astype(np.float64)})
+
+    slim = ds.select_columns([group_col, value_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "n": pd.Series([], dtype=np.int64),
+                "trimmed_mean": pd.Series([], dtype=np.float64),
+            })
+        codes, uniques = pd.factorize(df[group_col], sort=True)
+        v = df["_v"].to_numpy()
+        order = np.lexsort((v, codes))
+        codes, v = codes[order], v[order]
+        k = codes.max() + 1
+        n = np.bincount(codes, minlength=k)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        trim = np.floor(alpha * n).astype(np.int64)
+        keep = n - 2 * trim
+        ok = keep >= 1
+        # trimmed sum = prefix[start + n - trim] - prefix[start + trim]
+        prefix = np.concatenate(([0.0], np.cumsum(v)))
+        hi = prefix[starts + n - trim]
+        lo = prefix[starts + trim]
+        with np.errstate(invalid="ignore"):
+            tm = (hi - lo) / keep
+        return pd.DataFrame({
+            group_col: uniques[np.flatnonzero(ok)],
+            "n": n[ok].astype(np.int64),
+            "trimmed_mean": np.round(tm[ok], round_digits),
+        })
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1551,3 +1551,75 @@ def pq_topk(
         .reset_index(drop=True)
     )
     return ray.data.from_pandas(out)
+
+
+def geometric_median(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str = "embedding",
+    iters: int = 5,
+    eps: float = 1e-9,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Geometric median of an embedding column (Weiszfeld iterations) —
+    the robust centroid: minimizes Σ‖x − m‖ instead of Σ‖x − m‖², so a
+    contaminated slice of the corpus cannot drag it the way it drags the
+    mean (the anchor for embedding_outliers-style screens when the mean
+    itself is polluted). Deterministic: starts from the coordinate mean,
+    runs a fixed ``iters`` schedule. Output: one row, ``dim0..dim{d-1}``.
+
+    Scale shape: every iteration is ONE narrow pass of dim-bounded
+    partials — each block emits (Σ x/dᵢ, Σ 1/dᵢ) against the broadcast
+    current estimate (dᵢ clamped at ``eps``; exact-hit rows contribute
+    like Weiszfeld's smoothed variant). Nothing but d-vectors reaches
+    the driver. Rows-only contract; numpy parity is pytest-gated.
+    """
+    def mean_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64()))})
+        x = _stack_embeddings(t[emb_col])
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+        })
+
+    mp = ds.select_columns([emb_col]).map_batches(
+        mean_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    n = int(mp["n"].sum()) if len(mp) else 0
+    if n == 0:
+        raise ValueError("geometric_median needs >= 1 row")
+    m = np.sum(np.stack(mp["s"].to_numpy()), axis=0) / n
+
+    for _ in range(iters):
+        cur = m
+
+        def partial(t: pa.Table, c=cur) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "ws": pa.array([], pa.list_(pa.float64())),
+                    "w": pa.array([], pa.float64()),
+                })
+            x = _stack_embeddings(t[emb_col])
+            d = np.linalg.norm(x - c, axis=1)
+            d = np.maximum(d, eps)
+            inv = 1.0 / d
+            return pa.table({
+                "ws": pa.array([(x * inv[:, None]).sum(axis=0).tolist()],
+                               pa.list_(pa.float64())),
+                "w": pa.array([float(inv.sum())]),
+            })
+
+        parts = ds.select_columns([emb_col]).map_batches(
+            partial, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        ws = np.sum(np.stack(parts["ws"].to_numpy()), axis=0)
+        w = float(parts["w"].sum())
+        m = ws / w
+
+    out = {f"dim{i}": pa.array([round(float(v), round_digits)])
+           for i, v in enumerate(m)}
+    return ray.data.from_arrow(pa.table(out))

@@ -1766,3 +1766,53 @@ def test_spearman_monotone_and_ties(ray_session):
     rx, ry = midrank(xs), midrank(ys)
     want = np.corrcoef(rx, ry)[0, 1]
     assert abs(got - want) < 1e-9
+
+
+def test_trimmed_mean_known_and_robust(ray_session):
+    from featherstore_ray.stages.aggregate import trimmed_mean
+
+    v = list(range(1, 11))          # 1..10, alpha=0.1 trims 1 each end
+    t = pa.table({
+        "g": pa.array(["a"] * 10 + ["tiny"]),
+        "v": pa.array([float(x) for x in v] + [7.0]),
+    })
+    out = trimmed_mean(
+        ray.data.from_arrow(t).repartition(2), "g", "v", alpha=0.1,
+        num_buckets=2,
+    ).to_pandas().set_index("g")
+    assert out.loc["a", "trimmed_mean"] == np.mean(v[1:-1])
+    assert out.loc["a", "n"] == 10
+    assert out.loc["tiny", "trimmed_mean"] == 7.0  # floor(0.1*1)=0: no trim
+    # robustness: one huge outlier barely moves the 10% trim
+    v2 = np.concatenate([np.ones(99), [1e9]])
+    t2 = pa.table({"g": pa.array(["r"] * 100), "v": pa.array(v2)})
+    got = trimmed_mean(ray.data.from_arrow(t2), "g", "v",
+                       alpha=0.1).to_pandas()["trimmed_mean"].iloc[0]
+    assert got == 1.0
+
+
+def test_geometric_median_matches_weiszfeld_and_resists_outlier(ray_session):
+    from featherstore_ray.stages.ann import geometric_median
+
+    rng = np.random.default_rng(81)
+    n, d = 200, 4
+    emb = rng.normal(size=(n, d))
+    emb[0] = [1000.0, 0, 0, 0]  # gross outlier
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in emb]),
+    })
+    out = geometric_median(
+        ray.data.from_arrow(t).repartition(3), iters=5, round_digits=9,
+    ).to_pandas().iloc[0].to_numpy()
+
+    x = emb.astype(np.float32).astype(np.float64)
+    m = x.mean(axis=0)
+    for _ in range(5):
+        dist = np.maximum(np.linalg.norm(x - m, axis=1), 1e-9)
+        inv = 1.0 / dist
+        m = (x * inv[:, None]).sum(axis=0) / inv.sum()
+    np.testing.assert_allclose(out, m, atol=1e-6)
+    # robust: median stays near origin despite the outlier-dragged mean
+    assert np.linalg.norm(out) < 1.0
+    assert np.linalg.norm(x.mean(axis=0)) > 3.0
