@@ -3687,6 +3687,19 @@ def q_geometric_median(sf_dir: str):
     return geometric_median(_read(sf_dir, "embeddings"), iters=5)
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup join: Broder max containment
+    |A∩B|/min(|A|,|B|) over word trigram shingles — catches short docs
+    embedded in long ones that symmetric Jaccard dilutes; same inverted
+    shingle index plan as jaccard_pairs."""
+    from featherstore_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id", k=3, threshold=0.6, metric="containment",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3899,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": q_streaming_dedup,
         "trimmed_mean": q_trimmed_mean,
         "geometric_median": q_geometric_median,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -4277,6 +4291,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.a = sa.doc_id
             JOIN sz sb ON inter.b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.4
+        """,
+        "containment_pairs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT inter.a, inter.b,
+                   round(i / least(sa.n, sb.n), 6) AS containment
+            FROM inter
+            JOIN sz sa ON inter.a = sa.doc_id
+            JOIN sz sb ON inter.b = sb.doc_id
+            WHERE round(i / least(sa.n, sb.n), 6) >= 0.6
         """,
         "transitions": """
             SELECT prev_type, next_type, count(*) AS n FROM (

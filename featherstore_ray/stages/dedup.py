@@ -749,6 +749,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     round_digits: int = 6,
     num_buckets: int = 64,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """EXACT all-pairs word-k-gram Jaccard similarity join (no MinHash,
     no candidates): ``(a, b, jaccard)`` for every unordered doc pair with
@@ -767,7 +768,16 @@ def jaccard_pairs(
     shingles cap the posting length upstream (stopword-shingle removal)
     or use the MinHash route (``minhash_band_pairs``), which this op
     oracles.
+
+    ``metric="containment"`` switches the score to Broder's MAX
+    containment ``|A∩B| / min(|A|, |B|)`` — the asymmetric near-dup
+    signal that catches a short document embedded inside a long one
+    (quotes, partial copies), which symmetric Jaccard dilutes toward 0.
+    Same physical plan; only the finalize denominator changes. The
+    output column is named after the metric.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     kk = int(k)
 
     def shingles(t: pa.Table) -> pa.Table:
@@ -858,23 +868,25 @@ def jaccard_pairs(
             return pa.table(
                 {"a": pa.array([], pa.int64()),
                  "b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 metric: pa.array([], pa.float64())}
             )
         df = t.select(["a", "b", "sa", "sb", "n"]).to_pandas()
         g = df.groupby(["a", "b"], sort=False).agg(
             sa=("sa", "first"), sb=("sb", "first"), n=("n", "sum")
         ).reset_index()
-        j = np.round(
-            g["n"].to_numpy()
-            / (g["sa"].to_numpy() + g["sb"].to_numpy() - g["n"].to_numpy()),
-            round_digits,
-        )
+        inter = g["n"].to_numpy()
+        sa, sb = g["sa"].to_numpy(), g["sb"].to_numpy()
+        if metric == "jaccard":
+            denom = sa + sb - inter
+        else:
+            denom = np.minimum(sa, sb)
+        j = np.round(inter / denom, round_digits)
         keep = j >= threshold
         return pa.table(
             {
                 "a": pa.array(g["a"].to_numpy()[keep].astype(np.int64)),
                 "b": pa.array(g["b"].to_numpy()[keep].astype(np.int64)),
-                "jaccard": pa.array(j[keep]),
+                metric: pa.array(j[keep]),
             }
         )
 

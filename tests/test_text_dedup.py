@@ -629,3 +629,25 @@ def test_lm_score_kneser_ney(ray_session):
         for i in range(len(bs) - 1)
     ])
     assert abs(one["nll"].iloc[0] - round(ref, 6)) < 2e-6
+
+
+def test_containment_catches_embedded_doc(ray_session):
+    """A short doc fully contained in a long one: containment = 1.0 while
+    Jaccard is diluted below any useful threshold."""
+    from featherstore_ray.stages.dedup import jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(60))
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([short, long_]),
+    })
+    cont = jaccard_pairs(
+        ray.data.from_arrow(t), id_col="doc_id", k=3, threshold=0.9,
+        metric="containment",
+    ).to_pandas()
+    assert len(cont) == 1 and cont["containment"].iloc[0] == 1.0
+    jac = jaccard_pairs(
+        ray.data.from_arrow(t), id_col="doc_id", k=3, threshold=0.3,
+    ).to_pandas()
+    assert len(jac) == 0  # symmetric metric misses the embedding
