@@ -3700,6 +3700,28 @@ def q_containment_pairs(sf_dir: str):
     )
 
 
+_LASTN = 3
+
+
+def q_asof_lastn(sf_dir: str):
+    """Last-3 point-in-time gather: each purchase gets the values of its
+    user's 3 most recent clicks at-or-before it (ts DESC, event_id DESC
+    order, NULL-padded) — one entity exchange, single composite
+    searchsorted + vectorized N-walk, zero leakage."""
+    from featherstore_ray.stages.asof import asof_lastn
+
+    ev = ["event_id", "user_id", "ts", "event_type", "value"]
+    spine = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'purchase'")
+    feats = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'click'")
+    return asof_lastn(
+        spine, feats, entity_col="user_id", spine_ts="ts",
+        feature_ts="ts", value_col="value", n=_LASTN,
+        tiebreak="event_id", spine_cols=["event_id", "user_id", "ts"],
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3913,6 +3935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": q_trimmed_mean,
         "geometric_median": q_geometric_median,
         "containment_pairs": q_containment_pairs,
+        "asof_lastn": q_asof_lastn,
     }
 
 
@@ -3946,6 +3969,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "asof_lastn": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   a.v1, b.v2, c.v3
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+            LEFT JOIN LATERAL (
+                SELECT value AS v1 FROM events f
+                WHERE f.event_type = 'click' AND f.user_id = s.user_id
+                  AND f.ts <= s.ts
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 0
+            ) a ON true
+            LEFT JOIN LATERAL (
+                SELECT value AS v2 FROM events f
+                WHERE f.event_type = 'click' AND f.user_id = s.user_id
+                  AND f.ts <= s.ts
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 1
+            ) b ON true
+            LEFT JOIN LATERAL (
+                SELECT value AS v3 FROM events f
+                WHERE f.event_type = 'click' AND f.user_id = s.user_id
+                  AND f.ts <= s.ts
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 2
+            ) c ON true
         """,
         "asof_tolerance": """
             SELECT s.event_id, s.user_id, s.ts,

@@ -505,3 +505,128 @@ def linear_attribution(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=64, batch_format="pyarrow"
     )
+
+
+def asof_lastn(
+    spine: ray.data.Dataset,
+    features: ray.data.Dataset,
+    *,
+    entity_col: str,
+    spine_ts: str,
+    feature_ts: str,
+    value_col: str,
+    n: int = 3,
+    tiebreak: str | None = None,
+    spine_cols: Sequence[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Last-N point-in-time gather — the as-of join widened from "the
+    latest prior feature row" to "the latest N": every spine row gets
+    columns ``v1..vN`` holding the value of the 1st..Nth most recent
+    feature row with ``feature_ts <= spine_ts`` for its entity (ordered
+    ``ts DESC, tiebreak DESC`` — the engine's as-of tie convention),
+    NULL-padded when fewer exist. The standard "last 3 purchases"
+    feature block, with the same zero-leakage guarantee as
+    :func:`asof_join`.
+
+    One tagged-union entity exchange; the kernel finds each spine row's
+    last qualifying feature with a single entity-offset composite
+    ``searchsorted`` (equal-ts peers included by the right-side probe)
+    and gathers the N-walk backward fully vectorized — no LATERAL-style
+    per-row scan.
+    """
+    spine_cols = list(spine_cols) if spine_cols else [
+        c for c in spine.schema().names]
+    s_schema = pa.schema(spine.schema().base_schema)
+    f_order = [feature_ts] + ([tiebreak] if tiebreak else [])
+    side = _SIDE_COL
+
+    def tag_spine(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in spine_cols}
+        if entity_col not in cols:
+            cols[entity_col] = t[entity_col]
+        cols["_al_ts"] = t[spine_ts]
+        cols["_al_val"] = pa.nulls(t.num_rows, pa.float64())
+        cols["_al_tb"] = pa.nulls(t.num_rows, pa.int64())
+        cols[side] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_feat(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, s_schema.field(c).type)
+                for c in spine_cols}
+        cols[entity_col] = t[entity_col]
+        cols["_al_ts"] = t[feature_ts]
+        cols["_al_val"] = t[value_col].cast(pa.float64())
+        cols["_al_tb"] = (
+            t[tiebreak].cast(pa.int64()) if tiebreak
+            else pa.nulls(t.num_rows, pa.int64())
+        )
+        cols[side] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = spine.map_batches(
+        tag_spine, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(features.map_batches(
+        tag_feat, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    tagged = add_bucket_column(tagged, entity_col, num_buckets)
+
+    out_schema = pa.schema(
+        [s_schema.field(c) for c in spine_cols]
+        + [pa.field(f"v{i}", pa.float64()) for i in range(1, n + 1)]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_s = pc.equal(t[side], pa.scalar(1, pa.int8()))
+        st = t.filter(is_s)
+        ft = t.filter(pc.invert(is_s))
+        if st.num_rows == 0:
+            return out_schema.empty_table()
+
+        def ts_key(tab) -> np.ndarray:
+            return tab["_al_ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+
+        s_ent = st[entity_col].to_numpy(zero_copy_only=False)
+        cols = {c: st[c] for c in spine_cols}
+        if ft.num_rows == 0:
+            for i in range(1, n + 1):
+                cols[f"v{i}"] = pa.nulls(st.num_rows, pa.float64())
+            return pa.table(cols).cast(out_schema)
+        f_ent = ft[entity_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(np.concatenate([s_ent, f_ent]),
+                             return_inverse=True)
+        sc, fc = codes[: len(s_ent)], codes[len(s_ent):]
+        s_ts, f_ts = ts_key(st), ts_key(ft)
+        f_tb = ft["_al_tb"].to_numpy(zero_copy_only=False)
+        f_tb = np.where(np.isnan(f_tb.astype(np.float64)), 0, f_tb
+                        ).astype(np.int64) if f_tb.dtype.kind == "f" \
+            else f_tb.astype(np.int64)
+        t0 = min(int(f_ts.min()), int(s_ts.min()))
+        span = max(int(f_ts.max()), int(s_ts.max())) - t0 + 2
+        if (int(codes.max()) + 1) * span > np.iinfo(np.int64).max:
+            raise ValueError("asof_lastn: entity-offset key overflow")
+        order = np.lexsort((f_tb, f_ts, fc))
+        fk = (fc * span + (f_ts - t0))[order]
+        fv = ft["_al_val"].to_numpy(zero_copy_only=False)[order]
+        base = sc * span
+        last = np.searchsorted(fk, base + (s_ts - t0), side="right") - 1
+        seg = np.searchsorted(fk, base, side="left")
+        for i in range(1, n + 1):
+            j = last - (i - 1)
+            ok = j >= seg
+            vals = np.where(ok, fv[np.maximum(j, 0)], np.nan)
+            # missing i-th row -> true Arrow null (not NaN), matching the
+            # SQL LATERAL's absent-row NULL
+            cols[f"v{i}"] = pc.if_else(
+                pa.array(ok), pa.array(vals, pa.float64()),
+                pa.nulls(len(ok), pa.float64()))
+        return pa.table(cols).cast(out_schema)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )

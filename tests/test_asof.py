@@ -383,3 +383,62 @@ def test_linear_attribution_matches_duckdb(ray_session):
     # per-purchase weights sum to 1
     s = out.groupby("purchase_id")["weight"].sum()
     assert (np.abs(s - 1.0) < 1e-4).all()
+
+
+def test_asof_lastn_matches_lateral_oracle(ray_session):
+    """Randomized spine/features vs the LIMIT/OFFSET LATERAL mirror:
+    v1..v3 in (ts DESC, tiebreak DESC) order, NULL-padded, zero leakage."""
+    import duckdb
+
+    from featherstore_ray.stages.asof import asof_lastn
+
+    rng = np.random.default_rng(91)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 10**10, n)
+                       .astype("timedelta64[us]")),
+        "event_type": pa.array(rng.choice(["purchase", "click"], n)),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 3)),
+    })
+    spine = ray.data.from_arrow(ev).filter(expr="event_type == 'purchase'")
+    feats = ray.data.from_arrow(ev).filter(expr="event_type == 'click'")
+    out = asof_lastn(
+        spine, feats, entity_col="user_id", spine_ts="ts",
+        feature_ts="ts", value_col="value", n=3, tiebreak="event_id",
+        spine_cols=["event_id", "user_id", "ts"], num_buckets=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.execute(
+        """
+        SELECT s.event_id, a.v1, b.v2, c.v3
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+        LEFT JOIN LATERAL (
+            SELECT value AS v1 FROM events f
+            WHERE f.event_type = 'click' AND f.user_id = s.user_id
+              AND f.ts <= s.ts
+            ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 0) a ON true
+        LEFT JOIN LATERAL (
+            SELECT value AS v2 FROM events f
+            WHERE f.event_type = 'click' AND f.user_id = s.user_id
+              AND f.ts <= s.ts
+            ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 1) b ON true
+        LEFT JOIN LATERAL (
+            SELECT value AS v3 FROM events f
+            WHERE f.event_type = 'click' AND f.user_id = s.user_id
+              AND f.ts <= s.ts
+            ORDER BY f.ts DESC, f.event_id DESC LIMIT 1 OFFSET 2) c ON true
+        ORDER BY s.event_id
+        """
+    ).df()
+    o = out.sort_values("event_id").reset_index(drop=True)
+    assert len(o) == len(exp) and len(o) > 0
+    for c in ("v1", "v2", "v3"):
+        a, b = o[c], exp[c]
+        assert (a.isna() == b.isna()).all(), c
+        np.testing.assert_allclose(a.dropna(), b.dropna(), atol=1e-9)
+    # v-columns are monotone in information: v2 null implies v3 null
+    assert not (o["v2"].isna() & o["v3"].notna()).any()
