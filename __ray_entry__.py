@@ -3722,6 +3722,31 @@ def q_asof_lastn(sf_dir: str):
     )
 
 
+def q_rolling_slope(sf_dir: str):
+    """Trailing 24h OLS trend of value per entity, per row — the
+    momentum feature: RANGE-frame window sums via prefix-cumsum
+    differences, group_linear_fit's closed form evaluated per row."""
+    import numpy as np
+
+    from featherstore_ray.stages.window import rolling_slope
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64).astype(np.float64)
+        x = us / 1000000.0 / 86400.0 - _FIT_REF_DAYS
+        x[np.asarray(pc.is_null(t["ts"]))] = np.nan
+        return t.append_column("x_days", pa.array(x, pa.float64()))
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"]).map_batches(
+        derive, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_slope(
+        ds, entity_col="user_id", ts_col="ts", x_col="x_days",
+        y_col="value", window=timedelta(hours=_ROLL_HOURS),
+        tiebreak="event_id", min_span=timedelta(hours=1),
+    ).select_columns(["event_id", "rslope"])
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3936,6 +3961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geometric_median": q_geometric_median,
         "containment_pairs": q_containment_pairs,
         "asof_lastn": q_asof_lastn,
+        "rolling_slope": q_rolling_slope,
     }
 
 
@@ -3969,6 +3995,35 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "rolling_slope": f"""
+            WITH b AS (
+                SELECT event_id, user_id, ts,
+                       epoch_us(ts)::DOUBLE / 1000000.0 / 86400.0
+                           - {_FIT_REF_DAYS!r} AS x,
+                       value AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            s AS (
+                SELECT event_id,
+                       count(*) OVER w AS n, sum(x) OVER w AS sx,
+                       sum(y) OVER w AS sy, sum(x * x) OVER w AS sxx,
+                       sum(x * y) OVER w AS sxy,
+                       max(epoch_us(ts)) OVER w
+                         - min(epoch_us(ts)) OVER w AS span_us
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL {_ROLL_HOURS} HOURS
+                             PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id,
+                   round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                              AND span_us >= 3600000000
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         END, 6) AS rslope
+            FROM s
         """,
         "asof_lastn": """
             SELECT s.event_id, s.user_id, s.ts,

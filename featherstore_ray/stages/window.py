@@ -1203,3 +1203,93 @@ def cusum(
         })
 
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def rolling_slope(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window,
+    tiebreak: str | None = None,
+    out_col: str = "rslope",
+    round_digits: int | None = 6,
+    min_span=None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Trailing-window OLS slope per row — the momentum/trend feature:
+    for every row, the regression slope of ``y_col`` on ``x_col`` over
+    the entity's rows in ``[t − w, t]`` (closed both ends, equal-ts
+    peers pooled — the engine's RANGE-frame convention). NULL when the
+    window holds < 2 points, has zero x-variance, or spans less than
+    ``min_span`` of time. ``x_col`` is the caller's abscissa (epoch-days
+    in the contract query) so the slope's units are explicit.
+
+    ``min_span`` matters for cross-engine determinism: a 2-point window
+    microseconds apart puts ``n·Σx² − (Σx)²`` within float cancellation
+    noise of zero, where this kernel's prefix-difference sums and SQL's
+    per-window sums can disagree on the sign. The span guard is INTEGER
+    microsecond arithmetic — bit-identical on both sides — and with a
+    span ≥ minutes the denominator sits orders of magnitude above the
+    noise. The contract query uses 1 hour.
+
+    One entity exchange; the kernel is one lexsort + entity-offset
+    composite searchsorted for the window bounds + prefix-cumsum
+    differences for all five sums — the same closed form as
+    group_linear_fit, evaluated per row with no row loop.
+    """
+    w_us = _window_us(window)
+    min_span_us = _window_us(min_span) if min_span is not None else 0
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        order_cols = [entity_col, ts_col] + ([tiebreak] if tiebreak else [])
+        # rows with a null entity/ts/x/y are out of contract entirely
+        # (dropped from the OUTPUT too) — mirrored by the oracle's WHERE,
+        # which keeps the window population and the row set identical
+        d = df.dropna(subset=[entity_col, ts_col, x_col, y_col]).sort_values(
+            order_cols, kind="stable").reset_index(drop=True)
+        if d.empty:
+            out = d.copy()
+            out[out_col] = pd.Series([], dtype=np.float64)
+            return out
+        ent = d[entity_col].to_numpy()
+        ts = d[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = d[x_col].to_numpy(dtype=np.float64)
+        y = d[y_col].to_numpy(dtype=np.float64)
+        _, codes = np.unique(ent, return_inverse=True)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        if (int(codes.max()) + 1) * span > np.iinfo(np.int64).max:
+            raise ValueError("rolling_slope: entity-offset key overflow")
+        key = codes * span + (ts - t0)
+        pre = lambda a: np.concatenate(([0.0], np.cumsum(a)))  # noqa: E731
+        cn = pre(np.ones(len(d)))
+        cx, cy = pre(x), pre(y)
+        cxx, cxy = pre(x * x), pre(x * y)
+        # clamp the lower offset at 0: for rows within w of the bucket's
+        # first timestamp, ts - w - t0 is NEGATIVE and the probe would
+        # bleed into the PREVIOUS entity's key segment
+        lo = np.searchsorted(
+            key, codes * span + np.maximum(ts - w_us - t0, 0), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        n = cn[hi] - cn[lo]
+        sx = cx[hi] - cx[lo]
+        sy = cy[hi] - cy[lo]
+        sxx = cxx[hi] - cxx[lo]
+        sxy = cxy[hi] - cxy[lo]
+        denom = n * sxx - sx * sx
+        # integer-exact window time span (rows sorted: hi-1 = max, lo = min)
+        win_span = ts[np.maximum(hi - 1, 0)] - ts[np.minimum(lo, len(ts) - 1)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(
+                (n >= 2) & (denom > 0) & (win_span >= min_span_us),
+                (n * sxy - sx * sy) / denom, np.nan)
+        if round_digits is not None:
+            slope = np.round(slope, round_digits)
+        out = d.copy()
+        out[out_col] = slope
+        return out
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)

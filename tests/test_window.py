@@ -738,3 +738,74 @@ def test_group_mode_null_key_dropped():
     ).to_pandas()
     assert list(out["e"]) == [1]       # the null group never appears
     assert out["mode"].iloc[0] == "a"  # lexicographic tie-break
+
+
+def test_rolling_slope_known_values_and_window_cut(ray_session):
+    from datetime import timedelta
+
+    from featherstore_ray.stages.window import rolling_slope
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    # entity 1: y = 2x on an hourly grid, then a jump breaks the slope
+    ts = [base + i * h for i in range(6)]
+    x = np.arange(6) / 24.0  # days
+    y = 2.0 * x
+    t = pa.table({
+        "eid": pa.array(np.arange(6), pa.int64()),
+        "ent": pa.array([1] * 6, pa.int64()),
+        "ts": pa.array(ts),
+        "x": pa.array(x),
+        "y": pa.array(y),
+    })
+    out = rolling_slope(
+        ray.data.from_arrow(t), entity_col="ent", ts_col="ts",
+        x_col="x", y_col="y", window=timedelta(hours=2), tiebreak="eid",
+        num_buckets=2, round_digits=9,
+    ).to_pandas().sort_values("eid")
+    # first row: single point -> NULL; others: exact slope 2
+    assert np.isnan(out["rslope"].iloc[0])
+    np.testing.assert_allclose(out["rslope"].iloc[1:], 2.0, atol=1e-6)
+
+    # window cut: row at t+10h sees ONLY itself (2h window) -> NULL
+    t2 = pa.table({
+        "eid": pa.array([0, 1], pa.int64()),
+        "ent": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([base, base + 10 * h]),
+        "x": pa.array([0.0, 10 / 24.0]),
+        "y": pa.array([0.0, 5.0]),
+    })
+    out2 = rolling_slope(
+        ray.data.from_arrow(t2), entity_col="ent", ts_col="ts",
+        x_col="x", y_col="y", window=timedelta(hours=2), tiebreak="eid",
+    ).to_pandas()
+    assert out2["rslope"].isna().all()
+
+
+def test_rolling_slope_no_segment_bleed_at_entity_boundaries(ray_session):
+    """Early rows (within w of the bucket's min ts) must not probe into
+    the previous entity's composite-key segment: entity B's first-row
+    window is itself only, even when entity A has trailing rows just
+    before the key boundary (the clamp-at-zero regression)."""
+    from datetime import timedelta
+
+    from featherstore_ray.stages.window import rolling_slope
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    t = pa.table({
+        "eid": pa.array([0, 1, 2, 3], pa.int64()),
+        "ent": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + 20 * h, base + 1 * h, base + 3 * h]),
+        "x": pa.array([0.0, 20 / 24.0, 1 / 24.0, 3 / 24.0]),
+        "y": pa.array([100.0, -100.0, 1.0, 5.0]),
+    })
+    out = rolling_slope(
+        ray.data.from_arrow(t), entity_col="ent", ts_col="ts",
+        x_col="x", y_col="y", window=timedelta(hours=24), tiebreak="eid",
+        num_buckets=1, round_digits=6,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # entity 2's second row sees ONLY entity-2 rows: slope = 4 / (2/24)
+    assert abs(out.loc[3, "rslope"] - 48.0) < 1e-6
+    # entity 2's first row: single point -> NULL (not polluted by ent 1)
+    assert np.isnan(out.loc[2, "rslope"])
