@@ -3747,6 +3747,28 @@ def q_rolling_slope(sf_dir: str):
     ).select_columns(["event_id", "rslope"])
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-source token-weighted median document length — the weighted
+    location statistic plain quantiles get wrong; integer weights keep
+    the half-total comparison float-exact across engines."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import weighted_median
+
+    def derive(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({
+            "source": t["source"],
+            "n_chars": t["n_chars"],
+            "n_tok": pc.cast(n_tok, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents",
+               columns=["source", "n_chars", "text"]).map_batches(
+        derive, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_median(ds, "source", "n_chars", "n_tok")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3962,6 +3984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "asof_lastn": q_asof_lastn,
         "rolling_slope": q_rolling_slope,
+        "weighted_median": q_weighted_median,
     }
 
 
@@ -3995,6 +4018,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "weighted_median": """
+            WITH b AS (
+                SELECT source, n_chars::DOUBLE AS v,
+                       len(string_split(text, ' '))::DOUBLE AS w
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                  AND len(string_split(text, ' ')) > 0
+            ),
+            s AS (
+                SELECT source, v,
+                       sum(w) OVER (PARTITION BY source ORDER BY v
+                                    RANGE UNBOUNDED PRECEDING) AS cw,
+                       sum(w) OVER (PARTITION BY source) AS tw
+                FROM b
+            )
+            SELECT source, min(v) AS w_median
+            FROM s WHERE cw >= tw / 2 GROUP BY source
         """,
         "rolling_slope": f"""
             WITH b AS (

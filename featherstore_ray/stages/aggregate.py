@@ -2904,3 +2904,86 @@ def trimmed_mean(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def weighted_median(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group weighted (lower) median: the smallest value whose
+    tie-pooled cumulative weight reaches half the group's total — the
+    location statistic for sampling-weighted / importance-weighted data
+    that plain quantiles get wrong. No interpolation (the LOWER weighted
+    median), so the result is always an observed value and the oracle is
+    an exact ``min(v) WHERE cum_w >= total/2`` mirror. Rows with a NULL
+    group/value or a NULL/non-positive weight drop on both sides.
+    Integer-valued weights keep every cumulative exactly representable,
+    so the half-total comparison cannot float-flip across engines.
+
+    One group exchange; lexsort + run-length pooled cumsum kernel.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, value_col, weight_col])
+        d = d[d[weight_col] > 0]
+        return pd.DataFrame({
+            group_col: d[group_col],
+            "_v": d[value_col].astype(np.float64),
+            "_w": d[weight_col].astype(np.float64),
+        })
+
+    slim = ds.select_columns([group_col, value_col, weight_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "w_median": pd.Series([], dtype=np.float64),
+            })
+        codes, uniques = pd.factorize(df[group_col], sort=True)
+        v = df["_v"].to_numpy()
+        w = df["_w"].to_numpy()
+        order = np.lexsort((v, codes))
+        codes, v, w = codes[order], v[order], w[order]
+        n = len(codes)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = codes[1:] != codes[:-1]
+        gstarts = np.flatnonzero(new_g)
+        gsizes = np.diff(np.append(gstarts, n))
+        cw = np.cumsum(w)
+        base = np.repeat((cw - w)[gstarts], gsizes)
+        cw = cw - base  # within-group running weight
+        total = np.repeat(cw[np.append(gstarts[1:], n) - 1], gsizes)
+        # pool ties: each row's cum weight becomes its tie-run's LAST
+        last_of_run = np.empty(n, dtype=bool)
+        last_of_run[-1] = True
+        last_of_run[:-1] = (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])
+        run_id = np.cumsum(np.concatenate(
+            ([True], last_of_run[:-1]))) - 1
+        pooled = cw[np.flatnonzero(last_of_run)][run_id]
+        hit = pooled >= total / 2.0
+        # first hit row per group = the weighted median's value
+        first_hit = hit & (np.cumsum(hit)
+                           - np.repeat(np.cumsum(hit)[gstarts] - hit[gstarts],
+                                       gsizes) == 1)
+        return pd.DataFrame({
+            group_col: uniques[codes[first_hit]],
+            "w_median": v[first_hit],
+        })
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1816,3 +1816,29 @@ def test_geometric_median_matches_weiszfeld_and_resists_outlier(ray_session):
     # robust: median stays near origin despite the outlier-dragged mean
     assert np.linalg.norm(out) < 1.0
     assert np.linalg.norm(x.mean(axis=0)) > 3.0
+
+
+def test_weighted_median_known_values(ray_session):
+    from featherstore_ray.stages.aggregate import weighted_median
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 3 + ["skip"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 5.0]),
+        "w": pa.array([1.0, 1.0, 5.0, 1.0, 2.0, 1.0, 1.0, None]),
+    })
+    out = weighted_median(
+        ray.data.from_arrow(t).repartition(3), "g", "v", "w",
+        num_buckets=2,
+    ).to_pandas().set_index("g")
+    # a: total 8, half 4 -> cum 1,2,7,8 -> first >= 4 is v=3
+    assert out.loc["a", "w_median"] == 3.0
+    # b: total 4, half 2 -> cum 2,3,4 -> v=10 (cum 2 >= 2, closed)
+    assert out.loc["b", "w_median"] == 10.0
+    assert "skip" not in out.index  # null-weight-only group drops
+
+    # tie pooling: all weight at one value
+    t2 = pa.table({"g": ["t"] * 3, "v": [5.0, 5.0, 9.0],
+                   "w": [1.0, 1.0, 1.0]})
+    got = weighted_median(ray.data.from_arrow(t2), "g", "v",
+                          "w").to_pandas()["w_median"].iloc[0]
+    assert got == 5.0
