@@ -3769,6 +3769,21 @@ def q_weighted_median(sf_dir: str):
     return weighted_median(ds, "source", "n_chars", "n_tok")
 
 
+_GSAMPLE_K = 20
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic 20-docs-per-source review sample: smallest
+    multiplicative key hashes win per group — reproducible across
+    engines/runs/partitionings."""
+    from featherstore_ray.stages.misc import group_sample
+
+    return group_sample(
+        _read(sf_dir, "documents", columns=["source", "doc_id"]),
+        "source", "doc_id", _GSAMPLE_K,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -3985,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_lastn": q_asof_lastn,
         "rolling_slope": q_rolling_slope,
         "weighted_median": q_weighted_median,
+        "group_sample": q_group_sample,
     }
 
 
@@ -4018,6 +4034,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "group_sample": f"""
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY (CAST(doc_id AS HUGEINT) % 4294967296)
+                             * 2654435761 % 4294967296, doc_id) AS rn
+                FROM documents
+                WHERE source IS NOT NULL AND doc_id IS NOT NULL
+            ) WHERE rn <= {_GSAMPLE_K}
         """,
         "weighted_median": """
             WITH b AS (

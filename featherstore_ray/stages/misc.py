@@ -1462,3 +1462,52 @@ def zorder_layout(
     return proj.map_batches(
         assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def group_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    k: int,
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic k-per-group sample: within every group keep the k
+    rows with the smallest multiplicative hash of ``key_col`` (ties by
+    key ascending) — the "review 100 docs per source" draw, reproducible
+    across engines/runs/partitionings like ``hash_split``/
+    ``weighted_sample`` (same SQL-expressible hash family). Null
+    group/key rows drop.
+
+    One hash(group) exchange of the projected rows; per-bucket sort +
+    head. The hash is uniform, so this is a uniform without-replacement
+    sample per group.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (keys % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) \
+            % np.uint64(1 << 32)
+        return t.append_column("_gs_h", pa.array(h.astype(np.int64)))
+
+    slim = ds.select_columns([group_col, key_col]).map_batches(
+        pre, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        out = (
+            df.sort_values([group_col, "_gs_h", key_col], kind="stable")
+            .groupby(group_col, sort=False).head(k)
+        )
+        return out.drop(columns=["_gs_h"]).reset_index(drop=True)
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1842,3 +1842,24 @@ def test_weighted_median_known_values(ray_session):
     got = weighted_median(ray.data.from_arrow(t2), "g", "v",
                           "w").to_pandas()["w_median"].iloc[0]
     assert got == 5.0
+
+
+def test_group_sample_deterministic_and_uniform(ray_session):
+    from featherstore_ray.stages.misc import group_sample
+
+    rng = np.random.default_rng(99)
+    n = 6000
+    t = pa.table({
+        "src": pa.array(rng.choice(["a", "b", "c"], n)),
+        "kid": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    a = group_sample(ray.data.from_arrow(t).repartition(4),
+                     "src", "kid", 50, num_buckets=4).to_pandas()
+    b = group_sample(ray.data.from_arrow(t).repartition(9),
+                     "src", "kid", 50, num_buckets=8).to_pandas()
+    ka = a.sort_values(["src", "kid"]).reset_index(drop=True)
+    kb = b.sort_values(["src", "kid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ka, kb)  # partitioning-invariant
+    assert (a.groupby("src").size() == 50).all()
+    # roughly uniform over the key range (hash draw, not prefix)
+    assert a["kid"].mean() > n * 0.25 and a["kid"].mean() < n * 0.75
