@@ -3784,6 +3784,18 @@ def q_group_sample(sf_dir: str):
     )
 
 
+def q_auc(sf_dir: str):
+    """Per-user ROC AUC of value separating purchase from click — the
+    rank-based model-eval statistic (tie-averaged mid-ranks; exact
+    float64, the Mann-Whitney U normalized)."""
+    from featherstore_ray.stages.aggregate import auc
+
+    return auc(
+        _read(sf_dir, "events", columns=["user_id", "value", "event_type"]),
+        "user_id", "value", "event_type", "purchase", "click",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4001,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_slope": q_rolling_slope,
         "weighted_median": q_weighted_median,
         "group_sample": q_group_sample,
+        "auc": q_auc,
     }
 
 
@@ -4034,6 +4047,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "auc": """
+            WITH s AS (
+                SELECT user_id AS g, value AS v,
+                       (event_type = 'purchase')::INT AS ip
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT g, ip,
+                       rank() OVER (PARTITION BY g ORDER BY v)
+                         + (count(*) OVER (PARTITION BY g, v) - 1) / 2.0
+                         AS mr
+                FROM s
+            ),
+            a AS (
+                SELECT g, sum(ip)::DOUBLE AS np, sum(1 - ip)::DOUBLE AS nn,
+                       sum(CASE WHEN ip = 1 THEN mr ELSE 0 END) AS rp
+                FROM r GROUP BY g
+            )
+            SELECT g AS user_id, CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg,
+                   round((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc
+            FROM a WHERE np > 0 AND nn > 0
         """,
         "group_sample": f"""
             SELECT source, doc_id FROM (

@@ -2987,3 +2987,82 @@ def weighted_median(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def auc(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    positive_label,
+    negative_label,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group ROC AUC of a score separating two labels — the
+    rank-based model-evaluation statistic (equals the probability a
+    random positive outscores a random negative, ties at half credit):
+    ``AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)`` over tie-averaged mid-ranks —
+    exactly the Mann-Whitney U normalized, computed by the same
+    run-length kernel. Groups missing either label drop; NULL
+    group/score rows drop. Mid-ranks are half-integers, so every sum is
+    exact in float64 — no cross-engine tolerance needed.
+
+    One group exchange; lexsort + shared ``_midranks`` + bincount.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[label_col].isin([positive_label, negative_label])
+               & df[score_col].notna() & df[group_col].notna()]
+        return pd.DataFrame({
+            group_col: d[group_col],
+            "_v": d[score_col].astype(np.float64),
+            "_ip": (d[label_col] == positive_label).to_numpy(),
+        })
+
+    slim = ds.select_columns([group_col, score_col, label_col]).map_batches(
+        pick, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            [group_col, "_v"], kind="mergesort")
+        if df.empty:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "n_pos": pd.Series([], dtype=np.int64),
+                "n_neg": pd.Series([], dtype=np.int64),
+                "auc": pd.Series([], dtype=np.float64),
+            })
+        g = df[group_col].to_numpy()
+        v = df["_v"].to_numpy()
+        ip = df["_ip"].to_numpy()
+        codes, uniques = pd.factorize(pd.Series(g), sort=False)
+        midrank = _midranks(codes, v)
+        k = codes.max() + 1
+        n_pos = np.bincount(codes, weights=ip.astype(np.float64),
+                            minlength=k)
+        n_tot = np.bincount(codes, minlength=k).astype(np.float64)
+        n_neg = n_tot - n_pos
+        r_pos = np.bincount(codes, weights=np.where(ip, midrank, 0.0),
+                            minlength=k)
+        ok = (n_pos > 0) & (n_neg > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            a = (r_pos - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+        out = pd.DataFrame({
+            group_col: uniques[np.flatnonzero(ok)],
+            "n_pos": n_pos[ok].astype(np.int64),
+            "n_neg": n_neg[ok].astype(np.int64),
+            "auc": np.round(a[ok], round_digits),
+        })
+        return out.sort_values(group_col).reset_index(drop=True)
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1863,3 +1863,39 @@ def test_group_sample_deterministic_and_uniform(ray_session):
     assert (a.groupby("src").size() == 50).all()
     # roughly uniform over the key range (hash draw, not prefix)
     assert a["kid"].mean() > n * 0.25 and a["kid"].mean() < n * 0.75
+
+
+def test_auc_matches_pairwise_definition(ray_session):
+    from featherstore_ray.stages.aggregate import auc
+
+    rng = np.random.default_rng(101)
+    rows_g, rows_v, rows_l = [], [], []
+    for g, sep in (("good", 2.0), ("rand", 0.0)):
+        pos = rng.normal(sep, 1, 80)
+        neg = rng.normal(0, 1, 120)
+        rows_g += [g] * 200
+        rows_v += list(pos) + list(neg)
+        rows_l += ["p"] * 80 + ["n"] * 120
+    # a tie-heavy group: integer scores
+    rows_g += ["ties"] * 8
+    rows_v += [1.0, 1.0, 2.0, 2.0, 1.0, 2.0, 3.0, 0.0]
+    rows_l += ["p", "p", "p", "n", "n", "n", "p", "n"]
+    t = pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v),
+                  "lab": pa.array(rows_l)})
+    out = auc(
+        ray.data.from_arrow(t).repartition(4), "g", "v", "lab", "p", "n",
+        num_buckets=4,
+    ).to_pandas().set_index("g")
+
+    def auc_ref(pos, neg):
+        wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        return wins / (len(pos) * len(neg))
+
+    for g in ("good", "rand", "ties"):
+        pos = [v for gg, v, l in zip(rows_g, rows_v, rows_l)
+               if gg == g and l == "p"]
+        neg = [v for gg, v, l in zip(rows_g, rows_v, rows_l)
+               if gg == g and l == "n"]
+        assert abs(out.loc[g, "auc"] - auc_ref(pos, neg)) < 1e-6, g
+    assert out.loc["good", "auc"] > 0.85
+    assert 0.35 < out.loc["rand", "auc"] < 0.65
