@@ -3796,6 +3796,29 @@ def q_auc(sf_dir: str):
     )
 
 
+def q_calibration(sf_dir: str):
+    """Reliability bins + Brier terms for a deterministic sigmoid score
+    over the embeddings (dim-0 logit, label==0 positive): bin partials
+    only, zero shuffle — auc's calibration companion."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import calibration_bins
+
+    def derive(t: pa.Table) -> pa.Table:
+        from featherstore_ray.stages.ann import _stack_embeddings
+
+        e0 = _stack_embeddings(t["embedding"])[:, 0]
+        return pa.table({
+            "score": pa.array(1.0 / (1.0 + np.exp(-e0))),
+            "label": t["label"],
+        })
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["embedding", "label"]).map_batches(
+        derive, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return calibration_bins(ds, "score", "label", 0, n_bins=10)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4014,6 +4037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "group_sample": q_group_sample,
         "auc": q_auc,
+        "calibration": q_calibration,
     }
 
 
@@ -4047,6 +4071,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "calibration": """
+            WITH b AS (
+                SELECT 1 / (1 + exp(-CAST(embedding[1] AS DOUBLE)))
+                         AS score,
+                       CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            c AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9)
+                           AS bin, score, y FROM b)
+            SELECT bin, count(*) AS n,
+                   round(sum(score) / count(*), 6) AS avg_score,
+                   round(sum(y) / count(*), 6) AS frac_pos,
+                   round(sum(pow(score - y, 2)) / count(*), 6) AS brier
+            FROM c GROUP BY bin
         """,
         "auc": """
             WITH s AS (

@@ -3066,3 +3066,55 @@ def auc(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    positive_label,
+    *,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Reliability-diagram bins + Brier decomposition inputs — auc's
+    calibration-side companion: scores in [0, 1] bucket into
+    ``floor(score·B)`` bins (clamped to B−1) and each bin reports its
+    count, mean score, positive fraction and mean squared error
+    (the Brier term). A well-calibrated scorer has ``avg_score ≈
+    frac_pos`` per bin. NULL score/label rows drop.
+
+    Zero shuffle: every block collapses to (bin, n, Σscore, Σy, Σ(s−y)²)
+    partials; the driver merges B rows.
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[score_col].notna() & df[label_col].notna()]
+        s = d[score_col].to_numpy(dtype=np.float64)
+        y = (d[label_col] == positive_label).to_numpy().astype(np.float64)
+        b = np.minimum(np.floor(s * n_bins).astype(np.int64), n_bins - 1)
+        out = pd.DataFrame({
+            "bin": b, "_n": np.int64(1), "_s": s, "_y": y,
+            "_sq": (s - y) * (s - y),
+        })
+        return out.groupby("bin", sort=False)[
+            ["_n", "_s", "_y", "_sq"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby("bin", sort=True)[["_n", "_s", "_y", "_sq"]]
+        .sum().reset_index()
+    )
+    n = m["_n"].to_numpy(dtype=np.float64)
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(m["bin"].to_numpy().astype(np.int64)),
+        "n": pa.array(m["_n"].to_numpy().astype(np.int64)),
+        "avg_score": pa.array(np.round(m["_s"].to_numpy() / n,
+                                       round_digits)),
+        "frac_pos": pa.array(np.round(m["_y"].to_numpy() / n,
+                                      round_digits)),
+        "brier": pa.array(np.round(m["_sq"].to_numpy() / n, round_digits)),
+    }))

@@ -1899,3 +1899,36 @@ def test_auc_matches_pairwise_definition(ray_session):
         assert abs(out.loc[g, "auc"] - auc_ref(pos, neg)) < 1e-6, g
     assert out.loc["good", "auc"] > 0.85
     assert 0.35 < out.loc["rand", "auc"] < 0.65
+
+
+def test_calibration_bins_perfect_and_biased(ray_session):
+    from featherstore_ray.stages.aggregate import calibration_bins
+
+    rng = np.random.default_rng(111)
+    n = 20000
+    s = rng.uniform(0, 1, n)
+    y = (rng.uniform(0, 1, n) < s)  # perfectly calibrated labels
+    t = pa.table({
+        "score": pa.array(s),
+        "lab": pa.array(np.where(y, "pos", "neg")),
+    })
+    out = calibration_bins(
+        ray.data.from_arrow(t).repartition(4), "score", "lab", "pos",
+        n_bins=10,
+    ).to_pandas()
+    assert out["n"].sum() == n and len(out) == 10
+    # calibrated: per-bin frac_pos tracks avg_score
+    np.testing.assert_allclose(out["frac_pos"], out["avg_score"],
+                               atol=0.05)
+    # brier of a calibrated uniform scorer ~ E[s(1-s)] = 1/6
+    brier = (out["brier"] * out["n"]).sum() / n
+    assert abs(brier - 1 / 6) < 0.01
+    # biased scorer: constant 0.9 on balanced labels -> frac_pos ~ 0.5
+    t2 = pa.table({
+        "score": pa.array(np.full(1000, 0.9)),
+        "lab": pa.array(["pos", "neg"] * 500),
+    })
+    out2 = calibration_bins(ray.data.from_arrow(t2), "score", "lab",
+                            "pos").to_pandas()
+    assert len(out2) == 1 and out2["bin"].iloc[0] == 9
+    assert abs(out2["frac_pos"].iloc[0] - 0.5) < 1e-9
