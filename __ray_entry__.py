@@ -3819,6 +3819,19 @@ def q_calibration(sf_dir: str):
     return calibration_bins(ds, "score", "label", 0, n_bins=10)
 
 
+def q_regex_extract(sf_dir: str):
+    """Structured parse of customer names into (prefix, num) via RE2
+    named groups — one Arrow extract_regex kernel per batch, zero
+    shuffle; misses are true NULLs on both sides."""
+    from featherstore_ray.stages.text import regex_extract
+
+    return regex_extract(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_name", r"(?P<prefix>[A-Za-z]+)#(?P<num>[0-9]+)",
+        keep_cols=["c_custkey"],
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4038,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": q_group_sample,
         "auc": q_auc,
         "calibration": q_calibration,
+        "regex_extract": q_regex_extract,
     }
 
 
@@ -4071,6 +4085,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "regex_extract": r"""
+            SELECT c_custkey,
+                   CASE WHEN regexp_matches(c_name,
+                            '([A-Za-z]+)#([0-9]+)')
+                        THEN regexp_extract(c_name,
+                            '([A-Za-z]+)#([0-9]+)', 1) END AS prefix,
+                   CASE WHEN regexp_matches(c_name,
+                            '([A-Za-z]+)#([0-9]+)')
+                        THEN regexp_extract(c_name,
+                            '([A-Za-z]+)#([0-9]+)', 2) END AS num
+            FROM customer
         """,
         "calibration": """
             WITH b AS (

@@ -2424,3 +2424,44 @@ def feature_hashing(
         featurize, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def regex_extract(
+    ds: ray.data.Dataset,
+    text_col: str,
+    pattern: str,
+    *,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Structured field extraction — :func:`redact`'s parsing sibling:
+    pull every NAMED group of an RE2 ``pattern`` out of ``text_col`` as
+    its own string column (``(?P<name>...)`` groups), NULL for
+    non-matching rows (mirrored in SQL as ``CASE WHEN regexp_matches
+    THEN regexp_extract END`` — DuckDB's bare ``regexp_extract``
+    returns '' on a miss, which is NOT the same thing). Both engines run
+    RE2, so match semantics agree exactly.
+
+    Narrow map, zero shuffle: one Arrow ``extract_regex`` C kernel per
+    batch — never a Python row loop.
+    """
+    keep_cols = list(keep_cols) if keep_cols else []
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t[text_col], pattern)
+        cols = {c: t[c] for c in keep_cols}
+        st = ex.combine_chunks() if isinstance(ex, pa.ChunkedArray) else ex
+        for f in st.type:
+            field_vals = st.field(f.name)
+            # a non-matching row yields a null STRUCT; propagate it into
+            # each child column (struct children keep their own validity)
+            if st.null_count:
+                field_vals = pc.if_else(pc.is_valid(st), field_vals,
+                                        pa.nulls(len(st), pa.string()))
+            cols[f.name] = field_vals
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys(keep_cols + [text_col]))
+    ).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1158,3 +1158,21 @@ def test_feature_hashing_reference_and_presence_rows(ray_session):
     assert set(got) == present  # presence rows even when val == 0
     for k in present:
         assert got[k] == ref[k], k
+
+
+def test_regex_extract_named_groups_and_misses(ray_session):
+    from featherstore_ray.stages.text import regex_extract
+
+    t = pa.table({
+        "rid": pa.array([0, 1, 2, 3], pa.int64()),
+        "raw": pa.array(["order-42/EU", "order-7/US", "malformed", None]),
+    })
+    out = regex_extract(
+        ray.data.from_arrow(t), "raw",
+        r"order-(?P<oid>[0-9]+)/(?P<region>[A-Z]+)", keep_cols=["rid"],
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert out["oid"].tolist()[:2] == ["42", "7"]
+    assert out["region"].tolist()[:2] == ["EU", "US"]
+    # misses (incl. null input) are true NULLs, not empty strings
+    assert out["oid"].isna().tolist() == [False, False, True, True]
+    assert out["region"].isna().tolist() == [False, False, True, True]
