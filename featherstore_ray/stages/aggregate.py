@@ -2620,8 +2620,10 @@ def item_similarity(
         b = t["b"].to_numpy(zero_copy_only=False)
         n_int = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = n_int.astype(np.float64)
-        ca = np.array([inc_map[x] for x in a], dtype=np.float64)
-        cb = np.array([inc_map[x] for x in b], dtype=np.float64)
+        # vectorized hash lookups (a Python per-pair loop would be the
+        # hot-path row loop the house rules ban)
+        ca = pd.Series(a).map(inc_map).to_numpy(dtype=np.float64)
+        cb = pd.Series(b).map(inc_map).to_numpy(dtype=np.float64)
         cos = np.round(n / np.sqrt(ca * cb), round_digits)
         it_type = t.schema.field("a").type
         return pa.table({
