@@ -3832,6 +3832,37 @@ def q_regex_extract(sf_dir: str):
     )
 
 
+_NDCG_K = 10
+
+
+def q_ndcg(sf_dir: str):
+    """Per-user NDCG@10 of value ranking graded events (purchase=2,
+    click=1, view=0) — the graded retrieval-eval metric; deterministic
+    score→rank map via the event_id tiebreak."""
+    from featherstore_ray.stages.aggregate import ndcg
+
+    def derive(t: pa.Table) -> pa.Table:
+        gain = pc.case_when(
+            pc.make_struct(
+                pc.equal(t["event_type"], "purchase"),
+                pc.equal(t["event_type"], "click"),
+            ),
+            2.0, 1.0, 0.0,
+        )
+        return pa.table({
+            "user_id": t["user_id"],
+            "value": t["value"],
+            "gain": gain,
+            "event_id": t["event_id"],
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "value", "event_type", "event_id"]
+               ).map_batches(derive, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return ndcg(ds, "user_id", "value", "gain", "event_id", k=_NDCG_K)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4052,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc": q_auc,
         "calibration": q_calibration,
         "regex_extract": q_regex_extract,
+        "ndcg": q_ndcg,
     }
 
 
@@ -4085,6 +4117,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "ndcg": f"""
+            WITH b AS (
+                SELECT user_id AS g, value AS s,
+                       CASE WHEN event_type = 'purchase' THEN 2.0
+                            WHEN event_type = 'click' THEN 1.0
+                            ELSE 0.0 END AS gain,
+                       event_id AS tb
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ),
+            r AS (SELECT g, gain, row_number() OVER (
+                      PARTITION BY g ORDER BY s DESC, tb) AS pos FROM b),
+            i AS (SELECT g, gain, row_number() OVER (
+                      PARTITION BY g ORDER BY gain DESC, tb) AS pos FROM b),
+            d AS (SELECT g, sum(gain / log2(pos + 1)) AS dcg
+                  FROM r WHERE pos <= {_NDCG_K} GROUP BY g),
+            j AS (SELECT g, sum(gain / log2(pos + 1)) AS idcg
+                  FROM i WHERE pos <= {_NDCG_K} GROUP BY g)
+            SELECT d.g AS user_id,
+                   round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+            FROM d JOIN j USING (g)
         """,
         "regex_extract": r"""
             SELECT c_custkey,

@@ -3120,3 +3120,85 @@ def calibration_bins(
                                       round_digits)),
         "brier": pa.array(np.round(m["_sq"].to_numpy() / n, round_digits)),
     }))
+
+
+def ndcg(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    gain_col: str,
+    tiebreak_col: str,
+    *,
+    k: int = 10,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group NDCG@k — the graded ranking-quality metric completing
+    the eval family (auc = binary ranking, calibration_bins = score
+    quality): ``DCG@k = Σ_{i≤k} gain_i / log2(i+1)`` over rows ordered
+    by (score DESC, tiebreak ASC) — the tiebreak makes the score→rank
+    map deterministic and SQL-mirrorable — normalized by the ideal DCG
+    (gain-DESC order; equal gains make its tie order irrelevant). NULL
+    when the ideal DCG is 0 (no positive gain in the top-k). NULL
+    group/score/gain rows drop on both sides.
+
+    One group exchange; two lexsorts + a masked cumulative — no loops.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, score_col, gain_col])
+        return pd.DataFrame({
+            group_col: d[group_col],
+            "_s": d[score_col].astype(np.float64),
+            "_g": d[gain_col].astype(np.float64),
+            "_tb": d[tiebreak_col],
+        })
+
+    slim = ds.select_columns(
+        [group_col, score_col, gain_col, tiebreak_col]
+    ).map_batches(pre, batch_size=None, batch_format="pandas")
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def dcg_at_k(codes: np.ndarray, gains: np.ndarray) -> np.ndarray:
+        """Σ gain/log2(pos+1) over the first k rows of each contiguous
+        group (rows already in rank order)."""
+        n = len(codes)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes) + 1
+        term = np.where(pos <= k, gains / np.log2(pos + 1.0), 0.0)
+        ngroups = codes.max() + 1
+        return np.bincount(codes, weights=term, minlength=ngroups)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "ndcg": pd.Series([], dtype=np.float64),
+            })
+        codes, uniques = pd.factorize(df[group_col], sort=True)
+        s = df["_s"].to_numpy()
+        g = df["_g"].to_numpy()
+        tb = df["_tb"].to_numpy()
+        o1 = np.lexsort((tb, -s, codes))
+        dcg = dcg_at_k(codes[o1], g[o1])
+        o2 = np.lexsort((tb, -g, codes))
+        idcg = dcg_at_k(codes[o2], g[o2])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = np.where(idcg > 0, dcg / idcg, np.nan)
+        return pd.DataFrame({
+            group_col: uniques,
+            "ndcg": np.round(val, round_digits),
+        })
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1932,3 +1932,33 @@ def test_calibration_bins_perfect_and_biased(ray_session):
                             "pos").to_pandas()
     assert len(out2) == 1 and out2["bin"].iloc[0] == 9
     assert abs(out2["frac_pos"].iloc[0] - 0.5) < 1e-9
+
+
+def test_ndcg_perfect_and_shuffled(ray_session):
+    from featherstore_ray.stages.aggregate import ndcg
+
+    # "perfect": score order equals gain order -> ndcg 1
+    # "worst": inverted order -> low ndcg; "empty_gain": idcg 0 -> NULL
+    rows = []
+    for i, gain in enumerate([3.0, 2.0, 1.0, 0.0]):
+        rows.append(("perfect", 10.0 - i, gain, i))
+        rows.append(("worst", float(i), gain, 100 + i))
+    rows.append(("empty_gain", 5.0, 0.0, 200))
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "s": pa.array([r[1] for r in rows]),
+        "gain": pa.array([r[2] for r in rows]),
+        "tb": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = ndcg(
+        ray.data.from_arrow(t).repartition(3), "g", "s", "gain", "tb",
+        k=10, num_buckets=2,
+    ).to_pandas().set_index("g")
+    assert out.loc["perfect", "ndcg"] == 1.0
+    assert 0 < out.loc["worst", "ndcg"] < 0.85
+    assert np.isnan(out.loc["empty_gain", "ndcg"])
+
+    # manual check for "worst": order by s desc = gains [0,1,2,3]
+    dcg = sum(g / np.log2(i + 2) for i, g in enumerate([0.0, 1.0, 2.0, 3.0]))
+    idcg = sum(g / np.log2(i + 2) for i, g in enumerate([3.0, 2.0, 1.0, 0.0]))
+    assert abs(out.loc["worst", "ndcg"] - dcg / idcg) < 1e-6
