@@ -3863,6 +3863,37 @@ def q_ndcg(sf_dir: str):
     return ndcg(ds, "user_id", "value", "gain", "event_id", k=_NDCG_K)
 
 
+def q_asof_multi(sf_dir: str):
+    """Two-feature-table point-in-time join in ONE entity exchange:
+    every purchase gets its latest prior click value AND latest prior
+    view value — the feature-store training-set builder without N
+    chained shuffles."""
+    from featherstore_ray.stages.asof import asof_join_multi
+
+    ev = ["event_id", "user_id", "ts", "event_type", "value"]
+    spine = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"])
+    clicks = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "value", "event_id"])
+    views = _read(sf_dir, "events", columns=ev).filter(
+        expr="event_type == 'view'").select_columns(
+        ["user_id", "ts", "value", "event_id"])
+    return asof_join_multi(
+        spine,
+        [
+            {"ds": clicks, "feature_ts": "ts",
+             "feature_cols": ["ts", "value"], "suffix": "_c",
+             "tiebreak": "event_id"},
+            {"ds": views, "feature_ts": "ts",
+             "feature_cols": ["ts", "value"], "suffix": "_v",
+             "tiebreak": "event_id"},
+        ],
+        entity_col="user_id", spine_ts="ts",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4084,6 +4115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration": q_calibration,
         "regex_extract": q_regex_extract,
         "ndcg": q_ndcg,
+        "asof_multi": q_asof_multi,
     }
 
 
@@ -4117,6 +4149,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') s
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
               ON s.user_id = f.user_id AND s.ts >= f.ts
+        """,
+        "asof_multi": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   c.value AS value_c, c.ts AS ts_c,
+                   v.value AS value_v, v.ts AS ts_v
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') s
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'click') c
+              ON s.user_id = c.user_id AND s.ts >= c.ts
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'view') v
+              ON s.user_id = v.user_id AND s.ts >= v.ts
         """,
         "ndcg": f"""
             WITH b AS (

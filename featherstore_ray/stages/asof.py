@@ -630,3 +630,151 @@ def asof_lastn(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+def asof_join_multi(
+    spine: ray.data.Dataset,
+    features: Sequence[dict],
+    *,
+    entity_col: str,
+    spine_ts: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Multi-table point-in-time join — the feature-store training-set
+    builder: attach the latest prior row from EACH of N feature tables
+    to every spine row, through ONE entity exchange instead of N chained
+    as-of joins (N shuffles). Semantically identical to folding
+    :func:`asof_join` over the tables (same backward/tie conventions,
+    zero leakage per table); physically, all sides ride one tagged
+    union co-partitioned on ``hash(entity)`` and the per-bucket kernel
+    runs one vectorized ``merge_asof`` per table over already-local
+    rows.
+
+    ``features``: sequence of dicts with keys ``ds`` (Dataset),
+    ``feature_ts``, ``feature_cols`` (payload incl. the ts col),
+    ``suffix`` and optional ``tiebreak``.
+    """
+    spine_schema = pa.schema(spine.schema().base_schema)
+    spine_cols = list(spine_schema.names)
+    spine_payload = [c for c in spine_cols if c not in (entity_col, spine_ts)]
+    ts_type = spine_schema.field(spine_ts).type
+    side = _SIDE_COL
+
+    specs = []
+    for i, f in enumerate(features):
+        fschema = pa.schema(f["ds"].schema().base_schema)
+        payload = [c for c in f["feature_cols"] if c != f["feature_ts"]]
+        sfx = f["suffix"]
+        specs.append({
+            "idx": i + 1,
+            "ds": f["ds"],
+            "feature_ts": f["feature_ts"],
+            "payload": payload,
+            "suffix": sfx,
+            "tiebreak": f.get("tiebreak"),
+            "schema": fschema,
+            "out_cols": [f"{c}{sfx}" for c in payload] + [f"ts{sfx}"],
+        })
+
+    # unified tagged schema: entity, _fsr_ts, spine payload, every
+    # table's suffixed payload + matched-ts + tiebreak slot, side
+    def null_cols_for(t, n, skip_idx):
+        cols = {}
+        for s in specs:
+            if s["idx"] == skip_idx:
+                continue
+            for c, oc in zip(s["payload"], s["out_cols"]):
+                cols[oc] = pa.nulls(n, s["schema"].field(c).type)
+            cols[f"ts{s['suffix']}"] = pa.nulls(n, ts_type)
+            cols[f"_tb{s['idx']}"] = pa.nulls(n, pa.int64())
+        return cols
+
+    def tag_spine(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {entity_col: t[entity_col],
+                _TS_COL: t[spine_ts].cast(ts_type)}
+        for c in spine_payload:
+            cols[c] = t[c]
+        cols.update(null_cols_for(t, n, skip_idx=None))
+        cols[side] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def make_tag_feature(s):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {entity_col: t[entity_col],
+                    _TS_COL: t[s["feature_ts"]].cast(ts_type)}
+            for c in spine_payload:
+                cols[c] = pa.nulls(n, spine_schema.field(c).type)
+            cols.update(null_cols_for(t, n, skip_idx=s["idx"]))
+            for c, oc in zip(s["payload"], s["out_cols"]):
+                cols[oc] = t[c]
+            cols[f"ts{s['suffix']}"] = t[s["feature_ts"]].cast(ts_type)
+            cols[f"_tb{s['idx']}"] = (
+                t[s["tiebreak"]].cast(pa.int64()) if s["tiebreak"]
+                else pa.nulls(n, pa.int64()))
+            cols[side] = pa.array(np.full(n, s["idx"], dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    tagged = spine.map_batches(
+        tag_spine, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for s in specs:
+        tagged = tagged.union(s["ds"].map_batches(
+            make_tag_feature(s), batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ))
+    tagged = add_bucket_column(tagged, entity_col, num_buckets)
+
+    out_fields = (
+        [pa.field(entity_col, spine_schema.field(entity_col).type),
+         pa.field(spine_ts, ts_type)]
+        + [pa.field(c, spine_schema.field(c).type) for c in spine_payload]
+    )
+    for s in specs:
+        out_fields += [
+            pa.field(oc, s["schema"].field(c).type)
+            for c, oc in zip(s["payload"], s["out_cols"])
+        ]
+        out_fields.append(pa.field(f"ts{s['suffix']}", ts_type))
+    out_schema = pa.schema(out_fields)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sp = t.filter(pc.equal(t[side], pa.scalar(0, pa.int8()))).select(
+            [entity_col, _TS_COL] + spine_payload).to_pandas()
+        if len(sp) == 0:
+            return out_schema.empty_table()
+        out = sp.sort_values(_TS_COL, kind="stable")
+        for s in specs:
+            fcols = ([entity_col, _TS_COL]
+                     + [oc for oc in s["out_cols"]]
+                     + [f"_tb{s['idx']}"])
+            ft = t.filter(pc.equal(
+                t[side], pa.scalar(s["idx"], pa.int8()))
+            ).select(fcols).to_pandas()
+            ft = ft.sort_values(
+                [_TS_COL, f"_tb{s['idx']}"], kind="stable"
+            ).drop(columns=[f"_tb{s['idx']}"])
+            if len(ft) == 0:
+                for oc in s["out_cols"]:
+                    out[oc] = np.nan
+                out[f"ts{s['suffix']}"] = pd.Series(
+                    pd.NaT, index=out.index, dtype="datetime64[us]")
+            else:
+                out = pd.merge_asof(
+                    out, ft, on=_TS_COL, by=entity_col,
+                    direction="backward", allow_exact_matches=True,
+                )
+        out = out.rename(columns={_TS_COL: spine_ts})
+        res = pa.Table.from_pandas(out, schema=out_schema,
+                                   preserve_index=False)
+        return res.replace_schema_metadata(None)
+
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )

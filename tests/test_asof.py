@@ -442,3 +442,72 @@ def test_asof_lastn_matches_lateral_oracle(ray_session):
         np.testing.assert_allclose(a.dropna(), b.dropna(), atol=1e-9)
     # v-columns are monotone in information: v2 null implies v3 null
     assert not (o["v2"].isna() & o["v3"].notna()).any()
+
+
+def test_asof_join_multi_equals_chained_asof(ray_session):
+    """One-exchange multi-table point-in-time join == two chained
+    asof_joins on randomized data (incl. users missing one table)."""
+    rng = np.random.default_rng(121)
+    base = 1_700_000_000_000_000
+
+    def tab(n, seed_off):
+        return pa.table({
+            "ent": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(base + rng.integers(0, 10**9, n) * 100,
+                           pa.timestamp("us")),
+            "val": pa.array(np.round(rng.normal(0, 5, n), 3)),
+            "fid": pa.array(np.arange(n) + seed_off, pa.int64()),
+        })
+
+    spine = pa.table({
+        "sid": pa.array(np.arange(800), pa.int64()),
+        "ent": pa.array(rng.integers(0, 30, 800), pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 10**9, 800) * 100,
+                       pa.timestamp("us")),
+    })
+    f1, f2 = tab(2000, 0), tab(500, 10_000)
+
+    from featherstore_ray.stages.asof import asof_join, asof_join_multi
+
+    multi = asof_join_multi(
+        ray.data.from_arrow(spine),
+        [
+            {"ds": ray.data.from_arrow(f1), "feature_ts": "ts",
+             "feature_cols": ["ts", "val"], "suffix": "_a",
+             "tiebreak": "fid"},
+            {"ds": ray.data.from_arrow(f2), "feature_ts": "ts",
+             "feature_cols": ["ts", "val"], "suffix": "_b",
+             "tiebreak": "fid"},
+        ],
+        entity_col="ent", spine_ts="ts", num_buckets=8,
+    ).to_pandas().sort_values("sid").reset_index(drop=True)
+
+    step1 = asof_join(
+        ray.data.from_arrow(spine), ray.data.from_arrow(f1),
+        entity_col="ent", spine_ts="ts", feature_ts="ts",
+        feature_cols=["ts", "val"], suffix="_a1", tiebreak="fid",
+        num_buckets=8,
+    )
+    chained = asof_join(
+        step1, ray.data.from_arrow(f2),
+        entity_col="ent", spine_ts="ts", feature_ts="ts",
+        feature_cols=["ts", "val"], suffix="_b1", tiebreak="fid",
+        num_buckets=8,
+    ).to_pandas().sort_values("sid").reset_index(drop=True)
+
+    np.testing.assert_allclose(multi["val_a"], chained["val_a1"],
+                               equal_nan=True)
+    np.testing.assert_allclose(multi["val_b"], chained["val_b1"],
+                               equal_nan=True)
+    for a, b in (("ts_a", "ts_a1"), ("ts_b", "ts_b1")):
+        ga = multi[a].to_numpy("datetime64[us]")
+        gb = chained[b].to_numpy("datetime64[us]")
+        assert (pd.isna(ga) == pd.isna(gb)).all()
+        ok = ~pd.isna(ga)
+        assert (ga[ok] == gb[ok]).all()
+    # zero leakage on both matched ts columns
+    q = multi["ts"].to_numpy("datetime64[us]")
+    for c in ("ts_a", "ts_b"):
+        got = multi[c].to_numpy("datetime64[us]")
+        ok = ~pd.isna(got)
+        assert (got[ok] <= q[ok]).all()
