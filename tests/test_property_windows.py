@@ -317,3 +317,73 @@ def test_gini_property(tbl):
         want = 2.0 * np.sum((np.arange(n) + 1) * x) / (n * s) \
             - (n + 1.0) / n
         assert abs(out[ent] - want) < 1e-9, ent
+
+
+@st.composite
+def band_inputs(draw):
+    nl = draw(st.integers(1, 40))
+    nr = draw(st.integers(1, 30))
+    # values on a coarse grid so exact band-boundary hits are common
+    lv = draw(st.lists(st.integers(-20, 20), min_size=nl, max_size=nl))
+    rv = draw(st.lists(st.integers(-20, 20), min_size=nr, max_size=nr))
+    eps = draw(st.sampled_from([1.0, 2.5, 3.0]))
+    return lv, rv, eps
+
+
+@settings(max_examples=25, deadline=None)
+@given(band_inputs())
+def test_band_join_property_vs_bruteforce(inp):
+    from featherstore_ray.stages.join import band_join
+
+    lv, rv, eps = inp
+    lt = pa.table({"lid": pa.array(range(len(lv)), pa.int64()),
+                   "lv": pa.array([float(v) for v in lv])})
+    rt = pa.table({"rid": pa.array(range(len(rv)), pa.int64()),
+                   "rv": pa.array([float(v) for v in rv])})
+    out = band_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_val="lv", right_val="rv", eps=eps,
+        left_cols=["lid", "lv"], right_cols=["rid", "rv"],
+        num_buckets=4,
+    ).to_pandas()
+    got = set(zip(out["lid"], out["rid"]))
+    want = {(i, j) for i, a in enumerate(lv) for j, b in enumerate(rv)
+            if a - eps <= b <= a + eps}
+    assert got == want  # exact: every pair once, boundaries closed
+
+
+@st.composite
+def interval_sets(draw):
+    n = draw(st.integers(1, 50))
+    ent = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    s = draw(st.lists(st.integers(0, 60), min_size=n, max_size=n))
+    ln = draw(st.lists(st.integers(0, 15), min_size=n, max_size=n))
+    return ent, s, ln
+
+
+@settings(max_examples=25, deadline=None)
+@given(interval_sets())
+def test_merge_intervals_property(inp):
+    from featherstore_ray.stages.join import merge_intervals
+
+    ent, s, ln = inp
+    e = [a + b for a, b in zip(s, ln)]
+    t = pa.table({
+        "ent": pa.array(ent, pa.int64()),
+        "s": pa.array(s, pa.int64()),
+        "e": pa.array(e, pa.int64()),
+    })
+    out = merge_intervals(
+        ray.data.from_arrow(t), entity_col="ent", start_col="s",
+        end_col="e", num_buckets=2,
+    ).to_pandas()
+    # invariants: islands disjoint & ordered; counts sum to inputs;
+    # every input interval is covered by exactly one island
+    assert out["n_merged"].sum() == len(ent)
+    for g, grp in out.groupby("ent"):
+        gg = grp.sort_values("start")
+        assert (gg["start"].to_numpy()[1:] > gg["end"].to_numpy()[:-1]).all()
+    for a, b, c in zip(ent, s, e):
+        isl = out[(out["ent"] == a) & (out["start"] <= b)
+                  & (out["end"] >= c)]
+        assert len(isl) == 1, (a, b, c)
