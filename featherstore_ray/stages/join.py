@@ -236,6 +236,8 @@ def hash_join(
     on: Sequence[str],
     how: str = "inner",
     num_partitions: int | None = None,
+    hot_keys=None,
+    num_salts: int = 8,
 ) -> ray.data.Dataset:
     """Hash-partitioned equi-join of two large Datasets through the
     engine's bucketed exchange: both sides tag a one-byte side column,
@@ -250,15 +252,34 @@ def hash_join(
     hash shuffle it spins up costs ~5s per call on this host regardless of
     size (CLAUDE.md), while the bucketed exchange is the engine's
     measured-fast path and falls back to the sort shuffle at object-count
-    scale limits like every other wide op."""
+    scale limits like every other wide op.
+
+    **Skew salting** (``hot_keys``: a set of ``on[0]`` values from
+    :func:`featherstore_ray.stages.skew.hot_keys`): a Zipf-hot probe key
+    lands an entire join fan-in on one reducer. With salting, LEFT rows
+    of a hot key spread round-robin over ``num_salts`` sub-partitions
+    and the RIGHT rows of that key REPLICATE once per salt; the salt
+    joins as an extra key so no pair is emitted twice. Which salt a left
+    row draws cannot change the output set (every salt partition holds
+    all matching right rows). Only ``inner``/``left``(_outer) joins —
+    right-preserving joins would emit a replicated unmatched right row
+    per salt, so they refuse.
+    """
     import numpy as np
 
     from featherstore_ray.exchange import bucketed_map_groups
-    from featherstore_ray.partition import add_bucket_column
+    from featherstore_ray.partition import add_bucket_column, bucket_of
 
     on = list(on)
     how_acero = _ACERO_JOIN_TYPE[how]
     num_buckets = num_partitions or 32
+    salt = "_fsr_salt"
+    if hot_keys:
+        if how not in ("inner", "left", "left_outer"):
+            raise ValueError(
+                f"hot_keys salting supports inner/left joins, not {how!r}"
+            )
+        hot_arr = pa.array(sorted(hot_keys))
 
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
@@ -277,13 +298,37 @@ def hash_join(
 
     def tag(is_right: bool, extra_cols, extra_types):
         def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             n = t.num_rows
             for c in extra_cols:  # typed null pads for the other side
                 t = t.append_column(c, pa.nulls(n, extra_types[c]))
             t = t.select(on + l_extra + r_extra)
-            return t.append_column(
+            t = t.append_column(
                 side, pa.array(np.full(n, int(is_right), dtype=np.int8))
             )
+            if not hot_keys:
+                return t.append_column(
+                    salt, pa.array(np.zeros(n, dtype=np.int8)))
+            is_hot = pc.fill_null(
+                pc.is_in(t[on[0]], value_set=hot_arr), False
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            if not is_right:
+                s = np.zeros(n, dtype=np.int8)
+                s[is_hot] = (np.arange(int(is_hot.sum()))
+                             % num_salts).astype(np.int8)
+                return t.append_column(salt, pa.array(s))
+            # right side: replicate hot rows once per salt
+            hot_idx = np.flatnonzero(is_hot)
+            cold_idx = np.flatnonzero(~is_hot)
+            rep_idx = np.concatenate(
+                [cold_idx, np.repeat(hot_idx, num_salts)])
+            s = np.concatenate([
+                np.zeros(len(cold_idx), dtype=np.int8),
+                np.tile(np.arange(num_salts, dtype=np.int8),
+                        len(hot_idx)),
+            ])
+            return t.take(rep_idx).append_column(salt, pa.array(s))
 
         return f
 
@@ -294,15 +339,33 @@ def hash_join(
         tag(True, l_extra, ltypes), batch_size=None,
         batch_format="pyarrow", zero_copy_batch=True,
     ))
-    bucketed = add_bucket_column(tagged, on[0], num_buckets)
+    if hot_keys:
+        from featherstore_ray.partition import BUCKET_COL
+
+        # bucket on (key, salt) so each salt partition is its own reducer
+        def add_salted(t: pa.Table) -> pa.Table:
+            b = bucket_of(t[on[0]], num_buckets).astype(np.int64)
+            s = t[salt].to_numpy(zero_copy_only=False).astype(np.int64)
+            combined = ((b * num_salts + s) % num_buckets).astype(np.int32)
+            return t.append_column(BUCKET_COL, pa.array(combined))
+
+        bucketed = tagged.map_batches(
+            add_salted, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        bucketed = add_bucket_column(tagged, on[0], num_buckets)
+
+    join_keys = on + [salt]
 
     def kernel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = pc.equal(t[side], pa.scalar(1, pa.int8()))
-        lt = t.filter(pc.invert(mask)).select(on + l_extra)
-        rt = t.filter(mask).select(on + r_extra)
-        return lt.join(rt, keys=on, join_type=how_acero)
+        lt = t.filter(pc.invert(mask)).select(join_keys + l_extra)
+        rt = t.filter(mask).select(join_keys + r_extra)
+        out = lt.join(rt, keys=join_keys, join_type=how_acero)
+        return out.drop_columns([salt])
 
     return bucketed_map_groups(
         bucketed, kernel, num_buckets=num_buckets, batch_format="pyarrow"

@@ -98,3 +98,50 @@ def test_window_features_skew_aware_parity():
             np.testing.assert_allclose(a, b, equal_nan=True)
         else:
             assert (a == b).all(), c
+
+
+def test_salted_hash_join_equals_unsalted(ray_session):
+    """Zipf-hot probe key salted over 8 sub-partitions: output set equals
+    the unsalted join exactly (inner + left), and a replicated right row
+    never duplicates a pair."""
+    import duckdb
+
+    from featherstore_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(131)
+    n = 6000
+    # key 0 is 40% of the left side
+    keys = np.where(rng.uniform(size=n) < 0.4, 0,
+                    rng.integers(1, 200, n)).astype(np.int64)
+    left = pa.table({
+        "k": pa.array(keys),
+        "lv": pa.array(np.arange(n), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(0, 250, dtype=np.int64)),
+        "rv": pa.array(np.arange(0, 250, dtype=np.int64) * 10),
+    })
+    # duplicate right rows on the hot key: fan-out > 1
+    right = pa.concat_tables([right, right.slice(0, 1), right.slice(0, 1)])
+
+    for how in ("inner", "left"):
+        plain = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on=["k"], how=how, num_partitions=8,
+        ).to_pandas()
+        salted = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on=["k"], how=how, num_partitions=8,
+            hot_keys={0}, num_salts=4,
+        ).to_pandas()
+        cols = sorted(plain.columns)
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = salted[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on=["k"], how="full_outer", hot_keys={0})
