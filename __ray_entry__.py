@@ -3894,6 +3894,28 @@ def q_asof_multi(sf_dir: str):
     )
 
 
+def q_hash_join_salted(sf_dir: str):
+    """The same orders x customer join through the SKEW-SALTED path:
+    the 8 hottest custkeys spread over 4 salt sub-partitions each (right
+    rows replicated per salt, salt joined as an extra key) — output is
+    provably identical to the plain plan, and this query gets the
+    driver's certificate for it."""
+    from featherstore_ray.stages.join import hash_join
+    from featherstore_ray.stages.skew import key_counts
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    counts = key_counts(orders.select_columns(["o_custkey"]), "o_custkey")
+    hot = set(counts.nlargest(8, "n")["o_custkey"])
+    return hash_join(orders, cust, on=["o_custkey"], how="inner",
+                     num_partitions=16, hot_keys=hot, num_salts=4)
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4116,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": q_regex_extract,
         "ndcg": q_ndcg,
         "asof_multi": q_asof_multi,
+        "hash_join_salted": q_hash_join_salted,
     }
 
 
@@ -4477,6 +4500,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "hash_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "hash_join_salted": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_nationkey
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
