@@ -3916,6 +3916,31 @@ def q_hash_join_salted(sf_dir: str):
                      num_partitions=16, hot_keys=hot, num_salts=4)
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent 2h activity windows per user (the occupancy
+    sweep-line: starts before ends at equal ts, closed intervals) —
+    shares merge_intervals' window derivation."""
+    import numpy as np
+
+    from featherstore_ray.stages.join import peak_concurrency
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        end = ts + np.timedelta64(_COVER_H * 3600 * 1_000_000, "us")
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": t["ts"],
+            "e": pa.array(end),
+        })
+
+    iv = ev.map_batches(widen, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return peak_concurrency(iv, entity_col="user_id", start_col="s",
+                            end_col="e")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4139,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg": q_ndcg,
         "asof_multi": q_asof_multi,
         "hash_join_salted": q_hash_join_salted,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -5595,6 +5621,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY item
                         ORDER BY cosine DESC, neighbor) AS rn FROM s)
             WHERE rn <= {_ITEMSIM_K}
+        """,
+        "peak_concurrency": f"""
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + INTERVAL {_COVER_H} HOURS AS e
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            ev AS (
+              SELECT user_id, s AS t, 1 AS d FROM iv
+              UNION ALL
+              SELECT user_id, e AS t, -1 AS d FROM iv
+            ),
+            r AS (
+              SELECT user_id, sum(d) OVER (PARTITION BY user_id
+                         ORDER BY t, d DESC
+                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM ev
+            ),
+            p AS (SELECT user_id, CAST(max(run) AS BIGINT) AS peak
+                  FROM r GROUP BY user_id),
+            n AS (SELECT user_id, count(*) AS n_intervals FROM iv
+                  GROUP BY user_id)
+            SELECT p.user_id, p.peak, n.n_intervals
+            FROM p JOIN n USING (user_id)
         """,
         "merge_intervals": f"""
             WITH iv AS (

@@ -322,3 +322,41 @@ def test_merge_intervals_touching_intervals_coalesce(ray_session):
     # [0,10] and [10,20] touch (closed ends) -> merge; [25,30] separate
     assert out[["start", "end", "n_merged"]].values.tolist() == [
         [0, 20, 2], [25, 30, 1]]
+
+
+def test_peak_concurrency_known_and_random(ray_session):
+    from featherstore_ray.stages.join import peak_concurrency
+
+    # entity 1: [0,10],[5,15],[10,20] -> at t=10 all three overlap
+    # (closed ends: [0,10] still open at 10); entity 2: disjoint -> 1
+    t = pa.table({
+        "ent": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "s": pa.array([0, 5, 10, 0, 20], pa.int64()),
+        "e": pa.array([10, 15, 20, 10, 30], pa.int64()),
+    })
+    out = peak_concurrency(
+        ray.data.from_arrow(t).repartition(2), entity_col="ent",
+        start_col="s", end_col="e", num_buckets=2,
+    ).to_pandas().set_index("ent")
+    assert out.loc[1, "peak"] == 3 and out.loc[1, "n_intervals"] == 3
+    assert out.loc[2, "peak"] == 1
+
+    # randomized vs brute force on a dense grid
+    rng = np.random.default_rng(141)
+    n = 400
+    ent = rng.integers(0, 6, n)
+    s = rng.integers(0, 300, n)
+    e = s + rng.integers(0, 40, n)
+    t2 = pa.table({"ent": pa.array(ent, pa.int64()),
+                   "s": pa.array(s, pa.int64()),
+                   "e": pa.array(e, pa.int64())})
+    got = peak_concurrency(
+        ray.data.from_arrow(t2).repartition(3), entity_col="ent",
+        start_col="s", end_col="e", num_buckets=4,
+    ).to_pandas().set_index("ent")["peak"]
+    for g in np.unique(ent):
+        mask = ent == g
+        grid = np.arange(0, 400)
+        conc = ((s[mask][:, None] <= grid[None, :])
+                & (e[mask][:, None] >= grid[None, :])).sum(axis=0)
+        assert got.loc[g] == conc.max(), g
