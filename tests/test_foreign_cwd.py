@@ -40,7 +40,13 @@ spec.loader.exec_module(mod)
 qs = mod.queries()
 sf = "/root/testdata/sf0.001"
 for name in ["latest_per_entity", "tokens_dedup", "feature_suite_chunked",
-             "substring_dedup", "incremental_materialize", "decayed_topk"]:
+             "substring_dedup", "incremental_materialize", "decayed_topk",
+             # round-4 session-3 families: tagged-union composite-key
+             # joins, survival partials, iterative graph state, streaming
+             # replay, multi-table as-of, salted join
+             "band_join", "attribution", "kaplan_meier",
+             "label_propagation", "streaming_dedup", "asof_multi",
+             "hash_join_salted", "mlm_mask", "peak_concurrency"]:
     res = qs[name](sf)
     # Dataset -> count(); DataFrame/Table -> len (DataFrame.count() is
     # per-column and its Series truth value is ambiguous)
