@@ -3941,6 +3941,33 @@ def q_peak_concurrency(sf_dir: str):
                             end_col="e")
 
 
+def q_dup_rate(sf_dir: str):
+    """Per-source duplication report — a pure COMPOSITION of existing
+    operators (count_distinct + grouped_aggregate, driver-side join of
+    the tiny per-source rows): n_docs, distinct texts, dup_rate. The
+    corpus-quality number that decides whether a source needs the dedup
+    pipeline at all."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import (count_distinct,
+                                                   grouped_aggregate)
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    nd = count_distinct(docs, "source", "text").to_pandas()
+    tot = grouped_aggregate(
+        docs.map_batches(
+            lambda t: t.filter(pc.and_(pc.is_valid(t["source"]),
+                                       pc.is_valid(t["text"]))),
+            batch_size=None, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], {"n_docs": ("text", "count")}, final="driver",
+    ).to_pandas()
+    m = tot.merge(nd, on="source")
+    m["dup_rate"] = np.round(1.0 - m["n_distinct"] / m["n_docs"], 6)
+    m["n_docs"] = m["n_docs"].astype(np.int64)
+    m["n_distinct"] = m["n_distinct"].astype(np.int64)
+    return m[["source", "n_docs", "n_distinct", "dup_rate"]]
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4165,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_multi": q_asof_multi,
         "hash_join_salted": q_hash_join_salted,
         "peak_concurrency": q_peak_concurrency,
+        "dup_rate": q_dup_rate,
     }
 
 
@@ -5621,6 +5649,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY item
                         ORDER BY cosine DESC, neighbor) AS rn FROM s)
             WHERE rn <= {_ITEMSIM_K}
+        """,
+        "dup_rate": """
+            SELECT source, count(text) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   round(1.0 - count(DISTINCT text)
+                         / CAST(count(text) AS DOUBLE), 6) AS dup_rate
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+            GROUP BY source
         """,
         "peak_concurrency": f"""
             WITH iv AS (
