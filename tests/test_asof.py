@@ -511,3 +511,33 @@ def test_asof_join_multi_equals_chained_asof(ray_session):
         got = multi[c].to_numpy("datetime64[us]")
         ok = ~pd.isna(got)
         assert (got[ok] <= q[ok]).all()
+
+
+def test_asof_lastn_equal_ts_tiebreak_walk(ray_session):
+    """Three features at the SAME timestamp: the N-walk must return them
+    in tiebreak-DESC order (v1 = max tiebreak), and equal-ts features at
+    the spine ts are included (closed as-of)."""
+    from featherstore_ray.stages.asof import asof_lastn
+
+    t0 = 1_700_000_000_000_000
+    feats = pa.table({
+        "ent": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([t0, t0, t0, t0 - 10], pa.timestamp("us")),
+        "val": pa.array([10.0, 20.0, 30.0, 5.0]),
+        "fid": pa.array([1, 9, 5, 2], pa.int64()),
+    })
+    spine = pa.table({
+        "sid": pa.array([0], pa.int64()),
+        "ent": pa.array([1], pa.int64()),
+        "ts": pa.array([t0], pa.timestamp("us")),
+    })
+    out = asof_lastn(
+        ray.data.from_arrow(spine), ray.data.from_arrow(feats),
+        entity_col="ent", spine_ts="ts", feature_ts="ts",
+        value_col="val", n=4, tiebreak="fid",
+        spine_cols=["sid", "ent", "ts"], num_buckets=2,
+    ).to_pandas().iloc[0]
+    # ts DESC, fid DESC: fid 9 (20.0), fid 5 (30.0), fid 1 (10.0), then
+    # the earlier row (5.0)
+    assert [out["v1"], out["v2"], out["v3"], out["v4"]] == \
+        [20.0, 30.0, 10.0, 5.0]
