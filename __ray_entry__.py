@@ -3968,6 +3968,21 @@ def q_dup_rate(sf_dir: str):
     return m[["source", "n_docs", "n_distinct", "dup_rate"]]
 
 
+_TOPITEMS_K = 3
+
+
+def q_top_items_per_group(sf_dir: str):
+    """Top-3 most frequent event types per user (frequency top-k, count
+    ties break by item): (group, item, count) partials, one group
+    exchange."""
+    from featherstore_ray.stages.aggregate import top_items_per_group
+
+    return top_items_per_group(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type", _TOPITEMS_K,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4193,6 +4208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_salted": q_hash_join_salted,
         "peak_concurrency": q_peak_concurrency,
         "dup_rate": q_dup_rate,
+        "top_items_per_group": q_top_items_per_group,
     }
 
 
@@ -5649,6 +5665,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY item
                         ORDER BY cosine DESC, neighbor) AS rn FROM s)
             WHERE rn <= {_ITEMSIM_K}
+        """,
+        "top_items_per_group": f"""
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ) WHERE rn <= {_TOPITEMS_K}
         """,
         "dup_rate": """
             SELECT source, count(text) AS n_docs,

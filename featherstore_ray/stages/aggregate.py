@@ -3202,3 +3202,57 @@ def ndcg(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def top_items_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    k: int,
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact per-group frequency top-k ("top items per region"):
+    :func:`~featherstore_ray.stages.latest.top_n_per_group` ranks rows
+    by a VALUE column; this ranks ITEMS by occurrence count — ties on
+    count break by item ascending. NULL group/item rows drop on both
+    sides. Output: (group, item, n) with at most k rows per group. For
+    billion-distinct item sets per group use the Misra-Gries sketch
+    family instead.
+
+    Scale shape: per-batch (group, item, count) partials — the exchange
+    carries pair cardinalities, never rows; ONE hash(group) exchange,
+    per-bucket sum + sort + head.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, item_col])
+        g = d.groupby([group_col, item_col], sort=False,
+                      observed=True).size()
+        return g.rename("_n").reset_index()
+
+    parts = ds.select_columns([group_col, item_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, group_col, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby([group_col, item_col], sort=False,
+                       observed=True)["_n"].sum().reset_index()
+        out = (
+            g.sort_values([group_col, "_n", item_col],
+                          ascending=[True, False, True], kind="stable")
+            .groupby(group_col, sort=False).head(k)
+        )
+        out = out.rename(columns={"_n": "n"}).reset_index(drop=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(
+        parts, final, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -1962,3 +1962,24 @@ def test_ndcg_perfect_and_shuffled(ray_session):
     dcg = sum(g / np.log2(i + 2) for i, g in enumerate([0.0, 1.0, 2.0, 3.0]))
     idcg = sum(g / np.log2(i + 2) for i, g in enumerate([3.0, 2.0, 1.0, 0.0]))
     assert abs(out.loc["worst", "ndcg"] - dcg / idcg) < 1e-6
+
+
+def test_top_items_per_group_ties_and_counts(ray_session):
+    from featherstore_ray.stages.aggregate import top_items_per_group
+
+    t = pa.table({
+        "g": pa.array(["u"] * 7 + ["v"] * 2 + [None]),
+        "it": pa.array(["a", "a", "a", "b", "b", "c", "d",
+                        "x", "y", "z"]),
+    })
+    out = top_items_per_group(
+        ray.data.from_arrow(t).repartition(3), "g", "it", 3,
+        num_buckets=2,
+    ).to_pandas()
+    u = out[out["g"] == "u"].reset_index(drop=True)
+    # a(3), b(2), then count-1 tie c < d
+    assert u["it"].tolist() == ["a", "b", "c"]
+    assert u["n"].tolist() == [3, 2, 1]
+    v = out[out["g"] == "v"]
+    assert sorted(v["it"]) == ["x", "y"]  # fewer than k items
+    assert out["g"].notna().all()
