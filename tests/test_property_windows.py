@@ -346,7 +346,9 @@ def test_band_join_property_vs_bruteforce(inp):
         left_cols=["lid", "lv"], right_cols=["rid", "rv"],
         num_buckets=4,
     ).to_pandas()
-    got = set(zip(out["lid"], out["rid"]))
+    # a zero-pair result surfaces as a COLUMN-LESS empty DataFrame (the
+    # documented Ray empty-block schema loss) — guard on length first
+    got = set(zip(out["lid"], out["rid"])) if len(out) else set()
     want = {(i, j) for i, a in enumerate(lv) for j, b in enumerate(rv)
             if a - eps <= b <= a + eps}
     assert got == want  # exact: every pair once, boundaries closed
