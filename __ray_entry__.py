@@ -3983,6 +3983,31 @@ def q_top_items_per_group(sf_dir: str):
     )
 
 
+def q_logrank(sf_dir: str):
+    """Log-rank test between the even/odd user cohorts'
+    time-to-first-purchase curves — kaplan_meier's hypothesis-test
+    companion, from the same time_to_event derivation."""
+    import numpy as np
+
+    from featherstore_ray.stages.survival import logrank, time_to_event
+
+    subj = time_to_event(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        target="purchase",
+    )
+
+    def cohort(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("cohort", pa.array(u % 2))
+
+    subj = subj.map_batches(
+        cohort, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return logrank(subj, group_col="cohort", duration_col="duration",
+                   observed_col="observed")
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4209,6 +4234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "dup_rate": q_dup_rate,
         "top_items_per_group": q_top_items_per_group,
+        "logrank": q_logrank,
     }
 
 
@@ -6920,6 +6946,49 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 200
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
+        "logrank": """
+            WITH u AS (
+                SELECT user_id, min(ts) AS s,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                       max(ts) AS e
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            subj AS (
+                SELECT user_id % 2 AS g,
+                       date_diff('microsecond', s, coalesce(p, e)) AS t,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+                FROM u
+            ),
+            times AS (SELECT t, sum(obs) AS d FROM subj GROUP BY t
+                      HAVING sum(obs) > 0),
+            percoh AS (
+                SELECT times.t, times.d,
+                       (SELECT count(*) FROM subj s2
+                        WHERE s2.g = 0 AND s2.t >= times.t) AS n1,
+                       (SELECT count(*) FROM subj s2
+                        WHERE s2.g = 1 AND s2.t >= times.t) AS n2,
+                       (SELECT coalesce(sum(obs), 0) FROM subj s1
+                        WHERE s1.g = 0 AND s1.t = times.t) AS d1
+                FROM times
+            ),
+            agg AS (
+                SELECT sum(d1) AS o1,
+                       sum(d * (n1 / CAST(n1 + n2 AS DOUBLE))) AS e1,
+                       sum(CASE WHEN n1 + n2 > 1 THEN
+                           d * (n1 / CAST(n1 + n2 AS DOUBLE))
+                             * (n2 / CAST(n1 + n2 AS DOUBLE))
+                             * (n1 + n2 - d) / (n1 + n2 - 1.0)
+                           ELSE 0 END) AS v
+                FROM percoh
+            )
+            SELECT CAST(0 AS BIGINT) AS group_1, CAST(1 AS BIGINT)
+                     AS group_2,
+                   CAST(o1 AS BIGINT) AS o1, round(e1, 6) AS e1,
+                   round(pow((o1 - e1) / sqrt(v), 2), 6) AS chi2,
+                   round((o1 - e1) / sqrt(v), 6) AS z
+            FROM agg
+        """,
         "kaplan_meier": """
             WITH u AS (
                 SELECT user_id, min(ts) AS s,

@@ -175,3 +175,90 @@ def kaplan_meier(
     return bucketed_map_groups(
         parts, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def logrank(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Two-sample log-rank test — kaplan_meier's hypothesis-test
+    companion: did the two groups' survival curves actually differ?
+    At every event time t: observed events ``O_g``, expected
+    ``E_g = d·n_g/n`` under the null, hypergeometric variance
+    ``V = d·(n_1/n)·(n_2/n)·(n−d)/(n−1)``; the statistic is
+    ``z = (ΣO_1 − ΣE_1)/sqrt(ΣV)`` and ``chi2 = z²``. Censored-at-t
+    subjects stay at risk at t (the KM convention). ``group_col`` must
+    have exactly two non-null values (ascending order defines group 1).
+    Output: one row (group_1, group_2, o1, e1, chi2, z).
+
+    Scale shape: the same (group, duration, d, c) count partials as
+    kaplan_meier, merged driver-side — bounded by 2 × distinct
+    durations (coarsen durations upstream for micro-second-unique
+    100 TB streams). Every sum is mirrored term-for-term by the oracle.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[duration_col].notna()
+               & df[observed_col].notna()]
+        out = pd.DataFrame({
+            group_col: d[group_col],
+            "_t": d[duration_col].to_numpy().astype(np.int64),
+            "_d": d[observed_col].to_numpy().astype(np.int64),
+            "_c": np.int64(1),
+        })
+        return out.groupby([group_col, "_t"], sort=False, observed=True)[
+            ["_d", "_c"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([group_col, duration_col, observed_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "_t"], sort=True)[["_d", "_c"]]
+        .sum().reset_index()
+    )
+    groups = sorted(m[group_col].unique())
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank needs exactly 2 groups, got {groups}")
+    g1, g2 = groups
+    times = np.sort(m["_t"].unique())
+
+    def per_group(g):
+        sub = m[m[group_col] == g].set_index("_t")
+        d = sub["_d"].reindex(times, fill_value=0).to_numpy(np.float64)
+        c = sub["_c"].reindex(times, fill_value=0).to_numpy(np.float64)
+        total = c.sum()
+        # at risk at t = total − subjects with duration < t
+        before = np.concatenate(([0.0], np.cumsum(c)[:-1]))
+        return d, total - before
+
+    d1, n1 = per_group(g1)
+    d2, n2 = per_group(g2)
+    d = d1 + d2
+    n = n1 + n2
+    ev = d > 0
+    d, n, d1_, n1_, n2_ = d[ev], n[ev], d1[ev], n1[ev], n2[ev]
+    e1 = d * (n1_ / n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.where(n > 1,
+                     d * (n1_ / n) * (n2_ / n) * (n - d) / (n - 1.0), 0.0)
+    o1 = d1_.sum()
+    e1s = e1.sum()
+    vs = v.sum()
+    z = (o1 - e1s) / np.sqrt(vs) if vs > 0 else np.nan
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        "group_1": pa.array([g1]),
+        "group_2": pa.array([g2]),
+        "o1": pa.array([np.int64(o1)]),
+        "e1": pa.array([round(float(e1s), round_digits)]),
+        "chi2": pa.array([round(float(z * z), round_digits)
+                          if np.isfinite(z) else None], pa.float64()),
+        "z": pa.array([round(float(z), round_digits)
+                       if np.isfinite(z) else None], pa.float64()),
+    }))

@@ -89,3 +89,60 @@ def test_time_to_event_derivation(ray_session):
     assert out.loc[1, "duration"] == 2 * hours and bool(out.loc[1, "observed"])
     assert out.loc[2, "duration"] == 4 * hours and not bool(out.loc[2, "observed"])
     assert out.loc[3, "duration"] == 0 and bool(out.loc[3, "observed"])
+
+
+def test_logrank_detects_separated_curves(ray_session):
+    from featherstore_ray.stages.survival import logrank
+
+    rng = np.random.default_rng(151)
+    n = 400
+    # group 0 fails fast, group 1 slow; ~25% censored each
+    g = rng.integers(0, 2, n)
+    dur = np.where(g == 0, rng.exponential(10, n),
+                   rng.exponential(30, n)).astype(np.int64) + 1
+    obs = rng.random(n) < 0.75
+    t = pa.table({
+        "g": pa.array(g, pa.int64()),
+        "duration": pa.array(dur),
+        "observed": pa.array(obs),
+    })
+    out = logrank(
+        ray.data.from_arrow(t).repartition(4), group_col="g",
+        duration_col="duration", observed_col="observed",
+    ).to_pandas().iloc[0]
+    assert out["chi2"] > 10  # clearly separated curves
+    assert out["o1"] > out["e1"]  # group 0 dies more than expected
+
+    # identical distributions -> small statistic
+    dur2 = rng.exponential(20, n).astype(np.int64) + 1
+    t2 = pa.table({"g": pa.array(g, pa.int64()),
+                   "duration": pa.array(dur2),
+                   "observed": pa.array(obs)})
+    out2 = logrank(ray.data.from_arrow(t2), group_col="g",
+                   duration_col="duration",
+                   observed_col="observed").to_pandas().iloc[0]
+    assert out2["chi2"] < 6
+
+
+def test_logrank_manual_small_case(ray_session):
+    """Hand-computable case: O/E/V at each event time."""
+    from featherstore_ray.stages.survival import logrank
+
+    # g0: events at 1, 2; g1: event at 2, censored at 3
+    t = pa.table({
+        "g": pa.array([0, 0, 1, 1], pa.int64()),
+        "duration": pa.array([1, 2, 2, 3], pa.int64()),
+        "observed": pa.array([True, True, True, False]),
+    })
+    out = logrank(ray.data.from_arrow(t), group_col="g",
+                  duration_col="duration",
+                  observed_col="observed").to_pandas().iloc[0]
+    # t=1: d=1, n1=2, n2=2 -> e1 = 0.5, v = 1*(1/2)*(1/2)*(3/3) = 0.25
+    # t=2: d=2, n1=1, n2=2 -> e1 = 2/3, v = 2*(1/3)*(2/3)*(1/2) = 2/9
+    o1, e1 = 2, 0.5 + 2 / 3
+    v = 0.25 + 2 / 9
+    z = (o1 - e1) / np.sqrt(v)
+    assert out["o1"] == 2
+    assert abs(out["e1"] - round(e1, 6)) < 1e-9
+    assert abs(out["z"] - z) < 1e-6
+    assert abs(out["chi2"] - z * z) < 1e-5
