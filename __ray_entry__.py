@@ -4008,6 +4008,18 @@ def q_logrank(sf_dir: str):
                    observed_col="observed")
 
 
+def q_pivot_sum(sf_dir: str):
+    """Value-aggregating pivot (the SUM sibling of pivot_counts, same
+    conditional-column + partial pre-agg plan): per-user summed value
+    per event type, SQL NULL for types the user never produced."""
+    from featherstore_ray.stages.aggregate import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "event_type", value_col="value", agg="sum",
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4235,6 +4247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate": q_dup_rate,
         "top_items_per_group": q_top_items_per_group,
         "logrank": q_logrank,
+        "pivot_sum": q_pivot_sum,
     }
 
 
@@ -6555,6 +6568,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'purchase') AS event_type_purchase,
                    count(*) FILTER (event_type = 'signup')   AS event_type_signup,
                    count(*) FILTER (event_type = 'view')     AS event_type_view
+            FROM events GROUP BY user_id
+        """,
+        "pivot_sum": """
+            SELECT user_id,
+                   round(sum(value) FILTER (event_type = 'click'), 6)
+                     AS event_type_click,
+                   round(sum(value) FILTER (event_type = 'error'), 6)
+                     AS event_type_error,
+                   round(sum(value) FILTER (event_type = 'purchase'), 6)
+                     AS event_type_purchase,
+                   round(sum(value) FILTER (event_type = 'signup'), 6)
+                     AS event_type_signup,
+                   round(sum(value) FILTER (event_type = 'view'), 6)
+                     AS event_type_view
             FROM events GROUP BY user_id
         """,
         "unpivot": """
