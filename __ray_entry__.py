@@ -4020,6 +4020,37 @@ def q_pivot_sum(sf_dir: str):
     )
 
 
+_RMST_TAU_DAYS = 14
+
+
+def q_rmst(sf_dir: str):
+    """Restricted mean time-to-first-purchase within 14 days per cohort
+    (user_id % 3) — the KM area-under-curve effect size, reported in
+    days; same derivation/partials as kaplan_meier."""
+    import numpy as np
+
+    from featherstore_ray.stages.survival import rmst, time_to_event
+
+    subj = time_to_event(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        target="purchase",
+    )
+
+    def cohort(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("cohort", pa.array(u % 3))
+
+    subj = subj.map_batches(
+        cohort, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rmst(
+        subj, group_col="cohort", duration_col="duration",
+        observed_col="observed",
+        tau=_RMST_TAU_DAYS * 86400 * 1_000_000, scale=86400e6,
+    )
+
+
 # --------------------------------------------------------------- contract --
 
 
@@ -4248,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_items_per_group": q_top_items_per_group,
         "logrank": q_logrank,
         "pivot_sum": q_pivot_sum,
+        "rmst": q_rmst,
     }
 
 
@@ -6973,6 +7005,63 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 200
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
+        "rmst": f"""
+            WITH u AS (
+                SELECT user_id, min(ts) AS s,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                       max(ts) AS e
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            subj AS (
+                SELECT user_id % 3 AS cohort,
+                       date_diff('microsecond', s, coalesce(p, e)) AS t,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+                FROM u
+            ),
+            g AS (SELECT cohort, t, sum(obs) AS d, count(*) AS c
+                  FROM subj GROUP BY cohort, t),
+            k AS (SELECT *, sum(c) OVER (PARTITION BY cohort ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_risk FROM g),
+            s AS (
+                SELECT cohort, t, d,
+                       sum(CASE WHEN d < n_risk
+                           THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                           ELSE 0 END) OVER w AS lnsum,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                           OVER w AS dead
+                FROM k
+                WINDOW w AS (PARTITION BY cohort ORDER BY t
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            e AS (
+                SELECT cohort, t,
+                       CASE WHEN dead = 1 THEN 0 ELSE exp(lnsum) END AS sv,
+                       lead(t) OVER (PARTITION BY cohort ORDER BY t) AS nxt,
+                       row_number() OVER (PARTITION BY cohort
+                                          ORDER BY t) AS rn
+                FROM s WHERE d > 0
+            ),
+            terms AS (
+                SELECT cohort,
+                       CASE WHEN rn = 1
+                            THEN least(t, {_RMST_TAU_DAYS * 86400 * 1000000})
+                            ELSE 0 END
+                       + greatest(least(coalesce(nxt,
+                             {_RMST_TAU_DAYS * 86400 * 1000000}),
+                             {_RMST_TAU_DAYS * 86400 * 1000000})
+                           - least(t, {_RMST_TAU_DAYS * 86400 * 1000000}),
+                           0) * sv AS term
+                FROM e
+            ),
+            per AS (SELECT cohort,
+                           round(sum(term) / 86400000000.0, 6) AS rmst
+                    FROM terms GROUP BY cohort)
+            SELECT c.cohort,
+                   coalesce(p.rmst, {float(_RMST_TAU_DAYS)!r}) AS rmst
+            FROM (SELECT DISTINCT user_id % 3 AS cohort FROM u) c
+            LEFT JOIN per p USING (cohort)
+        """,
         "logrank": """
             WITH u AS (
                 SELECT user_id, min(ts) AS s,

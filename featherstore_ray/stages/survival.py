@@ -262,3 +262,108 @@ def logrank(
         "z": pa.array([round(float(z), round_digits)
                        if np.isfinite(z) else None], pa.float64()),
     }))
+
+
+def rmst(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    tau: int,
+    scale: float = 1.0,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Restricted mean survival time — the effect-size companion to
+    :func:`kaplan_meier` (curve) and :func:`logrank` (significance):
+    ``RMST(τ) = ∫₀^τ S(t) dt``, the area under the KM step curve up to
+    the horizon ``tau`` — "expected duration survived within the first
+    τ", robust to censoring and always estimable. Output: (group, rmst)
+    in input-duration units divided by ``scale`` — pass 86400e6 for
+    microsecond durations reported in days (rounding a 1e12-scale sum at
+    6 decimals would be vacuous and the driver hash tolerance would sit
+    below the float summation noise).
+
+    Same partials/exchange as kaplan_meier; the kernel integrates the
+    UNROUNDED step curve (segment gaps capped at τ) so the only rounding
+    happens once at the end — the oracle mirrors every term.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[duration_col].notna()
+               & df[observed_col].notna()]
+        out = pd.DataFrame({
+            group_col: d[group_col],
+            "_t": d[duration_col].to_numpy().astype(np.int64),
+            "_d": d[observed_col].to_numpy().astype(np.int64),
+            "_c": np.int64(1),
+        })
+        return out.groupby([group_col, "_t"], sort=False, observed=True)[
+            ["_d", "_c"]].sum().reset_index()
+
+    parts = (
+        ds.select_columns([group_col, duration_col, observed_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+    )
+    parts = add_bucket_column(parts, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        m = df.groupby([group_col, "_t"], sort=True, observed=True)[
+            ["_d", "_c"]].sum().reset_index()
+        if m.empty:
+            return pd.DataFrame({
+                group_col: m[group_col],
+                "rmst": pd.Series([], dtype=np.float64),
+            })
+        codes, uniques = pd.factorize(m[group_col], sort=True)
+        n = len(codes)
+        at_t = m["_c"].to_numpy().astype(np.int64)
+        d = m["_d"].to_numpy().astype(np.int64)
+        t = m["_t"].to_numpy().astype(np.int64)
+        first = np.flatnonzero(np.diff(codes, prepend=-1))
+        lens = _seg_lengths(first, n)
+        total = np.bincount(codes, weights=at_t).astype(np.int64)
+        before = np.cumsum(at_t) - at_t
+        before -= np.repeat(before[first], lens)
+        n_risk = np.repeat(total[codes[first]], lens) - before
+        frac = d.astype(np.float64) / n_risk.astype(np.float64)
+        safe = d < n_risk
+        terms = np.where(safe, np.log(np.where(safe, 1.0 - frac, 1.0)), 0.0)
+        cml = np.cumsum(terms)
+        cml -= np.repeat((cml - terms)[first], lens)
+        hits = np.cumsum(~safe)
+        dead = (hits - np.repeat((hits - (~safe))[first], lens)) > 0
+        surv = np.where(dead, 0.0, np.exp(cml))  # UNROUNDED S(t_i)
+        # integrate only event rows (d > 0; S changes nowhere else)
+        ev = d > 0
+        k = codes.max() + 1
+        rm = np.zeros(k, dtype=np.float64)
+        ce, te, se = codes[ev], t[ev], surv[ev]
+        if len(ce):
+            new_g = np.empty(len(ce), dtype=bool)
+            new_g[0] = True
+            new_g[1:] = ce[1:] != ce[:-1]
+            # first segment: S = 1 from 0 to min(t_1, tau)
+            np.add.at(rm, ce[new_g],
+                      np.minimum(te[new_g], tau).astype(np.float64))
+            # later segments: S(t_i) from min(t_i,tau) to min(t_{i+1},tau)
+            nxt = np.empty(len(ce), dtype=np.int64)
+            nxt[:-1] = np.where(ce[1:] == ce[:-1], te[1:], tau)
+            nxt[-1] = tau
+            gap = (np.minimum(nxt, tau)
+                   - np.minimum(te, tau)).astype(np.float64)
+            np.add.at(rm, ce, np.maximum(gap, 0.0) * se)
+        # groups with NO event rows: S = 1 throughout -> RMST = tau
+        has_ev = np.zeros(k, dtype=bool)
+        has_ev[np.unique(codes[ev])] = True if len(ce) else False
+        rm[~has_ev] = float(tau)
+        return pd.DataFrame({
+            group_col: uniques,
+            "rmst": np.round(rm / scale, round_digits),
+        })
+
+    return bucketed_map_groups(
+        parts, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -146,3 +146,51 @@ def test_logrank_manual_small_case(ray_session):
     assert abs(out["e1"] - round(e1, 6)) < 1e-9
     assert abs(out["z"] - z) < 1e-6
     assert abs(out["chi2"] - z * z) < 1e-5
+
+
+def test_rmst_matches_reference_and_horizon(ray_session):
+    from featherstore_ray.stages.survival import rmst
+
+    def ref(dur, obs, tau):
+        s, prev, area = 1.0, 0, 0.0
+        for t in sorted(set(dur)):
+            if t > tau:
+                break
+            n = sum(1 for x in dur if x >= t)
+            d = sum(1 for x, o in zip(dur, obs) if x == t and o)
+            if d:
+                area += s * (t - prev)
+                prev = t
+                s *= 1 - d / n
+        return area + s * (tau - prev)
+
+    rng = np.random.default_rng(161)
+    n = 300
+    g = rng.integers(0, 3, n)
+    dur = rng.integers(1, 100, n).astype(np.int64)
+    obs = rng.random(n) < 0.7
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "duration": pa.array(dur),
+                  "observed": pa.array(obs)})
+    out = rmst(
+        ray.data.from_arrow(t).repartition(3), group_col="g",
+        duration_col="duration", observed_col="observed", tau=60,
+        num_buckets=2,
+    ).to_pandas().set_index("g")
+    for gg in range(3):
+        mask = g == gg
+        want = ref(dur[mask].tolist(), obs[mask].tolist(), 60)
+        assert abs(out.loc[gg, "rmst"] - want) < 1e-6, gg
+    # censored-only group survives the whole horizon
+    t2 = pa.table({"g": pa.array([9] * 4, pa.int64()),
+                   "duration": pa.array([5, 6, 7, 8], pa.int64()),
+                   "observed": pa.array([False] * 4)})
+    out2 = rmst(ray.data.from_arrow(t2), group_col="g",
+                duration_col="duration", observed_col="observed",
+                tau=50).to_pandas()
+    assert out2["rmst"].iloc[0] == 50.0
+    # scale: report in tens
+    out3 = rmst(ray.data.from_arrow(t2), group_col="g",
+                duration_col="duration", observed_col="observed",
+                tau=50, scale=10.0).to_pandas()
+    assert out3["rmst"].iloc[0] == 5.0
