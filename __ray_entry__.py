@@ -3233,7 +3233,9 @@ def q_label_propagation(sf_dir: str):
         a = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
         return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
 
-    e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    e = orders.map_batches(
+        edges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
     return label_propagation(e, iters=_LPA_ITERS, num_buckets=16)
 
 
@@ -3908,7 +3910,7 @@ def q_hash_join_salted(sf_dir: str):
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
-        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
     )
     counts = key_counts(orders.select_columns(["o_custkey"]), "o_custkey")
     hot = set(counts.nlargest(8, "n")["o_custkey"])

@@ -2387,7 +2387,7 @@ def common_paths(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
-    gap=None,
+    gap=None,  # required; None raises ValueError (kept keyword for API shape)
     top_n: int = 20,
     max_len: int = 20,
     sep: str = ">",
@@ -2416,6 +2416,8 @@ def common_paths(
 
     from featherstore_ray.stages.text import _bucketed_topn
 
+    if gap is None:
+        raise ValueError("gap is required (session boundary threshold)")
     if isinstance(gap, datetime.timedelta):
         gap_us = int(gap.total_seconds() * 1_000_000)
     else:

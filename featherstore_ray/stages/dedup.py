@@ -359,8 +359,12 @@ def minhash_lsh_dedup(
     agreement >= threshold (a Jaccard estimator) → vectorized connected
     components. Driver memory is bounded by the candidate-pair count, which
     LSH keeps near-linear in the true dup count; ``driver_pair_cap`` makes
-    the bound explicit — above it, use ``minhash_band_pairs`` +
-    ``stages.components.connected_components`` which never leave the cluster.
+    the bound explicit — above it the op AUTO-ROUTES to the fully
+    distributed path (:func:`_lsh_dedup_distributed`: per-bucket signature
+    attach + agreement verify, then
+    ``stages.components.connected_components``) with identical output, so
+    the 100 TB default needs no caller knowledge. ``driver_pair_cap=0``
+    forces the distributed route (used by the parity tests).
     """
     from featherstore_ray.stages.components import components_numpy
 
@@ -372,14 +376,19 @@ def minhash_lsh_dedup(
         bands=bands,
         shingle_k=shingle_k,
         num_buckets=num_buckets,
-    )
-    pairs = cand_ds.to_pandas()
-    if len(pairs) > driver_pair_cap:
-        raise ValueError(
-            f"{len(pairs)} candidate pairs exceed driver_pair_cap="
-            f"{driver_pair_cap}; run minhash_band_pairs + "
-            "stages.components.connected_components instead (fully distributed)"
+    ).materialize()
+    if cand_ds.count() > driver_pair_cap:
+        return _lsh_dedup_distributed(
+            ds,
+            cand_ds,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            num_buckets=num_buckets,
         )
+    pairs = cand_ds.to_pandas()
     if pairs.empty:
         return pd.DataFrame({id_col: pairs["a"], "dup_group": pairs["a"]})
 
@@ -425,6 +434,169 @@ def minhash_lsh_dedup(
         verified["a"].to_numpy(), verified["b"].to_numpy()
     )
     return pd.DataFrame({id_col: nodes, "dup_group": labels})
+
+
+def _sig_fixed_binary(sig: np.ndarray) -> pa.Array:
+    """(n, num_perm) uint64 signature matrix → fixed_size_binary column."""
+    n, num_perm = sig.shape
+    data = np.ascontiguousarray(sig)
+    return pa.Array.from_buffers(
+        pa.binary(num_perm * 8), n, [None, pa.py_buffer(data)]
+    )
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """fixed_size_binary column → (n, num_perm) uint64 view (zero-copy)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    return data[arr.offset * num_perm : (arr.offset + len(arr)) * num_perm
+                ].reshape(-1, num_perm)
+
+
+def _lsh_dedup_distributed(
+    ds: ray.data.Dataset,
+    cand_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    shingle_k: int,
+    threshold: float,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """The past-the-driver-cap route of :func:`minhash_lsh_dedup` — same
+    output, nothing corpus-sized ever reaches the driver.
+
+    Signatures are recomputed once as a corpus-linear ``(id, sig)`` Dataset
+    (``sig`` = fixed_size_binary, the uint64 matrix row — never a Python
+    list) and materialized so both attach exchanges read the same blocks.
+    Two bucket exchanges follow, both keyed by ``hash(doc id)`` so the sig
+    table's bucket ids are computed once: exchange 1 co-locates pairs (by
+    ``a``) with sigs (by id) and gathers ``sig_a`` via sorted-id
+    searchsorted; exchange 2 re-buckets by ``b``, gathers ``sig_b``, and
+    applies the agreement >= threshold filter in the same kernel, emitting
+    verified ``(a, b)`` only. Components then run through
+    ``connected_components`` (adaptive driver/distributed crossover). The
+    result table is component membership — linear in the dup count, the
+    same driver-side bound the candidate path already returns.
+    """
+    from featherstore_ray.partition import bucket_of
+    from featherstore_ray.stages.components import connected_components
+
+    sig_type = pa.binary(num_perm * 8)
+    side_col = "_fsr_side"
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(
+            t[text_col], num_perm=num_perm, shingle_k=shingle_k
+        )
+        return pa.table({id_col: t[id_col], "sig": _sig_fixed_binary(sig)})
+
+    sigs = ds.map_batches(
+        sig_batch, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    id_type = sigs.schema().base_schema.field(id_col).type
+
+    def tag(key_col: str, is_sig: bool, carry: list[str],
+            with_sig_a: bool = False):
+        """Tagged-union side builder: output (key, *carry, sig, side, bucket)."""
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            cols["_fsr_key"] = t[id_col] if is_sig else t[key_col]
+            for c in carry:
+                cols[c] = pa.nulls(n, id_type) if is_sig else t[c]
+            cols["sig"] = t["sig"] if is_sig else pa.nulls(n, sig_type)
+            if with_sig_a:
+                cols["sig_a"] = (
+                    pa.nulls(n, sig_type) if is_sig else t["sig_a"])
+            cols[side_col] = pa.array(
+                np.full(n, int(is_sig), dtype=np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                BUCKET_COL, pa.array(bucket_of(out["_fsr_key"], num_buckets))
+            )
+
+        return f
+
+    def gather(keys: np.ndarray, sig_ids: np.ndarray, mat: np.ndarray):
+        order = np.argsort(sig_ids, kind="stable")
+        pos = np.searchsorted(sig_ids[order], keys)
+        pos = np.minimum(pos, len(order) - 1)
+        rows = order[pos]
+        ok = sig_ids[rows] == keys  # every pair id came from a doc row
+        return mat[rows], ok
+
+    # -- exchange 1: attach sig_a (pairs bucketed by a, sigs by id) --------
+
+    def kernel_a(t: pa.Table) -> pa.Table:
+        is_sig = pc.equal(t[side_col], pa.scalar(1, pa.int8()))
+        st = t.filter(is_sig)
+        pt = t.filter(pc.invert(is_sig))
+        if pt.num_rows == 0 or st.num_rows == 0:
+            return pa.table({
+                "a": pa.array([], id_type), "b": pa.array([], id_type),
+                "sig_a": pa.array([], sig_type),
+            })
+        sig_ids = st["_fsr_key"].to_numpy(zero_copy_only=False)
+        mat = _sig_matrix(st["sig"], num_perm)
+        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
+        got, ok = gather(keys, sig_ids, mat)
+        pt = pt.take(np.flatnonzero(ok))
+        return pa.table({
+            "a": pt["_fsr_key"], "b": pt["b"],
+            "sig_a": _sig_fixed_binary(got[ok]),
+        })
+
+    tagged1 = cand_ds.map_batches(
+        tag("a", False, ["b"]), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(sigs.map_batches(
+        tag("a", True, ["b"]), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    with_a = bucketed_map_groups(
+        tagged1, kernel_a, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+    # -- exchange 2: attach sig_b, verify in the same kernel ---------------
+
+    def kernel_b(t: pa.Table) -> pa.Table:
+        is_sig = pc.equal(t[side_col], pa.scalar(1, pa.int8()))
+        st = t.filter(is_sig)
+        pt = t.filter(pc.invert(is_sig))
+        if pt.num_rows == 0 or st.num_rows == 0:
+            return pa.table({
+                "a": pa.array([], id_type), "b": pa.array([], id_type),
+            })
+        sig_ids = st["_fsr_key"].to_numpy(zero_copy_only=False)
+        mat = _sig_matrix(st["sig"], num_perm)
+        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
+        sig_b, ok = gather(keys, sig_ids, mat)
+        sig_a = _sig_matrix(pt["sig_a"], num_perm)
+        agree = (sig_a == sig_b).mean(axis=1)
+        keep = ok & (agree >= threshold)
+        pt = pt.take(np.flatnonzero(keep))
+        return pa.table({"a": pt["a"], "b": pt["_fsr_key"]})
+
+    tagged2 = with_a.map_batches(
+        tag("b", False, ["a"], with_sig_a=True), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(sigs.map_batches(
+        tag("b", True, ["a"], with_sig_a=True), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    verified = bucketed_map_groups(
+        tagged2, kernel_b, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+    comp = connected_components(
+        verified, a_col="a", b_col="b",
+        node_col=id_col, label_col="dup_group", num_buckets=num_buckets,
+    )
+    return comp.to_pandas()
 
 
 # -- SimHash ---------------------------------------------------------------

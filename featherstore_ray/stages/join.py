@@ -342,11 +342,17 @@ def hash_join(
     if hot_keys:
         from featherstore_ray.partition import BUCKET_COL
 
-        # bucket on (key, salt) so each salt partition is its own reducer
+        # bucket on (key, salt) so each salt partition is its own reducer.
+        # `(b + s) % num_buckets`, NOT `(b * num_salts + s)`: the multiply
+        # collapses every salt-0 (cold) row into num_buckets/gcd(num_salts,
+        # num_buckets) buckets, serializing the whole cold side on a few
+        # reducers. Adding the salt keeps the full hash spread for salt 0
+        # while shifting each hot copy to a distinct bucket; equal
+        # (key, salt) still co-locate, so correctness is unchanged.
         def add_salted(t: pa.Table) -> pa.Table:
             b = bucket_of(t[on[0]], num_buckets).astype(np.int64)
             s = t[salt].to_numpy(zero_copy_only=False).astype(np.int64)
-            combined = ((b * num_salts + s) % num_buckets).astype(np.int32)
+            combined = ((b + s) % num_buckets).astype(np.int32)
             return t.append_column(BUCKET_COL, pa.array(combined))
 
         bucketed = tagged.map_batches(
@@ -418,6 +424,8 @@ def band_join(
     band = "_fsr_band"
     side = "_fsr_side"
     eps = float(eps)
+    if not eps > 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.select(left_cols)

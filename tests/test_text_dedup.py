@@ -651,3 +651,26 @@ def test_containment_catches_embedded_doc(ray_session):
         ray.data.from_arrow(t), id_col="doc_id", k=3, threshold=0.3,
     ).to_pandas()
     assert len(jac) == 0  # symmetric metric misses the embedding
+
+
+def test_minhash_lsh_dedup_distributed_route_parity(docs):
+    """driver_pair_cap=0 forces the fully distributed route (sig attach via
+    two bucket exchanges + distributed components); output must be
+    IDENTICAL to the driver-verify path on the same input."""
+    base = docs.to_pandas().head(20).copy()
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 50_000
+    dup["text"] = dup["text"] + " extra"
+    both = pd.concat([docs.to_pandas(), dup], ignore_index=True)
+
+    driver = minhash_lsh_dedup(
+        ray.data.from_pandas(both), id_col="doc_id", threshold=0.5
+    )
+    dist = minhash_lsh_dedup(
+        ray.data.from_pandas(both), id_col="doc_id", threshold=0.5,
+        driver_pair_cap=0,
+    )
+    key = ["doc_id", "dup_group"]
+    d1 = driver.sort_values(key).reset_index(drop=True)
+    d2 = dist[key].astype(d1.dtypes).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(d1, d2)
