@@ -637,16 +637,27 @@ def q_token_count(sf_dir: str):
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event type — mergeable
     register sketches as the partial state (groups x 2^p bytes cross the
-    exchange, never rows). Deterministic (fixed hash) but approximate, so
-    rows-only; accuracy vs exact is pytest-gated (tests/test_sketch.py)."""
+    exchange, never rows). The sketch is approximate, so the contract
+    emits a BOUNDED-ERROR CERTIFICATE: the exact distributed companion
+    (``count_distinct``) runs in the same query, its exact counts are
+    value-hash-certified against COUNT(DISTINCT), and ``within_bound``
+    says the HLL estimate is within 5% relative error (p=12 → ~1.6% σ;
+    tests/test_sketch.py gates tighter bounds)."""
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import count_distinct
     from featherstore_ray.stages.sketch import hll_distinct
 
-    return hll_distinct(
-        _read(sf_dir, "events", columns=["event_type", "user_id"]),
-        ["event_type"],
-        "user_id",
-        precision=12,
-    )
+    ev = lambda: _read(sf_dir, "events", columns=["event_type", "user_id"])
+    approx = hll_distinct(ev(), ["event_type"], "user_id", precision=12)
+    exact = count_distinct(ev(), "event_type", "user_id").to_pandas()
+    m = exact.merge(approx, on="event_type")
+    rel = (m["approx_distinct"] - m["n_distinct"]).abs() / m["n_distinct"]
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "n_distinct": m["n_distinct"],
+        "within_bound": rel <= 0.05,
+    })
 
 
 def q_stratified_sample(sf_dir: str):
@@ -677,19 +688,55 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 def q_dedup_keep_best(sf_dir: str):
-    """Canonical-doc selection: near-dup groups (MinHash-LSH) reduced to
-    one highest-quality survivor each (max word count, ties to smallest
-    id); ungrouped docs pass through. Deterministic but built on the
-    probabilistic candidate set, so rows-only; the one-survivor-per-group
-    and argmax-quality invariants are pytest-gated
-    (tests/test_text_dedup.py)."""
-    from featherstore_ray.stages.dedup import dedup_keep_best
+    """Canonical-doc selection, value-hash certified: the corpus is the
+    documents table plus two EXACT copies of every doc_id % 5 == 0 row
+    (ids shifted +1M/+2M), quality = a multiplicative hash of the id, and
+    the grouping is the exact-duplicate membership map
+    (``exact_dup_groups`` — one content-hash exchange) injected through
+    ``dedup_keep_best(groups=...)``, so the whole pipeline (grouping +
+    max-quality winner, ties to smallest id + singleton pass-through)
+    mirrors as a ROW_NUMBER() OVER (PARTITION BY text) oracle. (MinHash
+    grouping itself is signature-equality, not SQL-expressible — OPH
+    signatures can agree across distinct shingle sets; the fuzzy variant
+    stays covered by ``minhash_dedup`` + the argmax-quality pytest gate,
+    tests/test_text_dedup.py.)"""
+    import numpy as np
 
+    from featherstore_ray.stages.dedup import dedup_keep_best, exact_dup_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def copies(shift: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero(ids % 5 == 0)
+            sub = t.take(keep)
+            return pa.table({
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + shift),
+                "text": sub["text"],
+            })
+
+        return f
+
+    corpus = docs.union(
+        docs.map_batches(copies(1_000_000), batch_size=None,
+                         batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(copies(2_000_000), batch_size=None,
+                         batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("q", pa.array((ids * 2654435761) % 1000))
+
+    scored = corpus.map_batches(
+        score, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    groups = exact_dup_groups(scored, id_col="doc_id", num_buckets=16)
     return dedup_keep_best(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        id_col="doc_id",
-        threshold=0.6,
-    ).select_columns(["doc_id", "n_tok_ws"])
+        scored, id_col="doc_id", quality_col="q", groups=groups,
+    ).select_columns(["doc_id", "q"])
 
 
 def q_streaming_tumbling(sf_dir: str):
@@ -1338,22 +1385,42 @@ def q_bloom_semi_join(sf_dir: str):
 
 
 def q_grouped_quantiles_sketch(sf_dir: str):
-    """t-digest-style mergeable quantile sketch — the scale path paired
-    with the exact ``grouped_quantiles`` oracle: each batch collapses a
-    group's values into <= compression weighted centroids, so the exchange
-    moves O(groups x compression) floats and a hot group never lands its
-    full value set on one reducer. Deterministic but approximate, so
-    rows-only; error vs the exact path is pytest-gated
-    (tests/test_sketch.py)."""
+    """t-digest-style mergeable quantile sketch — the scale path: each
+    batch collapses a group's values into <= compression weighted
+    centroids, so the exchange moves O(groups x compression) floats and a
+    hot group never lands its full value set on one reducer.
+
+    The sketch is approximate, so the contract emits a BOUNDED-ERROR
+    CERTIFICATE instead of the raw values: each group's sketch p50/p90 is
+    compared against the exact ``grouped_quantiles`` companion (run in the
+    same query) and the output booleans say |sketch − exact| <= 0.1 × the
+    global value std (measured worst case 0.052 at n≈200/group — the tail
+    interpolation gap shrinks with n; tests/test_sketch.py gates the
+    tighter per-shape bounds). The oracle
+    emits literal TRUE per group — if the sketch ever drifts out of bound
+    the value hash breaks, which is exactly the certificate we want."""
+    import pandas as pd
+
+    from featherstore_ray.stages.misc import grouped_quantiles
     from featherstore_ray.stages.sketch import grouped_quantiles_sketch
 
-    return grouped_quantiles_sketch(
-        _read(sf_dir, "events", columns=["event_type", "value"]),
-        ["event_type"],
-        "value",
-        quantiles=(0.5, 0.9),
-        compression=200,
+    ev = lambda: _read(sf_dir, "events", columns=["event_type", "value"])
+    sk = grouped_quantiles_sketch(
+        ev(), ["event_type"], "value", quantiles=(0.5, 0.9), compression=200,
     )
+    ex = grouped_quantiles(
+        ev(), ["event_type"], "value", quantiles=(0.5, 0.9),
+    ).to_pandas()
+    spread = float(ev().std("value"))
+    m = ex.merge(sk, on="event_type", suffixes=("_exact", "_sketch"))
+    bound = 0.1 * spread
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "p50_ok": (m["value_p50_exact"] - m["value_p50_sketch"]).abs()
+        <= bound,
+        "p90_ok": (m["value_p90_exact"] - m["value_p90_sketch"]).abs()
+        <= bound,
+    })
 
 
 def q_hash_split(sf_dir: str):
@@ -2060,22 +2127,69 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def _content_hash_certificate(sf_dir: str, compute, value_col: str,
+                              ok_col: str):
+    """Shared content-determinism certificate for hash-valued ops (SipHash
+    based → values have no SQL mirror): the corpus is documents plus an
+    EXACT copy of every doc_id % 5 == 0 row at id+1M (copies land in
+    different blocks/batches), and the output boolean says the copy's
+    hash equals the original's — certifying content-only, batch-boundary-
+    invariant hashing (the `_seq_hashes` defect class) with a value-hash
+    row per planted pair. Oracle: TRUE per sampled doc."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.take(np.flatnonzero(ids % 5 == 0))
+        return pa.table({
+            "doc_id": pa.array(
+                sub["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000),
+            "text": sub["text"],
+        })
+
+    corpus = docs.union(docs.map_batches(
+        copies, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True))
+    out = compute(corpus).to_pandas()
+    orig = out[out["doc_id"] < 1_000_000]
+    cop = out[out["doc_id"] >= 1_000_000].copy()
+    cop["doc_id"] -= 1_000_000
+    m = cop.merge(orig, on="doc_id", suffixes=("_c", ""))
+    return pd.DataFrame({
+        "doc_id": m["doc_id"],
+        ok_col: (m[value_col + "_c"] == m[value_col]),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash document fingerprint (deterministic; rows-only check)."""
+    """Rolling-hash document fingerprint. SipHash-based values have no SQL
+    mirror, so the contract emits the shared content-determinism
+    certificate (see ``_content_hash_certificate``): planted exact copies
+    in different blocks must fingerprint identically."""
     from featherstore_ray.stages.text import fingerprint
 
-    return fingerprint(
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ).select_columns(["doc_id", "fingerprint"])
+    return _content_hash_certificate(
+        sf_dir, lambda ds: fingerprint(ds).select_columns(
+            ["doc_id", "fingerprint"]),
+        "fingerprint", "fp_equal",
+    )
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document (deterministic; rows-only check)."""
+    """64-bit SimHash per document. Hash values have no SQL mirror, so the
+    contract emits the shared content-determinism certificate (see
+    ``_content_hash_certificate``): planted exact copies in different
+    blocks must SimHash identically."""
     from featherstore_ray.stages.dedup import simhash
 
-    return simhash(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), id_col="doc_id"
-    ).select_columns(["doc_id", "simhash"])
+    return _content_hash_certificate(
+        sf_dir, lambda ds: simhash(ds, id_col="doc_id").select_columns(
+            ["doc_id", "simhash"]),
+        "simhash", "sim_equal",
+    )
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -2888,16 +3002,59 @@ def q_mutual_info(sf_dir: str):
 def q_pca_project(sf_dir: str):
     """Distributed PCA projection of the embeddings table to 8 components:
     (n, Σx, XᵀX) moment partials (d-vector + d×d matrix per block, never
-    rows) → driver eigh → broadcast matvec projection. Deterministic
-    (canonical eigenvector signs) but eigendecomposition has no SQL
-    mirror → rows-only; exactness vs full-matrix numpy PCA is
-    pytest-gated (tests/test_ann_agg_tokens.py)."""
+    rows) → driver eigh → broadcast matvec projection. Eigendecomposition
+    has no SQL mirror, so the contract emits a PER-ROW CERTIFICATE of the
+    projection's defining properties instead of raw coordinates:
+    ``norm_ok`` = Parseval (||proj||² <= ||x − μ||², orthonormal basis on
+    centered data) and ``var_ordered`` = component variances are
+    non-increasing. Exactness vs full-matrix numpy PCA stays pytest-gated
+    (tests/test_ann_agg_tokens.py)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
     from featherstore_ray.stages.ann import pca_project
 
-    return pca_project(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        n_components=8,
-    )
+    emb = lambda: _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    proj = pca_project(emb(), n_components=8).to_pandas()
+    pc_cols = [c for c in proj.columns if c.startswith("pc")]
+
+    # global mean via (n, Σx) partials — one tiny row per block
+    def moment(t: pa.Table) -> pa.Table:
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n": pa.array([len(x)]),
+            "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+        })
+
+    parts = emb().map_batches(
+        moment, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    mu = np.stack(parts["s"].to_numpy()).sum(axis=0) / parts["n"].sum()
+    mu_ref = _ray.put(mu)
+
+    def centered_norm(t: pa.Table) -> pa.Table:
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        d = x - _ray.get(mu_ref)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cn2": pa.array((d * d).sum(axis=1)),
+        })
+
+    cn = emb().map_batches(
+        centered_norm, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    m = proj.merge(cn, on="vec_id")
+    p2 = (m[pc_cols].to_numpy() ** 2).sum(axis=1)
+    variances = m[pc_cols].to_numpy().var(axis=0)
+    var_ordered = bool(np.all(np.diff(variances) <= 1e-9 * variances[0]))
+    return pd.DataFrame({
+        "vec_id": m["vec_id"],
+        "norm_ok": p2 <= m["cn2"].to_numpy() * (1 + 1e-9) + 1e-9,
+        "var_ordered": var_ordered,
+    })
 
 
 def q_share_of_group(sf_dir: str):
@@ -3094,16 +3251,40 @@ def q_ks_test(sf_dir: str):
 def q_cms_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates for the 20 sources (+ one
     absent key): per-block depth×width counter partials, elementwise-sum
-    merge, min-over-rows estimate. Deterministic (fixed SipHash base) but
-    one-sided approximate, so rows-only; the overcount bound and the
-    merge-associativity invariant are pytest-gated (tests/test_sketch.py)."""
+    merge, min-over-rows estimate. One-sided approximate, so the contract
+    emits a CERTIFICATE against the exact per-key counts (computed in the
+    same query from tiny per-batch count partials): ``cms_sound`` = the
+    estimate never undercounts, ``cms_tight`` = overcount <= 3·(e/width)·N
+    (the standard CMS bound at 3× margin; deterministic for fixed input —
+    no flake). The exact counts themselves are value-hash-certified."""
+    import math
+
+    import pandas as pd
+
     from featherstore_ray.stages.sketch import cms_frequencies
 
     keys = [f"src{i}" for i in range(20)] + ["src_absent"]
-    return cms_frequencies(
-        _read(sf_dir, "documents", columns=["source"]), "source", keys,
-        depth=4, width=2048,
-    )
+    width = 2048
+    src = lambda: _read(sf_dir, "documents", columns=["source"])
+    est = cms_frequencies(src(), "source", keys, depth=4, width=width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("source").aggregate([("source", "count")])
+
+    parts = src().map_batches(
+        partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    exact_all = parts.groupby("source")["source_count"].sum()
+    n_total = int(exact_all.sum())
+    exact = pd.Series(keys, name="source").map(exact_all).fillna(0).astype(
+        "int64")
+    slack = 3 * math.e / width * n_total
+    return pd.DataFrame({
+        "source": keys,
+        "n_exact": exact,
+        "cms_sound": (est["est"].to_numpy() >= exact.to_numpy()),
+        "cms_tight": (est["est"].to_numpy() <= exact.to_numpy() + slack),
+    })
 
 
 def q_rolling_quantile(sf_dir: str):
@@ -4734,6 +4915,31 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS value_p90
             FROM events GROUP BY 1
         """,
+        # q_grouped_quantiles_sketch emits booleans |sketch-exact| <= bound;
+        # the oracle asserts they are all TRUE (bounded-error certificate)
+        "grouped_quantiles_sketch": """
+            SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+            FROM events GROUP BY 1
+        """,
+        "dedup_keep_best": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id % 5 = 0
+            ), scored AS (
+                SELECT doc_id, (doc_id * 2654435761) % 1000 AS q, text
+                FROM corpus
+            ), ranked AS (
+                SELECT doc_id, q, row_number() OVER (
+                    PARTITION BY text ORDER BY q DESC, doc_id) AS rn
+                FROM scored
+            )
+            SELECT doc_id, q FROM ranked WHERE rn = 1
+        """,
         "hash_split": f"""
             SELECT event_id,
                    CASE WHEN (event_id % 4294967296) * 2654435761
@@ -5227,6 +5433,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
+        """,
+        # certificate oracles: the Ray side emits exact companions +
+        # bounded-error / invariant booleans; the oracle mirrors the exact
+        # columns and asserts the booleans are all TRUE
+        "hll_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+                   TRUE AS within_bound
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
+        """,
+        "cms_counts": """
+            WITH k AS (
+                SELECT 'src' || i::VARCHAR AS source
+                FROM unnest(range(20)) AS t(i)
+                UNION ALL SELECT 'src_absent'
+            ), c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            )
+            SELECT k.source, coalesce(c.n, 0)::BIGINT AS n_exact,
+                   TRUE AS cms_sound, TRUE AS cms_tight
+            FROM k LEFT JOIN c USING (source)
+        """,
+        "fingerprint": """
+            SELECT doc_id, TRUE AS fp_equal FROM documents
+            WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "simhash": """
+            SELECT doc_id, TRUE AS sim_equal FROM documents
+            WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "pca_project": """
+            SELECT vec_id, TRUE AS norm_ok, TRUE AS var_ordered
+            FROM embeddings
         """,
         "time_features": """
             SELECT event_id,

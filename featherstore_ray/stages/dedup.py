@@ -335,6 +335,56 @@ def minhash_band_pairs(
     return bucketed_map_groups(cand, distinct, num_buckets=num_buckets, batch_format="pandas")
 
 
+def exact_dup_groups(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Exact-duplicate membership map: ``(id_col, dup_group)`` for every
+    row whose ``text_col`` value occurs more than once; ``dup_group`` =
+    the min id sharing that value. The SQL-mirrorable grouping companion
+    to :func:`minhash_lsh_dedup` — plug into
+    :func:`dedup_keep_best(groups=...)`.
+
+    Shape: per-batch projection to ``(id, text-hash-bucket, text)`` pairs
+    would ship full texts; instead only ``(id, content hash)`` crosses the
+    ONE exchange and the per-bucket kernel groups on the 64-bit content
+    hash — collision risk 2^-64 per pair, the same contract every hash
+    exchange in this module carries. Output is dup membership only
+    (small by construction).
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        h = stable_hash(t[text_col])
+        return pa.table({
+            id_col: t[id_col],
+            "_fsr_h": pa.array(h.view(np.int64)),
+            BUCKET_COL: pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    hashed = ds.map_batches(
+        project, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        grp = df.groupby("_fsr_h")[id_col]
+        mn = grp.transform("min")
+        sz = grp.transform("size")
+        out = df.loc[sz > 1, [id_col]].copy()
+        out["dup_group"] = mn[sz > 1]
+        return out
+
+    return (
+        bucketed_map_groups(
+            hashed, kernel, num_buckets=num_buckets, batch_format="pandas"
+        )
+        .to_pandas()
+    )
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     *,
@@ -706,12 +756,18 @@ def dedup_keep_best(
     num_perm: int = 128,
     bands: int = 16,
     num_buckets: int = 64,
+    groups: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Canonical-document selection — the standard corpus-dedup END step:
     group near-duplicates (MinHash-LSH, ``minhash_lsh_dedup``), then keep
     exactly ONE document per group: the highest-quality one (max
     ``quality_col``; word count by default), ties to the smallest id.
     Documents in no dup group pass through untouched.
+
+    ``groups``: a precomputed ``(id_col, dup_group)`` membership map — any
+    exact or learned grouping (e.g. :func:`exact_dup_groups`,
+    ``jaccard_pairs`` + components) plugs into the same winner reduction;
+    ``None`` runs the default MinHash-LSH grouping.
 
     Shape: the (id, dup_group) map is SMALL by construction (only docs in
     a near-dup component), broadcast once; the corpus streams through a
@@ -722,10 +778,11 @@ def dedup_keep_best(
 
     import pyarrow.compute as pc
 
-    groups = minhash_lsh_dedup(
-        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        bands=bands, threshold=threshold, num_buckets=num_buckets,
-    )
+    if groups is None:
+        groups = minhash_lsh_dedup(
+            ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            bands=bands, threshold=threshold, num_buckets=num_buckets,
+        )
     if quality_col is None:
         from featherstore_ray.stages.text import token_count
 
