@@ -503,6 +503,120 @@ def _sig_matrix(col, num_perm: int) -> np.ndarray:
                 ].reshape(-1, num_perm)
 
 
+def _pairs_attach(
+    cand_ds: ray.data.Dataset,
+    payload_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    payload_col: str,
+    payload_type: pa.DataType,
+    id_type: pa.DataType,
+    num_buckets: int,
+    finish,
+) -> ray.data.Dataset:
+    """Distributed pair-payload attach — the verify backbone shared by
+    :func:`_lsh_dedup_distributed` (signatures) and
+    :func:`jaccard_verify_pairs` (shingle sets).
+
+    ``cand_ds`` is (a, b) candidate pairs; ``payload_ds`` is the
+    corpus-linear (id, payload) table. Two bucket exchanges, both keyed by
+    ``hash(doc id)``: exchange 1 co-locates pairs (by ``a``) with payloads
+    (by id), gathers the ``a``-side payload via sorted-id searchsorted +
+    one Arrow ``take``; exchange 2 re-buckets by ``b``, gathers the
+    ``b``-side payload, and calls ``finish(table)`` in the same kernel on
+    (a, b, _pay_a, _pay_b) — emit verified pairs there so only survivors
+    leave the bucket. Nothing corpus-sized ever reaches the driver.
+    """
+    from featherstore_ray.partition import bucket_of
+
+    side_col = "_fsr_side"
+
+    def tag(key_col: str, is_payload: bool, carry: list[str],
+            with_pa: bool = False):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict = {}
+            cols["_fsr_key"] = t[id_col] if is_payload else t[key_col]
+            for c in carry:
+                cols[c] = pa.nulls(n, id_type) if is_payload else t[c]
+            cols[payload_col] = (
+                t[payload_col] if is_payload else pa.nulls(n, payload_type))
+            if with_pa:
+                cols["_pay_a"] = (
+                    pa.nulls(n, payload_type) if is_payload else t["_pay_a"])
+            cols[side_col] = pa.array(np.full(n, int(is_payload), np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                BUCKET_COL, pa.array(bucket_of(out["_fsr_key"], num_buckets))
+            )
+
+        return f
+
+    def split(t: pa.Table):
+        is_p = pc.equal(t[side_col], pa.scalar(1, pa.int8()))
+        return t.filter(is_p), t.filter(pc.invert(is_p))
+
+    def gather(st: pa.Table, keys: np.ndarray):
+        ids = st["_fsr_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], keys)
+        pos = np.minimum(pos, len(order) - 1)
+        rows = order[pos]
+        ok = ids[rows] == keys  # every pair id came from a doc row
+        sel = np.flatnonzero(ok)
+        pay = st[payload_col].combine_chunks().take(pa.array(rows[sel]))
+        return sel, pay
+
+    def _empty_full() -> pa.Table:
+        return pa.table({
+            "a": pa.array([], id_type), "b": pa.array([], id_type),
+            "_pay_a": pa.array([], payload_type),
+            "_pay_b": pa.array([], payload_type),
+        })
+
+    def kernel_a(t: pa.Table) -> pa.Table:
+        st, pt = split(t)
+        if pt.num_rows == 0 or st.num_rows == 0:
+            return _empty_full().drop_columns(["_pay_b"])
+        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
+        sel, pay = gather(st, keys)
+        pt = pt.take(sel)
+        return pa.table({"a": pt["_fsr_key"], "b": pt["b"], "_pay_a": pay})
+
+    def kernel_b(t: pa.Table) -> pa.Table:
+        st, pt = split(t)
+        if pt.num_rows == 0 or st.num_rows == 0:
+            return finish(_empty_full())
+        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
+        sel, pay = gather(st, keys)
+        pt = pt.take(sel)
+        return finish(pa.table({
+            "a": pt["a"], "b": pt["_fsr_key"],
+            "_pay_a": pt["_pay_a"], "_pay_b": pay,
+        }))
+
+    tagged1 = cand_ds.map_batches(
+        tag("a", False, ["b"]), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(payload_ds.map_batches(
+        tag("a", True, ["b"]), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    with_a = bucketed_map_groups(
+        tagged1, kernel_a, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+    tagged2 = with_a.map_batches(
+        tag("b", False, ["a"], with_pa=True), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(payload_ds.map_batches(
+        tag("b", True, ["a"], with_pa=True), batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ))
+    return bucketed_map_groups(
+        tagged2, kernel_b, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+
 def _lsh_dedup_distributed(
     ds: ray.data.Dataset,
     cand_ds: ray.data.Dataset,
@@ -519,22 +633,16 @@ def _lsh_dedup_distributed(
 
     Signatures are recomputed once as a corpus-linear ``(id, sig)`` Dataset
     (``sig`` = fixed_size_binary, the uint64 matrix row — never a Python
-    list) and materialized so both attach exchanges read the same blocks.
-    Two bucket exchanges follow, both keyed by ``hash(doc id)`` so the sig
-    table's bucket ids are computed once: exchange 1 co-locates pairs (by
-    ``a``) with sigs (by id) and gathers ``sig_a`` via sorted-id
-    searchsorted; exchange 2 re-buckets by ``b``, gathers ``sig_b``, and
-    applies the agreement >= threshold filter in the same kernel, emitting
-    verified ``(a, b)`` only. Components then run through
+    list) and materialized so both attach exchanges read the same blocks;
+    the agreement >= threshold filter runs inside the second exchange
+    kernel (see :func:`_pairs_attach`). Components then run through
     ``connected_components`` (adaptive driver/distributed crossover). The
     result table is component membership — linear in the dup count, the
     same driver-side bound the candidate path already returns.
     """
-    from featherstore_ray.partition import bucket_of
     from featherstore_ray.stages.components import connected_components
 
     sig_type = pa.binary(num_perm * 8)
-    side_col = "_fsr_side"
 
     def sig_batch(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(
@@ -548,105 +656,29 @@ def _lsh_dedup_distributed(
     ).materialize()
     id_type = sigs.schema().base_schema.field(id_col).type
 
-    def tag(key_col: str, is_sig: bool, carry: list[str],
-            with_sig_a: bool = False):
-        """Tagged-union side builder: output (key, *carry, sig, side, bucket)."""
-
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
-            cols["_fsr_key"] = t[id_col] if is_sig else t[key_col]
-            for c in carry:
-                cols[c] = pa.nulls(n, id_type) if is_sig else t[c]
-            cols["sig"] = t["sig"] if is_sig else pa.nulls(n, sig_type)
-            if with_sig_a:
-                cols["sig_a"] = (
-                    pa.nulls(n, sig_type) if is_sig else t["sig_a"])
-            cols[side_col] = pa.array(
-                np.full(n, int(is_sig), dtype=np.int8))
-            out = pa.table(cols)
-            return out.append_column(
-                BUCKET_COL, pa.array(bucket_of(out["_fsr_key"], num_buckets))
-            )
-
-        return f
-
-    def gather(keys: np.ndarray, sig_ids: np.ndarray, mat: np.ndarray):
-        order = np.argsort(sig_ids, kind="stable")
-        pos = np.searchsorted(sig_ids[order], keys)
-        pos = np.minimum(pos, len(order) - 1)
-        rows = order[pos]
-        ok = sig_ids[rows] == keys  # every pair id came from a doc row
-        return mat[rows], ok
-
-    # -- exchange 1: attach sig_a (pairs bucketed by a, sigs by id) --------
-
-    def kernel_a(t: pa.Table) -> pa.Table:
-        is_sig = pc.equal(t[side_col], pa.scalar(1, pa.int8()))
-        st = t.filter(is_sig)
-        pt = t.filter(pc.invert(is_sig))
-        if pt.num_rows == 0 or st.num_rows == 0:
-            return pa.table({
-                "a": pa.array([], id_type), "b": pa.array([], id_type),
-                "sig_a": pa.array([], sig_type),
-            })
-        sig_ids = st["_fsr_key"].to_numpy(zero_copy_only=False)
-        mat = _sig_matrix(st["sig"], num_perm)
-        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
-        got, ok = gather(keys, sig_ids, mat)
-        pt = pt.take(np.flatnonzero(ok))
-        return pa.table({
-            "a": pt["_fsr_key"], "b": pt["b"],
-            "sig_a": _sig_fixed_binary(got[ok]),
-        })
-
-    tagged1 = cand_ds.map_batches(
-        tag("a", False, ["b"]), batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).union(sigs.map_batches(
-        tag("a", True, ["b"]), batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    ))
-    with_a = bucketed_map_groups(
-        tagged1, kernel_a, num_buckets=num_buckets, batch_format="pyarrow"
-    )
-
-    # -- exchange 2: attach sig_b, verify in the same kernel ---------------
-
-    def kernel_b(t: pa.Table) -> pa.Table:
-        is_sig = pc.equal(t[side_col], pa.scalar(1, pa.int8()))
-        st = t.filter(is_sig)
-        pt = t.filter(pc.invert(is_sig))
-        if pt.num_rows == 0 or st.num_rows == 0:
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.table({
                 "a": pa.array([], id_type), "b": pa.array([], id_type),
             })
-        sig_ids = st["_fsr_key"].to_numpy(zero_copy_only=False)
-        mat = _sig_matrix(st["sig"], num_perm)
-        keys = pt["_fsr_key"].to_numpy(zero_copy_only=False)
-        sig_b, ok = gather(keys, sig_ids, mat)
-        sig_a = _sig_matrix(pt["sig_a"], num_perm)
+        sig_a = _sig_matrix(t["_pay_a"], num_perm)
+        sig_b = _sig_matrix(t["_pay_b"], num_perm)
         agree = (sig_a == sig_b).mean(axis=1)
-        keep = ok & (agree >= threshold)
-        pt = pt.take(np.flatnonzero(keep))
-        return pa.table({"a": pt["a"], "b": pt["_fsr_key"]})
+        keep = np.flatnonzero(agree >= threshold)
+        sub = t.take(keep)
+        return pa.table({"a": sub["a"], "b": sub["b"]})
 
-    tagged2 = with_a.map_batches(
-        tag("b", False, ["a"], with_sig_a=True), batch_size=None,
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).union(sigs.map_batches(
-        tag("b", True, ["a"], with_sig_a=True), batch_size=None,
-        batch_format="pyarrow", zero_copy_batch=True,
-    ))
-    verified = bucketed_map_groups(
-        tagged2, kernel_b, num_buckets=num_buckets, batch_format="pyarrow"
+    verified = _pairs_attach(
+        cand_ds, sigs, id_col=id_col, payload_col="sig",
+        payload_type=sig_type, id_type=id_type, num_buckets=num_buckets,
+        finish=finish,
     )
-
     comp = connected_components(
         verified, a_col="a", b_col="b",
         node_col=id_col, label_col="dup_group", num_buckets=num_buckets,
     )
     return comp.to_pandas()
+
 
 
 # -- SimHash ---------------------------------------------------------------
@@ -695,40 +727,99 @@ def jaccard_verify_pairs(
     """LSH candidates verified by EXACT n-gram Jaccard (not the signature
     estimate): (a, b, jaccard) pairs with jaccard >= threshold.
 
-    The candidate set comes from ``minhash_band_pairs`` (signatures never
-    shuffled); texts for the candidate ids only are fetched with a broadcast
-    id filter, and the exact shingle-set Jaccard runs on those pairs —
-    bounded by the candidate count, like the signature verify in
-    ``minhash_lsh_dedup`` but with ground-truth similarity.
+    Fully cluster-side: the candidate set comes from
+    ``minhash_band_pairs`` (signatures never shuffled); each doc's UNIQUE
+    k-shingle hash SET is emitted once as a corpus-linear
+    ``(id, large_list<int64>)`` payload table (vectorized segment dedup —
+    no per-row Python, no driver text fetch) and attached to the pairs
+    through the shared two-exchange backbone (:func:`_pairs_attach`).
+    The per-bucket finish computes exact |A∩B| with one lexsort over
+    (pair, hash) — shingles are unique per doc, so a (pair, hash)
+    duplicate IS an intersection hit — and only pairs >= threshold leave
+    the bucket. Hash-set Jaccard equals tuple-set Jaccard up to 64-bit
+    collisions (~2^-64/pair, the module-wide hash-exchange contract);
+    the per-pair Python tuple-set reference lives on in
+    :func:`ngram_jaccard` for tests.
     """
     cand = minhash_band_pairs(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, shingle_k=shingle_k, num_buckets=num_buckets,
-    ).to_pandas()
-    if cand.empty:
-        return pd.DataFrame(
-            {"a": cand["a"], "b": cand["b"],
-             "jaccard": pd.Series(dtype="float64")}
-        )
-    ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    ids_ref = ray.put(ids)
-
-    def fetch_texts(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = np.isin(t[id_col].to_numpy(zero_copy_only=False), wanted)
-        return t.filter(pa.array(mask)).select([id_col, text_col])
-
-    texts = ds.map_batches(
-        fetch_texts, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas().drop_duplicates(id_col).set_index(id_col)[text_col]
-    jac = ngram_jaccard(
-        texts.reindex(cand["a"]).tolist(),
-        texts.reindex(cand["b"]).tolist(),
-        k=shingle_k,
     )
-    out = cand.assign(jaccard=np.round(jac, 6))
-    out = out[out["jaccard"] >= threshold].reset_index(drop=True)
+    payload_type = pa.large_list(pa.int64())
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        h, offsets = word_hashes(t[text_col])
+        sh, soff = shingle_hashes(h, offsets, shingle_k)
+        # unique-within-doc: lexsort on (doc, value), keep run starts
+        n_docs = t.num_rows
+        lens = soff[1:] - soff[:-1]
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.lexsort((sh, doc))
+        d, v = doc[order], sh[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        uv, ud = v[first], d[first]
+        uoff = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(np.bincount(ud, minlength=n_docs), out=uoff[1:])
+        arr = pa.LargeListArray.from_arrays(
+            pa.array(uoff), pa.array(uv.view(np.int64)))
+        return pa.table({id_col: t[id_col], "sh": arr})
+
+    payload = ds.map_batches(
+        shingle_sets, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    id_type = payload.schema().base_schema.field(id_col).type
+
+    def _segments(col):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.asarray(arr.offsets)
+        flat = np.asarray(arr.values).view(np.uint64)
+        return offs, flat
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "a": pa.array([], id_type), "b": pa.array([], id_type),
+                "jaccard": pa.array([], pa.float64()),
+            })
+        n = t.num_rows
+        oa, fa = _segments(t["_pay_a"])
+        ob, fb = _segments(t["_pay_b"])
+        la, lb = oa[1:] - oa[:-1], ob[1:] - ob[:-1]
+
+        def seg_gather(offs, lens, flat):
+            total = int(lens.sum())
+            starts = np.repeat(offs[:-1], lens)
+            base = np.repeat(np.cumsum(lens) - lens, lens)
+            return flat[starts + (np.arange(total) - base)]
+
+        pid = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb),
+        ])
+        vals = np.concatenate([
+            seg_gather(oa, la, fa), seg_gather(ob, lb, fb)])
+        order = np.lexsort((vals, pid))
+        p, v = pid[order], vals[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+        union = la + lb - inter
+        jac = np.round(
+            np.divide(inter, union, out=np.zeros(n), where=union > 0), 6)
+        keep = np.flatnonzero(jac >= threshold)
+        sub = t.take(keep)
+        return pa.table({
+            "a": sub["a"], "b": sub["b"], "jaccard": pa.array(jac[keep]),
+        })
+
+    out = _pairs_attach(
+        cand, payload, id_col=id_col, payload_col="sh",
+        payload_type=payload_type, id_type=id_type,
+        num_buckets=num_buckets, finish=finish,
+    ).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

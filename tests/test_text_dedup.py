@@ -674,3 +674,37 @@ def test_minhash_lsh_dedup_distributed_route_parity(docs):
     d1 = driver.sort_values(key).reset_index(drop=True)
     d2 = dist[key].astype(d1.dtypes).sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_jaccard_verify_pairs_cluster_parity(docs):
+    """The cluster-side exact verify (shingle-set attach + per-bucket
+    intersect) must equal the per-pair Python tuple-set reference on the
+    same candidate set — and no text ever reaches the driver."""
+    from featherstore_ray.stages.dedup import (
+        jaccard_verify_pairs,
+        minhash_band_pairs,
+        ngram_jaccard,
+    )
+
+    base = docs.to_pandas().head(25).copy()
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 50_000
+    dup["text"] = dup["text"] + " extra"
+    both = pd.concat([docs.to_pandas(), dup], ignore_index=True)
+
+    got = jaccard_verify_pairs(
+        ray.data.from_pandas(both), id_col="doc_id", threshold=0.5,
+    )
+    cand = minhash_band_pairs(
+        ray.data.from_pandas(both), id_col="doc_id",
+    ).to_pandas()
+    texts = both.set_index("doc_id")["text"]
+    jac = ngram_jaccard(
+        texts.reindex(cand["a"]).tolist(),
+        texts.reindex(cand["b"]).tolist(),
+    )
+    ref = cand.assign(jaccard=np.round(jac, 6))
+    ref = ref[ref["jaccard"] >= 0.5].sort_values(["a", "b"]).reset_index(
+        drop=True)
+    assert len(got) >= 20  # the planted near-dups verify
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
