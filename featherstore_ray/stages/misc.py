@@ -92,19 +92,25 @@ def group_standardize(
     *,
     methods: Sequence[str] = ("zscore",),
     round_digits: int = 6,
+    driver_group_cap: int = 2_000_000,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-group feature scaling: ``{value}_z`` (z-score against the
     group's mean / sample stddev) and/or ``{value}_mm`` (min-max to
     [0, 1]), rounded to ``round_digits``.
 
-    Two passes, NO shuffle — the tf_idf/heavy_hitters shape: pass 1
-    collapses each batch to (group, count, sum, sumsq, min, max) moment
-    partials merged driver-side (moments are associative; for
-    high-cardinality groups route the merge through grouped_aggregate's
-    bucket exchange instead), the merged stats broadcast with the stage
-    closure, pass 2 is a row-local transform. SQL nulls preserved: a
+    Pass 1 collapses each batch to (group, count, sum, sumsq, min, max)
+    moment partials (associative). At or below ``driver_group_cap``
+    partial rows they merge driver-side and broadcast with the stage
+    closure — pass 2 is a row-local transform, NO shuffle, row layout
+    preserved. Above the cap (ID-grade ``group_col``) the op AUTO-ROUTES
+    distributed: per-bucket moment merge through the hash exchange, stats
+    joined back via :func:`hash_join` (one co-partitioned exchange; output
+    layout follows the exchange). ``driver_group_cap=0`` forces the
+    distributed route (parity tests). SQL nulls preserved either way: a
     1-row group's sample stddev is NULL (z NULL), a constant group's
-    min==max leaves mm NULL, null values stay null.
+    min==max leaves mm NULL, null values stay null, null/unseen group
+    keys get NULL features.
     """
     import numpy as np
     import pyarrow as pa
@@ -128,54 +134,102 @@ def group_standardize(
             agg, preserve_index=False
         ).replace_schema_metadata(None)
 
-    parts = (
-        ds.select_columns([group_col, value_col])
-        .map_batches(
-            moments, batch_size=None, batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()
-    )
-    stats = parts.groupby("g").agg(
-        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
-        mn=("mn", "min"), mx=("mx", "max"),
-    )
-    n, s, ss = (stats[c].to_numpy(np.float64) for c in ("n", "s", "ss"))
-    mean = np.divide(s, n, out=np.full_like(s, np.nan), where=n > 0)
-    # sample variance from moments; clamp tiny negative cancellation
-    with np.errstate(invalid="ignore", divide="ignore"):
-        var = np.maximum(ss - n * mean**2, 0.0) / (n - 1)
-    std = np.sqrt(var)
-    std[n < 2] = np.nan
-    stats["mean"], stats["std"] = mean, std
-    stats["rng"] = stats["mx"] - stats["mn"]
+    def finish_stats(stats: pd.DataFrame) -> pd.DataFrame:
+        """(n, s, ss, mn, mx) merged moments → (mean, std, mn, rng)."""
+        n, s, ss = (stats[c].to_numpy(np.float64) for c in ("n", "s", "ss"))
+        mean = np.divide(s, n, out=np.full_like(s, np.nan), where=n > 0)
+        # sample variance from moments; clamp tiny negative cancellation
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.maximum(ss - n * mean**2, 0.0) / (n - 1)
+        std = np.sqrt(var)
+        std[n < 2] = np.nan
+        stats["mean"], stats["std"] = mean, std
+        stats["rng"] = stats["mx"] - stats["mn"]
+        return stats
 
-    lut = stats[["mean", "std", "mn", "rng"]]
-
-    def transform(t: pa.Table) -> pa.Table:
-        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+    def row_features(t: pa.Table, mean, std, mn, rng) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        rows = lut.reindex(g)
         out = t
         if "zscore" in methods:
-            z = (v - rows["mean"].to_numpy()) / rows["std"].to_numpy()
+            z = (v - mean) / std
             out = out.append_column(
                 f"{value_col}_z", pa.array(np.round(z, round_digits))
             )
         if "minmax" in methods:
-            rng = rows["rng"].to_numpy()
             with np.errstate(invalid="ignore", divide="ignore"):
-                mm = np.where(
-                    rng == 0, np.nan, (v - rows["mn"].to_numpy()) / rng
-                )
+                mm = np.where(rng == 0, np.nan, (v - mn) / rng)
             out = out.append_column(
                 f"{value_col}_mm", pa.array(np.round(mm, round_digits))
             )
         return out
 
-    return ds.map_batches(
-        transform, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    parts_ds = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            moments, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if parts_ds.count() <= driver_group_cap:
+        parts = parts_ds.to_pandas()
+        stats = finish_stats(parts.groupby("g").agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        ))
+        lut = stats[["mean", "std", "mn", "rng"]]
+
+        def transform(t: pa.Table) -> pa.Table:
+            g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+            rows = lut.reindex(g)
+            return row_features(
+                t, rows["mean"].to_numpy(), rows["std"].to_numpy(),
+                rows["mn"].to_numpy(), rows["rng"].to_numpy(),
+            )
+
+        return ds.map_batches(
+            transform, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    # -- distributed route: bucket-merge moments, co-partitioned join -----
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.join import hash_join
+
+    def merge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).dropna(subset=["g"])
+        stats = finish_stats(df.groupby("g").agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        ))
+        out = stats[["mean", "std", "mn", "rng"]].reset_index()
+        return out.rename(columns={
+            "g": group_col, "mean": "_fsr_mean", "std": "_fsr_std",
+            "mn": "_fsr_mn", "rng": "_fsr_rng",
+        })
+
+    stats_ds = bucketed_map_groups(
+        add_bucket_column(parts_ds, "g", num_buckets),
+        merge_kernel, num_buckets=num_buckets, batch_format="pandas",
+    )
+    joined = hash_join(
+        ds, stats_ds, on=[group_col], how="left", num_partitions=num_buckets,
+    )
+    cols = list(ds.schema().names)
+
+    def fill(t: pa.Table) -> pa.Table:
+        arrs = {
+            c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in ("_fsr_mean", "_fsr_std", "_fsr_mn", "_fsr_rng")
+        }
+        return row_features(
+            t.select(cols), arrs["_fsr_mean"], arrs["_fsr_std"],
+            arrs["_fsr_mn"], arrs["_fsr_rng"],
+        )
+
+    return joined.map_batches(
+        fill, batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -1047,6 +1101,8 @@ def target_encode(
     smoothing: float = 20.0,
     out_col: str | None = None,
     round_digits: int = 6,
+    driver_cat_cap: int = 2_000_000,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Smoothed mean target encoding — the classic high-cardinality
     categorical encoder: appends ``{target}_te`` =
@@ -1056,12 +1112,16 @@ def target_encode(
     encode to the prior exactly (the n_c = 0 limit). Null targets don't
     contribute to the statistics but their rows are still encoded.
 
-    Two passes, NO shuffle — the ``group_standardize`` shape: pass 1
-    collapses each batch to (category, Σy, count) partials merged
-    driver-side (for ID-grade cardinalities route the merge through the
-    bucket exchange and co-partition the transform instead); the merged
-    table broadcasts with the stage closure; pass 2 is a row-local
-    lookup.
+    Pass 1 collapses each batch to (category, Σy, count) partials. When
+    the partial-row count is at most ``driver_cat_cap`` they merge
+    driver-side and broadcast with the stage closure — pass 2 is a
+    row-local lookup, NO shuffle, row layout preserved. Above the cap
+    (ID-grade ``cat_col``) the op AUTO-ROUTES distributed with no caller
+    knowledge: partials merge per bucket through the hash exchange, the
+    (category, enc) table joins back via :func:`hash_join` (one
+    co-partitioned exchange; rows with unseen/null categories fill the
+    prior row-locally), and the output row layout follows the exchange.
+    ``driver_cat_cap=0`` forces the distributed route (parity tests).
     """
     import numpy as np
     import pyarrow as pa
@@ -1076,26 +1136,69 @@ def target_encode(
         ).reset_index()
         return agg
 
-    parts = (
+    parts_ds = (
         ds.select_columns([cat_col, target_col])
         .map_batches(partial, batch_size=None, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    stats = parts.groupby(cat_col, sort=True, dropna=False)[["s", "n"]].sum()
-    n_tot = float(stats["n"].sum())
-    prior = float(stats["s"].sum()) / n_tot if n_tot > 0 else np.nan
-    lut = ((stats["s"] + m * prior) / (stats["n"] + m)).rename("enc")
-    lut = lut[lut.index.notna()]
+    if parts_ds.count() <= driver_cat_cap:
+        parts = parts_ds.to_pandas()
+        stats = parts.groupby(
+            cat_col, sort=True, dropna=False)[["s", "n"]].sum()
+        n_tot = float(stats["n"].sum())
+        prior = float(stats["s"].sum()) / n_tot if n_tot > 0 else np.nan
+        lut = ((stats["s"] + m * prior) / (stats["n"] + m)).rename("enc")
+        lut = lut[lut.index.notna()]
 
-    def transform(t: pa.Table) -> pa.Table:
-        g = pd.Series(t[cat_col].to_numpy(zero_copy_only=False))
-        enc = lut.reindex(g).to_numpy(dtype=np.float64)
+        def transform(t: pa.Table) -> pa.Table:
+            g = pd.Series(t[cat_col].to_numpy(zero_copy_only=False))
+            enc = lut.reindex(g).to_numpy(dtype=np.float64)
+            enc = np.where(np.isnan(enc), prior, enc)
+            return t.append_column(
+                out, pa.array(np.round(enc, round_digits)))
+
+        return ds.map_batches(
+            transform, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    # -- distributed route: bucket-merge partials, co-partitioned join ----
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.join import hash_join
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [df["s"].sum()], "n": [df["n"].sum()]})
+
+    tot = parts_ds.map_batches(
+        totals, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    n_tot = float(tot["n"].sum())
+    prior = float(tot["s"].sum()) / n_tot if n_tot > 0 else np.nan
+
+    def merge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).dropna(subset=[cat_col])
+        g = df.groupby(cat_col, sort=True)[["s", "n"]].sum()
+        enc = ((g["s"] + m * prior) / (g["n"] + m)).rename("_fsr_enc")
+        return enc.reset_index()
+
+    stats_ds = bucketed_map_groups(
+        add_bucket_column(parts_ds, cat_col, num_buckets),
+        merge_kernel, num_buckets=num_buckets, batch_format="pandas",
+    )
+    joined = hash_join(
+        ds, stats_ds, on=[cat_col], how="left", num_partitions=num_buckets,
+    )
+    cols = list(ds.schema().names)
+
+    def fill(t: pa.Table) -> pa.Table:
+        enc = t["_fsr_enc"].to_numpy(zero_copy_only=False).astype(np.float64)
         enc = np.where(np.isnan(enc), prior, enc)
-        return t.append_column(out, pa.array(np.round(enc, round_digits)))
+        return t.select(cols).append_column(
+            out, pa.array(np.round(enc, round_digits)))
 
-    return ds.map_batches(
-        transform, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    return joined.map_batches(
+        fill, batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
     )
 
 

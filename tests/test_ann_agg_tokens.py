@@ -1983,3 +1983,76 @@ def test_top_items_per_group_ties_and_counts(ray_session):
     v = out[out["g"] == "v"]
     assert sorted(v["it"]) == ["x", "y"]  # fewer than k items
     assert out["g"].notna().all()
+
+
+def test_target_encode_distributed_route_parity(ray_session):
+    """driver_cat_cap=0 forces the bucket-merge + hash_join route; output
+    must equal the broadcast route row-for-row (incl. null cats/targets)."""
+    from featherstore_ray.stages.misc import target_encode
+
+    t = pa.table({
+        "c": ["a"] * 100 + ["b"] * 2 + [None] * 3,
+        "y": [1.0] * 100 + [10.0, 10.0] + [None, 4.0, 4.0],
+        "i": list(range(105)),
+    })
+    kw = dict(smoothing=10.0)
+    drv = (
+        target_encode(ray.data.from_arrow(t).repartition(4), "c", "y", **kw)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    dist = (
+        target_encode(ray.data.from_arrow(t).repartition(4), "c", "y",
+                      driver_cat_cap=0, num_buckets=8, **kw)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist[drv.columns], check_dtype=False)
+
+
+def test_target_encode_high_cardinality_distributed(ray_session):
+    """ID-grade cat_col (10^6 distinct categories): the auto-routed
+    distributed merge must match the closed form without any driver-side
+    category materialization."""
+    from featherstore_ray.stages.misc import target_encode
+
+    n = 1_000_000
+    cat = np.arange(n, dtype=np.int64)
+    y = (cat % 7).astype(np.float64)
+    t = pa.table({"c": pa.array(cat), "y": pa.array(y)})
+    m = 20.0
+    out = (
+        target_encode(
+            ray.data.from_arrow(t).repartition(8), "c", "y",
+            driver_cat_cap=1000, num_buckets=16, smoothing=m,
+        )
+        .to_pandas().sort_values("c").reset_index(drop=True)
+    )
+    prior = y.mean()
+    exp = np.round((y + m * prior) / (1 + m), 6)
+    np.testing.assert_allclose(out["y_te"].to_numpy(), exp, atol=2e-6)
+    assert len(out) == n
+
+
+def test_group_standardize_distributed_route_parity(ray_session):
+    from featherstore_ray.stages.misc import group_standardize
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "e": pa.array(
+            np.concatenate([rng.integers(0, 40, n - 2), [97, 98]]).astype(
+                np.int64)),
+        "v": pa.array(np.concatenate([rng.normal(50, 20, n - 2), [7.0, 7.0]])),
+    })
+    kw = dict(methods=("zscore", "minmax"))
+    drv = (
+        group_standardize(ray.data.from_arrow(t).repartition(6), "e", "v",
+                          **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    dist = (
+        group_standardize(ray.data.from_arrow(t).repartition(6), "e", "v",
+                          driver_group_cap=0, num_buckets=8, **kw)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist[drv.columns], check_dtype=False)
