@@ -1605,11 +1605,23 @@ def bpe_train(
     only on the DISTINCT-word frequency table, so pass 1 collapses the
     corpus to (word, count) — per-batch vocabulary partials, ONE
     hash(word) exchange — and the merge rounds run over that Heaps-law-
-    bounded table, never the corpus. Each round is a per-batch weighted
-    pair-count partial (driver-merged: active pair space is vocab-bounded),
-    one broadcast argmax merge, and a vectorized rewrite of the symbol
-    streams; the word table is re-materialized per round (k rounds ⇒ k
-    bounded passes over vocab, not corpus — the inherent BPE loop).
+    bounded table, never the corpus.
+
+    **Batched rounds** (the parallel-BPE-trainer semantics): each Ray
+    round counts pairs once (per-batch weighted partials, driver-merged:
+    active pair space is vocab-bounded), then selects ALL
+    symbol-disjoint merges greedily in (count desc, left, right) order —
+    a pair whose symbols are untouched by every earlier selection this
+    round has provably unchanged counts, so each recorded ``n`` is exact
+    at selection time — and applies them in one vectorized rewrite pass.
+    Synchronous rounds drop from ``num_merges`` to roughly the longest
+    learned token's merge depth (~log of its length). The merge list is
+    prefix-stable in ``num_merges`` (selection is a deterministic greedy
+    truncated at the cap), so one training serves every smaller table.
+    NOTE: batched selection can order merges differently from the
+    strictly sequential recount-after-every-merge variant whenever a
+    symbol created this round would out-count a later disjoint pair; the
+    pytest reference implements the same batched rule.
 
     Returns a driver-side DataFrame (rank:int64, left, right, n:int64) —
     tokenizer merge tables are tiny by construction. Iterative and
@@ -1666,7 +1678,7 @@ def bpe_train(
         return g.groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
 
     merges: list[tuple[str, str, int]] = []
-    for _rank in range(num_merges):
+    while len(merges) < num_merges:
         pc_all = table.map_batches(
             pair_partial, batch_size=None, batch_format="pandas"
         ).to_pandas()
@@ -1675,13 +1687,27 @@ def bpe_train(
         tot = pc_all.groupby(["a", "b"], as_index=False)["n"].sum()
         tot = tot.sort_values(["n", "a", "b"],
                               ascending=[False, True, True], kind="stable")
-        best = tot.iloc[0]
-        if best["n"] < 2:
+        # batched greedy: take every symbol-disjoint merge this round
+        # (disjoint ⇒ counts provably unchanged by earlier selections;
+        # a+b goes into `used` so a string-colliding later pair waits)
+        used: set = set()
+        picked: list[tuple[str, str, int]] = []
+        for a, b, n in tot.itertuples(index=False):
+            if n < 2:
+                break
+            a, b = str(a), str(b)
+            if a in used or b in used or (a + b) in used:
+                continue
+            picked.append((a, b, int(n)))
+            used.update((a, b, a + b))
+            if len(merges) + len(picked) == num_merges:
+                break
+        if not picked:
             break
-        la, lb = str(best["a"]), str(best["b"])
-        merges.append((la, lb, int(best["n"])))
+        merges.extend(picked)
+        round_pairs = [(a, b) for a, b, _ in picked]
 
-        def rewrite(df: pd.DataFrame, la=la, lb=lb) -> pd.DataFrame:
+        def rewrite(df: pd.DataFrame, pairs=round_pairs) -> pd.DataFrame:
             syms = df["syms"]
             lens = syms.str.len().to_numpy(dtype=np.int64)
             if lens.sum() == 0:
@@ -1689,20 +1715,23 @@ def bpe_train(
             flat = np.concatenate(
                 [np.asarray(s, dtype=object) for s in syms])
             wid = np.repeat(np.arange(len(lens)), lens)
-            m = np.zeros(len(flat), dtype=bool)
-            m[:-1] = (flat[:-1] == la) & (flat[1:] == lb) & (
-                wid[:-1] == wid[1:])
-            keep = _greedy_nonoverlap(m)
-            if len(keep) == 0:
-                return df
-            flat[keep] = la + lb
-            alive = np.ones(len(flat), dtype=bool)
-            alive[keep + 1] = False
-            shrink = np.bincount(wid[keep], minlength=len(lens))
-            new_lens = lens - shrink
+            new_lens = lens
+            for la, lb in pairs:  # disjoint — order only matters for ties
+                m = np.zeros(len(flat), dtype=bool)
+                m[:-1] = (flat[:-1] == la) & (flat[1:] == lb) & (
+                    wid[:-1] == wid[1:])
+                keep = _greedy_nonoverlap(m)
+                if len(keep) == 0:
+                    continue
+                flat[keep] = la + lb
+                alive = np.ones(len(flat), dtype=bool)
+                alive[keep + 1] = False
+                shrink = np.bincount(wid[keep], minlength=len(new_lens))
+                new_lens = new_lens - shrink
+                flat, wid = flat[alive], wid[alive]
             out = df.copy()
             out["syms"] = np.split(
-                flat[alive], np.cumsum(new_lens)[:-1].tolist())
+                flat, np.cumsum(new_lens)[:-1].tolist())
             return out
 
         table = table.map_batches(

@@ -766,30 +766,43 @@ def test_bpe_train_matches_pure_python_reference():
     from featherstore_ray.stages.text import bpe_train
 
     def ref_bpe(texts, k):
+        """Batched-round BPE (the engine's parallel-trainer semantics):
+        per round, count pairs once, then greedily select ALL
+        symbol-disjoint merges in (count desc, pair asc) order."""
         wc = Counter(w for t in texts for w in t.split(" ") if w)
         words = {w: list(w) for w in wc}
         merges = []
-        for _ in range(k):
+        while len(merges) < k:
             pc = Counter()
             for w, syms in words.items():
                 for i in range(len(syms) - 1):
                     pc[(syms[i], syms[i + 1])] += wc[w]
-            if not pc:
+            cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            used, picked = set(), []
+            for (a, b), n in cand:
+                if n < 2:
+                    break
+                if a in used or b in used or a + b in used:
+                    continue
+                picked.append((a, b, n))
+                used |= {a, b, a + b}
+                if len(merges) + len(picked) == k:
+                    break
+            if not picked:
                 break
-            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-            if n < 2:
-                break
-            merges.append((a, b, n))
-            for w, syms in words.items():
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                words[w] = out
+            merges += picked
+            for a, b, _n in picked:
+                for w, syms in words.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    words[w] = out
         return merges
 
     texts = [
@@ -1176,3 +1189,19 @@ def test_regex_extract_named_groups_and_misses(ray_session):
     # misses (incl. null input) are true NULLs, not empty strings
     assert out["oid"].isna().tolist() == [False, False, True, True]
     assert out["region"].isna().tolist() == [False, False, True, True]
+
+
+def test_bpe_train_prefix_stable(ray_session):
+    """tokenize_bpe relies on prefix-stability: training with a smaller
+    num_merges must be an exact prefix of a larger training (batched
+    greedy selection truncates deterministically at the cap)."""
+    from featherstore_ray.stages.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat", "the bat and the cat",
+        "aaaa aaa aa a", "banana bandana", "the the the",
+    ] * 3
+    ds = lambda: ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+    small = bpe_train(ds(), num_merges=5, num_buckets=4)
+    big = bpe_train(ds(), num_merges=12, num_buckets=4)
+    pd.testing.assert_frame_equal(small, big.head(5).reset_index(drop=True))
