@@ -459,12 +459,21 @@ def lsh_topk(
     num_planes: int = 8,
     round_digits: int | None = 4,
     seed: int = 5,
+    probe_hamming: int = 1,
     concurrency=None,  # retained for API compatibility; scorers run as task maps
 ) -> ray.data.Dataset:
     """Approximate top-k: score only corpus rows whose random-hyperplane
-    sign bucket matches the query's. Recall rises with fewer planes (bigger
-    buckets); the exact scorer inside the bucket keeps results deterministic.
+    sign bucket is within Hamming distance ``probe_hamming`` of the
+    query's (multi-probe LSH — a near neighbor that lands one sign flip
+    away is the dominant miss mode for a single hash table, so probing
+    the r-neighborhood buys most of multi-table recall at zero extra
+    state). Recall rises with fewer planes (bigger buckets) and with
+    ``probe_hamming``; the exact scorer inside the candidate set keeps
+    results deterministic. ``probe_hamming=0`` is the pure single-bucket
+    scan.
     """
+    from itertools import combinations
+
     dim = len(queries[emb_col][0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim))
@@ -472,6 +481,13 @@ def lsh_topk(
     qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     weights = 1 << np.arange(num_planes)
     qbuckets = ((qm @ planes.T) > 0) @ weights
+    # multi-probe expansion: every code within Hamming <= r of any query
+    flips = [0] + [
+        int(np.bitwise_or.reduce((1 << np.array(bits))))
+        for r in range(1, min(probe_hamming, num_planes) + 1)
+        for bits in combinations(range(num_planes), r)
+    ]
+    qbuckets = np.unique(qbuckets[:, None] ^ np.array(flips)[None, :])
 
     qval = {"ids": qids, "matrix": qm}
 
