@@ -3631,15 +3631,16 @@ def q_pq_codes(sf_dir: str):
 
 def q_ann_pq(sf_dir: str):
     """PQ asymmetric-distance top-k (memory-bound ANN scan over codes,
-    never raw vectors), with the driver-visible recall column vs the
-    exact oracled path — the ann_lsh reporting convention."""
+    never raw vectors) with the ADC+R exact re-rank of 4k candidates,
+    and the driver-visible recall column vs the exact oracled path — the
+    ann_lsh reporting convention."""
     from featherstore_ray.stages.ann import cosine_topk, pq_topk
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(_ANN_QIDS)))
     approx = pq_topk(
         _read(sf_dir, "embeddings"), queries, k=5, m_subspaces=32,
-        n_codes=16,
+        n_codes=16, rerank=4,
     ).to_pandas()
     exact = cosine_topk(
         _read(sf_dir, "embeddings"), queries, k=5

@@ -1495,6 +1495,7 @@ def pq_topk(
     train_sample: int = 10_000,
     seed: int = 13,
     round_digits: int | None = 6,
+    rerank: int = 0,
 ) -> ray.data.Dataset:
     """Approximate top-k via PQ asymmetric distance (ADC): each query
     precomputes an (M × n_codes) lookup table of exact subspace distances
@@ -1503,6 +1504,14 @@ def pq_topk(
     vectors. Normalized inputs make the L2 ranking cosine-equivalent.
     Deterministic (fixed seed/sample); approximate → rows-only with a
     recall column in the contract query, recall gate in pytest.
+
+    ``rerank > 0`` adds the standard ADC+R refinement: the code scan
+    keeps ``rerank × k`` candidates per query, then ONE extra pass over
+    the original vectors exact-scores just those candidates (broadcast
+    id set — candidates are nq × rerank·k, never corpus-scale) and the
+    final top-k is exact within the candidate set. Quantization error
+    then only costs recall when a true neighbor falls outside the
+    candidate pool entirely.
     """
     books = _pq_codebooks(
         ds, emb_col, m_subspaces=m_subspaces, n_codes=n_codes,
@@ -1543,7 +1552,7 @@ def pq_topk(
         dist = np.where(ids[:, None] == qids[None, :], np.inf, dist)
         if round_digits is not None:
             dist = np.round(dist, round_digits)
-        kk = min(k, len(ids))
+        kk = min(k * max(rerank, 1), len(ids))
         kth = np.partition(dist, kk - 1, axis=0)[kk - 1]
         keep = dist <= kth[None, :]
         ri, ci = np.nonzero(keep)
@@ -1558,15 +1567,56 @@ def pq_topk(
     parts = encoded.map_batches(
         scan, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
+    kw = k * max(rerank, 1)
     out = (
         parts.sort_values(["dist", id_col], ascending=[True, True],
                           kind="stable")
         .groupby("query_id", sort=True)
-        .head(k)
+        .head(kw)
         .sort_values(["query_id", "dist", id_col], kind="stable")
         .reset_index(drop=True)
     )
-    return ray.data.from_pandas(out)
+    if rerank <= 1:
+        return ray.data.from_pandas(out)
+
+    # ADC+R: one exact pass over the ORIGINAL vectors of the candidate set
+    cand_ids = np.unique(out[id_col].to_numpy())
+    cand_set = pa.array(cand_ids)
+
+    def exact(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.is_in(t[id_col], value_set=cand_set))
+        if sub.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.int64()),
+                "_sim": pa.array([], pa.float64()),
+            })
+        em = _normalize(_stack_embeddings(sub[emb_col]))
+        sim = em @ qm.T  # (n_cand, nq)
+        return pa.table({
+            id_col: pa.array(
+                np.tile(sub[id_col].to_numpy(zero_copy_only=False),
+                        len(qids))),
+            "query_id": pa.array(np.repeat(qids, sub.num_rows)),
+            "_sim": pa.array(sim.T.reshape(-1)),
+        })
+
+    ex = ds.map_batches(
+        exact, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().drop_duplicates(["query_id", id_col])
+    merged = out[["query_id", id_col]].merge(ex, on=["query_id", id_col])
+    merged["dist"] = np.round(2.0 - 2.0 * merged["_sim"], round_digits or 12)
+    final = (
+        merged.sort_values(["dist", id_col], ascending=[True, True],
+                           kind="stable")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .sort_values(["query_id", "dist", id_col], kind="stable")
+        .reset_index(drop=True)[["query_id", id_col, "dist"]]
+    )
+    return ray.data.from_pandas(final)
 
 
 def geometric_median(

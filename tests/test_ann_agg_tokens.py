@@ -1559,6 +1559,17 @@ def test_pq_topk_recall_against_exact(ray_session):
         recs.append(len(a & e) / len(e))
     # 2-dim subspaces x 16 codes: measured 0.7-0.8 here; chance ~0.02
     assert np.mean(recs) >= 0.6, recs
+    # ADC+R re-rank: exact scoring of 4k candidates must not lower recall
+    # and must beat the raw scan on mean recall
+    rr = pq_topk(ray.data.from_arrow(emb), queries, k=10, m_subspaces=32,
+                 n_codes=16, train_sample=500, rerank=4).to_pandas()
+    recs_rr = []
+    for qid in exact["query_id"].unique():
+        a = set(rr.loc[rr["query_id"] == qid, "vec_id"])
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        recs_rr.append(len(a & e) / len(e))
+    assert np.mean(recs_rr) >= np.mean(recs), (recs_rr, recs)
+    assert np.mean(recs_rr) >= 0.8, recs_rr
 
 
 def test_common_paths_matches_duckdb(ray_session):
