@@ -3445,6 +3445,68 @@ def _lpa_sql(iters: int) -> str:
     )
 
 
+_KCORE_K, _KCORE_ITERS = 8, 3
+
+
+def q_k_core(sf_dir: str):
+    """k-core peeling (k=6, 3 fixed rounds) over a synthetic orders graph
+    with a dense 60-node core (offset edges) plus ~300 degree-1 leaf
+    nodes, so the peel actually cascades: leaves drop in round 1 and the
+    core re-stabilizes. Same fixed-schedule convention as
+    label_propagation — the oracle unrolls the identical rounds as CTEs
+    (``_kcore_sql``)."""
+    import numpy as np
+
+    from featherstore_ray.stages.graph import k_core
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        core_a = ok % 60
+        core_b = (core_a + 1 + ck % 7) % 60
+        leaf_a = 60 + ck % 300
+        leaf_b = ck % 60
+        return pa.table({
+            "a": pa.array(np.concatenate([core_a, leaf_a])),
+            "b": pa.array(np.concatenate([core_b, leaf_b])),
+        })
+
+    e = orders.map_batches(
+        edges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return k_core(e, k=_KCORE_K, iters=_KCORE_ITERS, num_buckets=16)
+
+
+def _kcore_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE mirror of k_core (same fixed peel schedule)."""
+    ctes = [
+        "base AS (SELECT o_orderkey % 60 AS a,"
+        " (o_orderkey % 60 + 1 + o_custkey % 7) % 60 AS b FROM orders"
+        " UNION ALL SELECT 60 + o_custkey % 300, o_custkey % 60"
+        " FROM orders)",
+        "e0 AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT a AS src, b AS dst FROM base"
+        " UNION ALL SELECT b, a FROM base) WHERE src <> dst)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS (SELECT src AS node, count(*) AS degree"
+            f" FROM e{i-1} GROUP BY 1)"
+        )
+        ctes.append(f"s{i} AS (SELECT node FROM d{i} WHERE degree >= {k})")
+        ctes.append(
+            f"e{i} AS (SELECT e.src, e.dst FROM e{i-1} e"
+            f" JOIN s{i} x ON e.src = x.node"
+            f" JOIN s{i} y ON e.dst = y.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node, count(*) AS degree FROM e{iters} GROUP BY 1"
+    )
+
+
 def q_hard_negatives(sf_dir: str):
     """Contrastive hard-negative mining: exact cosine top-5 per anchor
     over corpus rows with a DIFFERENT label (same-label rows are
@@ -4422,6 +4484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
         "label_propagation": q_label_propagation,
+        "k_core": q_k_core,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7248,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 200
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
+        "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
         "rmst": f"""
             WITH u AS (
                 SELECT user_id, min(ts) AS s,

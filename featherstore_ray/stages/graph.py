@@ -527,3 +527,127 @@ def label_propagation(
         ).materialize()
 
     return labels
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 2,
+    iters: int = 3,
+    num_buckets: int = 64,
+    node_col: str = "node",
+    deg_col: str = "degree",
+) -> ray.data.Dataset:
+    """k-core peeling over an undirected simple graph — the fourth
+    iterative graph op next to connected_components (reachability),
+    pagerank (centrality) and label_propagation (community): ``iters``
+    synchronous peel rounds, each dropping every node whose degree
+    (distinct neighbors in the CURRENT subgraph) is below ``k`` and every
+    edge touching a dropped node; no convergence check, both engine and
+    oracle run the identical fixed schedule (the label_propagation
+    convention — enough rounds converge to the true k-core). Output:
+    ``(node, degree)`` — the degree of every surviving node in the
+    subgraph after the last round.
+
+    Scale shape: the symmetric edge set dedups once up front; each round
+    is three bucket exchanges over Dataset-resident state — degrees
+    (group by src), survivor filter on src, survivor filter on dst
+    (the LPA tagged-union scatter, never a driver-side node set).
+    """
+    key = "_kc_key"
+    side = "_kc_side"  # 1 = survivor-node row, 0 = edge row
+
+    def sym_of(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b  # self-loops never contribute to core degree
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "dst"]].drop_duplicates()
+
+    sym = bucketed_map_groups(
+        _with_bucket(
+            edges.select_columns([a_col, b_col]).map_batches(
+                sym_of, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "src", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def degrees(sym_ds: ray.data.Dataset) -> ray.data.Dataset:
+        def deg_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.groupby("src", sort=True).size().rename(deg_col)
+            out = d.reset_index().rename(columns={"src": node_col})
+            return out
+
+        return bucketed_map_groups(
+            _with_bucket(sym_ds, "src", num_buckets),
+            deg_kernel, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+    def survivor_filter(sym_ds, survivors, edge_key: str):
+        """Keep edges whose ``edge_key`` endpoint is a survivor."""
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key: t[edge_key].combine_chunks(),
+                "_kc_other": t["dst" if edge_key == "src" else "src"
+                              ].combine_chunks(),
+                side: pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            })
+
+        def tag_nodes(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                key: t[node_col].combine_chunks().cast(pa.int64()),
+                "_kc_other": pa.nulls(n, pa.int64()),
+                side: pa.array(np.ones(n, dtype=np.int8)),
+            })
+
+        tagged = _with_bucket(
+            sym_ds.map_batches(tag_edges, batch_size=None,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(survivors.map_batches(
+                tag_nodes, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True)),
+            key, num_buckets,
+        )
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            is_node = df[side].to_numpy() == 1
+            alive = set(df.loc[is_node, key].to_numpy())
+            e = df.loc[~is_node]
+            m = e[key].isin(alive).to_numpy()
+            kept = e.loc[m]
+            cols = {"src": kept[key].to_numpy().astype(np.int64),
+                    "dst": kept["_kc_other"].to_numpy().astype(np.int64)}
+            if edge_key == "dst":
+                cols = {"src": cols["dst"], "dst": cols["src"]}
+            return pd.DataFrame(cols)
+
+        return bucketed_map_groups(
+            tagged, keep, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+    for _ in range(iters):
+        deg = degrees(sym)
+
+        def alive(df: pd.DataFrame, k=k) -> pd.DataFrame:
+            return df.loc[df[deg_col] >= k, [node_col]]
+
+        survivors = deg.map_batches(
+            alive, batch_size=None, batch_format="pandas"
+        ).materialize()
+        sym = survivor_filter(sym, survivors, "src")
+        sym = survivor_filter(sym, survivors, "dst").materialize()
+
+    return degrees(sym)

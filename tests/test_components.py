@@ -256,3 +256,48 @@ def test_label_propagation_matches_unrolled_sql(ray_session):
         + " SELECT node, label AS community FROM l3 ORDER BY node"
     ).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_k_core_matches_pure_python_peeler(ray_session):
+    """Fixed-schedule k-core peeling vs a reference peeler on a skewed
+    graph (dense 60-node core + 440 degree-1 leaves): the cascade must
+    drop every leaf and agree on surviving degrees exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featherstore_ray.stages.graph import k_core
+
+    def ref_kcore(a, b, k, iters):
+        e = set()
+        for x, y in zip(a, b):
+            if x != y:
+                e.add((x, y))
+                e.add((y, x))
+        for _ in range(iters):
+            deg = {}
+            for s, d in e:
+                deg[s] = deg.get(s, 0) + 1
+            alive = {n for n, dg in deg.items() if dg >= k}
+            e = {(s, d) for s, d in e if s in alive and d in alive}
+        deg = {}
+        for s, d in e:
+            deg[s] = deg.get(s, 0) + 1
+        return dict(sorted(deg.items()))
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    core_a = rng.integers(0, 60, n)
+    core_b = (core_a + rng.integers(1, 5, n)) % 60
+    leaf = np.arange(60, 500)
+    a = np.concatenate([core_a, leaf])
+    b = np.concatenate([core_b, leaf % 60])
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    got = (
+        k_core(ray.data.from_arrow(t).repartition(4), k=8, iters=3,
+               num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    want = ref_kcore(a.tolist(), b.tolist(), 8, 3)
+    assert 0 < len(got) < len(set(a) | set(b))
+    assert list(got["node"]) == list(want.keys())
+    assert list(got["degree"]) == list(want.values())
