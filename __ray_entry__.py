@@ -3445,6 +3445,20 @@ def _lpa_sql(iters: int) -> str:
     )
 
 
+def q_seasonal_mase(sf_dir: str):
+    """Forecast-baseline backtest: per-user MASE of the 24h seasonal-naive
+    predictor vs the lag-1 naive predictor over the event value stream
+    (one entity exchange; per-segment searchsorted for the seasonal
+    as-of, shift for naive). LATERAL + LAG oracle."""
+    from featherstore_ray.stages.aggregate import seasonal_mase
+
+    return seasonal_mase(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        period=timedelta(hours=24), num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4485,6 +4499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": q_kaplan_meier,
         "label_propagation": q_label_propagation,
         "k_core": q_k_core,
+        "seasonal_mase": q_seasonal_mase,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7312,6 +7327,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "seasonal_mase": """
+            WITH f AS (
+                SELECT user_id, ts, value, event_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), w AS (
+                SELECT user_id, ts, value, event_id,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_v
+                FROM f
+            ), s AS (
+                SELECT w.user_id, w.value, w.prev_v, p.value AS seas_v
+                FROM w LEFT JOIN LATERAL (
+                    SELECT value FROM f p
+                    WHERE p.user_id = w.user_id
+                      AND p.ts <= w.ts - INTERVAL 24 HOURS
+                    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+                ) p ON TRUE
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_scored,
+                   round(avg(abs(value - prev_v)), 6) AS mae_naive,
+                   round(avg(abs(value - seas_v)), 6) AS mae_seasonal,
+                   CASE WHEN sum(abs(value - prev_v)) > 0
+                        THEN round(avg(abs(value - seas_v))
+                                   / avg(abs(value - prev_v)), 6)
+                   END AS mase
+            FROM s WHERE prev_v IS NOT NULL AND seas_v IS NOT NULL
+            GROUP BY user_id
+        """,
         "rmst": f"""
             WITH u AS (
                 SELECT user_id, min(ts) AS s,

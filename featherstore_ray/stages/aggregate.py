@@ -3258,3 +3258,119 @@ def top_items_per_group(
     return bucketed_map_groups(
         parts, final, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def seasonal_mase(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    period=None,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Forecast-baseline backtest per entity — the time-series evaluation
+    family: score the SEASONAL-NAIVE predictor (each observation
+    predicted by the entity's last value at ``ts <= t − period``; ties at
+    the boundary resolve to max (ts, tiebreak), the engine-wide as-of
+    rule) against the NAIVE lag-1 predictor, and report
+    ``mase = mae_seasonal / mae_naive`` — MASE < 1 means real seasonal
+    structure at ``period``. Only rows where BOTH predictors exist are
+    scored (common support, so the ratio is well-defined); an entity with
+    no scored rows is omitted, ``mae_naive = 0`` yields a NULL mase (SQL
+    division semantics). Null entity/ts/value rows are filtered before
+    pairing (the transition_times contract).
+
+    Scale shape: ONE hash(entity) exchange; the per-bucket kernel sorts
+    each stream once, gets the naive predictor by shift and the seasonal
+    predictor by one ``searchsorted(ts, ts − period, side="right") − 1``
+    per segment (the rolling-window trick), and emits one row per entity.
+    """
+    import datetime
+
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    if period is None:
+        raise ValueError("period is required (seasonal lag)")
+    if isinstance(period, datetime.timedelta):
+        period_us = int(period.total_seconds() * 1_000_000)
+    else:
+        period_us = int(period)
+    if period_us <= 0:
+        raise ValueError("period must be positive")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=[entity_col, ts_col, value_col])
+
+    slim = ds.select_columns(
+        [entity_col, ts_col, value_col, tiebreak_col]
+    ).map_batches(pre, batch_size=None, batch_format="pandas")
+    slim = add_bucket_column(slim, entity_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        empty = pd.DataFrame({
+            entity_col: pd.Series([], dtype=df[entity_col].dtype),
+            "n_scored": pd.Series([], dtype=np.int64),
+            "mae_naive": pd.Series([], dtype=np.float64),
+            "mae_seasonal": pd.Series([], dtype=np.float64),
+            "mase": pd.Series([], dtype=np.float64),
+        })
+        if df.empty:
+            return empty
+        d = df.sort_values([entity_col, ts_col, tiebreak_col], kind="stable")
+        ent = d[entity_col].to_numpy()
+        ts = d[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = d[value_col].to_numpy(dtype=np.float64)
+        n = len(d)
+        new_ent = np.empty(n, dtype=bool)
+        new_ent[0] = True
+        new_ent[1:] = ent[1:] != ent[:-1]
+        starts = np.flatnonzero(new_ent)
+        seg_of = np.cumsum(new_ent) - 1
+        seg_start = starts[seg_of]
+        # naive: previous row within the segment
+        prev_ok = ~new_ent
+        prev_v = np.empty(n, dtype=np.float64)
+        prev_v[1:] = v[:-1]
+        prev_v[0] = np.nan
+        # seasonal: last index with ts <= t - period, per segment.
+        # searchsorted on the GLOBAL sorted ts is wrong across entity
+        # boundaries, so probe within [seg_start, i) via offset probes.
+        ends = np.append(starts[1:], n)
+        seas_idx = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):  # few entities per bucket; probes
+            seas_idx[s:e] = s + np.searchsorted(
+                ts[s:e], ts[s:e] - period_us, side="right") - 1
+        seas_ok = seas_idx >= seg_start
+        ok = prev_ok & seas_ok
+        if not ok.any():
+            return empty
+        err_n = np.abs(v - prev_v)
+        err_s = np.abs(v - v[np.maximum(seas_idx, 0)])
+        out = pd.DataFrame({
+            entity_col: ent[ok],
+            "_en": err_n[ok],
+            "_es": err_s[ok],
+        })
+        g = out.groupby(entity_col, sort=True).agg(
+            n_scored=("_en", "size"), _sn=("_en", "sum"), _ss=("_es", "sum"))
+        mae_n = g["_sn"] / g["n_scored"]
+        mae_s = g["_ss"] / g["n_scored"]
+        mase = np.where(mae_n > 0, mae_s / mae_n, np.nan)
+        return pd.DataFrame({
+            entity_col: g.index.to_numpy(),
+            "n_scored": g["n_scored"].to_numpy(np.int64),
+            "mae_naive": np.round(mae_n.to_numpy(), round_digits),
+            "mae_seasonal": np.round(mae_s.to_numpy(), round_digits),
+            "mase": np.round(mase, round_digits),
+        })
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -2067,3 +2067,37 @@ def test_group_standardize_distributed_route_parity(ray_session):
         .to_pandas().sort_values("id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(drv, dist[drv.columns], check_dtype=False)
+
+
+def test_seasonal_mase_manual(ray_session):
+    """Hand-checked two-entity case: entity 10 has exact 24h seasonality
+    (mase 0); entity 20 lacks any row 24h back (omitted)."""
+    from datetime import datetime, timedelta
+
+    from featherstore_ray.stages.aggregate import seasonal_mase
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # entity 10: value repeats every 24h over 3 days, 2 samples/day
+    for d in range(3):
+        for h, v in ((0, 5.0), (12, 9.0)):
+            rows.append((10, base + timedelta(days=d, hours=h), v))
+    # entity 20: all rows inside one day -> no seasonal predictor
+    for h in range(4):
+        rows.append((20, base + timedelta(hours=h), float(h)))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    out = seasonal_mase(
+        ray.data.from_arrow(t).repartition(3),
+        period=timedelta(hours=24), num_buckets=4,
+    ).to_pandas()
+    assert list(out["user_id"]) == [10]
+    r = out.iloc[0]
+    # scored rows: days 1-2, both samples (prev + seasonal both exist)
+    assert r["n_scored"] == 4
+    assert r["mae_seasonal"] == 0.0 and r["mase"] == 0.0
+    assert r["mae_naive"] == 4.0  # |5-9| and |9-5| alternating
