@@ -270,8 +270,7 @@ def q_asof_join_broadcast(sf_dir: str):
     spine = events.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     out = asof_join_broadcast(
         spine,
         feat_tbl,
@@ -475,8 +474,7 @@ def q_hash_join(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return hash_join(orders, cust, on=["o_custkey"], how="inner", num_partitions=16)
 
 
@@ -497,8 +495,7 @@ def q_outer_join(sf_dir: str):
             t["c_custkey"].to_numpy() % 3 == 0  # no pc.modulo in this pyarrow
         ).rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return hash_join(
         okeys, cust, on=["o_custkey"], how="full_outer", num_partitions=8
     )
@@ -1638,8 +1635,7 @@ def q_redact(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return redact(prof, "profile", out_col="profile_redacted").select_columns(
         ["c_custkey", "profile_redacted"]
     )
@@ -2383,7 +2379,7 @@ def q_tokens_validate(sf_dir: str):
             {"doc_id": t["doc_id"], "n_tok": t["n_tok"], "source": t["source"]}
         )
 
-    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_tokens_stats(sf_dir: str):
@@ -2441,7 +2437,7 @@ def q_tokens_dedup(sf_dir: str):
             }
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = exact_dedup(hashed, ["seq_hash", "n_tok"], keep_col="doc_id")
     # (doc_id, n_tok) only: fully deterministic even when the winning doc_id
     # has several rows with identical content but different source
@@ -2519,7 +2515,7 @@ def q_connected_components(sf_dir: str):
         a = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
         return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
 
-    e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    e = orders.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     # driver_edge_cap=0 forces the distributed rounds: this query IS the
     # scale-path coverage (the adaptive numpy crossover is parity-tested
     # in tests/test_components.py and exercised by entity_resolution)

@@ -102,7 +102,7 @@ def _pipelines(sf_dir: str):
                 raise ValueError("token invariant violated")
             return t
 
-        ds = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         stats = grouped_aggregate(
             ds.select_columns(["source", "n_tok"]),
             ["source"],
@@ -129,7 +129,7 @@ def _pipelines(sf_dir: str):
             )
             return t.append_column("seq_hash", pa.array(seq_hash.view(np.int64)))
 
-        hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         out = exact_dedup(
             hashed.select_columns(["doc_id", "seq_hash", "n_tok"]),
             ["seq_hash", "n_tok"],
