@@ -3455,6 +3455,43 @@ def q_seasonal_mase(sf_dir: str):
     )
 
 
+def q_woe_iv(sf_dir: str):
+    """Weight of Evidence / Information Value screen for c_mktsegment
+    against the binary label acctbal > 0 — per-category smoothed event
+    shares, WOE, IV terms and the total IV (contingency partials only;
+    closed form mirrored literally by the oracle)."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.aggregate import woe_iv
+
+    cust = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def label(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.greater(t["c_acctbal"], 0.0), pa.int64())
+        return pa.table({"c_mktsegment": t["c_mktsegment"], "y": y})
+
+    return woe_iv(
+        cust.map_batches(label, batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "c_mktsegment", "y", smoothing=0.5,
+    )
+
+
+def q_changepoint(sf_dir: str):
+    """Per-user single changepoint (binary segmentation step 1) over the
+    event value stream: the (ts, event_id)-ordered split maximizing the
+    SSE reduction, gains rounded before the argmax so late-ulp sum jitter
+    can't flip the winner (ties → smallest k)."""
+    from featherstore_ray.stages.window import changepoint
+
+    return changepoint(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value",
+                                         "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id", num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4496,6 +4533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q_label_propagation,
         "k_core": q_k_core,
         "seasonal_mase": q_seasonal_mase,
+        "woe_iv": q_woe_iv,
+        "changepoint": q_changepoint,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7323,6 +7362,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "woe_iv": """
+            WITH base AS (
+                SELECT c_mktsegment,
+                       CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+                FROM customer
+                WHERE c_mktsegment IS NOT NULL
+            ), stats AS (
+                SELECT c_mktsegment,
+                       sum(y)::DOUBLE AS pos,
+                       count(*)::DOUBLE AS n
+                FROM base GROUP BY c_mktsegment
+            ), tot AS (
+                SELECT sum(pos) AS pos_tot, sum(n - pos) AS neg_tot,
+                       count(*)::DOUBLE AS k
+                FROM stats
+            ), woe AS (
+                SELECT s.c_mktsegment,
+                       CAST(s.pos AS BIGINT) AS n_pos,
+                       CAST(s.n - s.pos AS BIGINT) AS n_neg,
+                       (s.pos + 0.5) / (t.pos_tot + 0.5 * t.k) AS dp,
+                       (s.n - s.pos + 0.5) / (t.neg_tot + 0.5 * t.k) AS dn
+                FROM stats s, tot t
+            )
+            SELECT c_mktsegment, n_pos, n_neg,
+                   round(ln(dp / dn), 6) AS woe,
+                   round((dp - dn) * ln(dp / dn), 6) AS iv_term,
+                   round(sum((dp - dn) * ln(dp / dn)) OVER (), 6) AS iv
+            FROM woe
+        """,
+        "changepoint": """
+            WITH base AS (
+                SELECT user_id, ts, value::DOUBLE AS v, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), runs AS (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER win AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n,
+                       sum(v) OVER (win ROWS UNBOUNDED PRECEDING) AS s_run,
+                       sum(v * v) OVER (win ROWS UNBOUNDED PRECEDING)
+                           AS q_run,
+                       sum(v) OVER (PARTITION BY user_id) AS s_tot,
+                       sum(v * v) OVER (PARTITION BY user_id) AS q_tot
+                FROM base
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), w AS (
+                SELECT user_id, ts, rn, n, s_tot, q_tot,
+                       lag(s_run) OVER win2 AS s_l,
+                       lag(q_run) OVER win2 AS q_l
+                FROM runs
+                WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+                SELECT user_id, ts, rn,
+                       round((q_tot - s_tot * s_tot / n)
+                             - (q_l - s_l * s_l / (rn - 1))
+                             - ((q_tot - q_l)
+                                - (s_tot - s_l) * (s_tot - s_l)
+                                  / (n - rn + 1)), 6) AS gain
+                FROM w WHERE rn >= 2 AND n >= 2
+            )
+            SELECT user_id, ts AS cp_ts,
+                   CAST(rn - 1 AS BIGINT) AS cp_k, gain
+            FROM g
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY gain DESC, rn ASC) = 1
+        """,
         "seasonal_mase": """
             WITH f AS (
                 SELECT user_id, ts, value, event_id FROM events

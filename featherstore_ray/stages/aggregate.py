@@ -1371,6 +1371,73 @@ def mutual_info(
     }))
 
 
+def woe_iv(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Weight of Evidence + Information Value per category — the classic
+    credit-scoring / feature-screening encoder: with per-category event
+    counts ``pos_c`` (label = 1) and ``neg_c`` (label = 0) and ``K``
+    categories, the smoothed event shares are
+    ``dp = (pos_c + s) / (pos_tot + s·K)`` and
+    ``dn = (neg_c + s) / (neg_tot + s·K)`` (add-``s`` per cell so zero
+    cells stay finite and each share vector still sums to 1), then
+    ``woe = ln(dp / dn)``, ``iv_term = (dp − dn)·woe`` and
+    ``iv = Σ_c iv_term`` (repeated on every row — the feature's screening
+    score). Rows with a null category or null label are excluded on both
+    sides (oracle WHERE contract). ``label_col`` is 0/1 by contract.
+
+    Scale shape (the :func:`mutual_info` pattern): each block collapses to
+    (category, Σlabel, count) partials — the exchange carries distinct
+    categories, never rows — and the driver merges the K-bounded table
+    (categorical by contract; for ID-grade cardinalities use
+    :func:`~featherstore_ray.stages.misc.target_encode`'s distributed
+    route instead). The closed form is mirrored literally by the oracle.
+    """
+    import pyarrow as pa
+
+    s = float(smoothing)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[cat_col, label_col]].dropna()
+        g = d.groupby(cat_col, sort=False, observed=True)[label_col].agg(
+            _p="sum", _n="count"
+        ).reset_index()
+        return g
+
+    parts = ds.select_columns([cat_col, label_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    stats = (
+        parts.to_pandas()
+        .groupby(cat_col, sort=True, observed=True)[["_p", "_n"]]
+        .sum().reset_index()
+    )
+    k = float(len(stats))
+    pos = stats["_p"].to_numpy(dtype=np.float64)
+    n = stats["_n"].to_numpy(dtype=np.float64)
+    neg = n - pos
+    pos_tot = float(pos.sum())
+    neg_tot = float(neg.sum())
+    dp = (pos + s) / (pos_tot + s * k)
+    dn = (neg + s) / (neg_tot + s * k)
+    woe = np.log(dp / dn)
+    iv_term = (dp - dn) * woe
+    iv = float(iv_term.sum())
+    return ray.data.from_arrow(pa.table({
+        cat_col: pa.array(stats[cat_col]),
+        "n_pos": pa.array(pos.astype(np.int64)),
+        "n_neg": pa.array(neg.astype(np.int64)),
+        "woe": pa.array(np.round(woe, round_digits)),
+        "iv_term": pa.array(np.round(iv_term, round_digits)),
+        "iv": pa.array(np.full(len(stats), np.round(iv, round_digits))),
+    }))
+
+
 def ohlc(
     ds: ray.data.Dataset,
     entity_col: str,

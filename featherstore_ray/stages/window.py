@@ -1205,6 +1205,100 @@ def cusum(
     return _bucketed(proj, entity_col, num_buckets, kernel)
 
 
+def changepoint(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity single changepoint — binary segmentation's first step:
+    over the entity's values in (ts, tiebreak) order, the split
+    ``k ∈ [1, n)`` (left = first ``k`` rows) maximizing the SSE reduction
+    ``gain(k) = SSE_total − SSE_left(k) − SSE_right(k)`` with
+    ``SSE = Σx² − (Σx)²/n``. One row per entity with ≥ 2 non-null values:
+    ``(entity, cp_ts, cp_k, gain)`` where ``cp_ts`` is the timestamp of
+    the first right-segment row and ``cp_k`` the left count. Where
+    :func:`cusum` *screens* for a level shift, this *locates* it.
+
+    Determinism: gains are ROUNDED to ``round_digits`` BEFORE the argmax
+    on both sides (the weighted_sample pattern — prefix-difference sums
+    vs SQL running sums can differ in late ulps; the rounding grid keeps
+    the winner identical), and ties break to the SMALLEST ``k``
+    (np.argmax first-max == SQL ``ORDER BY gain DESC, rn ASC``).
+
+    One hash(entity) exchange; the kernel is one lexsort + global prefix
+    cumsums with per-entity offsets — no per-entity loop, the series
+    never leaves its bucket.
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        out_empty = pd.DataFrame({
+            entity_col: pd.Series(dtype=df[entity_col].dtype),
+            "cp_ts": pd.Series(dtype="datetime64[us]"),
+            "cp_k": pd.Series(dtype="int64"),
+            "gain": pd.Series(dtype="float64"),
+        })
+        if df.empty:
+            return out_empty
+        df, _new_ent, starts, rwg = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        isz = np.diff(np.append(starts, n))
+        sizes = isz.astype(np.float64)
+        row_g = np.repeat(np.arange(len(starts)), isz)
+        x = df[value_col].to_numpy(dtype=np.float64)
+        csx = np.cumsum(x)
+        csq = np.cumsum(x * x)
+        # local prefix sums INCLUDING the current row
+        off_s = (csx[starts] - x[starts])[row_g]
+        off_q = (csq[starts] - (x * x)[starts])[row_g]
+        ls = csx - off_s
+        lq = csq - off_q
+        s_tot = (ls[starts + isz - 1])[row_g]
+        q_tot = (lq[starts + isz - 1])[row_g]
+        n_tot = sizes[row_g]
+        # candidate split BEFORE row i: left = rows up to i-1 → shift by one
+        k = rwg.astype(np.float64)            # left count at row i
+        s_l = np.empty(n); s_l[1:] = ls[:-1]; s_l[starts] = 0.0
+        q_l = np.empty(n); q_l[1:] = lq[:-1]; q_l[starts] = 0.0
+        valid = (rwg >= 1) & (n_tot >= 2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sse_tot = q_tot - s_tot * s_tot / n_tot
+            sse_l = q_l - s_l * s_l / np.where(k > 0, k, 1.0)
+            nr = n_tot - k
+            sse_r = (q_tot - q_l) - (s_tot - s_l) ** 2 / np.where(
+                nr > 0, nr, 1.0)
+            gain = np.round(sse_tot - sse_l - sse_r, round_digits)
+        gain = np.where(valid, gain, -np.inf)
+        # per-entity argmax, first max (smallest k) — rows are already in
+        # k-ascending order within each entity segment
+        seg_max = np.maximum.reduceat(gain, starts)
+        is_best = gain == seg_max[row_g]
+        # first True per segment
+        idx = np.arange(n)
+        first_best = np.minimum.reduceat(
+            np.where(is_best, idx, n), starts)
+        keep = (sizes >= 2) & np.isfinite(seg_max)
+        best = first_best[keep].astype(np.int64)
+        ents = df[entity_col].to_numpy()[starts][keep]
+        ts_v = df[ts_col].to_numpy().astype("datetime64[us]")[best]
+        return pd.DataFrame({
+            entity_col: ents,
+            "cp_ts": ts_v,
+            "cp_k": rwg[best].astype(np.int64),
+            "gain": gain[best],
+        })
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
 def rolling_slope(
     ds: ray.data.Dataset,
     *,

@@ -2101,3 +2101,34 @@ def test_seasonal_mase_manual(ray_session):
     assert r["n_scored"] == 4
     assert r["mae_seasonal"] == 0.0 and r["mase"] == 0.0
     assert r["mae_naive"] == 4.0  # |5-9| and |9-5| alternating
+
+
+def test_woe_iv_matches_closed_form():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import woe_iv
+
+    df = pd.DataFrame({
+        "cat": ["a"] * 10 + ["b"] * 10 + ["c"] * 5 + [None],
+        "y":   [1] * 8 + [0] * 2 + [1] * 2 + [0] * 8 + [0] * 5 + [1],
+    })
+    out = (
+        woe_iv(ray.data.from_pandas(df).repartition(3), "cat", "y",
+               smoothing=0.5)
+        .to_pandas().set_index("cat").sort_index()
+    )
+    # null category excluded on both sides
+    assert set(out.index) == {"a", "b", "c"}
+    pos = np.array([8.0, 2.0, 0.0])
+    n = np.array([10.0, 10.0, 5.0])
+    neg = n - pos
+    dp = (pos + 0.5) / (pos.sum() + 0.5 * 3)
+    dn = (neg + 0.5) / (neg.sum() + 0.5 * 3)
+    woe = np.log(dp / dn)
+    iv = float(((dp - dn) * woe).sum())
+    np.testing.assert_allclose(out["woe"].to_numpy(),
+                               np.round(woe, 6), atol=1e-9)
+    np.testing.assert_allclose(out["iv"].to_numpy(),
+                               np.full(3, round(iv, 6)), atol=1e-9)
+    assert out["n_pos"].tolist() == [8, 2, 0]
+    assert out["n_neg"].tolist() == [2, 8, 5]

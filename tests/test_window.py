@@ -809,3 +809,57 @@ def test_rolling_slope_no_segment_bleed_at_entity_boundaries(ray_session):
     assert abs(out.loc[3, "rslope"] - 48.0) < 1e-6
     # entity 2's first row: single point -> NULL (not polluted by ent 1)
     assert np.isnan(out.loc[2, "rslope"])
+
+
+def test_changepoint_locates_level_shift():
+    import pandas as pd
+
+    from featherstore_ray.stages.window import changepoint
+
+    rng = np.random.default_rng(7)
+    n = 120
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min"
+                       ).values.astype("datetime64[us]")
+    # entity 1: clean level shift at k=70; entity 2: stationary;
+    # entity 3: size-1 (excluded)
+    shifted = np.concatenate([rng.normal(0, 0.5, 70), rng.normal(5, 0.5, 50)])
+    flat = rng.normal(0, 1, n)
+    t = pa.table({
+        "e": [1] * n + [2] * n + [3],
+        "ts": pa.array(np.concatenate([ts, ts, ts[:1]])),
+        "v": np.concatenate([shifted, flat, [5.0]]),
+        "i": list(range(2 * n + 1)),
+    })
+    out = changepoint(
+        ray.data.from_arrow(t).repartition(4),
+        entity_col="e", ts_col="ts", value_col="v", tiebreak="i",
+        num_buckets=2,
+    ).to_pandas().set_index("e")
+    assert set(out.index) == {1, 2}  # size-1 entity excluded
+    assert out.loc[1, "cp_k"] == 70
+    assert out.loc[1, "cp_ts"] == pd.Timestamp(ts[70])
+
+    # exact reference for the winning gain on entity 1
+    def sse(x):
+        return float((x * x).sum() - x.sum() ** 2 / len(x))
+
+    gains = [
+        sse(shifted) - sse(shifted[:k]) - sse(shifted[k:])
+        for k in range(1, n)
+    ]
+    k_ref = int(np.argmax(np.round(gains, 6))) + 1
+    assert out.loc[1, "cp_k"] == k_ref
+    assert abs(out.loc[1, "gain"] - round(gains[k_ref - 1], 6)) < 1e-5
+
+    # constant series: every gain is 0, tie -> smallest k (k=1)
+    t2 = pa.table({
+        "e": [9] * 5,
+        "ts": pa.array(ts[:5]),
+        "v": [2.0] * 5,
+        "i": list(range(5)),
+    })
+    out2 = changepoint(
+        ray.data.from_arrow(t2), entity_col="e", ts_col="ts",
+        value_col="v", tiebreak="i", num_buckets=1,
+    ).to_pandas()
+    assert out2.loc[0, "cp_k"] == 1 and out2.loc[0, "gain"] == 0.0
