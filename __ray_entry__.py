@@ -3492,6 +3492,29 @@ def q_changepoint(sf_dir: str):
     )
 
 
+def q_link_prediction(sf_dir: str):
+    """Supplier-supplier link prediction over the high-quantity lineitem
+    bipartite slice (suppliers sharing parts): common neighbors,
+    Adamic-Adar and resource-allocation per pair. One hash(part)
+    exchange dedupes incidence + expands pairs (Σdeg² bounded by the
+    degree cap), one hash(a) exchange sums."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.graph import link_prediction
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+    inc = li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 45.0))
+                   .select(["l_partkey", "l_suppkey"]),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return link_prediction(
+        inc, item_col="l_partkey", node_col="l_suppkey",
+        min_common=2, max_degree=64, num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4535,6 +4558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_mase": q_seasonal_mase,
         "woe_iv": q_woe_iv,
         "changepoint": q_changepoint,
+        "link_prediction": q_link_prediction,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7362,6 +7386,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "link_prediction": """
+            WITH inc AS (
+                SELECT DISTINCT l_partkey AS item, l_suppkey AS node
+                FROM lineitem
+                WHERE l_quantity >= 45
+                  AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            ), deg AS (
+                SELECT item, count(*) AS d FROM inc GROUP BY item
+            ), ok AS (
+                SELECT i.item, i.node, g.d
+                FROM inc i JOIN deg g USING (item)
+                WHERE g.d BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT x.node AS a, y.node AS b, x.d::DOUBLE AS d
+                FROM ok x JOIN ok y
+                  ON x.item = y.item AND x.node < y.node
+            )
+            SELECT a, b, count(*)::BIGINT AS cn,
+                   round(sum(1.0 / ln(d)), 6) AS adamic_adar,
+                   round(sum(1.0 / d), 6) AS resource_alloc
+            FROM pairs GROUP BY a, b
+            HAVING count(*) >= 2
+        """,
         "woe_iv": """
             WITH base AS (
                 SELECT c_mktsegment,

@@ -651,3 +651,102 @@ def k_core(
         sym = survivor_filter(sym, survivors, "dst").materialize()
 
     return degrees(sym)
+
+
+def link_prediction(
+    incidence: ray.data.Dataset,
+    *,
+    item_col: str,
+    node_col: str,
+    min_common: int = 2,
+    max_degree: int = 64,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Neighborhood-overlap link prediction over a bipartite incidence
+    table (node ↔ item): for every unordered node pair sharing ≥
+    ``min_common`` items, the three classic scores —
+    ``cn`` (common neighbors), ``adamic_adar = Σ_item 1/ln(deg(item))``
+    and ``resource_alloc = Σ_item 1/deg(item)`` — where ``deg(item)`` is
+    the number of DISTINCT nodes incident to the item. Items with
+    degree < 2 form no pair; items with degree > ``max_degree`` are
+    dropped (hub items contribute ~nothing to AA/RA but dominate the
+    pair expansion — the standard pruning, and part of the contract).
+    Output: (a, b, cn, adamic_adar, resource_alloc) with ``a < b``.
+
+    Scale shape: ONE hash(item) exchange dedupes (item, node) across
+    batch boundaries (the item_similarity lesson: per-batch distinct
+    double-counts a split item) and expands each item's pairs via the
+    shared triangular ``pair_indices`` — cost Σ deg² bounded by
+    ``max_degree``; a second hash(a) exchange sums the per-pair partials.
+    Nodes are sorted ascending inside each item so ``a < b`` and the
+    emitted pair order are deterministic.
+    """
+    from featherstore_ray.stages.dedup import pair_indices
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates([item_col, node_col])
+            .sort_values([item_col, node_col], kind="stable")
+            .reset_index(drop=True)
+        )
+        empty = pd.DataFrame({
+            "a": pd.Series(dtype=d[node_col].dtype),
+            "b": pd.Series(dtype=d[node_col].dtype),
+            "_w_aa": pd.Series(dtype="float64"),
+            "_w_ra": pd.Series(dtype="float64"),
+        })
+        if d.empty:
+            return empty
+        items = d[item_col].to_numpy()
+        seg = np.ones(len(d), dtype=bool)
+        seg[1:] = items[1:] != items[:-1]
+        starts = np.flatnonzero(seg)
+        deg = np.diff(np.append(starts, len(d)))
+        keep = (deg >= 2) & (deg <= max_degree)
+        row_keep = np.repeat(keep, deg)
+        d = d[row_keep].reset_index(drop=True)
+        if d.empty:
+            return empty
+        ai, bi = pair_indices(d[item_col].to_numpy())
+        if len(ai) == 0:
+            return empty
+        deg_row = np.repeat(deg[keep], deg[keep]).astype(np.float64)
+        nodes = d[node_col].to_numpy()
+        return pd.DataFrame({
+            "a": nodes[ai],
+            "b": nodes[bi],
+            "_w_aa": 1.0 / np.log(deg_row[ai]),
+            "_w_ra": 1.0 / deg_row[ai],
+        })
+
+    from featherstore_ray.partition import add_bucket_column
+
+    proj = incidence.select_columns([item_col, node_col]).map_batches(
+        lambda t: t.drop_null(), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = bucketed_map_groups(
+        add_bucket_column(proj, item_col, num_buckets),
+        expand, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby(["a", "b"], sort=True)
+            .agg(cn=("_w_ra", "size"), _aa=("_w_aa", "sum"),
+                 _ra=("_w_ra", "sum"))
+            .reset_index()
+        )
+        g = g[g["cn"] >= min_common].reset_index(drop=True)
+        g["cn"] = g["cn"].astype(np.int64)
+        g["adamic_adar"] = np.round(g.pop("_aa").to_numpy(), round_digits)
+        g["resource_alloc"] = np.round(g.pop("_ra").to_numpy(), round_digits)
+        return g
+
+    return bucketed_map_groups(
+        add_bucket_column(pairs, "a", num_buckets),
+        reduce, num_buckets=num_buckets, batch_format="pandas",
+    )

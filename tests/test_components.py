@@ -301,3 +301,43 @@ def test_k_core_matches_pure_python_peeler(ray_session):
     assert 0 < len(got) < len(set(a) | set(b))
     assert list(got["node"]) == list(want.keys())
     assert list(got["degree"]) == list(want.values())
+
+
+def test_link_prediction_exact_scores_and_cross_batch_dedupe():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from featherstore_ray.stages.graph import link_prediction
+
+    # items: i1 {1,2,3} (deg 3), i2 {1,2} (deg 2), i3 {1,2} duplicated
+    # incidence rows split across blocks (dedupe must be global),
+    # i4 {4} (deg 1 -> no pairs), i5 hub {1..5} dropped by max_degree=4
+    rows = [
+        ("i1", 1), ("i1", 2), ("i1", 3),
+        ("i2", 1), ("i2", 2),
+        ("i3", 1), ("i3", 2), ("i3", 1), ("i3", 2),  # dupes
+        ("i4", 4),
+        ("i5", 1), ("i5", 2), ("i5", 3), ("i5", 4), ("i5", 5),
+    ]
+    df = pd.DataFrame(rows, columns=["item", "node"])
+    out = (
+        link_prediction(
+            ray.data.from_pandas(df).repartition(5),
+            item_col="item", node_col="node",
+            min_common=1, max_degree=4, num_buckets=2,
+        )
+        .to_pandas().set_index(["a", "b"]).sort_index()
+    )
+    # pair (1,2): i1 (deg 3) + i2, i3 (deg 2 each) -> cn=3
+    assert out.loc[(1, 2), "cn"] == 3
+    aa = 1 / np.log(3) + 2 * (1 / np.log(2))
+    ra = 1 / 3 + 2 * (1 / 2)
+    assert abs(out.loc[(1, 2), "adamic_adar"] - round(aa, 6)) < 1e-9
+    assert abs(out.loc[(1, 2), "resource_alloc"] - round(ra, 6)) < 1e-9
+    # pairs (1,3) and (2,3): only i1
+    assert out.loc[(1, 3), "cn"] == 1 and out.loc[(2, 3), "cn"] == 1
+    # hub i5 contributes nothing; node 5 appears in no pair
+    assert not any(5 in k for k in out.index)
+    # deg-1 item forms no pair; node 4 absent
+    assert not any(4 in k for k in out.index)
