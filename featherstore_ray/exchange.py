@@ -336,7 +336,20 @@ def bucketed_map_groups(
         )
         if out is not None:
             return out
-    return ds.groupby(bucket_col).map_groups(kernel, batch_format=batch_format)
+
+    # Sort-path kernel outputs convert to Arrow EXACTLY like _reduce_apply
+    # does on the direct path — otherwise the fallback emits pandas blocks
+    # whose PandasBlockSchema breaks downstream pa.schema(base_schema)
+    # consumers and drifts dtypes (datetime units, object-vs-string) that
+    # the direct path preserves.
+    def _arrow_out(batch):
+        res = kernel(batch)
+        if not isinstance(res, pa.Table):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        return res.replace_schema_metadata(None)
+
+    return ds.groupby(bucket_col).map_groups(
+        _arrow_out, batch_format=batch_format)
 
 
 def _direct(
