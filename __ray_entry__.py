@@ -3515,6 +3515,21 @@ def q_link_prediction(sf_dir: str):
     )
 
 
+def q_conformal_interval(sf_dir: str):
+    """Per-user split-conformal interval over event values: hash-split
+    calibration half, median predictor, residual quantile at the
+    finite-sample-corrected level. Both quantiles use the explicit
+    lo + (hi-lo)*f interpolation mirrored by the oracle's sorted-list
+    indexing."""
+    from featherstore_ray.stages.aggregate import conformal_interval
+
+    return conformal_interval(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        "user_id", "event_id", "value",
+        alpha=0.1, cal_fraction=0.5, num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4559,6 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "woe_iv": q_woe_iv,
         "changepoint": q_changepoint,
         "link_prediction": q_link_prediction,
+        "conformal_interval": q_conformal_interval,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7386,6 +7402,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "conformal_interval": f"""
+            WITH cal AS (
+                SELECT user_id AS g, value::DOUBLE AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+                  AND (event_id % 4294967296) * 2654435761
+                      % 4294967296 < {int(0.5 * (1 << 32))}
+            ), a AS (
+                SELECT g, list(y ORDER BY y) AS ys, count(*) AS n
+                FROM cal GROUP BY g
+            ), m AS (
+                SELECT g, n,
+                       ys[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+                       + (ys[least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2,
+                                   n)]
+                          - ys[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+                         * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS med
+                FROM a
+            ), res AS (
+                SELECT c.g, abs(c.y - m.med) AS r
+                FROM cal c JOIN m USING (g)
+            ), b AS (
+                SELECT g, list(r ORDER BY r) AS rs, count(*) AS n
+                FROM res GROUP BY g
+            ), q AS (
+                SELECT b.g, b.n, m.med,
+                       least(1.0, ceil((1.0 - 0.1) * (b.n + 1)) / b.n)
+                       * (b.n - 1) AS h, b.rs
+                FROM b JOIN m ON b.g = m.g
+            ), o AS (
+                SELECT g, n, med,
+                       rs[CAST(floor(h) AS BIGINT) + 1]
+                       + (rs[least(CAST(floor(h) AS BIGINT) + 2, n)]
+                          - rs[CAST(floor(h) AS BIGINT) + 1])
+                         * (h - floor(h)) AS q_hat
+                FROM q
+            )
+            SELECT g AS user_id, n::BIGINT AS n_cal,
+                   round(med, 6) AS center, round(q_hat, 6) AS q_hat,
+                   round(med - q_hat, 6) AS lo, round(med + q_hat, 6) AS hi
+            FROM o
+        """,
         "link_prediction": """
             WITH inc AS (
                 SELECT DISTINCT l_partkey AS item, l_suppkey AS node

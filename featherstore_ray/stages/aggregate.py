@@ -3441,3 +3441,110 @@ def seasonal_mase(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def conformal_interval(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.1,
+    cal_fraction: float = 0.5,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group split-conformal prediction interval — the
+    distribution-free uncertainty band: a deterministic multiplicative-
+    hash split of ``key_col`` (the hash_split rule, SQL-exact) selects
+    the calibration rows; the predictor is the calibration MEDIAN; the
+    half-width ``q_hat`` is the calibration residuals' ``|y − med|``
+    quantile at the finite-sample-corrected level
+    ``min(1, ceil((1−α)·(n+1))/n)``. One row per group with ≥ 1
+    calibration value: (group, n_cal, center, q_hat, lo, hi). Null
+    group/key/value rows are excluded on both sides.
+
+    Cross-engine determinism: BOTH quantiles (median and residual) use
+    the same explicit linear interpolation ``xs[i] + (xs[i+1] − xs[i])·f``
+    with ``h = level·(n−1)`` — mirrored literally by the oracle's
+    ``list(x ORDER BY x)`` indexing, the same IEEE op sequence (numpy's
+    np.quantile lerp switches forms at f>0.5, so the kernel interpolates
+    manually rather than calling it).
+
+    One hash(group) exchange; the kernel is two lexsorts + segmented
+    index gathers — no per-group loop.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.misc import _SPLIT_MULT
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    cut = np.uint64(int(cal_fraction * (1 << 32)))
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, key_col, value_col])
+        k = d[key_col].to_numpy().astype(np.uint64)
+        h = (k % np.uint64(1 << 32)) * np.uint64(_SPLIT_MULT) \
+            % np.uint64(1 << 32)
+        d = d[h < cut]
+        return pd.DataFrame({group_col: d[group_col],
+                             "_v": d[value_col].astype(np.float64)})
+
+    slim = ds.select_columns([group_col, key_col, value_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def _seg_quantile(sorted_v, starts, sizes, level):
+        """Linear-interp quantile per contiguous segment; level is a
+        per-segment float array."""
+        h = level * (sizes - 1.0)
+        i = np.floor(h).astype(np.int64)
+        f = h - i
+        lo = sorted_v[starts + i]
+        hi = sorted_v[starts + np.minimum(i + 1, sizes - 1)]
+        return lo + (hi - lo) * f
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype=df[group_col].dtype),
+            "n_cal": pd.Series(dtype=np.int64),
+            "center": pd.Series(dtype=np.float64),
+            "q_hat": pd.Series(dtype=np.float64),
+            "lo": pd.Series(dtype=np.float64),
+            "hi": pd.Series(dtype=np.float64),
+        })
+        if df.empty:
+            return empty
+        codes, uniques = pd.factorize(df[group_col], sort=True)
+        v = df["_v"].to_numpy()
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        k = int(c_s.max()) + 1
+        n = np.bincount(c_s, minlength=k)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        sizes = n.astype(np.float64)
+        med = _seg_quantile(v_s, starts, n, np.full(k, 0.5))
+        row_g = np.repeat(np.arange(k), n)
+        r = np.abs(v_s - med[row_g])
+        order2 = np.lexsort((r, row_g))
+        r_s = r[order2]
+        level = np.minimum(1.0, np.ceil((1.0 - alpha) * (sizes + 1.0))
+                           / sizes)
+        q_hat = _seg_quantile(r_s, starts, n, level)
+        return pd.DataFrame({
+            group_col: uniques,
+            "n_cal": n.astype(np.int64),
+            "center": np.round(med, round_digits),
+            "q_hat": np.round(q_hat, round_digits),
+            "lo": np.round(med - q_hat, round_digits),
+            "hi": np.round(med + q_hat, round_digits),
+        })
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -2132,3 +2132,47 @@ def test_woe_iv_matches_closed_form():
                                np.full(3, round(iv, 6)), atol=1e-9)
     assert out["n_pos"].tolist() == [8, 2, 0]
     assert out["n_neg"].tolist() == [2, 8, 5]
+
+
+def test_conformal_interval_coverage_and_formula():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import conformal_interval
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "g": ["x"] * n + ["y"] * n,
+        "k": np.arange(2 * n, dtype=np.int64),
+        "v": np.concatenate([rng.normal(10, 2, n), rng.normal(-5, 0.5, n)]),
+    })
+    out = (
+        conformal_interval(
+            ray.data.from_pandas(df).repartition(4), "g", "k", "v",
+            alpha=0.2, cal_fraction=0.5, num_buckets=2,
+        ).to_pandas().set_index("g")
+    )
+    # deterministic split: recompute calibration mask + exact reference
+    h = (df["k"].to_numpy().astype(np.uint64) % np.uint64(1 << 32)) \
+        * np.uint64(2654435761) % np.uint64(1 << 32)
+    cal = df[h < np.uint64(int(0.5 * (1 << 32)))]
+    for g in ["x", "y"]:
+        ys = np.sort(cal.loc[cal["g"] == g, "v"].to_numpy())
+        m = len(ys)
+        assert out.loc[g, "n_cal"] == m
+
+        def q(xs, level):
+            hh = level * (len(xs) - 1)
+            i = int(np.floor(hh))
+            return xs[i] + (xs[min(i + 1, len(xs) - 1)] - xs[i]) * (hh - i)
+
+        med = q(ys, 0.5)
+        rs = np.sort(np.abs(ys - med))
+        lev = min(1.0, np.ceil(0.8 * (m + 1)) / m)
+        qh = q(rs, lev)
+        assert abs(out.loc[g, "center"] - round(med, 6)) < 1e-9
+        assert abs(out.loc[g, "q_hat"] - round(qh, 6)) < 1e-9
+        # marginal coverage on the full sample is ~1-alpha
+        vals = df.loc[df["g"] == g, "v"].to_numpy()
+        cov = np.mean((vals >= out.loc[g, "lo"]) & (vals <= out.loc[g, "hi"]))
+        assert cov >= 0.75
