@@ -3606,10 +3606,13 @@ def q_hard_negatives(sf_dir: str):
 
 def q_mmr_select(sf_dir: str):
     """Diverse top-20 exemplar selection (Maximal Marginal Relevance)
-    against the mean anchor vector: distributed relevance top-256, then
-    the bounded O(C·m) greedy on the driver. The greedy's sequential
-    argmax has no ANSI-SQL equivalent → rows-only; exact brute-force
-    parity is pytest-gated (tests/test_ann_agg_tokens.py)."""
+    against the mean anchor vector: distributed relevance pass, then the
+    bounded O(C·m) greedy on the driver. Contract params make it fully
+    oracled: candidates ≥ corpus (exact brute-force MMR, no float
+    boundary cut at the candidate horizon) and 4dp score rounding before
+    every argmax (the semantic_dedup/kcenter rounding contract) so
+    normalize-then-dot vs list_cosine_similarity ulps can't flip a pick.
+    Mirror: unrolled greedy CTE chain (one winner CTE per round)."""
     import numpy as np
 
     from featherstore_ray.stages.ann import mmr_select
@@ -3621,8 +3624,60 @@ def q_mmr_select(sf_dir: str):
                     for v in anchors["embedding"].to_pylist()])
     return mmr_select(
         _read(sf_dir, "embeddings"), mat.mean(axis=0), m=20, lam=0.7,
-        candidates=256,
+        candidates=2048, round_digits=4,
     )
+
+
+def _mmr_oracle_sql(m: int, lam: float, qids: list) -> str:
+    """Unrolled greedy MMR CTE chain mirroring mmr_select with
+    candidates ≥ corpus: rel = 4dp-rounded cosine to the per-dim mean of
+    the anchor embeddings; round 1 = argmax rel; round t = argmax
+    round(lam·rel − (1−lam)·max_simᵗ, 4) with max_sim the max 4dp-rounded
+    cosine to previous winners. (1−lam) is written literally so both
+    engines compute the same double. Ties → smallest id."""
+    qlist = ", ".join(str(int(q)) for q in qids)
+    sql = f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        qv AS (
+          SELECT list(av ORDER BY dim) AS q FROM (
+            SELECT dim, avg(val) AS av FROM (
+              SELECT unnest(v) AS val, generate_subscripts(v, 1) AS dim
+              FROM emb WHERE vec_id IN ({qlist}))
+            GROUP BY dim)
+        ),
+        r AS MATERIALIZED (
+          SELECT e.vec_id, e.v,
+                 round(list_cosine_similarity(e.v, qv.q), 4) AS rel
+          FROM emb e, qv
+        ),
+        w1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, rel, rel AS mmr_score, v
+          FROM r ORDER BY rel DESC, vec_id LIMIT 1
+        )"""
+    prev_union = "SELECT vec_id, v FROM w1"
+    sel_union = "SELECT vec_id FROM w1"
+    for t in range(2, m + 1):
+        sql += f""",
+        w{t} AS MATERIALIZED (
+          SELECT {t} AS rank, vec_id, rel, s AS mmr_score, v FROM (
+            SELECT r.vec_id, r.rel, r.v,
+                   {lam} * r.rel - (1 - {lam}) *
+                   max(round(list_cosine_similarity(r.v, w.v), 4)) AS s
+            FROM r CROSS JOIN ({prev_union}) w
+            WHERE r.vec_id NOT IN ({sel_union})
+            GROUP BY r.vec_id, r.rel, r.v
+            ORDER BY s DESC, r.vec_id LIMIT 1))"""
+        prev_union += f" UNION ALL SELECT vec_id, v FROM w{t}"
+        sel_union += f" UNION ALL SELECT vec_id FROM w{t}"
+    finals = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr_score FROM w{t}"
+        for t in range(1, m + 1))
+    return sql + f"""
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+               rel AS relevance, mmr_score
+        FROM ({finals}) ORDER BY rank"""
 
 
 _LEAK_VAL_FRAC = 0.2
@@ -3672,11 +3727,47 @@ def q_zipf_fit(sf_dir: str):
 def q_kcenter_select(sf_dir: str):
     """Greedy k-center coreset (6 exemplars) over the embeddings table:
     Dataset-resident min-distance state, one narrow map + argmax partial
-    per round. Sequential greedy → rows-only; brute-force parity is
-    pytest-gated."""
+    per round. Fully oracled via the unrolled greedy CTE chain (one
+    winner CTE per round; distances rounded to 4dp BEFORE the min/argmax
+    on both sides — the semantic_dedup rounding contract — so
+    normalize-then-dot vs list_cosine_similarity ulps can't flip a
+    pick); brute-force parity is additionally pytest-gated."""
     from featherstore_ray.stages.ann import kcenter_select
 
-    return kcenter_select(_read(sf_dir, "embeddings"), m=6)
+    return kcenter_select(_read(sf_dir, "embeddings"), m=6, round_digits=4)
+
+
+def _kcenter_oracle_sql(m: int) -> str:
+    """Unrolled greedy farthest-point CTE chain mirroring kcenter_select:
+    w1 = min vec_id; round t picks argmax over the min 4dp-rounded cosine
+    distance to all previous winners, ties to the smallest id."""
+    sql = """
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        w1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS dist, v
+          FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb)
+        )"""
+    prev_union = "SELECT vec_id, v FROM w1"
+    sel_union = "SELECT vec_id FROM w1"
+    for t in range(2, m + 1):
+        sql += f""",
+        w{t} AS MATERIALIZED (
+          SELECT {t} AS rank, vec_id, d AS dist, v FROM (
+            SELECT e.vec_id, e.v,
+                   min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+            FROM emb e CROSS JOIN ({prev_union}) s
+            WHERE e.vec_id NOT IN ({sel_union})
+            GROUP BY e.vec_id, e.v
+            ORDER BY d DESC, e.vec_id LIMIT 1))"""
+        prev_union += f" UNION ALL SELECT vec_id, v FROM w{t}"
+        sel_union += f" UNION ALL SELECT vec_id FROM w{t}"
+    finals = " UNION ALL ".join(
+        f"SELECT rank, vec_id, dist FROM w{t}" for t in range(1, m + 1))
+    return sql + f"""
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist
+        FROM ({finals}) ORDER BY rank"""
 
 
 def q_embedding_outliers(sf_dir: str):
@@ -7402,6 +7493,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "kcenter_select": _kcenter_oracle_sql(6),
+        "mmr_select": _mmr_oracle_sql(20, 0.7, _ANN_QIDS),
         "conformal_interval": f"""
             WITH cal AS (
                 SELECT user_id AS g, value::DOUBLE AS y

@@ -1114,8 +1114,11 @@ def mmr_select(
     greedily pick the item maximizing ``lam * rel − (1−lam) * max_sim``
     where ``rel`` is cosine relevance to ``query_vec`` and ``max_sim`` the
     max cosine to anything already selected — the standard redundancy-free
-    retrieval / diverse-exemplar-sampling primitive. Ties break by
-    ascending id on scores rounded to ``round_digits`` (deterministic).
+    retrieval / diverse-exemplar-sampling primitive. ``rel`` and the
+    pairwise similarities round to ``round_digits`` (continuous inputs —
+    engine ulps can't flip the grid); the combined score is left
+    UNROUNDED (it would land on half-grid points where np.round and SQL
+    round disagree) and ties break by ascending id (deterministic).
 
     Scale shape (the greedy loop is inherently sequential, so it must
     never see the corpus): pass 1 is the distributed cosine_topk plan
@@ -1175,8 +1178,13 @@ def mmr_select(
         if rank == 1:
             score = rel.copy()
         else:
-            score = np.round(lam * rel - (1.0 - lam) * max_sim,
-                             round_digits)
+            # rel and max_sim are ROUNDED grid doubles identical across
+            # engines; the combined score stays UNROUNDED — rounding it
+            # would land exactly on half-grid points where np.round
+            # (half-even) and SQL round (half-away) disagree, while the
+            # raw lam*rel - (1-lam)*max_sim is the same IEEE op sequence
+            # on identical inputs on both sides
+            score = lam * rel - (1.0 - lam) * max_sim
         score_masked = np.where(picked, -np.inf, score)
         i = int(np.argmax(score_masked))  # argmax takes the FIRST max:
         # ids are ascending, so equal scores break to the smallest id
