@@ -3530,6 +3530,39 @@ def q_conformal_interval(sf_dir: str):
     )
 
 
+def q_ate_stratified(sf_dir: str):
+    """Stratified ATE over event values: treatment = click vs purchase
+    (other event types out of contract), stratum = user_id % 5.
+    Contingency-pattern moment partials; population-weighted ATE over
+    both-arm strata, mirrored literally by the oracle."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.aggregate import ate_stratified
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        et = t["event_type"]
+        treat = pc.if_else(
+            pc.equal(et, "click"), pa.scalar(1, pa.int64()),
+            pc.if_else(pc.equal(et, "purchase"),
+                       pa.scalar(0, pa.int64()), pa.scalar(None, pa.int64())))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "stratum": pa.array(uid % 5),
+            "treat": treat,
+            "value": t["value"],
+        })
+
+    return ate_stratified(
+        ev.map_batches(prep, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "treat", "value", "stratum",
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4666,6 +4699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint": q_changepoint,
         "link_prediction": q_link_prediction,
         "conformal_interval": q_conformal_interval,
+        "ate_stratified": q_ate_stratified,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7493,6 +7527,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "ate_stratified": """
+            WITH base AS (
+                SELECT user_id % 5 AS stratum,
+                       CASE WHEN event_type = 'click' THEN 1
+                            WHEN event_type = 'purchase' THEN 0
+                       END AS t,
+                       value AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                  AND event_type IN ('click', 'purchase')
+            ), g AS (
+                SELECT stratum,
+                       sum(CASE WHEN t = 1 THEN y END) AS s1,
+                       count(CASE WHEN t = 1 THEN 1 END) AS n1,
+                       sum(CASE WHEN t = 0 THEN y END) AS s0,
+                       count(CASE WHEN t = 0 THEN 1 END) AS n0
+                FROM base GROUP BY stratum
+            ), d AS (
+                SELECT stratum, n1, n0,
+                       s1 / n1 AS m1, s0 / n0 AS m0,
+                       s1 / n1 - s0 / n0 AS diff,
+                       (n1 + n0)::DOUBLE AS ns
+                FROM g WHERE n1 > 0 AND n0 > 0
+            )
+            SELECT stratum, n1::BIGINT AS n1, n0::BIGINT AS n0,
+                   round(m1, 6) AS y1_mean, round(m0, 6) AS y0_mean,
+                   round(diff, 6) AS diff,
+                   round(sum(ns * diff) OVER () / sum(ns) OVER (), 6) AS ate
+            FROM d
+        """,
         "kcenter_select": _kcenter_oracle_sql(6),
         "mmr_select": _mmr_oracle_sql(20, 0.7, _ANN_QIDS),
         "conformal_interval": f"""

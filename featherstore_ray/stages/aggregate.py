@@ -3548,3 +3548,85 @@ def conformal_interval(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def ate_stratified(
+    ds: ray.data.Dataset,
+    treatment_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Stratified average treatment effect — the workhorse causal
+    estimate for observational A/B reads: within each stratum the
+    treated/control outcome means and their difference, plus the
+    population-weighted ATE ``Σ_s n_s·(ȳ₁ₛ − ȳ₀ₛ) / Σ_s n_s`` over the
+    strata where BOTH arms are present (the classic coarsened-exact-
+    matching / post-stratification estimator; identical weighting to
+    exact matching on the stratum key). ``treatment_col`` is 0/1 by
+    contract; rows with a null treatment, outcome or stratum are
+    excluded on both sides. One row per both-arm stratum:
+    (stratum, n1, n0, y1_mean, y0_mean, diff, ate) — ``ate`` repeated
+    per row (the single-number readout).
+
+    Scale shape (the mutual_info/contingency pattern): each block
+    collapses to (stratum, treatment, Σy, count) partials — the exchange
+    carries distinct (stratum, arm) pairs, never rows — and the driver
+    merges the stratum-bounded table. The closed form is mirrored
+    literally by the oracle; only the outputs round (the diff enters the
+    ATE unrounded on both sides).
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[stratum_col, treatment_col, outcome_col])
+        g = d.groupby([stratum_col, treatment_col], sort=False,
+                      observed=True)[outcome_col].agg(_s="sum", _n="count")
+        return g.reset_index()
+
+    parts = (
+        ds.select_columns([stratum_col, treatment_col, outcome_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    stats = (
+        parts.groupby([stratum_col, treatment_col], sort=True,
+                      observed=True)[["_s", "_n"]].sum().reset_index()
+    )
+    piv_s = stats.pivot(index=stratum_col, columns=treatment_col,
+                        values="_s")
+    piv_n = stats.pivot(index=stratum_col, columns=treatment_col,
+                        values="_n")
+    ok = piv_n.get(1) is not None and piv_n.get(0) is not None
+    if not ok:
+        both = piv_n.iloc[0:0]
+    else:
+        both = piv_n[(piv_n[1].fillna(0) > 0) & (piv_n[0].fillna(0) > 0)]
+    if len(both) == 0:
+        return ray.data.from_arrow(pa.table({
+            stratum_col: pa.array([], pa.int64()),
+            "n1": pa.array([], pa.int64()),
+            "n0": pa.array([], pa.int64()),
+            "y1_mean": pa.array([], pa.float64()),
+            "y0_mean": pa.array([], pa.float64()),
+            "diff": pa.array([], pa.float64()),
+            "ate": pa.array([], pa.float64()),
+        }))
+    idx = both.index
+    n1 = piv_n.loc[idx, 1].to_numpy(dtype=np.float64)
+    n0 = piv_n.loc[idx, 0].to_numpy(dtype=np.float64)
+    m1 = piv_s.loc[idx, 1].to_numpy(dtype=np.float64) / n1
+    m0 = piv_s.loc[idx, 0].to_numpy(dtype=np.float64) / n0
+    diff = m1 - m0
+    n_s = n1 + n0
+    ate = float((n_s * diff).sum() / n_s.sum())
+    return ray.data.from_arrow(pa.table({
+        stratum_col: pa.array(idx.to_numpy()),
+        "n1": pa.array(n1.astype(np.int64)),
+        "n0": pa.array(n0.astype(np.int64)),
+        "y1_mean": pa.array(np.round(m1, round_digits)),
+        "y0_mean": pa.array(np.round(m0, round_digits)),
+        "diff": pa.array(np.round(diff, round_digits)),
+        "ate": pa.array(np.full(len(idx), np.round(ate, round_digits))),
+    }))

@@ -2176,3 +2176,27 @@ def test_conformal_interval_coverage_and_formula():
         vals = df.loc[df["g"] == g, "v"].to_numpy()
         cov = np.mean((vals >= out.loc[g, "lo"]) & (vals <= out.loc[g, "hi"]))
         assert cov >= 0.75
+
+
+def test_ate_stratified_closed_form_and_arm_filter():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import ate_stratified
+
+    df = pd.DataFrame({
+        "s": [1, 1, 1, 1, 2, 2, 2, 2, 3, 3],
+        "t": [1, 1, 0, 0, 1, 0, 0, 0, 1, 1],  # stratum 3 has no control
+        "y": [4.0, 6.0, 1.0, 3.0, 10.0, 7.0, 8.0, 9.0, 100.0, 200.0],
+    })
+    out = (
+        ate_stratified(ray.data.from_pandas(df).repartition(3),
+                       "t", "y", "s")
+        .to_pandas().set_index("s").sort_index()
+    )
+    # stratum 3 (single-arm) excluded
+    assert set(out.index) == {1, 2}
+    assert out.loc[1, "diff"] == round(5.0 - 2.0, 6)
+    assert out.loc[2, "diff"] == round(10.0 - 8.0, 6)
+    ate = (4 * 3.0 + 4 * 2.0) / 8
+    assert (out["ate"] == round(ate, 6)).all()
+    assert out.loc[1, "n1"] == 2 and out.loc[2, "n0"] == 3
