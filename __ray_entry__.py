@@ -3563,6 +3563,32 @@ def q_ate_stratified(sf_dir: str):
     )
 
 
+def q_isotonic_calibration(sf_dir: str):
+    """PAV isotonic calibration map of click-rate vs the 1dp-rounded
+    event value grid (distinct-score partials → driver O(k) stack PAV).
+    PAV's data-dependent pooling has no SQL mirror → rows-only; exact
+    pure-Python parity + monotonicity/mass invariants are pytest-gated
+    (tests/test_ann_agg_tokens.py)."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.aggregate import isotonic_calibration
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        return pa.table({
+            "score": pc.round(t["value"], ndigits=1),
+            "y": y,
+        })
+
+    return isotonic_calibration(
+        ev.map_batches(prep, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "score", "y",
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4700,6 +4726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q_link_prediction,
         "conformal_interval": q_conformal_interval,
         "ate_stratified": q_ate_stratified,
+        "isotonic_calibration": q_isotonic_calibration,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,

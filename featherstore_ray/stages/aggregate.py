@@ -3630,3 +3630,65 @@ def ate_stratified(
         "diff": pa.array(np.round(diff, round_digits)),
         "ate": pa.array(np.full(len(idx), np.round(ate, round_digits))),
     }))
+
+
+def isotonic_calibration(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Isotonic (PAV) probability calibration — the non-parametric
+    monotone recalibration map behind isotonic regression / reliability
+    fitting: over distinct scores ascending, pool-adjacent-violators
+    merges neighboring blocks until the weighted label means are
+    non-decreasing. Output one row per distinct score:
+    (score, n, calibrated) — the monotone step function to apply at
+    serving time. Rows with a null score or label are excluded.
+    ``label_col`` is 0/1 by contract.
+
+    Scale shape (the mutual_info pattern): each block collapses to
+    (score, Σlabel, count) partials — the exchange carries DISTINCT
+    scores, never rows — and the driver runs the O(k) stack PAV over the
+    k-bounded distinct-score table (round/bin the score upstream for
+    continuous scores; the contract query uses a 1dp grid). PAV's
+    data-dependent pooling rounds have no SQL mirror → rows-only, gated
+    by an exact pure-Python parity pytest + monotonicity/mass-
+    preservation invariants.
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[score_col, label_col]].dropna()
+        g = d.groupby(score_col, sort=False)[label_col].agg(
+            _s="sum", _n="count")
+        return g.reset_index()
+
+    parts = (
+        ds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    stats = (
+        parts.groupby(score_col, sort=True)[["_s", "_n"]].sum()
+        .reset_index()
+    )
+    scores = stats[score_col].to_numpy(dtype=np.float64)
+    s = stats["_s"].to_numpy(dtype=np.float64)
+    n = stats["_n"].to_numpy(dtype=np.float64)
+    # stack PAV: blocks of (sum, count); merge while means decrease
+    bs, bn, bk = [], [], []  # block sum, count, source-row count
+    for i in range(len(scores)):
+        cs, cn, ck = s[i], n[i], 1
+        while bs and bs[-1] / bn[-1] >= cs / cn:
+            cs += bs.pop(); cn += bn.pop(); ck += bk.pop()
+        bs.append(cs); bn.append(cn); bk.append(ck)
+    cal = np.repeat(
+        np.array([x / y for x, y in zip(bs, bn)], dtype=np.float64),
+        np.array(bk, dtype=np.int64))
+    return ray.data.from_arrow(pa.table({
+        "score": pa.array(scores),
+        "n": pa.array(n.astype(np.int64)),
+        "calibrated": pa.array(np.round(cal, round_digits)),
+    }))

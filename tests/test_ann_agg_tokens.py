@@ -2200,3 +2200,42 @@ def test_ate_stratified_closed_form_and_arm_filter():
     ate = (4 * 3.0 + 4 * 2.0) / 8
     assert (out["ate"] == round(ate, 6)).all()
     assert out.loc[1, "n1"] == 2 and out.loc[2, "n0"] == 3
+
+
+def test_isotonic_calibration_pav_parity():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import isotonic_calibration
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    score = np.round(rng.uniform(0, 1, n), 2)
+    # true monotone relationship + noise so PAV actually pools
+    y = (rng.uniform(0, 1, n) < 0.2 + 0.6 * score).astype(np.int64)
+    df = pd.DataFrame({"s": score, "y": y})
+    out = (
+        isotonic_calibration(
+            ray.data.from_pandas(df).repartition(6), "s", "y")
+        .to_pandas().sort_values("score").reset_index(drop=True)
+    )
+
+    # pure-python PAV reference over the distinct-score table
+    g = df.groupby("s", sort=True)["y"].agg(["sum", "count"])
+    blocks = []  # (sum, count, k)
+    for sv, cv in zip(g["sum"].to_numpy(dtype=float),
+                      g["count"].to_numpy(dtype=float)):
+        cur = [sv, cv, 1]
+        while blocks and blocks[-1][0] / blocks[-1][1] >= cur[0] / cur[1]:
+            p = blocks.pop()
+            cur = [cur[0] + p[0], cur[1] + p[1], cur[2] + p[2]]
+        blocks.append(cur)
+    ref = np.concatenate([
+        np.full(int(k), sv / cv) for sv, cv, k in blocks])
+    np.testing.assert_allclose(out["calibrated"].to_numpy(),
+                               np.round(ref, 6), atol=1e-9)
+    # invariants: monotone non-decreasing; weighted mass preserved
+    cal = out["calibrated"].to_numpy()
+    assert (np.diff(cal) >= 0).all()
+    # calibrated values are 6dp-rounded -> mass error up to n * 5e-7
+    assert abs((cal * out["n"].to_numpy()).sum() - y.sum()) < 0.01
+    assert out["n"].sum() == n
