@@ -3578,11 +3578,41 @@ def q_isotonic_calibration(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         y = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
         return pa.table({
-            "score": pc.round(t["value"], ndigits=1),
+            "score": pc.divide(pc.floor(pc.multiply(t["value"], 10.0)),
+                               10.0),
             "y": y,
         })
 
     return isotonic_calibration(
+        ev.map_batches(prep, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "score", "y",
+    )
+
+
+def q_pr_curve(sf_dir: str):
+    """Precision-recall sweep of the rule value >= t for predicting a
+    click, over the 1dp threshold grid, with the F1-optimal operating
+    point flagged. Distinct-score partials; integer cumsums mirrored by
+    the oracle's descending window sums (IEEE-identical ratios)."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.aggregate import pr_curve
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # floor(v*10)/10, NOT round: values are exact 2dp decimals, so a
+        # 1dp round sits exactly on half-grid points where pyarrow
+        # (half-even) and SQL round (half-away) disagree; the floor chain
+        # is the same IEEE op sequence on both sides
+        grid = pc.divide(pc.floor(pc.multiply(t["value"], 10.0)), 10.0)
+        return pa.table({
+            "score": grid,
+            "y": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+        })
+
+    return pr_curve(
         ev.map_batches(prep, batch_size=None, batch_format="pyarrow",
                        zero_copy_batch=True),
         "score", "y",
@@ -4727,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_interval": q_conformal_interval,
         "ate_stratified": q_ate_stratified,
         "isotonic_calibration": q_isotonic_calibration,
+        "pr_curve": q_pr_curve,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7554,6 +7585,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "pr_curve": """
+            WITH base AS (
+                SELECT floor(value * 10.0) / 10.0 AS score,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), g AS (
+                SELECT score, sum(y) AS s, count(*) AS n
+                FROM base GROUP BY score
+            ), c AS (
+                SELECT score,
+                       sum(s) OVER w AS tp,
+                       sum(n - s) OVER w AS fp,
+                       sum(s) OVER () AS pos
+                FROM g
+                WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+            ), m AS (
+                SELECT score, tp, fp, pos - tp AS fn,
+                       tp::DOUBLE / (tp + fp) AS p,
+                       tp::DOUBLE / pos AS r
+                FROM c
+            ), f AS (
+                SELECT score, tp, fp, fn, p, r,
+                       CASE WHEN p + r > 0
+                            THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f1
+                FROM m
+            )
+            SELECT score AS threshold, tp, fp, fn,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(f1, 6) AS f1,
+                   (row_number() OVER (ORDER BY f1 DESC, score DESC) = 1)
+                       AS is_best
+            FROM f
+        """,
         "ate_stratified": """
             WITH base AS (
                 SELECT user_id % 5 AS stratum,

@@ -3692,3 +3692,71 @@ def isotonic_calibration(
         "n": pa.array(n.astype(np.int64)),
         "calibrated": pa.array(np.round(cal, round_digits)),
     }))
+
+
+def pr_curve(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Precision-recall sweep over every distinct score threshold — the
+    operating-point picker next to :func:`auc` (which integrates, but
+    can't tell you WHERE to cut): for each distinct score ``t``
+    descending, the confusion counts of the rule ``score >= t`` and
+    precision / recall / F1, plus ``is_best`` on the F1-argmax row (ties
+    break to the HIGHEST threshold — the conservative cut). Rows with a
+    null score or label are excluded; ``label_col`` is 0/1 by contract.
+
+    Scale shape (the isotonic_calibration pattern): per-batch
+    (score, Σlabel, count) partials — DISTINCT scores cross the
+    exchange, never rows — then the driver's k-bounded descending
+    cumsums. Counts are integers and the ratios are single divisions of
+    identical ints, so the oracle's window-cumsum mirror is
+    IEEE-identical (only the outputs round).
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[score_col, label_col]].dropna()
+        g = d.groupby(score_col, sort=False)[label_col].agg(
+            _s="sum", _n="count")
+        return g.reset_index()
+
+    parts = (
+        ds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    stats = (
+        parts.groupby(score_col, sort=True)[["_s", "_n"]].sum()
+        .reset_index().sort_values(score_col, ascending=False)
+    )
+    thr = stats[score_col].to_numpy(dtype=np.float64)
+    s = stats["_s"].to_numpy(dtype=np.int64)
+    n = stats["_n"].to_numpy(dtype=np.int64)
+    tp = np.cumsum(s)
+    fp = np.cumsum(n - s)
+    pos = int(s.sum())
+    fn = pos - tp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prec = tp.astype(np.float64) / (tp + fp)
+        rec = tp.astype(np.float64) / pos if pos > 0 else np.full(
+            len(tp), np.nan)
+        f1 = np.where(prec + rec > 0, 2.0 * prec * rec / (prec + rec), 0.0)
+    # argmax F1; thresholds are descending, so first max = highest cut
+    best = int(np.argmax(f1)) if len(f1) else -1
+    is_best = np.zeros(len(f1), dtype=bool)
+    if best >= 0:
+        is_best[best] = True
+    return ray.data.from_arrow(pa.table({
+        "threshold": pa.array(thr),
+        "tp": pa.array(tp),
+        "fp": pa.array(fp),
+        "fn": pa.array(fn),
+        "precision": pa.array(np.round(prec, round_digits)),
+        "recall": pa.array(np.round(rec, round_digits)),
+        "f1": pa.array(np.round(f1, round_digits)),
+        "is_best": pa.array(is_best),
+    }))

@@ -2239,3 +2239,27 @@ def test_isotonic_calibration_pav_parity():
     # calibrated values are 6dp-rounded -> mass error up to n * 5e-7
     assert abs((cal * out["n"].to_numpy()).sum() - y.sum()) < 0.01
     assert out["n"].sum() == n
+
+
+def test_pr_curve_confusion_counts_and_best_f1():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import pr_curve
+
+    df = pd.DataFrame({
+        "s": [0.9, 0.8, 0.8, 0.6, 0.4, 0.4, 0.2],
+        "y": [1,   1,   0,   1,   0,   0,   1],
+    })
+    out = (
+        pr_curve(ray.data.from_pandas(df).repartition(3), "s", "y")
+        .to_pandas().sort_values("threshold", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert out["threshold"].tolist() == [0.9, 0.8, 0.6, 0.4, 0.2]
+    assert out["tp"].tolist() == [1, 2, 3, 3, 4]
+    assert out["fp"].tolist() == [0, 1, 1, 3, 3]
+    assert out["fn"].tolist() == [3, 2, 1, 1, 0]
+    # F1 at t=0.6: p=3/4, r=3/4 -> 0.75; best row
+    assert abs(out.loc[2, "f1"] - 0.75) < 1e-9
+    assert out.loc[2, "is_best"]
+    assert out["is_best"].sum() == 1
