@@ -3619,6 +3619,24 @@ def q_pr_curve(sf_dir: str):
     )
 
 
+def q_lateness_audit(sf_dir: str):
+    """Watermark-tuning audit over the events stream with event_id as
+    arrival order: events dropped per candidate allowed-lateness
+    {0s, 60s, 300s, 900s, 3600s}. Range-bucketed carry scan (rows never
+    leave their bucket); exact integer-microsecond compares mirrored by
+    the oracle's shifted running-max window."""
+    from featherstore_ray.stages.streaming import lateness_audit
+
+    return lateness_audit(
+        _read(sf_dir, "events", columns=["event_id", "ts"]),
+        order_col="event_id", ts_col="ts",
+        delays=[timedelta(0), timedelta(seconds=60),
+                timedelta(seconds=300), timedelta(seconds=900),
+                timedelta(seconds=3600)],
+        num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4758,6 +4776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ate_stratified": q_ate_stratified,
         "isotonic_calibration": q_isotonic_calibration,
         "pr_curve": q_pr_curve,
+        "lateness_audit": q_lateness_audit,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7585,6 +7604,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "lateness_audit": """
+            WITH base AS (
+                SELECT event_id, ts FROM events
+                WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            ), w AS (
+                SELECT ts,
+                       max(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS wm_prev
+                FROM base
+            ), d AS (
+                SELECT unnest([0, 60, 300, 900, 3600]) AS delay_s
+            )
+            SELECT d.delay_s::BIGINT AS delay_s,
+                   count(CASE WHEN w.wm_prev IS NOT NULL
+                              AND date_diff('microsecond', w.ts, w.wm_prev)
+                                  > d.delay_s::BIGINT * 1000000
+                              THEN 1 END)::BIGINT AS n_late,
+                   count(*)::BIGINT AS n_total,
+                   round(count(CASE WHEN w.wm_prev IS NOT NULL
+                              AND date_diff('microsecond', w.ts, w.wm_prev)
+                                  > d.delay_s::BIGINT * 1000000
+                              THEN 1 END)
+                         / count(*)::DOUBLE, 6) AS late_frac
+            FROM w CROSS JOIN d
+            GROUP BY d.delay_s
+        """,
         "pr_curve": """
             WITH base AS (
                 SELECT floor(value * 10.0) / 10.0 AS score,

@@ -448,3 +448,120 @@ def streaming_dedup(
     return bucketed_map_groups(
         bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def lateness_audit(
+    ds: ray.data.Dataset,
+    *,
+    order_col: str,
+    ts_col: str,
+    delays,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Watermark-tuning audit: for each candidate allowed-lateness
+    ``d``, how many events would be dropped by a watermark trailing the
+    max event time seen so far in ARRIVAL order (``order_col``) by
+    ``d`` — i.e. rows where ``wm_prev − ts > d`` with ``wm_prev`` the
+    running max of ``ts`` over STRICTLY EARLIER arrivals (the event is
+    judged against the watermark as it stood when the event arrived; the
+    first arrival is never late). One row per delay:
+    (delay_s, n_late, n_total, late_frac). All comparisons are integer
+    microseconds — exact on both sides. Null order/ts rows are excluded.
+
+    Scale shape (the carry-scan pattern): arrival ids are RANGE-bucketed
+    (``order // chunk``, chunk sized off one cheap max(order) pass so
+    buckets ≈ num_buckets); each bucket computes its shifted running max
+    and its own max-ts partial in one pass; the driver prefix-maxes the
+    num_buckets-sized partials into per-bucket carries; a second pass
+    folds the carry in and emits per-delay count partials. Rows never
+    leave their bucket; the driver sees only (bucket, max_ts) and
+    (delay, count) partials.
+    """
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.window import _window_us
+
+    d_us = np.array(sorted(_window_us(d) for d in delays), dtype=np.int64)
+    d_s = (d_us // 1_000_000).astype(np.int64)
+
+    proj = ds.select_columns([order_col, ts_col]).map_batches(
+        lambda t: t.drop_null(), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # pass 0: max(order) -> chunk size (one tiny aggregate)
+    mx = proj.max(order_col)
+    if mx is None:
+        return ray.data.from_arrow(pa.table({
+            "delay_s": pa.array(d_s),
+            "n_late": pa.array(np.zeros(len(d_s), dtype=np.int64)),
+            "n_total": pa.array(np.zeros(len(d_s), dtype=np.int64)),
+            "late_frac": pa.array(np.full(len(d_s), np.nan)),
+        }))
+    chunk = max(1, (int(mx) + num_buckets) // num_buckets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            BUCKET_COL, pa.array((o // chunk).astype(np.int32)))
+
+    bucketed = proj.map_batches(
+        assign, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # pass 1: per-bucket max ts partial (order-independent)
+    def bmax(t: pa.Table) -> pa.Table:
+        b = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"b": b, "t": ts})
+        g = df.groupby("b", sort=True)["t"].max()
+        return pa.table({"b": pa.array(g.index.to_numpy(dtype=np.int32)),
+                         "t": pa.array(g.to_numpy())})
+
+    parts = bucketed.map_batches(
+        bmax, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    bm = parts.groupby("b", sort=True)["t"].max()
+    # exclusive prefix max carried INTO each bucket
+    carry_idx = bm.index.to_numpy()
+    # sentinel is int64_min // 4, NOT int64_min: wm_prev - ts on the
+    # first-ever arrival must not wrap int64 (ts ~ 1.7e15 us)
+    sent = np.iinfo(np.int64).min // 4
+    carry_val = np.concatenate((
+        [sent], np.maximum.accumulate(bm.to_numpy())[:-1]))
+    carry = {int(b): int(v) for b, v in zip(carry_idx, carry_val)}
+
+    # pass 2: per-bucket shifted running max + carry -> per-delay counts
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df[BUCKET_COL].iloc[0])
+        d = df.sort_values(order_col, kind="stable")
+        ts = d[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        run = np.maximum.accumulate(ts)
+        wm_prev = np.empty(len(ts), dtype=np.int64)
+        wm_prev[0] = carry.get(b, np.iinfo(np.int64).min // 4)
+        if len(ts) > 1:
+            wm_prev[1:] = np.maximum(run[:-1], wm_prev[0])
+        late = wm_prev - ts  # int64 us; first-ever row: huge negative
+        n_late = np.array([(late > du).sum() for du in d_us],
+                          dtype=np.int64)
+        return pd.DataFrame({
+            "delay_s": d_s, "n_late": n_late,
+            "n_total": np.full(len(d_s), len(ts), dtype=np.int64),
+        })
+
+    counts = bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    agg = counts.groupby("delay_s", sort=True)[["n_late", "n_total"]] \
+        .sum().reset_index()
+    frac = np.round(
+        agg["n_late"].to_numpy(dtype=np.float64)
+        / agg["n_total"].to_numpy(dtype=np.float64), 6)
+    return ray.data.from_arrow(pa.table({
+        "delay_s": pa.array(agg["delay_s"].to_numpy(dtype=np.int64)),
+        "n_late": pa.array(agg["n_late"].to_numpy(dtype=np.int64)),
+        "n_total": pa.array(agg["n_total"].to_numpy(dtype=np.int64)),
+        "late_frac": pa.array(frac),
+    }))

@@ -236,3 +236,38 @@ def test_streaming_dedup_equals_batch_first_per_key(ray_session):
             """
         ).df()
         assert out["eid"].tolist() == exp["eid"].tolist()
+
+
+def test_lateness_audit_cross_bucket_carry():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from datetime import timedelta
+
+    from featherstore_ray.stages.streaming import lateness_audit
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # 1 min
+    # arrival order 0..5; event times: a spike at arrival 1 makes
+    # arrivals 2..4 late by 10/5/1 min; arrival 5 on time.
+    ts = np.array([base, base + 10 * m, base + 0 * m, base + 5 * m,
+                   base + 9 * m, base + 11 * m])
+    df = pd.DataFrame({"oid": np.arange(6, dtype=np.int64), "ts": ts})
+    out = (
+        lateness_audit(
+            ray.data.from_pandas(df).repartition(3),
+            order_col="oid", ts_col="ts",
+            delays=[timedelta(0), timedelta(minutes=2),
+                    timedelta(minutes=6)],
+            # 3 range buckets of 2 arrivals each: the wm carry for
+            # arrivals 2+ comes from arrival 1 in an EARLIER bucket
+            num_buckets=3,
+        ).to_pandas().set_index("delay_s")
+    )
+    # lateness (min): [never, 0, 10, 5, 1, 0(new max)]
+    assert out.loc[0, "n_late"] == 3        # >0: late 10, 5, 1
+    assert out.loc[120, "n_late"] == 2      # >2min: 10, 5
+    assert out.loc[360, "n_late"] == 1      # >6min: 10
+    assert (out["n_total"] == 6).all()
+    assert abs(out.loc[0, "late_frac"] - 0.5) < 1e-9
