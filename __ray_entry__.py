@@ -7658,7 +7658,8 @@ def oracle_sql() -> dict[str, str]:
                             THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f1
                 FROM m
             )
-            SELECT score AS threshold, tp, fp, fn,
+            SELECT score AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   fn::BIGINT AS fn,
                    round(p, 6) AS precision, round(r, 6) AS recall,
                    round(f1, 6) AS f1,
                    (row_number() OVER (ORDER BY f1 DESC, score DESC) = 1)

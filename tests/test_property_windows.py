@@ -389,3 +389,47 @@ def test_merge_intervals_property(inp):
         isl = out[(out["ent"] == a) & (out["start"] <= b)
                   & (out["end"] >= c)]
         assert len(isl) == 1, (a, b, c)
+
+
+@st.composite
+def cp_tables(draw):
+    n = draw(st.integers(2, 50))
+    ent = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 40), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-20, 20), min_size=n, max_size=n))
+    return pa.table({
+        "eid": pa.array(range(n), pa.int64()),
+        "entity": pa.array(ent, pa.int64()),
+        "ts": pa.array([t * 1000 for t in ts], pa.timestamp("us")),
+        "value": pa.array([float(v) for v in vals], pa.float64()),
+    })
+
+
+@settings(max_examples=25, deadline=None)
+@given(cp_tables())
+def test_changepoint_matches_bruteforce(t):
+    from featherstore_ray.stages.window import changepoint
+
+    out = changepoint(
+        ray.data.from_arrow(t).repartition(2),
+        entity_col="entity", ts_col="ts", value_col="value",
+        tiebreak="eid", num_buckets=2,
+    ).to_pandas().set_index("entity")
+
+    df = t.to_pandas().sort_values(["entity", "ts", "eid"],
+                                   kind="stable")
+    for e, g in df.groupby("entity"):
+        x = g["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            assert e not in out.index
+            continue
+
+        def sse(a):
+            return float((a * a).sum() - a.sum() ** 2 / len(a))
+
+        gains = np.round(
+            [sse(x) - sse(x[:k]) - sse(x[k:]) for k in range(1, n)], 6)
+        k_best = int(np.argmax(gains)) + 1
+        assert out.loc[e, "cp_k"] == k_best
+        assert abs(out.loc[e, "gain"] - gains[k_best - 1]) < 1e-5
