@@ -1187,12 +1187,13 @@ def _fuzzy_ctes(d: int) -> str:
             )"""
 
 
-def _logreg_sql(iters: int, lr: float, dim: int = 64) -> str:
-    """SQL mirror of ``logreg_train`` (stages/ann.py): one CTE pair per
-    full-batch GD step — per-row dot against the previous weight table,
-    then per-dimension gradient mean. float32 embeddings cast to DOUBLE
-    once up front (same widening as the Ray kernel); w0 = 0 makes the
-    first sigmoid exactly 0.5 on both sides."""
+def _logreg_ctes(iters: int, lr: float, dim: int = 64):
+    """Shared unrolled GD CTE chain for ``logreg_train`` (stages/ann.py)
+    and ``dr_ate``: one CTE pair per full-batch step — per-row dot
+    against the previous weight table, then per-dimension gradient mean.
+    float32 embeddings cast to DOUBLE once up front (same widening as
+    the Ray kernel); w0 = 0 makes the first sigmoid exactly 0.5 on both
+    sides. Returns (cte_sql, final_weight_cte)."""
     sql = f"""
         WITH e AS (
           SELECT vec_id,
@@ -1222,8 +1223,52 @@ def _logreg_sql(iters: int, lr: float, dim: int = 64) -> str:
           FROM {cur} w JOIN g{t} g USING (j)
         )"""
         cur = f"w{t}"
+    return sql, cur
+
+
+def _logreg_sql(iters: int, lr: float, dim: int = 64) -> str:
+    sql, cur = _logreg_ctes(iters, lr, dim)
     return sql + f"""
         SELECT j, round(wj, 6) AS weight FROM {cur}"""
+
+
+def _dr_ate_sql(iters: int, lr: float, outcome_dim: int, clip: float,
+                dim: int = 64) -> str:
+    """SQL mirror of ``dr_ate`` (stages/ann.py): the unrolled logreg
+    chain, weights ROUNDED to the kernel's trained output, per-row dot →
+    clipped sigmoid propensity, intercept-only outcome model, AIPW sums.
+    Every step past the rounded weights is smooth, so only summation-
+    order ulps remain (absorbed by the 6dp output rounding)."""
+    sql, cur = _logreg_ctes(iters, lr, dim)
+    return sql + f""",
+        wr AS (SELECT j, round(wj, 6) AS wj FROM {cur}),
+        dots AS (
+          SELECT e.vec_id, sum(e.v[w.j] * w.wj) AS dot
+          FROM e CROSS JOIN wr w GROUP BY e.vec_id
+        ),
+        sc AS (
+          SELECT e.y AS tr, e.v[{outcome_dim + 1}] AS yv,
+                 least(greatest(1.0 / (1.0 + exp(-d.dot)), {clip}),
+                       1 - {clip}) AS prop
+          FROM e JOIN dots d ON e.vec_id = d.vec_id
+        ),
+        mu AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(tr)::BIGINT AS nt,
+                 sum(tr * yv) / sum(tr) AS mu1,
+                 sum((1 - tr) * yv) / sum(1 - tr) AS mu0
+          FROM sc
+        )
+        SELECT mu.n, mu.nt AS n_treat,
+               round(mu.mu1, 6) AS mu1, round(mu.mu0, 6) AS mu0,
+               round(mu.mu1 - mu.mu0, 6) AS ate_naive,
+               round((sum(sc.tr * (sc.yv - mu.mu1) / sc.prop) / mu.n
+                      + mu.mu1)
+                     - (sum((1 - sc.tr) * (sc.yv - mu.mu0)
+                            / (1 - sc.prop)) / mu.n + mu.mu0),
+                     6) AS ate_dr
+        FROM sc CROSS JOIN mu
+        GROUP BY mu.n, mu.nt, mu.mu1, mu.mu0"""
 
 
 def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
@@ -3637,6 +3682,20 @@ def q_lateness_audit(sf_dir: str):
     )
 
 
+def q_dr_ate(sf_dir: str):
+    """Doubly-robust (AIPW) ATE of treatment label==0 on the embedding's
+    2nd component, with the logistic propensity trained by the oracled
+    logreg GD (shared unrolled CTE chain): streaming gradient passes +
+    two narrow scoring passes, no shuffle anywhere."""
+    from featherstore_ray.stages.ann import dr_ate
+
+    return dr_ate(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]),
+        outcome_dim=1, treat_label=0, iters=_LOGREG_ITERS, lr=_LOGREG_LR,
+        clip=0.05,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4777,6 +4836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_calibration": q_isotonic_calibration,
         "pr_curve": q_pr_curve,
         "lateness_audit": q_lateness_audit,
+        "dr_ate": q_dr_ate,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7540,6 +7600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
         "logreg_train": _logreg_sql(_LOGREG_ITERS, _LOGREG_LR),
+        "dr_ate": _dr_ate_sql(_LOGREG_ITERS, _LOGREG_LR, 1, 0.05),
         "semantic_dedup": _semantic_dedup_oracle_sql(
             _KMEANS_K, _KMEANS_ITERS, _SEMDEDUP_T
         ),

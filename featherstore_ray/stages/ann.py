@@ -1697,3 +1697,104 @@ def geometric_median(
     out = {f"dim{i}": pa.array([round(float(v), round_digits)])
            for i, v in enumerate(m)}
     return ray.data.from_arrow(pa.table(out))
+
+
+def dr_ate(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    outcome_dim: int = 1,
+    treat_label: int = 0,
+    iters: int = 5,
+    lr: float = 0.1,
+    clip: float = 0.05,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Doubly-robust (AIPW) average treatment effect with a learned
+    logistic propensity — the second causal-inference op next to
+    ``aggregate.ate_stratified``: treatment ``t = (label == treat_label)``,
+    outcome ``y = v[outcome_dim]`` (0-based; a designated column of the
+    feature vector), propensity ``e = clip(sigmoid(x·ŵ), clip, 1−clip)``
+    with ``ŵ`` from :func:`logreg_train` (full-batch GD, unrolled-CTE
+    oracled), and the intercept-only outcome model ``μ₁, μ₀`` = arm means:
+
+    ``ate_dr = mean[t·(y−μ₁)/e + μ₁] − mean[(1−t)·(y−μ₀)/(1−e) + μ₀]``
+
+    One row out: (n, n_treat, mu1, mu0, ate_naive, ate_dr). The AIPW
+    correction reweights each arm by its inverse propensity, so
+    confounding that the raw difference-in-means absorbs is removed
+    whenever EITHER the propensity or the outcome model is right.
+
+    Scale shape: logreg_train's streaming gradient passes (no shuffle),
+    then TWO narrow scoring passes — pass A collapses each block to
+    (Σty, Σ(1−t)y, n_t, n) for the arm means, pass B to the two AIPW
+    correction sums with the broadcast (ŵ, μ₁, μ₀) riding in the
+    closure. The d-float weights are the 6dp-ROUNDED trained output on
+    both sides, so the oracle scores with literally identical inputs;
+    every downstream op is smooth (no argmax), leaving only summation-
+    order ulps that the 6dp output rounding absorbs.
+    """
+    w_tab = logreg_train(
+        ds, emb_col=emb_col, label_col=label_col,
+        positive_label=treat_label, iters=iters, lr=lr,
+    ).to_pandas().sort_values("j")
+    w = w_tab["weight"].to_numpy(dtype=np.float64)  # rounded 6dp
+
+    proj = ds.select_columns([emb_col, label_col]).materialize()
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        tr = (lab == treat_label).astype(np.float64)
+        y = X[:, outcome_dim]
+        return pa.table({
+            "sty": pa.array([float((tr * y).sum())]),
+            "scy": pa.array([float(((1.0 - tr) * y).sum())]),
+            "nt": pa.array([int(tr.sum())]),
+            "n": pa.array([len(y)]),
+        })
+
+    a = proj.map_batches(
+        pass_a, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    n = int(a["n"].sum())
+    nt = int(a["nt"].sum())
+    nc = n - nt
+    if n == 0 or nt == 0 or nc == 0:
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_treat": pa.array([nt], pa.int64()),
+            "mu1": pa.array([np.nan]), "mu0": pa.array([np.nan]),
+            "ate_naive": pa.array([np.nan]), "ate_dr": pa.array([np.nan]),
+        }))
+    mu1 = float(a["sty"].sum()) / nt
+    mu0 = float(a["scy"].sum()) / nc
+
+    def pass_b(t: pa.Table, w=w, mu1=mu1, mu0=mu0) -> pa.Table:
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        tr = (lab == treat_label).astype(np.float64)
+        y = X[:, outcome_dim]
+        e = 1.0 / (1.0 + np.exp(-(X @ w)))
+        e = np.minimum(np.maximum(e, clip), 1.0 - clip)
+        c1 = (tr * (y - mu1) / e).sum()
+        c0 = ((1.0 - tr) * (y - mu0) / (1.0 - e)).sum()
+        return pa.table({"c1": pa.array([float(c1)]),
+                         "c0": pa.array([float(c0)])})
+
+    b = proj.map_batches(
+        pass_b, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    ate_dr = (float(b["c1"].sum()) / n + mu1) \
+        - (float(b["c0"].sum()) / n + mu0)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_treat": pa.array([nt], pa.int64()),
+        "mu1": pa.array([np.round(mu1, round_digits)]),
+        "mu0": pa.array([np.round(mu0, round_digits)]),
+        "ate_naive": pa.array([np.round(mu1 - mu0, round_digits)]),
+        "ate_dr": pa.array([np.round(ate_dr, round_digits)]),
+    }))

@@ -2263,3 +2263,36 @@ def test_pr_curve_confusion_counts_and_best_f1():
     assert abs(out.loc[2, "f1"] - 0.75) < 1e-9
     assert out.loc[2, "is_best"]
     assert out["is_best"].sum() == 1
+
+
+def test_dr_ate_recovers_effect_under_confounding():
+    import pandas as pd
+
+    from featherstore_ray.stages.ann import dr_ate
+
+    rng = np.random.default_rng(5)
+    n, d = 2000, 8
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    # confounded treatment: depends on X[:,0]
+    p = 1 / (1 + np.exp(-2.0 * X[:, 0]))
+    t = (rng.uniform(0, 1, n) < p).astype(np.int64)
+    # outcome in X[:,1]: effect +1.0 plus the confounder
+    X[:, 1] = (1.0 * t + 1.5 * X[:, 0]
+               + rng.normal(0, 0.3, n)).astype(np.float32)
+    # explicit Arrow list type: from_pandas would tensor-cast the
+    # uniform-length list column (the known to_pandas/ArrowTensor gotcha)
+    tab = pa.table({
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.where(t == 1, 0, 7).astype(np.int64)),
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = dr_ate(
+        ray.data.from_arrow(tab).repartition(4),
+        outcome_dim=1, treat_label=0, iters=8, lr=0.5, clip=0.05,
+    ).to_pandas().iloc[0]
+    # the naive difference absorbs the confounder (inflated well above 1)
+    assert out["ate_naive"] > 1.6
+    # AIPW pulls the estimate back toward the true effect
+    assert abs(out["ate_dr"] - 1.0) < abs(out["ate_naive"] - 1.0) - 0.2
+    assert out["n"] == n and out["n_treat"] == int(t.sum())
