@@ -3696,6 +3696,17 @@ def q_dr_ate(sf_dir: str):
     )
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine 5-NN graph over the embeddings table via blocked
+    matmul: normalized blocks in the object store once, each task folds
+    a running per-row top-k over zero-copy block gets (no second
+    exchange). 4dp-rounded sims with ascending-id ties (the ann rounding
+    contract); self-join + ROW_NUMBER oracle."""
+    from featherstore_ray.stages.ann import knn_graph
+
+    return knn_graph(_read(sf_dir, "embeddings"), k=5, block_rows=128)
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4837,6 +4848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_curve": q_pr_curve,
         "lateness_audit": q_lateness_audit,
         "dr_ate": q_dr_ate,
+        "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7758,6 +7770,23 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "kcenter_select": _kcenter_oracle_sql(6),
+        "knn_graph": """
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), sims AS (
+              SELECT a.vec_id AS id, b.vec_id AS neighbor,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+              FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            )
+            SELECT id, rank, neighbor, cosine FROM (
+              SELECT id, neighbor, cosine,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY cosine DESC,
+                                                 neighbor ASC) AS rank
+              FROM sims)
+            WHERE rank <= 5
+        """,
         "mmr_select": _mmr_oracle_sql(20, 0.7, _ANN_QIDS),
         "conformal_interval": f"""
             WITH cal AS (

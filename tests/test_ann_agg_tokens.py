@@ -2296,3 +2296,31 @@ def test_dr_ate_recovers_effect_under_confounding():
     # AIPW pulls the estimate back toward the true effect
     assert abs(out["ate_dr"] - 1.0) < abs(out["ate_naive"] - 1.0) - 0.2
     assert out["n"] == n and out["n_treat"] == int(t.sum())
+
+
+def test_knn_graph_bruteforce_parity():
+    from featherstore_ray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(9)
+    n, d, k = 120, 16, 4
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+    })
+    out = (
+        knn_graph(ray.data.from_arrow(tab).repartition(5), k=k,
+                  block_rows=32)
+        .to_pandas().sort_values(["id", "rank"]).reset_index(drop=True)
+    )
+    Xd = X.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 4)
+    np.fill_diagonal(S, -np.inf)
+    for i in range(n):
+        row = out[out["id"] == i]
+        order = np.lexsort((np.arange(n), -S[i]))[:k]
+        assert row["neighbor"].tolist() == list(order)
+        np.testing.assert_allclose(row["cosine"].to_numpy(), S[i][order])
+        assert row["rank"].tolist() == list(range(1, k + 1))
