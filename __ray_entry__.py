@@ -3707,6 +3707,26 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(_read(sf_dir, "embeddings"), k=5, block_rows=128)
 
 
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal-rank fusion of two cosine retrieval rankings (anchors
+    vec 0 and vec 1): per-query broadcast scoring + sample-sort global
+    ranks + one id-join, fused 1/(60+rank) sums (integer ranks →
+    IEEE-identical), top-20. Mirrored by two ROW_NUMBER rankings."""
+    import numpy as np
+
+    from featherstore_ray.stages.ann import rrf_fuse
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = []
+    for qid in (0, 1):
+        row = emb.filter(pc.equal(emb["vec_id"], qid))
+        vecs.append(np.asarray(row["embedding"][0].as_py(),
+                               dtype=np.float64))
+    return rrf_fuse(
+        _read(sf_dir, "embeddings"), vecs, k0=60, top=20, num_buckets=8,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4849,6 +4869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lateness_audit": q_lateness_audit,
         "dr_ate": q_dr_ate,
         "knn_graph": q_knn_graph,
+        "rrf_fuse": q_rrf_fuse,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7770,6 +7791,31 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "kcenter_select": _kcenter_oracle_sql(6),
+        "rrf_fuse": """
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            q0 AS (SELECT v FROM emb WHERE vec_id = 0),
+            q1 AS (SELECT v FROM emb WHERE vec_id = 1),
+            r0 AS MATERIALIZED (
+              SELECT e.vec_id, row_number() OVER (
+                ORDER BY round(list_cosine_similarity(e.v, q0.v), 4) DESC,
+                         e.vec_id ASC) AS rk
+              FROM emb e, q0
+            ),
+            r1 AS MATERIALIZED (
+              SELECT e.vec_id, row_number() OVER (
+                ORDER BY round(list_cosine_similarity(e.v, q1.v), 4) DESC,
+                         e.vec_id ASC) AS rk
+              FROM emb e, q1
+            )
+            SELECT r0.vec_id,
+                   r0.rk::BIGINT AS rank_0, r1.rk::BIGINT AS rank_1,
+                   1.0 / (60 + r0.rk) + 1.0 / (60 + r1.rk) AS rrf
+            FROM r0 JOIN r1 ON r0.vec_id = r1.vec_id
+            ORDER BY rrf DESC, r0.vec_id ASC LIMIT 20
+        """,
         "knn_graph": """
             WITH emb AS MATERIALIZED (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

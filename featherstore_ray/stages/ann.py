@@ -1907,3 +1907,77 @@ def knn_graph(
         score, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def rrf_fuse(
+    ds: ray.data.Dataset,
+    query_vecs,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k0: int = 60,
+    top: int = 20,
+    round_digits: int = 4,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of several retrieval rankings — the
+    standard zero-tuning list merger (Cormack et al.): each query vector
+    induces a full cosine ranking of the corpus (score DESC, id ASC on
+    the ``round_digits``-rounded similarity — the ann rounding contract);
+    the fused score is ``Σ_q 1/(k0 + rank_q)`` and the output is the
+    fused top-``top`` with (rrf DESC, id ASC) ties. Ranks are integers,
+    so the fused sums are IEEE-identical across engines — no rounding
+    needed past the per-query cosine grid.
+
+    Scale shape: one broadcast scoring pass per query (vector rides in
+    the closure), each ranking via :func:`~featherstore_ray.stages.misc.
+    global_rank`'s sample-sort (three narrow passes + ONE range
+    exchange), rankings co-joined by ``hash_join`` on the id, and a
+    per-batch partial top-k final — at no point does a full ranking
+    reach the driver.
+    """
+    from featherstore_ray.stages.join import hash_join
+    from featherstore_ray.stages.misc import global_rank, top_k
+
+    fused = None
+    for qi, qv in enumerate(query_vecs):
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+
+        def score(t: pa.Table, q=q) -> pa.Table:
+            X = _normalize(_stack_embeddings(t[emb_col]))
+            s = np.round(X @ q, round_digits)
+            return pa.table({
+                id_col: t[id_col],
+                # rank DESC by score == rank ASC by -score
+                "_neg": pa.array(-s),
+            })
+
+        scored = ds.select_columns([id_col, emb_col]).map_batches(
+            score, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ranked = global_rank(
+            scored, "_neg", id_col, out_col=f"rank_{qi}",
+            num_buckets=num_buckets,
+        ).select_columns([id_col, f"rank_{qi}"])
+        fused = ranked if fused is None else hash_join(
+            fused, ranked, on=[id_col], how="inner",
+            num_partitions=num_buckets,
+        )
+
+    nq = len(query_vecs)
+
+    def combine(t: pa.Table) -> pa.Table:
+        rrf = np.zeros(t.num_rows, dtype=np.float64)
+        for qi in range(nq):
+            r = t[f"rank_{qi}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            rrf = rrf + 1.0 / (k0 + r)
+        return t.append_column("rrf", pa.array(rrf))
+
+    out = fused.map_batches(
+        combine, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return top_k(out, "rrf", top, descending=True, tiebreak=id_col)

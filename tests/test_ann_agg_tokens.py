@@ -2324,3 +2324,39 @@ def test_knn_graph_bruteforce_parity():
         assert row["neighbor"].tolist() == list(order)
         np.testing.assert_allclose(row["cosine"].to_numpy(), S[i][order])
         assert row["rank"].tolist() == list(range(1, k + 1))
+
+
+def test_rrf_fuse_bruteforce_parity():
+    from featherstore_ray.stages.ann import rrf_fuse
+
+    rng = np.random.default_rng(13)
+    n, d = 200, 8
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+    })
+    q0 = np.asarray(X[0], dtype=np.float64)
+    q1 = np.asarray(X[1], dtype=np.float64)
+    out = (
+        rrf_fuse(ray.data.from_arrow(tab).repartition(4), [q0, q1],
+                 k0=60, top=10, num_buckets=4)
+        .to_pandas().reset_index(drop=True)
+    )
+    Xd = X.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    rrf_ref = np.zeros(n)
+    ranks = {}
+    for qi, q in enumerate([q0, q1]):
+        qn = q / np.linalg.norm(q)
+        s = np.round(Xn @ qn, 4)
+        order = np.lexsort((np.arange(n), -s))
+        rk = np.empty(n, dtype=np.int64)
+        rk[order] = np.arange(1, n + 1)
+        ranks[qi] = rk
+        rrf_ref = rrf_ref + 1.0 / (60 + rk)
+    top_ids = np.lexsort((np.arange(n), -rrf_ref))[:10]
+    assert out["vec_id"].tolist() == list(top_ids)
+    np.testing.assert_allclose(out["rrf"].to_numpy(), rrf_ref[top_ids])
+    assert out["rank_0"].tolist() == list(ranks[0][top_ids])
