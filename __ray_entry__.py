@@ -3727,6 +3727,32 @@ def q_rrf_fuse(sf_dir: str):
     )
 
 
+def q_lift_table(sf_dir: str):
+    """Decile gains/lift table for value-score → click: sample-sort
+    global ranking, explicit integer bin formula (NTILE remainders are
+    engine-specific), n_bins-bounded integer partials; ratios of
+    identical ints mirror IEEE-identically."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.misc import lift_table
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "score": t["value"],
+            "y": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+            "event_id": t["event_id"],
+        })
+
+    return lift_table(
+        ev.map_batches(prep, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "score", "y", "event_id", n_bins=10, num_buckets=8,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4870,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dr_ate": q_dr_ate,
         "knn_graph": q_knn_graph,
         "rrf_fuse": q_rrf_fuse,
+        "lift_table": q_lift_table,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7724,6 +7751,36 @@ def oracle_sql() -> dict[str, str]:
                          / count(*)::DOUBLE, 6) AS late_frac
             FROM w CROSS JOIN d
             GROUP BY d.delay_s
+        """,
+        "lift_table": """
+            WITH base AS (
+                SELECT value AS s,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+                       event_id
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+                  AND event_id IS NOT NULL
+            ), r AS (
+                SELECT y,
+                       row_number() OVER (ORDER BY s DESC,
+                                          event_id ASC) AS rnk,
+                       count(*) OVER () AS nt
+                FROM base
+            ), b AS (
+                SELECT (rnk - 1) * 10 // nt + 1 AS bin, y FROM r
+            ), g AS (
+                SELECT bin, count(*) AS n, sum(y) AS p
+                FROM b GROUP BY bin
+            )
+            SELECT bin::BIGINT AS bin, n::BIGINT AS n, p::BIGINT AS n_pos,
+                   round(p / n::DOUBLE, 6) AS rate,
+                   round(sum(p) OVER (ORDER BY bin
+                                      ROWS UNBOUNDED PRECEDING)
+                         / (sum(p) OVER ())::DOUBLE, 6) AS cum_capture,
+                   round((p / n::DOUBLE)
+                         / ((sum(p) OVER ())
+                            / (sum(n) OVER ())::DOUBLE), 6) AS lift
+            FROM g
         """,
         "pr_curve": """
             WITH base AS (

@@ -2360,3 +2360,29 @@ def test_rrf_fuse_bruteforce_parity():
     assert out["vec_id"].tolist() == list(top_ids)
     np.testing.assert_allclose(out["rrf"].to_numpy(), rrf_ref[top_ids])
     assert out["rank_0"].tolist() == list(ranks[0][top_ids])
+
+
+def test_lift_table_exact_decile_math():
+    import pandas as pd
+
+    from featherstore_ray.stages.misc import lift_table
+
+    n = 100
+    # score = 100-i so rank i+1 has id i; positives are the top 20 ids
+    df = pd.DataFrame({
+        "s": (100 - np.arange(n)).astype(np.float64),
+        "y": (np.arange(n) < 20).astype(np.int64),
+        "tb": np.arange(n, dtype=np.int64),
+    })
+    out = (
+        lift_table(ray.data.from_pandas(df).repartition(4),
+                   "s", "y", "tb", n_bins=10, num_buckets=2)
+        .to_pandas().set_index("bin").sort_index()
+    )
+    assert out["n"].tolist() == [10] * 10
+    assert out["n_pos"].tolist() == [10, 10, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert abs(out.loc[1, "cum_capture"] - 0.5) < 1e-9
+    assert abs(out.loc[2, "cum_capture"] - 1.0) < 1e-9
+    # base rate 0.2 -> top-decile lift = 1.0/0.2 = 5
+    assert abs(out.loc[1, "lift"] - 5.0) < 1e-9
+    assert abs(out.loc[10, "lift"] - 0.0) < 1e-9
