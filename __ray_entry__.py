@@ -3753,6 +3753,20 @@ def q_lift_table(sf_dir: str):
     )
 
 
+def q_bootstrap_ci(sf_dir: str):
+    """Percentile-bootstrap CI (B=200) of each user's mean event value.
+    Deterministic multiplicative-hash resampling (no RNG) makes the op
+    oracle-checkable; percentile gathers use the explicit lo+(hi-lo)*f
+    interpolation over the sorted replicate means."""
+    from featherstore_ray.stages.aggregate import bootstrap_ci
+
+    return bootstrap_ci(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        "user_id", "event_id", "value",
+        n_boot=200, ci=0.95, num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4897,6 +4911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "rrf_fuse": q_rrf_fuse,
         "lift_table": q_lift_table,
+        "bootstrap_ci": q_bootstrap_ci,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7751,6 +7766,49 @@ def oracle_sql() -> dict[str, str]:
                          / count(*)::DOUBLE, 6) AS late_frac
             FROM w CROSS JOIN d
             GROUP BY d.delay_s
+        """,
+        "bootstrap_ci": """
+            WITH base AS (
+                SELECT user_id AS g, event_id AS k, value::DOUBLE AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+            ), a AS (
+                SELECT g, list(y ORDER BY k) AS ys, count(*) AS n,
+                       sum(y) AS sy
+                FROM base GROUP BY g
+            ), reps AS (
+                SELECT g, n, ys, unnest(range(0, 200)) AS b FROM a
+            ), draws AS (
+                SELECT g, n, b,
+                       unnest(list_transform(range(1, n + 1),
+                           j -> ys[CAST((b * n + j) * 2654435761
+                                        % 4294967296 % n AS BIGINT) + 1]))
+                           AS dv
+                FROM reps
+            ), means AS (
+                SELECT g, b, n, sum(dv) / n AS m
+                FROM draws GROUP BY g, b, n
+            ), q AS (
+                SELECT g, list(m ORDER BY m) AS ms, count(*) AS nb
+                FROM means GROUP BY g
+            ), h AS (
+                SELECT g, ms, nb,
+                       ((1 - 0.95) / 2) * (nb - 1) AS hl,
+                       (1 - (1 - 0.95) / 2) * (nb - 1) AS hh
+                FROM q
+            )
+            SELECT h.g AS user_id, a.n::BIGINT AS n,
+                   round(a.sy / a.n, 6) AS mean,
+                   round(ms[CAST(floor(hl) AS BIGINT) + 1]
+                         + (ms[least(CAST(floor(hl) AS BIGINT) + 2, nb)]
+                            - ms[CAST(floor(hl) AS BIGINT) + 1])
+                           * (hl - floor(hl)), 6) AS lo,
+                   round(ms[CAST(floor(hh) AS BIGINT) + 1]
+                         + (ms[least(CAST(floor(hh) AS BIGINT) + 2, nb)]
+                            - ms[CAST(floor(hh) AS BIGINT) + 1])
+                           * (hh - floor(hh)), 6) AS hi
+            FROM h JOIN a ON h.g = a.g
         """,
         "lift_table": """
             WITH base AS (

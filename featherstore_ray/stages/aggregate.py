@@ -3760,3 +3760,98 @@ def pr_curve(
         "f1": pa.array(np.round(f1, round_digits)),
         "is_best": pa.array(is_best),
     }))
+
+
+def bootstrap_ci(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    n_boot: int = 200,
+    ci: float = 0.95,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Percentile-bootstrap confidence interval for each group's mean —
+    the distribution-free uncertainty readout (B resampled means, CI =
+    their (α/2, 1−α/2) percentiles). The resampling is a DETERMINISTIC
+    multiplicative hash, not an RNG: replicate ``b``'s draw ``j`` picks
+    index ``((b·n + j + 1)·2654435761 mod 2³²) mod n`` into the group's
+    values sorted by ``key_col`` — reproducible across runs, partitions
+    AND engines (the negative_sampling precedent), so the op is fully
+    oracle-checkable. One row per group: (group, n, mean, lo, hi).
+    Null group/key/value rows are excluded on both sides.
+
+    Both percentile gathers use the explicit ``lo + (hi−lo)·f``
+    interpolation over the sorted replicate means (the
+    conformal_interval contract). Scale shape: one hash(group) exchange;
+    the kernel vectorizes the B×n index arithmetic per group — the B
+    replicate means are the only non-input state, and only the 5-float
+    summary leaves the bucket.
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    alpha = 1.0 - ci
+    mult = np.uint64(2654435761)
+    m32 = np.uint64(1 << 32)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[group_col, key_col, value_col])
+        return pd.DataFrame({
+            group_col: d[group_col],
+            "_k": d[key_col].astype(np.int64),
+            "_v": d[value_col].astype(np.float64),
+        })
+
+    slim = ds.select_columns([group_col, key_col, value_col]).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    slim = add_bucket_column(slim, group_col, num_buckets)
+
+    def _interp(sorted_v, level):
+        h = level * (len(sorted_v) - 1)
+        i = int(np.floor(h))
+        j = min(i + 1, len(sorted_v) - 1)
+        return sorted_v[i] + (sorted_v[j] - sorted_v[i]) * (h - i)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        rows = []
+        for g, grp in df.groupby(group_col, sort=True):
+            d = grp.sort_values("_k", kind="stable")
+            v = d["_v"].to_numpy()
+            n = len(v)
+            if n == 0:
+                continue
+            # B x n deterministic draw indices, fully vectorized
+            seq = np.arange(n_boot, dtype=np.uint64)[:, None] \
+                * np.uint64(n) \
+                + np.arange(1, n + 1, dtype=np.uint64)[None, :]
+            idx = ((seq * mult) % m32 % np.uint64(n)).astype(np.int64)
+            means = v[idx].sum(axis=1) / n
+            ms = np.sort(means)
+            rows.append((g, n, float(v.sum() / n),
+                         float(_interp(ms, alpha / 2.0)),
+                         float(_interp(ms, 1.0 - alpha / 2.0))))
+        if not rows:
+            return pd.DataFrame({
+                group_col: pd.Series(dtype=df[group_col].dtype),
+                "n": pd.Series(dtype=np.int64),
+                "mean": pd.Series(dtype=np.float64),
+                "lo": pd.Series(dtype=np.float64),
+                "hi": pd.Series(dtype=np.float64),
+            })
+        out = pd.DataFrame(rows, columns=[group_col, "n", "mean",
+                                          "lo", "hi"])
+        out["n"] = out["n"].astype(np.int64)
+        for c in ("mean", "lo", "hi"):
+            out[c] = np.round(out[c].to_numpy(), round_digits)
+        return out
+
+    return bucketed_map_groups(
+        slim, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

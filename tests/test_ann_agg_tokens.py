@@ -2386,3 +2386,46 @@ def test_lift_table_exact_decile_math():
     # base rate 0.2 -> top-decile lift = 1.0/0.2 = 5
     assert abs(out.loc[1, "lift"] - 5.0) < 1e-9
     assert abs(out.loc[10, "lift"] - 0.0) < 1e-9
+
+
+def test_bootstrap_ci_deterministic_and_covers_mean():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import bootstrap_ci
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "g": ["a"] * n,
+        "k": np.arange(n, dtype=np.int64),
+        "v": rng.normal(50, 5, n),
+    })
+    out1 = bootstrap_ci(ray.data.from_pandas(df).repartition(3),
+                        "g", "k", "v", n_boot=200).to_pandas()
+    out2 = bootstrap_ci(ray.data.from_pandas(df).repartition(5),
+                        "g", "k", "v", n_boot=200).to_pandas()
+    # deterministic across partitionings
+    pd.testing.assert_frame_equal(
+        out1.sort_values("g").reset_index(drop=True),
+        out2.sort_values("g").reset_index(drop=True))
+    r = out1.iloc[0]
+    assert r["lo"] < r["mean"] < r["hi"]
+    # CI width ~ 2*1.96*sigma/sqrt(n) ~ 1.13; sane bounds
+    assert 0.4 < r["hi"] - r["lo"] < 3.0
+    assert abs(r["mean"] - df["v"].mean()) < 1e-6
+
+    # exact reference replicate means for the hash draw rule
+    v = df.sort_values("k")["v"].to_numpy()
+    seq = (np.arange(200, dtype=np.uint64)[:, None] * np.uint64(n)
+           + np.arange(1, n + 1, dtype=np.uint64)[None, :])
+    idx = ((seq * np.uint64(2654435761)) % np.uint64(1 << 32)
+           % np.uint64(n)).astype(np.int64)
+    ms = np.sort(v[idx].sum(axis=1) / n)
+
+    def q(xs, level):
+        h = level * (len(xs) - 1)
+        i = int(np.floor(h))
+        return xs[i] + (xs[min(i + 1, len(xs) - 1)] - xs[i]) * (h - i)
+
+    assert abs(r["lo"] - round(q(ms, 0.025), 6)) < 1e-9
+    assert abs(r["hi"] - round(q(ms, 0.975), 6)) < 1e-9
