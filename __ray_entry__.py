@@ -3767,6 +3767,18 @@ def q_bootstrap_ci(sf_dir: str):
     )
 
 
+def q_seasonality_index(sf_dir: str):
+    """Per-user hour-of-day activity profile over event values:
+    (entity, hour, sum, count) partials, one entity exchange, hour mean
+    vs entity mean ratio. Hour = integer epoch formula == SQL hour()."""
+    from featherstore_ray.stages.aggregate import seasonality_index
+
+    return seasonality_index(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        "user_id", "ts", "value", num_buckets=16,
+    )
+
+
 _KCORE_K, _KCORE_ITERS = 8, 3
 
 
@@ -4912,6 +4924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": q_rrf_fuse,
         "lift_table": q_lift_table,
         "bootstrap_ci": q_bootstrap_ci,
+        "seasonality_index": q_seasonality_index,
         "hard_negatives": q_hard_negatives,
         "mmr_select": q_mmr_select,
         "split_leakage": q_split_leakage,
@@ -7766,6 +7779,24 @@ def oracle_sql() -> dict[str, str]:
                          / count(*)::DOUBLE, 6) AS late_frac
             FROM w CROSS JOIN d
             GROUP BY d.delay_s
+        """,
+        "seasonality_index": """
+            WITH base AS (
+                SELECT user_id, hour(ts) AS hour, value
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), g AS (
+                SELECT user_id, hour, sum(value) AS s, count(*) AS n
+                FROM base GROUP BY user_id, hour
+            )
+            SELECT user_id, hour::BIGINT AS hour, n::BIGINT AS n,
+                   round(s / n, 6) AS hour_mean,
+                   round((s / n)
+                         / (sum(s) OVER (PARTITION BY user_id)
+                            / sum(n) OVER (PARTITION BY user_id)), 6)
+                       AS idx
+            FROM g
         """,
         "bootstrap_ci": """
             WITH base AS (

@@ -3855,3 +3855,71 @@ def bootstrap_ci(
     return bucketed_map_groups(
         slim, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def seasonality_index(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity hour-of-day seasonal profile — the load-shaping /
+    activity-rhythm feature: for every (entity, hour 0–23) with data,
+    the count, the hour's mean value and ``idx = hour_mean /
+    entity_mean`` (> 1 ⇒ that hour runs hot for this entity). Hours use
+    the same integer-epoch formula as :func:`time_features`
+    (``(µs // 3.6e9) % 24`` == SQL ``hour(ts)`` for tz-naive data).
+    Null entity/ts/value rows are excluded on both sides.
+
+    Scale shape: per-batch (entity, hour, Σv, n) partials — 24-bounded
+    per entity — one hash(entity) exchange, per-bucket merge + the
+    two-divisions finish (entity mean = Σ over the entity's hour
+    partials, so no second pass).
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[entity_col, ts_col, value_col])
+        ts = d[ts_col].to_numpy().astype("datetime64[us]")
+        hour = ((ts.view(np.int64) // 3_600_000_000) % 24).astype(np.int64)
+        g = pd.DataFrame({
+            entity_col: d[entity_col].to_numpy(),
+            "hour": hour,
+            "_v": d[value_col].to_numpy(dtype=np.float64),
+        }).groupby([entity_col, "hour"], sort=False)["_v"] \
+            .agg(_s="sum", _n="count").reset_index()
+        return g
+
+    parts = ds.select_columns([entity_col, ts_col, value_col]).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, entity_col, num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=[BUCKET_COL])
+            .groupby([entity_col, "hour"], sort=True)[["_s", "_n"]]
+            .sum().reset_index()
+        )
+        tot = g.groupby(entity_col, sort=False)[["_s", "_n"]].sum()
+        hm = g["_s"].to_numpy() / g["_n"].to_numpy()
+        em = (g[entity_col].map(tot["_s"]).to_numpy()
+              / g[entity_col].map(tot["_n"]).to_numpy())
+        out = pd.DataFrame({
+            entity_col: g[entity_col],
+            "hour": g["hour"].astype(np.int64),
+            "n": g["_n"].astype(np.int64),
+            "hour_mean": np.round(hm, round_digits),
+            "idx": np.round(hm / em, round_digits),
+        })
+        return out
+
+    return bucketed_map_groups(
+        parts, finish, num_buckets=num_buckets, batch_format="pandas"
+    )

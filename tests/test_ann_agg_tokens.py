@@ -2429,3 +2429,29 @@ def test_bootstrap_ci_deterministic_and_covers_mean():
 
     assert abs(r["lo"] - round(q(ms, 0.025), 6)) < 1e-9
     assert abs(r["hi"] - round(q(ms, 0.975), 6)) < 1e-9
+
+
+def test_seasonality_index_exact_profile():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import seasonality_index
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    # entity 1: hour 0 mean 10 (2 rows), hour 3 mean 30 (1 row)
+    ts = np.array([base, base + 24 * h, base + 3 * h])
+    df = pd.DataFrame({
+        "e": [1, 1, 1],
+        "ts": ts,
+        "v": [8.0, 12.0, 30.0],
+    })
+    out = (
+        seasonality_index(ray.data.from_pandas(df).repartition(2),
+                          "e", "ts", "v", num_buckets=2)
+        .to_pandas().set_index("hour").sort_index()
+    )
+    assert out.loc[0, "n"] == 2 and out.loc[3, "n"] == 1
+    em = 50.0 / 3
+    assert abs(out.loc[0, "hour_mean"] - 10.0) < 1e-9
+    assert abs(out.loc[0, "idx"] - round(10.0 / em, 6)) < 1e-9
+    assert abs(out.loc[3, "idx"] - round(30.0 / em, 6)) < 1e-9
