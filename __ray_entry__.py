@@ -4351,11 +4351,52 @@ def q_trimmed_mean(sf_dir: str):
 
 def q_geometric_median(sf_dir: str):
     """Robust corpus centroid of the embeddings (Weiszfeld, 5 fixed
-    iterations of dim-bounded partial passes). Rows-only (iterative);
-    numpy parity pytest-gated."""
+    iterations of dim-bounded partial passes). Fully oracled via
+    unrolled per-iteration CTEs (the kmeans/logreg precedent): the fixed
+    schedule makes the 'iterative' op a finite closed form — every step
+    is smooth (no argmax), so block-order summation ulps are absorbed by
+    the 6dp output rounding; numpy parity additionally pytest-gated."""
     from featherstore_ray.stages.ann import geometric_median
 
     return geometric_median(_read(sf_dir, "embeddings"), iters=5)
+
+
+def _geometric_median_sql(iters: int, dim: int = 64,
+                          eps: float = 1e-9) -> str:
+    """Unrolled Weiszfeld mirror: m0 = per-dim mean; each step
+    d = greatest(list_distance(v, m), eps) then
+    m[j] = Σ v[j]/d / Σ 1/d."""
+    sql = f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        m0 AS MATERIALIZED (
+          SELECT list(av ORDER BY dim) AS v FROM (
+            SELECT dim, avg(val) AS av FROM (
+              SELECT unnest(v) AS val, generate_subscripts(v, 1) AS dim
+              FROM emb) GROUP BY dim)
+        )"""
+    cur = "m0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        d{t} AS MATERIALIZED (
+          SELECT e.vec_id, e.v,
+                 greatest(list_distance(e.v, m.v), {eps!r}) AS d
+          FROM emb e, {cur} m
+        ),
+        m{t} AS MATERIALIZED (
+          SELECT list(ws / (SELECT sum(1.0 / d) FROM d{t})
+                      ORDER BY dim) AS v
+          FROM (
+            SELECT dim, sum(val / dd) AS ws FROM (
+              SELECT unnest(v) AS val,
+                     generate_subscripts(v, 1) AS dim, d AS dd
+              FROM d{t})
+            GROUP BY dim)
+        )"""
+        cur = f"m{t}"
+    cols = ", ".join(f"round(v[{j + 1}], 6) AS dim{j}" for j in range(dim))
+    return sql + f" SELECT {cols} FROM {cur}"
 
 
 def q_containment_pairs(sf_dir: str):
@@ -7780,6 +7821,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w CROSS JOIN d
             GROUP BY d.delay_s
         """,
+        "geometric_median": _geometric_median_sql(5),
         "seasonality_index": """
             WITH base AS (
                 SELECT user_id, hour(ts) AS hour, value
