@@ -3381,6 +3381,52 @@ def q_band_join(sf_dir: str):
     )
 
 
+# radius_join: synthesized planar coordinates in [0, 1000) from the keys —
+# the SAME integer hash chain on both engines (BIGINT-safe: key*2654435761
+# <= ~4e14), so every double is bit-identical before the join predicate.
+_GEO_RADIUS = 50.0
+_GEO_HX = 2654435761
+_GEO_HY = 2246822519
+
+
+def _geo_coords(key_col: str, xname: str, yname: str):
+    """Factory (worker-picklable closure) appending deterministic planar
+    coordinates derived from an integer key — mirrored literally in SQL."""
+    import numpy as np
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((k * _GEO_HX) % 4294967296 % 100000) / 100.0
+        y = ((k * _GEO_HY) % 4294967296 % 100000) / 100.0
+        return t.append_column(xname, pa.array(x)).append_column(
+            yname, pa.array(y))
+
+    return add
+
+
+def q_radius_join(sf_dir: str):
+    """Spatial radius join: customer × supplier point pairs within planar
+    distance 50 on a synthesized 1000×1000 grid — the grid-partitioned
+    spatial join (cells of side 2r, 3×3 right-side claims, exact squared-
+    distance predicate per bucket). The oracle states the predicate as the
+    identical IEEE expression, so dist hash-matches raw."""
+    from featherstore_ray.stages.spatial import radius_join
+
+    left = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        _geo_coords("c_custkey", "c_x", "c_y"),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        _geo_coords("s_suppkey", "s_x", "s_y"),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return radius_join(
+        left, right,
+        left_x="c_x", left_y="c_y", right_x="s_x", right_y="s_y",
+        radius=_GEO_RADIUS,
+        left_cols=["c_custkey", "c_x", "c_y"],
+        right_cols=["s_suppkey", "s_x", "s_y"],
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -4946,6 +4992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "hopping_window": q_hopping_window,
         "band_join": q_band_join,
+        "radius_join": q_radius_join,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8368,6 +8415,30 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c, supplier s
             WHERE s.s_acctbal BETWEEN c.c_acctbal - {_BAND_EPS!r}
                                   AND c.c_acctbal + {_BAND_EPS!r}
+        """,
+        "radius_join": f"""
+            WITH lc AS (
+                SELECT c_custkey,
+                       (((c_custkey * {_GEO_HX}) % 4294967296) % 100000)
+                           / 100.0 AS c_x,
+                       (((c_custkey * {_GEO_HY}) % 4294967296) % 100000)
+                           / 100.0 AS c_y
+                FROM customer
+            ), rc AS (
+                SELECT s_suppkey,
+                       (((s_suppkey * {_GEO_HX}) % 4294967296) % 100000)
+                           / 100.0 AS s_x,
+                       (((s_suppkey * {_GEO_HY}) % 4294967296) % 100000)
+                           / 100.0 AS s_y
+                FROM supplier
+            )
+            SELECT l.c_custkey, l.c_x, l.c_y, r.s_suppkey, r.s_x, r.s_y,
+                   sqrt((l.c_x - r.s_x) * (l.c_x - r.s_x)
+                        + (l.c_y - r.s_y) * (l.c_y - r.s_y)) AS dist
+            FROM lc l, rc r
+            WHERE (l.c_x - r.s_x) * (l.c_x - r.s_x)
+                  + (l.c_y - r.s_y) * (l.c_y - r.s_y)
+                  <= {_GEO_RADIUS * _GEO_RADIUS!r}
         """,
         "bloom_semi_join": """
             SELECT o_orderkey, o_custkey, o_totalprice

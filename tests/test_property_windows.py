@@ -414,7 +414,13 @@ def test_changepoint_matches_bruteforce(t):
         ray.data.from_arrow(t).repartition(2),
         entity_col="entity", ts_col="ts", value_col="value",
         tiebreak="eid", num_buckets=2,
-    ).to_pandas().set_index("entity")
+    ).to_pandas()
+    if len(out) == 0:
+        # all-empty wide-op results surface columnless through to_pandas
+        # (Ray drops the schema) — valid when no entity has >= 2 rows
+        out = pd.DataFrame({"entity": pd.Series([], dtype=np.int64),
+                            "cp_k": [], "gain": []})
+    out = out.set_index("entity")
 
     df = t.to_pandas().sort_values(["entity", "ts", "eid"],
                                    kind="stable")
