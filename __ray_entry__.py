@@ -3427,6 +3427,19 @@ def q_radius_join(sf_dir: str):
     )
 
 
+def q_ips_eval(sf_dir: str):
+    """Off-policy evaluation: IPS + SNIPS values for every cyclic-shift
+    deterministic policy over the logged (user, event_type, value) stream —
+    each row matches exactly one shift, so one grouped partial evaluates
+    the whole policy family with zero shuffle."""
+    from featherstore_ray.stages.policy import ips_policy_eval
+
+    return ips_policy_eval(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        context_col="user_id", action_col="event_type", reward_col="value",
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -4993,6 +5006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "band_join": q_band_join,
         "radius_join": q_radius_join,
+        "ips_eval": q_ips_eval,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8415,6 +8429,30 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c, supplier s
             WHERE s.s_acctbal BETWEEN c.c_acctbal - {_BAND_EPS!r}
                                   AND c.c_acctbal + {_BAND_EPS!r}
+        """,
+        "ips_eval": """
+            WITH base AS (
+                SELECT user_id, event_type, value FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+            ), tot AS (SELECT count(*) AS n FROM base),
+            acts AS (
+                SELECT event_type, count(*) AS cnt,
+                       row_number() OVER (ORDER BY event_type) - 1 AS aidx
+                FROM base GROUP BY event_type
+            ), kk AS (SELECT count(*) AS k FROM acts),
+            terms AS (
+                SELECT ((a.aidx - b.user_id) % (SELECT k FROM kk)
+                        + (SELECT k FROM kk)) % (SELECT k FROM kk)
+                           AS policy_shift,
+                       b.value / (a.cnt::DOUBLE / (SELECT n FROM tot)) AS wr,
+                       1.0 / (a.cnt::DOUBLE / (SELECT n FROM tot)) AS w
+                FROM base b JOIN acts a USING (event_type)
+            )
+            SELECT policy_shift, count(*)::BIGINT AS n_matched,
+                   round(sum(wr) / (SELECT n FROM tot), 6) AS ips,
+                   round(sum(wr) / sum(w), 6) AS snips
+            FROM terms GROUP BY policy_shift
         """,
         "radius_join": f"""
             WITH lc AS (
