@@ -3440,6 +3440,34 @@ def q_ips_eval(sf_dir: str):
     )
 
 
+_DID_CUTOFF = "2024-01-15 00:00:00"
+
+
+def q_did(sf_dir: str):
+    """Difference-in-differences over the events panel: odd user_ids as
+    the treated arm, the mid-month cutoff as the post period — the 2×2
+    cell means plus the DiD readout, moment partials only (no shuffle)."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import did_estimate
+
+    cutoff = np.datetime64(_DID_CUTOFF.replace(" ", "T"), "us")
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "treated": pa.array((u % 2).astype(np.int64)),
+            "post": pa.array((ts >= cutoff).astype(np.int64)),
+            "value": t["value"],
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]) \
+        .map_batches(derive, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return did_estimate(ds, "treated", "post", "value")
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -5007,6 +5035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join": q_band_join,
         "radius_join": q_radius_join,
         "ips_eval": q_ips_eval,
+        "did": q_did,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8429,6 +8458,33 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c, supplier s
             WHERE s.s_acctbal BETWEEN c.c_acctbal - {_BAND_EPS!r}
                                   AND c.c_acctbal + {_BAND_EPS!r}
+        """,
+        "did": f"""
+            WITH base AS (
+                SELECT (user_id % 2)::BIGINT AS treated,
+                       (ts >= TIMESTAMP '{_DID_CUTOFF}')::BIGINT AS post,
+                       value
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), cells AS (
+                SELECT treated, post, count(*)::BIGINT AS n, sum(value) AS s
+                FROM base GROUP BY treated, post
+            ), d AS (
+                SELECT (max(CASE WHEN treated=1 AND post=1 THEN s END)
+                        / max(CASE WHEN treated=1 AND post=1 THEN n END)
+                      - max(CASE WHEN treated=1 AND post=0 THEN s END)
+                        / max(CASE WHEN treated=1 AND post=0 THEN n END))
+                     - (max(CASE WHEN treated=0 AND post=1 THEN s END)
+                        / max(CASE WHEN treated=0 AND post=1 THEN n END)
+                      - max(CASE WHEN treated=0 AND post=0 THEN s END)
+                        / max(CASE WHEN treated=0 AND post=0 THEN n END))
+                       AS did
+                FROM cells
+            )
+            SELECT treated, post, n, round(s / n, 6) AS mean_value,
+                   round((SELECT did FROM d), 6) AS did
+            FROM cells
         """,
         "ips_eval": """
             WITH base AS (

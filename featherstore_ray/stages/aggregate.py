@@ -3550,6 +3550,73 @@ def conformal_interval(
     )
 
 
+def did_estimate(
+    ds: ray.data.Dataset,
+    treatment_col: str,
+    post_col: str,
+    outcome_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Difference-in-differences — the 2×2 panel causal estimate:
+    ``did = (ȳ₁₁ − ȳ₁₀) − (ȳ₀₁ − ȳ₀₀)`` (first index treated, second
+    post), the parallel-trends workhorse for before/after reads with a
+    control group. ``treatment_col`` / ``post_col`` are 0/1 by contract;
+    rows with a null in any of the three columns are excluded on both
+    sides. Output: one row per observed cell — (treated, post, n,
+    mean_value) — plus ``did`` repeated per row (the single-number
+    readout; null unless all four cells are present). ``did`` is computed
+    from the UNROUNDED cell means ``Σy/n`` on both sides; only outputs
+    round.
+
+    Scale shape (the wilson_ci pattern): each block collapses to at most
+    four (treated, post, Σy, n) partials merged driver-side — no shuffle,
+    both passes stream.
+    """
+    import pyarrow as pa
+
+    cols = [treatment_col, post_col, outcome_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        g = d.groupby([treatment_col, post_col], sort=False,
+                      observed=True)[outcome_col].agg(_s="sum", _n="count")
+        return g.reset_index()
+
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0 or treatment_col not in parts.columns:
+        return ray.data.from_arrow(pa.table({
+            "treated": pa.array([], pa.int64()),
+            "post": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "mean_value": pa.array([], pa.float64()),
+            "did": pa.array([], pa.float64()),
+        }))
+    cells = (
+        parts.groupby([treatment_col, post_col], sort=True, observed=True)
+        [["_s", "_n"]].sum().reset_index()
+    )
+    s = cells["_s"].to_numpy(dtype=np.float64)
+    n = cells["_n"].to_numpy(dtype=np.int64)
+    mean = s / n
+    key = {(int(t), int(p)): mean[i] for i, (t, p) in enumerate(
+        zip(cells[treatment_col], cells[post_col]))}
+    did = np.nan
+    if all(k in key for k in [(0, 0), (0, 1), (1, 0), (1, 1)]):
+        did = (key[(1, 1)] - key[(1, 0)]) - (key[(0, 1)] - key[(0, 0)])
+    return ray.data.from_arrow(pa.table({
+        "treated": pa.array(cells[treatment_col].to_numpy(dtype=np.int64)),
+        "post": pa.array(cells[post_col].to_numpy(dtype=np.int64)),
+        "n": pa.array(n),
+        "mean_value": pa.array(np.round(mean, round_digits)),
+        "did": pa.array(np.full(len(n), np.round(did, round_digits))),
+    }))
+
+
 def ate_stratified(
     ds: ray.data.Dataset,
     treatment_col: str,

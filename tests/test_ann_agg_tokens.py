@@ -2178,6 +2178,32 @@ def test_conformal_interval_coverage_and_formula():
         assert cov >= 0.75
 
 
+def test_did_hand_computed_and_missing_cell():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import did_estimate
+
+    df = pd.DataFrame({
+        "t": [0, 0, 0, 0, 1, 1, 1, 1],
+        "p": [0, 0, 1, 1, 0, 0, 1, 1],
+        "y": [1.0, 3.0, 2.0, 4.0, 5.0, 7.0, 10.0, 14.0],
+    })
+    out = did_estimate(
+        ray.data.from_pandas(df).repartition(3), "t", "p", "y",
+    ).to_pandas().set_index(["treated", "post"])
+    # cell means: 2, 3, 6, 12 -> did = (12-6) - (3-2) = 5
+    assert out.loc[(0, 0), "mean_value"] == 2.0
+    assert out.loc[(1, 1), "mean_value"] == 12.0
+    assert (out["did"] == 5.0).all()
+    assert (out["n"] == 2).all()
+
+    # a missing cell -> did is null, cells still reported
+    out2 = did_estimate(
+        ray.data.from_pandas(df[df["t"] + df["p"] > 0]), "t", "p", "y",
+    ).to_pandas()
+    assert len(out2) == 3 and out2["did"].isna().all()
+
+
 def test_ate_stratified_closed_form_and_arm_filter():
     import pandas as pd
 
