@@ -3468,6 +3468,75 @@ def q_did(sf_dir: str):
     return did_estimate(ds, "treated", "post", "value")
 
 
+_IPF_ITERS = 5
+
+
+def q_ipf_raking(sf_dir: str):
+    """Survey raking: fit the (event_type × user-stratum) contingency to
+    uniform margins via iterative proportional fitting — contingency
+    partials cross the exchange, the bounded IPF loop runs closed-form."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import ipf_raking
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "stratum": pa.array((u % 7).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .map_batches(derive, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return ipf_raking(ds, "event_type", "stratum", iters=_IPF_ITERS)
+
+
+def _ipf_oracle(iters: int) -> str:
+    """Unrolled-CTE IPF mirror — every step AS MATERIALIZED (the round-5
+    lesson: DuckDB inlines CTEs, so an unmaterialized chain expands
+    exponentially)."""
+    ctes = [
+        """base AS MATERIALIZED (
+            SELECT event_type AS rkey, (user_id % 7)::BIGINT AS ckey,
+                   count(*)::DOUBLE AS n
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        )""",
+        "tot AS (SELECT sum(n) AS n FROM base)",
+        """tgt AS (SELECT
+            (SELECT n FROM tot) / (SELECT count(DISTINCT rkey) FROM base)
+                AS rt,
+            (SELECT n FROM tot) / (SELECT count(DISTINCT ckey) FROM base)
+                AS ct)""",
+        "w0 AS MATERIALIZED (SELECT rkey, ckey, n AS w FROM base)",
+    ]
+    prev = "w0"
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+                SELECT rkey, ckey,
+                       w * ((SELECT rt FROM tgt)
+                            / sum(w) OVER (PARTITION BY rkey)) AS w
+                FROM {prev})""")
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+                SELECT rkey, ckey,
+                       w * ((SELECT ct FROM tgt)
+                            / sum(w) OVER (PARTITION BY ckey)) AS w
+                FROM r{k})""")
+        prev = f"c{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT b.rkey AS event_type, b.ckey AS stratum, b.n::BIGINT AS n,
+               round(f.w, 6) AS weight
+        FROM base b JOIN {prev} f ON b.rkey = f.rkey AND b.ckey = f.ckey
+        """
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -5036,6 +5105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": q_radius_join,
         "ips_eval": q_ips_eval,
         "did": q_did,
+        "ipf_raking": q_ipf_raking,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8486,6 +8556,7 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT did FROM d), 6) AS did
             FROM cells
         """,
+        "ipf_raking": _ipf_oracle(_IPF_ITERS),
         "ips_eval": """
             WITH base AS (
                 SELECT user_id, event_type, value FROM events

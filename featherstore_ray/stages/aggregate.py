@@ -1304,6 +1304,59 @@ def grouped_weighted_stats(
     )
 
 
+def ipf_raking(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    *,
+    iters: int = 5,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Iterative proportional fitting (raking) of the (row, col)
+    contingency table to UNIFORM target margins — the survey-weighting /
+    dataset-rebalancing primitive: starting from the observed cell counts,
+    alternately scale every row to the row target ``N/|rows|`` and every
+    column to the column target ``N/|cols|`` for ``iters`` full rounds.
+    Output: one row per observed cell — (row, col, n, weight) with
+    ``weight`` the raked cell mass (rows with a null key are excluded on
+    both sides). Scaling factors are computed as ``target / margin_sum``
+    then multiplied per cell, exactly the expression the unrolled-CTE
+    oracle states, so per-cell doubles differ only by margin summation
+    order (absorbed by rounding + tolerance).
+
+    Scale shape: the one wide pass is the `_contingency` partial merge
+    (distinct category pairs only — categorical keys by contract); the
+    IPF loop itself runs driver-side over the |rows|x|cols|-bounded
+    table, like mutual_info / chi2_test.
+    """
+    import pyarrow as pa
+
+    j, n_total = _contingency(ds, row_col, col_col)
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table({
+            row_col: pa.array([], pa.string()),
+            col_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.float64()),
+        }))
+    ri, rcats = pd.factorize(j[row_col], sort=True)
+    ci, ccats = pd.factorize(j[col_col], sort=True)
+    w = j["_c"].to_numpy(dtype=np.float64)
+    rt = float(n_total) / len(rcats)
+    ct = float(n_total) / len(ccats)
+    for _ in range(int(iters)):
+        rowsum = np.bincount(ri, weights=w, minlength=len(rcats))
+        w = w * (rt / rowsum)[ri]
+        colsum = np.bincount(ci, weights=w, minlength=len(ccats))
+        w = w * (ct / colsum)[ci]
+    return ray.data.from_arrow(pa.table({
+        row_col: pa.array(j[row_col]),
+        col_col: pa.array(j[col_col]),
+        "n": pa.array(j["_c"].to_numpy(dtype=np.int64)),
+        "weight": pa.array(np.round(w, round_digits)),
+    }))
+
+
 def _contingency(ds: ray.data.Dataset, x_col: str, y_col: str):
     """Driver-merged (x, y, count) contingency table from per-batch
     partials — the exchange carries distinct category pairs, never rows.

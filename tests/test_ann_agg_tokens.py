@@ -2178,6 +2178,29 @@ def test_conformal_interval_coverage_and_formula():
         assert cov >= 0.75
 
 
+def test_ipf_raking_margins_converge():
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import ipf_raking
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "r": rng.choice(["a", "b", "c"], 400, p=[0.6, 0.3, 0.1]),
+        "c": rng.choice(["x", "y"], 400, p=[0.8, 0.2]),
+    })
+    out = ipf_raking(
+        ray.data.from_pandas(df).repartition(3), "r", "c", iters=20,
+    ).to_pandas()
+    n = out["n"].sum()
+    # after 20 rounds, margins are (numerically) at the uniform targets
+    rm = out.groupby("r")["weight"].sum()
+    cm = out.groupby("c")["weight"].sum()
+    assert np.allclose(rm, n / 3, atol=1e-3)
+    assert np.allclose(cm, n / 2, atol=1e-3)
+    # total mass preserved
+    assert abs(out["weight"].sum() - n) < 1e-3
+
+
 def test_did_hand_computed_and_missing_cell():
     import pandas as pd
 
