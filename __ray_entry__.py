@@ -3537,6 +3537,19 @@ def _ipf_oracle(iters: int) -> str:
     )
 
 
+def q_quantile_map(sf_dir: str):
+    """Distribution alignment: remap every event_type's value distribution
+    onto the 'purchase' cohort via percent-rank → interpolated reference
+    quantile — one group exchange + a broadcast reference vector."""
+    from featherstore_ray.stages.misc import quantile_map
+
+    return quantile_map(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value"]),
+        "event_type", "value", "purchase",
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -5106,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ips_eval": q_ips_eval,
         "did": q_did,
         "ipf_raking": q_ipf_raking,
+        "quantile_map": q_quantile_map,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8557,6 +8571,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         "ipf_raking": _ipf_oracle(_IPF_ITERS),
+        "quantile_map": """
+            WITH ref AS MATERIALIZED (
+                SELECT value AS rv,
+                       row_number() OVER (ORDER BY value) - 1 AS idx
+                FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+            ), pr AS (
+                SELECT event_id, event_type, value,
+                       percent_rank() OVER (
+                           PARTITION BY event_type ORDER BY value) AS p
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), c AS (
+                SELECT event_id, event_type, value,
+                       p * ((SELECT count(*) FROM ref) - 1) AS pos
+                FROM pr
+            ), j AS (
+                SELECT event_id, event_type, value,
+                       CAST(floor(pos) AS BIGINT) AS lo,
+                       pos - floor(pos) AS f
+                FROM c
+            )
+            SELECT j.event_id, j.event_type, j.value,
+                   round(r1.rv + (coalesce(r2.rv, r1.rv) - r1.rv) * j.f, 6)
+                       AS mapped
+            FROM j
+            JOIN ref r1 ON r1.idx = j.lo
+            LEFT JOIN ref r2 ON r2.idx = j.lo + 1
+        """,
         "ips_eval": """
             WITH base AS (
                 SELECT user_id, event_type, value FROM events

@@ -713,6 +713,80 @@ def robust_scale(
     )
 
 
+def quantile_map(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    ref_group,
+    *,
+    out_col: str = "mapped",
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Quantile mapping (distribution alignment): remap every group's
+    values onto the REFERENCE group's distribution — the domain-adaptation
+    / bias-correction primitive (score calibration across cohorts, climate
+    downscaling's quantile-mapping step): for a value at percent-rank ``p``
+    within its own group, output the reference distribution's linearly
+    interpolated quantile at ``p``. Percent rank is SQL ``PERCENT_RANK()``
+    (min-rank ties, ``(rank−1)/(n−1)``, 0 for singleton groups); the
+    interpolation is the explicit ``lo + (hi − lo)·f`` form at position
+    ``p·(m−1)`` (np.quantile's lerp switches forms at f>0.5 and is NOT
+    mirrorable — the conformal_interval lesson). Rows with a null group
+    key or null value are excluded on both sides (oracle WHERE mirror).
+
+    Scale shape: the reference group's sorted values broadcast once via
+    ``ray.put`` (a single cohort — bounded by contract; for corpus-scale
+    references use grouped_quantiles_sketch grids instead); ranking needs
+    each group's full value set, so ONE bucket exchange on hash(group) +
+    a vectorized per-bucket kernel (grouped min-rank + one gather).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    ref_vals = np.sort(
+        ds.filter(expr=f"{group_col} == {ref_group!r}")
+        .select_columns([value_col])
+        .to_pandas()[value_col].dropna().to_numpy(dtype=np.float64)
+    )
+    if len(ref_vals) == 0:
+        raise ValueError(f"reference group {ref_group!r} has no values")
+    ref_ref = ray.put(ref_vals)
+    m = len(ref_vals)
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        return t.filter(mask)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        g = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        v = pd.Series(t[value_col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64))
+        grp = v.groupby(g)
+        r = grp.rank(method="min").to_numpy(dtype=np.float64)
+        n = grp.transform("size").to_numpy(dtype=np.float64)
+        p = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
+        ref = ray.get(ref_ref)
+        pos = p * (m - 1)
+        lo = np.floor(pos).astype(np.int64)
+        f = pos - np.floor(pos)  # the oracle's pos - floor(pos)
+        hi = np.minimum(lo + 1, m - 1)
+        mapped = ref[lo] + (ref[hi] - ref[lo]) * f
+        return t.append_column(out_col,
+                               pa.array(np.round(mapped, round_digits)))
+
+    tagged = add_bucket_column(
+        ds.map_batches(drop_nulls, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col, num_buckets)
+    return bucketed_map_groups(
+        tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
+    )
+
+
 _NEG_MIX = 1000003  # odd mixer folding (user, item) before the Knuth hash
 
 

@@ -2178,6 +2178,29 @@ def test_conformal_interval_coverage_and_formula():
         assert cov >= 0.75
 
 
+def test_quantile_map_identity_and_singleton():
+    import pandas as pd
+
+    from featherstore_ray.stages.misc import quantile_map
+
+    df = pd.DataFrame({
+        "id": range(7),
+        "g": ["r", "r", "r", "r", "a", "a", "b"],
+        "v": [10.0, 20.0, 30.0, 40.0, 5.0, 6.0, 99.0],
+    })
+    out = quantile_map(
+        ray.data.from_pandas(df).repartition(2), "g", "v", "r",
+        num_buckets=4,
+    ).to_pandas().set_index("id").sort_index()
+    # the reference group (distinct values) maps onto itself
+    assert list(out.loc[0:3, "mapped"]) == [10.0, 20.0, 30.0, 40.0]
+    # group a: p=0 -> ref min, p=1 -> ref max
+    assert out.loc[4, "mapped"] == 10.0
+    assert out.loc[5, "mapped"] == 40.0
+    # singleton group: percent_rank 0 -> ref min
+    assert out.loc[6, "mapped"] == 10.0
+
+
 def test_ipf_raking_margins_converge():
     import pandas as pd
 
