@@ -3550,6 +3550,64 @@ def q_quantile_map(sf_dir: str):
     )
 
 
+_ALS_ITERS = 3
+
+
+def q_als_rank1(sf_dir: str):
+    """Rank-1 ALS factorization of the (user, event_type, value) matrix —
+    users bucket once and never re-shuffle; item partials merge over the
+    bounded catalog each iteration. Exact closed-form half-steps keep the
+    whole trainer oracled."""
+    from featherstore_ray.stages.mf import als_rank1
+
+    return als_rank1(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "event_type", "value", iters=_ALS_ITERS,
+    )
+
+
+def _als_oracle(iters: int) -> str:
+    """Unrolled rank-1 ALS mirror: v0=1, then u_k / v_k closed-form
+    half-steps; final user factors use one extra user step against the
+    last item factors (exactly what the engine reports)."""
+    ctes = [
+        """base AS MATERIALIZED (
+            SELECT user_id, event_type AS item, value FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+        )""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT item, 1.0::DOUBLE AS v"
+        " FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+                SELECT b.user_id, sum(b.value * v.v) / sum(v.v * v.v) AS u
+                FROM base b JOIN v{k - 1} v USING (item)
+                GROUP BY b.user_id)""")
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+                SELECT b.item, sum(b.value * u.u) / sum(u.u * u.u) AS v
+                FROM base b JOIN u{k} u USING (user_id)
+                GROUP BY b.item)""")
+    ctes.append(
+        f"""uf AS MATERIALIZED (
+            SELECT b.user_id, sum(b.value * v.v) / sum(v.v * v.v) AS u
+            FROM base b JOIN v{iters} v USING (item)
+            GROUP BY b.user_id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT 'user' AS kind, user_id::VARCHAR AS entity,
+               round(u, 6) AS factor
+        FROM uf
+        UNION ALL
+        SELECT 'item' AS kind, item AS entity, round(v, 6) AS factor
+        FROM v{iters}
+        """
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -5120,6 +5178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did": q_did,
         "ipf_raking": q_ipf_raking,
         "quantile_map": q_quantile_map,
+        "als_rank1": q_als_rank1,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8571,6 +8630,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         "ipf_raking": _ipf_oracle(_IPF_ITERS),
+        "als_rank1": _als_oracle(_ALS_ITERS),
         "quantile_map": """
             WITH ref AS MATERIALIZED (
                 SELECT value AS rv,
