@@ -3608,6 +3608,21 @@ def _als_oracle(iters: int) -> str:
     )
 
 
+_TMIX_ALPHA = 0.5
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled source re-mixing with replacement (α=0.5): the
+    upsampling sibling of source_mix — integer copy targets from counts,
+    deterministic hash remainders, stateless per-batch repeat."""
+    from featherstore_ray.stages.misc import temperature_mix
+
+    return temperature_mix(
+        _read(sf_dir, "events", columns=["event_id", "event_type"]),
+        "event_type", "event_id", alpha=_TMIX_ALPHA,
+    )
+
+
 def q_scd2_history(sf_dir: str):
     """SCD-2 dimension build: each user's event_type change log compacted
     to validity intervals [valid_from, valid_to) with an open current
@@ -5179,6 +5194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipf_raking": q_ipf_raking,
         "quantile_map": q_quantile_map,
         "als_rank1": q_als_rank1,
+        "temperature_mix": q_temperature_mix,
         "scd2_history": q_scd2_history,
         "anova_f": q_anova_f,
         "kaplan_meier": q_kaplan_meier,
@@ -8631,6 +8647,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ipf_raking": _ipf_oracle(_IPF_ITERS),
         "als_rank1": _als_oracle(_ALS_ITERS),
+        "temperature_mix": f"""
+            WITH base AS (
+                SELECT event_id AS key, event_type AS source FROM events
+                WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+            ), cnt AS (
+                SELECT source, count(*)::BIGINT AS n FROM base
+                GROUP BY source
+            ), w AS (
+                SELECT source, n,
+                       CAST(round(pow(n::DOUBLE, {_TMIX_ALPHA!r}) * 1000000)
+                            AS BIGINT) AS w
+                FROM cnt
+            ), tot AS (
+                SELECT sum(w)::HUGEINT AS ws,
+                       (SELECT count(*) FROM base)::HUGEINT AS total
+                FROM w
+            ), per AS (
+                SELECT source, n,
+                       (((SELECT total FROM tot) * w)
+                        // (SELECT ws FROM tot)) // n AS b,
+                       (((SELECT total FROM tot) * w)
+                        // (SELECT ws FROM tot)) % n AS rem
+                FROM w
+            ), copies AS (
+                SELECT b.key, b.source,
+                       (p.b + CASE WHEN ((b.key::HUGEINT * 2654435761)
+                                         % 4294967296) % p.n < p.rem
+                              THEN 1 ELSE 0 END)::BIGINT AS c
+                FROM base b JOIN per p USING (source)
+            )
+            SELECT key AS event_id, source AS event_type,
+                   unnest(range(0, c)) AS copy_id
+            FROM copies WHERE c > 0
+        """,
         "quantile_map": """
             WITH ref AS MATERIALIZED (
                 SELECT value AS rv,

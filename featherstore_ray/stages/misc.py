@@ -1104,6 +1104,95 @@ def shuffle_shard(
     )
 
 
+def temperature_mix(
+    ds: ray.data.Dataset,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    total: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Temperature-scaled source re-mixing WITH replacement — the
+    multilingual-LM sampling scheme (share ∝ n_s^α upweights low-resource
+    sources; α=1 keeps natural proportions, α→0 approaches uniform).
+    :func:`source_mix` is the downsample-only sibling; this one UPsamples
+    by emitting integer row copies. Target count per source is pure
+    integer math so both engines agree exactly: integer weight ``w_s =
+    round(n_s^α · 10⁶)``, ``m_s = (total·w_s) // Σw`` (Python ints
+    driver-side, HUGEINT in SQL — BIGINT products overflow at corpus
+    scale); every row gets ``m_s // n_s`` copies and rows whose key hash
+    satisfies ``hash(key) % n_s < m_s % n_s`` get one extra (expected —
+    not exact — remainder coverage; deterministic and identical on both
+    engines). Output: (key, source, copy_id 0..copies−1); rows with a
+    null key or source are excluded on both sides.
+
+    Scale shape: one count-partial pass (bounded source vocabulary) →
+    driver integer targets → a stateless per-batch repeat. No shuffle;
+    expansion is bounded by ``total/N`` on average.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [key_col, source_col]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        return (d.groupby(source_col, sort=False, observed=True)
+                .size().rename("_n").reset_index())
+
+    merged = (
+        ds.select_columns(cols)
+        .map_batches(count_partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(merged) == 0 or source_col not in merged.columns:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            source_col: pa.array([], pa.string()),
+            "copy_id": pa.array([], pa.int64()),
+        }))
+    counts = merged.groupby(source_col, sort=True, observed=True)["_n"].sum()
+    n_total = int(counts.sum())
+    tgt_total = int(total) if total is not None else n_total
+    # integer micro-weights: round(n^alpha * 1e6); alpha=0.5 can never
+    # land on a half-grid point (an odd square is never divisible by 4),
+    # other alphas share the standard measure-zero caveat
+    w = {s: int(np.round(float(n) ** alpha * 1e6))
+         for s, n in counts.items()}
+    W = sum(w.values())
+    plan = {}
+    for s, n in counts.items():
+        m = (tgt_total * w[s]) // W  # exact Python ints
+        plan[s] = (int(m // n), int(m % n), int(n))
+
+    def expand(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[source_col]))
+        t = t.select(cols).filter(mask)
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        # uint64 hash: key*2654435761 overflows int64 for 2^32-grade keys
+        # (the negative_sampling HUGEINT lesson — SQL mirrors via HUGEINT)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        codes, uniq = pd.factorize(pd.Series(src))
+        b_u = np.array([plan[s][0] for s in uniq], dtype=np.int64)
+        r_u = np.array([plan[s][1] for s in uniq], dtype=np.int64)
+        n_u = np.array([plan[s][2] for s in uniq], dtype=np.uint64)
+        base, rem, nn = b_u[codes], r_u[codes], n_u[codes]
+        h = (key * np.uint64(2654435761)) % np.uint64(4294967296)
+        copies = base + ((h % nn).astype(np.int64) < rem)
+        keep = copies > 0
+        idx = np.flatnonzero(keep)
+        c = copies[idx]
+        rep = np.repeat(idx, c)
+        starts = np.concatenate(([0], np.cumsum(c)[:-1]))
+        copy_id = np.arange(int(c.sum())) - np.repeat(starts, c)
+        out = t.take(rep)
+        return out.append_column("copy_id", pa.array(copy_id))
+
+    return ds.map_batches(expand, batch_size=None, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def source_mix(
     ds: ray.data.Dataset,
     source_col: str,

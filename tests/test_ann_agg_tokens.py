@@ -2178,6 +2178,34 @@ def test_conformal_interval_coverage_and_formula():
         assert cov >= 0.75
 
 
+def test_temperature_mix_rebalances_toward_uniform():
+    import pandas as pd
+
+    from featherstore_ray.stages.misc import temperature_mix
+
+    df = pd.DataFrame({
+        "k": np.arange(1000),
+        "s": ["big"] * 900 + ["small"] * 100,
+    })
+    out = temperature_mix(
+        ray.data.from_pandas(df).repartition(4), "s", "k", alpha=0.5,
+    ).to_pandas()
+    got = out.groupby("s").size()
+    # natural shares 0.9/0.1 -> alpha=0.5 targets ~0.75/0.25
+    assert 0.70 < got["big"] / len(out) < 0.80
+    assert got["small"] > 150  # upsampled: more copies than source rows
+    # copy ids are dense per (key): every key's copies are 0..c-1
+    mx = out.groupby("k")["copy_id"].agg(["max", "count"])
+    assert (mx["max"] + 1 == mx["count"]).all()
+    # deterministic
+    out2 = temperature_mix(
+        ray.data.from_pandas(df).repartition(2), "s", "k", alpha=0.5,
+    ).to_pandas()
+    a = out.sort_values(["k", "copy_id"]).reset_index(drop=True)
+    b = out2.sort_values(["k", "copy_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_quantile_map_identity_and_singleton():
     import pandas as pd
 
