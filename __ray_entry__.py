@@ -3217,6 +3217,18 @@ def q_wilson_ci(sf_dir: str):
     )
 
 
+def q_eb_shrinkage(sf_dir: str):
+    """Per-user purchase rate shrunk through an empirical-Bayes
+    beta-binomial prior (small-sample CTR smoother): wilson_ci-shaped
+    two-int partials, method-of-moments prior, closed-form finish."""
+    from featherstore_ray.stages.aggregate import eb_shrinkage
+
+    return eb_shrinkage(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type", "purchase",
+    )
+
+
 def q_autocorr(sf_dir: str):
     """Per-user lag-1 autocorrelation of event values in time order
     (momentum/periodicity signal): one entity exchange, sorted shift +
@@ -5151,6 +5163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": q_autocorr,
         "hhi": q_hhi,
         "wilson_ci": q_wilson_ci,
+        "eb_shrinkage": q_eb_shrinkage,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
         "cusum": q_cusum,
@@ -6524,6 +6537,33 @@ def oracle_sql() -> dict[str, str]:
                    round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
                          / (1 + z*z/n), 6) AS ci_hi
             FROM v
+        """,
+        "eb_shrinkage": """
+            WITH m AS (
+                SELECT user_id, count(event_type)::DOUBLE AS n,
+                       count(CASE WHEN event_type = 'purchase'
+                             THEN 1 END)::DOUBLE AS s
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            r AS (SELECT user_id, n, s, s / n AS p FROM m WHERE n > 0),
+            g AS (SELECT count(*)::DOUBLE AS k, sum(p) AS sp,
+                         sum(p * p) AS spp FROM r),
+            pr AS (SELECT sp / k AS mu,
+                          spp / k - (sp / k) * (sp / k) AS v FROM g),
+            st AS (
+                SELECT mu,
+                       LEAST(1000.0,
+                             CASE WHEN v > 0
+                                       AND mu * (1 - mu) / v - 1 > 0
+                                  THEN mu * (1 - mu) / v - 1
+                                  ELSE 1000.0 END) AS strength
+                FROM pr
+            )
+            SELECT r.user_id, r.n::BIGINT AS n, round(r.p, 6) AS rate,
+                   round((r.s + st.mu * st.strength)
+                         / (r.n + st.strength), 6) AS eb_rate
+            FROM r, st
         """,
         "autocorr": """
             WITH d AS (

@@ -2016,6 +2016,83 @@ def wilson_ci(
     }))
 
 
+def eb_shrinkage(
+    ds: ray.data.Dataset,
+    group_col: str,
+    label_col: str,
+    success_value,
+    *,
+    strength_cap: float = 1000.0,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Empirical-Bayes beta-binomial shrinkage of per-group success rates —
+    the standard small-sample smoother for CTR/conversion features: fit a
+    Beta(α, β) prior to the observed per-group rates by method of moments
+    (``μ = Σp/k``, ``v = Σp²/k − μ²`` over the k groups, prior strength
+    ``M = μ(1−μ)/v − 1`` clamped to ``(0, strength_cap]``, ``α = μM``),
+    then report ``eb_rate = (s + α)/(n + M)``. Degenerate priors (zero or
+    negative moment variance, v ≥ μ(1−μ)) clamp M to ``strength_cap`` —
+    maximal shrink toward the pooled mean — via the same CASE the oracle
+    uses. Null labels don't count toward n; null group keys and zero-n
+    groups are excluded (oracle WHERE mirror).
+
+    Scale shape: identical to :func:`wilson_ci` — each block collapses to
+    (group, n, successes) two-int partials merged driver-side (one row per
+    group; route the merge through the bucket exchange if ``group_col`` is
+    ID-grade), then a closed-form finish from two scalar moments.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, label_col]].dropna(subset=[group_col])
+        if d.empty:
+            return pd.DataFrame({
+                group_col: d[group_col],
+                "_n": pd.Series(dtype="int64"),
+                "_s": pd.Series(dtype="int64"),
+            })
+        nn = d[label_col].notna()
+        succ = nn & (d[label_col] == success_value)
+        return (
+            d.assign(_n=nn.astype(np.int64), _s=succ.astype(np.int64))
+            .groupby(group_col, sort=False, observed=True)[["_n", "_s"]]
+            .sum().reset_index()
+        )
+
+    m = (
+        ds.select_columns([group_col, label_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas().groupby(group_col, sort=True, observed=True)[
+            ["_n", "_s"]].sum()
+    )
+    m = m[m["_n"] > 0]
+    n = m["_n"].to_numpy(dtype=np.float64)
+    s = m["_s"].to_numpy(dtype=np.float64)
+    p = s / n
+    k = float(len(p))
+    cap = float(strength_cap)
+    if k > 0:
+        mu = float(p.sum() / k)
+        v = float((p * p).sum() / k - mu * mu)
+        strength = mu * (1.0 - mu) / v - 1.0 if v > 0 else cap
+        if not strength > 0:
+            strength = cap
+        strength = min(cap, strength)
+    else:  # no groups: prior is irrelevant, output is empty anyway
+        mu, strength = 0.0, cap
+    eb = (s + mu * strength) / (n + strength)
+    if round_digits is not None:
+        p = np.round(p, round_digits)
+        eb = np.round(eb, round_digits)
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(m.index.to_numpy()),
+        "n": pa.array(m["_n"].to_numpy(dtype=np.int64)),
+        "rate": pa.array(p),
+        "eb_rate": pa.array(eb),
+    }))
+
+
 def mann_whitney(
     ds: ray.data.Dataset,
     group_col: str,
