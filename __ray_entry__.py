@@ -3217,6 +3217,22 @@ def q_wilson_ci(sf_dir: str):
     )
 
 
+def q_decision_stump(sf_dir: str):
+    """Best variance-reduction split per lineitem feature predicting the
+    discount (histogram-GBDT split-search primitive as a feature screen):
+    min/max partials, per-block (feature, bin) histograms, closed-form
+    prefix-sum scan with rounded-gain argmax."""
+    from featherstore_ray.stages.tree import decision_stump
+
+    return decision_stump(
+        _read(sf_dir, "lineitem",
+              columns=["l_quantity", "l_extendedprice", "l_tax",
+                       "l_discount"]),
+        ["l_quantity", "l_extendedprice", "l_tax"], "l_discount",
+        num_bins=32,
+    )
+
+
 def q_eb_shrinkage(sf_dir: str):
     """Per-user purchase rate shrunk through an empirical-Bayes
     beta-binomial prior (small-sample CTR smoother): wilson_ci-shaped
@@ -5164,6 +5180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi": q_hhi,
         "wilson_ci": q_wilson_ci,
         "eb_shrinkage": q_eb_shrinkage,
+        "decision_stump": q_decision_stump,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
         "cusum": q_cusum,
@@ -6537,6 +6554,71 @@ def oracle_sql() -> dict[str, str]:
                    round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
                          / (1 + z*z/n), 6) AS ci_hi
             FROM v
+        """,
+        "decision_stump": """
+            WITH src AS (
+                SELECT l_quantity::DOUBLE AS f0,
+                       l_extendedprice::DOUBLE AS f1,
+                       l_tax::DOUBLE AS f2, l_discount::DOUBLE AS y
+                FROM lineitem
+            ),
+            u AS (
+                SELECT 'l_quantity' AS feature, f0 AS x, y FROM src
+                  WHERE f0 IS NOT NULL AND y IS NOT NULL
+                UNION ALL
+                SELECT 'l_extendedprice', f1, y FROM src
+                  WHERE f1 IS NOT NULL AND y IS NOT NULL
+                UNION ALL
+                SELECT 'l_tax', f2, y FROM src
+                  WHERE f2 IS NOT NULL AND y IS NOT NULL
+            ),
+            mm AS (SELECT feature, min(x) AS lo, max(x) AS hi
+                   FROM u GROUP BY feature),
+            b AS (
+                SELECT u.feature,
+                       LEAST(31, GREATEST(0, floor(
+                           (u.x - mm.lo) * 32 / (mm.hi - mm.lo))))::BIGINT
+                           AS bin,
+                       u.y, mm.lo, mm.hi
+                FROM u JOIN mm USING (feature)
+                WHERE mm.hi > mm.lo
+            ),
+            g AS (
+                SELECT feature, bin, any_value(lo) AS lo,
+                       any_value(hi) AS hi, count(*)::DOUBLE AS n,
+                       sum(y) AS s, sum(y * y) AS ss
+                FROM b GROUP BY feature, bin
+            ),
+            c AS (
+                SELECT feature, bin, lo, hi,
+                       sum(n) OVER w AS nl, sum(s) OVER w AS sl,
+                       sum(ss) OVER w AS ssl,
+                       sum(n) OVER t AS nt, sum(s) OVER t AS st,
+                       sum(ss) OVER t AS sst
+                FROM g
+                WINDOW w AS (PARTITION BY feature ORDER BY bin),
+                       t AS (PARTITION BY feature)
+            ),
+            sp AS (
+                SELECT feature, bin, lo, hi, nl, nt - nl AS nr,
+                       sl, st - sl AS sr,
+                       round(((sst - st * st / nt) - (ssl - sl * sl / nl)
+                              - ((sst - ssl)
+                                 - (st - sl) * (st - sl) / (nt - nl)))
+                             / nt, 6) AS gain
+                FROM c WHERE nl > 0 AND nt - nl > 0
+            ),
+            pick AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY feature ORDER BY gain DESC, bin) AS rn
+                FROM sp
+            )
+            SELECT feature, bin AS split_bin,
+                   round(lo + (bin + 1) * (hi - lo) / 32, 6) AS threshold,
+                   nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+                   round(sl / nl, 6) AS left_mean,
+                   round(sr / nr, 6) AS right_mean, gain
+            FROM pick WHERE rn = 1
         """,
         "eb_shrinkage": """
             WITH m AS (
