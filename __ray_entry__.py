@@ -3217,6 +3217,18 @@ def q_wilson_ci(sf_dir: str):
     )
 
 
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained on the labeled
+    corpus and scored over every doc: one vocab exchange, (class, token)
+    count partials, broadcast log-prob table, rounded-score argmax."""
+    from featherstore_ray.stages.nbayes import naive_bayes
+
+    return naive_bayes(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        vocab_size=128,
+    )
+
+
 def q_decision_stump(sf_dir: str):
     """Best variance-reduction split per lineitem feature predicting the
     discount (histogram-GBDT split-search primitive as a feature screen):
@@ -5181,6 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_ci": q_wilson_ci,
         "eb_shrinkage": q_eb_shrinkage,
         "decision_stump": q_decision_stump,
+        "naive_bayes": q_naive_bayes,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
         "cusum": q_cusum,
@@ -6554,6 +6567,65 @@ def oracle_sql() -> dict[str, str]:
                    round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
                          / (1 + z*z/n), 6) AS ci_hi
             FROM v
+        """,
+        "naive_bayes": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL
+            ),
+            vocab AS MATERIALIZED (
+                SELECT token FROM (
+                    SELECT token, count(*) AS n FROM tok GROUP BY token
+                    ORDER BY n DESC, token LIMIT 128
+                )
+            ),
+            vn AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+            cls AS (
+                SELECT lang, count(*)::DOUBLE AS n_docs FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL GROUP BY lang
+            ),
+            tot AS (SELECT sum(n_docs) AS n_total FROM cls),
+            tc AS (
+                SELECT d.lang, t.token, count(*)::DOUBLE AS c
+                FROM tok t
+                JOIN documents d USING (doc_id)
+                JOIN vocab v ON v.token = t.token
+                WHERE d.lang IS NOT NULL
+                GROUP BY d.lang, t.token
+            ),
+            ctot AS (SELECT lang, sum(c) AS ct FROM tc GROUP BY lang),
+            lp AS MATERIALIZED (
+                SELECT cls.lang, v.token,
+                       ln((COALESCE(tc.c, 0) + 1)
+                          / (COALESCE(ctot.ct, 0) + (SELECT v FROM vn)))
+                           AS lp
+                FROM cls CROSS JOIN vocab v
+                LEFT JOIN tc ON tc.lang = cls.lang AND tc.token = v.token
+                LEFT JOIN ctot ON ctot.lang = cls.lang
+            ),
+            prior AS (
+                SELECT lang,
+                       ln(n_docs / (SELECT n_total FROM tot)) AS lpr
+                FROM cls
+            ),
+            s AS (
+                SELECT tk.doc_id, lp.lang, sum(lp.lp) AS tl
+                FROM tok tk JOIN lp ON lp.token = tk.token
+                GROUP BY tk.doc_id, lp.lang
+            ),
+            sc AS (
+                SELECT d.doc_id, pr.lang,
+                       round(pr.lpr + COALESCE(s.tl, 0), 6) AS score
+                FROM documents d CROSS JOIN prior pr
+                LEFT JOIN s ON s.doc_id = d.doc_id AND s.lang = pr.lang
+                WHERE d.text IS NOT NULL
+            ),
+            pick AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+                FROM sc
+            )
+            SELECT doc_id, lang AS pred_lang, score FROM pick WHERE rn = 1
         """,
         "decision_stump": """
             WITH src AS (
