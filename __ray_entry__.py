@@ -3217,6 +3217,20 @@ def q_wilson_ci(sf_dir: str):
     )
 
 
+def q_stl_decompose(sf_dir: str):
+    """Per-user additive trend/seasonal/residual decomposition of event
+    values (moving-average STL-lite): one entity exchange, centered
+    RANGE-frame prefix-sum trend, (entity, hour) bincount seasonal."""
+    from featherstore_ray.stages.window import stl_decompose
+
+    return stl_decompose(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        window=timedelta(hours=12), tiebreak="event_id",
+    )
+
+
 def q_naive_bayes(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the labeled
     corpus and scored over every doc: one vocab exchange, (class, token)
@@ -5194,6 +5208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_shrinkage": q_eb_shrinkage,
         "decision_stump": q_decision_stump,
         "naive_bayes": q_naive_bayes,
+        "stl_decompose": q_stl_decompose,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
         "cusum": q_cusum,
@@ -6567,6 +6582,31 @@ def oracle_sql() -> dict[str, str]:
                    round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
                          / (1 + z*z/n), 6) AS ci_hi
             FROM v
+        """,
+        "stl_decompose": """
+            WITH b AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            t AS (
+                SELECT *, avg(value) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 12 HOURS PRECEDING
+                              AND INTERVAL 12 HOURS FOLLOWING) AS trend
+                FROM b
+            ),
+            s AS (
+                SELECT *, avg(value - trend) OVER (
+                    PARTITION BY user_id, hour(ts)) AS seasonal
+                FROM t
+            )
+            SELECT user_id, ts, event_id, value,
+                   round(trend, 6) AS trend,
+                   round(seasonal, 6) AS seasonal,
+                   round(value - round(trend, 6) - round(seasonal, 6), 6)
+                       AS resid
+            FROM s
         """,
         "naive_bayes": """
             WITH tok AS (

@@ -1387,3 +1387,89 @@ def rolling_slope(
         return out
 
     return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def stl_decompose(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window,
+    period_hours: int = 24,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Additive seasonal-trend decomposition per entity (STL-lite):
+    ``trend`` = centered RANGE-frame mean over ``[t − w, t + w]`` (closed
+    both ends, equal-ts peers included — SQL ``RANGE BETWEEN w PRECEDING
+    AND w FOLLOWING``), ``seasonal`` = per-(entity, phase) mean of the
+    detrended series with phase = hour-of-day (``hour(ts)``; the
+    ``period_hours`` phases of a daily cycle), ``resid`` = value − trend −
+    seasonal. The classic moving-average decomposition, not Cleveland's
+    loess STL — deterministic and oracle-expressible.
+
+    Rows with a null entity, ts or value are dropped on both sides (oracle
+    WHERE mirror). Outputs append unrounded-intermediate, rounded-at-edge
+    columns so the residual identity holds exactly pre-rounding.
+
+    Scale shape: ONE entity-hash exchange; inside a bucket the centered
+    window resolves with the same group-offset composite searchsorted as
+    :func:`rolling_aggregate` (the span margin covers a FORWARD probe of
+    ``+w`` exactly like the backward one), trend via prefix sums, seasonal
+    via one bincount over (group, phase) codes. No per-entity Python loop
+    on the fast path.
+    """
+    w_us = _window_us(window)
+    ph = int(period_hours)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        df, new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            for c in ("trend", "seasonal", "resid"):
+                out[c] = pd.Series(dtype="float64")
+            return out
+        ts = _ts_us(df[ts_col])
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        key = _group_offset_ts(ts, new_ent, w_us)
+        if key is None:  # overflow fallback: per-entity searchsorted loop
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            bounds = np.append(starts, n)
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                tg = ts[g0:g1]
+                lo[g0:g1] = g0 + np.searchsorted(tg, tg - w_us, side="left")
+                hi[g0:g1] = g0 + np.searchsorted(tg, tg + w_us, side="right")
+        else:
+            lo = np.searchsorted(key, key - w_us, side="left")
+            hi = np.searchsorted(key, key + w_us, side="right")
+        csum = np.concatenate(([0.0], np.cumsum(vals)))
+        trend = (csum[hi] - csum[lo]) / (hi - lo)
+        detr = vals - trend
+        gid = np.cumsum(new_ent) - 1
+        hour = ((ts // 3_600_000_000) % ph).astype(np.int64)
+        code = gid * ph + hour
+        ssum = np.bincount(code, weights=detr)
+        scnt = np.bincount(code)
+        seasonal = (ssum / np.where(scnt == 0, 1, scnt))[code]
+        if round_digits is not None:
+            # resid from the ROUNDED components: cross-engine 1e-13 noise
+            # in trend/seasonal otherwise lands resid on a rounding-grid
+            # half point (the rolling_slope class of flip)
+            trend = np.round(trend, round_digits)
+            seasonal = np.round(seasonal, round_digits)
+            resid = np.round(vals - trend - seasonal, round_digits)
+        else:
+            resid = vals - trend - seasonal
+        out = df.copy()
+        out["trend"] = trend
+        out["seasonal"] = seasonal
+        out["resid"] = resid
+        return out
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
