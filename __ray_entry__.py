@@ -1232,6 +1232,46 @@ def _logreg_sql(iters: int, lr: float, dim: int = 64) -> str:
         SELECT j, round(wj, 6) AS weight FROM {cur}"""
 
 
+def _psm_att_sql(iters: int, lr: float, outcome_dim: int,
+                 dim: int = 64) -> str:
+    """SQL mirror of ``psm_att`` (stages/ann.py): unrolled logreg chain,
+    6dp-rounded propensities, one control representative per distinct
+    propensity (min vec_id), LATERAL nearest-propensity match with
+    (distance, vec_id) ordering — literally the kernel's tie rule."""
+    sql, cur = _logreg_ctes(iters, lr, dim)
+    return sql + f""",
+        wr AS (SELECT j, round(wj, 6) AS wj FROM {cur}),
+        dots AS (
+          SELECT e.vec_id, sum(e.v[w.j] * w.wj) AS dot
+          FROM e CROSS JOIN wr w GROUP BY e.vec_id
+        ),
+        sc AS MATERIALIZED (
+          SELECT e.vec_id, e.y AS tr, e.v[{outcome_dim + 1}] AS yv,
+                 round(1.0 / (1.0 + exp(-d.dot)), 6) AS p
+          FROM e JOIN dots d USING (vec_id)
+        ),
+        ctl AS (
+          SELECT p, vec_id, yv, ROW_NUMBER() OVER (
+              PARTITION BY p ORDER BY vec_id) AS rn
+          FROM sc WHERE tr = 0.0
+        ),
+        c1 AS MATERIALIZED (SELECT p, vec_id, yv FROM ctl WHERE rn = 1),
+        nctl AS (SELECT count(*) AS n FROM sc WHERE tr = 0.0),
+        m AS (
+          SELECT t.vec_id, t.yv AS yt, c.yv AS yc,
+                 abs(t.p - c.p) AS dist
+          FROM sc t CROSS JOIN LATERAL (
+            SELECT yv, p FROM c1
+            ORDER BY abs(c1.p - t.p), vec_id LIMIT 1) c
+          WHERE t.tr = 1.0
+        )
+        SELECT count(*)::BIGINT AS n_treat,
+               (SELECT n FROM nctl)::BIGINT AS n_control,
+               round(sum(yt - yc) / count(*), 6) AS att,
+               round(sum(dist) / count(*), 6) AS mean_match_dist
+        FROM m"""
+
+
 def _dr_ate_sql(iters: int, lr: float, outcome_dim: int, clip: float,
                 dim: int = 64) -> str:
     """SQL mirror of ``dr_ate`` (stages/ann.py): the unrolled logreg
@@ -3992,6 +4032,20 @@ def q_dr_ate(sf_dir: str):
     )
 
 
+def q_psm_att(sf_dir: str):
+    """Propensity-score 1-NN matching ATT over the embeddings table:
+    rounded-grid propensities collapse the control arm to one
+    representative per grid point (bounded by the GRID, not the data),
+    broadcast reps + per-block searchsorted matching partials."""
+    from featherstore_ray.stages.ann import psm_att
+
+    return psm_att(
+        _read(sf_dir, "embeddings",
+              columns=["vec_id", "embedding", "label"]),
+        outcome_dim=1, treat_label=0, iters=_LOGREG_ITERS, lr=_LOGREG_LR,
+    )
+
+
 def q_knn_graph(sf_dir: str):
     """Exact cosine 5-NN graph over the embeddings table via blocked
     matmul: normalized blocks in the object store once, each task folds
@@ -5269,6 +5323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lateness_audit": q_lateness_audit,
         "dr_ate": q_dr_ate,
         "knn_graph": q_knn_graph,
+        "psm_att": q_psm_att,
         "rrf_fuse": q_rrf_fuse,
         "lift_table": q_lift_table,
         "bootstrap_ci": q_bootstrap_ci,
@@ -8213,6 +8268,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
         "logreg_train": _logreg_sql(_LOGREG_ITERS, _LOGREG_LR),
         "dr_ate": _dr_ate_sql(_LOGREG_ITERS, _LOGREG_LR, 1, 0.05),
+        "psm_att": _psm_att_sql(_LOGREG_ITERS, _LOGREG_LR, 1),
         "semantic_dedup": _semantic_dedup_oracle_sql(
             _KMEANS_K, _KMEANS_ITERS, _SEMDEDUP_T
         ),

@@ -1800,6 +1800,137 @@ def dr_ate(
     }))
 
 
+def psm_att(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    outcome_dim: int = 1,
+    treat_label: int = 0,
+    iters: int = 5,
+    lr: float = 0.1,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Propensity-score MATCHING estimate of the treatment effect on the
+    treated (ATT) — the third causal op next to ``ate_stratified``
+    (post-stratification) and :func:`dr_ate` (AIPW reweighting): each
+    treated unit is matched 1-NN-with-replacement to the control whose
+    6dp-ROUNDED propensity is nearest (the rounding makes match selection
+    a comparison of identical doubles on both engines); distance ties
+    take the control with the smallest id. ``att = mean(y_t −
+    y_match(t))``.
+
+    The matching insight that keeps this distributed: because propensities
+    are rounded to a fixed grid and same-propensity ties break to the
+    SMALLEST control id, only one control per DISTINCT rounded propensity
+    can ever be matched. Pass A therefore collapses the control arm to at
+    most one representative per grid point (≤ 10^round_digits + 1 rows —
+    bounded by the GRID, not the data) merged driver-side; the treated arm
+    never materializes: pass B broadcasts the tiny rep table and each
+    block collapses to (Σdiff, Σdist, n_t) partials via one searchsorted.
+
+    One row out: (n_treat, n_control, att, mean_match_dist).
+    """
+    w_tab = logreg_train(
+        ds, emb_col=emb_col, label_col=label_col,
+        positive_label=treat_label, iters=iters, lr=lr,
+    ).to_pandas().sort_values("j")
+    w = w_tab["weight"].to_numpy(dtype=np.float64)  # rounded 6dp
+
+    proj = ds.select_columns([id_col, emb_col, label_col]).materialize()
+
+    def _score(t: pa.Table):
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        tr = lab == treat_label
+        y = X[:, outcome_dim]
+        p = np.round(1.0 / (1.0 + np.exp(-(X @ w))), round_digits)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tr, y, p, ids
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        tr, y, p, ids = _score(t)
+        c = ~tr
+        pc, yc, ic = p[c], y[c], ids[c]
+        order = np.lexsort((ic, pc))
+        pc, yc, ic = pc[order], yc[order], ic[order]
+        first = np.ones(len(pc), dtype=bool)
+        first[1:] = pc[1:] != pc[:-1]
+        return pa.table({
+            "p": pa.array(pc[first]),
+            "cid": pa.array(ic[first]),
+            "y": pa.array(yc[first]),
+            "cnt": pa.array(
+                np.diff(np.append(np.flatnonzero(first), len(pc)))),
+        })
+
+    pass_a_df = (
+        proj.map_batches(pass_a, batch_size=None, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .to_pandas()
+    )
+    n_control = int(pass_a_df["cnt"].sum())
+    reps = (
+        pass_a_df.sort_values(["p", "cid"], kind="stable")
+        .drop_duplicates("p", keep="first")
+    )
+    ps = reps["p"].to_numpy(dtype=np.float64)
+    ys = reps["y"].to_numpy(dtype=np.float64)
+    ids_c = reps["cid"].to_numpy(dtype=np.int64)
+
+    if len(ps) == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_treat": pa.array([0], pa.int64()),
+            "n_control": pa.array([0], pa.int64()),
+            "att": pa.array([np.nan]),
+            "mean_match_dist": pa.array([np.nan]),
+        }))
+
+    import ray as ray_mod
+
+    rep_ref = ray_mod.put((ps, ys, ids_c))
+
+    def pass_b(t: pa.Table, *, _ref=rep_ref) -> pa.Table:
+        import ray as r
+
+        ps, ys, ids_c = r.get(_ref)
+        tr, y, p, _ = _score(t)
+        pt, yt = p[tr], y[tr]
+        nc = len(ps)
+        j = np.searchsorted(ps, pt)  # first rep with p >= pt
+        jl = np.clip(j - 1, 0, nc - 1)
+        jr = np.clip(j, 0, nc - 1)
+        dl = np.abs(pt - ps[jl])
+        dr = np.abs(ps[jr] - pt)
+        dl[j == 0] = np.inf
+        dr[j == nc] = np.inf
+        pick_left = (dl < dr) | ((dl == dr) & (ids_c[jl] < ids_c[jr]))
+        k = np.where(pick_left, jl, jr)
+        return pa.table({
+            "sdiff": pa.array([float((yt - ys[k]).sum())]),
+            "sdist": pa.array([float(np.abs(pt - ps[k]).sum())]),
+            "nt": pa.array([int(len(yt))]),
+        })
+
+    b = proj.map_batches(
+        pass_b, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    nt = int(b["nt"].sum())
+    if nt == 0:
+        att = dist = np.nan
+    else:
+        att = np.round(float(b["sdiff"].sum()) / nt, round_digits)
+        dist = np.round(float(b["sdist"].sum()) / nt, round_digits)
+    return ray.data.from_arrow(pa.table({
+        "n_treat": pa.array([nt], pa.int64()),
+        "n_control": pa.array([n_control], pa.int64()),
+        "att": pa.array([att]),
+        "mean_match_dist": pa.array([dist]),
+    }))
+
+
 def knn_graph(
     ds: ray.data.Dataset,
     *,
