@@ -4032,6 +4032,15 @@ def q_dr_ate(sf_dir: str):
     )
 
 
+def q_reciprocal_nn(sf_dir: str):
+    """Mutual 1-NN pairs over the embeddings (bitext-mining reciprocity
+    filter): knn_graph k=1, canonical (min,max) edges, one hash(a)
+    exchange, pair survives iff both directions landed."""
+    from featherstore_ray.stages.ann import reciprocal_nn
+
+    return reciprocal_nn(_read(sf_dir, "embeddings"), block_rows=128)
+
+
 def q_psm_att(sf_dir: str):
     """Propensity-score 1-NN matching ATT over the embeddings table:
     rounded-grid propensities collapse the control arm to one
@@ -5324,6 +5333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dr_ate": q_dr_ate,
         "knn_graph": q_knn_graph,
         "psm_att": q_psm_att,
+        "reciprocal_nn": q_reciprocal_nn,
         "rrf_fuse": q_rrf_fuse,
         "lift_table": q_lift_table,
         "bootstrap_ci": q_bootstrap_ci,
@@ -8542,6 +8552,28 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (60 + r0.rk) + 1.0 / (60 + r1.rk) AS rrf
             FROM r0 JOIN r1 ON r0.vec_id = r1.vec_id
             ORDER BY rrf DESC, r0.vec_id ASC LIMIT 20
+        """,
+        "reciprocal_nn": """
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), sims AS (
+              SELECT a.vec_id AS id, b.vec_id AS neighbor,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+              FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            ), nn AS (
+              SELECT id, neighbor, cosine FROM (
+                SELECT id, neighbor, cosine,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY cosine DESC,
+                                                   neighbor ASC) AS rn
+                FROM sims)
+              WHERE rn = 1
+            )
+            SELECT n1.id AS a, n1.neighbor AS b, n1.cosine AS cosine
+            FROM nn n1 JOIN nn n2
+              ON n1.neighbor = n2.id AND n2.neighbor = n1.id
+            WHERE n1.id < n1.neighbor
         """,
         "knn_graph": """
             WITH emb AS MATERIALIZED (

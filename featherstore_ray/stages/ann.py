@@ -2040,6 +2040,62 @@ def knn_graph(
     )
 
 
+def reciprocal_nn(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+    block_rows: int = 4096,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Mutual nearest neighbors — pairs where each vector is the other's
+    1-NN by rounded cosine (ties → ascending id, the knn contract). The
+    margin-free bitext/translation-pair mining primitive (Artetxe &
+    Schwenk's margin scoring reduces to this at k=1): reciprocity is the
+    cheapest high-precision filter on a neighbor graph.
+
+    Scale shape: :func:`knn_graph` at k=1 (blocked matmul, broadcast
+    norm blocks), then each edge canonicalizes to (min, max) and ONE
+    hash(a) exchange groups the two directions of a pair — a pair
+    survives iff both directions landed (count == 2). Output:
+    (a, b, cosine) with a < b; both directions carry the same rounded
+    cosine, so the pair's score is direction-free.
+    """
+    nn = knn_graph(
+        ds, id_col=id_col, emb_col=emb_col, k=1,
+        round_digits=round_digits, block_rows=block_rows,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["neighbor"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.minimum(i, nb)),
+            "b": pa.array(np.maximum(i, nb)),
+            "cosine": t["cosine"],
+        })
+
+    edges = nn.map_batches(
+        canon, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.exchange import bucketed_map_groups
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        cnt = df.groupby(["a", "b"], sort=False)["cosine"].transform("size")
+        out = df[cnt == 2].drop_duplicates(["a", "b"])
+        return out[["a", "b", "cosine"]]
+
+    return bucketed_map_groups(
+        add_bucket_column(edges, "a", num_buckets), mutual,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
 def rrf_fuse(
     ds: ray.data.Dataset,
     query_vecs,
