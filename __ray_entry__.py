@@ -3498,6 +3498,26 @@ def _geo_coords(key_col: str, xname: str, yname: str):
     return add
 
 
+_DBSCAN_EPS = 60.0
+_DBSCAN_MINPTS = 4
+
+
+def q_dbscan(sf_dir: str):
+    """Deterministic DBSCAN over the synthesized customer point cloud
+    (eps=60, min_pts=4): radius self-join eps-graph, two degree
+    exchanges, hash-min components over core-core edges, min-label
+    border assignment. Exact-closure SQL mirror."""
+    from featherstore_ray.stages.spatial import dbscan
+
+    pts = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        _geo_coords("c_custkey", "c_x", "c_y"),
+        batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return dbscan(
+        pts, id_col="c_custkey", x_col="c_x", y_col="c_y",
+        eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS,
+    )
+
+
 def q_radius_join(sf_dir: str):
     """Spatial radius join: customer × supplier point pairs within planar
     distance 50 on a synthesized 1000×1000 grid — the grid-partitioned
@@ -5310,6 +5330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "band_join": q_band_join,
         "radius_join": q_radius_join,
+        "dbscan": q_dbscan,
         "ips_eval": q_ips_eval,
         "did": q_did,
         "ipf_raking": q_ipf_raking,
@@ -9055,6 +9076,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(wr) / (SELECT n FROM tot), 6) AS ips,
                    round(sum(wr) / sum(w), 6) AS snips
             FROM terms GROUP BY policy_shift
+        """,
+        "dbscan": f"""
+            WITH RECURSIVE pts AS (
+                SELECT c_custkey,
+                       (((c_custkey * {_GEO_HX}) % 4294967296) % 100000)
+                           / 100.0 AS x,
+                       (((c_custkey * {_GEO_HY}) % 4294967296) % 100000)
+                           / 100.0 AS y
+                FROM customer
+            ),
+            e AS MATERIALIZED (
+                SELECT a.c_custkey AS ia, b.c_custkey AS ib
+                FROM pts a, pts b
+                WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)
+                      <= {_DBSCAN_EPS * _DBSCAN_EPS!r}
+            ),
+            deg AS (SELECT ia AS id, count(*) AS n FROM e GROUP BY ia),
+            core AS MATERIALIZED (
+                SELECT id FROM deg WHERE n >= {_DBSCAN_MINPTS}),
+            ce AS MATERIALIZED (
+                SELECT e.ia AS a, e.ib AS b FROM e
+                JOIN core c1 ON c1.id = e.ia
+                JOIN core c2 ON c2.id = e.ib
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM ce),
+            reach(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT c.a, r.label FROM ce c JOIN reach r ON r.node = c.b
+            ),
+            clab AS MATERIALIZED (
+                SELECT node, min(label) AS cluster FROM reach GROUP BY node
+            ),
+            border AS (
+                SELECT e.ia AS c_custkey, min(cl.cluster) AS cluster
+                FROM e
+                JOIN core c2 ON c2.id = e.ib
+                JOIN clab cl ON cl.node = e.ib
+                LEFT JOIN core c1 ON c1.id = e.ia
+                WHERE c1.id IS NULL
+                GROUP BY e.ia
+            )
+            SELECT node AS c_custkey, cluster, TRUE AS is_core FROM clab
+            UNION ALL
+            SELECT c_custkey, cluster, FALSE AS is_core FROM border
         """,
         "radius_join": f"""
             WITH lc AS (

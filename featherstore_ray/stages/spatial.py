@@ -197,3 +197,147 @@ def radius_join(
     return bucketed_map_groups(
         tagged, kernel, num_buckets=num_buckets, batch_format="pyarrow"
     )
+
+
+def dbscan(
+    points: ray.data.Dataset,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+    num_buckets: int = 64,
+    driver_edge_cap: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Deterministic DBSCAN over 2D points: density clusters from the
+    eps-radius graph. A point is CORE when its closed eps-neighborhood
+    (itself included) holds at least ``min_pts`` points; clusters are the
+    connected components of the core-core subgraph labeled by their
+    minimum core id; a non-core point with at least one core neighbor is
+    a BORDER point assigned the SMALLEST cluster label among its core
+    neighbors (classic DBSCAN leaves border assignment scan-order-
+    dependent — the min rule makes it deterministic and oracle-
+    expressible); everything else is noise and is omitted.
+
+    Output: (id_col, cluster, is_core) — one row per core/border point.
+
+    Scale shape: the eps-graph comes from :func:`radius_join` against a
+    renamed copy of the points (grid cells of side 2·eps, one spatial-
+    hash exchange, exact predicate). Degrees attach to BOTH endpoints in
+    two bucket exchanges — the graph is symmetric (self-join), so the
+    right endpoint's degree is computable inside the hash(right) bucket
+    without a second degree table. Components run through
+    ``connected_components`` (hash-min propagation, driver-vectorized
+    below ``driver_edge_cap`` edges); border labels take one hash join +
+    one min-per-id exchange. No stage materializes the point set on the
+    driver.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.components import connected_components
+    from featherstore_ray.stages.join import hash_join
+
+    rid, rx, ry = f"_{id_col}_r", f"_{x_col}_r", f"_{y_col}_r"
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({rid: t[id_col], rx: t[x_col], ry: t[y_col]})
+
+    right = points.map_batches(
+        rename, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges = radius_join(
+        points, right,
+        left_x=x_col, left_y=y_col, right_x=rx, right_y=ry, radius=eps,
+        left_cols=[id_col, x_col, y_col], right_cols=[rid, rx, ry],
+        num_buckets=num_buckets,
+    ).select_columns([id_col, rid])
+
+    def flag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        deg = df.groupby(id_col, sort=False)[rid].transform("size")
+        df["_lcore"] = (deg >= min_pts).to_numpy()
+        return df
+
+    flagged = bucketed_map_groups(
+        add_bucket_column(edges, id_col, num_buckets), flag_left,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def flag_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        # symmetric graph: deg(v) over right endpoints == deg(v)
+        deg = df.groupby(rid, sort=False)[id_col].transform("size")
+        df["_rcore"] = (deg >= min_pts).to_numpy()
+        return df
+
+    ff = bucketed_map_groups(
+        add_bucket_column(flagged, rid, num_buckets), flag_right,
+        num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(t["_lcore"], t["_rcore"])
+        f = t.filter(m)
+        return pa.table({
+            "a": f[id_col].combine_chunks().cast(pa.int64()),
+            "b": f[rid].combine_chunks().cast(pa.int64()),
+        })
+
+    labels = connected_components(
+        ff.map_batches(core_edges, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        num_buckets=num_buckets, driver_edge_cap=driver_edge_cap,
+    )  # (node, dup_group); self-loops keep isolated cores clustered
+
+    def border_edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.invert(t["_lcore"]), t["_rcore"])
+        f = t.filter(m)
+        return pa.table({
+            id_col: f[id_col],
+            "node": f[rid].combine_chunks().cast(pa.int64()),
+        })
+
+    bj = hash_join(
+        ff.map_batches(border_edges, batch_size=None,
+                       batch_format="pyarrow", zero_copy_batch=True),
+        labels, on=["node"], num_partitions=num_buckets,
+    ).select_columns([id_col, "dup_group"])
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "cluster": pd.Series(dtype="int64"),
+                "is_core": pd.Series(dtype="bool"),
+            })
+        out = (
+            df.groupby(id_col, sort=False)["dup_group"].min().reset_index()
+            .rename(columns={"dup_group": "cluster"})
+        )
+        out["is_core"] = np.zeros(len(out), dtype=bool)
+        return out
+
+    borders = bucketed_map_groups(
+        add_bucket_column(bj, id_col, num_buckets), min_label,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def core_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t["node"],
+            "cluster": t["dup_group"].combine_chunks().cast(pa.int64()),
+            "is_core": pa.array(np.ones(t.num_rows, dtype=bool)),
+        })
+
+    cores = labels.map_batches(
+        core_rows, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return cores.union(borders)
