@@ -4411,6 +4411,19 @@ def q_embedding_outliers(sf_dir: str):
 _ATTR_HOURS = 6
 
 
+def q_shapley_attribution(sf_dir: str):
+    """Set-based simplified-Shapley channel attribution: each converting
+    user's distinct pre-conversion channels split one unit of credit
+    1/|S| — one entity exchange, channel-grade partials."""
+    from featherstore_ray.stages.aggregate import shapley_attribution
+
+    return shapley_attribution(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        conversion_value="purchase",
+    )
+
+
 def q_attribution(sf_dir: str):
     """Multi-touch linear attribution: every purchase splits credit
     equally over the user's clicks in the trailing 6h RANGE window
@@ -5367,6 +5380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": q_kcenter_select,
         "embedding_outliers": q_embedding_outliers,
         "attribution": q_attribution,
+        "shapley_attribution": q_shapley_attribution,
         "k_anonymity": q_k_anonymity,
         "benford": q_benford,
         "theil_sen": q_theil_sen,
@@ -8155,6 +8169,26 @@ def oracle_sql() -> dict[str, str]:
                          / (tot.n * log10(1 + 1.0 / d.digit)), 6)
                      AS chi2_term
             FROM d LEFT JOIN o USING (digit), tot
+        """,
+        "shapley_attribution": """
+            WITH fp AS (
+                SELECT user_id, min(ts) AS pts FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            s AS (
+                SELECT DISTINCT e.user_id, e.event_type
+                FROM events e JOIN fp USING (user_id)
+                WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
+                  AND e.event_type IS NOT NULL AND e.ts IS NOT NULL
+            ),
+            sz AS (SELECT user_id, count(*) AS k FROM s GROUP BY user_id)
+            SELECT s.event_type AS channel,
+                   count(*)::BIGINT AS journeys,
+                   round(sum(1.0 / sz.k), 6) AS shapley_credit
+            FROM s JOIN sz USING (user_id)
+            GROUP BY s.event_type
         """,
         "attribution": f"""
             WITH p AS (SELECT event_id AS purchase_id, user_id, ts

@@ -4120,3 +4120,89 @@ def seasonality_index(
     return bucketed_map_groups(
         parts, finish, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def shapley_attribution(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conversion_value: str = "purchase",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Set-based (simplified-Shapley) multi-touch attribution — the
+    cooperative-game sibling of ``asof.linear_attribution`` (which splits
+    by touch COUNT in a window; this splits by distinct-CHANNEL set):
+    for every converting entity, the distinct channels observed STRICTLY
+    BEFORE its first conversion each receive ``1/|S|`` credit, the
+    symmetric-game Shapley value when a coalition's worth is its
+    conversion count. Conversions at an entity's very first event have an
+    empty coalition and credit nothing (direct conversions). Output: one
+    row per channel — (channel, journeys, shapley_credit).
+
+    Scale shape: ONE entity-hash exchange; each bucket reduces its
+    entities to (channel, journeys, Σ 1/k) partials — at most
+    |channel universe| rows per bucket — merged driver-side (channel
+    cardinality is type-grade, not ID-grade).
+    """
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        conv = df[df[type_col] == conversion_value]
+        if conv.empty:
+            return pd.DataFrame({
+                "channel": pd.Series(dtype="object"),
+                "journeys": pd.Series(dtype="int64"),
+                "_credit": pd.Series(dtype="float64"),
+            })
+        fp = conv.groupby(entity_col, sort=False)[ts_col].min()
+        cut = df[entity_col].map(fp)
+        pre = df[
+            cut.notna() & (df[ts_col] < cut)
+            & (df[type_col] != conversion_value)
+        ][[entity_col, type_col]].drop_duplicates()
+        if pre.empty:
+            return pd.DataFrame({
+                "channel": pd.Series(dtype="object"),
+                "journeys": pd.Series(dtype="int64"),
+                "_credit": pd.Series(dtype="float64"),
+            })
+        k = pre.groupby(entity_col, sort=False)[type_col].transform("size")
+        pre = pre.assign(_credit=1.0 / k.to_numpy(dtype=np.float64))
+        out = (
+            pre.groupby(type_col, sort=False)
+            .agg(journeys=(entity_col, "size"), _credit=("_credit", "sum"))
+            .reset_index().rename(columns={type_col: "channel"})
+        )
+        return out[["channel", "journeys", "_credit"]]
+
+    parts = bucketed_map_groups(
+        add_bucket_column(ds, entity_col, num_buckets), kernel,
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    if parts.empty:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({
+            "channel": pa.array([], pa.string()),
+            "journeys": pa.array([], pa.int64()),
+            "shapley_credit": pa.array([], pa.float64()),
+        }))
+    m = (
+        parts.groupby("channel", sort=True)
+        .agg(journeys=("journeys", "sum"), _credit=("_credit", "sum"))
+        .reset_index()
+    )
+    credit = m["_credit"].to_numpy(dtype=np.float64)
+    if round_digits is not None:
+        credit = np.round(credit, round_digits)
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        "channel": pa.array(m["channel"].astype(str)),
+        "journeys": pa.array(m["journeys"].to_numpy(dtype=np.int64)),
+        "shapley_credit": pa.array(credit),
+    }))
