@@ -1092,6 +1092,18 @@ def q_line_dedup(sf_dir: str):
 _KMEANS_K, _KMEANS_ITERS = 8, 2
 
 
+def q_silhouette(sf_dir: str):
+    """Centroid-based silhouette score of the exact k-means clustering:
+    kmeans_fit moment passes + one scoring pass collapsing each block to
+    k (cluster, n, sum_s) partials. Shares the unrolled kmeans mirror."""
+    from featherstore_ray.stages.ann import silhouette
+
+    return silhouette(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=_KMEANS_K, iters=_KMEANS_ITERS,
+    )
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table — exact oracle
     semantics (float64 Euclidean, init = embeddings of the k smallest ids,
@@ -1348,6 +1360,37 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
         )"""
         cur = c
     return sql, cur
+
+
+def _silhouette_sql(k: int, iters: int) -> str:
+    """SQL mirror of ``silhouette`` — the shared kmeans chain, list_distance
+    argmin assignment (tie -> lowest cluster), centroid-form a/b, s summed
+    per cluster. Every op past assignment is smooth; 6dp rounding absorbs
+    summation-order ulps."""
+    sql, cur = _kmeans_ctes(k, iters)
+    return sql + f""",
+        asg AS (
+          SELECT vec_id, v, cl FROM (
+            SELECT e.vec_id, e.v, c.cl, row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, c.v), c.cl) AS rn
+            FROM emb e CROSS JOIN {cur} c) WHERE rn = 1
+        ),
+        dists AS (
+          SELECT a.vec_id, a.cl AS own, c.cl, list_distance(a.v, c.v) AS d
+          FROM asg a CROSS JOIN {cur} c
+        ),
+        ab AS (
+          SELECT vec_id, own,
+                 max(CASE WHEN cl = own THEN d END) AS a,
+                 min(CASE WHEN cl <> own THEN d END) AS b
+          FROM dists GROUP BY vec_id, own
+        )
+        SELECT own AS cluster, count(*)::BIGINT AS n,
+               round(sum(CASE WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b)
+                         ELSE 0 END) / count(*), 6) AS mean_silhouette
+        FROM ab GROUP BY own"""
 
 
 def _kmeans_oracle_sql(k: int, iters: int) -> str:
@@ -5232,6 +5275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "kmeans": q_kmeans,
+        "silhouette": q_silhouette,
         "logreg_train": q_logreg_train,
         "semantic_dedup": q_semantic_dedup,
         "pack_sequences": q_pack_sequences,
@@ -8330,6 +8374,7 @@ def oracle_sql() -> dict[str, str]:
                      - COALESCE(k.n_kept, 0) AS n_dropped
             FROM lined l LEFT JOIN kept k USING (doc_id)
         """,
+        "silhouette": _silhouette_sql(_KMEANS_K, _KMEANS_ITERS),
         "kmeans": _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
         "logreg_train": _logreg_sql(_LOGREG_ITERS, _LOGREG_LR),
         "dr_ate": _dr_ate_sql(_LOGREG_ITERS, _LOGREG_LR, 1, 0.05),

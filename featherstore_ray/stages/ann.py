@@ -719,6 +719,70 @@ def kmeans_assign(
     )
 
 
+def silhouette(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Simplified (centroid-based) silhouette of the exact k-means
+    clustering — the cluster-quality member of the model-eval family
+    (auc/ndcg/calibration score rankings; this scores a partitioning):
+    per point ``a`` = Euclidean distance to its OWN centroid, ``b`` = min
+    distance to any OTHER centroid, ``s = (b − a)/max(a, b)`` (0 when the
+    point sits exactly on its centroid and max = 0). The classic O(n²)
+    silhouette replaces a/b with mean pairwise distances; the centroid
+    form is its standard O(n·k) large-scale surrogate and is what scales
+    to 100 TB. Output: one row per non-empty cluster — (cluster, n,
+    mean_silhouette).
+
+    Scale shape: :func:`kmeans_fit`'s streaming moment passes (no
+    shuffle), then ONE scoring pass — centroids ride in the closure, each
+    block collapses to ≤ k (cluster, n, Σs) partial rows, merged
+    driver-side.
+    """
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    C = kmeans_fit(proj, id_col=id_col, emb_col=emb_col, k=k, iters=iters)
+
+    def part(t: pa.Table, cent=C) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+            })
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        own = _kmeans_assign_of(X, cent)
+        # direct-form distances (the oracle's list_distance shape)
+        d = np.sqrt(((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
+        a = d[np.arange(len(X)), own]
+        d[np.arange(len(X)), own] = np.inf
+        b = d.min(axis=1)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        n_per = np.bincount(own, minlength=len(cent))
+        s_per = np.bincount(own, weights=s, minlength=len(cent))
+        keep = n_per > 0
+        return pa.table({
+            "cluster": pa.array(np.flatnonzero(keep).astype(np.int64)),
+            "n": pa.array(n_per[keep].astype(np.int64)),
+            "s": pa.array(s_per[keep]),
+        })
+
+    m = proj.map_batches(
+        part, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().groupby("cluster", sort=True)[["n", "s"]].sum()
+    return ray.data.from_arrow(pa.table({
+        "cluster": pa.array(m.index.to_numpy(dtype=np.int64)),
+        "n": pa.array(m["n"].to_numpy(dtype=np.int64)),
+        "mean_silhouette": pa.array(np.round(
+            m["s"].to_numpy() / m["n"].to_numpy(), round_digits)),
+    }))
+
+
 def semantic_dedup(
     ds: ray.data.Dataset,
     *,
