@@ -4467,6 +4467,37 @@ def q_shapley_attribution(sf_dir: str):
     )
 
 
+def q_golden_record(sf_dir: str):
+    """Field-level survivorship merge per user: the latest PURCHASE value
+    and the latest CLICK props survive independently (nulls derived per
+    type), unlike latest_per_entity's whole-row pick. One exchange."""
+    from featherstore_ray.stages.latest import golden_record
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type",
+                        "value", "props"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        is_p = pc.equal(t["event_type"], "purchase")
+        is_c = pc.equal(t["event_type"], "click")
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "purchase_value": pc.if_else(is_p, t["value"],
+                                         pa.nulls(t.num_rows,
+                                                  pa.float64())),
+            "click_props": pc.if_else(is_c, t["props"],
+                                      pa.nulls(t.num_rows, pa.string())),
+        })
+
+    return golden_record(
+        ev.map_batches(derive, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        entity_col="user_id", ts_col="ts", tiebreak="event_id",
+        value_cols=["purchase_value", "click_props"],
+    )
+
+
 def q_attribution(sf_dir: str):
     """Multi-touch linear attribution: every purchase splits credit
     equally over the user's clicks in the trailing 6h RANGE window
@@ -5425,6 +5456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": q_embedding_outliers,
         "attribution": q_attribution,
         "shapley_attribution": q_shapley_attribution,
+        "golden_record": q_golden_record,
         "k_anonymity": q_k_anonymity,
         "benford": q_benford,
         "theil_sen": q_theil_sen,
@@ -8213,6 +8245,40 @@ def oracle_sql() -> dict[str, str]:
                          / (tot.n * log10(1 + 1.0 / d.digit)), 6)
                      AS chi2_term
             FROM d LEFT JOIN o USING (digit), tot
+        """,
+        "golden_record": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'purchase' THEN value END
+                           AS purchase_value,
+                       CASE WHEN event_type = 'click' THEN props END
+                           AS click_props
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            base AS (
+                SELECT user_id, count(*)::BIGINT AS n, max(ts) AS last_ts
+                FROM d GROUP BY user_id
+            ),
+            c1 AS (
+                SELECT user_id, purchase_value FROM (
+                    SELECT user_id, purchase_value, ROW_NUMBER() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM d WHERE purchase_value IS NOT NULL) WHERE rn = 1
+            ),
+            c2 AS (
+                SELECT user_id, click_props FROM (
+                    SELECT user_id, click_props, ROW_NUMBER() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM d WHERE click_props IS NOT NULL) WHERE rn = 1
+            )
+            SELECT b.user_id, b.n, b.last_ts,
+                   c1.purchase_value AS purchase_value_last,
+                   c2.click_props AS click_props_last
+            FROM base b
+            LEFT JOIN c1 USING (user_id)
+            LEFT JOIN c2 USING (user_id)
         """,
         "shapley_attribution": """
             WITH fp AS (

@@ -264,3 +264,55 @@ def scd2_history(
     return bucketed_map_groups(
         ds, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def golden_record(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    tiebreak: str,
+    value_cols: Sequence[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Field-level survivorship merge (the MDM "golden record"): one row
+    per entity where EACH value column independently takes its value from
+    the latest row in which that column is non-null (``ORDER BY ts,
+    tiebreak``) — unlike :func:`latest_per_entity`, which takes the whole
+    latest row and inherits its nulls. Entities where a column is never
+    populated get null for that column. Also emits ``n`` (row count) and
+    ``last_ts`` (the entity's max ts).
+
+    Null entity keys are excluded (grouped-reducing-op contract).
+
+    Scale shape: ONE entity-hash exchange; the per-bucket kernel sorts
+    once and takes each column's last non-null row per group — C
+    groupby-last passes over the bucket, no Python row loop.
+    """
+    cols = list(value_cols)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df.dropna(subset=[entity_col])
+        if df.empty:  # typed empty — object-dtype agg would poison unions
+            out = pd.DataFrame({
+                entity_col: df[entity_col],
+                "n": pd.Series(dtype="int64"),
+                "last_ts": df[ts_col],
+            })
+            for c in cols:
+                out[f"{c}_last"] = df[c]
+            return out
+        df = df.sort_values([entity_col, ts_col, tiebreak], kind="stable")
+        g = df.groupby(entity_col, sort=True)
+        out = g.agg(n=(ts_col, "size"), last_ts=(ts_col, "max"))
+        for c in cols:
+            nn = df[df[c].notna()]
+            out[f"{c}_last"] = nn.groupby(entity_col, sort=False)[c].last()
+        out["n"] = out["n"].astype("int64")
+        return out.reset_index()
+
+    return bucketed_map_groups(
+        add_bucket_column(ds, entity_col, num_buckets), kernel,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
