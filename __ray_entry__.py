@@ -1199,6 +1199,111 @@ def _fuzzy_ctes(d: int) -> str:
             )"""
 
 
+def _boost_sql(iters: int, lr: float, B: int = 32) -> str:
+    """Unrolled-CTE mirror of ``boosted_stumps`` over lineitem (features
+    quantity/extendedprice/tax, target discount): one CTE block per boosting
+    round — residual histogram, window prefix sums, 9dp-rounded gains,
+    global (gain DESC, fidx, bin) pick, CASE-dispatched residual update.
+    Same shape family as _logreg_ctes / _kmeans_ctes."""
+    sql = """
+        WITH src AS (
+            SELECT l_quantity::DOUBLE AS f0, l_extendedprice::DOUBLE AS f1,
+                   l_tax::DOUBLE AS f2, l_discount::DOUBLE AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_tax IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        mm AS (
+            SELECT min(f0) AS lo0, max(f0) AS hi0,
+                   min(f1) AS lo1, max(f1) AS hi1,
+                   min(f2) AS lo2, max(f2) AS hi2,
+                   sum(y) / count(*) AS base
+            FROM src
+        ),
+        d0 AS MATERIALIZED (
+            SELECT
+"""
+    bins = []
+    for i in range(3):
+        bins.append(
+            f"              LEAST({B - 1}, GREATEST(0, floor("
+            f"(s.f{i} - m.lo{i}) * {B} / (m.hi{i} - m.lo{i}))))::BIGINT"
+            f" AS b{i}"
+        )
+    sql += ",\n".join(bins)
+    sql += """,
+              s.y - m.base AS r
+            FROM src s CROSS JOIN mm m
+        )"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+        u{t} AS (
+            SELECT 0 AS fidx, b0 AS bin, r FROM d{p}
+            UNION ALL SELECT 1, b1, r FROM d{p}
+            UNION ALL SELECT 2, b2, r FROM d{p}
+        ),
+        h{t} AS (
+            SELECT fidx, bin, count(*)::DOUBLE AS n, sum(r) AS s,
+                   sum(r * r) AS ss
+            FROM u{t} GROUP BY fidx, bin
+        ),
+        c{t} AS (
+            SELECT fidx, bin,
+                   sum(n) OVER w AS nl, sum(s) OVER w AS sl,
+                   sum(ss) OVER w AS ssl,
+                   sum(n) OVER tt AS nt, sum(s) OVER tt AS st,
+                   sum(ss) OVER tt AS sst
+            FROM h{t}
+            WINDOW w AS (PARTITION BY fidx ORDER BY bin),
+                   tt AS (PARTITION BY fidx)
+        ),
+        g{t} AS (
+            SELECT fidx, bin, nl, nt - nl AS nr, sl, st - sl AS sr,
+                   round(((sst - st * st / nt) - (ssl - sl * sl / nl)
+                          - ((sst - ssl)
+                             - (st - sl) * (st - sl) / (nt - nl)))
+                         / nt, 9) AS gain
+            FROM c{t} WHERE nl > 0 AND nt - nl > 0
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT fidx, bin, nl, nr, sl / nl AS lv, sr / nr AS rv, gain
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY gain DESC, fidx, bin) AS rn FROM g{t})
+            WHERE rn = 1
+        ),
+        d{t} AS MATERIALIZED (
+            SELECT d.b0, d.b1, d.b2,
+                   d.r - CAST({lr!r} AS DOUBLE)
+                       * (CASE WHEN (CASE p.fidx WHEN 0 THEN d.b0
+                                     WHEN 1 THEN d.b1 ELSE d.b2 END)
+                               <= p.bin
+                          THEN p.lv ELSE p.rv END) AS r
+            FROM d{p} d CROSS JOIN p{t} p
+        )"""
+    arms = []
+    for t in range(1, iters + 1):
+        arms.append(f"""
+            SELECT CAST({t} AS BIGINT) AS "round",
+                   CASE p.fidx WHEN 0 THEN 'l_quantity'
+                        WHEN 1 THEN 'l_extendedprice'
+                        ELSE 'l_tax' END AS feature,
+                   p.bin AS split_bin,
+                   round(CASE p.fidx
+                         WHEN 0 THEN m.lo0 + (p.bin + 1) * (m.hi0 - m.lo0)
+                             / {B}
+                         WHEN 1 THEN m.lo1 + (p.bin + 1) * (m.hi1 - m.lo1)
+                             / {B}
+                         ELSE m.lo2 + (p.bin + 1) * (m.hi2 - m.lo2) / {B}
+                         END, 6) AS threshold,
+                   p.nl::BIGINT AS n_left, p.nr::BIGINT AS n_right,
+                   round(p.lv, 6) AS left_value,
+                   round(p.rv, 6) AS right_value, p.gain AS gain
+            FROM p{t} p CROSS JOIN mm m""")
+    sql += "\n" + "\nUNION ALL".join(arms)
+    return sql
+
+
 def _logreg_ctes(iters: int, lr: float, dim: int = 64):
     """Shared unrolled GD CTE chain for ``logreg_train`` (stages/ann.py)
     and ``dr_ate``: one CTE pair per full-batch step — per-row dot
@@ -3342,6 +3447,21 @@ def q_decision_stump(sf_dir: str):
     )
 
 
+def q_boosted_stumps(sf_dir: str):
+    """Gradient-boosted stumps (4 rounds, squared loss) predicting the
+    lineitem discount: streaming histogram passes per round, rounded-gain
+    global pick, unrolled-CTE oracle (_boost_sql)."""
+    from featherstore_ray.stages.tree import boosted_stumps
+
+    return boosted_stumps(
+        _read(sf_dir, "lineitem",
+              columns=["l_quantity", "l_extendedprice", "l_tax",
+                       "l_discount"]),
+        ["l_quantity", "l_extendedprice", "l_tax"], "l_discount",
+        rounds=4, lr=0.5, num_bins=32,
+    )
+
+
 def q_eb_shrinkage(sf_dir: str):
     """Per-user purchase rate shrunk through an empirical-Bayes
     beta-binomial prior (small-sample CTR smoother): wilson_ci-shaped
@@ -5378,6 +5498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_ci": q_wilson_ci,
         "eb_shrinkage": q_eb_shrinkage,
         "decision_stump": q_decision_stump,
+        "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
         "stl_decompose": q_stl_decompose,
         "seq_entropy": q_seq_entropy,
@@ -6843,6 +6964,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang AS pred_lang, score FROM pick WHERE rn = 1
         """,
+        "boosted_stumps": _boost_sql(4, 0.5, 32),
         "decision_stump": """
             WITH src AS (
                 SELECT l_quantity::DOUBLE AS f0,

@@ -70,3 +70,35 @@ def test_stump_batch_invariance():
         one.sort_values("feature").reset_index(drop=True),
         many.sort_values("feature").reset_index(drop=True),
     )
+
+
+def test_boosted_stumps_reduces_sse():
+    from featherstore_ray.stages.tree import boosted_stumps
+
+    rng = np.random.default_rng(11)
+    x1 = rng.uniform(size=600)
+    x2 = rng.uniform(size=600)
+    y = np.where(x1 > 0.5, 3.0, -1.0) + 0.5 * x2 + rng.normal(
+        scale=0.05, size=600)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    model = boosted_stumps(
+        ray.data.from_pandas(df).repartition(4), ["x1", "x2"], "y",
+        rounds=5, lr=0.5, num_bins=16,
+    ).to_pandas()
+    assert len(model) == 5
+    assert (model["gain"] > 0).all()
+    assert list(model["round"]) == [1, 2, 3, 4, 5]
+    # apply the model: residual SSE must drop well below base variance
+    base = y.mean()
+    pred = np.full_like(y, base)
+    lo = {f: df[f].min() for f in ("x1", "x2")}
+    hi = {f: df[f].max() for f in ("x1", "x2")}
+    for _, r in model.iterrows():
+        f = r["feature"]
+        b = np.clip(np.floor((df[f] - lo[f]) * 16 / (hi[f] - lo[f])),
+                    0, 15)
+        pred += 0.5 * np.where(b <= r["split_bin"], r["left_value"],
+                               r["right_value"])
+    sse_model = ((y - pred) ** 2).sum()
+    sse_base = ((y - base) ** 2).sum()
+    assert sse_model < 0.25 * sse_base
