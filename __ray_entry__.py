@@ -3405,6 +3405,20 @@ def q_wilson_ci(sf_dir: str):
     )
 
 
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of event values in time order (worst
+    peak-to-trough decline): one entity exchange, C-level groupby cummax
+    — comparisons only, float-exact cross-engine."""
+    from featherstore_ray.stages.window import max_drawdown
+
+    return max_drawdown(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
 def q_stl_decompose(sf_dir: str):
     """Per-user additive trend/seasonal/residual decomposition of event
     values (moving-average STL-lite): one entity exchange, centered
@@ -5501,6 +5515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
         "stl_decompose": q_stl_decompose,
+        "max_drawdown": q_max_drawdown,
         "seq_entropy": q_seq_entropy,
         "mann_whitney": q_mann_whitney,
         "cusum": q_cusum,
@@ -6879,6 +6894,24 @@ def oracle_sql() -> dict[str, str]:
                    round((p + z*z/(2*n) + z*sqrt(p*(1-p)/n + z*z/(4*n*n)))
                          / (1 + z*z/n), 6) AS ci_hi
             FROM v
+        """,
+        "max_drawdown": """
+            WITH b AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            w AS (
+                SELECT user_id, value,
+                       max(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS peak
+                FROM b
+            )
+            SELECT user_id, count(*)::BIGINT AS n,
+                   round(max(value), 6) AS max_value,
+                   round(max(peak - value), 6) AS max_drawdown
+            FROM w GROUP BY user_id
         """,
         "stl_decompose": """
             WITH b AS (

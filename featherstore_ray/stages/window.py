@@ -1473,3 +1473,60 @@ def stl_decompose(
         return out
 
     return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def max_drawdown(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity maximum drawdown: the largest peak-to-trough decline of
+    ``value`` in (ts, tiebreak) order — ``max_t(cummax(v)_t − v_t)`` —
+    plus the running peak itself. The risk-metric member of the
+    running-extreme family (cusum tracks mean deviation; this tracks
+    worst decline). Every op is a comparison or a subtraction of
+    identical doubles, so the result is float-EXACT cross-engine; the
+    rounding is cosmetic. Rows with a null entity, ts or value are
+    excluded on both sides.
+
+    Output: (entity, n, max_value, max_drawdown).
+
+    Scale shape: ONE entity-hash exchange; per bucket a single pandas
+    C-level ``groupby.cummax`` + segmented max — no Python loop.
+    """
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # _bucketed already stripped BUCKET_COL (CLAUDE.md: don't drop twice)
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        if df.empty:
+            return pd.DataFrame({
+                entity_col: df[entity_col],
+                "n": pd.Series(dtype="int64"),
+                "max_value": pd.Series(dtype="float64"),
+                "max_drawdown": pd.Series(dtype="float64"),
+            })
+        by = [entity_col, ts_col] + ([tiebreak] if tiebreak else [])
+        df = df.sort_values(by, kind="stable")
+        v = df[value_col].astype("float64")
+        peak = df.groupby(entity_col, sort=False)[value_col].cummax()
+        dd = peak.astype("float64") - v
+        out = (
+            pd.DataFrame({entity_col: df[entity_col], "_v": v, "_dd": dd})
+            .groupby(entity_col, sort=True)
+            .agg(n=("_v", "size"), max_value=("_v", "max"),
+                 max_drawdown=("_dd", "max"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        if round_digits is not None:
+            out["max_value"] = np.round(
+                out["max_value"].to_numpy(), round_digits)
+            out["max_drawdown"] = np.round(
+                out["max_drawdown"].to_numpy(), round_digits)
+        return out
+
+    return _bucketed(ds, entity_col, num_buckets, kernel)
