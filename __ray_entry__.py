@@ -1916,6 +1916,27 @@ def q_skyline(sf_dir: str):
     )
 
 
+def q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient of the derived customer-
+    affinity graph: triangle machinery with wedge sources carried so each
+    matched triangle credits all three corners; exact-int ratio."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featherstore_ray.stages.graph import clustering_coefficient
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(c % 50), "b": pa.array(c % 37)})
+
+    e = orders.map_batches(
+        derive, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return clustering_coefficient(e, num_buckets=16)
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the derived customer-affinity graph
     (o_custkey%50 — o_custkey%37) by degree-ordered wedge checking: each
@@ -5463,6 +5484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": q_group_corr,
         "funnel": q_funnel,
         "triangle_count": q_triangle_count,
+        "clustering_coefficient": q_clustering_coefficient,
         "transitions": q_transitions,
         "skyline": q_skyline,
         "inverted_index": q_inverted_index,
@@ -6243,6 +6265,32 @@ def oracle_sql() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
+        """,
+        "clustering_coefficient": """
+            WITH base AS (
+                SELECT DISTINCT
+                       least(o_custkey % 50, o_custkey % 37) AS lo,
+                       greatest(o_custkey % 50, o_custkey % 37) AS hi
+                FROM orders WHERE o_custkey % 50 <> o_custkey % 37
+            ),
+            sym AS (SELECT lo AS u, hi AS v FROM base
+                    UNION ALL SELECT hi, lo FROM base),
+            deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+            tri AS (
+                SELECT s1.u AS node, (count(*) / 2)::BIGINT AS t
+                FROM sym s1
+                JOIN sym s2 ON s1.u = s2.u AND s1.v <> s2.v
+                JOIN base e ON e.lo = least(s1.v, s2.v)
+                           AND e.hi = greatest(s1.v, s2.v)
+                GROUP BY s1.u
+            )
+            SELECT d.node, d.deg::BIGINT AS degree,
+                   COALESCE(t.t, 0)::BIGINT AS triangles,
+                   round(CASE WHEN d.deg >= 2
+                         THEN 2.0 * COALESCE(t.t, 0)
+                              / (d.deg * (d.deg - 1))
+                         ELSE 0 END, 6) AS lcc
+            FROM deg d LEFT JOIN tri t USING (node)
         """,
         "triangle_count": """
             WITH e AS (

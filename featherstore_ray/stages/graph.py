@@ -750,3 +750,200 @@ def link_prediction(
         add_bucket_column(pairs, "a", num_buckets),
         reduce, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def clustering_coefficient(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_buckets: int = 64,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient — the node-level sibling of
+    :func:`triangle_count`: ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))``
+    with ``T(v)`` the triangles through v and deg over DISTINCT
+    neighbors; degree-0/1 nodes report 0. Output: (node, degree,
+    triangles, lcc).
+
+    Same physical plan as ``triangle_count`` (canonical dedup, two-stage
+    degrees, degree-(deg,id) orientation bounding out-degree by O(√m),
+    wedge emission, tagged wedge/edge match) — except each wedge carries
+    its source corner, so a matched triangle credits ALL THREE corners
+    into per-bucket (node, t) partials; one count exchange and a tagged
+    degree join finish. lcc is a ratio of exact ints → float-exact
+    cross-engine before the cosmetic rounding.
+    """
+    from .dedup import pair_indices
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"lo": pa.array(np.minimum(a, b)),
+                         "hi": pa.array(np.maximum(a, b))})
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["lo", "hi"]].drop_duplicates()
+
+    e = bucketed_map_groups(
+        _with_bucket(
+            edges.map_batches(canon, batch_size=None,
+                              batch_format="pyarrow", zero_copy_batch=True),
+            "lo", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+        ])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False)["deg"].sum().reset_index()
+
+    degrees = bucketed_map_groups(
+        _with_bucket(
+            e.map_batches(deg_partial, batch_size=None,
+                          batch_format="pyarrow", zero_copy_batch=True),
+            "node", num_buckets),
+        deg_merge, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def attach(es: ray.data.Dataset, es_cols: list[str], key: str,
+               out: str) -> ray.data.Dataset:
+        def tag_e(t: pa.Table) -> pa.Table:
+            t = t.select(es_cols).append_column("_k", t[key])
+            return t.append_column("_deg", pa.nulls(t.num_rows, pa.int64()))
+
+        def tag_d(t: pa.Table) -> pa.Table:
+            cols = {c: pa.nulls(t.num_rows, pa.int64()) for c in es_cols}
+            cols["_k"] = t["node"].combine_chunks()
+            cols["_deg"] = t["deg"].combine_chunks()
+            return pa.table(cols)
+
+        tagged = es.map_batches(
+            tag_e, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).union(degrees.map_batches(
+            tag_d, batch_size=None, batch_format="pyarrow"))
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            is_d = df[df.columns[0]].isna()
+            lut = df.loc[is_d].set_index("_k")["_deg"]
+            out_df = df.loc[~is_d].drop(columns=["_deg", BUCKET_COL])
+            out_df[out] = out_df["_k"].map(lut).astype(np.int64)
+            for c in out_df.columns:
+                if c != out:
+                    out_df[c] = out_df[c].astype(np.int64)
+            return out_df.drop(columns=["_k"])
+
+        return bucketed_map_groups(
+            _with_bucket(tagged, "_k", num_buckets),
+            gather, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+    e2 = attach(e, ["lo", "hi"], "lo", "dlo")
+    e3 = attach(e2, ["lo", "hi", "dlo"], "hi", "dhi")
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        dlo = t["dlo"].to_numpy(zero_copy_only=False)
+        dhi = t["dhi"].to_numpy(zero_copy_only=False)
+        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pa.table({
+            "src": pa.array(np.where(fwd, lo, hi), pa.int64()),
+            "dst": pa.array(np.where(fwd, hi, lo), pa.int64()),
+            "ddst": pa.array(np.where(fwd, dhi, dlo), pa.int64()),
+        })
+
+    oriented = e3.map_batches(
+        orient, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["src", "ddst", "dst"])
+        src = d["src"].to_numpy()
+        dst = d["dst"].to_numpy()
+        ai, bi = pair_indices(src)
+        return pd.DataFrame({"v": dst[ai], "w": dst[bi], "u": src[ai],
+                             "_wedge": np.ones(len(ai), np.int8)})
+
+    w = bucketed_map_groups(
+        _with_bucket(oriented, "src", num_buckets),
+        lambda df: wedges(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t["src"].combine_chunks(),
+            "w": t["dst"].combine_chunks(),
+            "u": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "_wedge": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    both = w.union(oriented.map_batches(
+        tag_edge, batch_size=None, batch_format="pyarrow"))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        ekeys = df.loc[df["_wedge"] == 0, ["v", "w"]].drop_duplicates()
+        wk = df.loc[df["_wedge"] == 1, ["v", "w", "u"]]
+        m = wk.merge(ekeys, on=["v", "w"], how="inner")
+        corners = np.concatenate([
+            m["u"].to_numpy(np.int64), m["v"].to_numpy(np.int64),
+            m["w"].to_numpy(np.int64)])
+        n, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": n, "t": c.astype(np.int64)})
+
+    tri_parts = bucketed_map_groups(
+        _with_bucket(both, "v", num_buckets),
+        lambda df: match(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    # final: union triangle partials (t) with degrees (deg) on hash(node)
+    def tag_t(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks(),
+            "t": t["t"].combine_chunks(),
+            "deg": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks(),
+            "t": pa.nulls(t.num_rows, pa.int64()),
+            "deg": t["deg"].combine_chunks(),
+        })
+
+    merged = tri_parts.map_batches(
+        tag_t, batch_size=None, batch_format="pyarrow"
+    ).union(degrees.map_batches(
+        tag_deg, batch_size=None, batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby("node", sort=True)[["t", "deg"]].sum(min_count=1)
+        deg = g["deg"].fillna(0).to_numpy(np.int64)
+        tri = g["t"].fillna(0).to_numpy(np.int64)
+        denom = deg.astype(np.float64) * (deg - 1)
+        lcc = np.where(deg >= 2, 2.0 * tri / np.where(denom > 0, denom, 1.0),
+                       0.0)
+        if round_digits is not None:
+            lcc = np.round(lcc, round_digits)
+        return pd.DataFrame({
+            "node": g.index.to_numpy(np.int64), "degree": deg,
+            "triangles": tri, "lcc": lcc,
+        })
+
+    return bucketed_map_groups(
+        _with_bucket(merged, "node", num_buckets),
+        finish, num_buckets=num_buckets, batch_format="pandas",
+    )
