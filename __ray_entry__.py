@@ -4250,6 +4250,18 @@ def q_dr_ate(sf_dir: str):
     )
 
 
+def q_energy_distance(sf_dir: str):
+    """Multivariate energy distance between label-0 and the-rest embedding
+    distributions (full-vector drift test): broadcast group matrices,
+    strip-chunked elementwise distances, five scalar partials per block."""
+    from featherstore_ray.stages.ann import energy_distance
+
+    return energy_distance(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]),
+        group_a=0,
+    )
+
+
 def q_reciprocal_nn(sf_dir: str):
     """Mutual 1-NN pairs over the embeddings (bitext-mining reciprocity
     filter): knn_graph k=1, canonical (min,max) edges, one hash(a)
@@ -5601,6 +5613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "psm_att": q_psm_att,
         "reciprocal_nn": q_reciprocal_nn,
+        "energy_distance": q_energy_distance,
         "rrf_fuse": q_rrf_fuse,
         "lift_table": q_lift_table,
         "bootstrap_ci": q_bootstrap_ci,
@@ -8921,6 +8934,40 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (60 + r0.rk) + 1.0 / (60 + r1.rk) AS rrf
             FROM r0 JOIN r1 ON r0.vec_id = r1.vec_id
             ORDER BY rrf DESC, r0.vec_id ASC LIMIT 20
+        """,
+        "energy_distance": """
+            WITH emb AS MATERIALIZED (
+                SELECT CAST(embedding AS DOUBLE[]) AS v,
+                       (label = 0) AS ga
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            na AS (SELECT count(*)::DOUBLE AS n FROM emb WHERE ga),
+            nb AS (SELECT count(*)::DOUBLE AS n FROM emb WHERE NOT ga),
+            sxy AS (SELECT sum(list_distance(a.v, b.v)) AS s
+                    FROM emb a, emb b WHERE a.ga AND NOT b.ga),
+            sxx AS (SELECT sum(list_distance(a.v, b.v)) AS s
+                    FROM emb a, emb b WHERE a.ga AND b.ga),
+            syy AS (SELECT sum(list_distance(a.v, b.v)) AS s
+                    FROM emb a, emb b WHERE NOT a.ga AND NOT b.ga)
+            SELECT (SELECT n FROM na)::BIGINT AS n_a,
+                   (SELECT n FROM nb)::BIGINT AS n_b,
+                   round((SELECT s FROM sxy)
+                         / ((SELECT n FROM na) * (SELECT n FROM nb)), 6)
+                       AS e_xy,
+                   round((SELECT s FROM sxx)
+                         / ((SELECT n FROM na) * (SELECT n FROM na)), 6)
+                       AS e_xx,
+                   round((SELECT s FROM syy)
+                         / ((SELECT n FROM nb) * (SELECT n FROM nb)), 6)
+                       AS e_yy,
+                   round(2.0 * (SELECT s FROM sxy)
+                             / ((SELECT n FROM na) * (SELECT n FROM nb))
+                         - (SELECT s FROM sxx)
+                             / ((SELECT n FROM na) * (SELECT n FROM na))
+                         - (SELECT s FROM syy)
+                             / ((SELECT n FROM nb) * (SELECT n FROM nb)),
+                         6) AS energy_distance
         """,
         "reciprocal_nn": """
             WITH emb AS MATERIALIZED (

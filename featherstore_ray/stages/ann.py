@@ -2104,6 +2104,128 @@ def knn_graph(
     )
 
 
+def energy_distance(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    group_a: int = 0,
+    round_digits: int = 6,
+    strip_rows: int = 256,
+) -> ray.data.Dataset:
+    """Multivariate two-sample energy distance between the embedding
+    distributions of group A (``label == group_a``) and group B (the
+    rest) — the multivariate member of the drift family (ks_test /
+    wasserstein are 1-D): ``E = 2·mean‖X−Y‖ − mean‖X−X'‖ − mean‖Y−Y'‖``
+    with means over ALL ordered pairs (self-pairs contribute zero and are
+    included, the 1/n² convention). E ≥ 0, and E = 0 iff the
+    distributions coincide — a full-vector drift alarm where per-
+    dimension tests can't see correlated shift.
+
+    Distances are computed in the ``Σ(aᵢ−bᵢ)²`` elementwise form (the
+    oracle's ``list_distance`` path — the ‖a‖²−2ab matmul trick is NOT
+    float-identical), strip-chunked so the (batch × strip × dim) cube
+    stays ~tens of MB.
+
+    Scale shape: the grouped matrices broadcast once via ``ray.put``;
+    each block collapses to five partial sums. O(n²) distance work is
+    inherent to the statistic — at corpus scale, subsample per group
+    upstream (``group_sample``) or strip-block like ``semantic_dedup``;
+    the contract keeps both sides in one broadcast.
+    """
+    proj = ds.select_columns([emb_col, label_col]).materialize()
+
+    def collect(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_kleene(pc.is_valid(t[emb_col]),
+                                   pc.is_valid(t[label_col])))
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([X[lab == group_a].tobytes()]),
+            "na": pa.array([int((lab == group_a).sum())]),
+            "b": pa.array([X[lab != group_a].tobytes()]),
+            "nb": pa.array([int((lab != group_a).sum())]),
+            "d": pa.array([X.shape[1] if X.size else 0]),
+        })
+
+    got = proj.map_batches(
+        collect, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    dim = int(got["d"].max()) if len(got) else 0
+    A = np.concatenate([
+        np.frombuffer(buf, dtype=np.float64).reshape(-1, dim)
+        for buf in got["a"]]) if dim else np.empty((0, 0))
+    Bm = np.concatenate([
+        np.frombuffer(buf, dtype=np.float64).reshape(-1, dim)
+        for buf in got["b"]]) if dim else np.empty((0, 0))
+    na, nb = len(A), len(Bm)
+    if na == 0 or nb == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "e_xy": pa.array([np.nan]), "e_xx": pa.array([np.nan]),
+            "e_yy": pa.array([np.nan]),
+            "energy_distance": pa.array([np.nan]),
+        }))
+
+    import ray as ray_mod
+
+    mref = ray_mod.put((A, Bm))
+
+    def _strip_sum(X: np.ndarray, M: np.ndarray) -> float:
+        if len(X) == 0 or len(M) == 0:
+            return 0.0
+        # reused buffer + in-place ufuncs: fresh allocations are page-
+        # fault-bound on this host (CLAUDE.md) and dominate otherwise
+        buf = np.empty((len(X), min(strip_rows, len(M)), X.shape[1]))
+        tot = 0.0
+        for s in range(0, len(M), strip_rows):
+            seg = M[s:s + strip_rows]
+            b = buf[:, :len(seg), :]
+            np.subtract(X[:, None, :], seg[None, :, :], out=b)
+            np.multiply(b, b, out=b)
+            d2 = b.sum(-1)
+            np.sqrt(d2, out=d2)
+            tot += float(d2.sum())
+        return tot
+
+    def pair_partial(t: pa.Table, *, _ref=mref) -> pa.Table:
+        import ray as r
+        import pyarrow.compute as pc
+
+        A, Bm = r.get(_ref)
+        t = t.filter(pc.and_kleene(pc.is_valid(t[emb_col]),
+                                   pc.is_valid(t[label_col])))
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        Xa, Xb = X[lab == group_a], X[lab != group_a]
+        sxy = _strip_sum(Xa, Bm) if len(Xa) else 0.0
+        sxx = _strip_sum(Xa, A) if len(Xa) else 0.0
+        syy = _strip_sum(Xb, Bm) if len(Xb) else 0.0
+        return pa.table({"sxy": pa.array([sxy]), "sxx": pa.array([sxx]),
+                         "syy": pa.array([syy])})
+
+    p = proj.map_batches(
+        pair_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    e_xy = float(p["sxy"].sum()) / (na * nb)
+    e_xx = float(p["sxx"].sum()) / (na * na)
+    e_yy = float(p["syy"].sum()) / (nb * nb)
+    e = 2.0 * e_xy - e_xx - e_yy
+    r6 = lambda v: np.round(v, round_digits)  # noqa: E731
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "e_xy": pa.array([r6(e_xy)]), "e_xx": pa.array([r6(e_xx)]),
+        "e_yy": pa.array([r6(e_yy)]),
+        "energy_distance": pa.array([r6(e)]),
+    }))
+
+
 def reciprocal_nn(
     ds: ray.data.Dataset,
     *,
