@@ -1937,6 +1937,68 @@ def q_clustering_coefficient(sf_dir: str):
     return clustering_coefficient(e, num_buckets=16)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities over a derived bipartite customer->order-slot
+    graph (3 L1-normalized rounds): tagged-union message exchanges,
+    Dataset-resident scores, unrolled-CTE mirror (_hits_sql)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featherstore_ray.stages.graph import hits
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"src": pa.array(ck % 60),
+                         "dst": pa.array(60 + ok % 40)})
+
+    e = orders.map_batches(
+        derive, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return hits(e, iters=_HITS_ITERS, num_buckets=16)
+
+
+_HITS_ITERS = 3
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled-CTE mirror of ``hits`` (same fixed schedule: h from the
+    previous a, a from the NEW h, each L1-normalized; COALESCE 0 keeps
+    one-sided nodes)."""
+    ctes = [
+        "base AS (SELECT DISTINCT o_custkey % 60 AS src,"
+        " 60 + o_orderkey % 40 AS dst FROM orders)",
+        "nodes AS (SELECT DISTINCT n FROM ("
+        "SELECT src AS n FROM base UNION SELECT dst FROM base))",
+        "a0 AS (SELECT n AS node, 1.0 AS s FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"h{t}r AS (SELECT e.src AS node, sum(p.s) AS s"
+            f" FROM base e JOIN a{t-1} p ON p.node = e.dst"
+            f" GROUP BY e.src)")
+        ctes.append(
+            f"h{t} AS (SELECT nodes.n AS node, COALESCE(r.s, 0)"
+            f" / (SELECT sum(s) FROM h{t}r) AS s"
+            f" FROM nodes LEFT JOIN h{t}r r ON r.node = nodes.n)")
+        ctes.append(
+            f"a{t}r AS (SELECT e.dst AS node, sum(p.s) AS s"
+            f" FROM base e JOIN h{t} p ON p.node = e.src"
+            f" GROUP BY e.dst)")
+        ctes.append(
+            f"a{t} AS (SELECT nodes.n AS node, COALESCE(r.s, 0)"
+            f" / (SELECT sum(s) FROM a{t}r) AS s"
+            f" FROM nodes LEFT JOIN a{t}r r ON r.node = nodes.n)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node, round(h.s, 6) AS hub,"
+        f" round(a.s, 6) AS authority"
+        f" FROM h{iters} h JOIN a{iters} a USING (node)"
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the derived customer-affinity graph
     (o_custkey%50 — o_custkey%37) by degree-ordered wedge checking: each
@@ -5497,6 +5559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
+        "hits": q_hits,
         "transitions": q_transitions,
         "skyline": q_skyline,
         "inverted_index": q_inverted_index,
@@ -6279,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
         """,
+        "hits": _hits_sql(_HITS_ITERS),
         "clustering_coefficient": """
             WITH base AS (
                 SELECT DISTINCT

@@ -947,3 +947,201 @@ def clustering_coefficient(
         _with_bucket(merged, "node", num_buckets),
         finish, num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+    node_col: str = "node",
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over a directed edge list (duplicate
+    edges ignored) — PageRank's bipartite-importance sibling: per round,
+    ``h ← E·a`` then ``a ← Eᵀ·h`` (the a-step uses the round's NEW h),
+    each L1-normalized; scores after ``iters`` synchronous rounds,
+    rounded only at the edge. Nodes missing a side (no out-edges / no
+    in-edges) hold score 0 through the COALESCE the oracle mirrors.
+
+    Scale shape: one src-bucket distinct-edge exchange up front; each
+    half-step is the engine's tagged-union message pattern — (edges +
+    scores) keyed on the gather endpoint, then contribution partials +
+    universe presence rows keyed on the node — plus a one-scalar
+    normalization pass. Per-node state stays a Dataset end to end.
+    """
+    def _flat(col):
+        if isinstance(col, pa.ChunkedArray):
+            return col.combine_chunks() if col.num_chunks != 1 else \
+                col.chunk(0)
+        return col
+
+    proj = edges.select_columns([src_col, dst_col])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop(columns=[BUCKET_COL])
+                .drop_duplicates([src_col, dst_col]))
+
+    e = bucketed_map_groups(
+        _with_bucket(proj, src_col, num_buckets), dedup,
+        num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            _flat(t[src_col]).cast(pa.int64()),
+            _flat(t[dst_col]).cast(pa.int64()),
+        ])
+        return pa.table({"node": pa.array(
+            np.unique(both.to_numpy(zero_copy_only=False)))})
+
+    def nodes_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=[BUCKET_COL]).drop_duplicates(["node"])
+
+    nodes = bucketed_map_groups(
+        _with_bucket(
+            e.map_batches(nodes_of, batch_size=None,
+                          batch_format="pyarrow", zero_copy_batch=True),
+            "node", num_buckets),
+        nodes_merge, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def const_scores(v: float) -> ray.data.Dataset:
+        def init(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "_score": pa.array(np.full(t.num_rows, v)),
+            })
+        return nodes.map_batches(
+            init, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True)
+
+    def step(scores: ray.data.Dataset, gather_col: str,
+             out_col: str) -> ray.data.Dataset:
+        """raw(node) = Σ over edges with edge[gather_col]'s score,
+        grouped by edge[out_col]; universe rows contribute 0."""
+        def tag_e(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "_k": _flat(t[gather_col]).cast(pa.int64()),
+                "_o": _flat(t[out_col]).cast(pa.int64()),
+                "_s": pa.nulls(t.num_rows, pa.float64()),
+            })
+
+        def tag_s(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "_k": _flat(t["node"]).cast(pa.int64()),
+                "_o": pa.nulls(t.num_rows, pa.int64()),
+                "_s": _flat(t["_score"]),
+            })
+
+        tagged = e.map_batches(
+            tag_e, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).union(scores.map_batches(
+            tag_s, batch_size=None, batch_format="pyarrow"))
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            is_s = df["_o"].isna()
+            lut = df.loc[is_s].set_index("_k")["_s"]
+            msgs = df.loc[~is_s]
+            if msgs.empty:
+                return pd.DataFrame({
+                    "node": pd.Series(dtype="int64"),
+                    "_c": pd.Series(dtype="float64"),
+                })
+            contrib = msgs["_k"].map(lut).to_numpy(dtype=np.float64)
+            out = (
+                pd.DataFrame({"node": msgs["_o"].to_numpy(np.int64),
+                              "_c": contrib})
+                .groupby("node", sort=True)["_c"].sum().reset_index()
+            )
+            return out
+
+        partials = bucketed_map_groups(
+            _with_bucket(tagged, "_k", num_buckets), gather,
+            num_buckets=num_buckets, batch_format="pandas",
+        )
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": _flat(t["node"]).cast(pa.int64()),
+                "_c": pa.array(np.zeros(t.num_rows)),
+            })
+
+        allp = partials.union(nodes.map_batches(
+            zero_rows, batch_size=None, batch_format="pyarrow"))
+
+        def reduce(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.drop(columns=[BUCKET_COL])
+                    .groupby("node", sort=True)["_c"].sum().reset_index()
+                    .rename(columns={"_c": "_score"}))
+
+        raw = bucketed_map_groups(
+            _with_bucket(allp, "node", num_buckets), reduce,
+            num_buckets=num_buckets, batch_format="pandas",
+        ).materialize()
+
+        def total_part(t: pa.Table) -> pa.Table:
+            s = t["_score"].to_numpy(zero_copy_only=False)
+            return pa.table({"t": pa.array([float(s.sum())])})
+
+        total = float(raw.map_batches(
+            total_part, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()["t"].sum())
+
+        def norm(t: pa.Table, _tot=total) -> pa.Table:
+            s = t["_score"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t["node"],
+                "_score": pa.array(s / _tot if _tot != 0 else s),
+            })
+
+        return raw.map_batches(
+            norm, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    a = const_scores(1.0)
+    h = None
+    for _ in range(iters):
+        h = step(a, gather_col=dst_col, out_col=src_col)
+        a = step(h, gather_col=src_col, out_col=dst_col)
+
+    # final hub/authority join stays Dataset-resident: tagged union on
+    # hash(node), per-bucket pivot — no driver-side score table
+    def tag_side(which: int):
+        def tag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": _flat(t["node"]).cast(pa.int64()),
+                "_w": pa.array(np.full(t.num_rows, which, np.int8)),
+                "_s": _flat(t["_score"]),
+            })
+        return tag
+
+    merged = h.map_batches(
+        tag_side(0), batch_size=None, batch_format="pyarrow"
+    ).union(a.map_batches(
+        tag_side(1), batch_size=None, batch_format="pyarrow"))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.pivot_table(index="node", columns="_w", values="_s",
+                           aggfunc="sum", fill_value=0.0)
+        out = pd.DataFrame({
+            node_col: g.index.to_numpy(np.int64),
+            "hub": np.round(
+                g[0].to_numpy() if 0 in g.columns
+                else np.zeros(len(g)), round_digits),
+            "authority": np.round(
+                g[1].to_numpy() if 1 in g.columns
+                else np.zeros(len(g)), round_digits),
+        })
+        return out.sort_values(node_col).reset_index(drop=True)
+
+    return bucketed_map_groups(
+        _with_bucket(merged, "node", num_buckets), pivot,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
