@@ -3559,6 +3559,33 @@ def q_boosted_stumps(sf_dir: str):
     )
 
 
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa between two derived binary raters ("high value" vs
+    "is purchase"): contingency partials, exact-int closed form."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from featherstore_ray.stages.aggregate import cohen_kappa
+
+    ev = _read(sf_dir, "events", columns=["value", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = _pc.and_kleene(_pc.is_valid(t["value"]),
+                            _pc.is_valid(t["event_type"]))
+        t = t.filter(ok)
+        return pa.table({
+            "ra": _pc.cast(_pc.greater(t["value"], 50.0), pa.int64()),
+            "rb": _pc.cast(_pc.equal(t["event_type"], "purchase"),
+                           pa.int64()),
+        })
+
+    return cohen_kappa(
+        ev.map_batches(derive, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "ra", "rb",
+    )
+
+
 def q_eb_shrinkage(sf_dir: str):
     """Per-user purchase rate shrunk through an empirical-Bayes
     beta-binomial prior (small-sample CTR smoother): wilson_ci-shaped
@@ -5608,6 +5635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi": q_hhi,
         "wilson_ci": q_wilson_ci,
         "eb_shrinkage": q_eb_shrinkage,
+        "cohen_kappa": q_cohen_kappa,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7187,6 +7215,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sl / nl, 6) AS left_mean,
                    round(sr / nr, 6) AS right_mean, gain
             FROM pick WHERE rn = 1
+        """,
+        "cohen_kappa": """
+            WITH d AS (
+                SELECT CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS ra,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS rb
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+            po AS (SELECT count(*)::DOUBLE AS c FROM d WHERE ra = rb),
+            ma AS (SELECT ra AS cat, count(*)::DOUBLE AS ca
+                   FROM d GROUP BY ra),
+            mb AS (SELECT rb AS cat, count(*)::DOUBLE AS cb
+                   FROM d GROUP BY rb),
+            pe AS (SELECT sum(ma.ca * mb.cb) AS s
+                   FROM ma JOIN mb USING (cat))
+            SELECT (SELECT n FROM nn)::BIGINT AS n,
+                   round((SELECT c FROM po) / (SELECT n FROM nn), 6)
+                       AS po,
+                   round((SELECT s FROM pe)
+                         / ((SELECT n FROM nn) * (SELECT n FROM nn)), 6)
+                       AS pe,
+                   round(((SELECT c FROM po) / (SELECT n FROM nn)
+                          - (SELECT s FROM pe)
+                            / ((SELECT n FROM nn) * (SELECT n FROM nn)))
+                         / (1 - (SELECT s FROM pe)
+                            / ((SELECT n FROM nn) * (SELECT n FROM nn))),
+                         6) AS kappa
         """,
         "eb_shrinkage": """
             WITH m AS (

@@ -4206,3 +4206,69 @@ def shapley_attribution(
         "journeys": pa.array(m["journeys"].to_numpy(dtype=np.int64)),
         "shapley_credit": pa.array(credit),
     }))
+
+
+def cohen_kappa(
+    ds: ray.data.Dataset,
+    rater_a: str,
+    rater_b: str,
+    *,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Cohen's kappa inter-rater agreement between two categorical
+    columns — the labeling-QA member of the eval family (auc/ndcg score
+    rankings; this scores annotator consistency): ``κ = (p_o − p_e) /
+    (1 − p_e)`` with observed agreement ``p_o = Σ diag / n`` and chance
+    agreement ``p_e = Σ_c (n_a(c)/n)·(n_b(c)/n)`` over the category
+    union. Rows with a null in either column are dropped (oracle WHERE
+    mirror). Every quantity is a ratio of exact integers, so the result
+    is float-exact cross-engine before the cosmetic rounding.
+
+    Output: one row — (n, po, pe, kappa); kappa is null when p_e = 1
+    (a single shared category — agreement is vacuous).
+
+    Scale shape: each block collapses to a (cat_a, cat_b, count)
+    contingency partial (category-grade, not row-grade), merged
+    driver-side; closed-form finish.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[rater_a, rater_b]].dropna()
+        out = (
+            d.groupby([rater_a, rater_b], sort=False).size()
+            .rename("c").reset_index()
+        )
+        return out
+
+    m = (
+        ds.select_columns([rater_a, rater_b])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas().groupby([rater_a, rater_b], sort=True)["c"].sum()
+        .reset_index()
+    )
+    n = float(m["c"].sum())
+    import pyarrow as pa
+
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([0], pa.int64()),
+            "po": pa.array([np.nan]), "pe": pa.array([np.nan]),
+            "kappa": pa.array([np.nan]),
+        }))
+    diag = float(m.loc[m[rater_a] == m[rater_b], "c"].sum())
+    ca = m.groupby(rater_a)["c"].sum()
+    cb = m.groupby(rater_b)["c"].sum()
+    cats = ca.index.union(cb.index)
+    pe_num = float((ca.reindex(cats, fill_value=0).to_numpy(np.float64)
+                    * cb.reindex(cats, fill_value=0).to_numpy(np.float64)
+                    ).sum())
+    po = diag / n
+    pe = pe_num / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe != 1.0 else np.nan
+    if round_digits is not None:
+        po, pe = np.round(po, round_digits), np.round(pe, round_digits)
+        kappa = np.round(kappa, round_digits)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "po": pa.array([po]), "pe": pa.array([pe]),
+        "kappa": pa.array([kappa]),
+    }))
