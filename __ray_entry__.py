@@ -3559,6 +3559,21 @@ def q_boosted_stumps(sf_dir: str):
     )
 
 
+_CUPED_CUT = "2024-01-15 00:00:00"
+
+
+def q_cuped_adjust(sf_dir: str):
+    """CUPED variance-reduced experiment metric per assignment arm
+    (user_id % 2): one entity exchange to per-user pre/post means, a
+    scalar moment pass for theta, arm partials."""
+    from featherstore_ray.stages.aggregate import cuped_adjust
+
+    return cuped_adjust(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        cutoff=_CUPED_CUT,
+    )
+
+
 def q_cohen_kappa(sf_dir: str):
     """Cohen's kappa between two derived binary raters ("high value" vs
     "is purchase"): contingency partials, exact-int closed form."""
@@ -5636,6 +5651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_ci": q_wilson_ci,
         "eb_shrinkage": q_eb_shrinkage,
         "cohen_kappa": q_cohen_kappa,
+        "cuped_adjust": q_cuped_adjust,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7215,6 +7231,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sl / nl, 6) AS left_mean,
                    round(sr / nr, 6) AS right_mean, gain
             FROM pick WHERE rn = 1
+        """,
+        "cuped_adjust": f"""
+            WITH u AS (
+                SELECT user_id,
+                       avg(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                           THEN value END) AS x,
+                       avg(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                           THEN value END) AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY user_id
+            ),
+            p AS (SELECT user_id, x, y FROM u
+                  WHERE x IS NOT NULL AND y IS NOT NULL),
+            m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx FROM p),
+            th AS (
+                SELECT CASE WHEN sxx - sx * sx / n <> 0
+                       THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                       ELSE 0 END AS theta,
+                       sx / n AS mx
+                FROM m
+            )
+            SELECT p.user_id % 2 AS grp, count(*)::BIGINT AS n,
+                   round(sum(y) / count(*), 6) AS mean_y,
+                   round(sum(y - th.theta * (x - th.mx)) / count(*), 6)
+                       AS mean_y_adj,
+                   round(any_value(th.theta), 6) AS theta
+            FROM p, th GROUP BY grp
         """,
         "cohen_kappa": """
             WITH d AS (
