@@ -3574,6 +3574,22 @@ def q_cuped_adjust(sf_dir: str):
     )
 
 
+def q_streaming_asof(sf_dir: str):
+    """Stateful streaming point-in-time enrich (purchase spine, click
+    features): hash(entity)-sharded in-order replay of StreamingAsofState
+    — equals the batch as-of join, which is the oracle."""
+    from featherstore_ray.stages.streaming import streaming_asof
+
+    return streaming_asof(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type",
+                       "value"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id", spine_type="purchase",
+        feature_type="click",
+    )
+
+
 def q_cohen_kappa(sf_dir: str):
     """Cohen's kappa between two derived binary raters ("high value" vs
     "is purchase"): contingency partials, exact-int closed form."""
@@ -5652,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_shrinkage": q_eb_shrinkage,
         "cohen_kappa": q_cohen_kappa,
         "cuped_adjust": q_cuped_adjust,
+        "streaming_asof": q_streaming_asof,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7231,6 +7248,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sl / nl, 6) AS left_mean,
                    round(sr / nr, 6) AS right_mean, gain
             FROM pick WHERE rn = 1
+        """,
+        "streaming_asof": """
+            WITH f AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+            ),
+            s AS (
+                SELECT event_id, user_id, ts, event_type, value
+                FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+            )
+            SELECT s.event_id, s.user_id, s.ts, s.event_type, s.value,
+                   (SELECT f.value FROM f
+                    WHERE f.user_id = s.user_id AND f.ts <= s.ts
+                    ORDER BY f.ts DESC, f.event_id DESC LIMIT 1)
+                       AS value_asof
+            FROM s
         """,
         "cuped_adjust": f"""
             WITH u AS (

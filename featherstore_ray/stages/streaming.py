@@ -450,6 +450,106 @@ def streaming_dedup(
     )
 
 
+class StreamingAsofState:
+    """Streaming point-in-time enrich: fold an interleaved stream of
+    FEATURE rows and SPINE rows (tagged by ``side_col``: 1 = spine) in
+    event-time order; each ``update`` returns the batch's spine rows
+    with the latest feature value at-or-before their ts (equal-ts
+    features match; equal-ts feature ties take the max tiebreak — the
+    house as-of rule). State = one (ts, tiebreak, value) per entity,
+    O(entities); requires in-order folding (use a watermark buffer
+    upstream for out-of-order streams — ``lateness_audit`` sizes it).
+    """
+
+    def __init__(self, entity_col: str, ts_col: str, value_col: str,
+                 side_col: str, tiebreak: str):
+        self.e, self.t, self.v = entity_col, ts_col, value_col
+        self.side, self.tb = side_col, tiebreak
+        self.carry: pd.DataFrame | None = None  # typed lazily from data
+
+    def update(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([self.t, self.tb], kind="stable")
+        is_spine = df[self.side].to_numpy() == 1
+        fb = df.loc[~is_spine, [self.e, self.t, self.tb, self.v]]
+        sb = df.loc[is_spine]
+        feats = fb if self.carry is None else pd.concat(
+            [self.carry, fb], ignore_index=True)
+        feats = feats.sort_values([self.t, self.tb], kind="stable")
+        out = sb.drop(columns=[self.side])
+        if feats.empty:
+            out[f"{self.v}_asof"] = np.nan
+        else:
+            # merge_asof backward takes the LAST row with ts <= key in
+            # sort order; (ts, tiebreak) sort makes that max-tiebreak
+            m = pd.merge_asof(
+                out.sort_values(self.t, kind="stable"),
+                feats.rename(columns={self.v: f"{self.v}_asof"})[
+                    [self.e, self.t, f"{self.v}_asof"]],
+                on=self.t, by=self.e, direction="backward",
+                allow_exact_matches=True,
+            )
+            out = m
+        if not feats.empty:
+            self.carry = (
+                feats.groupby(self.e, sort=False).tail(1)
+                .reset_index(drop=True)
+            )
+        return out
+
+
+def streaming_asof(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    spine_type,
+    type_col: str = "event_type",
+    feature_type=None,
+    micro_batch_rows: int = 512,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed replay of :class:`StreamingAsofState`: partition the
+    interleaved stream by hash(entity), replay each bucket in (ts,
+    tiebreak) order through the fold in micro-batches. On in-order
+    replay the result equals the batch as-of join (the SQL oracle);
+    the state is the thing a long-running enrich service would hold.
+    ``spine_type`` rows are enriched; ``feature_type`` rows (default:
+    everything else) feed the state.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    bucketed = add_bucket_column(ds, entity_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df.dropna(subset=[entity_col, ts_col])
+        side = (df[type_col] == spine_type).astype(np.int8)
+        if feature_type is not None:
+            keep = (side == 1) | (df[type_col] == feature_type)
+            df, side = df[keep.to_numpy()], side[keep.to_numpy()]
+        df = df.assign(_side=side).sort_values(
+            [ts_col, tiebreak], kind="stable")
+        state = StreamingAsofState(
+            entity_col, ts_col, value_col, "_side", tiebreak)
+        out = []
+        for lo in range(0, len(df), micro_batch_rows):
+            emitted = state.update(df.iloc[lo:lo + micro_batch_rows])
+            if len(emitted):
+                out.append(emitted)
+        if not out:
+            e = df.iloc[:0].drop(columns=["_side"])
+            e[f"{value_col}_asof"] = pd.Series(dtype="float64")
+            return e
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(
+        bucketed, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
 def lateness_audit(
     ds: ray.data.Dataset,
     *,

@@ -271,3 +271,39 @@ def test_lateness_audit_cross_bucket_carry():
     assert out.loc[360, "n_late"] == 1      # >6min: 10
     assert (out["n_total"] == 6).all()
     assert abs(out.loc[0, "late_frac"] - 0.5) < 1e-9
+
+
+def test_streaming_asof_batch_size_invariance():
+    import pandas as pd
+    import ray.data
+
+    from featherstore_ray.stages.streaming import streaming_asof
+
+    rng = pd.date_range("2024-01-01", periods=200, freq="min")
+    rows = []
+    for i, t in enumerate(rng):
+        rows.append({
+            "event_id": i, "user_id": i % 5, "ts": t,
+            "event_type": "click" if i % 3 else "purchase",
+            "value": float(i),
+        })
+    df = pd.DataFrame(rows)
+    outs = []
+    for mb in (7, 512):
+        out = streaming_asof(
+            ray.data.from_pandas(df).repartition(4),
+            entity_col="user_id", ts_col="ts", value_col="value",
+            tiebreak="event_id", spine_type="purchase",
+            feature_type="click", micro_batch_rows=mb, num_buckets=4,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # zero-leakage invariant: matched click is never after the purchase
+    m = outs[0]
+    nn = m["value_asof"].notna()
+    clicks = df[df["event_type"] == "click"].set_index("event_id")
+    # every matched value is a click value with ts <= purchase ts
+    for _, r in m[nn].iterrows():
+        src = df[(df["value"] == r["value_asof"])
+                 & (df["event_type"] == "click")].iloc[0]
+        assert src["ts"] <= r["ts"] and src["user_id"] == r["user_id"]
