@@ -5519,6 +5519,22 @@ def q_rmst(sf_dir: str):
 # --------------------------------------------------------------- contract --
 
 
+def q_fd_discovery(sf_dir: str):
+    """Functional-dependency audit over events: event_id→event_type holds
+    (event_id is a key), user_id→event_type and event_type→user_id fail
+    with counted violations. Distinct-pair partials per batch, one
+    hash(candidate:det) exchange, exact counts."""
+    from featherstore_ray.stages.aggregate import fd_discovery
+
+    return fd_discovery(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type"]),
+        [("event_id", "event_type"),
+         ("user_id", "event_type"),
+         ("event_type", "user_id")],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5669,6 +5685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohen_kappa": q_cohen_kappa,
         "cuped_adjust": q_cuped_adjust,
         "streaming_asof": q_streaming_asof,
+        "fd_discovery": q_fd_discovery,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7267,6 +7284,41 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY f.ts DESC, f.event_id DESC LIMIT 1)
                        AS value_asof
             FROM s
+        """,
+        "fd_discovery": """
+            WITH c1 AS (
+                SELECT count(DISTINCT event_id)::BIGINT AS nd,
+                       count(DISTINCT (event_id, event_type))::BIGINT
+                           AS np
+                FROM events
+                WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            c2 AS (
+                SELECT count(DISTINCT user_id)::BIGINT AS nd,
+                       count(DISTINCT (user_id, event_type))::BIGINT
+                           AS np
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            c3 AS (
+                SELECT count(DISTINCT event_type)::BIGINT AS nd,
+                       count(DISTINCT (event_type, user_id))::BIGINT
+                           AS np
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            )
+            SELECT 'event_id' AS determinant, 'event_type' AS dependent,
+                   nd AS n_det, np AS n_pairs, np - nd AS violations,
+                   (CASE WHEN np = nd THEN 1 ELSE 0 END)::BIGINT AS holds
+            FROM c1
+            UNION ALL
+            SELECT 'user_id', 'event_type', nd, np, np - nd,
+                   (CASE WHEN np = nd THEN 1 ELSE 0 END)::BIGINT
+            FROM c2
+            UNION ALL
+            SELECT 'event_type', 'user_id', nd, np, np - nd,
+                   (CASE WHEN np = nd THEN 1 ELSE 0 END)::BIGINT
+            FROM c3
         """,
         "cuped_adjust": f"""
             WITH u AS (

@@ -4379,3 +4379,100 @@ def cuped_adjust(
         "mean_y_adj": pa.array(ma),
         "theta": pa.array(th),
     }))
+
+
+def fd_discovery(
+    ds: ray.data.Dataset,
+    candidates: Sequence[tuple[str, str]],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Functional-dependency audit — the data-profiling op behind schema
+    discovery / key detection (complements :func:`~featherstore_ray.stages
+    .misc.expect`, which checks DECLARED rules; this DISCOVERS them): for
+    each candidate ``(determinant, dependent)`` column pair, ``det → dep``
+    holds iff every determinant value maps to exactly one dependent value,
+    i.e. ``count(distinct det) == count(distinct (det, dep))``. Rows with
+    a null in either column are excluded (oracle WHERE mirror). Output one
+    row per candidate: (determinant, dependent, n_det, n_pairs,
+    violations, holds) with ``violations = n_pairs − n_det`` (the number
+    of EXTRA (det, dep) mappings past one-per-determinant) and ``holds``
+    an int64 0/1.
+
+    Scale shape (the count_distinct pattern): each batch collapses every
+    candidate to its distinct (det, dep) string pairs FIRST — the exchange
+    carries distinct pairs, never rows — then ONE bucket shuffle on
+    hash(candidate:det) so a determinant's full mapping set co-locates;
+    per-bucket exact distinct counts sum driver-side (num_buckets ×
+    |candidates| scalar partials). Values are stringified for the tagged
+    union; int64/string stringification is injective so counts are exact.
+    """
+    import pyarrow as pa
+
+    cand = [(str(d), str(p)) for d, p in candidates]
+    cols = sorted({c for pair in cand for c in pair})
+    proj = ds.select_columns(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, (det, dep) in enumerate(cand):
+            d = df[[det, dep]].dropna().drop_duplicates()
+            if d.empty:
+                continue
+            outs.append(pd.DataFrame({
+                "_cand": np.full(len(d), i, dtype=np.int64),
+                "_det": d[det].astype(str).to_numpy(),
+                "_dep": d[dep].astype(str).to_numpy(),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "_cand": pd.Series(dtype="int64"),
+                "_det": pd.Series(dtype="object"),
+                "_dep": pd.Series(dtype="object"),
+                "_key": pd.Series(dtype="object"),
+            })
+        out = pd.concat(outs, ignore_index=True)
+        out["_key"] = out["_cand"].astype(str) + ":" + out["_det"]
+        return out
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df.drop(columns=[BUCKET_COL]).drop_duplicates(
+            ["_cand", "_det", "_dep"])
+        if dd.empty:
+            return pd.DataFrame({
+                "_cand": pd.Series(dtype="int64"),
+                "_np": pd.Series(dtype="int64"),
+                "_nd": pd.Series(dtype="int64"),
+            })
+        n_pairs = dd.groupby("_cand", sort=True).size()
+        n_det = (dd.drop_duplicates(["_cand", "_det"])
+                 .groupby("_cand", sort=True).size())
+        return pd.DataFrame({
+            "_cand": n_pairs.index.to_numpy(np.int64),
+            "_np": n_pairs.to_numpy(np.int64),
+            "_nd": n_det.reindex(n_pairs.index).to_numpy(np.int64),
+        })
+
+    m = bucketed_map_groups(
+        add_bucket_column(parts, "_key", num_buckets),
+        bucket_counts, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    if m.empty:
+        g = pd.DataFrame({"_np": [], "_nd": []})
+    else:
+        g = m.groupby("_cand", sort=True)[["_np", "_nd"]].sum()
+    nd = np.array([int(g["_nd"].get(i, 0)) for i in range(len(cand))],
+                  dtype=np.int64)
+    npairs = np.array([int(g["_np"].get(i, 0)) for i in range(len(cand))],
+                      dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "determinant": pa.array([d for d, _ in cand]),
+        "dependent": pa.array([p for _, p in cand]),
+        "n_det": pa.array(nd),
+        "n_pairs": pa.array(npairs),
+        "violations": pa.array(npairs - nd),
+        "holds": pa.array((npairs == nd).astype(np.int64)),
+    }))
