@@ -5535,6 +5535,19 @@ def q_fd_discovery(sf_dir: str):
     )
 
 
+def q_sequence_mining(sf_dir: str):
+    """Frequent ordered event-type patterns a→b per user (sequential-
+    pattern mining over per-type time extremes): (entity, type, min_ts,
+    max_ts) partials, one entity exchange, bounded pair expansion."""
+    from featherstore_ray.stages.aggregate import sequence_mining
+
+    return sequence_mining(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        min_support=5,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5686,6 +5699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjust": q_cuped_adjust,
         "streaming_asof": q_streaming_asof,
         "fd_discovery": q_fd_discovery,
+        "sequence_mining": q_sequence_mining,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7319,6 +7333,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'event_type', 'user_id', nd, np, np - nd,
                    (CASE WHEN np = nd THEN 1 ELSE 0 END)::BIGINT
             FROM c3
+        """,
+        "sequence_mining": """
+            WITH ut AS (
+                SELECT user_id, event_type AS t,
+                       min(ts) AS mn, max(ts) AS mx
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY user_id, event_type
+            ),
+            pairs AS (
+                SELECT a.t AS antecedent, b.t AS consequent,
+                       count(*)::BIGINT AS support
+                FROM ut a JOIN ut b USING (user_id)
+                WHERE a.mn < b.mx
+                GROUP BY a.t, b.t
+            ),
+            ante AS (
+                SELECT t, count(*)::BIGINT AS n_ante FROM ut GROUP BY t
+            )
+            SELECT p.antecedent, p.consequent, p.support,
+                   ante.n_ante AS n_antecedent,
+                   round(p.support::DOUBLE / ante.n_ante, 6)
+                       AS confidence
+            FROM pairs p JOIN ante ON ante.t = p.antecedent
+            WHERE p.support >= 5
         """,
         "cuped_adjust": f"""
             WITH u AS (

@@ -4476,3 +4476,105 @@ def fd_discovery(
         "violations": pa.array(npairs - nd),
         "holds": pa.array((npairs == nd).astype(np.int64)),
     }))
+
+
+def sequence_mining(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_support: int = 1,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Frequent ordered 2-step sequential patterns (the sequence-mining
+    sibling of :func:`association_rules`, which ignores order): pattern
+    ``a → b`` is supported by an entity iff it has SOME ``a`` event
+    strictly before SOME ``b`` event — equivalently ``min_ts(a) <
+    max_ts(b)`` over the entity's per-type extremes (a = b counts too:
+    a repeat at a later timestamp). Output one row per pattern with
+    ``support ≥ min_support``: (antecedent, consequent, support,
+    n_antecedent, confidence = support / n_antecedent). Rows with a null
+    entity, ts or type are excluded (oracle WHERE mirror).
+
+    Scale shape: each batch collapses to (entity, type, min_ts, max_ts)
+    partials — the exchange carries per-type extremes, never events —
+    then ONE hash(entity) exchange; the per-bucket kernel re-merges
+    extremes and expands each entity's bounded type set (pattern
+    alphabet is category-grade by contract) into ordered-pair
+    indicators. Driver merges |types|²-grade partials. Support and
+    n_antecedent are exact ints; confidence is a single division.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([entity_col, ts_col, type_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[entity_col, ts_col, type_col])
+        g = d.groupby([entity_col, type_col], sort=False)[ts_col].agg(
+            _mn="min", _mx="max")
+        return g.reset_index()
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pandas")
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL])
+        empty = pd.DataFrame({
+            "_a": pd.Series(dtype="object"),
+            "_c": pd.Series(dtype="object"),
+            "_sup": pd.Series(dtype="int64"),
+            "_na": pd.Series(dtype="int64"),
+        })
+        if d.empty:
+            return empty
+        g = (d.groupby([entity_col, type_col], sort=False)
+             .agg(_mn=("_mn", "min"), _mx=("_mx", "max")).reset_index())
+        m = g.merge(g, on=entity_col, suffixes=("_x", "_y"))
+        hit = m[m["_mn_x"] < m["_mx_y"]]
+        sup = (hit.groupby([f"{type_col}_x", f"{type_col}_y"], sort=True)
+               .size().rename("_sup").reset_index())
+        ante = (g.groupby(type_col, sort=True).size()
+                .rename("_na").reset_index())
+        out = pd.DataFrame({
+            "_a": np.concatenate([sup[f"{type_col}_x"].to_numpy(object),
+                                  ante[type_col].to_numpy(object)]),
+            "_c": np.concatenate([sup[f"{type_col}_y"].to_numpy(object),
+                                  np.full(len(ante), None, dtype=object)]),
+            "_sup": np.concatenate([sup["_sup"].to_numpy(np.int64),
+                                    np.zeros(len(ante), np.int64)]),
+            "_na": np.concatenate([np.zeros(len(sup), np.int64),
+                                   ante["_na"].to_numpy(np.int64)]),
+        })
+        return out if not out.empty else empty
+
+    m = bucketed_map_groups(
+        add_bucket_column(parts, entity_col, num_buckets),
+        bucket_kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    cols = ["antecedent", "consequent", "support", "n_antecedent",
+            "confidence"]
+    if m.empty:
+        return ray.data.from_arrow(pa.table({
+            "antecedent": pa.array([], pa.string()),
+            "consequent": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+            "n_antecedent": pa.array([], pa.int64()),
+            "confidence": pa.array([], pa.float64()),
+        }))
+    pairs = (m[m["_c"].notna()]
+             .groupby(["_a", "_c"], sort=True)["_sup"].sum().reset_index())
+    ante = m[m["_c"].isna()].groupby("_a", sort=True)["_na"].sum()
+    pairs = pairs[pairs["_sup"] >= int(min_support)]
+    na = ante.reindex(pairs["_a"]).to_numpy(np.int64)
+    conf = pairs["_sup"].to_numpy(np.float64) / na
+    if round_digits is not None:
+        conf = np.round(conf, round_digits)
+    return ray.data.from_arrow(pa.table({
+        "antecedent": pa.array(pairs["_a"].astype(str)),
+        "consequent": pa.array(pairs["_c"].astype(str)),
+        "support": pa.array(pairs["_sup"].to_numpy(np.int64)),
+        "n_antecedent": pa.array(na),
+        "confidence": pa.array(conf),
+    }))
