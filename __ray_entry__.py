@@ -5548,6 +5548,18 @@ def q_sequence_mining(sf_dir: str):
     )
 
 
+def q_cross_correlation(sf_dir: str):
+    """Lead-lag CCF between daily click and purchase counts on the dense
+    day grid (does click volume lead purchases?): calendar-grade daily
+    partials, exact integer moment sums per lag."""
+    from featherstore_ray.stages.aggregate import cross_correlation
+
+    return cross_correlation(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        x_type="click", y_type="purchase", max_lag=3,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5700,6 +5712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_asof": q_streaming_asof,
         "fd_discovery": q_fd_discovery,
         "sequence_mining": q_sequence_mining,
+        "cross_correlation": q_cross_correlation,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7359,6 +7372,53 @@ def oracle_sql() -> dict[str, str]:
                        AS confidence
             FROM pairs p JOIN ante ON ante.t = p.antecedent
             WHERE p.support >= 5
+        """,
+        "cross_correlation": """
+            WITH daily0 AS (
+                SELECT floor(epoch(ts) / 86400)::BIGINT AS d,
+                       count(CASE WHEN event_type = 'click' THEN 1
+                             END)::BIGINT AS x,
+                       count(CASE WHEN event_type = 'purchase' THEN 1
+                             END)::BIGINT AS y
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY d
+            ),
+            bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily0),
+            spine AS (
+                SELECT unnest(range(lo, hi + 1)) AS d FROM bounds
+            ),
+            daily AS (
+                SELECT s.d, coalesce(x, 0)::BIGINT AS x,
+                       coalesce(y, 0)::BIGINT AS y
+                FROM spine s LEFT JOIN daily0 USING (d)
+            ),
+            lags AS (
+                SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag
+            ),
+            j AS (
+                SELECT l.lag, a.x AS x, b.y AS y
+                FROM lags l
+                JOIN daily a ON TRUE
+                JOIN daily b ON b.d = a.d + l.lag
+            ),
+            m AS (
+                SELECT lag, count(*)::BIGINT AS n,
+                       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                       sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx,
+                       sum(y * y)::BIGINT AS syy
+                FROM j GROUP BY lag
+            )
+            SELECT lag::BIGINT AS lag, n,
+                   CASE WHEN n * sxx - sx * sx > 0
+                             AND n * syy - sy * sy > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                      * sqrt((n * syy - sy * sy)::DOUBLE)),
+                                   6)
+                   END AS ccf
+            FROM m
         """,
         "cuped_adjust": f"""
             WITH u AS (

@@ -4578,3 +4578,86 @@ def sequence_mining(
         "n_antecedent": pa.array(na),
         "confidence": pa.array(conf),
     }))
+
+
+def cross_correlation(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    x_type: str = "click",
+    y_type: str = "purchase",
+    max_lag: int = 3,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Lead-lag cross-correlation between two event-type daily count
+    series — the two-series companion to :func:`~featherstore_ray.stages
+    .window.autocorr` (one series vs its own past): on the DENSE day grid
+    ``[min_day, max_day]`` (zero-filled — absent days count 0), for each
+    lag ℓ ∈ [−max_lag, max_lag] the Pearson correlation of ``(x_d,
+    y_{d+ℓ})`` over the ``D − |ℓ|`` overlapping days. Positive ℓ with
+    high ccf reads "x leads y by ℓ days". Rows with a null ts or type
+    are excluded (oracle WHERE mirror). Output: (lag, n, ccf) — ccf null
+    when either window is constant.
+
+    Scale shape: each block collapses to (day, x_count, y_count)
+    partials — calendar-grade, never rows — merged driver-side; the
+    closed-form moment sums per lag are exact integer arithmetic, so
+    only the final ratio rounds.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([ts_col, type_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[ts_col, type_col])
+        day = d[ts_col].to_numpy("datetime64[D]").view(np.int64)
+        t = d[type_col].to_numpy(object)
+        out = pd.DataFrame({"_d": day,
+                            "_x": (t == x_type).astype(np.int64),
+                            "_y": (t == y_type).astype(np.int64)})
+        return out.groupby("_d", sort=False).sum().reset_index()
+
+    m = (proj.map_batches(partial, batch_size=None, batch_format="pandas")
+         .to_pandas())
+    lags = np.arange(-int(max_lag), int(max_lag) + 1, dtype=np.int64)
+    if m.empty:
+        return ray.data.from_arrow(pa.table({
+            "lag": pa.array(lags),
+            "n": pa.array(np.zeros(len(lags), np.int64)),
+            "ccf": pa.array(np.full(len(lags), np.nan)),
+        }))
+    g = m.groupby("_d", sort=True)[["_x", "_y"]].sum()
+    lo, hi = int(g.index.min()), int(g.index.max())
+    idx = np.arange(lo, hi + 1, dtype=np.int64)
+    x = g["_x"].reindex(idx, fill_value=0).to_numpy(np.int64)
+    y = g["_y"].reindex(idx, fill_value=0).to_numpy(np.int64)
+    D = len(idx)
+    ns, ccfs = [], []
+    for l in lags:
+        if l >= 0:
+            xa, yb = x[:D - l] if l else x, y[l:]
+        else:
+            xa, yb = x[-l:], y[:D + l]
+        n = len(xa)
+        ns.append(n)
+        if n == 0:
+            ccfs.append(np.nan)
+            continue
+        sx, sy = int(xa.sum()), int(yb.sum())
+        sxy = int((xa * yb).sum())
+        sxx, syy = int((xa * xa).sum()), int((yb * yb).sum())
+        den2x, den2y = n * sxx - sx * sx, n * syy - sy * sy
+        if den2x <= 0 or den2y <= 0:
+            ccfs.append(np.nan)
+            continue
+        ccfs.append((n * sxy - sx * sy)
+                    / (np.sqrt(float(den2x)) * np.sqrt(float(den2y))))
+    ccf = np.array(ccfs, dtype=np.float64)
+    if round_digits is not None:
+        ccf = np.round(ccf, round_digits)
+    return ray.data.from_arrow(pa.table({
+        "lag": pa.array(lags),
+        "n": pa.array(np.array(ns, np.int64)),
+        "ccf": pa.array(ccf),
+    }))
