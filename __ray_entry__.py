@@ -5560,6 +5560,60 @@ def q_cross_correlation(sf_dir: str):
     )
 
 
+def q_holt_forecast(sf_dir: str):
+    """Holt linear-trend forecast of each user's daily activity count
+    (7-day horizon): calendar-grade daily partials, one entity exchange,
+    vectorized recursion; recursive-CTE oracle with repr-injected
+    smoothing constants (IEEE-identical)."""
+    from featherstore_ray.stages.window import holt_forecast
+
+    return holt_forecast(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        entity_col="user_id", ts_col="ts",
+        alpha=0.3, beta=0.2, horizon=7,
+    )
+
+
+def _holt_sql(alpha: float, beta: float, horizon: int) -> str:
+    a, ia = repr(float(alpha)), repr(1.0 - float(alpha))
+    bt, ibt = repr(float(beta)), repr(1.0 - float(beta))
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT user_id, floor(epoch(ts) / 86400)::BIGINT AS day,
+                   count(*)::DOUBLE AS y
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id, day
+        ),
+        s AS (
+            SELECT user_id, y,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS rn,
+                   count(*) OVER (PARTITION BY user_id)::BIGINT AS nd
+            FROM d
+        ),
+        rec AS (
+            SELECT a1.user_id, 1::BIGINT AS rn, a1.nd,
+                   a1.y AS l, a2.y - a1.y AS b
+            FROM s a1 JOIN s a2
+              ON a2.user_id = a1.user_id AND a2.rn = 2
+            WHERE a1.rn = 1 AND a1.nd >= 2
+            UNION ALL
+            SELECT r.user_id, r.rn + 1, r.nd,
+                   {a} * s.y + {ia} * (r.l + r.b) AS l,
+                   {bt} * (({a} * s.y + {ia} * (r.l + r.b)) - r.l)
+                       + {ibt} * r.b AS b
+            FROM rec r JOIN s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+            WHERE r.rn + 1 <= r.nd
+        )
+        SELECT user_id, nd AS n_days, round(l, 6) AS level,
+               round(b, 6) AS trend,
+               round(l + {horizon} * b, 6) AS forecast
+        FROM rec WHERE rn = nd
+    """
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5713,6 +5767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery": q_fd_discovery,
         "sequence_mining": q_sequence_mining,
         "cross_correlation": q_cross_correlation,
+        "holt_forecast": q_holt_forecast,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7373,6 +7428,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN ante ON ante.t = p.antecedent
             WHERE p.support >= 5
         """,
+        "holt_forecast": _holt_sql(0.3, 0.2, 7),
         "cross_correlation": """
             WITH daily0 AS (
                 SELECT floor(epoch(ts) / 86400)::BIGINT AS d,

@@ -1530,3 +1530,94 @@ def max_drawdown(
         return out
 
     return _bucketed(ds, entity_col, num_buckets, kernel)
+
+
+def holt_forecast(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    horizon: int = 7,
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Holt's linear-trend exponential smoothing over each entity's daily
+    activity counts — the forecasting member of the time-series family
+    (ewma smooths, stl_decompose explains, this EXTRAPOLATES): over the
+    entity's observed days in time order, ``l_t = α·y_t + (1−α)·(l_{t−1}
+    + b_{t−1})``, ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}`` with
+    ``l_1 = y_1, b_1 = y_2 − y_1``; the h-step forecast is ``l_D +
+    h·b_D``. Entities with fewer than two observed days drop (oracle
+    HAVING mirror). Output per entity: (entity, n_days, level, trend,
+    forecast).
+
+    Cross-engine contract: the series is the daily COUNT (exact int both
+    engines), and the oracle's recursive CTE spells the identical
+    expression shapes with ``1−α`` / ``1−β`` injected as repr() literals
+    (the pagerank convention) — the recursion is IEEE-identical, only
+    outputs round.
+
+    Scale shape: per-batch (entity, day, count) partials — calendar-grade
+    — then ONE entity exchange; the per-bucket kernel re-merges and runs
+    the recursion VECTORIZED across entities per time step (≤ max-days
+    iterations of in-bucket numpy, never a per-row Python loop).
+    """
+    import pyarrow as pa
+
+    a, ia = float(alpha), 1.0 - float(alpha)
+    bt, ibt = float(beta), 1.0 - float(beta)
+    h = float(horizon)
+    proj = ds.select_columns([entity_col, ts_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[entity_col, ts_col])
+        day = d[ts_col].to_numpy("datetime64[D]").view(np.int64)
+        out = pd.DataFrame({entity_col: d[entity_col].to_numpy(np.int64),
+                            "_d": day, "_y": np.int64(1)})
+        return (out.groupby([entity_col, "_d"], sort=False)["_y"].sum()
+                .reset_index())
+
+    parts = proj.map_batches(
+        partial, batch_size=None, batch_format="pandas")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            entity_col: pd.Series(dtype="int64"),
+            "n_days": pd.Series(dtype="int64"),
+            "level": pd.Series(dtype="float64"),
+            "trend": pd.Series(dtype="float64"),
+            "forecast": pd.Series(dtype="float64"),
+        })
+        if df.empty:
+            return empty
+        d = (df.groupby([entity_col, "_d"], sort=True)["_y"].sum()
+             .reset_index())
+        ent = d[entity_col].to_numpy(np.int64)
+        y = d["_y"].to_numpy(np.float64)
+        u, starts = np.unique(ent, return_index=True)
+        nd = np.diff(np.append(starts, len(d)))
+        keep = nd >= 2
+        if not keep.any():
+            return empty
+        u2, st2, nd2 = u[keep], starts[keep], nd[keep]
+        lvl = y[st2].copy()
+        b = y[st2 + 1] - y[st2]
+        for t in range(2, int(nd2.max()) + 1):
+            act = nd2 >= t
+            yt = y[st2[act] + t - 1]
+            lp = a * yt + ia * (lvl[act] + b[act])
+            b[act] = bt * (lp - lvl[act]) + ibt * b[act]
+            lvl[act] = lp
+        fc = lvl + h * b
+        if round_digits is not None:
+            lvl = np.round(lvl, round_digits)
+            b = np.round(b, round_digits)
+            fc = np.round(fc, round_digits)
+        return pd.DataFrame({
+            entity_col: u2, "n_days": nd2.astype(np.int64),
+            "level": lvl, "trend": b, "forecast": fc,
+        })
+
+    return _bucketed(parts, entity_col, num_buckets, kernel)
