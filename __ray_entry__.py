@@ -5614,6 +5614,17 @@ def _holt_sql(alpha: float, beta: float, horizon: int) -> str:
     """
 
 
+def q_ridge_regression(sf_dir: str):
+    """Closed-form ridge fit of floor(value) on (hour, dow) + intercept:
+    one row of exact-integer moments per block, no shuffle, Cramer 3×3
+    mirrored expression-for-expression in SQL."""
+    from featherstore_ray.stages.aggregate import ridge_regression
+
+    return ridge_regression(
+        _read(sf_dir, "events", columns=["ts", "value"]), lam=100,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5768,6 +5779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_mining": q_sequence_mining,
         "cross_correlation": q_cross_correlation,
         "holt_forecast": q_holt_forecast,
+        "ridge_regression": q_ridge_regression,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7429,6 +7441,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.support >= 5
         """,
         "holt_forecast": _holt_sql(0.3, 0.2, 7),
+        "ridge_regression": """
+            WITH f AS (
+                SELECT (floor(epoch(ts) / 3600)::BIGINT % 24) AS h,
+                       ((floor(epoch(ts) / 86400)::BIGINT + 3) % 7) AS w,
+                       floor(value)::BIGINT AS yv
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(h)::BIGINT AS sx1, sum(w)::BIGINT AS sx2,
+                       sum(yv)::BIGINT AS sy,
+                       sum(h * h)::BIGINT AS s11,
+                       sum(h * w)::BIGINT AS s12,
+                       sum(w * w)::BIGINT AS s22,
+                       sum(h * yv)::BIGINT AS s1y,
+                       sum(w * yv)::BIGINT AS s2y
+                FROM f
+            ),
+            a AS (
+                SELECT n, n::DOUBLE AS a11,
+                       sx1::DOUBLE AS a12, sx2::DOUBLE AS a13,
+                       sx1::DOUBLE AS a21, (s11 + 100)::DOUBLE AS a22,
+                       s12::DOUBLE AS a23,
+                       sx2::DOUBLE AS a31, s12::DOUBLE AS a32,
+                       (s22 + 100)::DOUBLE AS a33,
+                       sy::DOUBLE AS r1, s1y::DOUBLE AS r2,
+                       s2y::DOUBLE AS r3
+                FROM m
+            ),
+            dets AS (
+                SELECT n,
+                       a11 * (a22 * a33 - a23 * a32)
+                       - a12 * (a21 * a33 - a23 * a31)
+                       + a13 * (a21 * a32 - a22 * a31) AS det,
+                       r1 * (a22 * a33 - a23 * a32)
+                       - a12 * (r2 * a33 - a23 * r3)
+                       + a13 * (r2 * a32 - a22 * r3) AS det0,
+                       a11 * (r2 * a33 - a23 * r3)
+                       - r1 * (a21 * a33 - a23 * a31)
+                       + a13 * (a21 * r3 - r2 * a31) AS det1,
+                       a11 * (a22 * r3 - r2 * a32)
+                       - a12 * (a21 * r3 - r2 * a31)
+                       + r1 * (a21 * a32 - a22 * a31) AS det2
+                FROM a
+            )
+            SELECT n, round(det0 / det, 6) AS b0,
+                   round(det1 / det, 6) AS b1,
+                   round(det2 / det, 6) AS b2
+            FROM dets
+        """,
         "cross_correlation": """
             WITH daily0 AS (
                 SELECT floor(epoch(ts) / 86400)::BIGINT AS d,

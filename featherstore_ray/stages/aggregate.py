@@ -4661,3 +4661,97 @@ def cross_correlation(
         "n": pa.array(np.array(ns, np.int64)),
         "ccf": pa.array(ccf),
     }))
+
+
+def ridge_regression(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lam: int = 100,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Closed-form ridge regression of ``floor(value)`` on calendar
+    features (hour-of-day, day-of-week) + intercept — the multi-feature
+    sibling of :func:`group_linear_fit` (one feature) and
+    :func:`~featherstore_ray.stages.ann.logreg_train` (iterative): solves
+    the 3×3 normal equations ``(XᵀX + λ·diag(0,1,1)) β = Xᵀy`` (intercept
+    unpenalized) by Cramer's rule. Rows with a null ts or value are
+    excluded (oracle WHERE mirror). Output one row: (n, b0, b1, b2) =
+    intercept, hour, dow coefficients.
+
+    Cross-engine contract: features and target are exact INTEGERS (hour,
+    dow, floor(value)) so every moment sum is exact int64 regardless of
+    summation order; ``λ`` is an int added before the float cast; the
+    Cramer determinants are spelled with the IDENTICAL expression shape
+    in the SQL mirror, so the float arithmetic is IEEE-identical and
+    only outputs round. (Moment magnitude bounds the exact-int regime —
+    hour·dow·y products stay far under 2⁵³ even at 100 TB row counts of
+    bounded values.)
+
+    Scale shape: each block collapses to ONE row of 10 integer moments;
+    the driver sums scalar partials — no shuffle anywhere.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([ts_col, value_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[ts_col, value_col])
+        ts = d[ts_col].to_numpy("datetime64[us]")
+        h = ((ts.view(np.int64) // 3_600_000_000) % 24).astype(np.int64)
+        w = ((ts.astype("datetime64[D]").view(np.int64) + 3) % 7
+             ).astype(np.int64)
+        yv = np.floor(d[value_col].to_numpy(np.float64)).astype(np.int64)
+        return pd.DataFrame([{
+            "_n": np.int64(len(h)),
+            "_sx1": h.sum(), "_sx2": w.sum(), "_sy": yv.sum(),
+            "_s11": (h * h).sum(), "_s12": (h * w).sum(),
+            "_s22": (w * w).sum(),
+            "_s1y": (h * yv).sum(), "_s2y": (w * yv).sum(),
+        }])
+
+    m = (proj.map_batches(partial, batch_size=None, batch_format="pandas")
+         .to_pandas().sum())
+    n = int(m["_n"])
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([0], pa.int64()),
+            "b0": pa.array([np.nan]), "b1": pa.array([np.nan]),
+            "b2": pa.array([np.nan]),
+        }))
+    a11 = np.float64(n)
+    a12 = np.float64(int(m["_sx1"]))
+    a13 = np.float64(int(m["_sx2"]))
+    a22 = np.float64(int(m["_s11"]) + int(lam))
+    a23 = np.float64(int(m["_s12"]))
+    a33 = np.float64(int(m["_s22"]) + int(lam))
+    r1 = np.float64(int(m["_sy"]))
+    r2 = np.float64(int(m["_s1y"]))
+    r3 = np.float64(int(m["_s2y"]))
+    a21, a31, a32 = a12, a13, a23
+    det = (a11 * (a22 * a33 - a23 * a32)
+           - a12 * (a21 * a33 - a23 * a31)
+           + a13 * (a21 * a32 - a22 * a31))
+    det0 = (r1 * (a22 * a33 - a23 * a32)
+            - a12 * (r2 * a33 - a23 * r3)
+            + a13 * (r2 * a32 - a22 * r3))
+    det1 = (a11 * (r2 * a33 - a23 * r3)
+            - r1 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * r3 - r2 * a31))
+    det2 = (a11 * (a22 * r3 - r2 * a32)
+            - a12 * (a21 * r3 - r2 * a31)
+            + r1 * (a21 * a32 - a22 * a31))
+    if det == 0.0:
+        b0 = b1 = b2 = np.nan
+    else:
+        b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    if round_digits is not None:
+        b0, b1, b2 = (np.round(b0, round_digits),
+                      np.round(b1, round_digits),
+                      np.round(b2, round_digits))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "b0": pa.array([b0]), "b1": pa.array([b1]),
+        "b2": pa.array([b2]),
+    }))
