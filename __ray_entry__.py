@@ -5625,6 +5625,80 @@ def q_ridge_regression(sf_dir: str):
     )
 
 
+_KTRUSS_K = 4
+_KTRUSS_ITERS = 2
+
+
+def q_k_truss(sf_dir: str):
+    """k-truss peeling (k=4, 2 fixed rounds + a final support pass) over
+    the same synthetic orders graph as k_core: the leaf fringe drops
+    round 1 (support 0) and the chord-dense 60-node core keeps its
+    triangle-supported edges. Oracle unrolls the identical schedule
+    (``_ktruss_sql``)."""
+    import numpy as np
+
+    from featherstore_ray.stages.graph import k_truss
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        core_a = ok % 60
+        core_b = (core_a + 1 + ck % 7) % 60
+        leaf_a = 60 + ck % 300
+        leaf_b = ck % 60
+        return pa.table({
+            "a": pa.array(np.concatenate([core_a, leaf_a])),
+            "b": pa.array(np.concatenate([core_b, leaf_b])),
+        })
+
+    e = orders.map_batches(
+        edges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return k_truss(e, k=_KTRUSS_K, iters=_KTRUSS_ITERS, num_buckets=16)
+
+
+def _ktruss_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE mirror of k_truss (same fixed schedule: iters
+    support+filter rounds, then one scoring support pass)."""
+    ctes = [
+        "base AS (SELECT o_orderkey % 60 AS a,"
+        " (o_orderkey % 60 + 1 + o_custkey % 7) % 60 AS b FROM orders"
+        " UNION ALL SELECT 60 + o_custkey % 300, o_custkey % 60"
+        " FROM orders)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS lo,"
+        " greatest(a, b) AS hi FROM base WHERE a <> b)",
+    ]
+    for r in range(iters + 1):
+        ctes.append(
+            f"sym{r} AS MATERIALIZED (SELECT lo AS src, hi AS dst"
+            f" FROM e{r} UNION ALL SELECT hi, lo FROM e{r})")
+        ctes.append(
+            f"w{r} AS (SELECT a.dst AS u, b.dst AS w2, a.src AS c"
+            f" FROM sym{r} a JOIN sym{r} b"
+            f" ON a.src = b.src AND a.dst < b.dst)")
+        ctes.append(
+            f"t{r} AS (SELECT w.u, w.w2, w.c FROM w{r} w"
+            f" JOIN e{r} ed ON ed.lo = w.u AND ed.hi = w.w2)")
+        ctes.append(
+            f"cr{r} AS (SELECT u AS lo, w2 AS hi FROM t{r}"
+            f" UNION ALL SELECT least(u, c), greatest(u, c) FROM t{r}"
+            f" UNION ALL SELECT least(w2, c), greatest(w2, c) FROM t{r})")
+        ctes.append(
+            f"sup{r} AS MATERIALIZED (SELECT e.lo, e.hi,"
+            f" count(c.lo)::BIGINT AS support FROM e{r} e"
+            f" LEFT JOIN cr{r} c ON c.lo = e.lo AND c.hi = e.hi"
+            f" GROUP BY e.lo, e.hi)")
+        if r < iters:
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT lo, hi FROM sup{r}"
+                f" WHERE support >= {k - 2})")
+    joined = ",\n            ".join(ctes)
+    return (f"WITH {joined}\n"
+            f"            SELECT lo, hi, support FROM sup{iters}")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: window features + as-of join suite."""
     from featherstore_ray.pipelines.feature_suite import feature_suite
@@ -5780,6 +5854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_correlation": q_cross_correlation,
         "holt_forecast": q_holt_forecast,
         "ridge_regression": q_ridge_regression,
+        "k_truss": q_k_truss,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7441,6 +7516,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.support >= 5
         """,
         "holt_forecast": _holt_sql(0.3, 0.2, 7),
+        "k_truss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ITERS),
         "ridge_regression": """
             WITH f AS (
                 SELECT (floor(epoch(ts) / 3600)::BIGINT % 24) AS h,

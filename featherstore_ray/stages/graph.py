@@ -1145,3 +1145,163 @@ def hits(
         _with_bucket(merged, "node", num_buckets), pivot,
         num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def k_truss(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 4,
+    iters: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """k-truss peeling — the edge-cohesion sibling of :func:`k_core`
+    (node degree) and :func:`triangle_count` (global count): ``iters``
+    synchronous rounds, each computing every edge's SUPPORT (number of
+    triangles through it in the CURRENT subgraph) and dropping edges
+    with support < k−2; a final support pass scores the survivors. No
+    convergence check — engine and oracle run the identical fixed
+    schedule (the label_propagation / k_core convention). Output:
+    ``(lo, hi, support)`` per surviving canonical edge, support measured
+    in the FINAL subgraph. Self-loops drop; duplicate edges count once.
+
+    Scale shape: each support pass is three bucket exchanges over
+    Dataset-resident int64 state — wedge generation per center (bucket
+    on src), wedge↔edge match (tagged union on the wedge's low node),
+    per-edge credit count with zero-fill (tagged union on lo). Wedge
+    volume is Θ(Σ deg²): for power-law graphs route hubs through the
+    degree-ordered orientation first (triangle_count's trick) before
+    trussing — documented, not needed for category-grade graphs.
+    """
+    from featherstore_ray.stages.dedup import pair_indices
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"lo": pa.array(np.minimum(a, b)),
+                         "hi": pa.array(np.maximum(a, b))})
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["lo", "hi"]].drop_duplicates()
+
+    e = bucketed_map_groups(
+        _with_bucket(
+            edges.map_batches(canon, batch_size=None, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "lo", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def support(e_ds: ray.data.Dataset) -> ray.data.Dataset:
+        def sym_of(t: pa.Table) -> pa.Table:
+            lo = t["lo"].to_numpy(zero_copy_only=False)
+            hi = t["hi"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(np.concatenate([lo, hi])),
+                "dst": pa.array(np.concatenate([hi, lo])),
+            })
+
+        sym = e_ds.map_batches(sym_of, batch_size=None,
+                               batch_format="pyarrow", zero_copy_batch=True)
+
+        def wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop(columns=[BUCKET_COL]).sort_values(["src", "dst"])
+            src = d["src"].to_numpy(np.int64)
+            dst = d["dst"].to_numpy(np.int64)
+            ai, bi = pair_indices(src)
+            return pd.DataFrame({"k1": dst[ai], "k2": dst[bi],
+                                 "c": src[ai] if len(ai) else
+                                 np.empty(0, np.int64)})
+
+        wedges = bucketed_map_groups(
+            _with_bucket(sym, "src", num_buckets),
+            wedge_kernel, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k1": t["lo"].combine_chunks(),
+                "k2": t["hi"].combine_chunks(),
+                "c": pa.array(np.full(t.num_rows, -1, np.int64)),
+            })
+
+        union = wedges.union(e_ds.map_batches(
+            tag_e, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True))
+
+        def match_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop(columns=[BUCKET_COL])
+            ed = d.loc[d["c"] == -1, ["k1", "k2"]]
+            wd = d[d["c"] >= 0]
+            m = wd.merge(ed, on=["k1", "k2"])
+            if m.empty:
+                return pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                     "hi": pd.Series(dtype="int64")})
+            u = m["k1"].to_numpy(np.int64)
+            w2 = m["k2"].to_numpy(np.int64)
+            c = m["c"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "lo": np.concatenate([u, np.minimum(u, c),
+                                      np.minimum(w2, c)]),
+                "hi": np.concatenate([w2, np.maximum(u, c),
+                                      np.maximum(w2, c)]),
+            })
+
+        credits = bucketed_map_groups(
+            _with_bucket(union, "k1", num_buckets),
+            match_kernel, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+        def tag_cr(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.ones(t.num_rows, np.int64)))
+
+        def tag_e2(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lo": t["lo"].combine_chunks(),
+                "hi": t["hi"].combine_chunks(),
+                "side": pa.array(np.zeros(t.num_rows, np.int64)),
+            })
+
+        union2 = credits.map_batches(
+            tag_cr, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).union(e_ds.map_batches(
+            tag_e2, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True))
+
+        def count_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop(columns=[BUCKET_COL])
+            ed = d.loc[d["side"] == 0, ["lo", "hi"]]
+            if ed.empty:
+                return pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                     "hi": pd.Series(dtype="int64"),
+                                     "support": pd.Series(dtype="int64")})
+            cr = d[d["side"] == 1]
+            cnt = (cr.groupby(["lo", "hi"], sort=False).size()
+                   .rename("support").reset_index())
+            out = ed.merge(cnt, on=["lo", "hi"], how="left")
+            out["support"] = (out["support"].fillna(0)
+                              .astype(np.int64))
+            return out
+
+        return bucketed_map_groups(
+            _with_bucket(union2, "lo", num_buckets),
+            count_kernel, num_buckets=num_buckets, batch_format="pandas",
+        )
+
+    thr = int(k) - 2
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["support"], thr))
+        return t.select(["lo", "hi"])
+
+    for _ in range(int(iters)):
+        sup = support(e)
+        e = sup.map_batches(keep, batch_size=None, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    return support(e)
