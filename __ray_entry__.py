@@ -4285,8 +4285,9 @@ def q_ate_stratified(sf_dir: str):
 def q_isotonic_calibration(sf_dir: str):
     """PAV isotonic calibration map of click-rate vs the 1dp-rounded
     event value grid (distinct-score partials → driver O(k) stack PAV).
-    PAV's data-dependent pooling has no SQL mirror → rows-only; exact
-    pure-Python parity + monotonicity/mass invariants are pytest-gated
+    Fully oracled via the min-max identity (max over i≤k of suffix-min
+    pooled means — exact-int ratios); exact pure-Python parity +
+    monotonicity/mass invariants are pytest-gated besides
     (tests/test_ann_agg_tokens.py)."""
     import pyarrow.compute as pc
 
@@ -7517,6 +7518,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "holt_forecast": _holt_sql(0.3, 0.2, 7),
         "k_truss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ITERS),
+        "isotonic_calibration": """
+            -- PAV via the min-max identity: fit(k) = max_{i<=k}
+            -- min_{j>=k} mean(y over score blocks i..j); every candidate
+            -- is one division of exact integer prefix sums, so the
+            -- extremum lands on the PAV block mean bit-for-bit.
+            WITH d AS (
+                SELECT floor(value * 10) / 10 AS score,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            s AS (
+                SELECT score, sum(y)::BIGINT AS sy,
+                       count(*)::BIGINT AS n,
+                       row_number() OVER (ORDER BY score) AS rn
+                FROM d GROUP BY score
+            ),
+            c AS MATERIALIZED (
+                SELECT rn, score, n,
+                       sum(sy) OVER (ORDER BY rn)::BIGINT AS cs,
+                       sum(n) OVER (ORDER BY rn)::BIGINT AS cn
+                FROM s
+            ),
+            pairs AS (
+                SELECT i.rn AS i, j.rn AS j,
+                       (j.cs - coalesce(ip.cs, 0))::DOUBLE
+                       / (j.cn - coalesce(ip.cn, 0)) AS a
+                FROM c i
+                JOIN c j ON j.rn >= i.rn
+                LEFT JOIN c ip ON ip.rn = i.rn - 1
+            ),
+            mn AS (
+                SELECT i, j AS kk,
+                       min(a) OVER (PARTITION BY i ORDER BY j
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING) AS m
+                FROM pairs
+            ),
+            fit AS (SELECT kk, max(m) AS cal FROM mn GROUP BY kk)
+            SELECT s.score, s.n, round(fit.cal, 6) AS calibrated
+            FROM s JOIN fit ON fit.kk = s.rn
+        """,
         "ridge_regression": """
             WITH f AS (
                 SELECT (floor(epoch(ts) / 3600)::BIGINT % 24) AS h,

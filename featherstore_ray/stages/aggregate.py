@@ -3849,10 +3849,12 @@ def isotonic_calibration(
     (score, Σlabel, count) partials — the exchange carries DISTINCT
     scores, never rows — and the driver runs the O(k) stack PAV over the
     k-bounded distinct-score table (round/bin the score upstream for
-    continuous scores; the contract query uses a 1dp grid). PAV's
-    data-dependent pooling rounds have no SQL mirror → rows-only, gated
-    by an exact pure-Python parity pytest + monotonicity/mass-
-    preservation invariants.
+    continuous scores; the contract query uses a 1dp grid). Fully
+    oracled via the min-max identity ``fit(k) = max_{i≤k} min_{j≥k}
+    mean(y_i..y_j)`` — every candidate is one division of exact integer
+    prefix sums, so the extremum lands on the PAV block mean
+    bit-for-bit; an exact pure-Python parity pytest + monotonicity/
+    mass-preservation invariants gate it besides.
     """
     import pyarrow as pa
 
