@@ -5626,6 +5626,18 @@ def q_ridge_regression(sf_dir: str):
     )
 
 
+def q_kendall_tau(sf_dir: str):
+    """Per-user Kendall tau-b between event time and value (monotone
+    trend detector, outlier-robust): one entity exchange, triangular
+    pair expansion, exact integer concordance counts."""
+    from featherstore_ray.stages.aggregate import kendall_tau
+
+    return kendall_tau(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        entity_col="user_id", x_col="ts", y_col="value",
+    )
+
+
 _KTRUSS_K = 4
 _KTRUSS_ITERS = 2
 
@@ -5856,6 +5868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast": q_holt_forecast,
         "ridge_regression": q_ridge_regression,
         "k_truss": q_k_truss,
+        "kendall_tau": q_kendall_tau,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7518,6 +7531,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "holt_forecast": _holt_sql(0.3, 0.2, 7),
         "k_truss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ITERS),
+        "kendall_tau": """
+            WITH d AS (
+                SELECT user_id, event_id, ts AS x, value AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            pq AS (
+                SELECT a.user_id,
+                       count(CASE WHEN (a.x > b.x AND a.y > b.y)
+                                    OR (a.x < b.x AND a.y < b.y)
+                             THEN 1 END)::BIGINT AS p_c,
+                       count(CASE WHEN (a.x > b.x AND a.y < b.y)
+                                    OR (a.x < b.x AND a.y > b.y)
+                             THEN 1 END)::BIGINT AS q_d
+                FROM d a JOIN d b
+                  ON a.user_id = b.user_id
+                 AND a.event_id < b.event_id
+                GROUP BY a.user_id
+            ),
+            nn AS (
+                SELECT user_id, count(*)::BIGINT AS n FROM d
+                GROUP BY user_id
+            ),
+            tx AS (
+                SELECT user_id,
+                       sum(t * (t - 1) // 2)::BIGINT AS n1
+                FROM (SELECT user_id, count(*)::BIGINT AS t FROM d
+                      GROUP BY user_id, x)
+                GROUP BY user_id
+            ),
+            ty AS (
+                SELECT user_id,
+                       sum(t * (t - 1) // 2)::BIGINT AS n2
+                FROM (SELECT user_id, count(*)::BIGINT AS t FROM d
+                      GROUP BY user_id, y)
+                GROUP BY user_id
+            )
+            SELECT nn.user_id, nn.n,
+                   coalesce(pq.p_c, 0)::BIGINT AS p_c,
+                   coalesce(pq.q_d, 0)::BIGINT AS q_d,
+                   CASE WHEN (nn.n * (nn.n - 1) // 2 - tx.n1)
+                             * (nn.n * (nn.n - 1) // 2 - ty.n2) > 0
+                        THEN round(
+                            (coalesce(pq.p_c, 0) - coalesce(pq.q_d, 0))
+                            / sqrt(((nn.n * (nn.n - 1) // 2 - tx.n1)
+                                    * (nn.n * (nn.n - 1) // 2 - ty.n2)
+                                    )::DOUBLE), 6)
+                   END AS tau
+            FROM nn
+            JOIN tx USING (user_id)
+            JOIN ty USING (user_id)
+            LEFT JOIN pq USING (user_id)
+        """,
         "isotonic_calibration": """
             -- PAV via the min-max identity: fit(k) = max_{i<=k}
             -- min_{j>=k} mean(y over score blocks i..j); every candidate

@@ -4757,3 +4757,91 @@ def ridge_regression(
         "b0": pa.array([b0]), "b1": pa.array([b1]),
         "b2": pa.array([b2]),
     }))
+
+
+def kendall_tau(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str = "user_id",
+    x_col: str = "ts",
+    y_col: str = "value",
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group Kendall tau-b rank correlation — the concordance member
+    of the correlation family (:func:`group_corr` is linear,
+    ``spearman`` is rank-linear; tau-b counts pair ORDER agreements, the
+    most outlier-robust of the three): over every unordered row pair in
+    the group, ``P`` concordant, ``Q`` discordant, and tie corrections
+    ``n1 = Σ tₓ(tₓ−1)/2``, ``n2 = Σ t_y(t_y−1)/2``; ``τ_b = (P − Q) /
+    sqrt((n0 − n1)(n0 − n2))`` with ``n0 = n(n−1)/2``. Null when the
+    denominator is 0. Rows with a null entity, x or y drop (oracle WHERE
+    mirror). All counts are exact ints — comparisons only, no float
+    sums — so the ratio is IEEE-identical cross-engine.
+
+    Scale shape: ONE entity exchange; the per-bucket kernel expands each
+    group's pairs with the shared triangular `pair_indices` (vectorized,
+    Θ(group²) — BOUNDED-n groups by contract, the theil_sen convention;
+    use spearman's O(n log n) mid-ranks for unbounded groups).
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.stages.dedup import pair_indices
+
+    proj = ds.select_columns([entity_col, x_col, y_col])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[entity_col, x_col, y_col]).sort_values(
+            entity_col, kind="stable")
+        empty = pd.DataFrame({
+            entity_col: pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "p_c": pd.Series(dtype="int64"),
+            "q_d": pd.Series(dtype="int64"),
+            "tau": pd.Series(dtype="float64"),
+        })
+        if d.empty:
+            return empty
+        ent = d[entity_col].to_numpy(np.int64)
+        x = d[x_col].to_numpy()
+        y = d[y_col].to_numpy()
+        ai, bi = pair_indices(ent)
+        gt_x, lt_x = x[ai] > x[bi], x[ai] < x[bi]
+        gt_y, lt_y = y[ai] > y[bi], y[ai] < y[bi]
+        conc = (gt_x & gt_y) | (lt_x & lt_y)
+        disc = (gt_x & lt_y) | (lt_x & gt_y)
+        pe = ent[ai] if len(ai) else np.empty(0, np.int64)
+        u = np.unique(ent)
+        pf = pd.DataFrame({"_e": pe, "_c": conc.astype(np.int64),
+                           "_d": disc.astype(np.int64)})
+        agg = pf.groupby("_e", sort=True)[["_c", "_d"]].sum()
+        n = pd.Series(ent).groupby(ent).size()
+        tx = (d.groupby([entity_col, x_col], sort=False).size()
+              .groupby(level=0).apply(lambda t: int((t * (t - 1) // 2)
+                                                    .sum())))
+        ty = (d.groupby([entity_col, y_col], sort=False).size()
+              .groupby(level=0).apply(lambda t: int((t * (t - 1) // 2)
+                                                    .sum())))
+        nn = n.reindex(u).to_numpy(np.int64)
+        P = agg["_c"].reindex(u, fill_value=0).to_numpy(np.int64)
+        Q = agg["_d"].reindex(u, fill_value=0).to_numpy(np.int64)
+        n1 = tx.reindex(u, fill_value=0).to_numpy(np.int64)
+        n2 = ty.reindex(u, fill_value=0).to_numpy(np.int64)
+        n0 = nn * (nn - 1) // 2
+        den2 = (n0 - n1) * (n0 - n2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tau = (P - Q) / np.sqrt(den2.astype(np.float64))
+        tau[den2 <= 0] = np.nan
+        if round_digits is not None:
+            tau = np.round(tau, round_digits)
+        return pd.DataFrame({
+            entity_col: u, "n": nn, "p_c": P, "q_d": Q, "tau": tau,
+        })
+
+    ds_b = add_bucket_column(proj, entity_col, num_buckets)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed_map_groups(
+        ds_b, run, num_buckets=num_buckets, batch_format="pandas")
