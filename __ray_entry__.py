@@ -5638,6 +5638,33 @@ def q_kendall_tau(sf_dir: str):
     )
 
 
+def q_fk_discovery(sf_dir: str):
+    """Foreign-key (inclusion-dependency) discovery across three
+    candidate references: lineitem→orders and orders→customer hold;
+    events.user_id→customer.c_custkey has missing keys. Distinct-key
+    partials, one tagged value exchange per candidate."""
+    import pandas as pd
+
+    from featherstore_ray.stages.aggregate import inclusion_audit
+
+    cands = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    rows = []
+    for ct, cc, pt, pc_ in cands:
+        r = inclusion_audit(
+            _read(sf_dir, ct, columns=[cc]),
+            _read(sf_dir, pt, columns=[pc_]),
+            child_col=cc, parent_col=pc_,
+        ).to_pandas()
+        r.insert(0, "child", f"{ct}.{cc}")
+        r.insert(1, "parent", f"{pt}.{pc_}")
+        rows.append(r)
+    return ray.data.from_pandas(pd.concat(rows, ignore_index=True))
+
+
 _KTRUSS_K = 4
 _KTRUSS_ITERS = 2
 
@@ -5869,6 +5896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_regression": q_ridge_regression,
         "k_truss": q_k_truss,
         "kendall_tau": q_kendall_tau,
+        "fk_discovery": q_fk_discovery,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
         "naive_bayes": q_naive_bayes,
@@ -7531,6 +7559,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "holt_forecast": _holt_sql(0.3, 0.2, 7),
         "k_truss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ITERS),
+        "fk_discovery": """
+            WITH a1 AS (
+                SELECT count(*)::BIGINT AS nc,
+                       count(p.v)::BIGINT AS nm
+                FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem
+                      WHERE l_orderkey IS NOT NULL) c
+                LEFT JOIN (SELECT DISTINCT o_orderkey AS v FROM orders
+                           WHERE o_orderkey IS NOT NULL) p USING (v)
+            ),
+            a2 AS (
+                SELECT count(*)::BIGINT AS nc,
+                       count(p.v)::BIGINT AS nm
+                FROM (SELECT DISTINCT o_custkey AS v FROM orders
+                      WHERE o_custkey IS NOT NULL) c
+                LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer
+                           WHERE c_custkey IS NOT NULL) p USING (v)
+            ),
+            a3 AS (
+                SELECT count(*)::BIGINT AS nc,
+                       count(p.v)::BIGINT AS nm
+                FROM (SELECT DISTINCT user_id AS v FROM events
+                      WHERE user_id IS NOT NULL) c
+                LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer
+                           WHERE c_custkey IS NOT NULL) p USING (v)
+            )
+            SELECT 'lineitem.l_orderkey' AS child,
+                   'orders.o_orderkey' AS parent,
+                   nc AS n_child_distinct, nm AS n_matched,
+                   nc - nm AS n_missing,
+                   (CASE WHEN nc = nm THEN 1 ELSE 0 END)::BIGINT
+                       AS contained
+            FROM a1
+            UNION ALL
+            SELECT 'orders.o_custkey', 'customer.c_custkey',
+                   nc, nm, nc - nm,
+                   (CASE WHEN nc = nm THEN 1 ELSE 0 END)::BIGINT
+            FROM a2
+            UNION ALL
+            SELECT 'events.user_id', 'customer.c_custkey',
+                   nc, nm, nc - nm,
+                   (CASE WHEN nc = nm THEN 1 ELSE 0 END)::BIGINT
+            FROM a3
+        """,
         "kendall_tau": """
             WITH d AS (
                 SELECT user_id, event_id, ts AS x, value AS y

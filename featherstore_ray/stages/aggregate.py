@@ -4845,3 +4845,64 @@ def kendall_tau(
 
     return bucketed_map_groups(
         ds_b, run, num_buckets=num_buckets, batch_format="pandas")
+
+
+def inclusion_audit(
+    child: ray.data.Dataset,
+    parent: ray.data.Dataset,
+    *,
+    child_col: str,
+    parent_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Inclusion-dependency audit (foreign-key discovery) — the
+    cross-table sibling of :func:`fd_discovery` (within-table
+    determinism; this checks REFERENTIAL containment): does every
+    non-null ``child_col`` value appear in ``parent_col``? Output one
+    row: (n_child_distinct, n_matched, n_missing, contained) with
+    ``contained`` an int64 0/1 (vacuously 1 when the child is empty).
+    Nulls are excluded on both sides (oracle WHERE mirror).
+
+    Scale shape: per-batch DISTINCT partials on each side — the
+    exchange carries distinct keys, never rows — tagged-union into ONE
+    hash(value) exchange (all-int64 tags, no null padding), per-bucket
+    exact anti-join counts, scalar driver sum.
+    """
+    import pyarrow as pa
+
+    def dedup_side(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = t[col].drop_null().unique().cast(pa.int64())
+            return pa.table({
+                "_v": v,
+                "_side": pa.array(np.full(len(v), side, np.int64)),
+            })
+        return f
+
+    c = child.select_columns([child_col]).map_batches(
+        dedup_side(child_col, 0), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    p = parent.select_columns([parent_col]).map_batches(
+        dedup_side(parent_col, 1), batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL])
+        cv = pd.unique(d.loc[d["_side"] == 0, "_v"])
+        pv = pd.unique(d.loc[d["_side"] == 1, "_v"])
+        nc = np.int64(len(cv))
+        nm = np.int64(np.isin(cv, pv).sum())
+        return pd.DataFrame({"_nc": [nc], "_nm": [nm]})
+
+    m = bucketed_map_groups(
+        add_bucket_column(c.union(p), "_v", num_buckets),
+        bucket_kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    nc = int(m["_nc"].sum()) if not m.empty else 0
+    nm = int(m["_nm"].sum()) if not m.empty else 0
+    return ray.data.from_arrow(pa.table({
+        "n_child_distinct": pa.array([nc], pa.int64()),
+        "n_matched": pa.array([nm], pa.int64()),
+        "n_missing": pa.array([nc - nm], pa.int64()),
+        "contained": pa.array([np.int64(nc == nm)], pa.int64()),
+    }))
