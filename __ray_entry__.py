@@ -4135,8 +4135,10 @@ def q_label_propagation(sf_dir: str):
     return label_propagation(e, iters=_LPA_ITERS, num_buckets=16)
 
 
-def _lpa_sql(iters: int) -> str:
-    """Unrolled-CTE mirror of label_propagation (same fixed schedule)."""
+def _lpa_ctes(iters: int) -> list[str]:
+    """CTE list mirroring label_propagation over the synthetic orders
+    graph (same fixed schedule); shared by the label_propagation and
+    modularity oracles so the partitions agree literally."""
     ctes = [
         "edges AS (SELECT DISTINCT o_custkey AS a, o_custkey % 97 AS b"
         " FROM orders)",
@@ -4154,9 +4156,47 @@ def _lpa_sql(iters: int) -> str:
             f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label)"
             f" AS rn FROM v{i}) WHERE rn = 1)"
         )
+    return ctes
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled-CTE mirror of label_propagation (same fixed schedule)."""
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_lpa_ctes(iters))
         + f"\nSELECT node, label AS community FROM l{iters}"
+    )
+
+
+def _modularity_sql(iters: int) -> str:
+    """Modularity terms of the LPA partition over the self-loop-free
+    symmetric orders graph — shares ``_lpa_ctes`` so the partition is the
+    literal LPA mirror; all counts BIGINT, the two divisions in the
+    q_term formula written exactly like the kernel (intra/m − (deg/m)²)."""
+    ctes = _lpa_ctes(iters)
+    ctes.append("nl AS (SELECT src, dst FROM sym WHERE src <> dst)")
+    ctes.append("m2 AS (SELECT count(*)::BIGINT AS m FROM nl)")
+    ctes.append(
+        f"ec AS (SELECT ls.label AS c, count(*)::BIGINT AS deg_sum, "
+        f"sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END)::BIGINT "
+        f"AS intra FROM nl "
+        f"JOIN l{iters} ls ON ls.node = nl.src "
+        f"JOIN l{iters} ld ON ld.node = nl.dst GROUP BY 1)"
+    )
+    ctes.append(
+        f"nn AS (SELECT label AS c, count(*)::BIGINT AS n_nodes "
+        f"FROM l{iters} GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT nn.c AS community, nn.n_nodes,
+               coalesce(ec.deg_sum, 0)::BIGINT AS deg_sum,
+               coalesce(ec.intra, 0)::BIGINT AS intra,
+               round(coalesce(ec.intra, 0) / (SELECT m FROM m2)
+                     - (coalesce(ec.deg_sum, 0) / (SELECT m FROM m2))
+                       * (coalesce(ec.deg_sum, 0) / (SELECT m FROM m2)),
+                     6) AS q_term
+        FROM nn LEFT JOIN ec ON ec.c = nn.c
+        """
     )
 
 
@@ -5750,6 +5790,102 @@ def entry() -> Any:
     return feature_suite(events, num_buckets=16)
 
 
+def _supplier_part_edges(sf_dir: str):
+    """Undirected supplier↔part bipartite edge list from lineitem (the
+    pagerank graph): a = l_suppkey, b = l_partkey + 1000000."""
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def ab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(t["l_suppkey"], pa.int64()),
+            "b": pc.add(pc.cast(t["l_partkey"], pa.int64()), 1000000),
+        })
+
+    return li.map_batches(ab, batch_size=None, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the supplier↔part graph (bipartite →
+    strongly negative r): two bucket exchanges attach deg(src)/deg(dst)
+    by group size, one six-int moment partial per bucket, closed-form
+    Pearson over exact ints."""
+    from featherstore_ray.stages.graph import assortativity
+
+    return assortativity(_supplier_part_edges(sf_dir), num_buckets=16)
+
+
+_BFS_ITERS = 3
+
+
+def q_bfs_distances(sf_dir: str):
+    """Bounded-hop multi-source BFS over the supplier↔part graph from
+    seed suppliers 1–3: per-round tagged-union exchange emits (dst, d+1)
+    candidates, node-keyed min reduce; 3 synchronous hops, unrolled-CTE
+    min-distance mirror."""
+    from featherstore_ray.stages.graph import bfs_distances
+
+    seeds = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def seed(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["s_suppkey"], 3)
+        return pa.table({
+            "node": pc.cast(t.filter(keep)["s_suppkey"], pa.int64()),
+        })
+
+    return bfs_distances(
+        _supplier_part_edges(sf_dir),
+        seeds.map_batches(seed, batch_size=None, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        iters=_BFS_ITERS, num_buckets=16,
+    )
+
+
+def _bfs_sql(iters: int) -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_suppkey::BIGINT AS a, "
+        "(l_partkey + 1000000)::BIGINT AS b FROM lineitem)",
+        "sym AS (SELECT a AS src, b AS dst FROM e0 "
+        "UNION SELECT b, a FROM e0)",
+        "d0 AS (SELECT DISTINCT s_suppkey::BIGINT AS node, "
+        "0::BIGINT AS dist FROM supplier WHERE s_suppkey <= 3)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist "
+            f"FROM (SELECT node, dist FROM d{i-1} "
+            f"UNION ALL SELECT sym.dst AS node, d{i-1}.dist + 1 "
+            f"FROM sym JOIN d{i-1} ON d{i-1}.node = sym.src) "
+            f"GROUP BY node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, dist FROM d{iters}")
+
+
+def q_modularity(sf_dir: str):
+    """Per-community Newman modularity terms grading the LPA partition
+    of the synthetic orders graph: labels join onto the self-loop-free
+    symmetric edges via two tagged-union exchanges, integer count
+    partials merge in one community-keyed exchange; shares the LPA
+    unrolled-CTE mirror so both sides grade the identical partition."""
+    from featherstore_ray.stages.graph import label_propagation, modularity
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+        a = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        # numpy %: this pyarrow build has no pc.modulo (CLAUDE.md)
+        return pa.table({"a": pa.array(a), "b": pa.array(a % 97)})
+
+    e = orders.map_batches(
+        edges, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = label_propagation(e, iters=_LPA_ITERS, num_buckets=16)
+    return modularity(e, labels, num_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -5896,6 +6032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_regression": q_ridge_regression,
         "k_truss": q_k_truss,
         "kendall_tau": q_kendall_tau,
+        "assortativity": q_assortativity,
+        "bfs_distances": q_bfs_distances,
+        "modularity": q_modularity,
         "fk_discovery": q_fk_discovery,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
@@ -9457,6 +9596,35 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 200
         """,
         "label_propagation": _lpa_sql(_LPA_ITERS),
+        "modularity": _modularity_sql(_LPA_ITERS),
+        "bfs_distances": _bfs_sql(_BFS_ITERS),
+        "assortativity": """
+            WITH e0 AS (SELECT DISTINCT l_suppkey::BIGINT AS a,
+                               (l_partkey + 1000000)::BIGINT AS b
+                        FROM lineitem),
+            sym AS (SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+                    UNION SELECT b, a FROM e0 WHERE a <> b),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM sym
+                    GROUP BY src),
+            j AS (SELECT da.d AS x, db.d AS y FROM sym
+                  JOIN deg da ON da.node = sym.src
+                  JOIN deg db ON db.node = sym.dst),
+            m AS (SELECT count(*)::BIGINT AS n,
+                         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                         sum(x * y)::BIGINT AS sxy,
+                         sum(x * x)::BIGINT AS sxx,
+                         sum(y * y)::BIGINT AS syy
+                  FROM j)
+            SELECT n AS n_edges,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / sqrt((n * sxx - sx * sx)::DOUBLE
+                                          * (n * syy - sy * sy)::DOUBLE),
+                                   6)
+                   END AS r
+            FROM m
+        """,
         "k_core": _kcore_sql(_KCORE_K, _KCORE_ITERS),
         "lateness_audit": """
             WITH base AS (

@@ -1305,3 +1305,345 @@ def k_truss(
         e = sup.map_batches(keep, batch_size=None, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
     return support(e)
+
+
+def _sym_distinct(
+    edges: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    *,
+    num_buckets: int,
+    drop_self_loops: bool = False,
+) -> ray.data.Dataset:
+    """Distinct symmetric (src, dst) edge set from a possibly-duplicated
+    undirected edge list — every undirected edge appears in BOTH
+    directions exactly once (the ``sym`` CTE every graph oracle uses).
+    One src-keyed exchange; each bucket holds every row of its src keys,
+    so a per-bucket drop_duplicates is globally exact."""
+
+    def sym_of(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if drop_self_loops:
+            keep = a != b
+            a, b = a[keep], b[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "dst"]].drop_duplicates()
+
+    return bucketed_map_groups(
+        _with_bucket(
+            edges.select_columns([a_col, b_col]).map_batches(
+                sym_of, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "src", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+
+def assortativity(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Degree assortativity coefficient of an undirected graph — Pearson
+    correlation of (deg(src), deg(dst)) over the DIRECTED symmetric edge
+    list (Newman 2002): r > 0 means hubs attach to hubs (social-network
+    shape), r < 0 means hubs attach to leaves (bipartite/star shape).
+    Self-loops drop; duplicate input edges count once. Every moment is
+    an exact int64 (degree products), so the closed-form ratio is
+    IEEE-identical cross-engine; null r when either variance term is 0.
+
+    Scale shape: TWO bucket exchanges, no joins of node tables — the
+    symmetric edge set is keyed by src (a src's full row set shares the
+    bucket, so deg(src) = the group size), then re-keyed by dst where,
+    by symmetry, deg(dst) = that dst's row count; each bucket then emits
+    ONE six-int moment partial and the driver folds ``num_buckets``
+    partials with Python ints (no overflow at any scale).
+    """
+    sym = _sym_distinct(edges, a_col, b_col, num_buckets=num_buckets,
+                        drop_self_loops=True)
+
+    def attach_x(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "dst"]].copy()
+        out["x"] = df.groupby("src", sort=False)["dst"].transform("size")
+        return out
+
+    xed = bucketed_map_groups(
+        _with_bucket(sym, "src", num_buckets), attach_x,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df.groupby("dst", sort=False)["src"].transform(
+            "size").to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+        })
+
+    parts = bucketed_map_groups(
+        _with_bucket(xed, "dst", num_buckets), moments,
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    if d1 > 0 and d2 > 0:
+        r = round(float(num) / np.sqrt(float(d1) * float(d2)),
+                  round_digits)
+    else:
+        r = float("nan")
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "r": pa.array([r], pa.float64()),
+    }))
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    iters: int = 3,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Bounded-hop multi-source BFS — shortest hop distance from a seed
+    set within ``iters`` hops (the reachability-with-distance member of
+    the iterative family: connected_components answers *whether*,
+    bfs_distances answers *how far*). Unreached nodes are absent from
+    the output; all distances are exact ints. d_{i}(v) = min(d_{i-1}(v),
+    1 + min over in-neighbors' d_{i-1}) — the fixed synchronous schedule
+    the unrolled-CTE oracle mirrors.
+
+    Scale shape: the distance vector stays a Dataset; each round is the
+    pagerank two-exchange pattern (tagged union of edges + state keyed
+    by src emits (dst, d+1) candidates and re-emits state; a node-keyed
+    exchange reduces to the min). Edge rows carry dist = -1 instead of a
+    null (the int→float null-pad coercion class). Seeds outside the edge
+    set still report dist 0.
+    """
+    sym = _sym_distinct(edges, a_col, b_col,
+                        num_buckets=num_buckets).materialize()
+
+    def edge_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": t["src"].combine_chunks(),
+            "_dst": t["dst"].combine_chunks(),
+            "_dist": pa.array(np.full(n, -1, np.int64)),
+            "_side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    tagged_edges = sym.map_batches(
+        edge_tag, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def seed_tag(t: pa.Table) -> pa.Table:
+        v = np.unique(t[node_col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        n = len(v)
+        return pa.table({
+            "key": pa.array(v),
+            "_dst": pa.array(np.full(n, -1, np.int64)),
+            "_dist": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("key", sort=False, as_index=False)["_dist"]
+               .min())
+        out["_dst"] = np.int64(-1)
+        out["_side"] = np.int8(1)
+        return out[["key", "_dst", "_dist", "_side"]]
+
+    # seed state: distinct seed nodes at dist 0 (one node-keyed exchange)
+    state = bucketed_map_groups(
+        _with_bucket(
+            seeds.select_columns([node_col]).map_batches(
+                seed_tag, batch_size=None, batch_format="pyarrow",
+                zero_copy_batch=True),
+            "key", num_buckets),
+        dedup_min, num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["_side"] == 1]
+        ed = df[df["_side"] == 0]
+        cand = ed.merge(st[["key", "_dist"]], on="key", how="inner")
+        out = pd.DataFrame({
+            "key": np.concatenate([
+                cand["_dst"].to_numpy(np.int64),
+                st["key"].to_numpy(np.int64)]),
+            "_dist": np.concatenate([
+                cand["_dist_y"].to_numpy(np.int64) + 1,
+                st["_dist"].to_numpy(np.int64)]),
+        })
+        out["_dst"] = np.int64(-1)
+        out["_side"] = np.int8(1)
+        return out[["key", "_dst", "_dist", "_side"]]
+
+    for _ in range(int(iters)):
+        waved = bucketed_map_groups(
+            _with_bucket(tagged_edges.union(state), "key", num_buckets),
+            expand, num_buckets=num_buckets, batch_format="pandas",
+        )
+        state = bucketed_map_groups(
+            _with_bucket(waved, "key", num_buckets),
+            dedup_min, num_buckets=num_buckets, batch_format="pandas",
+        ).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: t["key"].combine_chunks(),
+            "dist": t["_dist"].combine_chunks(),
+        })
+
+    return state.map_batches(finish, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def modularity(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "community",
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-community Newman modularity terms of a node partition —
+    THE quality score for community detection (pairs with
+    :func:`label_propagation`, which produces the partition this op
+    grades): over the directed symmetric self-loop-free edge set E,
+    ``q_term(c) = intra_c/|E| − (deg_c/|E|)²`` where ``intra_c`` counts
+    directed edges inside c and ``deg_c = Σ_{v∈c} deg(v)``; Q = Σ q_term.
+    All counts are exact ints; the two divisions mirror IEEE-identically.
+    Communities with nodes but no surviving edges report 0-count rows
+    (q_term exactly 0).
+
+    Scale shape: labels join onto edges via two tagged-union bucket
+    exchanges (src then dst — the pagerank message pattern, no node
+    table is ever broadcast); per-bucket integer count partials merge in
+    ONE community-keyed exchange together with the label rows (node
+    counts), and |E| is a distributed ``Dataset.count()``.
+    """
+    sym = _sym_distinct(edges, a_col, b_col, num_buckets=num_buckets,
+                        drop_self_loops=True).materialize()
+    m2 = sym.count()
+
+    def edge_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": t["src"].combine_chunks(),
+            "_dst": t["dst"].combine_chunks(),
+            "_lab": pa.array(np.full(n, -1, np.int64)),
+            "_side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def label_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": pc_cast_i64(t[node_col]),
+            "_dst": pa.array(np.full(n, -1, np.int64)),
+            "_lab": pc_cast_i64(t[label_col]),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def pc_cast_i64(col):
+        import pyarrow.compute as pc
+        return pc.cast(col, pa.int64())
+
+    lab_tagged = labels.map_batches(
+        label_tag, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def attach_src(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["_side"] == 1][["key", "_lab"]]
+        ed = df[df["_side"] == 0][["key", "_dst"]]
+        j = ed.merge(st, on="key", how="inner")
+        return pd.DataFrame({
+            "key": j["_dst"].to_numpy(np.int64),
+            "_dst": np.int64(-1),
+            "_lab": j["_lab"].to_numpy(np.int64),
+            "_side": np.int8(0),
+        })
+
+    e_src = bucketed_map_groups(
+        _with_bucket(
+            sym.map_batches(edge_tag, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True)
+            .union(lab_tagged),
+            "key", num_buckets),
+        attach_src, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["_side"] == 1][["key", "_lab"]]
+        ed = df[df["_side"] == 0]
+        j = ed.merge(st.rename(columns={"_lab": "_lab_dst"}),
+                     on="key", how="inner")
+        csrc = j["_lab"].to_numpy(np.int64)
+        cdst = j["_lab_dst"].to_numpy(np.int64)
+        g = pd.DataFrame({"c": csrc,
+                          "_intra": (csrc == cdst).astype(np.int64)})
+        agg = g.groupby("c", as_index=False).agg(
+            deg_sum=("_intra", "size"), intra=("_intra", "sum"))
+        agg["deg_sum"] = agg["deg_sum"].astype(np.int64)
+        agg["n_nodes"] = np.int64(0)
+        nn = st.groupby("_lab", as_index=False).size().rename(
+            columns={"_lab": "c", "size": "n_nodes"})
+        nn["deg_sum"] = np.int64(0)
+        nn["intra"] = np.int64(0)
+        nn["n_nodes"] = nn["n_nodes"].astype(np.int64)
+        return pd.concat(
+            [agg[["c", "n_nodes", "deg_sum", "intra"]],
+             nn[["c", "n_nodes", "deg_sum", "intra"]]],
+            ignore_index=True)
+
+    # dst-keyed exchange: edge rows (now labeled with c_src) meet label
+    # rows to resolve c_dst AND contribute their node counts; emits
+    # per-bucket integer partials keyed by community
+    parts = bucketed_map_groups(
+        _with_bucket(e_src.union(lab_tagged), "key", num_buckets),
+        count_partials, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def merge_comm(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c", as_index=False)[
+            ["n_nodes", "deg_sum", "intra"]].sum()
+        m2f = float(m2)
+        t = out["deg_sum"].to_numpy(np.int64) / m2f
+        q = out["intra"].to_numpy(np.int64) / m2f - t * t
+        out["q_term"] = np.round(q, round_digits)
+        out = out.rename(columns={"c": label_col})
+        for c in ("n_nodes", "deg_sum", "intra"):
+            out[c] = out[c].astype(np.int64)
+        return out[[label_col, "n_nodes", "deg_sum", "intra", "q_term"]]
+
+    return bucketed_map_groups(
+        _with_bucket(parts, "c", num_buckets), merge_comm,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
