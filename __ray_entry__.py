@@ -5886,6 +5886,71 @@ def q_modularity(sf_dir: str):
     return modularity(e, labels, num_buckets=16)
 
 
+_LOF_K = 5
+
+
+def q_lof_outliers(sf_dir: str):
+    """Local Outlier Factor over the embeddings (k-NN-set variant,
+    cosine distance): knn_graph blocked matmul + three bucketed joins +
+    two id-keyed reduces; density ratios mirror IEEE-identically from
+    the 4dp cosine grid."""
+    from featherstore_ray.stages.ann import lof_outliers
+
+    return lof_outliers(_read(sf_dir, "embeddings"), k=_LOF_K,
+                        num_buckets=16)
+
+
+def _lof_sql(k: int) -> str:
+    kf = repr(float(k))
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sims AS (
+          SELECT a.vec_id AS id, b.vec_id AS neighbor,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+        ), knn AS MATERIALIZED (
+          SELECT id, neighbor, 1.0::DOUBLE - cosine AS dist FROM (
+            SELECT id, neighbor, cosine,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY cosine DESC, neighbor)
+                       AS rnk
+            FROM sims) WHERE rnk <= {k}
+        ), kd AS (
+          SELECT id, max(dist) AS kdist FROM knn GROUP BY id
+        ), reach AS (
+          SELECT knn.id, knn.neighbor,
+                 greatest(kd.kdist, knn.dist) AS r
+          FROM knn JOIN kd ON kd.id = knn.neighbor
+        ), lrd AS (
+          SELECT id, CASE WHEN sum(r) > 0.0 THEN {kf} / sum(r) END AS lrd
+          FROM reach GROUP BY id
+        ), agg AS (
+          SELECT knn.id, sum(l.lrd) AS slb
+          FROM knn JOIN lrd l ON l.id = knn.neighbor GROUP BY knn.id
+        )
+        SELECT agg.id AS vec_id, kd.kdist,
+               round(lrd.lrd, 6) AS lrd,
+               round((agg.slb / {kf}) / lrd.lrd, 6) AS lof
+        FROM agg JOIN lrd ON lrd.id = agg.id JOIN kd ON kd.id = agg.id
+    """
+
+
+_REVAL_K = 20
+
+
+def q_retrieval_eval(sf_dir: str):
+    """MRR@20 / MAP@20 / recall@20 of cosine retrieval for anchor
+    vectors 0-4 against the kmeans labels: broadcast query matrix,
+    per-batch top-k + label-count partials, driver folds partials only."""
+    from featherstore_ray.stages.ann import retrieval_eval
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(pc.less_equal(emb["vec_id"], 4))
+    return retrieval_eval(_read(sf_dir, "embeddings"), anchors,
+                          k=_REVAL_K)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6035,6 +6100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "bfs_distances": q_bfs_distances,
         "modularity": q_modularity,
+        "lof_outliers": q_lof_outliers,
+        "retrieval_eval": q_retrieval_eval,
         "fk_discovery": q_fk_discovery,
         "decision_stump": q_decision_stump,
         "boosted_stumps": q_boosted_stumps,
@@ -9598,6 +9665,55 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(_LPA_ITERS),
         "modularity": _modularity_sql(_LPA_ITERS),
         "bfs_distances": _bfs_sql(_BFS_ITERS),
+        "lof_outliers": _lof_sql(_LOF_K),
+        "retrieval_eval": """
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, v AS qv, label AS qlab FROM emb
+              WHERE vec_id <= 4
+            ), ranked AS MATERIALIZED (
+              SELECT q.qid, q.qlab, e.label AS lab,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(q.qv, e.v),
+                                      4) DESC, e.vec_id) AS rnk
+              FROM q JOIN emb e ON e.vec_id <> q.qid
+            ), topk AS (
+              SELECT qid, rnk,
+                     CASE WHEN lab = qlab THEN 1 ELSE 0 END AS rel
+              FROM ranked WHERE rnk <= 20
+            ), rtot AS (
+              SELECT q.qid, count(*)::BIGINT AS r_total
+              FROM q JOIN emb e
+                ON e.vec_id <> q.qid AND e.label = q.qlab
+              GROUP BY q.qid
+            ), prec AS (
+              SELECT qid, rnk, rel,
+                     sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS cum
+              FROM topk
+            ), agg AS (
+              SELECT qid, sum(rel)::BIGINT AS rel_k,
+                     min(CASE WHEN rel = 1 THEN rnk END)::BIGINT
+                         AS first_rel,
+                     sum(CASE WHEN rel = 1 THEN cum::DOUBLE / rnk
+                              ELSE 0.0::DOUBLE END) AS ap_num
+              FROM prec GROUP BY qid
+            )
+            SELECT agg.qid AS query_id, agg.rel_k, agg.first_rel,
+                   round(CASE WHEN agg.first_rel IS NOT NULL
+                              THEN 1.0::DOUBLE / agg.first_rel
+                              ELSE 0.0::DOUBLE END, 6) AS mrr,
+                   CASE WHEN least(rtot.r_total, 20) > 0
+                        THEN round(agg.ap_num
+                                   / least(rtot.r_total, 20), 6)
+                   END AS ap_k,
+                   CASE WHEN rtot.r_total > 0
+                        THEN round(agg.rel_k / rtot.r_total, 6)
+                   END AS recall_k
+            FROM agg LEFT JOIN rtot ON rtot.qid = agg.qid
+        """,
         "assortativity": """
             WITH e0 AS (SELECT DISTINCT l_suppkey::BIGINT AS a,
                                (l_partkey + 1000000)::BIGINT AS b

@@ -2354,3 +2354,231 @@ def rrf_fuse(
         zero_copy_batch=True,
     )
     return top_k(out, "rrf", top, descending=True, tiebreak=id_col)
+
+
+def lof_outliers(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+    out_digits: int = 6,
+    block_rows: int = 4096,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Local Outlier Factor (Breunig et al. 2000) over an embedding
+    column — the DENSITY-RATIO anomaly member next to
+    :func:`embedding_outliers` (global Gaussian) and ``mad_outliers``
+    (univariate): LOF(a) ≈ 1 means a sits in a neighborhood as dense as
+    its neighbors'; LOF ≫ 1 flags locally sparse points that a global
+    model misses. Uses the k-NN-SET variant (exactly k neighbors by the
+    knn contract: ``round_digits``-rounded cosine DESC, ascending-id
+    ties) with cosine distance d = 1 − cosine. kdist(a) = d at rank k;
+    reach(a,b) = max(kdist(b), d(a,b)); lrd(a) = k / Σ_b reach(a,b);
+    LOF(a) = (Σ_b lrd(b) / k) / lrd(a). lrd/lof round at ``out_digits``
+    (internals stay unrounded on both sides); kdist is a 1−grid value,
+    bit-identical cross-engine, left unrounded. Duplicate-point
+    neighborhoods (Σ reach = 0) emit null lrd/lof, SQL CASE mirror.
+
+    Scale shape: :func:`knn_graph` does the heavy part (blocked matmul,
+    no second exchange); the LOF algebra is three bucketed
+    ``hash_join``s on node-sized tables plus two id-keyed group
+    exchanges — every table is O(n·k), nothing reaches the driver.
+    """
+    import pyarrow.compute as pc
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import add_bucket_column
+    from featherstore_ray.stages.join import hash_join
+
+    nn = knn_graph(
+        ds, id_col=id_col, emb_col=emb_col, k=k,
+        round_digits=round_digits, block_rows=block_rows,
+    )
+
+    def with_dist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["id"].combine_chunks(),
+            "neighbor": t["neighbor"].combine_chunks(),
+            "rank": t["rank"].combine_chunks(),
+            "dist": pc.subtract(pa.scalar(1.0, pa.float64()), t["cosine"]),
+        })
+
+    edges = nn.map_batches(
+        with_dist, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def kd_of(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rank"], k))
+        return pa.table({
+            "neighbor": t["id"].combine_chunks(),
+            "_kdist": t["dist"].combine_chunks(),
+        })
+
+    kd = edges.map_batches(kd_of, batch_size=None, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    reach = hash_join(
+        edges.select_columns(["id", "neighbor", "dist"]), kd,
+        on=["neighbor"], num_partitions=num_buckets,
+    )
+
+    def lrd_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.maximum(df["_kdist"].to_numpy(np.float64),
+                       df["dist"].to_numpy(np.float64))
+        g = pd.DataFrame({"id": df["id"].to_numpy(np.int64), "_r": r})
+        s = g.groupby("id", as_index=False)["_r"].sum()
+        sr = s["_r"].to_numpy(np.float64)
+        with np.errstate(divide="ignore"):
+            lrd = np.where(sr > 0.0, float(k) / sr, np.nan)
+        return pd.DataFrame({"id": s["id"].astype(np.int64),
+                             "_lrd": lrd})
+
+    lrd = bucketed_map_groups(
+        add_bucket_column(reach, "id", num_buckets), lrd_kernel,
+        num_buckets=num_buckets, batch_format="pandas",
+    ).materialize()
+
+    def lrd_as_neighbor(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "neighbor": t["id"].combine_chunks(),
+            "_lrd_b": t["_lrd"].combine_chunks(),
+        })
+
+    e2 = hash_join(
+        edges.select_columns(["id", "neighbor"]),
+        lrd.map_batches(lrd_as_neighbor, batch_size=None,
+                        batch_format="pyarrow", zero_copy_batch=True),
+        on=["neighbor"], num_partitions=num_buckets,
+    )
+
+    def slb_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"id": df["id"].to_numpy(np.int64),
+                          "_lb": df["_lrd_b"].to_numpy(np.float64)})
+        s = g.groupby("id", as_index=False)["_lb"].sum()
+        return pd.DataFrame({"id": s["id"].astype(np.int64),
+                             "_slb": s["_lb"].to_numpy(np.float64)})
+
+    slb = bucketed_map_groups(
+        add_bucket_column(e2, "id", num_buckets), slb_kernel,
+        num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def kd_self(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["neighbor"].combine_chunks(),
+            "kdist": t["_kdist"].combine_chunks(),
+        })
+
+    joined = hash_join(
+        hash_join(slb, lrd, on=["id"], num_partitions=num_buckets),
+        kd.map_batches(kd_self, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        on=["id"], num_partitions=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lr = t["_lrd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sl = t["_slb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lof = (sl / float(k)) / lr
+        return pa.table({
+            id_col: t["id"].combine_chunks(),
+            "kdist": t["kdist"].combine_chunks(),
+            "lrd": pa.array(np.round(lr, out_digits)),
+            "lof": pa.array(np.round(lof, out_digits)),
+        })
+
+    return joined.map_batches(finish, batch_size=None,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def retrieval_eval(
+    ds: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 20,
+    round_digits: int = 4,
+    out_digits: int = 6,
+) -> ray.data.Dataset:
+    """Per-query retrieval quality over a labeled corpus — MRR@k, MAP@k
+    and recall@k, the ranking-eval triple next to auc/ndcg (those grade
+    a SCORE column; this grades an actual retrieval run end to end):
+    each query vector ranks the corpus by the knn contract (rounded
+    cosine DESC, ascending id, self excluded); relevant = corpus label
+    equals the query's label. ``first_rel``/``rel_k`` are exact ints;
+    ``mrr = 1/first_rel`` (0.0 when nothing relevant lands in the top
+    k), ``ap_k = Σ_{i≤k, rel} (cum_rel_i / i) / min(R, k)`` and
+    ``recall_k = rel_k / R`` with R = corpus relevant count (query
+    excluded) — integer ratios, rounded at ``out_digits``.
+
+    Scale shape: the query matrix ships by value in the scorer closure
+    (one broadcast); each batch emits O(queries·k) top-k partials plus a
+    per-label count partial (classes are bounded); the driver folds
+    partials only — the corpus is never collected.
+    """
+    qm = _normalize(_stack_embeddings(queries[emb_col]))
+    qids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    qlabs = queries[label_col].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    scorer = _TopKScorer({"ids": qids, "matrix": qm},
+                         id_col, emb_col, k, round_digits)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        top = scorer(t).to_pandas()
+        lab = pd.DataFrame({
+            id_col: t[id_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "_lab": t[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        return top.merge(lab, on=id_col, how="left")
+
+    merged = _merge_topk(
+        ds.map_batches(part, batch_size=None, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas(),
+        id_col, k)
+
+    def label_counts(t: pa.Table) -> pd.DataFrame:
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lab, return_counts=True)
+        return pd.DataFrame({"_lab": u, "_c": c.astype(np.int64)})
+
+    counts = (ds.map_batches(label_counts, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+              .to_pandas().groupby("_lab")["_c"].sum())
+
+    rows = []
+    for qi, ql in zip(qids.tolist(), qlabs.tolist()):
+        g = merged[merged["query_id"] == qi]
+        rel = (g["_lab"].to_numpy(np.int64) == ql).astype(np.int64)
+        ranks = np.arange(1, len(rel) + 1, dtype=np.int64)
+        cum = np.cumsum(rel)
+        r_total = int(counts.get(ql, 0)) - 1  # query itself excluded
+        rel_k = int(rel.sum())
+        hit = np.nonzero(rel)[0]
+        first_rel = int(ranks[hit[0]]) if len(hit) else None
+        mrr = 1.0 / first_rel if first_rel is not None else 0.0
+        denom = min(r_total, k)
+        ap = (float(np.sum(np.where(rel == 1, cum / ranks, 0.0)))
+              / denom) if denom > 0 else None
+        recall = rel_k / r_total if r_total > 0 else None
+        rows.append((qi, rel_k, first_rel,
+                     round(mrr, out_digits),
+                     round(ap, out_digits) if ap is not None else None,
+                     round(recall, out_digits)
+                     if recall is not None else None))
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(cols[0], pa.int64()),
+        "rel_k": pa.array(cols[1], pa.int64()),
+        "first_rel": pa.array(cols[2], pa.int64()),
+        "mrr": pa.array(cols[3], pa.float64()),
+        "ap_k": pa.array(cols[4], pa.float64()),
+        "recall_k": pa.array(cols[5], pa.float64()),
+    }))
