@@ -5951,6 +5951,84 @@ def q_retrieval_eval(sf_dir: str):
                           k=_REVAL_K)
 
 
+def q_bh_fdr(sf_dir: str):
+    """Benjamini-Hochberg FDR correction over the per-user Welch family
+    (click vs purchase value shift, 150 simultaneous hypotheses):
+    Chebyshev p-bounds from the rounded t, driver-side BH step over the
+    m-row hypothesis table."""
+    from featherstore_ray.stages.aggregate import bh_fdr
+
+    return bh_fdr(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        "user_id", "value", "event_type", "click", "purchase",
+        alpha=0.25,
+    )
+
+
+def q_iv_wald(sf_dir: str):
+    """Instrumental-variable (Wald) LATE: parity-of-user-id instrument,
+    purchase-event treatment, event value outcome. One pass of (z, n,
+    Σd, Σy) partials, 2-row driver merge, zero shuffle."""
+    from featherstore_ray.stages.aggregate import iv_wald
+
+    def prep(df):
+        import numpy as _np
+        import pandas as _pd
+
+        d = df.dropna(subset=["user_id", "event_type", "value"])
+        return _pd.DataFrame({
+            "z": d["user_id"].to_numpy(_np.int64) % 2,
+            "d": (d["event_type"].to_numpy() == "purchase"
+                  ).astype(_np.int64),
+            "y": d["value"].to_numpy(_np.float64),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"]).map_batches(
+        prep, batch_size=None, batch_format="pandas")
+    return iv_wald(ds, "z", "d", "y")
+
+
+def q_simpson_flip(sf_dir: str):
+    """Simpson's-paradox audit: within-event-type OLS trend of value on
+    hour-of-day vs the pooled trend, flagging strict sign reversals.
+    One pass of moment partials; the pooled moments are the same
+    partials re-summed."""
+    from featherstore_ray.stages.aggregate import simpson_flip
+
+    def prep(df):
+        import numpy as _np
+        import pandas as _pd
+
+        d = df.dropna(subset=["event_type", "ts", "value"])
+        return _pd.DataFrame({
+            "g": d["event_type"].to_numpy(),
+            "x": d["ts"].dt.hour.to_numpy(_np.float64),
+            "y": d["value"].to_numpy(_np.float64),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"]).map_batches(
+        prep, batch_size=None, batch_format="pandas")
+    return simpson_flip(ds, "g", "x", "y")
+
+
+_LDIV = 5
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit over orders: customers whose order-priority
+    mix has fewer than 5 distinct values (attribute-disclosure risk the
+    k-anonymity count alone misses). Distinct-combo partials, one
+    quasi-key exchange."""
+    from featherstore_ray.stages.aggregate import l_diversity
+
+    return l_diversity(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+        ["o_custkey"], "o_orderpriority", l=_LDIV,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6220,6 +6298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logrank": q_logrank,
         "pivot_sum": q_pivot_sum,
         "rmst": q_rmst,
+        "bh_fdr": q_bh_fdr,
+        "iv_wald": q_iv_wald,
+        "simpson_flip": q_simpson_flip,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -10581,6 +10663,136 @@ def oracle_sql() -> dict[str, str]:
                    END AS feat0,
                    text IS NOT NULL AS decode_ok
             FROM documents
+        """,
+        "bh_fdr": """
+            WITH s AS (
+                SELECT user_id AS g, (event_type = 'click')::INT AS ia,
+                       count(*)::DOUBLE AS n, sum(value) AS sx,
+                       sum(value * value) AS sxx
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY g, ia
+            ),
+            w AS (
+                SELECT a.g,
+                       a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+                       b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+                FROM s a JOIN s b ON a.g = b.g AND a.ia = 1 AND b.ia = 0
+                WHERE a.n >= 2 AND b.n >= 2
+            ),
+            v AS (
+                SELECT g, n1, n2,
+                       sx1 / n1 AS m1, sx2 / n2 AS m2,
+                       ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 AS v1,
+                       ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2 AS v2
+                FROM w
+            ),
+            tt AS (
+                SELECT g, round((m1 - m2) / sqrt(v1 + v2), 6) AS t
+                FROM v WHERE v1 + v2 > 0
+            ),
+            pv AS (
+                SELECT g, t,
+                       CASE WHEN t = 0 THEN 1.0
+                            ELSE least(1.0, 1.0 / (t * t)) END AS p
+                FROM tt
+            ),
+            r AS (
+                SELECT g, t, p,
+                       row_number() OVER (ORDER BY p, g) AS p_rank,
+                       count(*) OVER () AS m
+                FROM pv
+            ),
+            kk AS (
+                SELECT coalesce(max(CASE WHEN p <= (p_rank * 0.25) / m
+                                    THEN p_rank END), 0) AS k
+                FROM r
+            )
+            SELECT g AS user_id, t, round(p, 6) AS p,
+                   p_rank::BIGINT AS p_rank,
+                   (p_rank <= kk.k)::BIGINT AS rejected
+            FROM r, kk
+        """,
+        "iv_wald": """
+            WITH b AS (
+                SELECT user_id % 2 AS z,
+                       (event_type = 'purchase')::INT AS d, value AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            s AS (
+                SELECT z, count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+                       sum(y) AS sy
+                FROM b GROUP BY z
+            ),
+            w AS (
+                SELECT
+                    (SELECT n FROM s WHERE z = 1) AS n1,
+                    (SELECT n FROM s WHERE z = 0) AS n0,
+                    (SELECT sd FROM s WHERE z = 1) AS sd1,
+                    (SELECT sd FROM s WHERE z = 0) AS sd0,
+                    (SELECT sy FROM s WHERE z = 1) AS sy1,
+                    (SELECT sy FROM s WHERE z = 0) AS sy0
+            )
+            SELECT n1, n0,
+                   round(sy1 / n1 - sy0 / n0, 6) AS itt_y,
+                   round(sd1::DOUBLE / n1 - sd0::DOUBLE / n0, 6) AS itt_d,
+                   CASE WHEN sd1::DOUBLE / n1 - sd0::DOUBLE / n0 <> 0
+                        THEN round((sy1 / n1 - sy0 / n0)
+                                   / (sd1::DOUBLE / n1 - sd0::DOUBLE / n0),
+                                   6)
+                   END AS late
+            FROM w
+        """,
+        "simpson_flip": """
+            WITH b AS (
+                SELECT event_type AS g,
+                       date_part('hour', ts)::DOUBLE AS x, value AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            m AS (
+                SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM b GROUP BY g
+            ),
+            p AS (
+                SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                       sum(sxx) AS sxx, sum(sxy) AS sxy
+                FROM m
+            ),
+            sl AS (
+                SELECT g, n::BIGINT AS nn,
+                       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                            THEN round((n * sxy - sx * sy)
+                                       / (n * sxx - sx * sx), 6) END AS slope
+                FROM m
+            ),
+            pl AS (
+                SELECT CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                            THEN round((n * sxy - sx * sy)
+                                       / (n * sxx - sx * sx), 6) END
+                           AS pooled_slope
+                FROM p
+            )
+            SELECT sl.g, sl.nn AS n, sl.slope, pl.pooled_slope,
+                   (CASE WHEN sl.slope IS NULL OR pl.pooled_slope IS NULL
+                              THEN 0
+                         WHEN (sl.slope > 0 AND pl.pooled_slope < 0)
+                           OR (sl.slope < 0 AND pl.pooled_slope > 0) THEN 1
+                         ELSE 0 END)::BIGINT AS flip
+            FROM sl, pl
+        """,
+        "l_diversity": f"""
+            SELECT o_custkey,
+                   count(DISTINCT o_orderpriority)::BIGINT AS n_distinct
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority) < {_LDIV}
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

@@ -4906,3 +4906,254 @@ def inclusion_audit(
         "n_missing": pa.array([nc - nm], pa.int64()),
         "contained": pa.array([np.int64(nc == nm)], pa.int64()),
     }))
+
+
+def bh_fdr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    *,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Benjamini-Hochberg FDR correction over a family of per-group
+    Welch tests — the multiple-testing layer every fleet-wide screen
+    (metric drift per segment, A/B per market) needs on top of
+    :func:`welch_t`: testing 150 groups at alpha=0.05 yields ~8 false
+    positives uncorrected. Each tested group gets a distribution-free
+    Chebyshev p-value bound ``p = min(1, 1/t^2)`` (``P(|T| >= t) <=
+    1/t^2`` — deliberately SQL-expressible where the t CDF is not),
+    p-values are ranked ascending (ties broken by group key), and the
+    BH step rejects ranks ``<= k = max{i : p_i <= i*alpha/m}``. Output
+    per tested group: (group, t, p, p_rank, rejected).
+
+    Cross-engine determinism: p derives from the ALREADY-ROUNDED t (6dp,
+    identical both engines), so the compare ``p <= i*alpha/m`` sees
+    bit-identical doubles on both sides; the threshold is the same
+    ``(i * alpha) / m`` expression in numpy and SQL. Groups with null t
+    (degenerate variance) are excluded from the family on both sides.
+
+    Scale shape: inherits welch_t's moment partials (blocks collapse to
+    (group, side, n, Σx, Σx²)); the BH step itself runs driver-side over
+    the m-row hypothesis table — m is the tested-group count, a
+    driver-scale table by contract.
+    """
+    import pyarrow as pa
+
+    t_ds = welch_t(ds, group_col, value_col, label_col, label_a, label_b,
+                   round_digits=round_digits)
+    df = t_ds.to_pandas()
+    df = df[df["t"].notna()].copy()
+    if df.empty:
+        return ray.data.from_arrow(pa.table({
+            group_col: pa.array([], pa.int64()),
+            "t": pa.array([], pa.float64()),
+            "p": pa.array([], pa.float64()),
+            "p_rank": pa.array([], pa.int64()),
+            "rejected": pa.array([], pa.int64()),
+        }))
+    t = df["t"].to_numpy(np.float64)
+    p = np.where(t == 0.0, 1.0, np.minimum(1.0, 1.0 / (t * t)))
+    order = np.lexsort((df[group_col].to_numpy(), p))
+    m = np.int64(len(p))
+    rank = np.empty(len(p), np.int64)
+    rank[order] = np.arange(1, len(p) + 1)
+    thr = (rank * alpha) / m
+    passing = rank[p <= thr]
+    k = np.int64(passing.max()) if len(passing) else np.int64(0)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(df[group_col].to_numpy()),
+        "t": pa.array(t, pa.float64()),
+        "p": pa.array(np.round(p, round_digits), pa.float64()),
+        "p_rank": pa.array(rank, pa.int64()),
+        "rejected": pa.array((rank <= k).astype(np.int64), pa.int64()),
+    }))
+
+
+def iv_wald(
+    ds: ray.data.Dataset,
+    instrument_col: str,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Instrumental-variable (Wald) estimate of a local average treatment
+    effect — the causal family member for ENDOGENOUS treatments, where
+    :func:`ate_stratified` / dr_ate assume unconfoundedness and fail:
+    with a binary instrument z (encouragement), binary treatment d and
+    outcome y, ``LATE = (E[y|z=1] - E[y|z=0]) / (E[d|z=1] - E[d|z=0])``
+    — the intent-to-treat effect scaled by the first stage. Output one
+    row: (n1, n0, itt_y, itt_d, late); ``late`` is null when the first
+    stage is exactly zero (itt_d comparisons are exact: Σd and n are
+    integers, so each arm's take-up rate is the same rational in both
+    engines).
+
+    Scale shape: one pass of per-batch (z, n, Σd, Σy) partials — the
+    driver merges 2 rows; zero shuffle. Rows with any null among
+    (z, d, y) are excluded on both sides.
+    """
+    import pyarrow as pa
+
+    cols = [instrument_col, treat_col, outcome_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        g = d.groupby(instrument_col, sort=False, observed=True)
+        return pd.DataFrame({
+            "_n": g.size().astype(np.int64),
+            "_sd": g[treat_col].sum().astype(np.int64),
+            "_sy": g[outcome_col].sum(),
+        }).reset_index()
+
+    m = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby(instrument_col, sort=True, observed=True)[
+            ["_n", "_sd", "_sy"]].sum()
+    )
+    n1 = np.int64(m["_n"].get(1, 0))
+    n0 = np.int64(m["_n"].get(0, 0))
+    if n1 == 0 or n0 == 0:
+        itt_y = itt_d = late = np.nan
+    else:
+        my1 = m["_sy"].get(1, 0.0) / n1
+        my0 = m["_sy"].get(0, 0.0) / n0
+        md1 = np.int64(m["_sd"].get(1, 0)) / n1
+        md0 = np.int64(m["_sd"].get(0, 0)) / n0
+        itt_y = my1 - my0
+        itt_d = md1 - md0
+        late = itt_y / itt_d if itt_d != 0.0 else np.nan
+    return ray.data.from_arrow(pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n0": pa.array([n0], pa.int64()),
+        "itt_y": pa.array([np.round(itt_y, round_digits)], pa.float64()),
+        "itt_d": pa.array([np.round(itt_d, round_digits)], pa.float64()),
+        "late": pa.array([np.round(late, round_digits)], pa.float64()),
+    }))
+
+
+def simpson_flip(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Simpson's-paradox audit — flags groups whose within-group OLS
+    trend of y on x points the OPPOSITE strict direction from the pooled
+    trend, the classic aggregation trap behind wrong dashboard
+    conclusions. Output per group: (group, n, slope, pooled_slope, flip)
+    where ``flip`` is 1 iff both ROUNDED slopes are strictly nonzero with
+    opposite signs (rounding first is the house rounded-before-compare
+    pattern; a zero slope never flips). Groups with < 2 rows or zero x
+    variance get null slope and flip 0.
+
+    Scale shape: one pass of per-batch (group, n, Σx, Σy, Σx², Σxy)
+    moment partials (group_corr pattern); the pooled moments are the
+    SAME partials summed, so no second pass. Driver merge carries
+    groups × 5 floats — bounded-cardinality groups by contract. Rows
+    with any null among (group, x, y) are excluded on both sides.
+    """
+    import pyarrow as pa
+
+    cols = [group_col, x_col, y_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        x = d[x_col].to_numpy(np.float64)
+        y = d[y_col].to_numpy(np.float64)
+        out = pd.DataFrame({
+            group_col: d[group_col].to_numpy(),
+            "_n": np.int64(1), "_sx": x, "_sy": y,
+            "_sxx": x * x, "_sxy": x * y,
+        })
+        return out.groupby(group_col, sort=False, observed=True)[
+            ["_n", "_sx", "_sy", "_sxx", "_sxy"]].sum().reset_index()
+
+    g = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col, sort=True, observed=True)[
+            ["_n", "_sx", "_sy", "_sxx", "_sxy"]].sum().reset_index()
+    )
+
+    def slope_of(n, sx, sy, sxx, sxy):
+        vx = n * sxx - sx * sx
+        cov = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = cov / vx
+        return np.where((n >= 2) & (vx > 0), s, np.nan)
+
+    n = g["_n"].to_numpy(np.float64)
+    sl = slope_of(n, g["_sx"].to_numpy(), g["_sy"].to_numpy(),
+                  g["_sxx"].to_numpy(), g["_sxy"].to_numpy())
+    tn, tsx, tsy = n.sum(), g["_sx"].sum(), g["_sy"].sum()
+    pooled = slope_of(np.array([tn]), np.array([tsx]), np.array([tsy]),
+                      np.array([g["_sxx"].sum()]),
+                      np.array([g["_sxy"].sum()]))[0]
+    sl_r = np.round(sl, round_digits)
+    pl_r = np.round(pooled, round_digits)
+    flip = np.where(
+        np.isnan(sl_r) | np.isnan(pl_r), 0,
+        ((sl_r > 0) & (pl_r < 0)) | ((sl_r < 0) & (pl_r > 0)),
+    ).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        group_col: pa.array(g[group_col].to_numpy()),
+        "n": pa.array(g["_n"].to_numpy(np.int64), pa.int64()),
+        "slope": pa.array(sl_r, pa.float64()),
+        "pooled_slope": pa.array(
+            np.full(len(sl), pl_r), pa.float64()),
+        "flip": pa.array(flip, pa.int64()),
+    }))
+
+
+def l_diversity(
+    ds: ray.data.Dataset,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """l-diversity audit — :func:`k_anonymity`'s attribute-disclosure
+    sibling: a quasi-identifier class can be large (k-anonymous) yet
+    still leak if every member shares the same SENSITIVE value, so this
+    reports classes whose sensitive column takes fewer than ``l``
+    distinct values. Output: (quasi columns..., n_distinct) for risky
+    classes only. Rows with any null quasi value OR a null sensitive
+    value are excluded on both sides (the grouped-op null-key contract).
+
+    Scale shape: per-batch DISTINCT (quasi..., sensitive) partials — the
+    exchange moves distinct combos, never rows; ONE hash on the first
+    quasi column co-locates each class exactly; per-bucket distinct
+    count + threshold filter.
+    """
+    quasi_cols = list(quasi_cols)
+    all_cols = quasi_cols + [sensitive_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=all_cols).drop_duplicates(all_cols)[all_cols]
+
+    parts = ds.select_columns(all_cols).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, quasi_cols[0], num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).drop_duplicates(all_cols)
+        g = d.groupby(quasi_cols, sort=False, observed=True)[
+            sensitive_col].nunique()
+        out = g[g < l].rename("n_distinct").reset_index()
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(
+        parts, final, num_buckets=num_buckets, batch_format="pandas"
+    )
