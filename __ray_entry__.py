@@ -6029,6 +6029,34 @@ def q_l_diversity(sf_dir: str):
     )
 
 
+def q_hurst(sf_dir: str):
+    """Per-user Hurst exponent (rescaled-range long-memory analysis)
+    over event values in time order: dyadic scales 4-32, exact-block
+    reshape kernel, one entity exchange."""
+    from featherstore_ray.stages.window import hurst
+
+    return hurst(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id",
+    )
+
+
+def q_sax_symbols(sf_dir: str):
+    """SAX symbolization of each user's value series: z-normalize, PAA
+    into 8-row segments, 4-letter alphabet at the N(0,1) quartile cuts.
+    One entity exchange; words assembled per entity."""
+    from featherstore_ray.stages.window import sax_symbols
+
+    return sax_symbols(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]),
+        entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak="event_id", seg_len=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6302,6 +6330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iv_wald": q_iv_wald,
         "simpson_flip": q_simpson_flip,
         "l_diversity": q_l_diversity,
+        "hurst": q_hurst,
+        "sax_symbols": q_sax_symbols,
     }
 
 
@@ -10793,6 +10823,111 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY o_custkey
             HAVING count(DISTINCT o_orderpriority) < {_LDIV}
+        """,
+        "hurst": """
+            WITH b AS (
+                SELECT user_id AS e, ts, event_id AS tb, value AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            r AS (
+                SELECT e, x,
+                       row_number() OVER (
+                           PARTITION BY e ORDER BY ts, tb) - 1 AS idx,
+                       count(*) OVER (PARTITION BY e) AS cnt
+                FROM b
+            ),
+            scales AS (SELECT unnest([4, 8, 16, 32]) AS w),
+            k AS (
+                SELECT e, w, x, idx // w AS win, idx % w AS pos
+                FROM r, scales
+                WHERE idx < w * (cnt // w)
+            ),
+            mu AS (
+                SELECT e, w, win, avg(x) AS mu FROM k GROUP BY e, w, win
+            ),
+            d AS (
+                SELECT k.e, k.w, k.win, k.pos, k.x - mu.mu AS dev
+                FROM k JOIN mu USING (e, w, win)
+            ),
+            z AS (
+                SELECT e, w, win, dev,
+                       sum(dev) OVER (PARTITION BY e, w, win
+                                      ORDER BY pos) AS z
+                FROM d
+            ),
+            rs AS (
+                SELECT e, w, win, max(z) - min(z) AS r,
+                       sqrt(sum(dev * dev) / w) AS s
+                FROM z GROUP BY e, w, win
+            ),
+            ms AS (
+                SELECT e, w, avg(r / s) AS mrs
+                FROM rs WHERE s > 0 GROUP BY e, w
+            ),
+            pts AS (
+                SELECT e, log2(w::DOUBLE) AS lx, log2(mrs) AS ly
+                FROM ms WHERE mrs > 0
+            ),
+            ag AS (
+                SELECT e, count(*)::DOUBLE AS k, sum(lx) AS sx,
+                       sum(ly) AS sy, sum(lx * lx) AS sxx,
+                       sum(lx * ly) AS sxy
+                FROM pts GROUP BY e
+            )
+            SELECT e AS user_id,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                       AS hurst,
+                   k::BIGINT AS n_scales
+            FROM ag WHERE k >= 2 AND k * sxx - sx * sx > 0
+        """,
+        "sax_symbols": """
+            WITH b AS (
+                SELECT user_id AS e, ts, event_id AS tb, value AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            st AS (
+                SELECT e, count(*)::DOUBLE AS n, sum(x) AS sx,
+                       sum(x * x) AS sxx
+                FROM b GROUP BY e
+            ),
+            sg AS (
+                SELECT e, sx / n AS mu,
+                       sqrt(sxx / n - (sx / n) * (sx / n)) AS sig
+                FROM st
+            ),
+            r AS (
+                SELECT e, x,
+                       row_number() OVER (
+                           PARTITION BY e ORDER BY ts, tb) - 1 AS idx,
+                       count(*) OVER (PARTITION BY e) AS cnt
+                FROM b
+            ),
+            k AS (
+                SELECT e, x, idx // 8 AS seg
+                FROM r WHERE idx < 8 * (cnt // 8)
+            ),
+            paa AS (SELECT e, seg, avg(x) AS ax FROM k GROUP BY e, seg),
+            p AS (
+                SELECT paa.e, paa.seg,
+                       round((paa.ax - sg.mu) / sg.sig, 6) AS pz
+                FROM paa JOIN sg USING (e)
+                WHERE sg.sig > 0
+            ),
+            sym AS (
+                SELECT e, seg,
+                       CASE WHEN pz < -0.6745 THEN 'a'
+                            WHEN pz < 0 THEN 'b'
+                            WHEN pz < 0.6745 THEN 'c'
+                            ELSE 'd' END AS s
+                FROM p
+            )
+            SELECT e AS user_id, count(*)::BIGINT AS n_segs,
+                   string_agg(s, '' ORDER BY seg) AS word
+            FROM sym GROUP BY e
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

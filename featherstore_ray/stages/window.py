@@ -1621,3 +1621,196 @@ def holt_forecast(
         })
 
     return _bucketed(parts, entity_col, num_buckets, kernel)
+
+
+def hurst(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    window_sizes: Sequence[int] = (4, 8, 16, 32),
+    round_digits: int | None = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity Hurst exponent via classic rescaled-range (R/S)
+    analysis — the long-memory / self-similarity detector next to
+    :func:`autocorr`'s lag-1 signal: H ≈ 0.5 for a memoryless series,
+    > 0.5 persistent (trends feed themselves), < 0.5 anti-persistent
+    (mean-reverting). For each dyadic window size w the series (in
+    (ts, tiebreak) order) splits into ⌊n/w⌋ full windows; per window
+    ``R`` is the range of the cumulative deviation-from-window-mean walk
+    and ``S`` the population std; H is the OLS slope of log2(mean R/S)
+    on log2(w) over the scales with a positive mean (windows with S = 0
+    are excluded, exactly as the oracle's ``WHERE s > 0``). Entities
+    with < 2 usable scales are dropped. ``window_sizes`` must be powers
+    of two so log2(w) is exact in BOTH engines.
+
+    Scale shape: ONE hash(entity) exchange; the kernel is reshape-based
+    — kept rows per (entity, scale) form exact w-blocks after the
+    ⌊n/w⌋·w truncation, so window means / cumulative walks / ranges are
+    single vectorized axis-1 ops; windows never leave their bucket.
+    Output: (entity, hurst, n_scales).
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col]
+        + ([tiebreak] if tiebreak else []))
+    scales = [int(w) for w in window_sizes]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            entity_col: pd.Series(dtype=df[entity_col].dtype if len(df)
+                                  else "int64"),
+            "hurst": pd.Series(dtype="float64"),
+            "n_scales": pd.Series(dtype="int64"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        if df.empty:
+            return empty
+        df, _new_ent, starts, rwg = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        x = df[value_col].to_numpy(np.float64)
+        sizes = np.diff(np.append(starts, n))
+        ent_idx = np.repeat(np.arange(len(starts)), sizes)
+        size_of_row = np.repeat(sizes, sizes)
+        k_ent = len(starts)
+        # per-entity OLS accumulators over scales
+        cnt = np.zeros(k_ent, np.float64)
+        sx = np.zeros(k_ent, np.float64)
+        sy = np.zeros(k_ent, np.float64)
+        sxx = np.zeros(k_ent, np.float64)
+        sxy = np.zeros(k_ent, np.float64)
+        for w in scales:
+            kept = rwg < (size_of_row // w) * w
+            if not kept.any():
+                continue
+            xk = x[kept]
+            X = xk.reshape(-1, w)
+            went = ent_idx[kept][::w]
+            mu = X.mean(axis=1)
+            dev = X - mu[:, None]
+            z = np.cumsum(dev, axis=1)
+            r = z.max(axis=1) - z.min(axis=1)
+            s = np.sqrt((dev * dev).sum(axis=1) / w)
+            ok = s > 0
+            if not ok.any():
+                continue
+            nw = np.bincount(went[ok], minlength=k_ent).astype(np.float64)
+            srs = np.bincount(went[ok], weights=r[ok] / s[ok],
+                              minlength=k_ent)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mrs = srs / nw
+            valid = (nw > 0) & (mrs > 0)
+            lx = np.log2(float(w))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ly = np.where(valid, np.log2(np.where(valid, mrs, 1.0)),
+                              0.0)
+            v = valid.astype(np.float64)
+            cnt += v
+            sx += v * lx
+            sy += ly
+            sxx += v * lx * lx
+            sxy += lx * ly
+        vx = cnt * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            h = (cnt * sxy - sx * sy) / vx
+        keep = (cnt >= 2) & (vx > 0)
+        if round_digits is not None:
+            h = np.round(h, round_digits)
+        return pd.DataFrame({
+            entity_col: df[entity_col].to_numpy()[starts][keep],
+            "hurst": h[keep],
+            "n_scales": cnt[keep].astype(np.int64),
+        })
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+_SAX_CUTS = (-0.6745, 0.0, 0.6745)
+_SAX_ALPHABET = "abcd"
+
+
+def sax_symbols(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    seg_len: int = 8,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SAX symbolization (Lin et al.) — compress each entity's series
+    into a short SYMBOLIC word so downstream motif mining / hashing /
+    grouping works on strings instead of floats: z-normalize the series
+    with its own population mean/std, Piecewise-Aggregate-Approximate
+    into consecutive ``seg_len``-row segments (remainder rows drop), and
+    map each rounded segment z-mean onto a 4-letter alphabet at the
+    N(0,1) quartile breakpoints ±0.6745 / 0. Entities with zero variance
+    or fewer than ``seg_len`` rows drop (oracle ``WHERE sig > 0`` /
+    empty-segment mirror). The breakpoint compare runs on the ROUNDED
+    z-mean on both engines (house rounded-before-compare pattern).
+
+    Scale shape: ONE hash(entity) exchange; PAA is the same exact-block
+    reshape as :func:`hurst` (kept rows form whole segments), the
+    z-stats are segmented bincount sums, and the word join is per-entity
+    (entities × segments, never rows). Output: (entity, n_segs, word).
+    """
+    proj = ds.select_columns(
+        [entity_col, ts_col, value_col]
+        + ([tiebreak] if tiebreak else []))
+    cuts = np.asarray(_SAX_CUTS, np.float64)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            entity_col: pd.Series(dtype=df[entity_col].dtype if len(df)
+                                  else "int64"),
+            "n_segs": pd.Series(dtype="int64"),
+            "word": pd.Series(dtype="object"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, value_col])
+        if df.empty:
+            return empty
+        df, _new_ent, starts, rwg = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        x = df[value_col].to_numpy(np.float64)
+        sizes = np.diff(np.append(starts, n))
+        ent_idx = np.repeat(np.arange(len(starts)), sizes)
+        k_ent = len(starts)
+        nn = sizes.astype(np.float64)
+        sxs = np.bincount(ent_idx, weights=x, minlength=k_ent)
+        sxxs = np.bincount(ent_idx, weights=x * x, minlength=k_ent)
+        mu = sxs / nn
+        with np.errstate(invalid="ignore"):
+            sig = np.sqrt(sxxs / nn - mu * mu)
+        size_of_row = np.repeat(sizes, sizes)
+        kept = rwg < (size_of_row // seg_len) * seg_len
+        if not kept.any():
+            return empty
+        X = x[kept].reshape(-1, seg_len)
+        went = ent_idx[kept][::seg_len]
+        ok = sig[went] > 0
+        if not ok.any():
+            return empty
+        ax = X.mean(axis=1)[ok]
+        went = went[ok]
+        pz = np.round((ax - mu[went]) / sig[went], round_digits)
+        # side="right": pz exactly equal to a cut belongs to the RIGHT bin,
+        # matching the SQL strict `<` CASE chain
+        sym = np.searchsorted(cuts, pz, side="right")
+        letters = np.array(list(_SAX_ALPHABET))[sym]
+        wdf = pd.DataFrame({"_e": went, "_s": letters})
+        words = wdf.groupby("_e", sort=True)["_s"].agg("".join)
+        segs = wdf.groupby("_e", sort=True)["_s"].size()
+        eids = df[entity_col].to_numpy()[starts][words.index.to_numpy()]
+        return pd.DataFrame({
+            entity_col: eids,
+            "n_segs": segs.to_numpy(np.int64),
+            "word": words.to_numpy(),
+        })
+
+    return _bucketed(proj, entity_col, num_buckets, kernel)
