@@ -6057,6 +6057,21 @@ def q_sax_symbols(sf_dir: str):
     )
 
 
+def q_esd_outliers(sf_dir: str):
+    """Generalized ESD sequential outlier test per event type (3
+    rounds, offline critical values): segmented-moment rounds with
+    rounded-argmax removal, one group exchange. The oracle unrolls the
+    identical remove-and-retest schedule."""
+    from featherstore_ray.stages.aggregate import esd_outliers
+
+    return esd_outliers(
+        _read(sf_dir, "events",
+              columns=["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id",
+        lambdas=(3.0, 2.9, 2.8),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6332,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": q_l_diversity,
         "hurst": q_hurst,
         "sax_symbols": q_sax_symbols,
+        "esd_outliers": q_esd_outliers,
     }
 
 
@@ -10928,6 +10944,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT e AS user_id, count(*)::BIGINT AS n_segs,
                    string_agg(s, '' ORDER BY seg) AS word
             FROM sym GROUP BY e
+        """,
+        "esd_outliers": """
+            WITH b0 AS MATERIALIZED (
+                SELECT event_type AS g, event_id AS id, value AS x
+                FROM events
+                WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            s1 AS (
+                SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+                       sum(x * x) AS sxx
+                FROM b0 GROUP BY g
+            ),
+            r1 AS (
+                SELECT b0.g, b0.id,
+                       round(abs(b0.x - s1.sx / s1.n)
+                             / sqrt((s1.sxx - s1.sx * s1.sx / s1.n)
+                                    / (s1.n - 1)), 9) AS rr
+                FROM b0 JOIN s1 USING (g)
+                WHERE s1.n >= 3
+                  AND s1.sxx - s1.sx * s1.sx / s1.n > 0
+            ),
+            c1 AS MATERIALIZED (
+                SELECT g, id, rr, 1 AS rnd FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY g ORDER BY rr DESC, id) AS rn
+                    FROM r1
+                ) WHERE rn = 1
+            ),
+            b1 AS MATERIALIZED (
+                SELECT b0.* FROM b0 ANTI JOIN c1
+                  ON b0.g = c1.g AND b0.id = c1.id
+            ),
+            s2 AS (
+                SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+                       sum(x * x) AS sxx
+                FROM b1 GROUP BY g
+            ),
+            r2 AS (
+                SELECT b1.g, b1.id,
+                       round(abs(b1.x - s2.sx / s2.n)
+                             / sqrt((s2.sxx - s2.sx * s2.sx / s2.n)
+                                    / (s2.n - 1)), 9) AS rr
+                FROM b1 JOIN s2 USING (g)
+                WHERE s2.n >= 3
+                  AND s2.sxx - s2.sx * s2.sx / s2.n > 0
+            ),
+            c2 AS MATERIALIZED (
+                SELECT g, id, rr, 2 AS rnd FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY g ORDER BY rr DESC, id) AS rn
+                    FROM r2
+                ) WHERE rn = 1
+            ),
+            b2 AS MATERIALIZED (
+                SELECT b1.* FROM b1 ANTI JOIN c2
+                  ON b1.g = c2.g AND b1.id = c2.id
+            ),
+            s3 AS (
+                SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+                       sum(x * x) AS sxx
+                FROM b2 GROUP BY g
+            ),
+            r3 AS (
+                SELECT b2.g, b2.id,
+                       round(abs(b2.x - s3.sx / s3.n)
+                             / sqrt((s3.sxx - s3.sx * s3.sx / s3.n)
+                                    / (s3.n - 1)), 9) AS rr
+                FROM b2 JOIN s3 USING (g)
+                WHERE s3.n >= 3
+                  AND s3.sxx - s3.sx * s3.sx / s3.n > 0
+            ),
+            c3 AS MATERIALIZED (
+                SELECT g, id, rr, 3 AS rnd FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY g ORDER BY rr DESC, id) AS rn
+                    FROM r3
+                ) WHERE rn = 1
+            ),
+            cand AS (
+                SELECT * FROM c1 UNION ALL
+                SELECT * FROM c2 UNION ALL
+                SELECT * FROM c3
+            ),
+            kk AS (
+                SELECT g, coalesce(max(CASE
+                        WHEN (rnd = 1 AND rr > 3.0)
+                          OR (rnd = 2 AND rr > 2.9)
+                          OR (rnd = 3 AND rr > 2.8) THEN rnd END), 0) AS k
+                FROM cand GROUP BY g
+            )
+            SELECT cand.g AS event_type, cand.id AS event_id,
+                   cand.rnd::BIGINT AS rnd, round(cand.rr, 6) AS r_stat,
+                   (cand.rnd <= kk.k)::BIGINT AS is_outlier
+            FROM cand JOIN kk USING (g)
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

@@ -5157,3 +5157,118 @@ def l_diversity(
     return bucketed_map_groups(
         parts, final, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def esd_outliers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    lambdas: Sequence[float] = (3.0, 2.9, 2.8),
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Generalized ESD (extreme studentized deviate) sequential outlier
+    test per group — unlike :func:`mad_outliers`' one-shot robust
+    screen, ESD handles MASKING: one huge outlier inflates the sd and
+    hides a second, so each round removes the current extreme and
+    re-studentizes before testing the next. Round i computes ``R_i =
+    max |x - mean| / sd`` over the remaining values (sample sd), removes
+    the argmax (ties → smallest id, on the 9dp-ROUNDED statistic — the
+    house rounded-before-argmax pattern), and the outlier count is ``k =
+    max{i : R_i > lambda_i}`` — ALL rounds ≤ k are outliers even if an
+    intermediate R dipped below its critical value (the masking fix).
+    ``lambdas`` are the ESD critical values for the caller's n/alpha,
+    precomputed offline because the t quantile is not SQL-expressible;
+    they enter both engines as identical literals. Rounds where a group
+    has < 3 remaining values or zero variance stop contributing (oracle
+    ``WHERE`` mirror). Output per removed candidate: (group, id, rnd,
+    r_stat, is_outlier).
+
+    Scale shape: ONE hash(group) exchange; each round is a segmented
+    bincount of moments + one lexsort argmax across ALL groups in the
+    bucket at once — len(lambdas) passes over bucket-resident arrays,
+    no per-row Python.
+    """
+    import pyarrow as pa
+
+    cols = [group_col, value_col, id_col]
+    n_rounds = len(lambdas)
+    lam = [float(v) for v in lambdas]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype=df[group_col].dtype if len(df)
+                                 else "object"),
+            id_col: pd.Series(dtype="int64"),
+            "rnd": pd.Series(dtype="int64"),
+            "r_stat": pd.Series(dtype="float64"),
+            "is_outlier": pd.Series(dtype="int64"),
+        })
+        d = df.dropna(subset=cols)
+        if d.empty:
+            return empty
+        gv = d[group_col].to_numpy()
+        codes, uniq = pd.factorize(gv, sort=True)
+        x = d[value_col].to_numpy(np.float64)
+        ids = d[id_col].to_numpy(np.int64)
+        k_g = len(uniq)
+        active = np.ones(len(x), bool)
+        cand_g, cand_id, cand_rnd, cand_r = [], [], [], []
+        for rnd in range(1, n_rounds + 1):
+            gi = codes[active]
+            xa = x[active]
+            ia = ids[active]
+            nn = np.bincount(gi, minlength=k_g).astype(np.float64)
+            sx = np.bincount(gi, weights=xa, minlength=k_g)
+            sxx = np.bincount(gi, weights=xa * xa, minlength=k_g)
+            var_num = sxx - sx * sx / np.where(nn > 0, nn, 1.0)
+            ok_g = (nn >= 3) & (var_num > 0)
+            if not ok_g.any():
+                break
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mu = sx / nn
+                sd = np.sqrt(var_num / (nn - 1.0))
+            rr = np.round(np.abs(xa - mu[gi]) / sd[gi], 9)
+            keep = ok_g[gi]
+            if not keep.any():
+                break
+            # argmax per group, ties -> smallest id: lexsort is
+            # last-key-primary, so order by (group, -rr, id)
+            order = np.lexsort((ia[keep], -rr[keep], gi[keep]))
+            gk = gi[keep][order]
+            first = np.ones(len(gk), bool)
+            first[1:] = gk[1:] != gk[:-1]
+            sel = order[first]
+            sel_rows = np.flatnonzero(active)[np.flatnonzero(keep)[sel]]
+            cand_g.append(gv[sel_rows])
+            cand_id.append(ids[sel_rows])
+            cand_rnd.append(np.full(len(sel_rows), rnd, np.int64))
+            cand_r.append(rr[keep][sel])
+            active[sel_rows] = False
+        if not cand_g:
+            return empty
+        cg = np.concatenate(cand_g)
+        ci = np.concatenate(cand_id)
+        cr = np.concatenate(cand_rnd)
+        cs = np.concatenate(cand_r)
+        lam_arr = np.asarray(lam)[cr - 1]
+        out = pd.DataFrame({
+            group_col: cg, id_col: ci, "rnd": cr, "r_stat": cs,
+            "_sig": (cs > lam_arr).astype(np.int64),
+        })
+        kmax = out.loc[out["_sig"] == 1].groupby(group_col)["rnd"].max()
+        kk = out[group_col].map(kmax).fillna(0).to_numpy(np.int64)
+        out["is_outlier"] = (out["rnd"].to_numpy() <= kk).astype(np.int64)
+        out["r_stat"] = np.round(out["r_stat"].to_numpy(), round_digits)
+        return out.drop(columns=["_sig"])
+
+    proj = ds.select_columns(cols)
+    parts = add_bucket_column(proj, group_col, num_buckets)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed_map_groups(
+        parts, run, num_buckets=num_buckets, batch_format="pandas")
