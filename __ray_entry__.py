@@ -6072,6 +6072,33 @@ def q_esd_outliers(sf_dir: str):
     )
 
 
+def q_ransac_line(sf_dir: str):
+    """Deterministic RANSAC consensus line of extendedprice on quantity
+    over lineitem: hash-ranked pair sampling, 8 candidate models as
+    closure constants, per-batch inlier-count partials, exact-int
+    winner."""
+    from featherstore_ray.stages.aggregate import ransac_line
+
+    def prep(df):
+        import numpy as _np
+        import pandas as _pd
+
+        d = df.dropna(subset=["l_orderkey", "l_linenumber", "l_quantity",
+                              "l_extendedprice"])
+        return _pd.DataFrame({
+            "rid": d["l_orderkey"].to_numpy(_np.int64) * 8
+            + d["l_linenumber"].to_numpy(_np.int64),
+            "x": d["l_quantity"].to_numpy(_np.float64),
+            "y": d["l_extendedprice"].to_numpy(_np.float64),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"]).map_batches(
+        prep, batch_size=None, batch_format="pandas")
+    return ransac_line(ds, "rid", "x", "y", num_candidates=8, eps=5000.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6348,6 +6375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hurst": q_hurst,
         "sax_symbols": q_sax_symbols,
         "esd_outliers": q_esd_outliers,
+        "ransac_line": q_ransac_line,
     }
 
 
@@ -11039,6 +11067,54 @@ def oracle_sql() -> dict[str, str]:
                    cand.rnd::BIGINT AS rnd, round(cand.rr, 6) AS r_stat,
                    (cand.rnd <= kk.k)::BIGINT AS is_outlier
             FROM cand JOIN kk USING (g)
+        """,
+        "ransac_line": """
+            WITH b AS MATERIALIZED (
+                SELECT l_orderkey * 8 + l_linenumber AS id,
+                       l_quantity AS x, l_extendedprice AS y,
+                       (l_orderkey * 8 + l_linenumber) * 2654435761
+                           % 4294967296 AS h
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            sel AS (
+                SELECT * FROM (
+                    SELECT x, y,
+                           row_number() OVER (ORDER BY h, id) AS rk
+                    FROM b
+                ) WHERE rk <= 16
+            ),
+            cpair AS (
+                SELECT (rk + 1) // 2 AS cand,
+                       max(CASE WHEN rk % 2 = 1 THEN x END) AS x1,
+                       max(CASE WHEN rk % 2 = 1 THEN y END) AS y1,
+                       max(CASE WHEN rk % 2 = 0 THEN x END) AS x2,
+                       max(CASE WHEN rk % 2 = 0 THEN y END) AS y2
+                FROM sel GROUP BY cand
+                HAVING count(*) = 2
+            ),
+            models AS (
+                SELECT cand, (y2 - y1) / (x2 - x1) AS bb,
+                       y1 - (y2 - y1) / (x2 - x1) * x1 AS aa
+                FROM cpair WHERE x1 <> x2
+            ),
+            cnt AS (
+                SELECT m.cand, m.aa, m.bb,
+                       sum(CASE WHEN abs(b.y - (m.aa + m.bb * b.x))
+                                     <= 5000.0
+                                THEN 1 ELSE 0 END)::BIGINT AS inliers
+                FROM models m CROSS JOIN b
+                GROUP BY m.cand, m.aa, m.bb
+            ),
+            best AS (
+                SELECT cand AS bc FROM cnt
+                ORDER BY inliers DESC, cand LIMIT 1
+            )
+            SELECT c.cand, round(c.aa, 6) AS a, round(c.bb, 6) AS b,
+                   c.inliers, (c.cand = best.bc)::BIGINT AS is_best
+            FROM cnt c, best
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

@@ -5272,3 +5272,104 @@ def esd_outliers(
 
     return bucketed_map_groups(
         parts, run, num_buckets=num_buckets, batch_format="pandas")
+
+
+def ransac_line(
+    ds: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    num_candidates: int = 8,
+    eps: float = 5000.0,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Deterministic RANSAC line fit — the robust-model-fitting family:
+    OLS (:func:`group_linear_fit`) is wrecked by a few wild rows, while
+    RANSAC fits the CONSENSUS line: propose candidate lines from sampled
+    point pairs, count inliers within ``eps`` of each, keep the line the
+    most data agrees with. Sampling is derandomized the house way: rows
+    rank by the multiplicative hash ``id * 2654435761 mod 2^32`` (ties →
+    id), the first ``2*num_candidates`` rows pair up in rank order, and
+    candidate i uses pair (2i-1, 2i); degenerate pairs (x1 = x2) are
+    skipped on both sides. The winner is (max inliers, ties → smallest
+    candidate) — an exact-integer argmax, so cross-engine agreement
+    needs no rounding. Output per valid candidate: (cand, a, b, inliers,
+    is_best); inlier test is the literally identical ``abs(y - (a +
+    b*x)) <= eps`` expression in both engines (same-form rule from
+    band_join: never mix abs and BETWEEN forms).
+
+    Scale shape: pass 1 = per-batch top-(2K)-by-hash partials (driver
+    merges 2K·blocks tiny rows); pass 2 = candidate models enter each
+    batch as closure constants (K floats — no broadcast object needed)
+    and each batch emits a K-int inlier-count partial. Zero shuffle.
+    """
+    import pyarrow as pa
+
+    cols = [id_col, x_col, y_col]
+    k2 = 2 * num_candidates
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        ids = d[id_col].to_numpy(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        sel = np.lexsort((ids, h))[:k2]
+        return pd.DataFrame({
+            "_id": ids[sel], "_h": h[sel],
+            "_x": d[x_col].to_numpy(np.float64)[sel],
+            "_y": d[y_col].to_numpy(np.float64)[sel],
+        })
+
+    proj = ds.select_columns(cols)
+    top = (proj.map_batches(top_partial, batch_size=None,
+                            batch_format="pandas")
+           .to_pandas())
+    sel = np.lexsort((top["_id"].to_numpy(), top["_h"].to_numpy()))[:k2]
+    top = top.iloc[sel].reset_index(drop=True)
+    x1 = top["_x"].to_numpy()[0::2]
+    y1 = top["_y"].to_numpy()[0::2]
+    x2 = top["_x"].to_numpy()[1::2]
+    y2 = top["_y"].to_numpy()[1::2]
+    npairs = min(len(x1), len(x2))
+    x1, y1, x2, y2 = x1[:npairs], y1[:npairs], x2[:npairs], y2[:npairs]
+    valid = x1 != x2
+    cand = np.arange(1, npairs + 1, dtype=np.int64)[valid]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bb = (y2 - y1) / (x2 - x1)
+    bb = bb[valid]
+    aa = y1[valid] - bb * x1[valid]
+    if len(cand) == 0:
+        return ray.data.from_arrow(pa.table({
+            "cand": pa.array([], pa.int64()),
+            "a": pa.array([], pa.float64()),
+            "b": pa.array([], pa.float64()),
+            "inliers": pa.array([], pa.int64()),
+            "is_best": pa.array([], pa.int64()),
+        }))
+
+    aa_c, bb_c, eps_c = aa.copy(), bb.copy(), float(eps)
+
+    def count_partial(df: pd.DataFrame, _a=aa_c, _b=bb_c) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        x = d[x_col].to_numpy(np.float64)
+        y = d[y_col].to_numpy(np.float64)
+        pred = _a[None, :] + x[:, None] * _b[None, :]
+        cnt = (np.abs(y[:, None] - pred) <= eps_c).sum(axis=0)
+        return pd.DataFrame({"_c": np.arange(len(_a), dtype=np.int64),
+                             "_n": cnt.astype(np.int64)})
+
+    counts = (proj.map_batches(count_partial, batch_size=None,
+                               batch_format="pandas")
+              .to_pandas()
+              .groupby("_c", sort=True)["_n"].sum()
+              .reindex(np.arange(len(cand)), fill_value=0)
+              .to_numpy(np.int64))
+    best = np.lexsort((cand, -counts))[0]
+    return ray.data.from_arrow(pa.table({
+        "cand": pa.array(cand, pa.int64()),
+        "a": pa.array(np.round(aa, round_digits), pa.float64()),
+        "b": pa.array(np.round(bb, round_digits), pa.float64()),
+        "inliers": pa.array(counts, pa.int64()),
+        "is_best": pa.array(
+            (np.arange(len(cand)) == best).astype(np.int64), pa.int64()),
+    }))
