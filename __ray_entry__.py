@@ -6099,6 +6099,32 @@ def q_ransac_line(sf_dir: str):
     return ransac_line(ds, "rid", "x", "y", num_candidates=8, eps=5000.0)
 
 
+_SPRT_P = dict(p0=0.18, p1=0.21, alpha=0.05, beta=0.2)
+
+
+def q_sprt(sf_dir: str):
+    """Wald SPRT monitoring the daily purchase rate against H0 p=0.18
+    vs H1 p=0.21: one pass of per-day (n, successes) partials, driver
+    cumsum, sticky first-crossing decision. Log constants are injected
+    into the oracle as repr literals so the llr walk is bit-identical."""
+    from featherstore_ray.stages.aggregate import sprt_test
+
+    def prep(df):
+        import numpy as _np
+        import pandas as _pd
+
+        d = df.dropna(subset=["ts", "event_type"])
+        return _pd.DataFrame({
+            "ts": d["ts"],
+            "ok": (d["event_type"].to_numpy() == "purchase"
+                   ).astype(_np.int64),
+        })
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        prep, batch_size=None, batch_format="pandas")
+    return sprt_test(ds, "ts", "ok", **_SPRT_P)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6376,10 +6402,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sax_symbols": q_sax_symbols,
         "esd_outliers": q_esd_outliers,
         "ransac_line": q_ransac_line,
+        "sprt": q_sprt,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from featherstore_ray.stages.aggregate import sprt_constants
+    _sprt_c = sprt_constants(_SPRT_P["p0"], _SPRT_P["p1"],
+                             _SPRT_P["alpha"], _SPRT_P["beta"])
     ids = ", ".join(str(i) for i in _IDS)
     # ensure the deterministic corpus exists before DuckDB reads it (cached;
     # plain numpy generation, no Ray needed)
@@ -11115,6 +11145,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cand, round(c.aa, 6) AS a, round(c.bb, 6) AS b,
                    c.inliers, (c.cand = best.bc)::BIGINT AS is_best
             FROM cnt c, best
+        """,
+        "sprt": f"""
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+                       sum((event_type = 'purchase')::INT)::BIGINT AS s
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT day,
+                       (sum(n) OVER w)::BIGINT AS cn,
+                       (sum(s) OVER w)::BIGINT AS cs
+                FROM daily WINDOW w AS (ORDER BY day)
+            ),
+            l AS (
+                SELECT day, cn, cs,
+                       cs * {_sprt_c[0]!r} + (cn - cs) * {_sprt_c[1]!r}
+                           AS llr
+                FROM c
+            ),
+            up AS (SELECT min(day) AS d1 FROM l WHERE llr >= {_sprt_c[2]!r}),
+            dn AS (SELECT min(day) AS d0 FROM l WHERE llr <= {_sprt_c[3]!r})
+            SELECT l.day, l.cn AS n, l.cs AS s, round(l.llr, 6) AS llr,
+                   CASE WHEN up.d1 IS NOT NULL
+                             AND (dn.d0 IS NULL OR up.d1 <= dn.d0)
+                             AND l.day >= up.d1 THEN 'accept_h1'
+                        WHEN dn.d0 IS NOT NULL
+                             AND (up.d1 IS NULL OR dn.d0 < up.d1)
+                             AND l.day >= dn.d0 THEN 'accept_h0'
+                        ELSE 'continue' END AS state
+            FROM l, up, dn
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

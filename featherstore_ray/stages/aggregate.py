@@ -5373,3 +5373,85 @@ def ransac_line(
         "is_best": pa.array(
             (np.arange(len(cand)) == best).astype(np.int64), pa.int64()),
     }))
+
+
+def sprt_test(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    success_col: str,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Wald's sequential probability-ratio test (SPRT) on a Bernoulli
+    rate — the SEQUENTIAL-decision family: fixed-horizon tests
+    (:func:`welch_t` etc.) are invalid when a metric is peeked at daily,
+    while the SPRT's log-likelihood ratio walk ``llr_d = S_d·ln(p1/p0) +
+    F_d·ln((1-p1)/(1-p0))`` over cumulative successes/failures may be
+    monitored continuously: the first day it crosses ``A = ln((1-β)/α)``
+    accepts H1 (rate is p1), the first below ``B = ln(β/(1-α))`` accepts
+    H0, and the decision is STICKY from its crossing day on. Output one
+    row per day: (day, n, s, llr, state).
+
+    Cross-engine exactness: the four log constants are computed ONCE
+    driver-side and injected into the oracle as repr literals (the
+    pagerank lesson), so ``llr`` is products of exact int64 counts with
+    bit-identical doubles — the boundary compares are exact, no
+    tolerance. Scale shape: one pass of per-batch (day, n, Σsuccess)
+    partials; the driver folds days × blocks tiny rows. Zero shuffle.
+    """
+    import pyarrow as pa
+
+    c1 = float(np.log(p1 / p0))
+    c2 = float(np.log((1.0 - p1) / (1.0 - p0)))
+    a_bound = float(np.log((1.0 - beta) / alpha))
+    b_bound = float(np.log(beta / (1.0 - alpha)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[ts_col, success_col])
+        day = d[ts_col].dt.floor("D")
+        g = pd.DataFrame({"day": day,
+                          "_s": d[success_col].to_numpy(np.int64)})
+        out = g.groupby("day", sort=False).agg(
+            _n=("_s", "size"), _ss=("_s", "sum")).reset_index()
+        return out
+
+    m = (
+        ds.select_columns([ts_col, success_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", sort=True)[["_n", "_ss"]].sum()
+        .reset_index()
+    )
+    cn = m["_n"].to_numpy(np.int64).cumsum()
+    cs = m["_ss"].to_numpy(np.int64).cumsum()
+    llr = cs * c1 + (cn - cs) * c2
+    up = np.flatnonzero(llr >= a_bound)
+    dn = np.flatnonzero(llr <= b_bound)
+    d1 = up[0] if len(up) else None
+    d0 = dn[0] if len(dn) else None
+    state = np.full(len(m), "continue", dtype=object)
+    if d1 is not None and (d0 is None or d1 <= d0):
+        state[d1:] = "accept_h1"
+    elif d0 is not None:
+        state[d0:] = "accept_h0"
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(m["day"].astype("datetime64[us]")),
+        "n": pa.array(cn, pa.int64()),
+        "s": pa.array(cs, pa.int64()),
+        "llr": pa.array(np.round(llr, round_digits), pa.float64()),
+        "state": pa.array(state.astype(str)),
+    }))
+
+
+def sprt_constants(p0, p1, alpha=0.05, beta=0.2):
+    """The injected-literal constants shared by sprt_test and its oracle."""
+    return (
+        float(np.log(p1 / p0)),
+        float(np.log((1.0 - p1) / (1.0 - p0))),
+        float(np.log((1.0 - beta) / alpha)),
+        float(np.log(beta / (1.0 - alpha))),
+    )
