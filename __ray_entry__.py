@@ -6125,6 +6125,34 @@ def q_sprt(sf_dir: str):
     return sprt_test(ds, "ts", "ok", **_SPRT_P)
 
 
+def q_fellegi_sunter(sf_dir: str):
+    """Fellegi-Sunter linkage weights over orders-as-duplicate-records
+    of customers: m from all within-customer pairs (one entity
+    exchange + triangular expansion), u from the exact Σ(n_v/N)²
+    frequency identity — sampling-free, exact-int estimation."""
+    from featherstore_ray.stages.linkage import fellegi_sunter
+
+    def prep(df):
+        import numpy as _np
+        import pandas as _pd
+
+        d = df.dropna(subset=["o_custkey", "o_orderstatus",
+                              "o_orderpriority", "o_orderdate"])
+        return _pd.DataFrame({
+            "e": d["o_custkey"].to_numpy(_np.int64),
+            "status": d["o_orderstatus"].to_numpy(),
+            "priority": d["o_orderpriority"].to_numpy(),
+            "ym": (d["o_orderdate"].dt.year.to_numpy(_np.int64) * 100
+                   + d["o_orderdate"].dt.month.to_numpy(_np.int64)),
+        })
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderstatus", "o_orderpriority",
+                        "o_orderdate"]).map_batches(
+        prep, batch_size=None, batch_format="pandas")
+    return fellegi_sunter(ds, "e", ["status", "priority", "ym"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6403,6 +6431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esd_outliers": q_esd_outliers,
         "ransac_line": q_ransac_line,
         "sprt": q_sprt,
+        "fellegi_sunter": q_fellegi_sunter,
     }
 
 
@@ -11177,6 +11206,79 @@ def oracle_sql() -> dict[str, str]:
                              AND l.day >= dn.d0 THEN 'accept_h0'
                         ELSE 'continue' END AS state
             FROM l, up, dn
+        """,
+        "fellegi_sunter": """
+            WITH b AS MATERIALIZED (
+                SELECT o_custkey AS e, o_orderstatus AS f1,
+                       o_orderpriority AS f2,
+                       (date_part('year', o_orderdate) * 100
+                        + date_part('month', o_orderdate))::BIGINT AS f3
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+                  AND o_orderdate IS NOT NULL
+            ),
+            bb AS MATERIALIZED (
+                SELECT *, row_number() OVER () AS rid FROM b
+            ),
+            p AS (
+                SELECT count(*)::BIGINT AS n_pairs,
+                       sum((a.f1 = c.f1)::INT)::BIGINT AS a1,
+                       sum((a.f2 = c.f2)::INT)::BIGINT AS a2,
+                       sum((a.f3 = c.f3)::INT)::BIGINT AS a3
+                FROM bb a JOIN bb c ON a.e = c.e AND a.rid < c.rid
+            ),
+            u1 AS (SELECT sum(c * c)::BIGINT AS s2, sum(c)::BIGINT AS n
+                   FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f1)),
+            u2 AS (SELECT sum(c * c)::BIGINT AS s2, sum(c)::BIGINT AS n
+                   FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f2)),
+            u3 AS (SELECT sum(c * c)::BIGINT AS s2, sum(c)::BIGINT AS n
+                   FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f3))
+
+                SELECT 'status' AS field, p.n_pairs,
+                       round(p.a1::DOUBLE / p.n_pairs, 6) AS m,
+                       round(u1.s2::DOUBLE / (u1.n * u1.n), 6) AS u,
+                       CASE WHEN p.a1 > 0 AND u1.s2 > 0
+                            THEN round(log2((p.a1::DOUBLE / p.n_pairs)
+                                 / (u1.s2::DOUBLE / (u1.n * u1.n))), 6)
+                       END AS w_agree,
+                       CASE WHEN p.a1 < p.n_pairs AND u1.s2 < u1.n * u1.n
+                            THEN round(log2(
+                                 (1.0 - p.a1::DOUBLE / p.n_pairs)
+                                 / (1.0 - u1.s2::DOUBLE / (u1.n * u1.n))),
+                                 6)
+                       END AS w_disagree
+                FROM p, u1
+                UNION ALL
+                SELECT 'priority' AS field, p.n_pairs,
+                       round(p.a2::DOUBLE / p.n_pairs, 6) AS m,
+                       round(u2.s2::DOUBLE / (u2.n * u2.n), 6) AS u,
+                       CASE WHEN p.a2 > 0 AND u2.s2 > 0
+                            THEN round(log2((p.a2::DOUBLE / p.n_pairs)
+                                 / (u2.s2::DOUBLE / (u2.n * u2.n))), 6)
+                       END AS w_agree,
+                       CASE WHEN p.a2 < p.n_pairs AND u2.s2 < u2.n * u2.n
+                            THEN round(log2(
+                                 (1.0 - p.a2::DOUBLE / p.n_pairs)
+                                 / (1.0 - u2.s2::DOUBLE / (u2.n * u2.n))),
+                                 6)
+                       END AS w_disagree
+                FROM p, u2
+                UNION ALL
+                SELECT 'ym' AS field, p.n_pairs,
+                       round(p.a3::DOUBLE / p.n_pairs, 6) AS m,
+                       round(u3.s2::DOUBLE / (u3.n * u3.n), 6) AS u,
+                       CASE WHEN p.a3 > 0 AND u3.s2 > 0
+                            THEN round(log2((p.a3::DOUBLE / p.n_pairs)
+                                 / (u3.s2::DOUBLE / (u3.n * u3.n))), 6)
+                       END AS w_agree,
+                       CASE WHEN p.a3 < p.n_pairs AND u3.s2 < u3.n * u3.n
+                            THEN round(log2(
+                                 (1.0 - p.a3::DOUBLE / p.n_pairs)
+                                 / (1.0 - u3.s2::DOUBLE / (u3.n * u3.n))),
+                                 6)
+                       END AS w_disagree
+                FROM p, u3
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

@@ -285,3 +285,110 @@ def _empty_pairs() -> pa.Table:
     return pa.table({"name_a": pa.array([], pa.string()),
                      "name_b": pa.array([], pa.string()),
                      "dist": pa.array([], pa.int64())})
+
+
+def fellegi_sunter(
+    ds: "ray.data.Dataset",
+    entity_col: str,
+    field_cols: "Sequence[str]",
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Fellegi-Sunter probabilistic-linkage weight estimation — the
+    SCORING layer of record linkage (``fuzzy_join`` finds candidate
+    pairs; this learns how much each field's agreement is WORTH): for
+    every comparison field k it estimates ``m_k = P(agree | match)``
+    and ``u_k = P(agree | non-match)`` and emits the log2 match weights
+    ``w_agree = log2(m/u)`` / ``w_disagree = log2((1-m)/(1-u))`` that a
+    downstream scorer sums per candidate pair.
+
+    Estimation is deliberately sampling-free so both engines agree
+    exactly: ``m_k`` counts agreements over ALL within-entity record
+    pairs (the entity key is the ground-truth match label — duplicate
+    records of one entity), and ``u_k`` uses the exact random-pair
+    identity ``P(two independent draws agree) = Σ_v (n_v/N)²`` over the
+    field's value frequencies — an integer-moment computation, no pair
+    enumeration. Weights are null when a ratio degenerates (m or u at
+    0/1 — oracle CASE mirror). Output per field: (field, n_pairs, m, u,
+    w_agree, w_disagree).
+
+    Scale shape: ``m`` = ONE hash(entity) exchange + the shared
+    triangular ``pair_indices`` expansion per bucket (within-entity
+    pairs only — bounded-size entities by contract, the kendall_tau
+    convention); ``u`` = per-batch value-count partials per field
+    merged driver-side (vocabulary-bounded, never rows). Exact int64
+    counts end-to-end; log2 is libm-identical cross-engine (the benford
+    / hurst precedent).
+    """
+    import pyarrow as pa
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.dedup import pair_indices
+
+    fields = list(field_cols)
+    cols = [entity_col] + fields
+
+    # ---- m: agreement counts over within-entity pairs ----------------
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).dropna(subset=cols)
+        d = d.sort_values(entity_col, kind="stable")
+        ent = d[entity_col].to_numpy()
+        ai, bi = pair_indices(ent)
+        out = {"_np": np.array([len(ai)], np.int64)}
+        for f in fields:
+            v = d[f].to_numpy()
+            out["_a_" + f] = np.array(
+                [np.int64((v[ai] == v[bi]).sum())], np.int64)
+        return pd.DataFrame(out)
+
+    proj = ds.select_columns(cols)
+    mparts = bucketed_map_groups(
+        add_bucket_column(proj, entity_col, num_buckets),
+        pair_kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    n_pairs = np.int64(mparts["_np"].sum()) if len(mparts) else np.int64(0)
+    agree = {f: (np.int64(mparts["_a_" + f].sum()) if len(mparts)
+                 else np.int64(0)) for f in fields}
+
+    # ---- u: exact frequency-moment identity per field ----------------
+    def freq_partial(field: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.dropna(subset=cols)
+            g = d.groupby(field, sort=False, observed=True).size()
+            return g.rename("_c").reset_index()
+        return f
+
+    u_val = {}
+    n_total = None
+    for f in fields:
+        fc = (proj.map_batches(freq_partial(f), batch_size=None,
+                               batch_format="pandas")
+              .to_pandas().groupby(f, sort=True)["_c"].sum())
+        nv = fc.to_numpy(np.int64)
+        nn = np.int64(nv.sum())
+        n_total = nn
+        u_val[f] = np.int64((nv * nv).sum()) / (nn * nn) if nn else np.nan
+
+    rows = []
+    for f in fields:
+        m_k = agree[f] / n_pairs if n_pairs else np.nan
+        u_k = u_val[f]
+        w_a = (np.log2(m_k / u_k)
+               if n_pairs and 0.0 < m_k and 0.0 < u_k else np.nan)
+        w_d = (np.log2((1.0 - m_k) / (1.0 - u_k))
+               if n_pairs and m_k < 1.0 and u_k < 1.0 else np.nan)
+        rows.append((f, n_pairs, m_k, u_k, w_a, w_d))
+    return ray.data.from_arrow(pa.table({
+        "field": pa.array([r[0] for r in rows]),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "m": pa.array(np.round([r[2] for r in rows], round_digits),
+                      pa.float64()),
+        "u": pa.array(np.round([r[3] for r in rows], round_digits),
+                      pa.float64()),
+        "w_agree": pa.array(np.round([r[4] for r in rows], round_digits),
+                            pa.float64()),
+        "w_disagree": pa.array(
+            np.round([r[5] for r in rows], round_digits), pa.float64()),
+    }))
