@@ -6153,6 +6153,28 @@ def q_fellegi_sunter(sf_dir: str):
     return fellegi_sunter(ds, "e", ["status", "priority", "ym"])
 
 
+_KSHAP_K = 5
+
+
+def q_knn_shapley(sf_dir: str):
+    """Exact KNN-Shapley valuation of every training vector (vec_id>4)
+    against test anchors 0-4: closure-constant test matrix, per-batch
+    distance quadruples, one test exchange running the closed-form
+    suffix sum."""
+    from featherstore_ray.stages.ann import knn_shapley
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    tests = emb.filter(pc.less_equal(emb["vec_id"], 4))
+
+    def keep_train(t):
+        return t.filter(pc.greater(t["vec_id"], 4))
+
+    ds = _read(sf_dir, "embeddings").map_batches(
+        keep_train, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return knn_shapley(ds, tests, k=_KSHAP_K)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6432,6 +6454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ransac_line": q_ransac_line,
         "sprt": q_sprt,
         "fellegi_sunter": q_fellegi_sunter,
+        "knn_shapley": q_knn_shapley,
     }
 
 
@@ -11279,6 +11302,52 @@ def oracle_sql() -> dict[str, str]:
                                  6)
                        END AS w_disagree
                 FROM p, u3
+        """,
+        "knn_shapley": f"""
+            WITH emb AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            tst AS (SELECT vec_id AS tid, v AS tv, label AS tl
+                    FROM emb WHERE vec_id <= 4),
+            trn AS (SELECT vec_id, v, label FROM emb WHERE vec_id > 4),
+            d AS (
+                SELECT t.tid, x.vec_id,
+                       round(list_distance(x.v, t.tv), 4) AS dist,
+                       (x.label = t.tl)::INT AS ind
+                FROM trn x CROSS JOIN tst t
+            ),
+            r AS (
+                SELECT tid, vec_id, ind,
+                       row_number() OVER (
+                           PARTITION BY tid ORDER BY dist, vec_id) AS rk,
+                       count(*) OVER (PARTITION BY tid) AS nn
+                FROM d
+            ),
+            t2 AS (
+                SELECT tid, vec_id, rk, nn, ind,
+                       lead(ind) OVER (PARTITION BY tid ORDER BY rk)
+                           AS ind_next
+                FROM r
+            ),
+            terms AS (
+                SELECT tid, vec_id, rk,
+                       CASE WHEN rk = nn THEN ind::DOUBLE / nn
+                            ELSE (ind - ind_next)
+                                 * least({_KSHAP_K}, rk)::DOUBLE
+                                 / ({_KSHAP_K} * rk) END AS term
+                FROM t2
+            ),
+            s AS (
+                SELECT tid, vec_id, rk,
+                       sum(term) OVER (PARTITION BY tid ORDER BY rk DESC)
+                           AS sh
+                FROM terms
+            )
+            SELECT tid AS test_id, vec_id, rk::BIGINT AS rnk,
+                   round(sh, 6) AS shapley
+            FROM s
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

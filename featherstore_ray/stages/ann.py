@@ -2582,3 +2582,119 @@ def retrieval_eval(
         "ap_k": pa.array(cols[4], pa.float64()),
         "recall_k": pa.array(cols[5], pa.float64()),
     }))
+
+
+def knn_shapley(
+    ds: ray.data.Dataset,
+    test_table: pa.Table,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 6,
+    dist_digits: int = 4,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Exact KNN-Shapley data valuation (Jia et al., PVLDB 2019) — the
+    training-data VALUATION family: the Shapley value of every training
+    vector for a K-NN classifier admits a closed form over the
+    distance-sorted order, so "which corpus rows actually help the
+    model" is computable exactly, no Monte-Carlo: with training points
+    sorted by distance to a test point (α₁ nearest),
+
+        s(α_N) = 1[y_N = y] / N
+        s(α_i) = s(α_{i+1}) + (1[y_i = y] − 1[y_{i+1} = y]) · min(K,i)/(K·i)
+
+    i.e. a SUFFIX SUM of per-rank terms — mirrored by the oracle's
+    ``SUM() OVER (ORDER BY rank DESC)``. Distances use the elementwise
+    ``sqrt(Σ(aᵢ−bᵢ)²)`` form rounded to ``dist_digits`` for the rank
+    (ties → training id), the reciprocal_nn precedent; all terms are
+    exact-int numerators over exact-int denominators. Output per
+    (test, training) pair: (test_id, vec_id, rnk, shapley).
+
+    Scale shape: the test matrix (queries × dim) enters each batch as a
+    closure constant; pass 1 collapses every block to (test, id, dist,
+    agree) quadruples — distances move, never vectors; pass 2 is ONE
+    hash(test) exchange whose kernel sorts each test's column and runs
+    the closed form (per-test global order is inherent to the
+    statistic; for corpus-scale N route the rank pass through the
+    global_rank sample-sort and keep the suffix sum as a range-carry
+    scan).
+    """
+    import pyarrow.compute as pc
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    tq = test_table
+    Q = _stack_embeddings(tq[emb_col]).astype(np.float64)
+    qids = tq[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    qlab = tq[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def dist_partial(t: pa.Table, *, _Q=Q, _qi=qids, _ql=qlab) -> pa.Table:
+        t = t.filter(pc.and_kleene(pc.is_valid(t[emb_col]),
+                                   pc.is_valid(t[label_col])))
+        if t.num_rows == 0:
+            return pa.table({
+                "tid": pa.array([], pa.int64()),
+                "vid": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+                "ind": pa.array([], pa.int64()),
+            })
+        X = _stack_embeddings(t[emb_col]).astype(np.float64)
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = len(_qi)
+        d = X[:, None, :] - _Q[None, :, :]
+        d = d * d
+        dist = np.sqrt(d.sum(-1))
+        if dist_digits is not None:
+            dist = np.round(dist, dist_digits)
+        ind = (lab[:, None] == _ql[None, :]).astype(np.int64)
+        return pa.table({
+            "tid": pa.array(np.tile(_qi, len(vid)), pa.int64()),
+            "vid": pa.array(np.repeat(vid, nq), pa.int64()),
+            "dist": pa.array(dist.ravel(), pa.float64()),
+            "ind": pa.array(ind.ravel(), pa.int64()),
+        })
+
+    parts = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        dist_partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    kk = int(k)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL])
+        out = []
+        for tid, g in d.groupby("tid", sort=True):
+            g = g.sort_values(["dist", "vid"], kind="stable")
+            n = len(g)
+            ind = g["ind"].to_numpy(np.int64)
+            rnk = np.arange(1, n + 1, dtype=np.int64)
+            term = np.empty(n, np.float64)
+            if n > 1:
+                di = ind[:-1] - ind[1:]
+                term[:-1] = (di * np.minimum(kk, rnk[:-1])) \
+                    / (kk * rnk[:-1])
+            term[-1] = ind[-1] / n
+            sh = np.cumsum(term[::-1])[::-1]
+            out.append(pd.DataFrame({
+                "test_id": np.full(n, tid, np.int64),
+                "vec_id": g["vid"].to_numpy(np.int64),
+                "rnk": rnk,
+                "shapley": np.round(sh, round_digits),
+            }))
+        if not out:
+            return pd.DataFrame({
+                "test_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "rnk": pd.Series(dtype="int64"),
+                "shapley": pd.Series(dtype="float64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(
+        add_bucket_column(parts, "tid", num_buckets),
+        kernel, num_buckets=num_buckets, batch_format="pandas")
