@@ -6175,6 +6175,20 @@ def q_knn_shapley(sf_dir: str):
     return knn_shapley(ds, tests, k=_KSHAP_K)
 
 
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type behavior chain: one
+    entity exchange of transition-count partials, driver-side K×K power
+    iteration (8 fixed rounds), unrolled matrix-step oracle."""
+    from featherstore_ray.stages.window import markov_stationary
+
+    return markov_stationary(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id", iters=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6455,6 +6469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sprt": q_sprt,
         "fellegi_sunter": q_fellegi_sunter,
         "knn_shapley": q_knn_shapley,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -11348,6 +11363,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT tid AS test_id, vec_id, rk::BIGINT AS rnk,
                    round(sh, 6) AS shapley
             FROM s
+        """,
+        "markov_stationary": """
+            WITH b AS MATERIALIZED (
+                SELECT user_id AS e, ts, event_id AS tb, event_type AS t
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+            ),
+            p2 AS (
+                SELECT t AS p,
+                       lead(t) OVER (PARTITION BY e ORDER BY ts, tb) AS q
+                FROM b
+            ),
+            cnt AS (
+                SELECT p, q, count(*)::BIGINT AS c FROM p2
+                WHERE q IS NOT NULL GROUP BY p, q
+            ),
+            states AS MATERIALIZED (SELECT DISTINCT p AS st FROM cnt),
+            kept AS (
+                SELECT p, q, c FROM cnt
+                WHERE q IN (SELECT st FROM states)
+            ),
+            rs AS (SELECT p, sum(c)::BIGINT AS tot FROM kept GROUP BY p),
+            m AS MATERIALIZED (
+                SELECT kept.p, kept.q, kept.c::DOUBLE / rs.tot AS w
+                FROM kept JOIN rs USING (p)
+            ),
+            v0 AS (
+                SELECT st, 1.0 / (SELECT count(*) FROM states) AS pr
+                FROM states
+            ),
+            v1 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v0.pr * m.w) AS pr
+                FROM v0 JOIN m ON m.p = v0.st GROUP BY m.q
+            ),
+            v2 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v1.pr * m.w) AS pr
+                FROM v1 JOIN m ON m.p = v1.st GROUP BY m.q
+            ),
+            v3 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v2.pr * m.w) AS pr
+                FROM v2 JOIN m ON m.p = v2.st GROUP BY m.q
+            ),
+            v4 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v3.pr * m.w) AS pr
+                FROM v3 JOIN m ON m.p = v3.st GROUP BY m.q
+            ),
+            v5 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v4.pr * m.w) AS pr
+                FROM v4 JOIN m ON m.p = v4.st GROUP BY m.q
+            ),
+            v6 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v5.pr * m.w) AS pr
+                FROM v5 JOIN m ON m.p = v5.st GROUP BY m.q
+            ),
+            v7 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v6.pr * m.w) AS pr
+                FROM v6 JOIN m ON m.p = v6.st GROUP BY m.q
+            ),
+            v8 AS MATERIALIZED (
+                SELECT m.q AS st, sum(v7.pr * m.w) AS pr
+                FROM v7 JOIN m ON m.p = v7.st GROUP BY m.q
+            )
+            SELECT states.st AS state, round(coalesce(v8.pr, 0.0), 6)
+                       AS prob
+            FROM states LEFT JOIN v8 ON v8.st = states.st
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

@@ -1814,3 +1814,88 @@ def sax_symbols(
         })
 
     return _bucketed(proj, entity_col, num_buckets, kernel)
+
+
+def markov_stationary(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str | None = None,
+    iters: int = 8,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Stationary distribution of the behavioral Markov chain — where
+    :func:`seq_entropy` scores how UNPREDICTABLE transitions are and
+    ``transitions`` counts them, this answers "where does a user's
+    session settle long-run": power iteration ``v ← vP`` from uniform
+    over the row-stochastic transition matrix estimated from consecutive
+    same-entity type pairs (in (ts, tiebreak) order, null types filtered
+    BEFORE pairing — the seq_entropy contract). States are the types
+    with at least one outgoing transition; pairs leading outside that
+    set are dropped and rows renormalized identically in both engines
+    (the oracle's ``WHERE q IN states`` mirror). ``iters`` fixed rounds,
+    no convergence test — both engines run the identical schedule.
+    Output: (state, prob).
+
+    Scale shape: ONE hash(entity) exchange whose kernel emits (p, q,
+    count) partials — transitions never leave their bucket and the
+    exchange carries at most |types|² rows per bucket; the driver folds
+    a K×K matrix (K = type vocabulary, bounded) and iterates in-memory.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns(
+        [entity_col, ts_col, type_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_p": pd.Series(dtype="object"),
+            "_q": pd.Series(dtype="object"),
+            "_c": pd.Series(dtype="int64"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return empty
+        df, _new_ent, starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        n = len(df)
+        mask = np.zeros(n, dtype=bool)
+        mask[starts] = True
+        tv = df[type_col].to_numpy()
+        valid = ~mask[1:]
+        pairs = pd.DataFrame({"_p": tv[:-1][valid], "_q": tv[1:][valid]})
+        if pairs.empty:
+            return empty
+        out = pairs.groupby(["_p", "_q"], sort=False).size()
+        return out.rename("_c").reset_index()
+
+    cnt = (
+        _bucketed(proj, entity_col, num_buckets, kernel)
+        .to_pandas()
+        .groupby(["_p", "_q"], sort=True)["_c"].sum().reset_index()
+    )
+    if cnt.empty:
+        return ray.data.from_arrow(pa.table({
+            "state": pa.array([], pa.string()),
+            "prob": pa.array([], pa.float64()),
+        }))
+    states = np.sort(cnt["_p"].unique())
+    cnt = cnt[cnt["_q"].isin(states)]
+    sidx = {s: i for i, s in enumerate(states)}
+    kst = len(states)
+    P = np.zeros((kst, kst), np.float64)
+    pi = cnt["_p"].map(sidx).to_numpy(np.int64)
+    qi = cnt["_q"].map(sidx).to_numpy(np.int64)
+    cc = cnt["_c"].to_numpy(np.int64)
+    rowsum = np.bincount(pi, weights=cc, minlength=kst)
+    P[pi, qi] = cc / rowsum[pi]
+    v = np.full(kst, 1.0 / kst)
+    for _ in range(iters):
+        v = v @ P
+    return ray.data.from_arrow(pa.table({
+        "state": pa.array(states.astype(str)),
+        "prob": pa.array(np.round(v, round_digits), pa.float64()),
+    }))
