@@ -6189,6 +6189,18 @@ def q_markov_stationary(sf_dir: str):
     )
 
 
+def q_granger(sf_dir: str):
+    """Lag-1 Granger causality of daily clicks on next-day purchases:
+    one pass of daily count partials, exact-int moments, closed-form
+    restricted-vs-full F statistic."""
+    from featherstore_ray.stages.aggregate import granger_test
+
+    return granger_test(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        "ts", "event_type", cause_type="click", effect_type="purchase",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6470,6 +6482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fellegi_sunter": q_fellegi_sunter,
         "knn_shapley": q_knn_shapley,
         "markov_stationary": q_markov_stationary,
+        "granger": q_granger,
     }
 
 
@@ -11429,6 +11442,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT states.st AS state, round(coalesce(v8.pr, 0.0), 6)
                        AS prob
             FROM states LEFT JOIN v8 ON v8.st = states.st
+        """,
+        "granger": """
+            WITH b AS (
+                SELECT date_trunc('day', ts) AS day,
+                       sum((event_type = 'click')::INT)::BIGINT AS x,
+                       sum((event_type = 'purchase')::INT)::BIGINT AS y
+                FROM events
+                WHERE ts IS NOT NULL
+                  AND event_type IN ('click', 'purchase')
+                GROUP BY 1
+            ),
+            l AS (
+                SELECT y::DOUBLE AS yy,
+                       (lag(y) OVER (ORDER BY day))::DOUBLE AS u,
+                       (lag(x) OVER (ORDER BY day))::DOUBLE AS w
+                FROM b
+            ),
+            p AS (
+                SELECT count(*)::DOUBLE AS n, sum(u) AS su, sum(w) AS sw,
+                       sum(yy) AS sy, sum(u * u) AS suu,
+                       sum(w * w) AS sww, sum(yy * yy) AS syy,
+                       sum(u * yy) AS suy, sum(w * yy) AS swy,
+                       sum(u * w) AS suw
+                FROM l WHERE u IS NOT NULL
+            ),
+            c AS (
+                SELECT n, suu - su * su / n AS suu_c,
+                       sww - sw * sw / n AS sww_c,
+                       syy - sy * sy / n AS syy_c,
+                       suy - su * sy / n AS suy_c,
+                       swy - sw * sy / n AS swy_c,
+                       suw - su * sw / n AS suw_c
+                FROM p
+            ),
+            d AS (
+                SELECT n, syy_c, suy_c, swy_c, suu_c,
+                       suu_c * sww_c - suw_c * suw_c AS det,
+                       (n >= 4 AND suu_c > 0
+                        AND suu_c * sww_c - suw_c * suw_c > 0) AS g,
+                       suy_c * sww_c - swy_c * suw_c AS bn,
+                       swy_c * suu_c - suy_c * suw_c AS cn
+                FROM c
+            ),
+            e AS (
+                SELECT n,
+                       CASE WHEN g THEN bn / det END AS b2,
+                       CASE WHEN g THEN cn / det END AS c2,
+                       CASE WHEN g
+                            THEN syy_c - suy_c * suy_c / suu_c END AS rss_r,
+                       CASE WHEN g
+                            THEN syy_c - (bn / det) * suy_c
+                                 - (cn / det) * swy_c END AS rss_f
+                FROM d
+            )
+            SELECT n::BIGINT AS n, round(b2, 6) AS beta_self,
+                   round(c2, 6) AS beta_cause, round(rss_r, 6) AS rss_r,
+                   round(rss_f, 6) AS rss_f,
+                   CASE WHEN rss_f > 0
+                        THEN round((rss_r - rss_f) * (n - 3.0) / rss_f, 6)
+                   END AS f_stat
+            FROM e
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

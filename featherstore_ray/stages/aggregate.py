@@ -5455,3 +5455,91 @@ def sprt_constants(p0, p1, alpha=0.05, beta=0.2):
         float(np.log((1.0 - beta) / alpha)),
         float(np.log(beta / (1.0 - alpha))),
     )
+
+
+def granger_test(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    type_col: str,
+    *,
+    cause_type: str,
+    effect_type: str,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Lag-1 Granger causality between two daily event series — the
+    DIRECTED member of the time-series-dependence family
+    (:func:`cross_correlation` is symmetric): does yesterday's
+    ``cause_type`` count improve today's ``effect_type`` forecast beyond
+    its own history? Restricted model ``y_t ~ 1 + y_{t-1}`` vs full
+    ``y_t ~ 1 + y_{t-1} + x_{t-1}`` (consecutive OBSERVED days — lag =
+    previous row in day order, both engines), F = (RSS_r − RSS_f)·(n−3)
+    / RSS_f with both RSS in closed centered-moment form (explicit-sum
+    mirror, never regr_* — the welch_t convention). Output one row:
+    (n, beta_self, beta_cause, rss_r, rss_f, f_stat); null F when the
+    design degenerates (det ≤ 0, zero self-variance, RSS_f ≤ 0 — oracle
+    CASE mirror).
+
+    Scale shape: one pass of per-batch (day, x, y) count partials — the
+    driver folds days × blocks tiny rows; daily counts are exact int64
+    so every moment is exact and the closed forms see bit-identical
+    inputs in both engines. Zero shuffle.
+    """
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[ts_col, type_col])
+        d = d[d[type_col].isin([cause_type, effect_type])]
+        day = d[ts_col].dt.floor("D")
+        g = pd.DataFrame({
+            "day": day,
+            "_x": (d[type_col] == cause_type).to_numpy(np.int64),
+            "_y": (d[type_col] == effect_type).to_numpy(np.int64),
+        })
+        return g.groupby("day", sort=False)[["_x", "_y"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", sort=True)[["_x", "_y"]].sum()
+        .reset_index()
+    )
+    x = m["_x"].to_numpy(np.float64)
+    y = m["_y"].to_numpy(np.float64)
+    u, w, yy = y[:-1], x[:-1], y[1:]
+    n = np.float64(len(yy))
+    out = dict(n=np.int64(len(yy)), beta_self=np.nan, beta_cause=np.nan,
+               rss_r=np.nan, rss_f=np.nan, f_stat=np.nan)
+    if len(yy) >= 4:
+        su, sw, sy = u.sum(), w.sum(), yy.sum()
+        suu, sww, syy = (u * u).sum(), (w * w).sum(), (yy * yy).sum()
+        suy, swy, suw = (u * yy).sum(), (w * yy).sum(), (u * w).sum()
+        suu_c = suu - su * su / n
+        sww_c = sww - sw * sw / n
+        syy_c = syy - sy * sy / n
+        suy_c = suy - su * sy / n
+        swy_c = swy - sw * sy / n
+        suw_c = suw - su * sw / n
+        det = suu_c * sww_c - suw_c * suw_c
+        if suu_c > 0 and det > 0:
+            rss_r = syy_c - suy_c * suy_c / suu_c
+            b = (suy_c * sww_c - swy_c * suw_c) / det
+            c = (swy_c * suu_c - suy_c * suw_c) / det
+            rss_f = syy_c - b * suy_c - c * swy_c
+            out.update(beta_self=b, beta_cause=c, rss_r=rss_r,
+                       rss_f=rss_f)
+            if rss_f > 0:
+                out["f_stat"] = (rss_r - rss_f) * (n - 3.0) / rss_f
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([out["n"]], pa.int64()),
+        "beta_self": pa.array([np.round(out["beta_self"], round_digits)],
+                              pa.float64()),
+        "beta_cause": pa.array([np.round(out["beta_cause"], round_digits)],
+                               pa.float64()),
+        "rss_r": pa.array([np.round(out["rss_r"], round_digits)],
+                          pa.float64()),
+        "rss_f": pa.array([np.round(out["rss_f"], round_digits)],
+                          pa.float64()),
+        "f_stat": pa.array([np.round(out["f_stat"], round_digits)],
+                           pa.float64()),
+    }))
