@@ -1,0 +1,228 @@
+"""Behavioral gates for the round-5 third-session families.
+
+The sf0.001 oracle sweep (test_entry_contract) certifies cross-engine
+equality; these tests pin the SEMANTICS on planted inputs — the oracle
+can't tell "both engines wrong the same way" from "right".
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _ds(df: pd.DataFrame) -> ray.data.Dataset:
+    return ray.data.from_pandas(df).repartition(3)
+
+
+# ---------------------------------------------------------------- bh_fdr
+
+
+def test_bh_fdr_rejections_are_prefix_of_rank_order():
+    from featherstore_ray.stages.aggregate import bh_fdr
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(12):
+        # groups 0-2 get a real shift, the rest don't
+        shift = 5.0 if g < 3 else 0.0
+        for i in range(40):
+            rows.append((g, "a", float(rng.normal(shift, 1.0))))
+            rows.append((g, "b", float(rng.normal(0.0, 1.0))))
+    df = pd.DataFrame(rows, columns=["g", "lab", "v"])
+    out = bh_fdr(_ds(df), "g", "v", "lab", "a", "b", alpha=0.3).to_pandas()
+    out = out.sort_values("p_rank")
+    rej = out["rejected"].to_numpy()
+    # rejections form a prefix of the p-value ranking (BH definition)
+    k = int(rej.sum())
+    assert (rej[:k] == 1).all() and (rej[k:] == 0).all()
+    # the three shifted groups are all rejected
+    assert set(out.loc[out["rejected"] == 1, "g"]) >= {0, 1, 2}
+
+
+# ------------------------------------------------------------- esd
+
+
+def test_esd_outliers_finds_planted_extremes_despite_masking():
+    from featherstore_ray.stages.aggregate import esd_outliers
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 200)
+    base[0], base[1] = 60.0, 55.0  # two big outliers mask each other
+    df = pd.DataFrame({
+        "g": ["x"] * 200,
+        "v": base,
+        "id": np.arange(200, dtype=np.int64),
+    })
+    out = esd_outliers(_ds(df), "g", "v", "id",
+                       lambdas=(3.5, 3.5, 3.5)).to_pandas()
+    flagged = set(out.loc[out["is_outlier"] == 1, "id"])
+    assert {0, 1} <= flagged
+    # sticky count: outliers are exactly rounds 1..k
+    assert sorted(out.loc[out["is_outlier"] == 1, "rnd"]) == list(
+        range(1, len(flagged) + 1))
+
+
+# ------------------------------------------------------------ ransac
+
+
+def test_ransac_recovers_consensus_line_under_outliers():
+    from featherstore_ray.stages.aggregate import ransac_line
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.uniform(0, 50, n)
+    y = 3.0 * x + 10.0 + rng.normal(0, 0.5, n)
+    y[:60] += rng.uniform(200, 400, 60)  # 15% wild outliers
+    df = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                       "x": x, "y": y})
+    out = ransac_line(_ds(df), "rid", "x", "y",
+                      num_candidates=8, eps=3.0).to_pandas()
+    best = out[out["is_best"] == 1].iloc[0]
+    # consensus line is the true one, not the OLS-dragged one
+    assert abs(best["b"] - 3.0) < 0.3
+    assert best["inliers"] > 0.6 * n
+
+
+# -------------------------------------------------------------- sprt
+
+
+def test_sprt_decision_is_sticky_and_correct_direction():
+    from featherstore_ray.stages.aggregate import sprt_test
+
+    rng = np.random.default_rng(5)
+    days = pd.date_range("2024-01-01", periods=40, freq="D")
+    rows = []
+    for d in days:
+        for _ in range(200):
+            rows.append((d, int(rng.random() < 0.3)))
+    df = pd.DataFrame(rows, columns=["ts", "ok"])
+    out = sprt_test(_ds(df), "ts", "ok", p0=0.2, p1=0.3).to_pandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    states = out["state"].to_list()
+    assert states[-1] == "accept_h1"
+    first = states.index("accept_h1")
+    assert all(s == "accept_h1" for s in states[first:])
+    assert all(s == "continue" for s in states[:first])
+
+
+# -------------------------------------------------------- knn_shapley
+
+
+def test_knn_shapley_values_same_label_neighbors():
+    from featherstore_ray.stages.ann import knn_shapley
+
+    rng = np.random.default_rng(2)
+    # two tight clusters; labels match clusters; one mislabeled point
+    a = rng.normal(0, 0.05, (30, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.05, (30, 4)) - np.array([1, 0, 0, 0])
+    X = np.vstack([a, b]).astype(np.float32)
+    lab = np.array([0] * 30 + [1] * 30, np.int64)
+    lab[0] = 1  # poison: nearest cluster-0 point carries label 1
+    test = pa.table({
+        "vec_id": pa.array([1000], pa.int64()),
+        "embedding": pa.array([np.array([1, 0, 0, 0], np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int64()),
+    })
+    # plain list_ column: from_pandas would tensor-cast ndarray cells
+    train = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([v for v in X], pa.list_(pa.float32())),
+        "label": pa.array(lab),
+    })
+    ds = ray.data.from_arrow(train).repartition(3)
+    out = knn_shapley(ds, test, k=3).to_pandas()
+    sh = out.set_index("vec_id")["shapley"]
+    # efficiency-style sanity: correct-label near neighbors are worth
+    # more than the poisoned point, which must be NEGATIVE
+    assert sh[0] < 0
+    good_near = out[(out["rnk"] <= 5) & (out["vec_id"] != 0)]["vec_id"]
+    assert (sh[good_near] > 0).all()
+
+
+# ------------------------------------------------------ markov chain
+
+
+def test_markov_stationary_deterministic_cycle_is_uniform():
+    from featherstore_ray.stages.window import markov_stationary
+
+    # a->b->c->a cycle replayed by many entities: after any number of
+    # steps from uniform, the distribution stays uniform
+    rows = []
+    for e in range(9):
+        for i, t in enumerate(["a", "b", "c"] * 4):
+            rows.append((e, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=i), t, e * 100 + i))
+    df = pd.DataFrame(rows, columns=["e", "ts", "t", "tb"])
+    out = markov_stationary(
+        _ds(df), entity_col="e", ts_col="ts", type_col="t",
+        tiebreak="tb", iters=7).to_pandas()
+    assert len(out) == 3
+    # prob is rounded to 6dp for the oracle mirror
+    np.testing.assert_allclose(out["prob"], 1 / 3, atol=1e-6)
+
+
+# ------------------------------------------------------------- hurst
+
+
+def test_hurst_trending_beats_alternating():
+    from featherstore_ray.stages.window import hurst
+
+    n = 256
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    trend = np.cumsum(np.ones(n))          # perfectly persistent
+    alt = np.tile([1.0, -1.0], n // 2)     # perfectly anti-persistent
+    df = pd.DataFrame({
+        "e": np.repeat([1, 2], n),
+        "ts": np.tile(ts, 2),
+        "v": np.concatenate([trend, alt]),
+        "tb": np.arange(2 * n, dtype=np.int64),
+    })
+    out = hurst(_ds(df), entity_col="e", ts_col="ts", value_col="v",
+                tiebreak="tb").to_pandas().set_index("e")
+    assert out.loc[1, "hurst"] > 0.9
+    assert out.loc[2, "hurst"] < 0.3
+
+
+# -------------------------------------------------------------- sax
+
+
+def test_sax_word_tracks_shape():
+    from featherstore_ray.stages.window import sax_symbols
+
+    ts = pd.date_range("2024-01-01", periods=32, freq="h")
+    # low plateau then high plateau -> word like aaaa dddd (seg_len 8)
+    v = np.concatenate([np.full(16, -1.0), np.full(16, 1.0)])
+    v += np.linspace(0, 0.01, 32)  # break zero variance, keep order
+    df = pd.DataFrame({"e": 1, "ts": ts, "v": v,
+                       "tb": np.arange(32, dtype=np.int64)})
+    out = sax_symbols(_ds(df), entity_col="e", ts_col="ts", value_col="v",
+                      tiebreak="tb", seg_len=8).to_pandas()
+    word = out.iloc[0]["word"]
+    assert out.iloc[0]["n_segs"] == 4
+    assert word[:2] == "aa" and word[-2:] == "dd"
+
+
+# ---------------------------------------------------- fellegi-sunter
+
+
+def test_fellegi_sunter_weights_order_by_discriminativeness():
+    from featherstore_ray.stages.linkage import fellegi_sunter
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for e in range(60):
+        stable = f"s{e % 30}"            # semi-identifying field
+        for r in range(3):
+            noisy = f"n{rng.integers(0, 3)}"  # 3-value noise field
+            rows.append((e, stable, noisy))
+    df = pd.DataFrame(rows, columns=["e", "stable", "noisy"])
+    out = fellegi_sunter(_ds(df), "e", ["stable", "noisy"]).to_pandas()
+    out = out.set_index("field")
+    # the field that always agrees within an entity but rarely across
+    # entities must carry the larger agreement weight
+    assert out.loc["stable", "m"] == 1.0
+    assert out.loc["stable", "w_agree"] > out.loc["noisy", "w_agree"]
