@@ -6201,6 +6201,21 @@ def q_granger(sf_dir: str):
     )
 
 
+def q_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) of parts: cheapest-and-largest — rows no
+    other part beats on BOTH price (min) and size (max). Per-block local
+    skyline (dominance in a block implies dominance globally) → tiny
+    union → exact global pass; sum-ordered chunked dominance kernel, no
+    all-pairs over the input."""
+    from featherstore_ray.stages.misc import skyline
+
+    return skyline(
+        _read(sf_dir, "part",
+              columns=["p_partkey", "p_retailprice", "p_size"]),
+        ["p_retailprice", "p_size"], directions=["min", "max"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_per_entity": q_latest_per_entity,
@@ -6483,6 +6498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_shapley": q_knn_shapley,
         "markov_stationary": q_markov_stationary,
         "granger": q_granger,
+        "skyline": q_skyline,
     }
 
 
@@ -11503,6 +11519,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((rss_r - rss_f) * (n - 3.0) / rss_f, 6)
                    END AS f_stat
             FROM e
+        """,
+        "skyline": """
+            SELECT a.p_partkey, a.p_retailprice, a.p_size
+            FROM part a
+            WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size)
+              )
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,
         # embedding_dedup_lsh and grouped_quantiles_sketch are deliberately

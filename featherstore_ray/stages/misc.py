@@ -1869,3 +1869,93 @@ def lift_table(
         "cum_capture": pa.array(np.round(cum, round_digits)),
         "lift": pa.array(np.round(lift, round_digits)),
     }))
+
+
+def _skyline_mask(X: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Boolean skyline membership for ``X`` (n, d), minimize-oriented:
+    row p dominates row q iff p <= q on every dim and p < q on at least
+    one. Dominance implies a strictly smaller dim-sum, so processing in
+    sum-ascending order means a point can only be dominated by EARLIER
+    points: check each chunk against the accumulated skyline, then run an
+    exact pairwise pass inside the chunk. Every broadcast is bounded at
+    ``chunk x chunk x d`` — no n^2 blowup. Removing points dominated by
+    ANY point (skyline or not) is exact: dominance is transitive and the
+    chain terminates at a skyline point."""
+    n = len(X)
+    order = np.lexsort((np.arange(n), X.sum(axis=1)))
+    keep = np.zeros(n, dtype=bool)
+    sky_chunks: list[np.ndarray] = []
+    for start in range(0, n, chunk):
+        idx_o = order[start:start + chunk]
+        C = X[idx_o]
+        dom = np.zeros(len(C), dtype=bool)
+        for S in sky_chunks:
+            le = (S[:, None, :] <= C[None, :, :]).all(axis=-1)
+            lt = (S[:, None, :] < C[None, :, :]).any(axis=-1)
+            dom |= (le & lt).any(axis=0)
+        alive = np.where(~dom)[0]
+        if len(alive):
+            A = C[alive]
+            le = (A[:, None, :] <= A[None, :, :]).all(axis=-1)
+            lt = (A[:, None, :] < A[None, :, :]).any(axis=-1)
+            dom2 = (le & lt).any(axis=0)
+            alive = alive[~dom2]
+        if len(alive):
+            keep[idx_o[alive]] = True
+            sky_chunks.append(C[alive])
+    return keep
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    dims: Sequence[str],
+    *,
+    directions: Sequence[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Skyline (Pareto frontier) over ``dims``: the rows not dominated by
+    any other row, where row p dominates q iff p is at-least-as-good on
+    every dim and strictly better on at least one (``directions[i]`` in
+    {"min", "max"}, default all "min"). Rows with identical dim vectors
+    never dominate each other — all duplicates of a frontier point are
+    kept, the SQL NOT EXISTS semantics. Null dims are out of contract
+    (filtered).
+
+    Scale shape: dominance within a block implies dominance globally, so
+    each block reduces to its LOCAL skyline first (O(log^(d-1) n)
+    expected size for independent dims) and only the union of local
+    skylines — tiny relative to the input — moves to the final single
+    task for the exact global pass. Both levels use the sum-ordered
+    chunked kernel (:func:`_skyline_mask`); no all-pairs over the input.
+    If the union itself were huge (adversarially anti-correlated dims),
+    the merge level would need a tree of the same partial — documented,
+    not built.
+    """
+    dims = list(dims)
+    if directions is None:
+        directions = ["min"] * len(dims)
+    directions = list(directions)
+    if len(directions) != len(dims):
+        raise ValueError("directions must match dims")
+    sign = np.array([1.0 if d == "min" else -1.0 for d in directions])
+
+    def _oriented(df: pd.DataFrame) -> np.ndarray:
+        return df[dims].to_numpy(dtype=np.float64) * sign
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=dims).reset_index(drop=True)
+        if not len(df):
+            return df
+        return df[_skyline_mask(_oriented(df))].reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_size=None, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        if not len(df):
+            return df
+        return df[_skyline_mask(_oriented(df))].reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

@@ -226,3 +226,38 @@ def test_fellegi_sunter_weights_order_by_discriminativeness():
     # entities must carry the larger agreement weight
     assert out.loc["stable", "m"] == 1.0
     assert out.loc["stable", "w_agree"] > out.loc["noisy", "w_agree"]
+
+
+# ----------------------------------------------------------- skyline
+
+
+def test_skyline_keeps_duplicates_and_honors_directions():
+    from featherstore_ray.stages.misc import skyline
+
+    df = pd.DataFrame({
+        "id": np.arange(7, dtype=np.int64),
+        "price": [1.0, 1.0, 2.0, 2.0, 3.0, 0.5, 5.0],
+        "size":  [5,   5,   9,   4,   9,   1,   10],
+    })
+    # min price, max size: (0.5,1) frontier; (1,5)x2 both kept (identical
+    # vectors never dominate each other); (2,9) on frontier; (2,4) is
+    # dominated by (1,5); (3,9) dominated by (2,9); (5,10) frontier.
+    out = skyline(_ds(df), ["price", "size"],
+                  directions=["min", "max"]).to_pandas()
+    assert sorted(out["id"]) == [0, 1, 2, 5, 6]
+
+
+def test_skyline_matches_brute_force_3d():
+    from featherstore_ray.stages.misc import skyline, _skyline_mask
+
+    rng = np.random.default_rng(13)
+    X = rng.integers(0, 12, (300, 3)).astype(np.float64)
+    df = pd.DataFrame({"id": np.arange(300, dtype=np.int64),
+                       "a": X[:, 0], "b": X[:, 1], "c": X[:, 2]})
+    out = skyline(_ds(df), ["a", "b", "c"]).to_pandas()
+    le = (X[:, None, :] <= X[None, :, :]).all(-1)
+    lt = (X[:, None, :] < X[None, :, :]).any(-1)
+    dominated = (le & lt).any(0)
+    assert sorted(out["id"]) == sorted(np.where(~dominated)[0])
+    # the chunked kernel agrees with brute force at a tiny chunk size too
+    np.testing.assert_array_equal(_skyline_mask(X, chunk=17), ~dominated)
