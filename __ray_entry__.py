@@ -1963,6 +1963,70 @@ def q_hits(sf_dir: str):
 _HITS_ITERS = 3
 
 
+def _cox_sql(iters: int) -> str:
+    """Unrolled fixed-schedule Newton mirror of stages.survival.cox_ph
+    over the even/odd-cohort time-to-first-purchase derivation. Each
+    b_k CTE is one Newton step (score/information sums over the
+    event-time table); ``ee`` is MATERIALIZED — it is referenced three
+    times per step and DuckDB would otherwise re-derive it from the
+    parquet per reference."""
+    p = ("(ee.n1 * exp(b.beta)"
+         " / (ee.n - ee.n1 + ee.n1 * exp(b.beta)))")
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"b{k} AS (\n"
+            f"    SELECT b.beta + sum(ee.d1 - ee.d * {p})\n"
+            f"           / sum(ee.d * {p} * (1 - {p})) AS beta\n"
+            f"    FROM b{k - 1} b CROSS JOIN ee GROUP BY b.beta\n"
+            f")")
+    chain = ",\n".join(steps)
+    return f"""
+        WITH u AS (
+            SELECT user_id, min(ts) AS s,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS e
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id
+        ),
+        subj AS MATERIALIZED (
+            SELECT user_id % 2 AS x,
+                   date_diff('microsecond', s, coalesce(p, e)) AS t,
+                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM u
+        ),
+        g AS (SELECT t, count(*) AS c, sum(x) AS c1, sum(obs) AS d,
+                     sum(obs * x) AS d1 FROM subj GROUP BY t),
+        k AS (SELECT *,
+                     sum(c) OVER (ORDER BY t DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n,
+                     sum(c1) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS n1
+              FROM g),
+        ee AS MATERIALIZED (
+            SELECT d::DOUBLE AS d, d1::DOUBLE AS d1,
+                   n::DOUBLE AS n, n1::DOUBLE AS n1
+            FROM k WHERE d > 0
+        ),
+        b0 AS (SELECT 0.0::DOUBLE AS beta),
+        {chain},
+        fin AS (
+            SELECT b.beta,
+                   sum(ee.d * {p} * (1 - {p})) AS info
+            FROM b{iters} b CROSS JOIN ee GROUP BY b.beta
+        ),
+        tot AS (SELECT count(*)::BIGINT AS n, sum(obs)::BIGINT AS n_events
+                FROM subj)
+        SELECT t.n, t.n_events,
+               CASE WHEN f.info > 0 THEN round(f.beta, 6) END AS beta,
+               CASE WHEN f.info > 0 THEN round(exp(f.beta), 6) END AS hr,
+               CASE WHEN f.info > 0 THEN round(1 / sqrt(f.info), 6) END AS se,
+               CASE WHEN f.info > 0
+                    THEN round(f.beta * sqrt(f.info), 6) END AS z
+        FROM tot t CROSS JOIN fin f
+    """
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled-CTE mirror of ``hits`` (same fixed schedule: h from the
     previous a, a from the NEW h, each L1-normalized; COALESCE 0 keeps
@@ -6201,19 +6265,54 @@ def q_granger(sf_dir: str):
     )
 
 
-def q_skyline(sf_dir: str):
-    """Skyline (Pareto frontier) of parts: cheapest-and-largest — rows no
-    other part beats on BOTH price (min) and size (max). Per-block local
-    skyline (dominance in a block implies dominance globally) → tiny
-    union → exact global pass; sum-ordered chunked dominance kernel, no
-    all-pairs over the input."""
-    from featherstore_ray.stages.misc import skyline
+def q_cox_ph(sf_dir: str):
+    """Cox proportional-hazards fit of the even/odd user cohort effect on
+    time-to-first-purchase: Breslow partial likelihood, fixed 4-step
+    Newton from beta=0, closed-form risk-set sums for the binary
+    covariate. Same time_to_event derivation as kaplan_meier/logrank."""
+    import numpy as np
 
-    return skyline(
-        _read(sf_dir, "part",
-              columns=["p_partkey", "p_retailprice", "p_size"]),
-        ["p_retailprice", "p_size"], directions=["min", "max"],
+    from featherstore_ray.stages.survival import cox_ph, time_to_event
+
+    subj = time_to_event(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        target="purchase",
     )
+
+    def cohort(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("x", pa.array(u % 2))
+
+    subj = subj.map_batches(
+        cohort, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cox_ph(subj, group_col="x", duration_col="duration",
+                  observed_col="observed")
+
+
+def q_skyline_nd(sf_dir: str):
+    """3-D Pareto frontier of parts (min price, max size, min name
+    length) — the d>=3 skyline, where the 2-D prefix-maxima kernel no
+    longer applies: per-block local skyline (dominance in a block
+    implies dominance globally) → tiny union → exact global pass;
+    sum-ordered chunked dominance kernel, no all-pairs over the input."""
+    import pyarrow.compute as pc
+
+    from featherstore_ray.stages.misc import skyline_nd
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "name_len", pc.cast(pc.utf8_length(t["p_name"]), pa.int64()))
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size", "p_name"])
+    ds = ds.map_batches(add_len, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.select_columns(["p_partkey", "p_retailprice", "p_size",
+                            "name_len"])
+    return skyline_nd(ds, ["p_retailprice", "p_size", "name_len"],
+                      directions=["min", "max", "min"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -6498,7 +6597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_shapley": q_knn_shapley,
         "markov_stationary": q_markov_stationary,
         "granger": q_granger,
-        "skyline": q_skyline,
+        "skyline_nd": q_skyline_nd,
+        "cox_ph": q_cox_ph,
     }
 
 
@@ -11520,17 +11620,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS f_stat
             FROM e
         """,
-        "skyline": """
-            SELECT a.p_partkey, a.p_retailprice, a.p_size
-            FROM part a
-            WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
-              AND NOT EXISTS (
-                SELECT 1 FROM part b
-                WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
-                  AND b.p_retailprice <= a.p_retailprice
+        "cox_ph": _cox_sql(4),
+        "skyline_nd": """
+            WITH d AS (
+                SELECT p_partkey, p_retailprice, p_size,
+                       length(p_name)::BIGINT AS name_len
+                FROM part
+                WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+                  AND p_name IS NOT NULL
+            )
+            SELECT a.p_partkey, a.p_retailprice, a.p_size, a.name_len
+            FROM d a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d b
+                WHERE b.p_retailprice <= a.p_retailprice
                   AND b.p_size >= a.p_size
+                  AND b.name_len <= a.name_len
                   AND (b.p_retailprice < a.p_retailprice
-                       OR b.p_size > a.p_size)
+                       OR b.p_size > a.p_size
+                       OR b.name_len < a.name_len)
               )
         """,
         # lang_id, fingerprint, simhash, minhash_dedup, dedup_keep_best, ann_lsh,

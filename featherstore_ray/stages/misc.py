@@ -1906,20 +1906,21 @@ def _skyline_mask(X: np.ndarray, chunk: int = 2048) -> np.ndarray:
     return keep
 
 
-def skyline(
+def skyline_nd(
     ds: ray.data.Dataset,
     dims: Sequence[str],
     *,
     directions: Sequence[str] | None = None,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Skyline (Pareto frontier) over ``dims``: the rows not dominated by
-    any other row, where row p dominates q iff p is at-least-as-good on
-    every dim and strictly better on at least one (``directions[i]`` in
-    {"min", "max"}, default all "min"). Rows with identical dim vectors
-    never dominate each other — all duplicates of a frontier point are
-    kept, the SQL NOT EXISTS semantics. Null dims are out of contract
-    (filtered).
+    """N-dimensional skyline (Pareto frontier) over ``dims`` — the d >= 3
+    generalization of :func:`skyline` (whose prefix-maxima kernel is
+    2-D-only): the rows not dominated by any other row, where row p
+    dominates q iff p is at-least-as-good on every dim and strictly
+    better on at least one (``directions[i]`` in {"min", "max"}, default
+    all "min"). Rows with identical dim vectors never dominate each
+    other — all duplicates of a frontier point are kept, the SQL
+    NOT EXISTS semantics. Null dims are out of contract (filtered).
 
     Scale shape: dominance within a block implies dominance globally, so
     each block reduces to its LOCAL skyline first (O(log^(d-1) n)

@@ -367,3 +367,99 @@ def rmst(
     return bucketed_map_groups(
         parts, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def cox_ph(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    iters: int = 4,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Cox proportional-hazards fit for a BINARY covariate (``group_col``
+    must be 0/1-valued): Newton-Raphson on the Breslow partial
+    likelihood, a FIXED ``iters``-step schedule from β=0 so both engines
+    run the identical arithmetic. With x ∈ {0,1} the risk-set sums close
+    over two counts — S0(t) = n0(t) + n1(t)·e^β, S1 = S2 = n1(t)·e^β —
+    so each Newton step needs only the per-event-time at-risk counts:
+
+        p(t)  = n1·e^β / S0              (share of hazard on treated)
+        U(β)  = Σ_t [d1(t) − d(t)·p(t)]   (score)
+        I(β)  = Σ_t  d(t)·p(t)·(1−p(t))   (information)
+        β    ← β + U/I
+
+    Output one row: n, n_events, beta, hr = e^β, se = 1/sqrt(I), z.
+    If the information is ever non-positive (degenerate risk sets) the
+    fit columns are NULL — mirrored by the oracle's CASE.
+
+    Scale shape: the logrank pattern — per-block (duration) count
+    partials (c, c1, d, d1), merged driver-side bounded by distinct
+    durations (coarsen durations upstream for microsecond-unique
+    100 TB streams); at-risk counts are suffix sums over the tiny
+    merged table, and each Newton step is one vectorized pass over it.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[duration_col].notna()
+               & df[observed_col].notna()]
+        x = d[group_col].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "_t": d[duration_col].to_numpy().astype(np.int64),
+            "_c": np.int64(1),
+            "_c1": x,
+            "_d": d[observed_col].to_numpy().astype(np.int64),
+            "_d1": d[observed_col].to_numpy().astype(np.int64) * x,
+        })
+        return out.groupby("_t", sort=False)[
+            ["_c", "_c1", "_d", "_d1"]].sum().reset_index()
+
+    m = (
+        ds.select_columns([group_col, duration_col, observed_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby("_t", sort=True)[["_c", "_c1", "_d", "_d1"]]
+        .sum().reset_index()
+    )
+    c = m["_c"].to_numpy(np.float64)
+    c1 = m["_c1"].to_numpy(np.float64)
+    d = m["_d"].to_numpy(np.float64)
+    d1 = m["_d1"].to_numpy(np.float64)
+    # at risk at t = total − subjects with duration < t (suffix sums)
+    n_risk = c.sum() - np.concatenate(([0.0], np.cumsum(c)[:-1]))
+    n1_risk = c1.sum() - np.concatenate(([0.0], np.cumsum(c1)[:-1]))
+    ev = d > 0
+    dE, d1E, nE, n1E = d[ev], d1[ev], n_risk[ev], n1_risk[ev]
+
+    beta = 0.0
+    info = np.nan
+    ok = True
+    for _ in range(iters):
+        eb = np.exp(beta)
+        p = n1E * eb / ((nE - n1E) + n1E * eb)
+        info = float(np.sum(dE * p * (1.0 - p)))
+        if not (info > 0.0):
+            ok = False
+            break
+        beta = beta + float(np.sum(d1E - dE * p)) / info
+    if ok:
+        # the reported information is evaluated AT the final beta
+        eb = np.exp(beta)
+        p = n1E * eb / ((nE - n1E) + n1E * eb)
+        info = float(np.sum(dE * p * (1.0 - p)))
+        ok = info > 0.0
+
+    import pyarrow as pa
+
+    def _r(v):
+        return round(float(v), round_digits) if ok else None
+
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([np.int64(c.sum())]),
+        "n_events": pa.array([np.int64(d.sum())]),
+        "beta": pa.array([_r(beta)], pa.float64()),
+        "hr": pa.array([_r(np.exp(beta))], pa.float64()),
+        "se": pa.array([_r(1.0 / np.sqrt(info))], pa.float64()),
+        "z": pa.array([_r(beta * np.sqrt(info))], pa.float64()),
+    }))

@@ -231,8 +231,8 @@ def test_fellegi_sunter_weights_order_by_discriminativeness():
 # ----------------------------------------------------------- skyline
 
 
-def test_skyline_keeps_duplicates_and_honors_directions():
-    from featherstore_ray.stages.misc import skyline
+def test_skyline_nd_keeps_duplicates_and_honors_directions():
+    from featherstore_ray.stages.misc import skyline_nd
 
     df = pd.DataFrame({
         "id": np.arange(7, dtype=np.int64),
@@ -242,22 +242,58 @@ def test_skyline_keeps_duplicates_and_honors_directions():
     # min price, max size: (0.5,1) frontier; (1,5)x2 both kept (identical
     # vectors never dominate each other); (2,9) on frontier; (2,4) is
     # dominated by (1,5); (3,9) dominated by (2,9); (5,10) frontier.
-    out = skyline(_ds(df), ["price", "size"],
-                  directions=["min", "max"]).to_pandas()
+    out = skyline_nd(_ds(df), ["price", "size"],
+                      directions=["min", "max"]).to_pandas()
     assert sorted(out["id"]) == [0, 1, 2, 5, 6]
 
 
-def test_skyline_matches_brute_force_3d():
-    from featherstore_ray.stages.misc import skyline, _skyline_mask
+def test_skyline_nd_matches_brute_force_3d():
+    from featherstore_ray.stages.misc import skyline_nd, _skyline_mask
 
     rng = np.random.default_rng(13)
     X = rng.integers(0, 12, (300, 3)).astype(np.float64)
     df = pd.DataFrame({"id": np.arange(300, dtype=np.int64),
                        "a": X[:, 0], "b": X[:, 1], "c": X[:, 2]})
-    out = skyline(_ds(df), ["a", "b", "c"]).to_pandas()
+    out = skyline_nd(_ds(df), ["a", "b", "c"]).to_pandas()
     le = (X[:, None, :] <= X[None, :, :]).all(-1)
     lt = (X[:, None, :] < X[None, :, :]).any(-1)
     dominated = (le & lt).any(0)
     assert sorted(out["id"]) == sorted(np.where(~dominated)[0])
     # the chunked kernel agrees with brute force at a tiny chunk size too
     np.testing.assert_array_equal(_skyline_mask(X, chunk=17), ~dominated)
+
+
+# ------------------------------------------------------------ cox_ph
+
+
+def test_cox_ph_matches_subject_level_newton_and_sign():
+    from featherstore_ray.stages.survival import cox_ph
+
+    rng = np.random.default_rng(21)
+    # treated (x=1) fail ~3x faster; some censoring in both arms
+    n = 120
+    x = np.repeat([0, 1], n // 2)
+    dur = np.where(x == 1, rng.integers(1, 50, n),
+                   rng.integers(40, 150, n)).astype(np.int64)
+    obs = (rng.random(n) < 0.8).astype(np.int64)
+    df = pd.DataFrame({"x": x, "duration": dur, "observed": obs})
+    out = cox_ph(_ds(df), group_col="x", duration_col="duration",
+                 observed_col="observed", iters=4).to_pandas().iloc[0]
+
+    # independent subject-level reference: explicit risk-set loops
+    beta = 0.0
+    for _ in range(4):
+        U = I = 0.0
+        for t in np.unique(dur[obs == 1]):
+            at_risk = dur >= t
+            s0 = np.sum(np.exp(beta * x[at_risk]))
+            s1 = np.sum(x[at_risk] * np.exp(beta * x[at_risk]))
+            events = (dur == t) & (obs == 1)
+            d, d1 = events.sum(), (events & (x == 1)).sum()
+            p = s1 / s0
+            U += d1 - d * p
+            I += d * p * (1 - p)
+        beta += U / I
+    assert out["beta"] > 0.5  # treated hazard is clearly higher
+    np.testing.assert_allclose(out["beta"], beta, atol=2e-6)
+    np.testing.assert_allclose(out["hr"], np.exp(beta), atol=1e-5)
