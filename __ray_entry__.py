@@ -6265,6 +6265,28 @@ def q_granger(sf_dir: str):
     )
 
 
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit of (nation, segment) classes against the global
+    account-balance distribution (floor(bal/1000) domain): ordered-EMD
+    per class, flag classes with emd > 0.25. Count partials move, never
+    rows; the domain-bounded global distribution is a closure constant."""
+    import numpy as np
+
+    from featherstore_ray.stages.aggregate import t_closeness
+
+    def disc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.floor(pc.divide(t["c_acctbal"], 1000.0))
+        return t.append_column("bal_k", v).drop_columns(["c_acctbal"])
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    ds = ds.map_batches(disc, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return t_closeness(ds, ["c_nationkey", "c_mktsegment"], "bal_k",
+                       t=0.25)
+
+
 def q_cox_ph(sf_dir: str):
     """Cox proportional-hazards fit of the even/odd user cohort effect on
     time-to-first-purchase: Breslow partial likelihood, fixed 4-step
@@ -6599,6 +6621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "granger": q_granger,
         "skyline_nd": q_skyline_nd,
         "cox_ph": q_cox_ph,
+        "t_closeness": q_t_closeness,
     }
 
 
@@ -11621,6 +11644,58 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "cox_ph": _cox_sql(4),
+        "t_closeness": """
+            WITH f AS (
+                SELECT c_nationkey, c_mktsegment,
+                       floor(c_acctbal / 1000.0) AS v
+                FROM customer
+                WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+                  AND c_acctbal IS NOT NULL
+            ),
+            gq AS (
+                SELECT v, count(*)::DOUBLE
+                          / (SELECT count(*)::DOUBLE FROM f) AS q
+                FROM f GROUP BY v
+            ),
+            cls AS (
+                SELECT c_nationkey, c_mktsegment, count(*)::DOUBLE AS nc
+                FROM f GROUP BY 1, 2
+            ),
+            pc AS (
+                SELECT c_nationkey, c_mktsegment, v, count(*)::DOUBLE AS c
+                FROM f GROUP BY 1, 2, 3
+            ),
+            grid AS (
+                SELECT c.c_nationkey, c.c_mktsegment, c.nc, g.v,
+                       coalesce(p.c, 0) / c.nc - g.q AS diff
+                FROM cls c CROSS JOIN gq g
+                LEFT JOIN pc p ON p.c_nationkey = c.c_nationkey
+                  AND p.c_mktsegment = c.c_mktsegment AND p.v = g.v
+            ),
+            cum AS (
+                SELECT c_nationkey, c_mktsegment, nc,
+                       sum(diff) OVER w AS cd,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY c_nationkey,
+                                      c_mktsegment) AS m
+                FROM grid
+                WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY v)
+            ),
+            e AS (
+                SELECT c_nationkey, c_mktsegment, nc,
+                       CASE WHEN max(m) > 1
+                            THEN sum(CASE WHEN rn < m
+                                          THEN abs(cd) ELSE 0 END)
+                                 / (max(m) - 1)
+                            ELSE 0.0 END AS emd
+                FROM cum GROUP BY 1, 2, 3
+            )
+            SELECT c_nationkey, c_mktsegment, nc::BIGINT AS n,
+                   round(emd, 6) AS emd,
+                   (emd > 0.25)::BIGINT AS is_risky
+            FROM e
+        """,
         "skyline_nd": """
             WITH d AS (
                 SELECT p_partkey, p_retailprice, p_size,

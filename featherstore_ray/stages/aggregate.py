@@ -5543,3 +5543,104 @@ def granger_test(
         "f_stat": pa.array([np.round(out["f_stat"], round_digits)],
                            pa.float64()),
     }))
+
+
+def t_closeness(
+    ds: ray.data.Dataset,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+    round_digits: int = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """t-closeness audit — the distributional member of the
+    k_anonymity / l_diversity privacy family (Li et al.): a class can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's. Per quasi-identifier
+    class, the Earth Mover's Distance between the class distribution p
+    and the global distribution q under the ORDERED-distance ground
+    metric (the numeric-attribute form): with the global distinct
+    sensitive values as the m-point domain in ascending order,
+
+        emd = Σ_{i=1..m−1} |Σ_{j<=i} (p_j − q_j)| / (m − 1)
+
+    (equally-spaced ranks, so emd ∈ [0, 1]; m == 1 ⇒ 0). Output per
+    class: quasi cols, n, emd, is_risky = emd > t. Null quasi or
+    sensitive values are excluded on both sides.
+
+    Scale shape: per-block (class..., value) count partials — the
+    exchange moves counts, never rows; ONE hash on the first quasi
+    column co-locates each class. The GLOBAL distribution is
+    domain-bounded (distinct sensitive values — keep the sensitive
+    column discretized upstream), merged driver-side from per-block
+    value counts and shipped into every bucket kernel as a closure
+    constant; each class then costs one searchsorted scatter + one
+    cumsum over the m-point grid, vectorized across the bucket's
+    classes via a segmented reshape.
+    """
+    import pyarrow as pa
+
+    quasi_cols = list(quasi_cols)
+    all_cols = quasi_cols + [sensitive_col]
+
+    def vpartial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=all_cols)
+        g = d.groupby(sensitive_col, sort=False, observed=True).size()
+        return g.rename("_n").reset_index()
+
+    gl = (
+        ds.select_columns(all_cols)
+        .map_batches(vpartial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .groupby(sensitive_col, sort=True)["_n"].sum()
+    )
+    domain = gl.index.to_numpy()
+    q = gl.to_numpy(np.float64) / float(gl.sum())
+    m = len(domain)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=all_cols)
+        g = d.groupby(all_cols, sort=False, observed=True).size()
+        return g.rename("_c").reset_index()
+
+    parts = ds.select_columns(all_cols).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    )
+    parts = add_bucket_column(parts, quasi_cols[0], num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(all_cols, sort=True, observed=True)["_c"].sum()
+        d = g.reset_index()
+        if not len(d):
+            out = pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
+                                for c in quasi_cols})
+            out["n"] = pd.Series(dtype=np.int64)
+            out["emd"] = pd.Series(dtype=np.float64)
+            out["is_risky"] = pd.Series(dtype=np.int64)
+            return out
+        keys = d[quasi_cols].apply(tuple, axis=1).to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        cls_id = np.cumsum(new) - 1
+        n_cls = cls_id[-1] + 1
+        pos = np.searchsorted(domain, d[sensitive_col].to_numpy())
+        c = d["_c"].to_numpy(np.float64)
+        grid = np.zeros((n_cls, m), np.float64)
+        grid[cls_id, pos] = c
+        nc = grid.sum(axis=1)
+        p = grid / nc[:, None]
+        cum = np.cumsum(p - q[None, :], axis=1)
+        emd = (np.abs(cum[:, :-1]).sum(axis=1) / (m - 1)
+               if m > 1 else np.zeros(n_cls))
+        first = np.where(new)[0]
+        out = d.iloc[first][quasi_cols].reset_index(drop=True)
+        out["n"] = nc.astype(np.int64)
+        out["emd"] = np.round(emd, round_digits)
+        out["is_risky"] = (emd > t).astype(np.int64)
+        return out
+
+    return bucketed_map_groups(
+        parts, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

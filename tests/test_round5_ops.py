@@ -297,3 +297,31 @@ def test_cox_ph_matches_subject_level_newton_and_sign():
     assert out["beta"] > 0.5  # treated hazard is clearly higher
     np.testing.assert_allclose(out["beta"], beta, atol=2e-6)
     np.testing.assert_allclose(out["hr"], np.exp(beta), atol=1e-5)
+
+
+# -------------------------------------------------------- t_closeness
+
+
+def test_t_closeness_flags_concentrated_class_only():
+    from featherstore_ray.stages.aggregate import t_closeness
+
+    # global domain {0,1,2}; class "mirror" matches the global mix,
+    # class "conc" is all-2 (max distance), class "half" in between
+    rows = ([("mirror", v) for v in [0, 1, 2] * 20]
+            + [("conc", 2)] * 30
+            + [("half", v) for v in [1, 2] * 15])
+    df = pd.DataFrame(rows, columns=["cls", "v"])
+    out = t_closeness(_ds(df), ["cls"], "v", t=0.3).to_pandas()
+    out = out.set_index("cls")
+    # exact ordered-EMDs: global q = [20, 35, 65]/120; cum-diff sums over
+    # the m-1 = 2 interior steps, halved:
+    #   conc  p=[0,0,1]       -> (20/120 + 55/120)/2 = 0.3125
+    #   mirror p=[1/3,1/3,1/3] -> (20/120 + 25/120)/2 = 0.1875
+    #   half  p=[0,.5,.5]      -> (20/120 +  5/120)/2 = 25/240
+    np.testing.assert_allclose(out.loc["conc", "emd"], 75 / 240, atol=1e-6)
+    np.testing.assert_allclose(out.loc["mirror", "emd"], 45 / 240,
+                               atol=1e-6)
+    np.testing.assert_allclose(out.loc["half", "emd"], 25 / 240, atol=1e-6)
+    assert out.loc["conc", "is_risky"] == 1
+    assert out.loc["mirror", "is_risky"] == 0
+    assert out.loc["half", "is_risky"] == 0
