@@ -6287,6 +6287,18 @@ def q_t_closeness(sf_dir: str):
                        t=0.25)
 
 
+def q_vif(sf_dir: str):
+    """Variance inflation factors across the three lineitem pricing
+    features — the multicollinearity audit before any linear fit.
+    Listwise moment partials (one 10-float row per block) merge on the
+    driver; k=3 uses the cofactor closed form the SQL mirrors literally."""
+    from featherstore_ray.stages.aggregate import vif
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+    return vif(ds, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_cox_ph(sf_dir: str):
     """Cox proportional-hazards fit of the even/odd user cohort effect on
     time-to-first-purchase: Breslow partial likelihood, fixed 4-step
@@ -6622,6 +6634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_nd": q_skyline_nd,
         "cox_ph": q_cox_ph,
         "t_closeness": q_t_closeness,
+        "vif": q_vif,
     }
 
 
@@ -11695,6 +11708,43 @@ def oracle_sql() -> dict[str, str]:
                    round(emd, 6) AS emd,
                    (emd > 0.25)::BIGINT AS is_risky
             FROM e
+        """,
+        "vif": """
+            WITH m AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+                       sum(a*a) AS saa, sum(b*b) AS sbb, sum(c*c) AS scc,
+                       sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+                FROM (SELECT l_quantity::DOUBLE AS a,
+                             l_extendedprice::DOUBLE AS b,
+                             l_discount::DOUBLE AS c
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL
+                        AND l_discount IS NOT NULL)
+            ),
+            r AS (
+                SELECT (n*sab - sa*sb)
+                         / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)) AS r12,
+                       (n*sac - sa*sc)
+                         / sqrt((n*saa - sa*sa) * (n*scc - sc*sc)) AS r13,
+                       (n*sbc - sb*sc)
+                         / sqrt((n*sbb - sb*sb) * (n*scc - sc*sc)) AS r23
+                FROM m
+            ),
+            d AS (
+                SELECT r12, r13, r23,
+                       1 + 2*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23
+                           AS det
+                FROM r
+            )
+            SELECT col, round(v, 6) AS vif FROM (
+                SELECT 'l_quantity' AS col, (1 - r23*r23)/det AS v FROM d
+                UNION ALL
+                SELECT 'l_extendedprice', (1 - r13*r13)/det FROM d
+                UNION ALL
+                SELECT 'l_discount', (1 - r12*r12)/det FROM d
+            ) ORDER BY col
         """,
         "skyline_nd": """
             WITH d AS (

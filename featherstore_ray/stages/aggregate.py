@@ -1143,6 +1143,89 @@ def corr_matrix(
     }))
 
 
+def vif(
+    ds: ray.data.Dataset,
+    columns: Sequence[str],
+    *,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Variance inflation factors — the standard multicollinearity audit
+    run before fitting linear / logistic models on a feature table
+    (``VIF_j = 1 / (1 - R²_j)`` of regressing feature j on the others,
+    equivalently the j-th diagonal of the inverse correlation matrix).
+
+    Listwise-complete rows (a row with ANY null among ``columns`` is
+    dropped — classic regression semantics, unlike :func:`corr_matrix`'s
+    pairwise-complete) collapse per block to one moment row: ``n``, the
+    k first-moment sums and the k(k+1)/2 upper-triangle cross sums. The
+    driver adds the tiny partials and inverts the k×k correlation matrix
+    — for k == 3 via the explicit cofactor closed form so the DuckDB
+    oracle is a literal expression mirror (``det = 1 + 2·r12·r13·r23 −
+    r12² − r13² − r23²``; ``VIF_1 = (1 − r23²)/det`` …), ``np.linalg.inv``
+    for general k. At 100 TB only (1 + k + k(k+1)/2) floats per block
+    ever move. Degenerate inputs (n ≤ k, a zero-variance column, or a
+    singular correlation matrix) yield null VIFs rather than garbage.
+    """
+    import pyarrow as pa
+
+    cols = list(columns)
+    k = len(cols)
+    iu = np.triu_indices(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.ones(len(df), dtype=bool)
+        for c in cols:
+            m &= df[c].notna().to_numpy()
+        x = np.column_stack(
+            [df[c].to_numpy(dtype=np.float64)[m] for c in cols]
+        ) if m.any() else np.empty((0, k), dtype=np.float64)
+        cross = x.T @ x  # k×k, tiny
+        row = {"_n": float(x.shape[0])}
+        for i, c in enumerate(cols):
+            row[f"_s{i}"] = x[:, i].sum() if len(x) else 0.0
+        for i, j in zip(*iu):
+            row[f"_s{i}_{j}"] = float(cross[i, j])
+        return pd.DataFrame([row])
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    ).to_pandas()  # one row per block — bounded
+    tot = parts.sum()
+    n = float(tot["_n"])
+    s = np.array([tot[f"_s{i}"] for i in range(k)])
+    ss = np.zeros((k, k))
+    for i, j in zip(*iu):
+        ss[i, j] = ss[j, i] = float(tot[f"_s{i}_{j}"])
+
+    out = np.full(k, np.nan)
+    var = n * np.diag(ss) - s * s
+    if n > k and (var > 0).all():
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(np.outer(var, var))
+            r = (n * ss - np.outer(s, s)) / denom
+        np.fill_diagonal(r, 1.0)
+        if k == 3:
+            r12, r13, r23 = r[0, 1], r[0, 2], r[1, 2]
+            det = (1.0 + 2.0 * r12 * r13 * r23
+                   - r12 * r12 - r13 * r13 - r23 * r23)
+            if det > 1e-12:
+                out[0] = (1.0 - r23 * r23) / det
+                out[1] = (1.0 - r13 * r13) / det
+                out[2] = (1.0 - r12 * r12) / det
+        else:
+            try:
+                out = np.diag(np.linalg.inv(r)).copy()
+            except np.linalg.LinAlgError:
+                pass
+    if round_digits is not None:
+        out = np.round(out, round_digits)
+    order = np.argsort(np.array(cols, dtype=object))
+    return ray.data.from_arrow(pa.table({
+        "col": pa.array([cols[i] for i in order], pa.string()),
+        "vif": pa.array(out[order], pa.float64()),
+    }))
+
+
 def ks_test(
     ds: ray.data.Dataset,
     group_col: str,

@@ -325,3 +325,63 @@ def test_t_closeness_flags_concentrated_class_only():
     assert out.loc["conc", "is_risky"] == 1
     assert out.loc["mirror", "is_risky"] == 0
     assert out.loc["half", "is_risky"] == 0
+
+
+def test_vif_detects_planted_collinearity():
+    from featherstore_ray.stages.aggregate import vif
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    x3 = x1 + x2 + rng.normal(scale=0.05, size=n)  # near-collinear
+    ds = ray.data.from_arrow(pa.table({"x1": x1, "x2": x2, "x3": x3}))
+    out = vif(ds, ["x1", "x2", "x3"]).to_pandas().set_index("col")
+    # x3 is almost x1+x2: all three VIFs blow up, x3's the most
+    assert out.loc["x3", "vif"] > 100
+    assert out.loc["x1", "vif"] > 100
+    # independent columns -> VIF ~ 1
+    y = rng.normal(size=n)
+    ds2 = ray.data.from_arrow(pa.table({"x1": x1, "x2": x2, "y": y}))
+    out2 = vif(ds2, ["x1", "x2", "y"]).to_pandas().set_index("col")
+    assert abs(out2.loc["y", "vif"] - 1.0) < 0.05
+
+
+def test_vif_general_k_matches_inverse_corr_and_listwise_nulls():
+    from featherstore_ray.stages.aggregate import vif
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    x = rng.normal(size=(n, 4))
+    x[:, 3] += 0.8 * x[:, 0]
+    cols = ["a", "b", "c", "d"]
+    tbl = {c: x[:, i].copy() for i, c in enumerate(cols)}
+    # poke nulls into one column; listwise semantics = drop those rows
+    a = tbl["b"].copy()
+    mask = rng.random(n) < 0.1
+    a[mask] = np.nan
+    tbl["b"] = a
+    ds = ray.data.from_arrow(pa.table(tbl))
+    out = vif(ds, cols).to_pandas().set_index("col")["vif"]
+    keep = ~mask
+    ref = np.diag(np.linalg.inv(np.corrcoef(x[keep].T)))
+    for i, c in enumerate(cols):
+        np.testing.assert_allclose(out[c], ref[i], rtol=1e-4)
+
+
+def test_vif_degenerate_inputs_yield_nulls():
+    from featherstore_ray.stages.aggregate import vif
+
+    # zero-variance column
+    ds = ray.data.from_arrow(pa.table({
+        "a": np.arange(10.0), "b": np.ones(10), "c": np.arange(10.0) ** 2,
+    }))
+    out = vif(ds, ["a", "b", "c"]).to_pandas()
+    assert out["vif"].isna().all()
+    # exactly-collinear pair -> det ~ 0 -> nulls, not inf
+    v = np.arange(20.0)
+    ds2 = ray.data.from_arrow(pa.table({
+        "a": v, "b": 2.0 * v, "c": np.sin(v),
+    }))
+    out2 = vif(ds2, ["a", "b", "c"]).to_pandas()
+    assert out2["vif"].isna().all()
