@@ -6287,6 +6287,19 @@ def q_t_closeness(sf_dir: str):
                        t=0.25)
 
 
+def q_rdd(sf_dir: str):
+    """Sharp regression discontinuity at the quantity-25 threshold:
+    local linear fit of extendedprice on centered quantity on each side
+    within a ±10 rectangular bandwidth; the effect is the intercept
+    jump. Two 6-float partial rows per block, no shuffle."""
+    from featherstore_ray.stages.aggregate import rdd_estimate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    return rdd_estimate(ds, "l_quantity", "l_extendedprice",
+                        cutoff=25.0, bandwidth=10.0)
+
+
 def q_vif(sf_dir: str):
     """Variance inflation factors across the three lineitem pricing
     features — the multicollinearity audit before any linear fit.
@@ -6635,6 +6648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cox_ph": q_cox_ph,
         "t_closeness": q_t_closeness,
         "vif": q_vif,
+        "rdd": q_rdd,
     }
 
 
@@ -11745,6 +11759,39 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'l_discount', (1 - r12*r12)/det FROM d
             ) ORDER BY col
+        """,
+        "rdd": """
+            WITH f AS (
+                SELECT l_quantity::DOUBLE - 25.0 AS u,
+                       l_extendedprice::DOUBLE AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND abs(l_quantity::DOUBLE - 25.0) <= 10.0
+            ),
+            s AS (
+                SELECT CASE WHEN u >= 0 THEN 'right' ELSE 'left' END
+                           AS side,
+                       count(*)::DOUBLE AS n, sum(u) AS su, sum(y) AS sy,
+                       sum(u*u) AS suu, sum(u*y) AS suy
+                FROM f GROUP BY 1
+            ),
+            fit AS (
+                SELECT side, n,
+                       CASE WHEN n >= 2 AND n*suu - su*su > 0
+                            THEN (suu*sy - su*suy)/(n*suu - su*su)
+                       END AS a,
+                       CASE WHEN n >= 2 AND n*suu - su*su > 0
+                            THEN (n*suy - su*sy)/(n*suu - su*su)
+                       END AS b
+                FROM s
+            )
+            SELECT side, n::BIGINT AS n,
+                   round(a, 6) AS intercept, round(b, 6) AS slope,
+                   round((SELECT a FROM fit WHERE side = 'right')
+                         - (SELECT a FROM fit WHERE side = 'left'),
+                         6) AS effect
+            FROM fit ORDER BY side
         """,
         "skyline_nd": """
             WITH d AS (

@@ -3830,6 +3830,88 @@ def did_estimate(
     }))
 
 
+def rdd_estimate(
+    ds: ray.data.Dataset,
+    running_col: str,
+    outcome_col: str,
+    *,
+    cutoff: float,
+    bandwidth: float,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Sharp regression-discontinuity estimate — the causal effect at a
+    threshold rule (local linear fit of the outcome on the centered
+    running variable SEPARATELY on each side of the cutoff within
+    ``bandwidth``; the effect is the jump between the two fitted
+    intercepts at the cutoff: ``effect = a_right − a_left``).
+
+    Side assignment is ``u = x − cutoff``; left is ``u < 0``, right is
+    ``u ≥ 0``; only ``|u| ≤ bandwidth`` enters (rectangular kernel — the
+    SQL-mirrorable choice). Each side's intercept is the explicit-sum
+    OLS form ``a = (Σu²·Σy − Σu·Σuy) / (n·Σu² − (Σu)²)`` — never a
+    library ``polyfit``, so the DuckDB oracle is a literal expression
+    mirror. Output: one row per side (side, n, intercept, slope) plus
+    the repeated ``effect`` readout (null unless both sides have ≥ 2
+    distinct running values).
+
+    Scale shape (the did_estimate pattern): each block collapses to two
+    (side, n, Σu, Σy, Σu², Σuy) partial rows merged driver-side — no
+    shuffle, one streaming pass.
+    """
+    import pyarrow as pa
+
+    if bandwidth <= 0:
+        raise ValueError(f"bandwidth must be > 0, got {bandwidth}")
+    cols = [running_col, outcome_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=cols)
+        u = d[running_col].to_numpy(dtype=np.float64) - cutoff
+        y = d[outcome_col].to_numpy(dtype=np.float64)
+        m = np.abs(u) <= bandwidth
+        u, y = u[m], y[m]
+        right = u >= 0
+        rows = []
+        for side, sm in (("left", ~right), ("right", right)):
+            us, ys = u[sm], y[sm]
+            rows.append((side, float(len(us)), us.sum(), ys.sum(),
+                         (us * us).sum(), (us * ys).sum()))
+        return pd.DataFrame(
+            rows, columns=["side", "_n", "_su", "_sy", "_suu", "_suy"])
+
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby("side", sort=True)[
+        ["_n", "_su", "_sy", "_suu", "_suy"]].sum()
+    out = {}
+    for side in ("left", "right"):
+        n, su, sy, suu, suy = (g.loc[side] if side in g.index
+                               else pd.Series(0.0, index=g.columns))
+        det = n * suu - su * su
+        if n >= 2 and det > 0:
+            a = (suu * sy - su * suy) / det
+            b = (n * suy - su * sy) / det
+        else:
+            a = b = np.nan
+        out[side] = (int(n), a, b)
+    effect = out["right"][1] - out["left"][1]
+    return ray.data.from_arrow(pa.table({
+        "side": pa.array(["left", "right"], pa.string()),
+        "n": pa.array([out["left"][0], out["right"][0]], pa.int64()),
+        "intercept": pa.array(
+            [round(out["left"][1], round_digits),
+             round(out["right"][1], round_digits)], pa.float64()),
+        "slope": pa.array(
+            [round(out["left"][2], round_digits),
+             round(out["right"][2], round_digits)], pa.float64()),
+        "effect": pa.array([round(effect, round_digits)] * 2,
+                           pa.float64()),
+    }))
+
+
 def ate_stratified(
     ds: ray.data.Dataset,
     treatment_col: str,

@@ -385,3 +385,43 @@ def test_vif_degenerate_inputs_yield_nulls():
     }))
     out2 = vif(ds2, ["a", "b", "c"]).to_pandas()
     assert out2["vif"].isna().all()
+
+
+def test_rdd_recovers_planted_jump():
+    from featherstore_ray.stages.aggregate import rdd_estimate
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    x = rng.uniform(0.0, 100.0, size=n)
+    u = x - 50.0
+    y = 2.0 + 0.5 * u + 3.0 * (u >= 0) + rng.normal(scale=0.3, size=n)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    out = rdd_estimate(ds, "x", "y", cutoff=50.0, bandwidth=20.0
+                       ).to_pandas().set_index("side")
+    assert abs(out.loc["right", "effect"] - 3.0) < 0.1
+    assert abs(out.loc["left", "slope"] - 0.5) < 0.05
+    assert abs(out.loc["right", "slope"] - 0.5) < 0.05
+    # bandwidth excludes far rows
+    assert out["n"].sum() < n
+    # no jump -> effect ~ 0
+    y2 = 2.0 + 0.5 * u + rng.normal(scale=0.3, size=n)
+    ds2 = ray.data.from_arrow(pa.table({"x": x, "y": y2}))
+    out2 = rdd_estimate(ds2, "x", "y", cutoff=50.0, bandwidth=20.0)
+    eff = out2.to_pandas()["effect"].iloc[0]
+    assert abs(eff) < 0.1
+
+
+def test_rdd_degenerate_side_yields_null_effect():
+    from featherstore_ray.stages.aggregate import rdd_estimate
+
+    # all mass on the right side -> left fit undefined -> null effect
+    x = np.array([10.0, 11.0, 12.0, 13.0])
+    y = np.array([1.0, 2.0, 3.0, 4.0])
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    out = rdd_estimate(ds, "x", "y", cutoff=5.0, bandwidth=50.0
+                       ).to_pandas().set_index("side")
+    assert out.loc["left", "n"] == 0
+    assert np.isnan(out.loc["left", "intercept"])
+    assert np.isnan(out.loc["left", "effect"])
+    with pytest.raises(ValueError):
+        rdd_estimate(ds, "x", "y", cutoff=5.0, bandwidth=0.0)
