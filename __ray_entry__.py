@@ -6287,6 +6287,18 @@ def q_t_closeness(sf_dir: str):
                        t=0.25)
 
 
+def q_burrows_delta(sf_dir: str):
+    """Burrows' Delta stylometry distance between document sources:
+    z-scored top-50 word frequencies, mean |Δz| per source pair. One
+    hash(token) exchange; per-source totals ride the same exchange as
+    side rows, so the corpus streams once."""
+    from featherstore_ray.stages.text import burrows_delta
+
+    return burrows_delta(
+        _read(sf_dir, "documents", columns=["text", "source"]),
+        top_k=50)
+
+
 def q_rdd(sf_dir: str):
     """Sharp regression discontinuity at the quantity-25 threshold:
     local linear fit of extendedprice on centered quantity on each side
@@ -6649,6 +6661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness": q_t_closeness,
         "vif": q_vif,
         "rdd": q_rdd,
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -11759,6 +11772,50 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'l_discount', (1 - r12*r12)/det FROM d
             ) ORDER BY col
+        """,
+        "burrows_delta": """
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+            ),
+            tot AS (
+                SELECT source, count(*)::DOUBLE AS tot FROM tok GROUP BY 1
+            ),
+            cnt AS (
+                SELECT source, token, count(*)::DOUBLE AS c
+                FROM tok GROUP BY 1, 2
+            ),
+            topk AS (
+                SELECT token FROM (
+                    SELECT token, sum(c) AS g FROM cnt GROUP BY 1
+                ) ORDER BY g DESC, token LIMIT 50
+            ),
+            grid AS (
+                SELECT t.source, k.token, coalesce(c.c, 0) / t.tot AS f
+                FROM tot t CROSS JOIN topk k
+                LEFT JOIN cnt c
+                  ON c.source = t.source AND c.token = k.token
+            ),
+            mom AS (
+                SELECT source, token, f,
+                       avg(f) OVER (PARTITION BY token) AS mu,
+                       avg(f*f) OVER (PARTITION BY token) AS msq
+                FROM grid
+            ),
+            z AS (
+                SELECT source, token,
+                       CASE WHEN msq - mu*mu > 0
+                            THEN (f - mu) / sqrt(msq - mu*mu)
+                            ELSE 0.0 END AS z
+                FROM mom
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   round(avg(abs(a.z - b.z)), 6) AS delta
+            FROM z a JOIN z b
+              ON a.token = b.token AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "rdd": """
             WITH f AS (

@@ -170,6 +170,126 @@ def _token_count_partial(
     return agg.rename_columns([key_name, count_name])
 
 
+def burrows_delta(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    top_k: int = 50,
+    num_buckets: int = 32,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Burrows' Delta — the classic stylometry / authorship-attribution
+    distance between corpora: z-score each source's relative frequency of
+    the global top-``top_k`` words (mean/std ACROSS sources, population
+    form ``mean(f²) − mean(f)²``), then ``delta(s1, s2) = mean_w |z₁ −
+    z₂|`` per unordered source pair. Low delta = stylistically similar
+    sources — the standard audit for "did these two corpus slices come
+    from the same generator/author".
+
+    Scale shape: per-batch (source, token, n) Arrow partials → ONE bucket
+    exchange on ``hash(token)`` (a token's total lives entirely in its
+    bucket, so each bucket's local top-k candidates contain every global
+    top-k token); buckets also emit per-source token-total side rows, so
+    the corpus streams ONCE with no second pass. The driver finish is
+    bounded by buckets × top_k × sources. Tokenization is the engine
+    canon (single-space split = ``string_split(text, ' ')``); top-k ties
+    break (count DESC, token ASC) on both sides.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[source_col]),
+                             pc.is_valid(t[text_col])))
+        if t.num_rows == 0:
+            return pa.table({source_col: pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat, offsets = _explode_words(t[text_col])
+        reps = np.diff(offsets)
+        src = t[source_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(t.num_rows), reps)))
+        agg = (
+            pa.table({source_col: src, "token": flat})
+            .group_by([source_col, "token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns([source_col, "token", "n"])
+
+    partials = ds.select_columns([source_col, text_col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    bucketed = add_bucket_column(partials, "token", num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        cnt = (df.groupby([source_col, "token"], sort=False)["n"]
+               .sum().reset_index(name="c"))
+        tot = (cnt.groupby(source_col, sort=True)["c"]
+               .sum().reset_index(name="c"))
+        tot["kind"] = "tot"
+        tot["token"] = None
+        tot["g"] = 0.0
+        g = cnt.groupby("token", sort=False)["c"].sum()
+        keep = (g.reset_index(name="g")
+                .sort_values(["g", "token"], ascending=[False, True],
+                             kind="mergesort").head(top_k))
+        tok = cnt.merge(keep, on="token", how="inner")
+        tok["kind"] = "tok"
+        cols = ["kind", source_col, "token", "c", "g"]
+        out = pd.concat([tok[cols], tot[cols]], ignore_index=True)
+        out["c"] = out["c"].astype(np.float64)
+        out["g"] = out["g"].astype(np.float64)
+        return out
+
+    merged = bucketed_map_groups(
+        bucketed, per_bucket, num_buckets=num_buckets,
+        batch_format="pandas").to_pandas()  # ≤ B × (top_k·S + S) rows
+
+    tots = (merged[merged["kind"] == "tot"]
+            .groupby(source_col, sort=True)["c"].sum())
+    sources = list(tots.index)
+    tok = merged[merged["kind"] == "tok"]
+    if len(tok) == 0 or len(sources) < 2:
+        return ray.data.from_arrow(pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "delta": pa.array([], pa.float64()),
+        }))
+    g = (tok.groupby("token", sort=False)[["g"]].first()
+         .reset_index()
+         .sort_values(["g", "token"], ascending=[False, True],
+                      kind="mergesort").head(top_k))
+    top_tokens = list(g["token"])
+    k, s_n = len(top_tokens), len(sources)
+    t_idx = {t: i for i, t in enumerate(top_tokens)}
+    s_idx = {s: i for i, s in enumerate(sources)}
+    f = np.zeros((s_n, k))
+    sel = tok[tok["token"].isin(t_idx)]
+    rows = sel[source_col].map(s_idx).to_numpy(dtype=np.int64)
+    cols_i = sel["token"].map(t_idx).to_numpy(dtype=np.int64)
+    f[rows, cols_i] = sel["c"].to_numpy() / tots.to_numpy()[rows]
+    mu = f.mean(axis=0)
+    var = (f * f).mean(axis=0) - mu * mu
+    sd = np.sqrt(np.where(var > 0, var, 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np.where(sd > 0, (f - mu) / sd, 0.0)
+    out_a, out_b, out_d = [], [], []
+    for i in range(s_n):
+        for j in range(i + 1, s_n):
+            out_a.append(sources[i])
+            out_b.append(sources[j])
+            d = np.abs(z[i] - z[j]).mean()
+            out_d.append(round(d, round_digits)
+                         if round_digits is not None else d)
+    return ray.data.from_arrow(pa.table({
+        "source_a": pa.array(out_a, pa.string()),
+        "source_b": pa.array(out_b, pa.string()),
+        "delta": pa.array(out_d, pa.float64()),
+    }))
+
+
 def lang_id(
     ds: ray.data.Dataset, text_col: str = "text", out_col: str = "lang_pred"
 ) -> ray.data.Dataset:

@@ -425,3 +425,29 @@ def test_rdd_degenerate_side_yields_null_effect():
     assert np.isnan(out.loc["left", "effect"])
     with pytest.raises(ValueError):
         rdd_estimate(ds, "x", "y", cutoff=5.0, bandwidth=0.0)
+
+
+def test_burrows_delta_separates_styles_and_is_partition_invariant():
+    from featherstore_ray.stages.text import burrows_delta
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    # authors A and A2 share a Zipf profile; B inverts it
+    pA = 1.0 / np.arange(1, 31); pA /= pA.sum()
+    pB = pA[::-1]
+    def corpus(src, p, n_docs=40):
+        return [(src, " ".join(rng.choice(vocab, size=60, p=p)))
+                for _ in range(n_docs)]
+    rows = corpus("authA", pA) + corpus("authA2", pA) + corpus("authB", pB)
+    tbl = pa.table({"source": [r[0] for r in rows],
+                    "text": [r[1] for r in rows]})
+    ds = ray.data.from_arrow(tbl)
+    out = (burrows_delta(ds, top_k=20).to_pandas()
+           .set_index(["source_a", "source_b"])["delta"])
+    assert out[("authA", "authA2")] < out[("authA", "authB")]
+    assert out[("authA", "authA2")] < out[("authA2", "authB")]
+    # block-boundary invariance: same result at a different partitioning
+    out2 = (burrows_delta(ray.data.from_arrow(tbl).repartition(7),
+                          top_k=20).to_pandas()
+            .set_index(["source_a", "source_b"])["delta"])
+    pd.testing.assert_series_equal(out.sort_index(), out2.sort_index())
