@@ -6287,6 +6287,17 @@ def q_t_closeness(sf_dir: str):
                        t=0.25)
 
 
+def q_ecod_outliers(sf_dir: str):
+    """ECOD nonparametric outlier scores over the first 8 embedding
+    dims: exact per-dim tail ECDFs via the per-dim fused sample-sort
+    (one range exchange + one id exchange), cume_dist oracle mirror."""
+    from featherstore_ray.stages.ann import ecod_outliers
+
+    return ecod_outliers(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        dims=8)
+
+
 def q_burrows_delta(sf_dir: str):
     """Burrows' Delta stylometry distance between document sources:
     z-scored top-50 word frequencies, mean |Δz| per source pair. One
@@ -6662,6 +6673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vif": q_vif,
         "rdd": q_rdd,
         "burrows_delta": q_burrows_delta,
+        "ecod_outliers": q_ecod_outliers,
     }
 
 
@@ -11772,6 +11784,35 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'l_discount', (1 - r12*r12)/det FROM d
             ) ORDER BY col
+        """,
+        "ecod_outliers": """
+            WITH v AS (
+                SELECT vec_id,
+                       unnest(range(1, 9)) AS d,
+                       unnest(list_transform(
+                           range(1, 9), i -> embedding[i]::DOUBLE)) AS x
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+            ),
+            c AS (
+                SELECT vec_id,
+                       cume_dist() OVER (PARTITION BY d ORDER BY x)
+                           AS el,
+                       cume_dist() OVER (PARTITION BY d ORDER BY x DESC)
+                           AS er
+                FROM v
+            ),
+            s AS (
+                SELECT vec_id,
+                       sum(-ln(el)) AS o_left, sum(-ln(er)) AS o_right
+                FROM c GROUP BY 1
+            )
+            SELECT vec_id,
+                   round(o_left, 6) AS o_left,
+                   round(o_right, 6) AS o_right,
+                   round(CASE WHEN o_left >= o_right THEN o_left
+                              ELSE o_right END, 6) AS score
+            FROM s
         """,
         "burrows_delta": """
             WITH tok AS (

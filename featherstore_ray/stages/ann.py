@@ -2495,6 +2495,148 @@ def lof_outliers(
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ecod_outliers(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    dims: int = 8,
+    range_buckets: int = 8,
+    num_buckets: int = 32,
+    sample_per_batch: int = 256,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """ECOD outlier scores (Li et al. 2022) over the leading ``dims``
+    embedding dimensions — the NONPARAMETRIC member of the outlier
+    family (:func:`embedding_outliers` is Gaussian-moment Mahalanobis,
+    :func:`lof_outliers` is local density): per dimension, the left /
+    right empirical tail probabilities ``F_l(x) = #{≤ x}/n`` and
+    ``F_r(x) = #{≥ x}/n``; per row, ``o_left = Σ_d −ln F_l``,
+    ``o_right = Σ_d −ln F_r``, ``score = max(o_left, o_right)`` (the
+    skewness-auto branch of the paper is omitted — documented variant).
+    Tail probabilities are exact rationals k/n, so the oracle is a
+    ``cume_dist()`` window mirror.
+
+    Scale shape — a per-dim fused :func:`~featherstore_ray.stages.misc.
+    global_rank` (sample-sort): the 2-column projection materializes
+    ONCE; a per-batch evenly-spaced sample picks per-dim range
+    splitters; a narrow counting pass (one ``dims × R`` vector per
+    block) prefix-sums to exact global offsets; values exchange ONCE by
+    ``(dim, range)`` composite bucket — equal values share a bucket
+    (side="left"), so tie counts are exact — and each bucket converts
+    local searchsorted ranks to global tail counts; a second exchange
+    on ``hash(id)`` re-assembles the per-row sums. Only (id, dim, tail
+    terms) triples ever move; no dimension is ever whole in one task.
+    """
+    import pyarrow.compute as pc
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    if dims < 1 or range_buckets < 1:
+        raise ValueError("dims and range_buckets must be >= 1")
+
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+
+    def sample(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[emb_col]))
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        m = _stack_embeddings(t[emb_col])[:, :dims]
+        step = max(1, len(m) // sample_per_batch)
+        m = m[::step][:sample_per_batch]
+        d = np.tile(np.arange(dims, dtype=np.int64), len(m))
+        return pa.table({"d": d, "v": m.ravel()})
+
+    sampled = proj.map_batches(
+        sample, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    qs = np.linspace(0, 1, range_buckets + 1)[1:-1]
+    splitters = []  # per dim, ≤ R-1 ascending unique splitters
+    for d in range(dims):
+        v = sampled.loc[sampled["d"] == d, "v"].to_numpy()
+        splitters.append(np.unique(np.quantile(v, qs)) if len(v)
+                         else np.array([], dtype=np.float64))
+    nb_per_dim = np.array([len(s) + 1 for s in splitters], dtype=np.int64)
+    dim_base = np.concatenate([[0], np.cumsum(nb_per_dim)[:-1]])
+    nb_total = int(nb_per_dim.sum())
+
+    def explode(t: pa.Table) -> pa.Table:
+        """(id, dim, value, composite range bucket) triples."""
+        t = t.filter(pc.is_valid(t[emb_col]))
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "d": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+                BUCKET_COL: pa.array([], pa.int64())})
+        m = _stack_embeddings(t[emb_col])[:, :dims]
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), dims)))
+        d = np.tile(np.arange(dims, dtype=np.int64), n)
+        v = m.ravel()
+        b = np.empty(n * dims, dtype=np.int64)
+        for di in range(dims):
+            sl = slice(di, None, dims)
+            b[sl] = dim_base[di] + np.searchsorted(
+                splitters[di], v[sl], side="left")
+        return pa.table({id_col: ids, "d": d, "v": v, BUCKET_COL: b})
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "b": np.arange(nb_total, dtype=np.int64),
+            "c": np.bincount(
+                t[BUCKET_COL].to_numpy(zero_copy_only=False),
+                minlength=nb_total).astype(np.int64)})
+
+    exploded = proj.map_batches(
+        explode, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+    sizes = (exploded.map_batches(
+        count, batch_size=None, batch_format="pyarrow")
+        .to_pandas().groupby("b")["c"].sum()
+        .reindex(range(nb_total), fill_value=0).to_numpy())
+    # per-dim prefix offsets + per-dim totals
+    offsets = np.empty(nb_total, dtype=np.int64)
+    n_per_dim = np.empty(dims, dtype=np.int64)
+    for di in range(dims):
+        lo, hi = dim_base[di], dim_base[di] + nb_per_dim[di]
+        offsets[lo:hi] = np.concatenate([[0], np.cumsum(sizes[lo:hi])[:-1]])
+        n_per_dim[di] = sizes[lo:hi].sum()
+
+    def tails(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df[BUCKET_COL].iloc[0])
+        v = df["v"].to_numpy()
+        d = int(df["d"].iloc[0])
+        n = float(n_per_dim[d])
+        vs = np.sort(v)
+        le = offsets[b] + np.searchsorted(vs, v, side="right")
+        lt = offsets[b] + np.searchsorted(vs, v, side="left")
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "_tl": -np.log(le / n),
+            "_tr": -np.log((n - lt) / n)})
+
+    terms = bucketed_map_groups(
+        exploded, tails, num_buckets=nb_total, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop(columns=[BUCKET_COL])
+             .groupby(id_col, sort=True)[["_tl", "_tr"]].sum())
+        score = np.maximum(g["_tl"].to_numpy(), g["_tr"].to_numpy())
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(),
+            "o_left": np.round(g["_tl"].to_numpy(), round_digits),
+            "o_right": np.round(g["_tr"].to_numpy(), round_digits),
+            "score": np.round(score, round_digits)})
+
+    return bucketed_map_groups(
+        add_bucket_column(terms, id_col, num_buckets), finish,
+        num_buckets=num_buckets, batch_format="pandas")
+
+
 def retrieval_eval(
     ds: ray.data.Dataset,
     queries: pa.Table,

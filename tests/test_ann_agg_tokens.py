@@ -2555,3 +2555,57 @@ def test_seasonality_index_exact_profile():
     assert abs(out.loc[0, "hour_mean"] - 10.0) < 1e-9
     assert abs(out.loc[0, "idx"] - round(10.0 / em, 6)) < 1e-9
     assert abs(out.loc[3, "idx"] - round(30.0 / em, 6)) < 1e-9
+
+
+def test_ecod_outliers_matches_numpy(ray_session):
+    from featherstore_ray.stages.ann import ecod_outliers
+
+    rng = np.random.default_rng(31)
+    n, d = 300, 4
+    emb = rng.normal(size=(n, d))
+    emb[17] += 9.0          # planted right-tail outlier
+    emb[50] = emb[51]       # exact duplicate rows → tie handling
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in emb]),
+    })
+    out = ecod_outliers(
+        ray.data.from_arrow(t).repartition(5), dims=d, range_buckets=3,
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    x = emb.astype(np.float32).astype(np.float64)
+    ol = np.zeros(n)
+    orr = np.zeros(n)
+    for j in range(d):
+        v = x[:, j]
+        le = (v[:, None] >= v[None, :]).sum(axis=1)      # count <= x
+        ge = (v[:, None] <= v[None, :]).sum(axis=1)      # count >= x
+        ol += -np.log(le / n)
+        orr += -np.log(ge / n)
+    np.testing.assert_allclose(out["o_left"].to_numpy(),
+                               np.round(ol, 6), atol=2e-6)
+    np.testing.assert_allclose(out["o_right"].to_numpy(),
+                               np.round(orr, 6), atol=2e-6)
+    np.testing.assert_allclose(
+        out["score"].to_numpy(), np.round(np.maximum(ol, orr), 6),
+        atol=2e-6)
+    # planted outlier has the top score; duplicates share identical scores
+    assert out.loc[out["score"].idxmax(), "vec_id"] == 17
+    assert out.loc[50, "score"] == out.loc[51, "score"]
+
+
+def test_ecod_outliers_partition_invariance(ray_session):
+    from featherstore_ray.stages.ann import ecod_outliers
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(120, 3))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in emb]),
+    })
+    a = ecod_outliers(ray.data.from_arrow(t).repartition(2),
+                      dims=3).to_pandas().sort_values("vec_id")
+    b = ecod_outliers(ray.data.from_arrow(t).repartition(9),
+                      dims=3, range_buckets=2).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
