@@ -6298,6 +6298,93 @@ def q_ecod_outliers(sf_dir: str):
         dims=8)
 
 
+def _bt_sql(iters: int, smoothing: float) -> str:
+    """SQL mirror of ``bradley_terry``: exact-int win relation from
+    (user, day, type) counts, smoothed full-grid contingency, then
+    ``iters`` unrolled MM steps (each p-CTE is referenced twice by the
+    next denominator join, so every step MUST be AS MATERIALIZED —
+    DuckDB inlines CTEs and the chain otherwise expands 2^iters)."""
+    sql = f"""
+        WITH e AS (
+            SELECT user_id AS u, date_trunc('day', ts) AS d,
+                   event_type AS t
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        c AS MATERIALIZED (
+            SELECT u, d, t, count(*)::BIGINT AS n FROM e GROUP BY 1, 2, 3
+        ),
+        cnt AS MATERIALIZED (
+            SELECT a.t AS w, b.t AS l, count(*)::BIGINT AS c
+            FROM c a JOIN c b ON a.u = b.u AND a.d = b.d AND a.n > b.n
+            GROUP BY 1, 2
+        ),
+        items AS MATERIALIZED (
+            SELECT DISTINCT t
+            FROM (SELECT w AS t FROM cnt UNION SELECT l AS t FROM cnt)
+        ),
+        wl AS MATERIALIZED (
+            SELECT items.t,
+                   coalesce(wv.wins, 0)::BIGINT AS wins,
+                   coalesce(lv.losses, 0)::BIGINT AS losses
+            FROM items
+            LEFT JOIN (SELECT w AS t, sum(c)::BIGINT AS wins
+                       FROM cnt GROUP BY 1) wv USING (t)
+            LEFT JOIN (SELECT l AS t, sum(c)::BIGINT AS losses
+                       FROM cnt GROUP BY 1) lv USING (t)
+        ),
+        s AS MATERIALIZED (
+            SELECT i.t AS a, j.t AS b,
+                   coalesce(cnt.c, 0)::DOUBLE + {smoothing!r} AS sc
+            FROM items i JOIN items j ON i.t <> j.t
+            LEFT JOIN cnt ON cnt.w = i.t AND cnt.l = j.t
+        ),
+        wtot AS MATERIALIZED (SELECT a AS t, sum(sc) AS wv FROM s GROUP BY 1),
+        g AS MATERIALIZED (
+            SELECT s.a, s.b, s.sc + s2.sc AS n
+            FROM s JOIN s s2 ON s2.a = s.b AND s2.b = s.a
+        ),
+        p0 AS MATERIALIZED (
+            SELECT t, 1.0 / (SELECT count(*) FROM items) AS pr FROM items
+        )"""
+    cur = "p0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        d{t} AS MATERIALIZED (
+            SELECT g.a AS t, max(wtot.wv) / sum(g.n / (pa.pr + pb.pr))
+                       AS raw
+            FROM g JOIN {cur} pa ON pa.t = g.a
+                   JOIN {cur} pb ON pb.t = g.b
+                   JOIN wtot ON wtot.t = g.a
+            GROUP BY g.a
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT t, raw / (SELECT sum(raw) FROM d{t}) AS pr FROM d{t}
+        )"""
+        cur = f"p{t}"
+    return sql + f"""
+        SELECT wl.t AS item, round({cur}.pr, 6) AS score,
+               wl.wins, wl.losses
+        FROM wl JOIN {cur} USING (t)
+    """
+
+
+def q_bradley_terry(sf_dir: str):
+    """Bradley-Terry preference strengths of event types: within each
+    (user, day) cell the strictly-more-frequent type wins one
+    comparison; 0.5 pseudo-wins on every ordered pair keep the
+    comparison graph connected; 12 fixed MM rounds, unrolled
+    matrix-step oracle (the markov_stationary convention)."""
+    from featherstore_ray.stages.aggregate import bradley_terry
+
+    return bradley_terry(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        iters=12, smoothing=0.5,
+    )
+
+
 def q_burrows_delta(sf_dir: str):
     """Burrows' Delta stylometry distance between document sources:
     z-scored top-50 word frequencies, mean |Δz| per source pair. One
@@ -6674,6 +6761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdd": q_rdd,
         "burrows_delta": q_burrows_delta,
         "ecod_outliers": q_ecod_outliers,
+        "bradley_terry": q_bradley_terry,
     }
 
 
@@ -11814,6 +11902,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE o_right END, 6) AS score
             FROM s
         """,
+        "bradley_terry": _bt_sql(12, 0.5),
         "burrows_delta": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token

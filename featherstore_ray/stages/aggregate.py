@@ -5809,3 +5809,112 @@ def t_closeness(
     return bucketed_map_groups(
         parts, kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+def bradley_terry(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    iters: int = 12,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Bradley-Terry preference strengths over the item (type) vocabulary
+    — the pairwise-comparison ranking family behind preference-data
+    curation (RLHF reward-model inputs, judge-vote aggregation): within
+    each (entity, day) cell, every ordered pair of types where one has
+    STRICTLY more events than the other is one comparison won by the
+    more frequent type (counts are exact ints, so the win relation is
+    engine-exact; equal counts produce no comparison). ``smoothing``
+    pseudo-wins are added to EVERY ordered item pair (Davidson-style
+    regularization) so the comparison graph is strongly connected and
+    the fixed-schedule MM iteration (Hunter 2004) is well-defined for
+    zero-win items:
+
+        raw_i = W_i / sum_j  g_ij / (p_i + p_j);   p <- raw / sum(raw)
+
+    run ``iters`` rounds from uniform with NO convergence test — the
+    oracle mirrors the identical schedule as unrolled matrix-product
+    CTEs (the :func:`~featherstore_ray.stages.window.markov_stationary`
+    convention). Output: (item, score, wins, losses) with raw integer
+    win/loss counts alongside the smoothed score.
+
+    Scale shape: ONE hash(entity) exchange whose kernel reduces each
+    bucket to (winner, loser, count) partials — comparisons never leave
+    their (entity, day) cell and the exchange output is at most
+    |types|^2 rows per bucket; the driver folds a K x K contingency
+    (K = type vocabulary, bounded) and iterates in-memory.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([entity_col, ts_col, type_col])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_w": pd.Series(dtype="object"),
+            "_l": pd.Series(dtype="object"),
+            "_c": pd.Series(dtype="int64"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return empty
+        day = df[ts_col].dt.floor("D")
+        cnt = (
+            df.assign(_d=day)
+            .groupby([entity_col, "_d", type_col], sort=False)
+            .size().rename("_n").reset_index()
+        )
+        m = cnt.merge(cnt, on=[entity_col, "_d"], suffixes=("_a", "_b"))
+        m = m[m["_n_a"] > m["_n_b"]]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby([type_col + "_a", type_col + "_b"], sort=False)
+            .size().rename("_c").reset_index()
+        )
+        out.columns = ["_w", "_l", "_c"]
+        return out
+
+    parts = bucketed_map_groups(
+        add_bucket_column(proj, entity_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    # all-typed-empty buckets surface as a columnless frame through
+    # to_pandas (Ray drops the schema) — treat as "no comparisons"
+    if parts.empty:
+        parts = pd.DataFrame({"_w": [], "_l": [], "_c": []})
+    cnt = parts.groupby(["_w", "_l"], sort=True)["_c"].sum().reset_index()
+    if cnt.empty:
+        return ray.data.from_arrow(pa.table({
+            "item": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "wins": pa.array([], pa.int64()),
+            "losses": pa.array([], pa.int64()),
+        }))
+    items = np.sort(np.unique(np.concatenate(
+        [cnt["_w"].to_numpy(), cnt["_l"].to_numpy()])))
+    idx = {t: i for i, t in enumerate(items)}
+    k = len(items)
+    C = np.zeros((k, k), np.float64)
+    C[cnt["_w"].map(idx).to_numpy(np.int64),
+      cnt["_l"].map(idx).to_numpy(np.int64)] = cnt["_c"].to_numpy(np.float64)
+    wins_raw = C.sum(axis=1).astype(np.int64)
+    losses_raw = C.sum(axis=0).astype(np.int64)
+    S = C + smoothing * (1.0 - np.eye(k))
+    W = S.sum(axis=1)
+    G = S + S.T  # games matrix; zero diagonal
+    p = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        denom = np.where(G > 0, G / (p[:, None] + p[None, :]), 0.0).sum(axis=1)
+        raw = W / denom
+        p = raw / raw.sum()
+    return ray.data.from_arrow(pa.table({
+        "item": pa.array(items.astype(str)),
+        "score": pa.array(np.round(p, round_digits), pa.float64()),
+        "wins": pa.array(wins_raw, pa.int64()),
+        "losses": pa.array(losses_raw, pa.int64()),
+    }))

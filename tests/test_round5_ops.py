@@ -451,3 +451,66 @@ def test_burrows_delta_separates_styles_and_is_partition_invariant():
                           top_k=20).to_pandas()
             .set_index(["source_a", "source_b"])["delta"])
     pd.testing.assert_series_equal(out.sort_index(), out2.sort_index())
+
+
+# ---------------------------------------------------------- bradley_terry
+
+
+def test_bradley_terry_recovers_dominance_order(ray_session):
+    from featherstore_ray.stages.aggregate import bradley_terry
+
+    # 30 users x 10 days; type counts per (user, day): a=3 > b=2 > c=1
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(30):
+        for d in range(10):
+            ts = base + pd.Timedelta(days=d, hours=1)
+            rows += [(u, ts, "a")] * 3 + [(u, ts, "b")] * 2 + [(u, ts, "c")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = (bradley_terry(_ds(df), entity_col="user_id", ts_col="ts",
+                         type_col="event_type")
+           .to_pandas().set_index("item"))
+    assert out.loc["a", "score"] > out.loc["b", "score"] > out.loc["c", "score"]
+    # a beats b and c in all 300 cells; c never wins a real comparison
+    assert out.loc["a", "wins"] == 600 and out.loc["a", "losses"] == 0
+    assert out.loc["c", "wins"] == 0 and out.loc["c", "losses"] == 600
+    assert abs(out["score"].sum() - 1.0) < 1e-5
+    # scores stay positive thanks to the pseudo-win smoothing
+    assert (out["score"] > 0).all()
+
+
+def test_bradley_terry_ties_produce_no_comparisons(ray_session):
+    from featherstore_ray.stages.aggregate import bradley_terry
+
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "ts": [base] * 4,
+        "event_type": ["x", "y", "x", "y"],  # equal counts everywhere
+    })
+    out = (bradley_terry(_ds(df), entity_col="user_id", ts_col="ts",
+                         type_col="event_type").to_pandas())
+    assert out.empty  # no strict winner anywhere -> no items
+
+
+def test_bradley_terry_partition_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import bradley_terry
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 14 * 24, n), unit="h"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n,
+                                 p=[0.4, 0.3, 0.2, 0.1]),
+    })
+    a = (bradley_terry(ray.data.from_pandas(df).repartition(2),
+                       entity_col="user_id", ts_col="ts",
+                       type_col="event_type").to_pandas()
+         .sort_values("item").reset_index(drop=True))
+    b = (bradley_terry(ray.data.from_pandas(df).repartition(11),
+                       entity_col="user_id", ts_col="ts",
+                       type_col="event_type", num_buckets=7).to_pandas()
+         .sort_values("item").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
