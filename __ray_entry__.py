@@ -6298,6 +6298,123 @@ def q_ecod_outliers(sf_dir: str):
         dims=8)
 
 
+def _day_items(sf_dir: str, columns: list) -> "ray.data.Dataset":
+    """events with a day-truncated ``item`` column appended (Arrow
+    floor_temporal — zero-copy batches, no pandas round-trip)."""
+    import pyarrow.compute as pc
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("item", pc.floor_temporal(t["ts"], unit="day"))
+
+    return _read(sf_dir, "events", columns=columns).map_batches(
+        add_day, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def q_fleiss_kappa(sf_dir: str):
+    """Fleiss' kappa of event-type 'ratings' within each day: exact-int
+    (item, label) count partials, one hash(item) exchange, closed-form
+    finish — the N-rater generalization of cohen_kappa."""
+    from featherstore_ray.stages.annotation import fleiss_kappa
+
+    return fleiss_kappa(
+        _day_items(sf_dir, ["ts", "event_type"]),
+        item_col="item", label_col="event_type")
+
+
+def q_dawid_skene(sf_dir: str):
+    """Dawid-Skene noisy-label fusion: users as raters, days as items,
+    event types as labels; 2 fixed EM rounds (vote-share init, smoothed
+    confusion matrices), per-item MAP label via the 9dp-rounded argmax.
+    One item exchange materialized once and re-read every round."""
+    from featherstore_ray.stages.annotation import dawid_skene
+
+    return dawid_skene(
+        _day_items(sf_dir, ["ts", "user_id", "event_type"]),
+        item_col="item", annotator_col="user_id",
+        label_col="event_type", iters=2, alpha=0.1)
+
+
+def _ds_em_sql(iters: int, alpha: float) -> str:
+    """SQL mirror of ``dawid_skene`` over (day, user, event_type)
+    responses: the identical unrolled EM schedule (vote-share post0,
+    full-grid smoothed confusion, log-domain E-step with max-subtracted
+    softmax). Every per-round CTE is referenced more than once by the
+    next round, so all are AS MATERIALIZED (the mmr/bradley_terry
+    inlining lesson)."""
+    sql = f"""
+        WITH r0 AS (
+            SELECT date_trunc('day', ts) AS item, user_id AS a,
+                   event_type AS l
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        resp AS MATERIALIZED (
+            SELECT item, a, l, count(*)::BIGINT AS c FROM r0 GROUP BY 1, 2, 3
+        ),
+        labels AS MATERIALIZED (SELECT DISTINCT l FROM resp),
+        anns AS MATERIALIZED (SELECT DISTINCT a FROM resp),
+        ni AS MATERIALIZED (
+            SELECT item, sum(c)::BIGINT AS n FROM resp GROUP BY 1
+        ),
+        cik AS MATERIALIZED (
+            SELECT item, l AS k, sum(c)::BIGINT AS ck FROM resp GROUP BY 1, 2
+        ),
+        post0 AS MATERIALIZED (
+            SELECT ni.item, lab.l AS k,
+                   coalesce(cik.ck, 0)::DOUBLE / ni.n AS p
+            FROM ni CROSS JOIN labels lab
+            LEFT JOIN cik ON cik.item = ni.item AND cik.k = lab.l
+        )"""
+    cur = "post0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        cn{t} AS MATERIALIZED (
+            SELECT g.a, g.l, g.k, coalesce(x.w, 0) + {alpha!r} AS num
+            FROM (SELECT anns.a, la.l, lb.l AS k
+                  FROM anns CROSS JOIN labels la CROSS JOIN labels lb) g
+            LEFT JOIN (
+                SELECT resp.a, resp.l, p.k, sum(resp.c * p.p) AS w
+                FROM resp JOIN {cur} p ON p.item = resp.item
+                GROUP BY 1, 2, 3
+            ) x ON x.a = g.a AND x.l = g.l AND x.k = g.k
+        ),
+        conf{t} AS MATERIALIZED (
+            SELECT a, l, k,
+                   num / (sum(num) OVER (PARTITION BY a, k)) AS p
+            FROM cn{t}
+        ),
+        prior{t} AS MATERIALIZED (
+            SELECT k, sum(p) / (SELECT count(*) FROM ni) AS p
+            FROM {cur} GROUP BY 1
+        ),
+        s{t} AS MATERIALIZED (
+            SELECT resp.item, cf.k, sum(resp.c * ln(cf.p)) AS sl
+            FROM resp JOIN conf{t} cf ON cf.a = resp.a AND cf.l = resp.l
+            GROUP BY 1, 2
+        ),
+        post{t} AS MATERIALIZED (
+            SELECT item, k,
+                   exp(sv - mx)
+                   / sum(exp(sv - mx)) OVER (PARTITION BY item) AS p
+            FROM (SELECT item, k, sv,
+                         max(sv) OVER (PARTITION BY item) AS mx
+                  FROM (SELECT s.item, s.k, s.sl + ln(pr.p) AS sv
+                        FROM s{t} s JOIN prior{t} pr ON pr.k = s.k))
+        )"""
+        cur = f"post{t}"
+    return sql + f"""
+        SELECT w.item, w.k AS label_hat, round(w.p, 6) AS confidence,
+               ni.n AS n_resp
+        FROM (SELECT item, k, p, row_number() OVER (
+                  PARTITION BY item
+                  ORDER BY round(p, 9) DESC, k ASC) AS rn
+              FROM {cur}) w JOIN ni USING (item)
+        WHERE w.rn = 1
+    """
+
+
 def _bt_sql(iters: int, smoothing: float) -> str:
     """SQL mirror of ``bradley_terry``: exact-int win relation from
     (user, day, type) counts, smoothed full-grid contingency, then
@@ -6762,6 +6879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burrows_delta": q_burrows_delta,
         "ecod_outliers": q_ecod_outliers,
         "bradley_terry": q_bradley_terry,
+        "fleiss_kappa": q_fleiss_kappa,
+        "dawid_skene": q_dawid_skene,
     }
 
 
@@ -11903,6 +12022,42 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "bradley_terry": _bt_sql(12, 0.5),
+        "fleiss_kappa": """
+            WITH r AS (
+                SELECT date_trunc('day', ts) AS item, event_type AS label
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ),
+            c AS MATERIALIZED (
+                SELECT item, label, count(*)::BIGINT AS c
+                FROM r GROUP BY 1, 2
+            ),
+            i AS MATERIALIZED (
+                SELECT item, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS s2
+                FROM c GROUP BY 1
+            ),
+            ii AS MATERIALIZED (SELECT * FROM i WHERE n >= 2),
+            sc AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS n_items, sum(n)::BIGINT AS n_tot,
+                       sum((s2 - n)::DOUBLE / (n * (n - 1))) AS sp
+                FROM ii
+            ),
+            pk AS MATERIALIZED (
+                SELECT c.label,
+                       sum(c.c)::DOUBLE / (SELECT n_tot FROM sc) AS p
+                FROM c JOIN ii USING (item) GROUP BY 1
+            ),
+            pe AS (SELECT sum(p * p) AS pe FROM pk)
+            SELECT sc.n_items, sc.n_tot AS n_ratings,
+                   round(sc.sp / sc.n_items, 6) AS p_bar,
+                   round(pe.pe, 6) AS p_e,
+                   CASE WHEN pe.pe = 1 THEN NULL
+                        ELSE round((sc.sp / sc.n_items - pe.pe)
+                                   / (1 - pe.pe), 6)
+                   END AS kappa
+            FROM sc, pe
+        """,
+        "dawid_skene": _ds_em_sql(2, 0.1),
         "burrows_delta": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token
