@@ -6415,6 +6415,74 @@ def _ds_em_sql(iters: int, alpha: float) -> str:
     """
 
 
+def q_random_walks(sf_dir: str):
+    """DeepWalk corpus over the supplier<->part graph: deterministic
+    hash-ranked neighbor choice, 2 walks x 4 steps per node; each step
+    one tagged-union exchange (the pagerank convention)."""
+    from featherstore_ray.stages.graph import random_walks
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks()
+        p = pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                   1000000).combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays(
+                [c for a in (s, p) for c in
+                 (a.chunks if isinstance(a, pa.ChunkedArray) else [a])]),
+            "dst": pa.concat_arrays(
+                [c for a in (p, s) for c in
+                 (a.chunks if isinstance(a, pa.ChunkedArray) else [a])]),
+        })
+
+    edges = li.map_batches(both_dirs, batch_size=None,
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return random_walks(edges, walk_len=4, walks_per_node=2)
+
+
+def _rw_sql(walk_len: int, walks: int) -> str:
+    """SQL mirror of ``random_walks`` over the supplier<->part graph:
+    ranked-adjacency join on the identical multiplicative-hash rank
+    expression, one CTE per step."""
+    sql = f"""
+        WITH e AS (
+            SELECT l_suppkey::BIGINT AS src,
+                   l_partkey::BIGINT + 1000000 AS dst FROM lineitem
+            UNION ALL
+            SELECT l_partkey::BIGINT + 1000000, l_suppkey::BIGINT
+            FROM lineitem
+        ),
+        de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        adj AS MATERIALIZED (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS r,
+                   count(*) OVER (PARTITION BY src) AS deg
+            FROM de
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS n FROM de UNION SELECT dst FROM de
+        ),
+        w0 AS MATERIALIZED (
+            SELECT n AS start, w.walk, n AS cur
+            FROM nodes CROSS JOIN
+                 (SELECT unnest(range({walks})) AS walk) w
+        )"""
+    for s in range(1, walk_len + 1):
+        sql += f""",
+        w{s} AS MATERIALIZED (
+            SELECT f.start, f.walk, a.dst AS cur
+            FROM w{s - 1} f JOIN adj a ON a.src = f.cur
+             AND a.r = ((f.cur * 1000003 + f.start * 999983
+                         + f.walk * 97 + {s} * 31) % 2147483647) % a.deg
+        )"""
+    arms = [f"SELECT start, walk, {s}::BIGINT AS step, cur AS node FROM w{s}"
+            for s in range(walk_len + 1)]
+    sep = "\n            UNION ALL\n            "
+    return sql + "\n            " + sep.join(arms)
+
+
 def _bt_sql(iters: int, smoothing: float) -> str:
     """SQL mirror of ``bradley_terry``: exact-int win relation from
     (user, day, type) counts, smoothed full-grid contingency, then
@@ -6881,6 +6949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bradley_terry": q_bradley_terry,
         "fleiss_kappa": q_fleiss_kappa,
         "dawid_skene": q_dawid_skene,
+        "random_walks": q_random_walks,
     }
 
 
@@ -12058,6 +12127,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc, pe
         """,
         "dawid_skene": _ds_em_sql(2, 0.1),
+        "random_walks": _rw_sql(4, 2),
         "burrows_delta": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token

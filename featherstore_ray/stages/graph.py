@@ -1647,3 +1647,174 @@ def modularity(
         _with_bucket(parts, "c", num_buckets), merge_comm,
         num_buckets=num_buckets, batch_format="pandas",
     )
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """DeepWalk-style deterministic random-walk corpus over a directed
+    edge list (duplicates ignored) — the graph-to-token bridge: walks
+    feed skip-gram / co-occurrence trainers exactly like text windows.
+    From EVERY node (src or dst), ``walks_per_node`` walks of up to
+    ``walk_len`` steps; at step ``s`` the walk at node ``cur`` moves to
+    the neighbor with rank
+
+        ((cur*1000003 + start*999983 + walk*97 + s*31) % 2147483647)
+            % out_degree(cur)
+
+    among its distinct out-neighbors in ascending dst order — the
+    multiplicative-hash determinism convention (weighted_sample /
+    negative_sampling), so the oracle joins on the identical rank
+    expression against ``row_number() OVER (PARTITION BY src ORDER BY
+    dst) - 1``. Walks stop early at sink nodes (no out-edges) — the
+    join drops them identically in both engines. Node ids must be
+    non-negative ints < ~9e12 (the hash product must stay in BIGINT).
+
+    Output: (start, walk, step, node) with step 0 = the start itself.
+
+    Scale shape: the tagged adjacency materializes once; each step is
+    ONE hash(node) exchange of (adjacency ∪ frontier) — the pagerank
+    convention — whose kernel dedupes its bucket's edges (lexsort),
+    binary-searches each frontier row's neighbor range and emits the
+    next frontier. Frontier size is nodes × walks, never edges × walks;
+    sentinel -1 fills keep every tagged column int64 (no pandas
+    null-padding float drift).
+    """
+    key, side = "_rw_key", "_rw_side"
+
+    proj = edges.select_columns([src_col, dst_col])
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = t[src_col].cast(pa.int64())
+        d = t[dst_col].cast(pa.int64())
+        return pa.table({
+            key: s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
+            "_rw_dst": d.combine_chunks()
+            if isinstance(d, pa.ChunkedArray) else d,
+            "_rw_start": pa.array(np.full(n, -1, np.int64)),
+            "_rw_walk": pa.array(np.full(n, -1, np.int64)),
+            side: pa.array(np.zeros(n, np.int8)),
+        })
+
+    adj = proj.map_batches(
+        tag_edges, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t[key].to_numpy(zero_copy_only=False),
+            t["_rw_dst"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node"]].drop_duplicates()
+
+    nodes = bucketed_map_groups(
+        _with_bucket(
+            adj.map_batches(nodes_of, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True),
+            "node", num_buckets),
+        uniq, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def expand_walks(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_rw_start": pa.array(np.repeat(n, walks_per_node)),
+            "_rw_walk": pa.array(np.tile(
+                np.arange(walks_per_node, dtype=np.int64), len(n))),
+            "_rw_cur": pa.array(np.repeat(n, walks_per_node)),
+        })
+
+    frontier = nodes.map_batches(
+        expand_walks, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def out_step(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "start": t["_rw_start"],
+                "walk": t["_rw_walk"],
+                "step": pa.array(
+                    np.full(t.num_rows, step, np.int64)),
+                "node": t["_rw_cur"],
+            })
+        return fn
+
+    outs = [frontier.map_batches(out_step(0), batch_size=None,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+
+    for s in range(1, walk_len + 1):
+
+        def tag_frontier(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                key: t["_rw_cur"],
+                "_rw_dst": pa.array(np.full(n, -1, np.int64)),
+                "_rw_start": t["_rw_start"],
+                "_rw_walk": t["_rw_walk"],
+                side: pa.array(np.ones(n, np.int8)),
+            })
+
+        def make_step(step: int):
+            def kernel(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.drop(columns=[BUCKET_COL])
+                empty = pd.DataFrame({
+                    "_rw_start": pd.Series(dtype="int64"),
+                    "_rw_walk": pd.Series(dtype="int64"),
+                    "_rw_cur": pd.Series(dtype="int64"),
+                })
+                sv = df[side].to_numpy()
+                fr = df[sv == 1]
+                ad = df[sv == 0]
+                if fr.empty or ad.empty:
+                    return empty
+                asrc = ad[key].to_numpy(np.int64)
+                adst = ad["_rw_dst"].to_numpy(np.int64)
+                order = np.lexsort((adst, asrc))
+                asrc, adst = asrc[order], adst[order]
+                keep = np.ones(len(asrc), bool)
+                keep[1:] = (asrc[1:] != asrc[:-1]) | (adst[1:] != adst[:-1])
+                asrc, adst = asrc[keep], adst[keep]
+                cur = fr[key].to_numpy(np.int64)
+                start = fr["_rw_start"].to_numpy(np.int64)
+                walk = fr["_rw_walk"].to_numpy(np.int64)
+                lo = np.searchsorted(asrc, cur, side="left")
+                hi = np.searchsorted(asrc, cur, side="right")
+                deg = hi - lo
+                ok = deg > 0
+                if not ok.any():
+                    return empty
+                h = (cur[ok] * 1000003 + start[ok] * 999983
+                     + walk[ok] * 97 + step * 31) % 2147483647
+                nxt = adst[lo[ok] + (h % deg[ok])]
+                return pd.DataFrame({
+                    "_rw_start": start[ok],
+                    "_rw_walk": walk[ok],
+                    "_rw_cur": nxt,
+                })
+            return kernel
+
+        frontier = bucketed_map_groups(
+            _with_bucket(
+                adj.union(frontier.map_batches(
+                    tag_frontier, batch_size=None, batch_format="pyarrow",
+                    zero_copy_batch=True)),
+                key, num_buckets),
+            make_step(s), num_buckets=num_buckets, batch_format="pandas",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        outs.append(frontier.map_batches(
+            out_step(s), batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True))
+
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]

@@ -514,3 +514,50 @@ def test_bradley_terry_partition_invariance(ray_session):
                        type_col="event_type", num_buckets=7).to_pandas()
          .sort_values("item").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------- random_walks
+
+
+def test_random_walks_follow_edges_and_stop_at_sinks(ray_session):
+    from featherstore_ray.stages.graph import random_walks
+
+    # path 0->1->2, plus 2->0 back edge except node 3 is a pure sink
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 0, 0],  # duplicate edge 0->1 must be ignored
+        "dst": [1, 2, 0, 3, 1],
+    })
+    out = (random_walks(_ds(edges), walk_len=3, walks_per_node=2)
+           .to_pandas())
+    eset = {(0, 1), (1, 2), (2, 0), (0, 3)}
+    w = out.sort_values(["start", "walk", "step"])
+    for (_s, _w), g in w.groupby(["start", "walk"]):
+        seq = g["node"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset
+        # steps are consecutive from 0 (early stop only at the sink)
+        assert g["step"].tolist() == list(range(len(seq)))
+    # node 3 is a sink: both its walks are step-0 only
+    n3 = w[w["start"] == 3]
+    assert len(n3) == 2 and (n3["step"] == 0).all()
+    # every node got walks_per_node step-0 rows
+    s0 = w[w["step"] == 0]
+    assert s0.groupby("start").size().tolist() == [2, 2, 2, 2]
+
+
+def test_random_walks_partition_invariance(ray_session):
+    from featherstore_ray.stages.graph import random_walks
+
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 300),
+        "dst": rng.integers(0, 40, 300),
+    })
+    a = (random_walks(ray.data.from_pandas(edges).repartition(2),
+                      walk_len=3, walks_per_node=2).to_pandas()
+         .sort_values(["start", "walk", "step"]).reset_index(drop=True))
+    b = (random_walks(ray.data.from_pandas(edges).repartition(13),
+                      walk_len=3, walks_per_node=2, num_buckets=7)
+         .to_pandas()
+         .sort_values(["start", "walk", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
