@@ -6441,6 +6441,20 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_permutation_test(sf_dir: str):
+    """Randomization test for click-vs-purchase mean value: 200
+    deterministic hash-reassignment permutations, two zero-shuffle
+    passes, 9dp-rounded extremeness ranking."""
+    from featherstore_ray.stages.aggregate import permutation_test
+
+    return permutation_test(
+        _read(sf_dir, "events",
+              columns=["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id",
+        group_a="click", group_b="purchase", n_perm=200,
+    )
+
+
 def _rw_sql(walk_len: int, walks: int) -> str:
     """SQL mirror of ``random_walks`` over the supplier<->part graph:
     ranked-adjacency join on the identical multiplicative-hash rank
@@ -6950,6 +6964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fleiss_kappa": q_fleiss_kappa,
         "dawid_skene": q_dawid_skene,
         "random_walks": q_random_walks,
+        "permutation_test": q_permutation_test,
     }
 
 
@@ -12127,6 +12142,59 @@ def oracle_sql() -> dict[str, str]:
             FROM sc, pe
         """,
         "dawid_skene": _ds_em_sql(2, 0.1),
+        "permutation_test": """
+            WITH r AS MATERIALIZED (
+                SELECT event_id AS id, value AS v,
+                       (event_type = 'click') AS ga
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+                  AND event_type IN ('click', 'purchase')
+            ),
+            mo AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS n,
+                       sum(ga::INT)::BIGINT AS na,
+                       sum(v) AS s,
+                       sum(CASE WHEN ga THEN v END) AS sa
+                FROM r
+            ),
+            obs AS MATERIALIZED (
+                SELECT sa / na - (s - sa) / (n - na) AS d FROM mo
+            ),
+            p AS (SELECT unnest(range(1, 201)) AS perm),
+            asg AS (
+                SELECT p.perm, r.v,
+                       ((r.id * 1000003 + p.perm * 999983) % 2147483647)
+                           % (SELECT n FROM mo) < (SELECT na FROM mo)
+                           AS pa
+                FROM r CROSS JOIN p
+            ),
+            dd AS MATERIALIZED (
+                SELECT perm,
+                       sum(CASE WHEN pa THEN v END) AS psa,
+                       sum(CASE WHEN pa THEN 1 ELSE 0 END)::BIGINT AS pca
+                FROM asg GROUP BY perm
+            ),
+            dp AS MATERIALIZED (
+                SELECT perm,
+                       psa / pca
+                       - ((SELECT s FROM mo) - psa)
+                         / ((SELECT n FROM mo) - pca) AS d
+                FROM dd
+                WHERE pca > 0 AND pca < (SELECT n FROM mo)
+            ),
+            ex AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS b_eff,
+                       sum((round(abs(d), 9) >=
+                            round(abs((SELECT d FROM obs)), 9))::INT
+                          )::BIGINT AS n_ex
+                FROM dp
+            )
+            SELECT round((SELECT d FROM obs), 6) AS d_obs,
+                   ex.b_eff AS n_perm_eff, ex.n_ex AS n_extreme,
+                   round((1 + ex.n_ex)::DOUBLE / (1 + ex.b_eff), 6)
+                       AS p_value
+            FROM ex
+        """,
         "random_walks": _rw_sql(4, 2),
         "burrows_delta": """
             WITH tok AS (

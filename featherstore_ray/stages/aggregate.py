@@ -5918,3 +5918,109 @@ def bradley_terry(
         "wins": pa.array(wins_raw, pa.int64()),
         "losses": pa.array(losses_raw, pa.int64()),
     }))
+
+
+def permutation_test(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    group_a,
+    group_b,
+    n_perm: int = 200,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Monte-Carlo randomization test for the difference of means between
+    two groups — the hypothesis-testing sibling of :func:`bootstrap_ci`
+    (which estimates a CI by resampling): under the exchangeability
+    null, rows are randomly REASSIGNED to pseudo-groups and the observed
+    difference is ranked inside the permutation distribution.
+    Reassignment is the deterministic multiplicative-hash convention
+    (mirrorable in SQL, no RNG state):
+
+        pseudo-A(row, p)  <=>  ((id*1000003 + p*999983) % 2147483647)
+                                   % n_total  <  n_a
+
+    which keeps pseudo-group sizes near the observed split (hash-
+    Bernoulli randomization; sizes vary hypergeometric-ish per draw —
+    documented variant of the fixed-margin Fisher test). Permutations
+    with an empty pseudo-group are excluded on BOTH sides; extremeness
+    compares |d_p| >= |d_obs| at 9dp rounding (the changepoint
+    convention, so a permutation that exactly reproduces the observed
+    split can't flip across engines); p = (1 + n_extreme) / (1 + B_eff)
+    (add-one Monte-Carlo correction). Output one row:
+    (d_obs, n_perm_eff, n_extreme, p_value).
+
+    Scale shape: two streaming passes, ZERO shuffles. Pass 1 folds the
+    4 exact group moments (n, n_a, S, S_a). Pass 2 emits per-perm
+    (sum_a, cnt_a) partials via one boolean-mask matmul per batch; the
+    driver folds B x 2 scalars. d_p uses the complement form
+    (S - s_a) / (N - c_a), mirrored literally in the oracle.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([group_col, value_col, id_col]).materialize()
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[group_col, value_col, id_col])
+        df = df[df[group_col].isin([group_a, group_b])]
+        v = df[value_col].to_numpy(np.float64)
+        is_a = (df[group_col] == group_a).to_numpy()
+        return pd.DataFrame({
+            "_n": [len(v)], "_na": [int(is_a.sum())],
+            "_s": [float(v.sum())], "_sa": [float(v[is_a].sum())],
+        })
+
+    m = proj.map_batches(moments, batch_size=None,
+                         batch_format="pandas").to_pandas()
+    n = int(m["_n"].sum())
+    n_a = int(m["_na"].sum())
+    s = float(m["_s"].sum())
+    s_a = float(m["_sa"].sum())
+    if n_a == 0 or n_a == n:
+        return ray.data.from_arrow(pa.table({
+            "d_obs": pa.array([None], pa.float64()),
+            "n_perm_eff": pa.array([0], pa.int64()),
+            "n_extreme": pa.array([0], pa.int64()),
+            "p_value": pa.array([None], pa.float64()),
+        }))
+    d_obs = s_a / n_a - (s - s_a) / (n - n_a)
+
+    def perm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[group_col, value_col, id_col])
+        df = df[df[group_col].isin([group_a, group_b])]
+        perms = np.arange(1, n_perm + 1, dtype=np.int64)
+        if df.empty:
+            return pd.DataFrame({
+                "_p": perms, "_psa": np.zeros(n_perm),
+                "_pca": np.zeros(n_perm, np.int64),
+            })
+        v = df[value_col].to_numpy(np.float64)
+        ids = df[id_col].to_numpy(np.int64)
+        h = (ids[:, None] * 1000003 + perms[None, :] * 999983) \
+            % 2147483647
+        mask = (h % n) < n_a
+        return pd.DataFrame({
+            "_p": perms,
+            "_psa": v @ mask,
+            "_pca": mask.sum(axis=0).astype(np.int64),
+        })
+
+    parts = proj.map_batches(perm_partial, batch_size=None,
+                             batch_format="pandas").to_pandas()
+    g = parts.groupby("_p", sort=True)[["_psa", "_pca"]].sum()
+    sa = g["_psa"].to_numpy(np.float64)
+    ca = g["_pca"].to_numpy(np.int64)
+    ok = (ca > 0) & (ca < n)
+    dp = sa[ok] / ca[ok] - (s - sa[ok]) / (n - ca[ok])
+    extreme = int((np.round(np.abs(dp), 9)
+                   >= np.round(abs(d_obs), 9)).sum())
+    b_eff = int(ok.sum())
+    return ray.data.from_arrow(pa.table({
+        "d_obs": pa.array([round(d_obs, round_digits)], pa.float64()),
+        "n_perm_eff": pa.array([b_eff], pa.int64()),
+        "n_extreme": pa.array([extreme], pa.int64()),
+        "p_value": pa.array([round((1 + extreme) / (1 + b_eff),
+                                   round_digits)], pa.float64()),
+    }))

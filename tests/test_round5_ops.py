@@ -561,3 +561,55 @@ def test_random_walks_partition_invariance(ray_session):
          .to_pandas()
          .sort_values(["start", "walk", "step"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- permutation_test
+
+
+def test_permutation_test_detects_real_and_null_effects(ray_session):
+    from featherstore_ray.stages.aggregate import permutation_test
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    # strong planted effect: +2.0 on group a
+    v = rng.normal(size=n) + np.where(g == "a", 2.0, 0.0)
+    df = pd.DataFrame({"g": g, "v": v, "id": np.arange(n)})
+    out = permutation_test(_ds(df), "g", "v", "id", group_a="a",
+                           group_b="b", n_perm=100).to_pandas()
+    assert out.loc[0, "p_value"] <= 1 / 101 + 1e-6     # maximally extreme
+    assert abs(out.loc[0, "d_obs"] - 2.0) < 0.2
+
+    # null: same distribution in both groups -> p not small
+    v0 = rng.normal(size=n)
+    df0 = pd.DataFrame({"g": g, "v": v0, "id": np.arange(n)})
+    out0 = permutation_test(_ds(df0), "g", "v", "id", group_a="a",
+                            group_b="b", n_perm=100).to_pandas()
+    assert out0.loc[0, "p_value"] > 0.05
+
+
+def test_permutation_test_degenerate_single_group(ray_session):
+    from featherstore_ray.stages.aggregate import permutation_test
+
+    df = pd.DataFrame({"g": ["a"] * 5, "v": [1.0] * 5, "id": range(5)})
+    out = permutation_test(_ds(df), "g", "v", "id", group_a="a",
+                           group_b="b").to_pandas()
+    assert pd.isna(out.loc[0, "p_value"]) and out.loc[0, "n_perm_eff"] == 0
+
+
+def test_permutation_test_partition_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import permutation_test
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 500),
+        "v": rng.normal(size=500),
+        "id": np.arange(500),
+    })
+    a = permutation_test(ray.data.from_pandas(df).repartition(2),
+                         "g", "v", "id", group_a="a",
+                         group_b="b").to_pandas()
+    b = permutation_test(ray.data.from_pandas(df).repartition(9),
+                         "g", "v", "id", group_a="a",
+                         group_b="b").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
