@@ -6441,6 +6441,59 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_mondrian(sf_dir: str):
+    """Mondrian k-anonymization of customers over (acctbal, nationkey):
+    4 round-robin median-split levels, split only when both children
+    keep >= 25 rows; one pid exchange per level, generalized ranges
+    out."""
+    from featherstore_ray.stages.aggregate import mondrian_anonymize
+
+    return mondrian_anonymize(
+        _read(sf_dir, "customer", columns=["c_acctbal", "c_nationkey"]),
+        ["c_acctbal", "c_nationkey"], k=25, depth=4)
+
+
+def _mondrian_sql(k: int, depth: int) -> str:
+    """SQL mirror of ``mondrian_anonymize`` over customer
+    (c_acctbal, c_nationkey): one quantile_cont-window CTE pair per
+    level, identical split rule and pid extension."""
+    cols = ["a", "b"]
+    sql = """
+        WITH p0 AS MATERIALIZED (
+            SELECT c_acctbal::DOUBLE AS a, c_nationkey::DOUBLE AS b,
+                   0::BIGINT AS pid
+            FROM customer
+            WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+        )"""
+    for d in range(1, depth + 1):
+        c = cols[(d - 1) % 2]
+        sql += f""",
+        m{d} AS MATERIALIZED (
+            SELECT *, quantile_cont({c}, 0.5) OVER (PARTITION BY pid)
+                       AS med
+            FROM p{d - 1}
+        ),
+        c{d} AS MATERIALIZED (
+            SELECT *, sum(({c} <= med)::INT) OVER (PARTITION BY pid)
+                       AS nl,
+                   count(*) OVER (PARTITION BY pid) AS nn
+            FROM m{d}
+        ),
+        p{d} AS MATERIALIZED (
+            SELECT a, b,
+                   pid * 2 + (CASE WHEN nl >= {k} AND nn - nl >= {k}
+                                    AND {c} > med
+                              THEN 1 ELSE 0 END) AS pid
+            FROM c{d}
+        )"""
+    return sql + f"""
+        SELECT pid, count(*)::BIGINT AS n,
+               min(a) AS c_acctbal_lo, max(a) AS c_acctbal_hi,
+               min(b) AS c_nationkey_lo, max(b) AS c_nationkey_hi
+        FROM p{depth} GROUP BY pid
+    """
+
+
 def q_permutation_test(sf_dir: str):
     """Randomization test for click-vs-purchase mean value: 200
     deterministic hash-reassignment permutations, two zero-shuffle
@@ -6965,6 +7018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dawid_skene": q_dawid_skene,
         "random_walks": q_random_walks,
         "permutation_test": q_permutation_test,
+        "mondrian": q_mondrian,
     }
 
 
@@ -12196,6 +12250,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ex
         """,
         "random_walks": _rw_sql(4, 2),
+        "mondrian": _mondrian_sql(25, 4),
         "burrows_delta": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token

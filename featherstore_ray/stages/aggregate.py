@@ -6024,3 +6024,101 @@ def permutation_test(
         "p_value": pa.array([round((1 + extreme) / (1 + b_eff),
                                    round_digits)], pa.float64()),
     }))
+
+
+def mondrian_anonymize(
+    ds: ray.data.Dataset,
+    qi_cols: Sequence[str],
+    *,
+    k: int = 25,
+    depth: int = 4,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Mondrian multidimensional k-anonymization (LeFevre et al. 2006)
+    — the privacy TRANSFORM completing the audit family
+    (:func:`k_anonymity` / ``l_diversity`` / ``t_closeness`` measure
+    re-identification risk; this produces the generalized release):
+    ``depth`` fixed levels of round-robin median splits over the numeric
+    quasi-identifier columns; a partition splits at level ``d`` on
+    ``qi_cols[(d-1) % len(qi_cols)]`` at its exact interpolated median
+    (``np.quantile`` linear == DuckDB ``quantile_cont`` — the theil_sen
+    identity) ONLY when both children keep >= ``k`` rows (rows with
+    ``v <= median`` go left); partition ids extend ``pid*2 + b`` every
+    level (b = 0 for unsplit partitions), so ids stay unique and the
+    oracle unrolls one window-CTE pair per level. Output one row per
+    final partition: (pid, n, <col>_lo, <col>_hi per QI) — the
+    generalized ranges; bounds are exact input values (no rounding).
+
+    Scale shape: one hash(pid) exchange per level; exact medians need
+    each partition whole in its bucket (the winsorize contract — level
+    1 is a single partition, so the first split is the one inherently
+    serial exact step; the 100 TB path swaps ``np.quantile`` for the
+    mergeable t-digest sketch at the cost of the exact-mirror oracle).
+    Null QI rows are out of contract (filtered on both sides).
+    """
+    import pyarrow as pa
+
+    qi = list(qi_cols)
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=qi)
+        out = df[qi].astype(np.float64)
+        out["_pid"] = np.int64(0)
+        return out
+
+    cur = ds.select_columns(qi).map_batches(
+        init, batch_size=None, batch_format="pandas")
+
+    for d in range(1, depth + 1):
+        col = qi[(d - 1) % len(qi)]
+
+        def make_level(col: str):
+            def level(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.drop(columns=[BUCKET_COL])
+                if df.empty:
+                    return df
+                outs = []
+                for pid, g in df.groupby("_pid", sort=True):
+                    v = g[col].to_numpy(np.float64)
+                    med = float(np.quantile(v, 0.5))
+                    nl = int((v <= med).sum())
+                    b = (np.zeros(len(g), np.int64)
+                         if nl < k or len(g) - nl < k
+                         else (v > med).astype(np.int64))
+                    g = g.copy()
+                    g["_pid"] = g["_pid"].to_numpy(np.int64) * 2 + b
+                    outs.append(g)
+                return pd.concat(outs, ignore_index=True)
+            return level
+
+        cur = bucketed_map_groups(
+            add_bucket_column(cur, "_pid", num_buckets),
+            make_level(col), num_buckets=num_buckets,
+            batch_format="pandas",
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = {f"{c}_lo": (c, "min") for c in qi}
+        aggs.update({f"{c}_hi": (c, "max") for c in qi})
+        g = df.groupby("_pid", sort=True).agg(n=("_pid", "size"), **aggs)
+        return g.reset_index().rename(columns={"_pid": "pid"})
+
+    parts = cur.map_batches(partial, batch_size=None,
+                            batch_format="pandas").to_pandas()
+    if parts.empty:
+        cols = {"pid": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        for c in qi:
+            cols[f"{c}_lo"] = pa.array([], pa.float64())
+            cols[f"{c}_hi"] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    g = parts.groupby("pid", sort=True)
+    out = pd.DataFrame({"pid": np.array(sorted(parts["pid"].unique()),
+                                        np.int64)})
+    out = out.set_index("pid")
+    out["n"] = g["n"].sum().astype(np.int64)
+    for c in qi:
+        out[f"{c}_lo"] = g[f"{c}_lo"].min()
+        out[f"{c}_hi"] = g[f"{c}_hi"].max()
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.reset_index(), preserve_index=False))

@@ -613,3 +613,55 @@ def test_permutation_test_partition_invariance(ray_session):
                          "g", "v", "id", group_a="a",
                          group_b="b").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------ mondrian_anonymize
+
+
+def test_mondrian_partitions_respect_k_and_cover_all_rows(ray_session):
+    from featherstore_ray.stages.aggregate import mondrian_anonymize
+
+    rng = np.random.default_rng(8)
+    n = 800
+    df = pd.DataFrame({"x": rng.normal(size=n),
+                       "y": rng.integers(0, 50, n).astype(float)})
+    out = mondrian_anonymize(_ds(df), ["x", "y"], k=50,
+                             depth=4).to_pandas()
+    assert (out["n"] >= 50).all()          # k-anonymity holds
+    assert out["n"].sum() == n             # every row in one partition
+    assert len(out) > 1                    # it actually split
+    # ranges are consistent
+    assert (out["x_lo"] <= out["x_hi"]).all()
+    assert (out["y_lo"] <= out["y_hi"]).all()
+    # sibling partitions split on x don't overlap in x beyond the median
+    # (left hi <= right lo for pids 2j / 2j+1 produced by an x split at
+    # depth levels 1 and 3; weaker global check: pids are unique)
+    assert out["pid"].is_unique
+
+
+def test_mondrian_never_splits_below_k(ray_session):
+    from featherstore_ray.stages.aggregate import mondrian_anonymize
+
+    df = pd.DataFrame({"x": np.arange(30, dtype=float),
+                       "y": np.zeros(30)})
+    out = mondrian_anonymize(_ds(df), ["x", "y"], k=20,
+                             depth=5).to_pandas()
+    # 30 rows can never split into two >=20 halves -> single partition
+    assert len(out) == 1 and out.loc[0, "n"] == 30
+    assert out.loc[0, "x_lo"] == 0.0 and out.loc[0, "x_hi"] == 29.0
+
+
+def test_mondrian_partition_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import mondrian_anonymize
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"x": rng.normal(size=300),
+                       "y": rng.normal(size=300)})
+    a = (mondrian_anonymize(ray.data.from_pandas(df).repartition(2),
+                            ["x", "y"], k=30, depth=3).to_pandas()
+         .sort_values("pid").reset_index(drop=True))
+    b = (mondrian_anonymize(ray.data.from_pandas(df).repartition(11),
+                            ["x", "y"], k=30, depth=3,
+                            num_buckets=5).to_pandas()
+         .sort_values("pid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
