@@ -6494,6 +6494,29 @@ def _mondrian_sql(k: int, depth: int) -> str:
     """
 
 
+def q_diff_in_diff(sf_dir: str):
+    """2x2 difference-in-differences on event values: even-id users as
+    the exposed cohort, post = Jan 16 on; 12 moment scalars, zero
+    shuffles, classic OLS interaction SE."""
+    from featherstore_ray.stages.aggregate import diff_in_diff
+
+    import datetime as _dt
+
+    cut = pa.scalar(_dt.datetime(2024, 1, 16), pa.timestamp("us"))
+
+    def flags(t: pa.Table, _cut=cut) -> pa.Table:
+        treated = pc.equal(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 1), 0)
+        post = pc.greater_equal(t["ts"], _cut)
+        return pa.table({"treated": treated, "post": post,
+                         "value": t["value"]})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(flags, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return diff_in_diff(ds, "treated", "post", "value")
+
+
 def q_permutation_test(sf_dir: str):
     """Randomization test for click-vs-purchase mean value: 200
     deterministic hash-reassignment permutations, two zero-shuffle
@@ -7019,6 +7042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "permutation_test": q_permutation_test,
         "mondrian": q_mondrian,
+        "diff_in_diff": q_diff_in_diff,
     }
 
 
@@ -12251,6 +12275,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": _rw_sql(4, 2),
         "mondrian": _mondrian_sql(25, 4),
+        "diff_in_diff": """
+            WITH r AS (
+                SELECT ((user_id % 2) = 0)::INT AS t,
+                       (ts >= TIMESTAMP '2024-01-16')::INT AS p,
+                       value AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ),
+            c AS MATERIALIZED (
+                SELECT t, p, count(*)::BIGINT AS n, sum(v) AS s,
+                       sum(v * v) AS ss
+                FROM r GROUP BY 1, 2
+            ),
+            m AS MATERIALIZED (
+                SELECT
+                    max(CASE WHEN t = 0 AND p = 0 THEN s / n END) AS mc_pre,
+                    max(CASE WHEN t = 0 AND p = 1 THEN s / n END) AS mc_post,
+                    max(CASE WHEN t = 1 AND p = 0 THEN s / n END) AS mt_pre,
+                    max(CASE WHEN t = 1 AND p = 1 THEN s / n END) AS mt_post,
+                    sum(ss - s * s / n) AS rss,
+                    sum(n)::BIGINT AS ntot,
+                    sum(1.0 / n) AS innv
+                FROM c
+            )
+            SELECT round(mc_pre, 6) AS mean_c_pre,
+                   round(mc_post, 6) AS mean_c_post,
+                   round(mt_pre, 6) AS mean_t_pre,
+                   round(mt_post, 6) AS mean_t_post,
+                   round((mt_post - mt_pre) - (mc_post - mc_pre), 6)
+                       AS did,
+                   round(sqrt(rss / (ntot - 4) * innv), 6) AS se,
+                   round(((mt_post - mt_pre) - (mc_post - mc_pre))
+                         / sqrt(rss / (ntot - 4) * innv), 6) AS t_stat,
+                   ntot AS n
+            FROM m
+        """,
         "burrows_delta": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token

@@ -6122,3 +6122,74 @@ def mondrian_anonymize(
         out[f"{c}_hi"] = g[f"{c}_hi"].max()
     return ray.data.from_arrow(
         pa.Table.from_pandas(out.reset_index(), preserve_index=False))
+
+
+def diff_in_diff(
+    ds: ray.data.Dataset,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Two-by-two difference-in-differences — the parallel-trends member
+    of the causal family (ate_stratified adjusts on covariates, rdd on a
+    running variable, cuped on a pre-metric; DiD differences OUT any
+    time-invariant group gap and any group-invariant time shock):
+
+        did = (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+
+    with the classic OLS interaction standard error from the saturated
+    2x2 regression: sigma2 = RSS / (n - 4) where RSS = sum_g (ss_g -
+    s_g^2 / n_g), se = sqrt(sigma2 * sum_g 1/n_g), t = did / se (NULL
+    when any cell is empty or n <= 4). ``treated_col`` / ``post_col``
+    are 0/1 indicators (null rows out of contract, filtered both
+    sides). Output one row: the four cell means, did, se, t_stat, n.
+
+    Scale shape: ZERO shuffles — each batch emits 4 x (n, sum, sumsq)
+    cell moments; the driver folds 12 scalars.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([treated_col, post_col, value_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[treated_col, post_col, value_col])
+        g = (df.assign(
+            _t=df[treated_col].astype(np.int64),
+            _p=df[post_col].astype(np.int64),
+            _v=df[value_col].astype(np.float64),
+            _v2=df[value_col].astype(np.float64) ** 2)
+            .groupby(["_t", "_p"])
+            .agg(_n=("_v", "size"), _s=("_v", "sum"), _ss=("_v2", "sum"))
+            .reset_index())
+        return g
+
+    m = (proj.map_batches(partial, batch_size=None, batch_format="pandas")
+         .to_pandas())
+    if m.empty:
+        m = pd.DataFrame({"_t": [], "_p": [], "_n": [], "_s": [], "_ss": []})
+    cells = (m.groupby(["_t", "_p"], sort=True)[["_n", "_s", "_ss"]]
+             .sum().reindex(
+                 [(0, 0), (0, 1), (1, 0), (1, 1)], fill_value=0.0))
+    n = cells["_n"].to_numpy(np.float64)
+    s = cells["_s"].to_numpy(np.float64)
+    ss = cells["_ss"].to_numpy(np.float64)
+    n_tot = int(n.sum())
+    if (n == 0).any() or n_tot <= 4:
+        vals = [None] * 7
+    else:
+        mc_pre, mc_post, mt_pre, mt_post = s / n
+        did = (mt_post - mt_pre) - (mc_post - mc_pre)
+        rss = float((ss - s * s / n).sum())
+        sigma2 = rss / (n_tot - 4)
+        se = float(np.sqrt(sigma2 * (1.0 / n).sum()))
+        vals = [mc_pre, mc_post, mt_pre, mt_post, did, se,
+                did / se if se > 0 else None]
+    names = ["mean_c_pre", "mean_c_post", "mean_t_pre", "mean_t_post",
+             "did", "se", "t_stat"]
+    cols = {k: pa.array(
+        [None if v is None else round(v, round_digits)], pa.float64())
+        for k, v in zip(names, vals)}
+    cols["n"] = pa.array([n_tot], pa.int64())
+    return ray.data.from_arrow(pa.table(cols))

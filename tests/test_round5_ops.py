@@ -665,3 +665,35 @@ def test_mondrian_partition_invariance(ray_session):
                             num_buckets=5).to_pandas()
          .sort_values("pid").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------- diff_in_diff
+
+
+def test_diff_in_diff_recovers_planted_effect(ray_session):
+    from featherstore_ray.stages.aggregate import diff_in_diff
+
+    rng = np.random.default_rng(14)
+    n = 4000
+    t = rng.integers(0, 2, n)
+    p = rng.integers(0, 2, n)
+    # group gap +5, time shock +3, true treatment effect +2
+    y = (rng.normal(size=n) + 5.0 * t + 3.0 * p
+         + 2.0 * (t * p))
+    df = pd.DataFrame({"t": t, "p": p, "y": y})
+    out = diff_in_diff(_ds(df), "t", "p", "y").to_pandas()
+    assert abs(out.loc[0, "did"] - 2.0) < 0.2
+    assert out.loc[0, "t_stat"] > 10           # strongly significant
+    assert out.loc[0, "n"] == n
+    # the confounds alone don't leak into did: group gap shows in means
+    assert out.loc[0, "mean_t_pre"] - out.loc[0, "mean_c_pre"] > 4.0
+
+
+def test_diff_in_diff_empty_cell_yields_nulls(ray_session):
+    from featherstore_ray.stages.aggregate import diff_in_diff
+
+    df = pd.DataFrame({"t": [0, 0, 1], "p": [0, 1, 0],
+                       "y": [1.0, 2.0, 3.0]})  # no (1,1) cell
+    out = diff_in_diff(_ds(df), "t", "p", "y").to_pandas()
+    assert pd.isna(out.loc[0, "did"]) and pd.isna(out.loc[0, "se"])
+    assert out.loc[0, "n"] == 3
