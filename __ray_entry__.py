@@ -6494,6 +6494,117 @@ def _mondrian_sql(k: int, depth: int) -> str:
     """
 
 
+def q_markov_attribution(sf_dir: str):
+    """Markov removal-effect attribution of purchases to the other
+    event-type channels: per-entity journey transitions (conversions
+    absorb and restart), 12 fixed power steps per variant, one entity
+    exchange of transition partials."""
+    from featherstore_ray.stages.window import markov_attribution
+
+    return markov_attribution(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        conv_type="purchase", tiebreak="event_id", iters=12,
+    )
+
+
+def _ma_sql(iters: int) -> str:
+    """SQL mirror of ``markov_attribution``: journey transitions via
+    lag/lead windows, per-variant removal-redirected probability edges
+    (variants = base + each channel), one power-step CTE per round over
+    the tagged (variant, state) vector."""
+    sql = """
+        WITH b AS MATERIALIZED (
+            SELECT user_id AS e, ts, event_id AS tb, event_type AS t
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        o AS MATERIALIZED (
+            SELECT e, t,
+                   lag(t)  OVER w AS pt,
+                   lead(t) OVER w AS nt
+            FROM b WINDOW w AS (PARTITION BY e ORDER BY ts, tb)
+        ),
+        tr AS (
+            SELECT CASE WHEN pt IS NULL OR pt = 'purchase'
+                        THEN '__start__' ELSE pt END AS p,
+                   CASE WHEN t = 'purchase' THEN '__conv__' ELSE t END
+                       AS q
+            FROM o
+            UNION ALL
+            SELECT t, '__null__' FROM o
+            WHERE nt IS NULL AND t <> 'purchase'
+        ),
+        cnt AS MATERIALIZED (
+            SELECT p, q, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2
+        ),
+        chan AS MATERIALIZED (
+            SELECT DISTINCT ch FROM (
+                SELECT p AS ch FROM cnt WHERE p <> '__start__'
+                UNION
+                SELECT q FROM cnt
+                WHERE q NOT IN ('__conv__', '__null__'))
+        ),
+        rs AS (SELECT p, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+        pm AS MATERIALIZED (
+            SELECT cnt.p, cnt.q, cnt.c::DOUBLE / rs.tot AS w
+            FROM cnt JOIN rs USING (p)
+            UNION ALL SELECT '__conv__', '__conv__', 1.0
+            UNION ALL SELECT '__null__', '__null__', 1.0
+        ),
+        vars AS MATERIALIZED (
+            SELECT '__base__' AS var UNION ALL SELECT ch FROM chan
+        ),
+        pe AS MATERIALIZED (
+            SELECT v.var, pm.p,
+                   CASE WHEN pm.q = v.var THEN '__null__' ELSE pm.q END
+                       AS q,
+                   sum(pm.w) AS w
+            FROM pm CROSS JOIN vars v
+            WHERE pm.p <> v.var
+            GROUP BY 1, 2, 3
+        ),
+        v0 AS MATERIALIZED (
+            SELECT var, '__start__' AS st, 1.0 AS pr FROM vars
+        )"""
+    cur = "v0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        v{t} AS MATERIALIZED (
+            SELECT e.var, e.q AS st, sum(v.pr * e.w) AS pr
+            FROM {cur} v JOIN pe e ON e.var = v.var AND e.p = v.st
+            GROUP BY 1, 2
+        )"""
+        cur = f"v{t}"
+    return sql + f""",
+        pc AS MATERIALIZED (
+            SELECT var,
+                   coalesce(sum(CASE WHEN st = '__conv__' THEN pr END),
+                            0.0) AS p
+            FROM {cur} GROUP BY 1
+        ),
+        base AS MATERIALIZED (
+            SELECT p FROM pc WHERE var = '__base__'
+        ),
+        re AS MATERIALIZED (
+            SELECT pc.var AS channel,
+                   CASE WHEN (SELECT p FROM base) = 0 THEN NULL
+                        ELSE 1 - pc.p / (SELECT p FROM base) END AS re
+            FROM pc WHERE var <> '__base__'
+        ),
+        tt AS MATERIALIZED (SELECT sum(re) AS s FROM re)
+        SELECT channel, round(re, 6) AS removal_effect,
+               CASE WHEN (SELECT s FROM tt) IS NULL
+                         OR (SELECT s FROM tt) = 0
+                    THEN NULL
+                    ELSE round(re / (SELECT s FROM tt), 6) END AS share,
+               round((SELECT p FROM base), 6) AS p_conv_base
+        FROM re
+    """
+
+
 def q_diff_in_diff(sf_dir: str):
     """2x2 difference-in-differences on event values: even-id users as
     the exposed cohort, post = Jan 16 on; 12 moment scalars, zero
@@ -7043,6 +7154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_test": q_permutation_test,
         "mondrian": q_mondrian,
         "diff_in_diff": q_diff_in_diff,
+        "markov_attribution": q_markov_attribution,
     }
 
 
@@ -12275,6 +12387,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": _rw_sql(4, 2),
         "mondrian": _mondrian_sql(25, 4),
+        "markov_attribution": _ma_sql(12),
         "diff_in_diff": """
             WITH r AS (
                 SELECT ((user_id % 2) = 0)::INT AS t,

@@ -1899,3 +1899,144 @@ def markov_stationary(
         "state": pa.array(states.astype(str)),
         "prob": pa.array(np.round(v, round_digits), pa.float64()),
     }))
+
+
+def markov_attribution(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    conv_type: str,
+    tiebreak: str | None = None,
+    iters: int = 12,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    counterfactual member of the attribution family
+    (``linear_attribution`` splits credit equally,
+    ``shapley_attribution`` by coalition share; this asks "how much
+    conversion probability DISAPPEARS if channel c is removed from the
+    journey graph"). Journeys are per-entity event runs in (ts,
+    tiebreak) order: every event contributes one transition
+    (prev-channel -> its state), a conversion event (``conv_type``)
+    absorbs to CONV and the next event restarts from START, and a
+    trailing non-conversion event absorbs to NULL. From the
+    row-normalized transition matrix, base conversion probability is
+    ``iters`` fixed power steps from START (CONV / NULL self-absorb);
+    removing channel c redirects every edge INTO c to NULL, and
+
+        removal_effect(c) = 1 - p_conv(without c) / p_conv(base)
+        share(c) = removal_effect(c) / sum_c removal_effect
+
+    Output: (channel, removal_effect, share, p_conv_base). NULL share
+    when p_base or the effect sum is 0. Sentinel state names
+    ``__start__ / __conv__ / __null__`` must not collide with channel
+    values (contract).
+
+    Scale shape: ONE hash(entity) exchange of (src, dst, count)
+    partials — journeys never leave their bucket, the exchange carries
+    at most (K+1)(K+2) rows per bucket; the driver folds a (K+3)^2
+    matrix and runs K+1 fixed power iterations in-memory (K = channel
+    vocabulary, bounded — the markov_stationary contract).
+    """
+    import pyarrow as pa
+
+    START, CONV, NULLS = "__start__", "__conv__", "__null__"
+    proj = ds.select_columns(
+        [entity_col, ts_col, type_col] + ([tiebreak] if tiebreak else []))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_p": pd.Series(dtype="object"),
+            "_q": pd.Series(dtype="object"),
+            "_c": pd.Series(dtype="int64"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return empty
+        df, new_ent, _starts, _ = _sort_entity_ts(
+            df, entity_col, ts_col, tiebreak)
+        tv = df[type_col].to_numpy().astype(object)
+        isconv = tv == conv_type
+        prev_conv = np.empty(len(tv), dtype=bool)
+        prev_conv[0] = False
+        prev_conv[1:] = isconv[:-1]
+        prev_type = np.empty(len(tv), dtype=object)
+        prev_type[0] = START
+        prev_type[1:] = tv[:-1]
+        src = np.where(new_ent | prev_conv, START, prev_type)
+        dst = np.where(isconv, CONV, tv)
+        last = np.empty(len(tv), dtype=bool)
+        last[:-1] = new_ent[1:]
+        last[-1] = True
+        tail = last & ~isconv
+        pairs = pd.DataFrame({
+            "_p": np.concatenate([src, tv[tail]]),
+            "_q": np.concatenate([dst, np.full(int(tail.sum()),
+                                               NULLS, object)]),
+        })
+        out = pairs.groupby(["_p", "_q"], sort=False).size()
+        return out.rename("_c").reset_index()
+
+    cnt = (
+        _bucketed(proj, entity_col, num_buckets, kernel)
+        .to_pandas()
+        .groupby(["_p", "_q"], sort=True)["_c"].sum().reset_index()
+    )
+    empty_out = ray.data.from_arrow(pa.table({
+        "channel": pa.array([], pa.string()),
+        "removal_effect": pa.array([], pa.float64()),
+        "share": pa.array([], pa.float64()),
+        "p_conv_base": pa.array([], pa.float64()),
+    }))
+    if cnt.empty:
+        return empty_out
+    channels = np.sort(np.unique(np.concatenate([
+        cnt.loc[cnt["_p"] != START, "_p"].to_numpy(),
+        cnt.loc[~cnt["_q"].isin([CONV, NULLS]), "_q"].to_numpy(),
+    ])).astype(object))
+    states = [START] + list(channels) + [CONV, NULLS]
+    sidx = {s: i for i, s in enumerate(states)}
+    m = len(states)
+    ci, vi = m - 2, m - 1
+    P = np.zeros((m, m), np.float64)
+    pi = cnt["_p"].map(sidx).to_numpy(np.int64)
+    qi = cnt["_q"].map(sidx).to_numpy(np.int64)
+    cc = cnt["_c"].to_numpy(np.int64)
+    rowsum = np.bincount(pi, weights=cc, minlength=m)
+    P[pi, qi] = cc / rowsum[pi]
+    P[ci, ci] = 1.0
+    P[vi, vi] = 1.0
+
+    def p_conv(mat: np.ndarray) -> float:
+        v = np.zeros(m)
+        v[0] = 1.0
+        for _ in range(iters):
+            v = v @ mat
+        return float(v[ci])
+
+    p_base = p_conv(P)
+    effects = []
+    for c in channels:
+        k = sidx[c]
+        Pc = P.copy()
+        Pc[:, vi] = Pc[:, vi] + Pc[:, k]
+        Pc[:, k] = 0.0
+        pc = p_conv(Pc)
+        effects.append(None if p_base == 0 else 1.0 - pc / p_base)
+    tot = (None if any(e is None for e in effects)
+           else float(np.sum(np.array(effects))))
+    shares = [None if e is None or not tot else e / tot for e in effects]
+    return ray.data.from_arrow(pa.table({
+        "channel": pa.array([str(c) for c in channels]),
+        "removal_effect": pa.array(
+            [None if e is None else round(e, round_digits)
+             for e in effects], pa.float64()),
+        "share": pa.array(
+            [None if s is None else round(s, round_digits)
+             for s in shares], pa.float64()),
+        "p_conv_base": pa.array(
+            [round(p_base, round_digits)] * len(channels), pa.float64()),
+    }))

@@ -697,3 +697,73 @@ def test_diff_in_diff_empty_cell_yields_nulls(ray_session):
     out = diff_in_diff(_ds(df), "t", "p", "y").to_pandas()
     assert pd.isna(out.loc[0, "did"]) and pd.isna(out.loc[0, "se"])
     assert out.loc[0, "n"] == 3
+
+
+# ----------------------------------------------------- markov_attribution
+
+
+def test_markov_attribution_critical_channel_gets_all_credit(ray_session):
+    from featherstore_ray.stages.window import markov_attribution
+
+    # every converting journey passes through channel "b"; channel "a"
+    # appears but never leads anywhere except b or drop-off
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for u in range(20):
+        seq = (["a", "b", "conv"] if u % 2 == 0 else ["a"])
+        for i, s in enumerate(seq):
+            rows.append((u, t0 + pd.Timedelta(minutes=i), s, u * 10 + i))
+    df = pd.DataFrame(rows, columns=["e", "ts", "t", "tb"])
+    out = (markov_attribution(_ds(df), entity_col="e", ts_col="ts",
+                              type_col="t", conv_type="conv",
+                              tiebreak="tb")
+           .to_pandas().set_index("channel"))
+    # removing b kills all conversion; removing a too (all paths start a)
+    assert out.loc["b", "removal_effect"] == 1.0
+    assert out.loc["a", "removal_effect"] == 1.0
+    assert abs(out["share"].sum() - 1.0) < 1e-6
+    assert (out["p_conv_base"] > 0).all()
+
+
+def test_markov_attribution_useless_channel_gets_zero(ray_session):
+    from featherstore_ray.stages.window import markov_attribution
+
+    # "c" only ever appears AFTER the conversion (a fresh journey that
+    # drops off) -> removing it cannot change p(conv)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for u in range(10):
+        for i, s in enumerate(["a", "conv", "c"]):
+            rows.append((u, t0 + pd.Timedelta(minutes=i), s, i))
+    df = pd.DataFrame(rows, columns=["e", "ts", "t", "tb"])
+    out = (markov_attribution(_ds(df), entity_col="e", ts_col="ts",
+                              type_col="t", conv_type="conv",
+                              tiebreak="tb")
+           .to_pandas().set_index("channel"))
+    assert out.loc["c", "removal_effect"] == 0.0
+    assert out.loc["a", "removal_effect"] == 1.0
+
+
+def test_markov_attribution_partition_invariance(ray_session):
+    from featherstore_ray.stages.window import markov_attribution
+
+    rng = np.random.default_rng(6)
+    n = 600
+    df = pd.DataFrame({
+        "e": rng.integers(0, 30, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10000, n), unit="min"),
+        "t": rng.choice(["a", "b", "c", "conv"], n,
+                        p=[0.35, 0.3, 0.25, 0.1]),
+        "tb": np.arange(n, dtype=np.int64),
+    })
+    a = (markov_attribution(ray.data.from_pandas(df).repartition(2),
+                            entity_col="e", ts_col="ts", type_col="t",
+                            conv_type="conv", tiebreak="tb").to_pandas()
+         .sort_values("channel").reset_index(drop=True))
+    b = (markov_attribution(ray.data.from_pandas(df).repartition(11),
+                            entity_col="e", ts_col="ts", type_col="t",
+                            conv_type="conv", tiebreak="tb",
+                            num_buckets=7).to_pandas()
+         .sort_values("channel").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
