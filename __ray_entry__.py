@@ -6605,6 +6605,90 @@ def _ma_sql(iters: int) -> str:
     """
 
 
+def q_elo_ratings(sf_dir: str):
+    """Daily-batch Elo ratings of event types (the sequential sibling
+    of bradley_terry): one entity exchange of (day, winner, loser)
+    partials, 31 fixed day-replay steps, unrolled step-CTE mirror."""
+    from featherstore_ray.stages.aggregate import elo_ratings
+
+    return elo_ratings(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        entity_col="user_id", ts_col="ts", type_col="event_type",
+        k_factor=16.0, max_days=31,
+    )
+
+
+def _elo_sql(k: float, initial: float, max_days: int) -> str:
+    """SQL mirror of ``elo_ratings``: the bradley_terry win relation
+    plus one MATERIALIZED day-replay CTE per rank (each references the
+    previous ratings three times — inlining would blow up 3^31)."""
+    sql = f"""
+        WITH e AS (
+            SELECT user_id AS u, date_trunc('day', ts) AS d,
+                   event_type AS t
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        c AS MATERIALIZED (
+            SELECT u, d, t, count(*)::BIGINT AS n FROM e GROUP BY 1, 2, 3
+        ),
+        mm AS MATERIALIZED (
+            SELECT dense_rank() OVER (ORDER BY d) AS di, w, l, c FROM (
+                SELECT a.d AS d, a.t AS w, b.t AS l,
+                       count(*)::BIGINT AS c
+                FROM c a JOIN c b
+                  ON a.u = b.u AND a.d = b.d AND a.n > b.n
+                GROUP BY 1, 2, 3)
+        ),
+        items AS MATERIALIZED (
+            SELECT DISTINCT t
+            FROM (SELECT w AS t FROM mm UNION SELECT l AS t FROM mm)
+        ),
+        wl AS MATERIALIZED (
+            SELECT items.t,
+                   coalesce(wv.wins, 0)::BIGINT AS wins,
+                   coalesce(lv.losses, 0)::BIGINT AS losses
+            FROM items
+            LEFT JOIN (SELECT w AS t, sum(c)::BIGINT AS wins
+                       FROM mm GROUP BY 1) wv USING (t)
+            LEFT JOIN (SELECT l AS t, sum(c)::BIGINT AS losses
+                       FROM mm GROUP BY 1) lv USING (t)
+        ),
+        r0 AS MATERIALIZED (
+            SELECT t AS item, {initial!r}::DOUBLE AS rating FROM items
+        )"""
+    for i in range(1, max_days + 1):
+        sql += f""",
+        r{i} AS MATERIALIZED (
+            SELECT r.item, r.rating + coalesce(dd.delta, 0.0) AS rating
+            FROM r{i - 1} r LEFT JOIN (
+                SELECT item, sum(delta) AS delta FROM (
+                    SELECT m.w AS item,
+                           {k!r} * m.c * (1 - 1 / (1 + pow(10,
+                               (rl.rating - rw.rating) / 400))) AS delta
+                    FROM mm m
+                    JOIN r{i - 1} rw ON rw.item = m.w
+                    JOIN r{i - 1} rl ON rl.item = m.l
+                    WHERE m.di = {i}
+                    UNION ALL
+                    SELECT m.l,
+                           -{k!r} * m.c * (1 - 1 / (1 + pow(10,
+                               (rl.rating - rw.rating) / 400)))
+                    FROM mm m
+                    JOIN r{i - 1} rw ON rw.item = m.w
+                    JOIN r{i - 1} rl ON rl.item = m.l
+                    WHERE m.di = {i}
+                ) GROUP BY 1
+            ) dd USING (item)
+        )"""
+    return sql + f"""
+        SELECT wl.t AS item, round(r.rating, 6) AS rating,
+               wl.wins, wl.losses
+        FROM wl JOIN r{max_days} r ON r.item = wl.t
+    """
+
+
 def q_diff_in_diff(sf_dir: str):
     """2x2 difference-in-differences on event values: even-id users as
     the exposed cohort, post = Jan 16 on; 12 moment scalars, zero
@@ -7155,6 +7239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mondrian": q_mondrian,
         "diff_in_diff": q_diff_in_diff,
         "markov_attribution": q_markov_attribution,
+        "elo_ratings": q_elo_ratings,
     }
 
 
@@ -12388,6 +12473,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _rw_sql(4, 2),
         "mondrian": _mondrian_sql(25, 4),
         "markov_attribution": _ma_sql(12),
+        "elo_ratings": _elo_sql(16.0, 1000.0, 31),
         "diff_in_diff": """
             WITH r AS (
                 SELECT ((user_id % 2) = 0)::INT AS t,

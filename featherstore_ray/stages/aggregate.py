@@ -6193,3 +6193,120 @@ def diff_in_diff(
         for k, v in zip(names, vals)}
     cols["n"] = pa.array([n_tot], pa.int64())
     return ray.data.from_arrow(pa.table(cols))
+
+
+def elo_ratings(
+    ds: ray.data.Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    k_factor: float = 16.0,
+    initial: float = 1000.0,
+    max_days: int = 31,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Daily-batch Elo ratings of the item (type) vocabulary — the
+    SEQUENTIAL sibling of :func:`bradley_terry` (BT fits one static
+    strength by MLE; Elo tracks ratings THROUGH time, so early and late
+    form differ): the same exact-int win relation (within each (entity,
+    day) cell the strictly-more-frequent type beats the other), but
+    matches are replayed day by day. All of day d's matches score
+    against START-of-day ratings (batch variant — order within a day
+    cannot matter, which is what makes the op deterministic and
+    mirrorable); for a match w beats l with start ratings r_w, r_l:
+
+        e = 1 / (1 + 10^((r_l - r_w) / 400))
+        delta_w += K * n * (1 - e);   delta_l -= K * n * (1 - e)
+
+    Exactly ``max_days`` update steps run on BOTH sides (days are
+    dense-ranked ascending; ranks past the data's last day add exact
+    0.0 — the oracle unrolls one step-CTE per rank, so the schedule
+    must be fixed). Output: (item, rating, wins, losses) with raw
+    integer win/loss counts.
+
+    Scale shape: ONE hash(entity) exchange whose kernel reduces each
+    bucket to (day, winner, loser, count) partials; the driver folds a
+    days x K^2-bounded table and replays in-memory (K = type
+    vocabulary, days bounded by contract).
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([entity_col, ts_col, type_col])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_d": pd.Series(dtype="datetime64[ns]"),
+            "_w": pd.Series(dtype="object"),
+            "_l": pd.Series(dtype="object"),
+            "_c": pd.Series(dtype="int64"),
+        })
+        df = df.dropna(subset=[entity_col, ts_col, type_col])
+        if df.empty:
+            return empty
+        day = df[ts_col].dt.floor("D")
+        cnt = (
+            df.assign(_d=day)
+            .groupby([entity_col, "_d", type_col], sort=False)
+            .size().rename("_n").reset_index()
+        )
+        m = cnt.merge(cnt, on=[entity_col, "_d"], suffixes=("_a", "_b"))
+        m = m[m["_n_a"] > m["_n_b"]]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["_d", type_col + "_a", type_col + "_b"],
+                      sort=False)
+            .size().rename("_c").reset_index()
+        )
+        out.columns = ["_d", "_w", "_l", "_c"]
+        return out
+
+    parts = bucketed_map_groups(
+        add_bucket_column(proj, entity_col, num_buckets),
+        lambda df: kernel(df.drop(columns=[BUCKET_COL])),
+        num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"_d": pd.Series(dtype="datetime64[ns]"),
+                              "_w": [], "_l": [], "_c": []})
+    cnt = (parts.groupby(["_d", "_w", "_l"], sort=True)["_c"]
+           .sum().reset_index())
+    if cnt.empty:
+        return ray.data.from_arrow(pa.table({
+            "item": pa.array([], pa.string()),
+            "rating": pa.array([], pa.float64()),
+            "wins": pa.array([], pa.int64()),
+            "losses": pa.array([], pa.int64()),
+        }))
+    items = np.sort(np.unique(np.concatenate(
+        [cnt["_w"].to_numpy(), cnt["_l"].to_numpy()])))
+    idx = {t: i for i, t in enumerate(items)}
+    days = np.sort(cnt["_d"].unique())
+    drank = {d: i + 1 for i, d in enumerate(days)}
+    di = cnt["_d"].map(drank).to_numpy(np.int64)
+    wi = cnt["_w"].map(idx).to_numpy(np.int64)
+    li = cnt["_l"].map(idx).to_numpy(np.int64)
+    cc = cnt["_c"].to_numpy(np.float64)
+    r = np.full(len(items), initial, np.float64)
+    for step in range(1, max_days + 1):
+        sel = di == step
+        if not sel.any():
+            continue
+        w, l, n = wi[sel], li[sel], cc[sel]
+        e = 1.0 / (1.0 + np.power(10.0, (r[l] - r[w]) / 400.0))
+        delta = np.zeros(len(items), np.float64)
+        np.add.at(delta, w, k_factor * n * (1.0 - e))
+        np.add.at(delta, l, -k_factor * n * (1.0 - e))
+        r = r + delta
+    wins = np.zeros(len(items), np.int64)
+    losses = np.zeros(len(items), np.int64)
+    np.add.at(wins, wi, cc.astype(np.int64))
+    np.add.at(losses, li, cc.astype(np.int64))
+    return ray.data.from_arrow(pa.table({
+        "item": pa.array(items.astype(str)),
+        "rating": pa.array(np.round(r, round_digits), pa.float64()),
+        "wins": pa.array(wins, pa.int64()),
+        "losses": pa.array(losses, pa.int64()),
+    }))

@@ -767,3 +767,65 @@ def test_markov_attribution_partition_invariance(ray_session):
                             num_buckets=7).to_pandas()
          .sort_values("channel").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------ elo_ratings
+
+
+def test_elo_ratings_dominant_item_rises_and_sum_is_conserved(ray_session):
+    from featherstore_ray.stages.aggregate import elo_ratings
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(20):
+        for d in range(10):
+            ts = base + pd.Timedelta(days=d, hours=2)
+            rows += [(u, ts, "a")] * 3 + [(u, ts, "b")] * 2 + [(u, ts, "c")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = (elo_ratings(_ds(df), entity_col="user_id", ts_col="ts",
+                       type_col="event_type")
+           .to_pandas().set_index("item"))
+    assert out.loc["a", "rating"] > out.loc["b", "rating"] \
+        > out.loc["c", "rating"]
+    # zero-sum updates: total rating mass is conserved
+    assert abs(out["rating"].sum() - 3000.0) < 1e-3
+    assert out.loc["a", "wins"] == 400 and out.loc["a", "losses"] == 0
+
+
+def test_elo_ratings_matches_manual_single_day(ray_session):
+    from featherstore_ray.stages.aggregate import elo_ratings
+
+    # one user, one day, a beats b once (counts 2 vs 1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [pd.Timestamp("2024-02-01")] * 3,
+        "event_type": ["a", "a", "b"],
+    })
+    out = (elo_ratings(_ds(df), entity_col="user_id", ts_col="ts",
+                       type_col="event_type", k_factor=16.0)
+           .to_pandas().set_index("item"))
+    # equal start ratings -> e = 0.5, delta = 16 * 1 * 0.5 = 8
+    assert out.loc["a", "rating"] == 1008.0
+    assert out.loc["b", "rating"] == 992.0
+
+
+def test_elo_ratings_partition_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import elo_ratings
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 20 * 24, n), unit="h"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    a = (elo_ratings(ray.data.from_pandas(df).repartition(2),
+                     entity_col="user_id", ts_col="ts",
+                     type_col="event_type").to_pandas()
+         .sort_values("item").reset_index(drop=True))
+    b = (elo_ratings(ray.data.from_pandas(df).repartition(9),
+                     entity_col="user_id", ts_col="ts",
+                     type_col="event_type", num_buckets=7).to_pandas()
+         .sort_values("item").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
