@@ -6605,6 +6605,17 @@ def _ma_sql(iters: int) -> str:
     """
 
 
+def q_keyword_extract(sf_dir: str):
+    """RAKE key phrases over the document corpus: stopword-free token
+    runs (<=4 words), deg/freq word scores, top-100 phrases by rounded
+    score; one word exchange + one tagged-union + one phrase
+    exchange."""
+    from featherstore_ray.stages.text import keyword_extract
+
+    return keyword_extract(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_elo_ratings(sf_dir: str):
     """Daily-batch Elo ratings of event types (the sequential sibling
     of bradley_terry): one entity exchange of (day, winner, loser)
@@ -7240,6 +7251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_in_diff": q_diff_in_diff,
         "markov_attribution": q_markov_attribution,
         "elo_ratings": q_elo_ratings,
+        "keyword_extract": q_keyword_extract,
     }
 
 
@@ -12474,6 +12486,50 @@ def oracle_sql() -> dict[str, str]:
         "mondrian": _mondrian_sql(25, 4),
         "markov_attribution": _ma_sql(12),
         "elo_ratings": _elo_sql(16.0, 1000.0, 31),
+        "keyword_extract": """
+            WITH tok AS (
+                SELECT doc_id AS d,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(range(1, len(string_split(text, ' ')) + 1))
+                           AS pos
+                FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            ns AS MATERIALIZED (
+                SELECT d, w, pos,
+                       pos - row_number() OVER (PARTITION BY d
+                                                ORDER BY pos) AS grp
+                FROM tok
+                WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                'is', 'it')
+                  AND w <> ''
+            ),
+            occ AS MATERIALIZED (
+                SELECT d, grp, count(*)::BIGINT AS L,
+                       string_agg(w, ' ' ORDER BY pos) AS ph
+                FROM ns GROUP BY 1, 2
+            ),
+            kept AS MATERIALIZED (SELECT * FROM occ WHERE L <= 4),
+            memb AS MATERIALIZED (
+                SELECT ns.d, ns.grp, ns.w, k.L, k.ph
+                FROM ns JOIN kept k ON k.d = ns.d AND k.grp = ns.grp
+            ),
+            ws AS MATERIALIZED (
+                SELECT w, sum(L)::DOUBLE / count(*) AS wsc
+                FROM memb GROUP BY 1
+            ),
+            osc AS MATERIALIZED (
+                SELECT m.ph, m.d, m.grp, sum(ws.wsc) AS s
+                FROM memb m JOIN ws USING (w) GROUP BY 1, 2, 3
+            )
+            SELECT ph AS phrase,
+                   len(string_split(ph, ' '))::BIGINT AS words,
+                   count(*)::BIGINT AS n,
+                   round(max(s), 6) AS score
+            FROM osc GROUP BY 1
+            ORDER BY score DESC, phrase ASC
+            LIMIT 100
+        """,
         "diff_in_diff": """
             WITH r AS (
                 SELECT ((user_id % 2) = 0)::INT AS t,

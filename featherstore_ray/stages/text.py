@@ -2614,3 +2614,222 @@ def regex_extract(
     ).map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def keyword_extract(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    stopwords: tuple = ("the", "a", "of", "and", "to", "in", "is", "it"),
+    max_phrase_len: int = 4,
+    top_n: int = 100,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """RAKE keyword extraction (Rose et al. 2010) — corpus-level key
+    phrases for tagging / dedup-blocking / topic labeling: candidate
+    phrases are maximal stopword-free token runs (single-space
+    tokenization; '' counts as a stopword) of length <=
+    ``max_phrase_len`` (longer runs are DISCARDED entirely — the
+    standard cap — contributing nothing to word stats either); per word
+    over kept phrase members, ``freq`` = occurrences, ``deg`` = sum of
+    containing-phrase lengths (self included — documented variant),
+    ``wscore = deg / freq``; a phrase occurrence scores the sum of its
+    member wscores and identical phrase texts aggregate (n =
+    occurrences, score = max over the float-identical occurrence sums).
+    Output: top ``top_n`` rows (phrase, words, n, score) by
+    (6dp-rounded score DESC, phrase ASC) — the deterministic-cut
+    convention.
+
+    Scale shape: per-batch token/island construction is vectorized
+    (pandas C-level split + run-length islands; a doc never spans
+    blocks, so (doc, island) identifies an occurrence globally); word
+    stats take ONE hash(word) exchange of (word, freq, deg) partials;
+    scoring takes one tagged-union hash(word) exchange (sentinel
+    fills, never null pads) and one hash(phrase) exchange whose kernel
+    emits only its bucket's top ``top_n`` — the driver merges at most
+    buckets x ``top_n`` rows.
+    """
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+
+    stops = set(stopwords) | {""}
+    cap = int(max_phrase_len)
+
+    _EMPTY = {
+        "_d": pd.Series(dtype="int64"),
+        "_g": pd.Series(dtype="int64"),
+        "_w": pd.Series(dtype="object"),
+        "_ph": pd.Series(dtype="object"),
+        "_L": pd.Series(dtype="int64"),
+    }
+
+    def members(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[id_col, text_col]).reset_index(drop=True)
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        toks = df[text_col].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        w = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        pos = np.arange(len(w), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        nonstop = ~pd.Series(w, dtype=object).isin(stops).to_numpy()
+        doc, pos, w = doc[nonstop], pos[nonstop], w[nonstop]
+        if len(w) == 0:
+            return pd.DataFrame(_EMPTY)
+        new = np.ones(len(w), dtype=bool)
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)
+        occ = np.cumsum(new) - 1
+        L = np.bincount(occ)
+        keep = (L <= cap)[occ]
+        doc, w, occ = doc[keep], w[keep], occ[keep]
+        if len(w) == 0:
+            return pd.DataFrame(_EMPTY)
+        newk = np.ones(len(occ), dtype=bool)
+        newk[1:] = occ[1:] != occ[:-1]
+        occk = np.cumsum(newk) - 1
+        st = np.flatnonzero(newk)
+        posk = np.arange(len(occ), dtype=np.int64) - np.repeat(
+            st, np.diff(np.append(st, len(occ))))
+        n_occ = occk[-1] + 1
+        pw = np.full((n_occ, cap), "", dtype=object)
+        pw[occk, posk] = w
+        phrase = pw[:, 0]
+        for j in range(1, cap):
+            nxt = pw[:, j]
+            phrase = np.where(nxt == "", phrase, phrase + " " + nxt)
+        lk = np.bincount(occk)
+        return pd.DataFrame({
+            "_d": doc,
+            "_g": occ,
+            "_w": w,
+            "_ph": phrase[occk],
+            "_L": lk[occk],
+        })
+
+    mem = ds.select_columns([id_col, text_col]).map_batches(
+        members, batch_size=None, batch_format="pandas").materialize()
+
+    def wpartial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_w", sort=False)["_L"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "_w": g.index.to_numpy(dtype=object),
+            "_f": g["size"].to_numpy(np.int64),
+            "_deg": g["sum"].to_numpy(np.int64),
+        })
+
+    def wscore(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby("_w", sort=True)[["_f", "_deg"]].sum()
+        return pd.DataFrame({
+            "_w": g.index.to_numpy(dtype=object),
+            "_wsc": g["_deg"].to_numpy(np.float64)
+            / g["_f"].to_numpy(np.float64),
+        })
+
+    scores = bucketed_map_groups(
+        add_bucket_column(
+            mem.map_batches(wpartial, batch_size=None,
+                            batch_format="pandas"),
+            "_w", num_buckets),
+        wscore, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    # tagged union on word: annotate member rows with their wscore
+    def tag_mem(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_w": df["_w"].to_numpy(dtype=object),
+            "_d": df["_d"].to_numpy(np.int64),
+            "_g": df["_g"].to_numpy(np.int64),
+            "_ph": df["_ph"].to_numpy(dtype=object),
+            "_wsc": np.zeros(len(df)),
+            "_kind": np.zeros(len(df), np.int64),
+        })
+
+    def tag_score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_w": df["_w"].to_numpy(dtype=object),
+            "_d": np.full(len(df), -1, np.int64),
+            "_g": np.full(len(df), -1, np.int64),
+            "_ph": np.full(len(df), "", dtype=object),
+            "_wsc": df["_wsc"].to_numpy(np.float64),
+            "_kind": np.ones(len(df), np.int64),
+        })
+
+    tagged = mem.map_batches(
+        tag_mem, batch_size=None, batch_format="pandas").union(
+        scores.map_batches(tag_score, batch_size=None,
+                           batch_format="pandas"))
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        sc = df[df["_kind"] == 1].set_index("_w")["_wsc"]
+        m = df[df["_kind"] == 0]
+        if m.empty:
+            return pd.DataFrame({
+                "_ph": pd.Series(dtype="object"),
+                "_d": pd.Series(dtype="int64"),
+                "_g": pd.Series(dtype="int64"),
+                "_wsc": pd.Series(dtype="float64"),
+            })
+        return pd.DataFrame({
+            "_ph": m["_ph"].to_numpy(dtype=object),
+            "_d": m["_d"].to_numpy(np.int64),
+            "_g": m["_g"].to_numpy(np.int64),
+            "_wsc": m["_w"].map(sc).to_numpy(np.float64),
+        })
+
+    annotated = bucketed_map_groups(
+        add_bucket_column(tagged, "_w", num_buckets),
+        annotate, num_buckets=num_buckets, batch_format="pandas",
+    )
+
+    def per_phrase(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                "phrase": pd.Series(dtype="object"),
+                "words": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+        occ = (df.groupby(["_ph", "_d", "_g"], sort=True)["_wsc"]
+               .agg(["sum", "size"]).reset_index())
+        g = occ.groupby("_ph", sort=True).agg(
+            words=("size", "max"), n=("sum", "size"),
+            score=("sum", "max"))
+        out = pd.DataFrame({
+            "phrase": g.index.to_numpy(dtype=object),
+            "words": g["words"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "score": np.round(g["score"].to_numpy(np.float64),
+                              round_digits),
+        })
+        out = out.sort_values(["score", "phrase"],
+                              ascending=[False, True]).head(top_n)
+        return out.reset_index(drop=True)
+
+    parts = bucketed_map_groups(
+        add_bucket_column(annotated, "_ph", num_buckets),
+        per_phrase, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({
+            "phrase": pd.Series(dtype="object"),
+            "words": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+    out = (parts.sort_values(["score", "phrase"],
+                             ascending=[False, True])
+           .head(top_n).reset_index(drop=True))
+    return ray.data.from_arrow(pa.table({
+        "phrase": pa.array(out["phrase"].astype(str), pa.string()),
+        "words": pa.array(out["words"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(out["score"].to_numpy(np.float64),
+                          pa.float64()),
+    }))

@@ -1205,3 +1205,54 @@ def test_bpe_train_prefix_stable(ray_session):
     small = bpe_train(ds(), num_merges=5, num_buckets=4)
     big = bpe_train(ds(), num_merges=12, num_buckets=4)
     pd.testing.assert_frame_equal(small, big.head(5).reset_index(drop=True))
+
+
+# --------------------------------------------------------- keyword_extract
+
+
+def test_keyword_extract_rake_semantics(ray_session):
+    import pyarrow as pa
+    from featherstore_ray.stages.text import keyword_extract
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "deep learning of deep learning",
+            "the deep learning a neural network",
+            "neural network and deep learning",
+        ]),
+    })
+    out = (keyword_extract(ray.data.from_arrow(docs).repartition(2),
+                           top_n=10)
+           .to_pandas().set_index("phrase"))
+    # "deep learning" occurs 4x as its own phrase
+    assert out.loc["deep learning", "n"] == 4
+    assert out.loc["deep learning", "words"] == 2
+    assert out.loc["neural network", "n"] == 2
+    # RAKE hand-check: freq(deep)=4, deg(deep)=8 -> wscore 2.0 (same for
+    # learning); freq(neural)=2, deg=4 -> 2.0; phrase scores = 4.0
+    assert out.loc["deep learning", "score"] == 4.0
+    assert out.loc["neural network", "score"] == 4.0
+
+
+def test_keyword_extract_drops_long_runs_and_is_partition_invariant(
+        ray_session):
+    import pyarrow as pa
+    from featherstore_ray.stages.text import keyword_extract
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "the", "a"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(texts),
+    })
+    a = (keyword_extract(ray.data.from_arrow(docs).repartition(2),
+                         max_phrase_len=3, top_n=40).to_pandas()
+         .reset_index(drop=True))
+    b = (keyword_extract(ray.data.from_arrow(docs).repartition(9),
+                         max_phrase_len=3, top_n=40,
+                         num_buckets=7).to_pandas()
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["words"] <= 3).all()
