@@ -6605,6 +6605,30 @@ def _ma_sql(iters: int) -> str:
     """
 
 
+def q_mcnemar(sf_dir: str):
+    """McNemar paired test: did the same users flip click behavior
+    between the first and second half of the month — per-user OR
+    partials, one entity exchange, exact-int statistic."""
+    import datetime as _dt
+
+    from featherstore_ray.stages.aggregate import mcnemar_test
+
+    cut = pa.scalar(_dt.datetime(2024, 1, 16), pa.timestamp("us"))
+
+    def flags(t: pa.Table, _cut=cut) -> pa.Table:
+        is_click = pc.equal(t["event_type"], "click")
+        return pa.table({
+            "user_id": t["user_id"],
+            "x": pc.and_kleene(pc.less(t["ts"], _cut), is_click),
+            "y": pc.and_kleene(pc.greater_equal(t["ts"], _cut), is_click),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.map_batches(flags, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return mcnemar_test(ds, "user_id", "x", "y")
+
+
 def q_keyword_extract(sf_dir: str):
     """RAKE key phrases over the document corpus: stopword-free token
     runs (<=4 words), deg/freq word scores, top-100 phrases by rounded
@@ -7252,6 +7276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_attribution": q_markov_attribution,
         "elo_ratings": q_elo_ratings,
         "keyword_extract": q_keyword_extract,
+        "mcnemar": q_mcnemar,
     }
 
 
@@ -12486,6 +12511,33 @@ def oracle_sql() -> dict[str, str]:
         "mondrian": _mondrian_sql(25, 4),
         "markov_attribution": _ma_sql(12),
         "elo_ratings": _elo_sql(16.0, 1000.0, 31),
+        "mcnemar": """
+            WITH u AS MATERIALIZED (
+                SELECT user_id,
+                       coalesce(max((ts < TIMESTAMP '2024-01-16'
+                                     AND event_type = 'click')::INT), 0)
+                           AS x,
+                       coalesce(max((ts >= TIMESTAMP '2024-01-16'
+                                     AND event_type = 'click')::INT), 0)
+                           AS y
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1
+            ),
+            c AS MATERIALIZED (
+                SELECT count(*)::BIGINT AS np,
+                       sum((x = 0 AND y = 0)::INT)::BIGINT AS n00,
+                       sum((x = 0 AND y = 1)::INT)::BIGINT AS n01,
+                       sum((x = 1 AND y = 0)::INT)::BIGINT AS n10,
+                       sum((x = 1 AND y = 1)::INT)::BIGINT AS n11
+                FROM u
+            )
+            SELECT np AS n_pairs, n00, n01, n10, n11,
+                   CASE WHEN n10 + n01 = 0 THEN NULL
+                        ELSE round(pow(abs(n10 - n01) - 1, 2)::DOUBLE
+                                   / (n10 + n01), 6)
+                   END AS stat
+            FROM c
+        """,
         "keyword_extract": """
             WITH tok AS (
                 SELECT doc_id AS d,

@@ -6310,3 +6310,85 @@ def elo_ratings(
         "wins": pa.array(wins, pa.int64()),
         "losses": pa.array(losses, pa.int64()),
     }))
+
+
+def mcnemar_test(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """McNemar's test for PAIRED binary outcomes — the within-subject
+    member of the test family (welch_t / mann_whitney compare
+    independent groups; chi2 tests unpaired association; McNemar asks
+    "did the SAME entities flip state", so concordant pairs carry no
+    information): per entity, x = any(x_col), y = any(y_col); with
+    discordant counts b = #(1,0) and c = #(0,1),
+
+        stat = (|b - c| - 1)^2 / (b + c)     (continuity-corrected;
+                                              NULL when b + c = 0)
+
+    All counts are exact ints, so the statistic is engine-exact.
+    Output one row: (n_pairs, n00, n01, n10, n11, stat) where nXY
+    counts entities with x=X, y=Y.
+
+    Scale shape: per-batch per-entity OR partials, ONE hash(entity)
+    exchange whose kernel folds its bucket's entities to five ints;
+    the driver sums buckets x 5 scalars.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([entity_col, x_col, y_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col])
+        g = (df.assign(_x=df[x_col].fillna(False).astype(bool),
+                       _y=df[y_col].fillna(False).astype(bool))
+             .groupby(entity_col, sort=False)[["_x", "_y"]].any()
+             .reset_index())
+        return g
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                "_n00": pd.Series(dtype="int64"),
+                "_n01": pd.Series(dtype="int64"),
+                "_n10": pd.Series(dtype="int64"),
+                "_n11": pd.Series(dtype="int64"),
+            })
+        g = df.groupby(entity_col, sort=False)[["_x", "_y"]].any()
+        x = g["_x"].to_numpy()
+        y = g["_y"].to_numpy()
+        return pd.DataFrame({
+            "_n00": [int((~x & ~y).sum())],
+            "_n01": [int((~x & y).sum())],
+            "_n10": [int((x & ~y).sum())],
+            "_n11": [int((x & y).sum())],
+        })
+
+    m = bucketed_map_groups(
+        add_bucket_column(
+            proj.map_batches(partial, batch_size=None,
+                             batch_format="pandas"),
+            entity_col, num_buckets),
+        cells, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    n00 = int(m["_n00"].sum()) if not m.empty else 0
+    n01 = int(m["_n01"].sum()) if not m.empty else 0
+    n10 = int(m["_n10"].sum()) if not m.empty else 0
+    n11 = int(m["_n11"].sum()) if not m.empty else 0
+    b, c = n10, n01
+    stat = (None if b + c == 0
+            else round((abs(b - c) - 1) ** 2 / (b + c), round_digits))
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n00 + n01 + n10 + n11], pa.int64()),
+        "n00": pa.array([n00], pa.int64()),
+        "n01": pa.array([n01], pa.int64()),
+        "n10": pa.array([n10], pa.int64()),
+        "n11": pa.array([n11], pa.int64()),
+        "stat": pa.array([stat], pa.float64()),
+    }))

@@ -829,3 +829,35 @@ def test_elo_ratings_partition_invariance(ray_session):
                      type_col="event_type", num_buckets=7).to_pandas()
          .sort_values("item").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------ mcnemar_test
+
+
+def test_mcnemar_counts_discordant_pairs_exactly(ray_session):
+    from featherstore_ray.stages.aggregate import mcnemar_test
+
+    # entities: 3 (1,0) flips, 1 (0,1) flip, 2 concordant-1, 1 concordant-0
+    rows = []
+    for e, (x, y) in enumerate([(1, 0), (1, 0), (1, 0), (0, 1),
+                                (1, 1), (1, 1), (0, 0)]):
+        # split each entity across two rows to exercise the OR fold
+        rows.append((e, bool(x), False))
+        rows.append((e, False, bool(y)))
+    df = pd.DataFrame(rows, columns=["e", "x", "y"])
+    out = mcnemar_test(_ds(df), "e", "x", "y").to_pandas()
+    assert out.loc[0, "n_pairs"] == 7
+    assert out.loc[0, "n10"] == 3 and out.loc[0, "n01"] == 1
+    assert out.loc[0, "n11"] == 2 and out.loc[0, "n00"] == 1
+    # continuity-corrected: (|3-1|-1)^2 / 4 = 0.25
+    assert out.loc[0, "stat"] == 0.25
+
+
+def test_mcnemar_no_discordance_yields_null(ray_session):
+    from featherstore_ray.stages.aggregate import mcnemar_test
+
+    df = pd.DataFrame({"e": [1, 2], "x": [True, False],
+                       "y": [True, False]})
+    out = mcnemar_test(_ds(df), "e", "x", "y").to_pandas()
+    assert pd.isna(out.loc[0, "stat"])
+    assert out.loc[0, "n11"] == 1 and out.loc[0, "n00"] == 1
