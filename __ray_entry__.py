@@ -6605,6 +6605,18 @@ def _ma_sql(iters: int) -> str:
     """
 
 
+def q_rollup(sf_dir: str):
+    """OLAP ROLLUP over customers (segment -> nation): all prefix
+    levels + grand total in ONE leading-key exchange; GROUP BY ROLLUP
+    mirror."""
+    from featherstore_ray.stages.aggregate import rollup_agg
+
+    return rollup_agg(
+        _read(sf_dir, "customer",
+              columns=["c_mktsegment", "c_nationkey", "c_acctbal"]),
+        ["c_mktsegment", "c_nationkey"], "c_acctbal")
+
+
 def q_mcnemar(sf_dir: str):
     """McNemar paired test: did the same users flip click behavior
     between the first and second half of the month — per-user OR
@@ -7277,6 +7289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elo_ratings": q_elo_ratings,
         "keyword_extract": q_keyword_extract,
         "mcnemar": q_mcnemar,
+        "rollup": q_rollup,
     }
 
 
@@ -12511,6 +12524,18 @@ def oracle_sql() -> dict[str, str]:
         "mondrian": _mondrian_sql(25, 4),
         "markov_attribution": _ma_sql(12),
         "elo_ratings": _elo_sql(16.0, 1000.0, 31),
+        "rollup": """
+            SELECT (grouping(c_mktsegment)
+                    + grouping(c_nationkey))::BIGINT AS level,
+                   c_mktsegment, c_nationkey,
+                   count(*)::BIGINT AS n,
+                   round(sum(c_acctbal), 6) AS sum_v,
+                   round(sum(c_acctbal) / count(*), 6) AS mean_v
+            FROM customer
+            WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+              AND c_acctbal IS NOT NULL
+            GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        """,
         "mcnemar": """
             WITH u AS MATERIALIZED (
                 SELECT user_id,

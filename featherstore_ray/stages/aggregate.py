@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import warnings
+
 import numpy as np
 import pandas as pd
 
@@ -6392,3 +6394,88 @@ def mcnemar_test(
         "n11": pa.array([n11], pa.int64()),
         "stat": pa.array([stat], pa.float64()),
     }))
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """OLAP ROLLUP in one exchange — every prefix level of ``keys``
+    aggregated at once (the SQL ``GROUP BY ROLLUP`` contract: rolled-up
+    key columns are NULL, ``level`` = number of rolled-up keys, grand
+    total = ``len(keys)``). Output per group: (level, *keys, n, sum_v,
+    mean_v); sums and means rounded at ``round_digits`` (summation
+    order differs across engines), counts exact. Rows with a null key
+    are out of contract (filtered both sides — the null-group-key
+    lesson: a data null would be indistinguishable from a rollup
+    marker).
+
+    Scale shape: every rollup level groups by a PREFIX starting with
+    ``keys[0]``, so ONE hash(keys[0]) exchange co-locates all levels of
+    a key-slice; the kernel emits every non-total level for its bucket
+    and (1, sum, count) scalars for the driver-folded grand total.
+    """
+    import pyarrow as pa
+
+    ks = list(keys)
+    proj = ds.select_columns(ks + [value_col])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).dropna(subset=ks + [value_col])
+        df = df.copy()
+        for c in ks:  # object keys keep concat dtype-stable with None pads
+            df[c] = df[c].astype(object)
+        frames = []
+        for lvl in range(len(ks)):  # 0 = finest .. len-1 = keys[0] only
+            gk = ks[: len(ks) - lvl]
+            g = (df.groupby(gk, sort=True)[value_col]
+                 .agg(["size", "sum"]).reset_index())
+            for c in ks[len(ks) - lvl:]:
+                g[c] = pd.Series([None] * len(g), dtype="object")
+            g["level"] = np.int64(lvl)
+            frames.append(g)
+        tot = pd.DataFrame({"size": [np.int64(len(df))],
+                            "sum": [float(df[value_col].sum())],
+                            "level": [-1]})
+        for c in ks:
+            tot[c] = pd.Series([None], dtype="object")
+        frames.append(tot)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            out = pd.concat(frames, ignore_index=True)
+        return out[["level"] + ks + ["size", "sum"]]
+
+    parts = bucketed_map_groups(
+        add_bucket_column(proj, ks[0], num_buckets),
+        kernel, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    out_cols = ["level"] + ks + ["n", "sum_v", "mean_v"]
+    if parts.empty:
+        empty = {c: pa.array([], pa.int64()) for c in ["level", "n"]}
+        return ray.data.from_arrow(pa.table(
+            {"level": pa.array([], pa.int64()),
+             **{c: pa.array([], pa.string()) for c in ks},
+             "n": pa.array([], pa.int64()),
+             "sum_v": pa.array([], pa.float64()),
+             "mean_v": pa.array([], pa.float64())}))
+    lv = parts[parts["level"] >= 0].copy()
+    tot = parts[parts["level"] < 0]
+    out = lv.reset_index(drop=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        out.loc[len(out)] = {**{c: None for c in ks},
+                             "level": np.int64(len(ks)),
+                             "size": np.int64(tot["size"].sum()),
+                             "sum": float(tot["sum"].sum())}
+    out["n"] = out["size"].astype(np.int64)
+    out["mean_v"] = np.round(out["sum"].to_numpy(np.float64)
+                             / out["n"].to_numpy(np.float64),
+                             round_digits)
+    out["sum_v"] = np.round(out["sum"].to_numpy(np.float64),
+                            round_digits)
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out[out_cols], preserve_index=False))

@@ -861,3 +861,46 @@ def test_mcnemar_no_discordance_yields_null(ray_session):
     out = mcnemar_test(_ds(df), "e", "x", "y").to_pandas()
     assert pd.isna(out.loc[0, "stat"])
     assert out.loc[0, "n11"] == 1 and out.loc[0, "n00"] == 1
+
+
+# --------------------------------------------------------------- rollup_agg
+
+
+def test_rollup_levels_and_grand_total(ray_session):
+    from featherstore_ray.stages.aggregate import rollup_agg
+
+    df = pd.DataFrame({
+        "k1": ["x", "x", "x", "y"],
+        "k2": ["p", "p", "q", "p"],
+        "v": [1.0, 2.0, 4.0, 8.0],
+    })
+    out = rollup_agg(_ds(df), ["k1", "k2"], "v").to_pandas()
+    fin = out[out["level"] == 0].set_index(["k1", "k2"])
+    assert fin.loc[("x", "p"), "sum_v"] == 3.0
+    assert fin.loc[("x", "q"), "n"] == 1
+    mid = out[out["level"] == 1].set_index("k1")
+    assert mid.loc["x", "sum_v"] == 7.0 and mid.loc["x", "n"] == 3
+    assert mid["k2"].isna().all()
+    gt = out[out["level"] == 2]
+    assert len(gt) == 1 and gt.iloc[0]["sum_v"] == 15.0
+    assert gt.iloc[0]["n"] == 4
+    assert out.loc[out["level"] == 0, "n"].sum() == 4
+
+
+def test_rollup_partition_invariance(ray_session):
+    from featherstore_ray.stages.aggregate import rollup_agg
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k1": rng.choice(["a", "b", "c"], 300),
+        "k2": rng.choice(["u", "v"], 300),
+        "v": rng.normal(size=300),
+    })
+    srt = ["level", "k1", "k2"]
+    a = (rollup_agg(ray.data.from_pandas(df).repartition(2),
+                    ["k1", "k2"], "v").to_pandas()
+         .sort_values(srt).reset_index(drop=True))
+    b = (rollup_agg(ray.data.from_pandas(df).repartition(9),
+                    ["k1", "k2"], "v", num_buckets=5).to_pandas()
+         .sort_values(srt).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
