@@ -872,6 +872,16 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_forecast_backtest(sf_dir: str):
+    """Naive vs seasonal-naive backtest of daily event counts per type:
+    zero-shuffle count partials, per-type lag replay, MAE skill."""
+    from featherstore_ray.stages.aggregate import forecast_backtest
+
+    return forecast_backtest(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        "ts", "event_type", season_lag=7)
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) over documents: finest level + per-
     source subtotal + grand total from ONE input scan (coarser levels
@@ -7290,6 +7300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_extract": q_keyword_extract,
         "mcnemar": q_mcnemar,
         "rollup": q_rollup,
+        "forecast_backtest": q_forecast_backtest,
     }
 
 
@@ -10299,6 +10310,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "forecast_backtest": """
+            WITH c AS MATERIALIZED (
+                SELECT event_type AS t, date_trunc('day', ts) AS d,
+                       count(*)::BIGINT AS n
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            l AS MATERIALIZED (
+                SELECT t, n,
+                       lag(n, 1) OVER w AS l1,
+                       lag(n, 7) OVER w AS l7
+                FROM c WINDOW w AS (PARTITION BY t ORDER BY d)
+            ),
+            s AS MATERIALIZED (
+                SELECT t, count(*)::BIGINT AS n_days,
+                       sum((l7 IS NOT NULL)::INT)::BIGINT AS n_eval,
+                       sum(CASE WHEN l7 IS NOT NULL
+                                THEN abs(n - l1) END)::DOUBLE AS se1,
+                       sum(CASE WHEN l7 IS NOT NULL
+                                THEN abs(n - l7) END)::DOUBLE AS se7
+                FROM l GROUP BY 1
+            )
+            SELECT t AS event_type, n_days, n_eval,
+                   CASE WHEN n_eval = 0 THEN NULL
+                        ELSE round(se1 / n_eval, 6) END AS mae_naive,
+                   CASE WHEN n_eval = 0 THEN NULL
+                        ELSE round(se7 / n_eval, 6) END AS mae_seasonal,
+                   CASE WHEN n_eval = 0 OR se1 = 0 THEN NULL
+                        ELSE round(1 - (se7 / n_eval) / (se1 / n_eval),
+                                   6) END AS skill
+            FROM s
         """,
         "rollup": """
             SELECT source, lang,

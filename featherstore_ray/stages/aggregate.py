@@ -6479,3 +6479,82 @@ def rollup_agg(
                             round_digits)
     return ray.data.from_arrow(
         pa.Table.from_pandas(out[out_cols], preserve_index=False))
+
+
+def forecast_backtest(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    type_col: str,
+    *,
+    season_lag: int = 7,
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Backtest of the two zero-parameter forecasters every pipeline
+    should beat — naive (yesterday's value) vs seasonal-naive (the
+    value ``season_lag`` observed days back) — over each type's daily
+    event-count series: on the evaluation rows where BOTH lags exist
+    (same window, so the comparison is fair),
+
+        mae_naive    = mean |n_d - n_{d-1}|
+        mae_seasonal = mean |n_d - n_{d-season_lag}|
+        skill        = 1 - mae_seasonal / mae_naive   (NULL when
+                                                       mae_naive = 0)
+
+    Lags are over OBSERVED days in ascending order (the granger daily
+    convention — event data is calendar-dense in practice). Counts are
+    exact ints, so MAEs are exact ratios. Output per type:
+    (event_type, n_days, n_eval, mae_naive, mae_seasonal, skill).
+
+    Scale shape: ZERO shuffles — per-batch (type, day, count) partials
+    fold driver-side (types x days bounded, the granger contract); the
+    per-type series replay is in-memory.
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([ts_col, type_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[ts_col, type_col])
+        g = (df.assign(_d=df[ts_col].dt.floor("D"))
+             .groupby([type_col, "_d"], sort=False)
+             .size().rename("_n").reset_index())
+        return g
+
+    m = (proj.map_batches(partial, batch_size=None,
+                          batch_format="pandas").to_pandas())
+    if m.empty:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "n_eval": pa.array([], pa.int64()),
+            "mae_naive": pa.array([], pa.float64()),
+            "mae_seasonal": pa.array([], pa.float64()),
+            "skill": pa.array([], pa.float64()),
+        }))
+    cnt = (m.groupby([type_col, "_d"], sort=True)["_n"]
+           .sum().reset_index())
+    rows = []
+    for t, g in cnt.groupby(type_col, sort=True):
+        n = g.sort_values("_d")["_n"].to_numpy(np.int64)
+        n_days = len(n)
+        if n_days <= season_lag:
+            rows.append((str(t), n_days, 0, None, None, None))
+            continue
+        cur = n[season_lag:]
+        e1 = np.abs(cur - n[season_lag - 1:-1])
+        es = np.abs(cur - n[:-season_lag])
+        mae_n = float(e1.sum()) / len(cur)
+        mae_s = float(es.sum()) / len(cur)
+        skill = None if mae_n == 0 else round(1.0 - mae_s / mae_n,
+                                              round_digits)
+        rows.append((str(t), n_days, len(cur),
+                     round(mae_n, round_digits),
+                     round(mae_s, round_digits), skill))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "n_eval": pa.array([r[2] for r in rows], pa.int64()),
+        "mae_naive": pa.array([r[3] for r in rows], pa.float64()),
+        "mae_seasonal": pa.array([r[4] for r in rows], pa.float64()),
+        "skill": pa.array([r[5] for r in rows], pa.float64()),
+    }))

@@ -904,3 +904,42 @@ def test_rollup_partition_invariance(ray_session):
                     ["k1", "k2"], "v", num_buckets=5).to_pandas()
          .sort_values(srt).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- forecast_backtest
+
+
+def test_forecast_backtest_seasonal_series_favors_seasonal(ray_session):
+    from featherstore_ray.stages.aggregate import forecast_backtest
+
+    # weekly-periodic counts: seasonal-naive is exact, naive is not
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    weekly = [10, 2, 2, 2, 2, 2, 30]
+    for d in range(28):
+        for _ in range(weekly[d % 7]):
+            rows.append((base + pd.Timedelta(days=d, hours=3), "s"))
+    # anti-persistent type: naive is bad, seasonal worse than for "s"
+    for d in range(28):
+        for _ in range([1, 20][d % 2]):
+            rows.append((base + pd.Timedelta(days=d, hours=5), "alt"))
+    df = pd.DataFrame(rows, columns=["ts", "event_type"])
+    out = (forecast_backtest(_ds(df), "ts", "event_type")
+           .to_pandas().set_index("event_type"))
+    assert out.loc["s", "mae_seasonal"] == 0.0
+    assert out.loc["s", "mae_naive"] > 0
+    assert out.loc["s", "skill"] == 1.0
+    assert out.loc["s", "n_days"] == 28 and out.loc["s", "n_eval"] == 21
+    # period-2 series: lag-7 (odd) flips parity -> seasonal no better
+    assert out.loc["alt", "skill"] < 0.5
+
+
+def test_forecast_backtest_short_series_yields_nulls(ray_session):
+    from featherstore_ray.stages.aggregate import forecast_backtest
+
+    df = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
+        "event_type": ["x"] * 5,
+    })
+    out = forecast_backtest(_ds(df), "ts", "event_type").to_pandas()
+    assert out.loc[0, "n_eval"] == 0 and pd.isna(out.loc[0, "skill"])
