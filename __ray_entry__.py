@@ -872,6 +872,17 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_profile_full(sf_dir: str):
+    """Per-column data profile of the events table: exact distinct via
+    value-bucket exchange, zero-shuffle moments, typed min/max/mean."""
+    from featherstore_ray.stages.aggregate import profile_table
+
+    return profile_table(_read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]))
+
+
 def q_forecast_backtest(sf_dir: str):
     """Naive vs seasonal-naive backtest of daily event counts per type:
     zero-shuffle count partials, per-type lag replay, MAE skill."""
@@ -7301,6 +7312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcnemar": q_mcnemar,
         "rollup": q_rollup,
         "forecast_backtest": q_forecast_backtest,
+        "profile_full": q_profile_full,
     }
 
 
@@ -10310,6 +10322,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "profile_full": """
+            SELECT 'event_id' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(event_id))::BIGINT AS nulls,
+                   count(DISTINCT event_id)::BIGINT AS n_distinct,
+                   min(event_id)::DOUBLE AS min_v, max(event_id)::DOUBLE AS max_v,
+                   round(sum(event_id)::DOUBLE / count(event_id), 6) AS mean_v,
+                   NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*)::BIGINT,
+                   (count(*) - count(ts))::BIGINT,
+                   count(DISTINCT ts)::BIGINT,
+                   epoch_us(min(ts))::DOUBLE, epoch_us(max(ts))::DOUBLE,
+                   NULL::DOUBLE, NULL::VARCHAR, NULL::VARCHAR
+            FROM events
+            UNION ALL
+            SELECT 'user_id' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(user_id))::BIGINT AS nulls,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct,
+                   min(user_id)::DOUBLE AS min_v, max(user_id)::DOUBLE AS max_v,
+                   round(sum(user_id)::DOUBLE / count(user_id), 6) AS mean_v,
+                   NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*)::BIGINT,
+                   (count(*) - count(event_type))::BIGINT,
+                   count(DISTINCT event_type)::BIGINT,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(value))::BIGINT AS nulls,
+                   count(DISTINCT value)::BIGINT AS n_distinct,
+                   min(value)::DOUBLE AS min_v, max(value)::DOUBLE AS max_v,
+                   round(sum(value)::DOUBLE / count(value), 6) AS mean_v,
+                   NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*)::BIGINT,
+                   (count(*) - count(props))::BIGINT,
+                   count(DISTINCT props)::BIGINT,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+                   min(props), max(props)
+            FROM events
         """,
         "forecast_backtest": """
             WITH c AS MATERIALIZED (
