@@ -872,6 +872,15 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_token_set_dedup(sf_dir: str):
+    """Vocabulary-fingerprint dedup groups: sorted distinct-token key,
+    one key exchange, smallest-id survivor per group."""
+    from featherstore_ray.stages.dedup import token_set_dedup
+
+    return token_set_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_profile_full(sf_dir: str):
     """Per-column data profile of the events table: exact distinct via
     value-bucket exchange, zero-shuffle moments, typed min/max/mean."""
@@ -7313,6 +7322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "forecast_backtest": q_forecast_backtest,
         "profile_full": q_profile_full,
+        "token_set_dedup": q_token_set_dedup,
     }
 
 
@@ -10322,6 +10332,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "token_set_dedup": """
+            WITH k AS MATERIALIZED (
+                SELECT doc_id,
+                       array_to_string(list_sort(list_distinct(
+                           string_split(text, ' '))), ' ') AS group_key
+                FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            g AS MATERIALIZED (
+                SELECT group_key, count(*)::BIGINT AS group_size,
+                       min(doc_id) AS keeper
+                FROM k GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT k.doc_id, k.group_key, g.group_size,
+                   (k.doc_id = g.keeper)::BIGINT AS keep
+            FROM k JOIN g USING (group_key)
         """,
         "profile_full": """
             SELECT 'event_id' AS col, count(*)::BIGINT AS n,

@@ -1355,3 +1355,75 @@ def dup_spans(
         add_bucket_column(both, "_doc", num_buckets),
         finalize, num_buckets=num_buckets, batch_format="pyarrow",
     )
+
+
+def token_set_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Vocabulary-fingerprint duplicate groups — the bag-of-words member
+    of the dedup family (exact_dedup needs byte equality, MinHash is
+    approximate set overlap; this catches shuffled / repetition-edited
+    copies EXACTLY when the token SET is unchanged): each document's
+    canonical key is its space-joined sorted DISTINCT-token set
+    (single-space tokenization; '' kept — it sorts first, mirroring
+    ``list_sort(list_distinct(...))``); documents sharing a key form
+    one group. Output one row per document in a group of >= 2:
+    (doc_id, group_key, group_size, keep) with ``keep = 1`` on the
+    smallest doc_id of the group (the deterministic survivor
+    convention).
+
+    Scale shape: the canonical key is computed per batch (vectorized
+    sort per doc over the batch's flattened token arrays); ONE
+    hash(key) exchange co-locates each group; group size and survivor
+    fall out per bucket. Keys are corpus-scale strings — for very long
+    documents swap the key for its stable 128-bit hash (loses the
+    oracle, keeps the semantics).
+    """
+    proj = ds.select_columns([id_col, text_col])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[id_col, text_col])
+        if df.empty:
+            return pd.DataFrame({
+                "_id": pd.Series(dtype="int64"),
+                "_k": pd.Series(dtype="object"),
+            })
+        toks = df[text_col].str.split(" ")
+        key = toks.map(lambda t: " ".join(sorted(set(t))))
+        return pd.DataFrame({
+            "_id": df[id_col].to_numpy(np.int64),
+            "_k": key.to_numpy(dtype=object),
+        })
+
+    def groups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "group_key": pd.Series(dtype="object"),
+                "group_size": pd.Series(dtype="int64"),
+                "keep": pd.Series(dtype="int64"),
+            })
+        df = df.sort_values(["_k", "_id"], kind="stable")
+        sz = df.groupby("_k", sort=False)["_id"].transform("size")
+        mn = df.groupby("_k", sort=False)["_id"].transform("min")
+        out = df[sz >= 2]
+        return pd.DataFrame({
+            "doc_id": out["_id"].to_numpy(np.int64),
+            "group_key": out["_k"].to_numpy(dtype=object),
+            "group_size": sz[sz >= 2].to_numpy(np.int64),
+            "keep": (out["_id"].to_numpy(np.int64)
+                     == mn[sz >= 2].to_numpy(np.int64)).astype(np.int64),
+        })
+
+    return bucketed_map_groups(
+        add_bucket_column(
+            proj.map_batches(keyed, batch_size=None,
+                             batch_format="pandas"),
+            "_k", num_buckets),
+        groups, num_buckets=num_buckets, batch_format="pandas",
+    )

@@ -943,3 +943,40 @@ def test_forecast_backtest_short_series_yields_nulls(ray_session):
     })
     out = forecast_backtest(_ds(df), "ts", "event_type").to_pandas()
     assert out.loc[0, "n_eval"] == 0 and pd.isna(out.loc[0, "skill"])
+
+
+# --------------------------------------------------------- token_set_dedup
+
+
+def test_token_set_dedup_catches_reorder_and_repetition(ray_session):
+    import pyarrow as pa
+    from featherstore_ray.stages.dedup import token_set_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "big data fast engine",
+            "engine fast data big",          # reorder of 1
+            "big big data fast fast engine",  # repetition edit of 1
+            "totally different words here",
+            "big data slow engine",           # different SET -> no group
+        ]),
+    })
+    out = (token_set_dedup(ray.data.from_arrow(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert (out["group_size"] == 3).all()
+    assert out["keep"].tolist() == [1, 0, 0]   # smallest id survives
+    assert (out["group_key"] == "big data engine fast").all()
+
+
+def test_token_set_dedup_no_dups_is_empty(ray_session):
+    import pyarrow as pa
+    from featherstore_ray.stages.dedup import token_set_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta"]),
+    })
+    out = token_set_dedup(ray.data.from_arrow(docs)).to_pandas()
+    assert len(out) == 0
