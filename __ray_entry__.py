@@ -892,16 +892,6 @@ def q_profile_full(sf_dir: str):
                  "props"]))
 
 
-def q_forecast_backtest(sf_dir: str):
-    """Naive vs seasonal-naive backtest of daily event counts per type:
-    zero-shuffle count partials, per-type lag replay, MAE skill."""
-    from featherstore_ray.stages.aggregate import forecast_backtest
-
-    return forecast_backtest(
-        _read(sf_dir, "events", columns=["ts", "event_type"]),
-        "ts", "event_type", season_lag=7)
-
-
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) over documents: finest level + per-
     source subtotal + grand total from ONE input scan (coarser levels
@@ -6766,29 +6756,6 @@ def _elo_sql(k: float, initial: float, max_days: int) -> str:
     """
 
 
-def q_diff_in_diff(sf_dir: str):
-    """2x2 difference-in-differences on event values: even-id users as
-    the exposed cohort, post = Jan 16 on; 12 moment scalars, zero
-    shuffles, classic OLS interaction SE."""
-    from featherstore_ray.stages.aggregate import diff_in_diff
-
-    import datetime as _dt
-
-    cut = pa.scalar(_dt.datetime(2024, 1, 16), pa.timestamp("us"))
-
-    def flags(t: pa.Table, _cut=cut) -> pa.Table:
-        treated = pc.equal(
-            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 1), 0)
-        post = pc.greater_equal(t["ts"], _cut)
-        return pa.table({"treated": treated, "post": post,
-                         "value": t["value"]})
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    ds = ds.map_batches(flags, batch_size=None, batch_format="pyarrow",
-                        zero_copy_batch=True)
-    return diff_in_diff(ds, "treated", "post", "value")
-
-
 def q_permutation_test(sf_dir: str):
     """Randomization test for click-vs-purchase mean value: 200
     deterministic hash-reassignment permutations, two zero-shuffle
@@ -7314,13 +7281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "permutation_test": q_permutation_test,
         "mondrian": q_mondrian,
-        "diff_in_diff": q_diff_in_diff,
         "markov_attribution": q_markov_attribution,
         "elo_ratings": q_elo_ratings,
         "keyword_extract": q_keyword_extract,
         "mcnemar": q_mcnemar,
         "rollup": q_rollup,
-        "forecast_backtest": q_forecast_backtest,
         "profile_full": q_profile_full,
         "token_set_dedup": q_token_set_dedup,
     }
@@ -10396,39 +10361,6 @@ def oracle_sql() -> dict[str, str]:
                    min(props), max(props)
             FROM events
         """,
-        "forecast_backtest": """
-            WITH c AS MATERIALIZED (
-                SELECT event_type AS t, date_trunc('day', ts) AS d,
-                       count(*)::BIGINT AS n
-                FROM events
-                WHERE ts IS NOT NULL AND event_type IS NOT NULL
-                GROUP BY 1, 2
-            ),
-            l AS MATERIALIZED (
-                SELECT t, n,
-                       lag(n, 1) OVER w AS l1,
-                       lag(n, 7) OVER w AS l7
-                FROM c WINDOW w AS (PARTITION BY t ORDER BY d)
-            ),
-            s AS MATERIALIZED (
-                SELECT t, count(*)::BIGINT AS n_days,
-                       sum((l7 IS NOT NULL)::INT)::BIGINT AS n_eval,
-                       sum(CASE WHEN l7 IS NOT NULL
-                                THEN abs(n - l1) END)::DOUBLE AS se1,
-                       sum(CASE WHEN l7 IS NOT NULL
-                                THEN abs(n - l7) END)::DOUBLE AS se7
-                FROM l GROUP BY 1
-            )
-            SELECT t AS event_type, n_days, n_eval,
-                   CASE WHEN n_eval = 0 THEN NULL
-                        ELSE round(se1 / n_eval, 6) END AS mae_naive,
-                   CASE WHEN n_eval = 0 THEN NULL
-                        ELSE round(se7 / n_eval, 6) END AS mae_seasonal,
-                   CASE WHEN n_eval = 0 OR se1 = 0 THEN NULL
-                        ELSE round(1 - (se7 / n_eval) / (se1 / n_eval),
-                                   6) END AS skill
-            FROM s
-        """,
         "rollup": """
             SELECT source, lang,
                    count(n_chars) AS n,
@@ -12735,43 +12667,6 @@ def oracle_sql() -> dict[str, str]:
             FROM osc GROUP BY 1
             ORDER BY score DESC, phrase ASC
             LIMIT 100
-        """,
-        "diff_in_diff": """
-            WITH r AS (
-                SELECT ((user_id % 2) = 0)::INT AS t,
-                       (ts >= TIMESTAMP '2024-01-16')::INT AS p,
-                       value AS v
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                  AND value IS NOT NULL
-            ),
-            c AS MATERIALIZED (
-                SELECT t, p, count(*)::BIGINT AS n, sum(v) AS s,
-                       sum(v * v) AS ss
-                FROM r GROUP BY 1, 2
-            ),
-            m AS MATERIALIZED (
-                SELECT
-                    max(CASE WHEN t = 0 AND p = 0 THEN s / n END) AS mc_pre,
-                    max(CASE WHEN t = 0 AND p = 1 THEN s / n END) AS mc_post,
-                    max(CASE WHEN t = 1 AND p = 0 THEN s / n END) AS mt_pre,
-                    max(CASE WHEN t = 1 AND p = 1 THEN s / n END) AS mt_post,
-                    sum(ss - s * s / n) AS rss,
-                    sum(n)::BIGINT AS ntot,
-                    sum(1.0 / n) AS innv
-                FROM c
-            )
-            SELECT round(mc_pre, 6) AS mean_c_pre,
-                   round(mc_post, 6) AS mean_c_post,
-                   round(mt_pre, 6) AS mean_t_pre,
-                   round(mt_post, 6) AS mean_t_post,
-                   round((mt_post - mt_pre) - (mc_post - mc_pre), 6)
-                       AS did,
-                   round(sqrt(rss / (ntot - 4) * innv), 6) AS se,
-                   round(((mt_post - mt_pre) - (mc_post - mc_pre))
-                         / sqrt(rss / (ntot - 4) * innv), 6) AS t_stat,
-                   ntot AS n
-            FROM m
         """,
         "burrows_delta": """
             WITH tok AS (

@@ -6126,77 +6126,6 @@ def mondrian_anonymize(
         pa.Table.from_pandas(out.reset_index(), preserve_index=False))
 
 
-def diff_in_diff(
-    ds: ray.data.Dataset,
-    treated_col: str,
-    post_col: str,
-    value_col: str,
-    *,
-    round_digits: int = 6,
-) -> ray.data.Dataset:
-    """Two-by-two difference-in-differences — the parallel-trends member
-    of the causal family (ate_stratified adjusts on covariates, rdd on a
-    running variable, cuped on a pre-metric; DiD differences OUT any
-    time-invariant group gap and any group-invariant time shock):
-
-        did = (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
-
-    with the classic OLS interaction standard error from the saturated
-    2x2 regression: sigma2 = RSS / (n - 4) where RSS = sum_g (ss_g -
-    s_g^2 / n_g), se = sqrt(sigma2 * sum_g 1/n_g), t = did / se (NULL
-    when any cell is empty or n <= 4). ``treated_col`` / ``post_col``
-    are 0/1 indicators (null rows out of contract, filtered both
-    sides). Output one row: the four cell means, did, se, t_stat, n.
-
-    Scale shape: ZERO shuffles — each batch emits 4 x (n, sum, sumsq)
-    cell moments; the driver folds 12 scalars.
-    """
-    import pyarrow as pa
-
-    proj = ds.select_columns([treated_col, post_col, value_col])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.dropna(subset=[treated_col, post_col, value_col])
-        g = (df.assign(
-            _t=df[treated_col].astype(np.int64),
-            _p=df[post_col].astype(np.int64),
-            _v=df[value_col].astype(np.float64),
-            _v2=df[value_col].astype(np.float64) ** 2)
-            .groupby(["_t", "_p"])
-            .agg(_n=("_v", "size"), _s=("_v", "sum"), _ss=("_v2", "sum"))
-            .reset_index())
-        return g
-
-    m = (proj.map_batches(partial, batch_size=None, batch_format="pandas")
-         .to_pandas())
-    if m.empty:
-        m = pd.DataFrame({"_t": [], "_p": [], "_n": [], "_s": [], "_ss": []})
-    cells = (m.groupby(["_t", "_p"], sort=True)[["_n", "_s", "_ss"]]
-             .sum().reindex(
-                 [(0, 0), (0, 1), (1, 0), (1, 1)], fill_value=0.0))
-    n = cells["_n"].to_numpy(np.float64)
-    s = cells["_s"].to_numpy(np.float64)
-    ss = cells["_ss"].to_numpy(np.float64)
-    n_tot = int(n.sum())
-    if (n == 0).any() or n_tot <= 4:
-        vals = [None] * 7
-    else:
-        mc_pre, mc_post, mt_pre, mt_post = s / n
-        did = (mt_post - mt_pre) - (mc_post - mc_pre)
-        rss = float((ss - s * s / n).sum())
-        sigma2 = rss / (n_tot - 4)
-        se = float(np.sqrt(sigma2 * (1.0 / n).sum()))
-        vals = [mc_pre, mc_post, mt_pre, mt_post, did, se,
-                did / se if se > 0 else None]
-    names = ["mean_c_pre", "mean_c_post", "mean_t_pre", "mean_t_post",
-             "did", "se", "t_stat"]
-    cols = {k: pa.array(
-        [None if v is None else round(v, round_digits)], pa.float64())
-        for k, v in zip(names, vals)}
-    cols["n"] = pa.array([n_tot], pa.int64())
-    return ray.data.from_arrow(pa.table(cols))
-
-
 def elo_ratings(
     ds: ray.data.Dataset,
     *,
@@ -6479,85 +6408,6 @@ def rollup_agg(
                             round_digits)
     return ray.data.from_arrow(
         pa.Table.from_pandas(out[out_cols], preserve_index=False))
-
-
-def forecast_backtest(
-    ds: ray.data.Dataset,
-    ts_col: str,
-    type_col: str,
-    *,
-    season_lag: int = 7,
-    round_digits: int = 6,
-) -> ray.data.Dataset:
-    """Backtest of the two zero-parameter forecasters every pipeline
-    should beat — naive (yesterday's value) vs seasonal-naive (the
-    value ``season_lag`` observed days back) — over each type's daily
-    event-count series: on the evaluation rows where BOTH lags exist
-    (same window, so the comparison is fair),
-
-        mae_naive    = mean |n_d - n_{d-1}|
-        mae_seasonal = mean |n_d - n_{d-season_lag}|
-        skill        = 1 - mae_seasonal / mae_naive   (NULL when
-                                                       mae_naive = 0)
-
-    Lags are over OBSERVED days in ascending order (the granger daily
-    convention — event data is calendar-dense in practice). Counts are
-    exact ints, so MAEs are exact ratios. Output per type:
-    (event_type, n_days, n_eval, mae_naive, mae_seasonal, skill).
-
-    Scale shape: ZERO shuffles — per-batch (type, day, count) partials
-    fold driver-side (types x days bounded, the granger contract); the
-    per-type series replay is in-memory.
-    """
-    import pyarrow as pa
-
-    proj = ds.select_columns([ts_col, type_col])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.dropna(subset=[ts_col, type_col])
-        g = (df.assign(_d=df[ts_col].dt.floor("D"))
-             .groupby([type_col, "_d"], sort=False)
-             .size().rename("_n").reset_index())
-        return g
-
-    m = (proj.map_batches(partial, batch_size=None,
-                          batch_format="pandas").to_pandas())
-    if m.empty:
-        return ray.data.from_arrow(pa.table({
-            "event_type": pa.array([], pa.string()),
-            "n_days": pa.array([], pa.int64()),
-            "n_eval": pa.array([], pa.int64()),
-            "mae_naive": pa.array([], pa.float64()),
-            "mae_seasonal": pa.array([], pa.float64()),
-            "skill": pa.array([], pa.float64()),
-        }))
-    cnt = (m.groupby([type_col, "_d"], sort=True)["_n"]
-           .sum().reset_index())
-    rows = []
-    for t, g in cnt.groupby(type_col, sort=True):
-        n = g.sort_values("_d")["_n"].to_numpy(np.int64)
-        n_days = len(n)
-        if n_days <= season_lag:
-            rows.append((str(t), n_days, 0, None, None, None))
-            continue
-        cur = n[season_lag:]
-        e1 = np.abs(cur - n[season_lag - 1:-1])
-        es = np.abs(cur - n[:-season_lag])
-        mae_n = float(e1.sum()) / len(cur)
-        mae_s = float(es.sum()) / len(cur)
-        skill = None if mae_n == 0 else round(1.0 - mae_s / mae_n,
-                                              round_digits)
-        rows.append((str(t), n_days, len(cur),
-                     round(mae_n, round_digits),
-                     round(mae_s, round_digits), skill))
-    return ray.data.from_arrow(pa.table({
-        "event_type": pa.array([r[0] for r in rows], pa.string()),
-        "n_days": pa.array([r[1] for r in rows], pa.int64()),
-        "n_eval": pa.array([r[2] for r in rows], pa.int64()),
-        "mae_naive": pa.array([r[3] for r in rows], pa.float64()),
-        "mae_seasonal": pa.array([r[4] for r in rows], pa.float64()),
-        "skill": pa.array([r[5] for r in rows], pa.float64()),
-    }))
 
 
 def profile_table(

@@ -667,38 +667,6 @@ def test_mondrian_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
-# ---------------------------------------------------------- diff_in_diff
-
-
-def test_diff_in_diff_recovers_planted_effect(ray_session):
-    from featherstore_ray.stages.aggregate import diff_in_diff
-
-    rng = np.random.default_rng(14)
-    n = 4000
-    t = rng.integers(0, 2, n)
-    p = rng.integers(0, 2, n)
-    # group gap +5, time shock +3, true treatment effect +2
-    y = (rng.normal(size=n) + 5.0 * t + 3.0 * p
-         + 2.0 * (t * p))
-    df = pd.DataFrame({"t": t, "p": p, "y": y})
-    out = diff_in_diff(_ds(df), "t", "p", "y").to_pandas()
-    assert abs(out.loc[0, "did"] - 2.0) < 0.2
-    assert out.loc[0, "t_stat"] > 10           # strongly significant
-    assert out.loc[0, "n"] == n
-    # the confounds alone don't leak into did: group gap shows in means
-    assert out.loc[0, "mean_t_pre"] - out.loc[0, "mean_c_pre"] > 4.0
-
-
-def test_diff_in_diff_empty_cell_yields_nulls(ray_session):
-    from featherstore_ray.stages.aggregate import diff_in_diff
-
-    df = pd.DataFrame({"t": [0, 0, 1], "p": [0, 1, 0],
-                       "y": [1.0, 2.0, 3.0]})  # no (1,1) cell
-    out = diff_in_diff(_ds(df), "t", "p", "y").to_pandas()
-    assert pd.isna(out.loc[0, "did"]) and pd.isna(out.loc[0, "se"])
-    assert out.loc[0, "n"] == 3
-
-
 # ----------------------------------------------------- markov_attribution
 
 
@@ -904,45 +872,6 @@ def test_rollup_partition_invariance(ray_session):
                     ["k1", "k2"], "v", num_buckets=5).to_pandas()
          .sort_values(srt).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
-
-
-# ------------------------------------------------------- forecast_backtest
-
-
-def test_forecast_backtest_seasonal_series_favors_seasonal(ray_session):
-    from featherstore_ray.stages.aggregate import forecast_backtest
-
-    # weekly-periodic counts: seasonal-naive is exact, naive is not
-    rows = []
-    base = pd.Timestamp("2024-01-01")
-    weekly = [10, 2, 2, 2, 2, 2, 30]
-    for d in range(28):
-        for _ in range(weekly[d % 7]):
-            rows.append((base + pd.Timedelta(days=d, hours=3), "s"))
-    # anti-persistent type: naive is bad, seasonal worse than for "s"
-    for d in range(28):
-        for _ in range([1, 20][d % 2]):
-            rows.append((base + pd.Timedelta(days=d, hours=5), "alt"))
-    df = pd.DataFrame(rows, columns=["ts", "event_type"])
-    out = (forecast_backtest(_ds(df), "ts", "event_type")
-           .to_pandas().set_index("event_type"))
-    assert out.loc["s", "mae_seasonal"] == 0.0
-    assert out.loc["s", "mae_naive"] > 0
-    assert out.loc["s", "skill"] == 1.0
-    assert out.loc["s", "n_days"] == 28 and out.loc["s", "n_eval"] == 21
-    # period-2 series: lag-7 (odd) flips parity -> seasonal no better
-    assert out.loc["alt", "skill"] < 0.5
-
-
-def test_forecast_backtest_short_series_yields_nulls(ray_session):
-    from featherstore_ray.stages.aggregate import forecast_backtest
-
-    df = pd.DataFrame({
-        "ts": pd.date_range("2024-01-01", periods=5, freq="D"),
-        "event_type": ["x"] * 5,
-    })
-    out = forecast_backtest(_ds(df), "ts", "event_type").to_pandas()
-    assert out.loc[0, "n_eval"] == 0 and pd.isna(out.loc[0, "skill"])
 
 
 # --------------------------------------------------------- token_set_dedup
