@@ -872,6 +872,30 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_ab_power(sf_dir: str):
+    """Experiment power/MDE audit of the even-vs-odd user split on
+    high-value purchase conversion (value > 100): per-user OR
+    partials, one entity exchange,
+    A&S-26.2.17 normal CDF mirrored literal-for-literal."""
+    from featherstore_ray.stages.aggregate import ab_power
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "arm_a": pc.equal(pc.bit_wise_and(
+                pc.cast(t["user_id"], pa.int64()), 1), 0),
+            "conv": pc.and_kleene(
+                pc.equal(t["event_type"], "purchase"),
+                pc.greater(t["value"], 100.0)),
+        })
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+    ds = ds.map_batches(flags, batch_size=None, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ab_power(ds, "user_id", "arm_a", "conv")
+
+
 def q_token_set_dedup(sf_dir: str):
     """Vocabulary-fingerprint dedup groups: sorted distinct-token key,
     one key exchange, smallest-id survivor per group."""
@@ -7288,6 +7312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "profile_full": q_profile_full,
         "token_set_dedup": q_token_set_dedup,
+        "ab_power": q_ab_power,
     }
 
 
@@ -10297,6 +10322,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "ab_power": """
+            WITH u AS MATERIALIZED (
+                SELECT user_id,
+                       max(((user_id % 2) = 0)::INT) AS a,
+                       coalesce(max((event_type = 'purchase'
+                                     AND value > 100.0)::INT), 0) AS c
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1
+            ),
+            m AS MATERIALIZED (
+                SELECT sum(a)::BIGINT AS na, sum(1 - a)::BIGINT AS nb,
+                       sum(a * c)::BIGINT AS sa,
+                       sum((1 - a) * c)::BIGINT AS sb
+                FROM u
+            ),
+            d AS MATERIALIZED (
+                SELECT na, nb, sa, sb,
+                       sa::DOUBLE / na AS pa, sb::DOUBLE / nb AS pb
+                FROM m
+            ),
+            d2 AS MATERIALIZED (
+                SELECT *, sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+                           AS se
+                FROM d
+            ),
+            d3 AS MATERIALIZED (
+                SELECT *,
+                       CASE WHEN se > 0 THEN abs(pa - pb) / se END AS z,
+                       CASE WHEN se > 0 THEN abs(pa - pb) / se
+                                 - 1.959963984540054 END AS x
+                FROM d2
+            ),
+            d4 AS MATERIALIZED (
+                SELECT *, 1.0 / (1.0 + 0.2316419 * abs(x)) AS t,
+                       exp(-x * x / 2.0) / 2.5066282746310002 AS dd
+                FROM d3
+            ),
+            d5 AS MATERIALIZED (
+                SELECT *, dd * t * (0.319381530 + t * (-0.356563782
+                           + t * (1.781477937 + t * (-1.821255978
+                           + t * 1.330274429)))) AS p
+                FROM d4
+            )
+            SELECT na AS n_a, nb AS n_b, sa AS conv_a, sb AS conv_b,
+                   round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                   round(pa - pb, 6) AS diff, round(se, 6) AS se,
+                   round(z, 6) AS z,
+                   round(CASE WHEN x IS NULL THEN NULL
+                              WHEN x < 0 THEN p
+                              ELSE 1.0 - p END, 6) AS power,
+                   CASE WHEN se > 0 THEN
+                       round((1.959963984540054
+                              + 0.8416212335729143) * se, 6) END AS mde
+            FROM d5
         """,
         "token_set_dedup": """
             WITH k AS MATERIALIZED (

@@ -6519,3 +6519,112 @@ def profile_table(
         "min_s": pa.array([r[7] for r in out_rows], pa.string()),
         "max_s": pa.array([r[8] for r in out_rows], pa.string()),
     }))
+
+
+def ab_power(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    arm_col: str,
+    conv_col: str,
+    *,
+    z_alpha: float = 1.959963984540054,   # two-sided 5%
+    z_beta: float = 0.8416212335729143,   # 80% power
+    round_digits: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Experiment power / MDE audit — the DESIGN member of the
+    experimentation family (welch_t/mann_whitney test an effect,
+    cuped_adjust reduces variance; this asks "could this experiment
+    even have detected its effect, and what is the smallest effect it
+    could see"): per entity, arm = any(arm_col), converted =
+    any(conv_col); with arm conversion rates p_a, p_b on n_a, n_b
+    entities,
+
+        se    = sqrt(p_a(1-p_a)/n_a + p_b(1-p_b)/n_b)
+        z     = |p_a - p_b| / se
+        power = Phi(z - z_alpha)        (the standard one-tail
+                                         approximation of two-sided
+                                         power — documented variant)
+        mde   = (z_alpha + z_beta) * se
+
+    Phi is the Abramowitz-Stegun 26.2.17 polynomial evaluated with the
+    IDENTICAL literals and Horner order in both engines (no erf in
+    either), so the smooth chain mirrors to 6dp. Counts are exact
+    ints. NULL power/mde when se = 0 or an arm is empty. Output one
+    row: (n_a, n_b, conv_a, conv_b, p_a, p_b, diff, se, z, power,
+    mde).
+
+    Scale shape: per-batch per-entity OR partials, ONE hash(entity)
+    exchange folding each bucket to four ints (the mcnemar shape).
+    """
+    import pyarrow as pa
+
+    proj = ds.select_columns([entity_col, arm_col, conv_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[entity_col])
+        return (df.assign(_a=df[arm_col].fillna(False).astype(bool),
+                          _c=df[conv_col].fillna(False).astype(bool))
+                .groupby(entity_col, sort=False)[["_a", "_c"]].any()
+                .reset_index())
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if df.empty:
+            return pd.DataFrame({"_na": pd.Series(dtype="int64"),
+                                 "_nb": pd.Series(dtype="int64"),
+                                 "_sa": pd.Series(dtype="int64"),
+                                 "_sb": pd.Series(dtype="int64")})
+        g = df.groupby(entity_col, sort=False)[["_a", "_c"]].any()
+        a = g["_a"].to_numpy()
+        c = g["_c"].to_numpy()
+        return pd.DataFrame({"_na": [int(a.sum())],
+                             "_nb": [int((~a).sum())],
+                             "_sa": [int((a & c).sum())],
+                             "_sb": [int((~a & c).sum())]})
+
+    m = bucketed_map_groups(
+        add_bucket_column(
+            proj.map_batches(partial, batch_size=None,
+                             batch_format="pandas"),
+            entity_col, num_buckets),
+        cells, num_buckets=num_buckets, batch_format="pandas",
+    ).to_pandas()
+    n_a = int(m["_na"].sum()) if not m.empty else 0
+    n_b = int(m["_nb"].sum()) if not m.empty else 0
+    s_a = int(m["_sa"].sum()) if not m.empty else 0
+    s_b = int(m["_sb"].sum()) if not m.empty else 0
+
+    def phi(x: float) -> float:
+        """A&S 26.2.17 — mirror the SQL expression literal-for-literal."""
+        t = 1.0 / (1.0 + 0.2316419 * abs(x))
+        d = np.exp(-x * x / 2.0) / 2.5066282746310002
+        p = d * t * (0.319381530 + t * (-0.356563782 + t * (
+            1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+        return p if x < 0 else 1.0 - p
+
+    vals = {}
+    if n_a == 0 or n_b == 0:
+        p_a = p_b = diff = se = z = power = mde = None
+    else:
+        p_a, p_b = s_a / n_a, s_b / n_b
+        diff = p_a - p_b
+        se_sq = p_a * (1 - p_a) / n_a + p_b * (1 - p_b) / n_b
+        se = float(np.sqrt(se_sq))
+        if se == 0:
+            z = power = mde = None
+        else:
+            z = abs(diff) / se
+            power = phi(z - z_alpha)
+            mde = (z_alpha + z_beta) * se
+    for k, v in [("p_a", p_a), ("p_b", p_b), ("diff", diff),
+                 ("se", se), ("z", z), ("power", power), ("mde", mde)]:
+        vals[k] = None if v is None else round(float(v), round_digits)
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_a": pa.array([s_a], pa.int64()),
+        "conv_b": pa.array([s_b], pa.int64()),
+        **{k: pa.array([vals[k]], pa.float64()) for k in
+           ["p_a", "p_b", "diff", "se", "z", "power", "mde"]},
+    }))

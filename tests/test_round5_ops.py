@@ -909,3 +909,46 @@ def test_token_set_dedup_no_dups_is_empty(ray_session):
     })
     out = token_set_dedup(ray.data.from_arrow(docs)).to_pandas()
     assert len(out) == 0
+
+
+# --------------------------------------------------------------- ab_power
+
+
+def test_ab_power_detects_design_sensitivity(ray_session):
+    from featherstore_ray.stages.aggregate import ab_power
+
+    rng = np.random.default_rng(23)
+
+    def panel(n_users, lift):
+        rows = []
+        for u in range(n_users):
+            arm = u % 2 == 0
+            p = 0.30 + (lift if arm else 0.0)
+            rows.append((u, arm, bool(rng.random() < p)))
+        return pd.DataFrame(rows, columns=["e", "arm", "conv"])
+
+    big = ab_power(_ds(panel(4000, 0.10)), "e", "arm",
+                   "conv").to_pandas().iloc[0]
+    small = ab_power(_ds(panel(200, 0.10)), "e", "arm",
+                     "conv").to_pandas().iloc[0]
+    assert big["power"] > 0.9            # 10pp lift on 2k/arm: ~sure
+    assert small["power"] < big["power"]
+    assert small["mde"] > big["mde"]     # smaller n -> bigger MDE
+    assert big["n_a"] + big["n_b"] == 4000
+    # power and mde agree with the closed form recomputed from outputs
+    import math
+    se = big["se"]
+    z = abs(big["p_a"] - big["p_b"]) / se
+    exact = 0.5 * (1 + math.erf((z - 1.959963984540054) / math.sqrt(2)))
+    # inputs are 6dp-rounded outputs, so allow their propagation
+    assert abs(big["power"] - exact) < 1e-4
+
+
+def test_ab_power_degenerate_unanimous_conversion(ray_session):
+    from featherstore_ray.stages.aggregate import ab_power
+
+    df = pd.DataFrame({"e": range(10), "arm": [True, False] * 5,
+                       "conv": [True] * 10})
+    out = ab_power(_ds(df), "e", "arm", "conv").to_pandas().iloc[0]
+    assert out["se"] == 0.0 and pd.isna(out["power"]) \
+        and pd.isna(out["mde"])
