@@ -872,6 +872,52 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_cumulative_incidence(sf_dir: str):
+    """Aalen-Johansen cumulative incidence of first-purchase vs
+    first-error (competing risks) per user cohort: one user exchange
+    derives (cohort, duration, cause) subjects, one cohort exchange
+    reduces to the CIF curve — 1 - KM per cause would overstate both."""
+    import numpy as np
+
+    from featherstore_ray.exchange import bucketed_map_groups
+    from featherstore_ray.partition import BUCKET_COL, add_bucket_column
+    from featherstore_ray.stages.survival import cumulative_incidence
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def subjects(df, _bucket_col=None):
+        import pandas as pd
+        df = df.dropna(subset=["user_id", "ts"])
+        g = df.groupby("user_id", sort=True)
+        s = g["ts"].min()
+        e = g["ts"].max()
+        p = df[df["event_type"] == "purchase"].groupby(
+            "user_id", sort=True)["ts"].min().reindex(s.index)
+        r = df[df["event_type"] == "error"].groupby(
+            "user_id", sort=True)["ts"].min().reindex(s.index)
+        win_p = p.notna() & (r.isna() | (p <= r))
+        win_r = ~win_p & r.notna()
+        end = e.copy()
+        end[win_p] = p[win_p]
+        end[win_r] = r[win_r]
+        t = (end.to_numpy("datetime64[us]").view("int64")
+             - s.to_numpy("datetime64[us]").view("int64"))
+        cause = np.where(win_p, 1, np.where(win_r, 2, 0)).astype("int64")
+        return pd.DataFrame({
+            "cohort": (s.index.to_numpy().astype("int64") % 3),
+            "duration": t,
+            "cause": cause,
+        })
+
+    subj = bucketed_map_groups(
+        add_bucket_column(ds, "user_id", 32),
+        lambda df: subjects(df.drop(columns=[BUCKET_COL])),
+        num_buckets=32, batch_format="pandas")
+    return cumulative_incidence(
+        subj, group_col="cohort", duration_col="duration",
+        cause_col="cause")
+
+
 def q_ab_power(sf_dir: str):
     """Experiment power/MDE audit of the even-vs-odd user split on
     high-value purchase conversion (value > 100): per-user OR
@@ -7313,6 +7359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_full": q_profile_full,
         "token_set_dedup": q_token_set_dedup,
         "ab_power": q_ab_power,
+        "cumulative_incidence": q_cumulative_incidence,
     }
 
 
@@ -10322,6 +10369,69 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "cumulative_incidence": """
+            WITH u AS MATERIALIZED (
+                SELECT user_id, min(ts) AS s, max(ts) AS e,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS p,
+                       min(CASE WHEN event_type = 'error'
+                                THEN ts END) AS r
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1
+            ),
+            subj AS MATERIALIZED (
+                SELECT user_id % 3 AS cohort,
+                       CASE WHEN p IS NOT NULL AND (r IS NULL OR p <= r)
+                            THEN date_diff('microsecond', s, p)
+                            WHEN r IS NOT NULL
+                            THEN date_diff('microsecond', s, r)
+                            ELSE date_diff('microsecond', s, e) END AS t,
+                       CASE WHEN p IS NOT NULL AND (r IS NULL OR p <= r)
+                            THEN 1
+                            WHEN r IS NOT NULL THEN 2 ELSE 0 END AS cause
+                FROM u
+            ),
+            g2 AS MATERIALIZED (
+                SELECT cohort, t, count(*)::BIGINT AS c,
+                       sum((cause > 0)::INT)::BIGINT AS d
+                FROM subj GROUP BY 1, 2
+            ),
+            k AS MATERIALIZED (
+                SELECT *, sum(c) OVER (PARTITION BY cohort ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_risk
+                FROM g2
+            ),
+            s AS MATERIALIZED (
+                SELECT cohort, t, n_risk,
+                       coalesce(sum(CASE WHEN d < n_risk
+                                THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                                ELSE 0 END) OVER wprev, 0.0) AS lnprev,
+                       coalesce(max(CASE WHEN d >= n_risk THEN 1
+                                    ELSE 0 END) OVER wprev, 0) AS deadprev
+                FROM k
+                WINDOW wprev AS (PARTITION BY cohort ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+            ),
+            sp AS MATERIALIZED (
+                SELECT cohort, t, n_risk,
+                       CASE WHEN deadprev = 1 THEN 0.0
+                            ELSE exp(lnprev) END AS spv
+                FROM s
+            ),
+            dk AS MATERIALIZED (
+                SELECT cohort, cause, t, count(*)::BIGINT AS d_k
+                FROM subj WHERE cause > 0 GROUP BY 1, 2, 3
+            )
+            SELECT dk.cohort, dk.cause, dk.t,
+                   sp.n_risk::BIGINT AS n_risk, dk.d_k AS d_cause,
+                   round(sum(sp.spv * dk.d_k / CAST(sp.n_risk AS DOUBLE))
+                         OVER (PARTITION BY dk.cohort, dk.cause
+                               ORDER BY dk.t
+                               ROWS UNBOUNDED PRECEDING), 6) AS cif
+            FROM dk JOIN sp ON sp.cohort = dk.cohort AND sp.t = dk.t
         """,
         "ab_power": """
             WITH u AS MATERIALIZED (

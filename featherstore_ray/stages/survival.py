@@ -463,3 +463,130 @@ def cox_ph(
         "se": pa.array([_r(1.0 / np.sqrt(info))], pa.float64()),
         "z": pa.array([_r(beta * np.sqrt(info))], pa.float64()),
     }))
+
+
+def cumulative_incidence(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    duration_col: str,
+    cause_col: str,
+    round_digits: int | None = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Aalen-Johansen cumulative incidence under COMPETING risks — the
+    multi-cause member of the survival family (:func:`kaplan_meier`
+    treats every event as one kind; with competing causes, 1 - KM per
+    cause OVERSTATES risk because subjects taken by other causes can no
+    longer fail — CIF is the correct probability-of-cause-k-by-t):
+    over subject rows (group, duration, cause) with cause 0 = censored
+    and integer codes >= 1 the competing causes,
+
+        S(t)     = prod_{s<=t} (1 - d(s)/n(s))      (all-cause KM)
+        CIF_k(t) = sum_{s<=t}  S(s-) d_k(s) / n(s)
+
+    with the kaplan_meier ln/exp mirror conventions (same-time censoring
+    after events; the d == n step forces S to exactly 0 from there on —
+    S(s-) uses the shifted prefix, so that row itself still contributes).
+    Output: one row per (group, cause, event time) with n_risk, d_cause
+    and cif, only where d_cause > 0.
+
+    Scale shape: identical to kaplan_meier — (group, duration, cause)
+    count partials, ONE hash(group) exchange, a lexsort + two segmented
+    cumsums per bucket.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group_col].notna() & df[duration_col].notna()
+               & df[cause_col].notna()]
+        out = pd.DataFrame({
+            group_col: d[group_col],
+            "_t": d[duration_col].to_numpy().astype(np.int64),
+            "_k": d[cause_col].to_numpy().astype(np.int64),
+            "_c": np.int64(1),
+        })
+        return out.groupby([group_col, "_t", "_k"], sort=False,
+                           observed=True)["_c"].sum().reset_index()
+
+    parts = (
+        ds.select_columns([group_col, duration_col, cause_col])
+        .map_batches(partial, batch_size=None, batch_format="pandas")
+    )
+    parts = add_bucket_column(parts, group_col, num_buckets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype=df[group_col].dtype),
+            "cause": pd.Series(dtype=np.int64),
+            "t": pd.Series(dtype=np.int64),
+            "n_risk": pd.Series(dtype=np.int64),
+            "d_cause": pd.Series(dtype=np.int64),
+            "cif": pd.Series(dtype=np.float64),
+        })
+        m3 = df.groupby([group_col, "_t", "_k"], sort=True,
+                        observed=True)["_c"].sum().reset_index()
+        if m3.empty:
+            return empty
+        # per-(group, t) all-cause totals
+        m = (m3.assign(_d=np.where(m3["_k"] > 0, m3["_c"], 0))
+             .groupby([group_col, "_t"], sort=True, observed=True)
+             .agg(_d=("_d", "sum"), _c=("_c", "sum")).reset_index())
+        codes, _ = pd.factorize(m[group_col], sort=True)
+        n = len(codes)
+        at_t = m["_c"].to_numpy(np.int64)
+        d = m["_d"].to_numpy(np.int64)
+        first = np.flatnonzero(np.diff(codes, prepend=-1))
+        lens = _seg_lengths(first, n)
+        total = np.bincount(codes, weights=at_t).astype(np.int64)
+        before = np.cumsum(at_t) - at_t
+        before -= np.repeat(before[first], lens)
+        n_risk = np.repeat(total[codes[first]], lens) - before
+        frac = d.astype(np.float64) / n_risk.astype(np.float64)
+        safe = d < n_risk
+        terms = np.where(safe, np.log(np.where(safe, 1.0 - frac, 1.0)),
+                         0.0)
+        cml = np.cumsum(terms)
+        cml -= np.repeat((cml - terms)[first], lens)
+        lnprev = cml - terms          # prefix EXCLUDING the current row
+        hits = np.cumsum(~safe)
+        hits -= np.repeat((hits - (~safe))[first], lens)
+        dead_prev = (hits - (~safe).astype(np.int64)) > 0
+        s_prev = np.where(dead_prev, 0.0, np.exp(lnprev))
+        # attach s_prev / n_risk back onto the (group, t, cause) rows
+        key = pd.MultiIndex.from_arrays([m[group_col], m["_t"]])
+        lut = pd.DataFrame({"_sp": s_prev, "_nr": n_risk}, index=key)
+        ev = m3[m3["_k"] > 0]
+        if ev.empty:
+            return empty
+        idx = pd.MultiIndex.from_arrays([ev[group_col], ev["_t"]])
+        sp = lut["_sp"].loc[idx].to_numpy()
+        nr = lut["_nr"].loc[idx].to_numpy(np.int64)
+        dk = ev["_c"].to_numpy(np.int64)
+        contrib = sp * dk / nr.astype(np.float64)
+        # segmented cumsum over t within (group, cause)
+        order = np.lexsort((ev["_t"].to_numpy(np.int64),
+                            ev["_k"].to_numpy(np.int64),
+                            pd.factorize(ev[group_col], sort=True)[0]))
+        gk = pd.factorize(ev[group_col], sort=True)[0][order]
+        kk = ev["_k"].to_numpy(np.int64)[order]
+        newseg = np.ones(len(order), dtype=bool)
+        newseg[1:] = (gk[1:] != gk[:-1]) | (kk[1:] != kk[:-1])
+        cs = np.cumsum(contrib[order])
+        cs -= np.repeat((cs - contrib[order])[np.flatnonzero(newseg)],
+                        _seg_lengths(np.flatnonzero(newseg), len(order)))
+        cif = cs
+        if round_digits is not None:
+            cif = np.round(cif, round_digits)
+        return pd.DataFrame({
+            group_col: ev[group_col].to_numpy()[order],
+            "cause": kk,
+            "t": ev["_t"].to_numpy(np.int64)[order],
+            "n_risk": nr[order],
+            "d_cause": dk[order],
+            "cif": cif,
+        })
+
+    return bucketed_map_groups(
+        parts, kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

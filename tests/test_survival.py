@@ -194,3 +194,64 @@ def test_rmst_matches_reference_and_horizon(ray_session):
                 duration_col="duration", observed_col="observed",
                 tau=50, scale=10.0).to_pandas()
     assert out3["rmst"].iloc[0] == 5.0
+
+
+# ----------------------------------------------------- cumulative_incidence
+
+
+def test_cif_matches_hand_computed_aalen_johansen(ray_session):
+    from featherstore_ray.stages.survival import cumulative_incidence
+
+    # one group; durations/causes (0 = censored):
+    # t=1: cause1 x1 (n=6); t=2: censored x1; t=3: cause2 x1 (n=4);
+    # t=4: cause1 x1 (n=3); t=5: censored x2
+    df = pd.DataFrame({
+        "g": ["a"] * 6,
+        "t": [1, 2, 3, 4, 5, 5],
+        "k": [1, 0, 2, 1, 0, 0],
+    })
+    out = (cumulative_incidence(
+        ray.data.from_pandas(df).repartition(3), group_col="g",
+        duration_col="t", cause_col="k")
+        .to_pandas().sort_values(["cause", "t"]).reset_index(drop=True))
+    # S(0)=1; S(1)=5/6; S(3)=5/6*3/4=0.625; S(4)=0.625*2/3
+    # CIF1(1)=1*1/6; CIF1(4)=1/6+0.625*1/3
+    # CIF2(3)=S(1-)... = 5/6 * 1/4
+    exp = {
+        (1, 1): round(1 / 6, 6),
+        (1, 4): round(1 / 6 + 0.625 / 3, 6),
+        (2, 3): round(5 / 6 / 4, 6),
+    }
+    got = {(r["cause"], r["t"]): r["cif"] for _, r in out.iterrows()}
+    assert got.keys() == exp.keys()
+    for key in exp:
+        assert abs(got[key] - exp[key]) < 1e-9, key
+    # competing-risks identity: total failure prob <= 1 and
+    # CIF1(max)+CIF2(max) = 1 - S(last event time)
+    tot = exp[(1, 4)] + exp[(2, 3)]
+    assert abs(tot - (1 - 0.625 * 2 / 3)) < 1e-6
+
+
+def test_cif_partition_invariance_and_monotone(ray_session):
+    from featherstore_ray.stages.survival import cumulative_incidence
+
+    rng = np.random.default_rng(19)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], n),
+        "t": rng.integers(1, 50, n),
+        "k": rng.choice([0, 1, 2], n, p=[0.3, 0.4, 0.3]),
+    })
+    a = (cumulative_incidence(ray.data.from_pandas(df).repartition(2),
+                              group_col="g", duration_col="t",
+                              cause_col="k").to_pandas()
+         .sort_values(["g", "cause", "t"]).reset_index(drop=True))
+    b = (cumulative_incidence(ray.data.from_pandas(df).repartition(9),
+                              group_col="g", duration_col="t",
+                              cause_col="k", num_buckets=5).to_pandas()
+         .sort_values(["g", "cause", "t"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # CIF is nondecreasing in t within (group, cause), bounded by 1
+    for _, grp in a.groupby(["g", "cause"]):
+        assert (np.diff(grp["cif"].to_numpy()) >= -1e-12).all()
+    assert (a["cif"] <= 1.0 + 1e-9).all()
